@@ -1,0 +1,43 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Defaults follow the scale design notes in SURVEY.md §7: AQE on (runtime
+  * re-planning, skew-join splitting, partition coalescing), shuffle
+  * partitions sized to the local core count rather than Spark's default 200
+  * (on a real cluster this is expected to be overridden to ~2-3x total
+  * cores), UTC session time zone so timestamp semantics are stable across
+  * environments and match the DuckDB oracle.
+  */
+object SparkEngine {
+
+  /** Build (or reuse) a configured session. */
+  def session(
+      master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+      appName: String = "graft",
+      shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Tune an externally-created session (e.g. the driver's) with the same
+    * semantic settings without touching parallelism knobs.
+    */
+  def align(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

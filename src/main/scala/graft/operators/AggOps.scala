@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Grouped-aggregation operators (SURVEY.md §2b aggregation family).
+  * All compile to partial+final HashAggregate — the map-side combine the
+  * reference only applied in lab2 is automatic for every one of these.
+  */
+object AggOps {
+
+  /** Count per group (lab8/ProductSalesAnalyzer.sh:98-103,
+    * lab10/BookPublicationFrequency.sh:94-98).
+    */
+  def groupCount(key: Column*): DataFrame => DataFrame =
+    df => df.groupBy(key: _*).agg(count(lit(1)).as("cnt"))
+
+  /** Max per group (lab3/HighestTemperature.sh:105-109). */
+  def groupMax(key: Column, value: Column, as: String = "max_value"): DataFrame => DataFrame =
+    df => df.groupBy(key).agg(max(value).as(as))
+
+  /** Row-wise (horizontal) max across columns
+    * (lab6/MaxElectricityConsumption.sh:93-96 — the hand-fused row-max
+    * loop; `greatest` keeps it inside one codegen stage).
+    */
+  def rowwiseMax(cols: Seq[Column]): Column = greatest(cols: _*)
+
+  /** Grouped list-agg with canonical ordering: sort_array makes the
+    * output deterministic where the reference's reduce-side iteration
+    * order was not (SURVEY.md S6; lab4:110-118, lab9:88-93).
+    */
+  def listAgg(
+      key: Column,
+      value: Column,
+      sep: String = ", ",
+      as: String = "items"): DataFrame => DataFrame =
+    df =>
+      df.groupBy(key)
+        .agg(concat_ws(sep, sort_array(collect_list(value))).as(as))
+
+  /** Per-group argmax with a deterministic tie-break (the reference's
+    * lab11/UberTripAnalyzer.sh:100-109 is first-seen-wins, which is
+    * nondeterministic under parallel input order; we canonicalize to
+    * smallest witness). Window + row_number keeps one shuffle.
+    */
+  def argMax(
+      part: Seq[Column],
+      ord: Column,
+      tieBreak: Seq[Column]): DataFrame => DataFrame = {
+    df => {
+      val w = Window.partitionBy(part: _*).orderBy((ord.desc +: tieBreak.map(_.asc)): _*)
+      df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    }
+  }
+
+  /** Per-group top-k by `ord` (generalizes lab11's per-group top-1). */
+  def topK(part: Seq[Column], ord: Seq[Column], k: Int): DataFrame => DataFrame =
+    df => {
+      val w = Window.partitionBy(part: _*).orderBy(ord: _*)
+      df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
+    }
+}
+
+/** Generalized COO sparse matrix multiply (lab5/MatrixMultiplication.sh).
+  *
+  * The reference's map-side replication of A[i,k] to every (i,j) and
+  * B[k,j] to every (i,j) with K hard-coded to 2 (lab5:86-98) IS a shuffle
+  * join on A.col == B.row followed by a grouped dot product
+  * (lab5:110-128). Expressed declaratively, Catalyst picks
+  * broadcast-hash vs sort-merge and K is arbitrary. Duplicate COO entries
+  * are summed implicitly, matching C[i,j] = sum_k (sum A[i,k]) (sum B[k,j]).
+  */
+object CooMatMul {
+  def apply(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("row").as("i"), col("col").as("k"), col("val").as("va"))
+    val r = b.select(col("row").as("k"), col("col").as("j"), col("val").as("vb"))
+    l.join(r, "k")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("va") * col("vb")).as("val"))
+  }
+}

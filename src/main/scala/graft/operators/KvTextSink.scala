@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** The reference's output contract (SURVEY.md S2/S3): a single text file of
+  * `key\tvalue` lines, globally sorted ascending by key-as-string (Hadoop's
+  * 1-reducer shuffle sort over Text keys). The coalesce(1) is applied only
+  * at the sink, after all distributed work — at cluster scale you'd drop it
+  * and keep the range-partitioned sorted output.
+  */
+object KvTextSink {
+
+  /** Render (key, value...) rows into the reference's line format. */
+  def lines(df: DataFrame): Dataset[String] = {
+    import df.sparkSession.implicits._
+    val cols: Seq[Column] = df.columns.toIndexedSeq.map(c => col(c).cast("string"))
+    df.select(concat_ws("\t", cols: _*).as("line"))
+      .orderBy(col(df.columns.head).cast("string"))
+      .select(col("line"))
+      .as[String]
+  }
+
+  /** Write as a single sorted text file (golden-compare form). */
+  def write(df: DataFrame, path: String): Unit =
+    lines(df).coalesce(1).write.mode("overwrite").text(path)
+
+  /** Collect as the reference's `hdfs dfs -cat` output (tests only). */
+  def collect(df: DataFrame): Seq[String] = lines(df).collect().toIndexedSeq
+}

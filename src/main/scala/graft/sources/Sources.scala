@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema-on-read sources reproducing the reference's ingestion semantics
+  * (SURVEY.md §1):
+  *
+  *   - S4: malformed rows are silently dropped, never fail the job
+  *     (reference guards row arity and catches NumberFormatException, e.g.
+  *     lab3/HighestTemperature.sh:85-92). We express that as PERMISSIVE
+  *     parsing plus cast-to-null filters — a failed `cast("int")` yields
+  *     null exactly where the reference's parseInt would throw.
+  *   - S5: header rows are dropped either by the csv reader's header option
+  *     or by the same parse-failure path (lab3's header dies via S4).
+  *
+  * All readers return DataFrames with the caller's explicit schema — there
+  * is no inference, mirroring the reference's fixed positional schemas.
+  */
+object Sources {
+
+  /** Parquet fixture table, e.g. table(spark, sfDir, "lineitem"). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** CSV with explicit schema. `header=true` covers the reference's
+    * startsWith/equalsIgnoreCase header heuristics for well-formed files
+    * (lab8:85, lab10:79, lab11:81).
+    */
+  def csv(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      header: Boolean = false,
+      sep: String = ","): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("sep", sep)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** Whitespace-separated text (lab3/6/7 style): read lines, split on
+    * `\s+`, positional-cast into `schema`. Rows whose arity or numeric
+    * parses fail are dropped (S4). A UTF-8 BOM on the first line (present
+    * in lab3/Temperature.txt) is stripped before splitting.
+    */
+  def whitespace(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    delimited(spark, path, "\\s+", schema)
+
+  /** Arbitrary-regex-delimited text: covers lab9's `::` records and any
+    * separator the csv reader can't express. Drops rows with fewer fields
+    * than the schema and rows where a numeric field fails to parse (S4).
+    */
+  def delimited(
+      spark: SparkSession,
+      path: String,
+      sepRegex: String,
+      schema: StructType): DataFrame = {
+    val n = schema.fields.length
+    val lines = spark.read
+      .text(path)
+      .select(regexp_replace(col("value"), "^﻿", "").as("value"))
+      .where(length(trim(col("value"))) > 0)
+      .select(split(trim(col("value")), sepRegex).as("f"))
+      .where(size(col("f")) >= n)
+    val cols = schema.fields.zipWithIndex.map { case (fld, i) =>
+      col("f").getItem(i).cast(fld.dataType).as(fld.name)
+    }
+    val parsed = lines.select(cols.toIndexedSeq: _*)
+    // S4: any non-string field that failed its cast (null where the raw
+    // token was non-null) marks the row malformed -> drop the row.
+    schema.fields.filter(_.dataType != StringType).foldLeft(parsed) {
+      case (df, fld) => df.where(col(fld.name).isNotNull)
+    }
+  }
+}
