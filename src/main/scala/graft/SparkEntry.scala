@@ -22,13 +22,22 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every query runs under a UTC-aligned session regardless of what the
+    * caller configured: timestamp-derived group keys (year(), date_format)
+    * must not drift from the timezone-naive DuckDB oracle.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    LabQueries.queries
+    (LabQueries.queries ++ LlmQueries.queries).map { case (name, fn) =>
+      name -> { (s: SparkSession, dir: String) =>
+        fn(graft.engine.SparkEngine.align(s), dir)
+      }
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    LabQueries.oracleSql
+    LabQueries.oracleSql ++ LlmQueries.oracleSql
 }

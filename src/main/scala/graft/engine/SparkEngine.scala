@@ -27,6 +27,10 @@ object SparkEngine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Parquet TIMESTAMP(NANOS) (e.g. pandas-written event streams) is
+      // otherwise an illegal type for the vectorized reader; surface it
+      // as a LongType of epoch-nanos and convert explicitly.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -38,6 +42,7 @@ object SparkEngine {
     */
   def align(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 }

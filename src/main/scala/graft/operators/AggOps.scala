@@ -42,9 +42,37 @@ object AggOps {
   /** Per-group argmax with a deterministic tie-break (the reference's
     * lab11/UberTripAnalyzer.sh:100-109 is first-seen-wins, which is
     * nondeterministic under parallel input order; we canonicalize to
-    * smallest witness). Window + row_number keeps one shuffle.
+    * smallest witness).
+    *
+    * Implemented as `max_by(struct(ord, witnesses), struct(ord, -tie))`
+    * — a declarative aggregate, so Catalyst plans partial+final
+    * HashAggregate: each map partition reduces its rows to ONE candidate
+    * per group before the shuffle. At 100 TB that is the difference
+    * between shuffling every row (the window/row_number form below) and
+    * shuffling one row per (group x map-partition).
+    *
+    * `tieBreakAsc` columns must be numeric (they are negated to express
+    * "smallest wins" inside a max). Output: `part` columns followed by
+    * `ord` and the tie-break/witness columns, under their input names.
     */
   def argMax(
+      part: Seq[String],
+      ord: String,
+      tieBreakAsc: Seq[String]): DataFrame => DataFrame = {
+    df => {
+      val payload = struct((ord +: tieBreakAsc).map(col): _*)
+      val ranking = struct(col(ord) +: tieBreakAsc.map(c => -col(c)): _*)
+      df.groupBy(part.map(col): _*)
+        .agg(max_by(payload, ranking).as("__argmax"))
+        .select(part.head, (part.tail :+ "__argmax.*"): _*)
+    }
+  }
+
+  /** Window/row_number argmax variant: strictly heavier (full shuffle of
+    * every row, no map-side reduction) but keeps ALL input columns and
+    * supports non-numeric tie-breaks. Prefer [[argMax]] at scale.
+    */
+  def argMaxWindow(
       part: Seq[Column],
       ord: Column,
       tieBreak: Seq[Column]): DataFrame => DataFrame = {

@@ -1,0 +1,150 @@
+package graft.operators.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for LLM training-data pipelines: exact dedup by
+  * normalized-content hash, and near-duplicate detection via MinHash +
+  * banded LSH.
+  *
+  * Scale design (the 100 TB contract):
+  *   - exact dedup is ONE hash-partitioned aggregate on a 256-bit content
+  *     hash — partial+final HashAggregate, no row payload wider than the
+  *     digest crosses the shuffle in the (id, dupes) form;
+  *   - near-dup NEVER does all-pairs: MinHash signatures are computed in a
+  *     single map pass (no shuffle), then pairs are generated only within
+  *     LSH band-buckets (a self-equi-join on the band hash). Candidate
+  *     volume is governed by the banding parameters, not O(n^2);
+  *   - a bucket-size cap drops degenerate buckets (e.g. boilerplate that
+  *     hashes a million docs into one bucket) before they can go
+  *     quadratic — the standard web-dedup guard.
+  *
+  * Everything is Catalyst built-ins (higher-order array functions +
+  * xxhash64) — whole-stage codegen'd, no UDFs.
+  */
+object Dedup {
+
+  /** Canonical text form shared with the DuckDB oracle: lower-case,
+    * whitespace runs collapsed to single spaces, trimmed.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Normalized whitespace tokens. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** Distinct word n-gram shingles of the normalized text; empty array
+    * when the document has fewer than `n` words (guarded — Spark's
+    * `sequence(1, 0)` would otherwise count DOWN).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = tokens(text)
+    when(
+      size(w) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(w) - lit(n - 1)),
+          i => concat_ws(" ", slice(w, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact-duplicate groups: one row per distinct normalized text, with
+    * the smallest id as the canonical survivor and the duplicate count.
+    * The only shuffled payload is (digest, id, count).
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(normalize(col(textCol)), 256).as("__digest"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dupes"))
+      .drop("__digest")
+
+  /** Exact dedup keeping the survivor's FULL row (smallest id wins).
+    * min_by is a declarative aggregate — partial+final, map-side reduced.
+    */
+  def exactRows(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(sha2(normalize(col(textCol)), 256).as("__digest"))
+      .agg(min_by(payload, col(idCol)).as("__row"))
+      .select("__row.*")
+  }
+
+  /** MinHash signature: `numHashes` independent min-over-shingles of
+    * seeded xxhash64. Null entries when the shingle set is empty (such
+    * docs can't near-dup match and fall out of the band join).
+    */
+  def minhash(shingleCol: Column, numHashes: Int = 32): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleCol, s => xxhash64(i, s))))
+
+  /** Band hashes over a MinHash signature: `bands` buckets of
+    * `rowsPerBand` signature entries each, hashed to one long per band.
+    */
+  def bandHashes(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sigCol, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))
+
+  /** Near-duplicate pairs via MinHash-LSH candidate generation + exact
+    * Jaccard verification on candidates only.
+    *
+    * Returns (id_a, id_b, inter, uni) for candidate pairs whose exact
+    * shingle-set Jaccard `inter/uni >= threshold`, id_a < id_b. Sizes are
+    * integers so the result hash-compares exactly against a SQL oracle.
+    *
+    * @param maxBucketSize LSH buckets larger than this are discarded
+    *   before pair generation (quadratic-blowup guard for degenerate
+    *   content at scale).
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val rowsPerBand = numHashes / bands
+
+    val withSets = df
+      .select(col(idCol).as("__id"), shingles(col(textCol), shingleSize).as("__sh"))
+      .where(size(col("__sh")) > 0)
+
+    val banded = withSets
+      .select(
+        col("__id"),
+        posexplode(bandHashes(minhash(col("__sh"), numHashes), bands, rowsPerBand))
+          .as(Seq("__band", "__bh")))
+
+    // Quadratic-blowup guard: drop buckets above the cap. The count join
+    // is co-partitioned with the pair join (same keys), so AQE keeps it
+    // on one exchange of `banded`.
+    val sized = banded
+      .groupBy("__band", "__bh").agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucketSize)
+      .select("__band", "__bh")
+    val kept = banded.join(sized, Seq("__band", "__bh"))
+
+    val candidates = kept.as("a")
+      .join(
+        kept.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__bh") === col("b.__bh") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+
+    // Exact verification only on candidates: join shingle sets back in.
+    val sa = withSets.select(col("__id").as("id_a"), col("__sh").as("__sa"))
+    val sb = withSets.select(col("__id").as("id_b"), col("__sh").as("__sb"))
+    candidates
+      .join(sa, "id_a")
+      .join(sb, "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).as("inter"),
+        size(array_union(col("__sa"), col("__sb"))).as("uni"))
+      .where(col("inter") >= col("uni") * threshold)
+  }
+}

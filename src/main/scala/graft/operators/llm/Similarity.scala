@@ -1,0 +1,135 @@
+package graft.operators.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `array<float>` columns: exact cosine
+  * top-k as the verifiable baseline, and a random-hyperplane LSH
+  * (SimHash-for-vectors) bucketed variant as the scale path.
+  *
+  * Scale design:
+  *   - the query set is broadcast (small side), the corpus is scanned
+  *     exactly once — no shuffle of corpus vectors for the score pass;
+  *   - top-k uses local-then-global selection ([[topKPerKey]]): each
+  *     partition first reduces to its own top-k, so only k rows per
+  *     (query x partition) reach the final per-query selection instead of
+  *     the whole corpus;
+  *   - the ANN variant buckets both sides by LSH signature and scores
+  *     only within buckets — candidate volume is controlled by the number
+  *     of hyperplanes, not corpus size squared.
+  *
+  * All arithmetic is Catalyst higher-order functions (zip_with/aggregate)
+  * in whole-stage codegen — no UDFs.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double in
+    * index order (matches a sequential SQL-oracle fold exactly).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn > 0, d / nn)
+  }
+
+  /** Per-key top-k without shuffling whole groups: local top-k inside
+    * each map partition (window over key + partition id), THEN the global
+    * per-key top-k over the survivors. Result is deterministic for any
+    * input partitioning: a global top-k row is necessarily in its
+    * partition's local top-k.
+    */
+  def topKPerKey(keys: Seq[Column], order: Seq[Column], k: Int): DataFrame => DataFrame =
+    df => {
+      val local = Window.partitionBy((keys :+ spark_partition_id()): _*).orderBy(order: _*)
+      val global = Window.partitionBy(keys: _*).orderBy(order: _*)
+      df.withColumn("__lrn", row_number().over(local)).where(col("__lrn") <= k)
+        .withColumn("rank", row_number().over(global)).where(col("rank") <= k)
+        .drop("__lrn")
+    }
+
+  /** Exact brute-force cosine top-k: for each query vector, the k most
+    * similar corpus vectors (self excluded). Ranking is by cosine rounded
+    * to 6 decimals (descending) with ascending-id tie-break, so the
+    * ordering is reproducible bit-for-bit against a SQL oracle computing
+    * the same double fold.
+    */
+  def cosineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv"))
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
+      .transform(topKPerKey(Seq(col("qid")), Seq(col("cos").desc, col("nid").asc), k))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * xxhash64 scaled into [-1, 1]. No RNG state — reproducible anywhere.
+    */
+  private def planeWeight(plane: Column, dim: Column): Column =
+    xxhash64(plane, dim).cast("double") / lit(Long.MaxValue.toDouble)
+
+  /** Random-hyperplane LSH signature: one sign bit per plane (as an
+    * int array, ready for band hashing). Vectors with small angle agree
+    * on most bits.
+    */
+  def hyperplaneBits(vec: Column, planes: Int = 16): Column =
+    transform(
+      sequence(lit(0), lit(planes - 1)),
+      p => {
+        val proj = aggregate(
+          zip_with(
+            vec,
+            sequence(lit(0), size(vec) - 1),
+            (v, d) => v.cast("double") * planeWeight(p, d)),
+          lit(0.0),
+          (s, x) => s + x)
+        when(proj > 0, 1).otherwise(0)
+      })
+
+  /** Approximate cosine top-k: candidates are corpus vectors sharing at
+    * least one band of the hyperplane signature with the query (banded,
+    * like MinHash-LSH), scored exactly within buckets. Recall < 1 by
+    * construction; measure it against [[cosineTopK]] before relying on it.
+    */
+  def annTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(planes % bands == 0, "planes must divide evenly into bands")
+    val bitsPerBand = planes / bands
+
+    def banded(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          hyperplaneBits(col(vecCol), planes).as("__sig"))
+        .select(col(id), col(vec),
+          posexplode(Dedup.bandHashes(col("__sig"), bands, bitsPerBand))
+            .as(Seq("__band", "__bh")))
+
+    val qb = banded(queries, "qid", "__qv")
+    val cb = banded(corpus, "nid", "__cv")
+    cb.join(broadcast(qb),
+        col("qid") =!= col("nid") &&
+          cb("__band") === qb("__band") && cb("__bh") === qb("__bh"))
+      .select("qid", "nid", "__qv", "__cv").distinct()
+      .select(col("qid"), col("nid"), round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
+      .transform(topKPerKey(Seq(col("qid")), Seq(col("cos").desc, col("nid").asc), k))
+  }
+}

@@ -13,9 +13,13 @@ import graft.sources.Sources
   * hash-compare):
   *   - every computed column is aliased identically on both sides;
   *   - output is deterministically ordered (ORDER BY on both sides);
-  *   - double-typed SUMs are rounded to cents and summed as BIGINT so the
-  *     two engines' different accumulation orders can't drift;
-  *   - group keys derived from timestamps are formatted to strings.
+  *   - group keys derived from timestamps are formatted to strings, and
+  *     the session time zone is pinned to UTC in the query path
+  *     (SparkEntry aligns the session) so they can't drift from the
+  *     timezone-naive DuckDB oracle;
+  *   - order-dependent floating-point accumulation (double SUM) is
+  *     avoided in hash-compared outputs — aggregate integers, or max/min
+  *     which are order-independent.
   */
 object LabQueries {
 
@@ -57,14 +61,17 @@ object LabQueries {
 
     // lab5 MatrixMultiplication (lab5:88-128): the replicate-join expressed
     // as a real join + grouped dot product; K is arbitrary, values integer.
+    // Join-key cardinality 256 (suppkey/custkey-derived, not the 25-value
+    // nationkey) so the shuffle join is non-degenerate and AQE has real
+    // partitions to balance.
     "q05_matmul" -> { (s, dir) =>
       val a = t(s, dir, "supplier").select(
-        (col("s_suppkey") % 8).as("row"),
-        (col("s_nationkey") % 8).cast("long").as("col"),
+        (col("s_suppkey") % 32).as("row"),
+        (col("s_suppkey") % 256).cast("long").as("col"),
         (col("s_suppkey") % 97).as("val"))
       val b = t(s, dir, "customer").select(
-        (col("c_nationkey") % 8).cast("long").as("row"),
-        (col("c_custkey") % 8).as("col"),
+        (col("c_custkey") % 256).cast("long").as("row"),
+        (col("c_custkey") % 32).as("col"),
         (col("c_custkey") % 89).as("val"))
       CooMatMul(a, b).orderBy("i", "j")
     },
@@ -122,11 +129,12 @@ object LabQueries {
     // lab11 UberTripAnalyzer (lab11:100-109): per-group argmax with
     // deterministic tie-break (smallest key wins; the reference's
     // first-seen-wins is input-order-dependent — SURVEY.md S6).
+    // max_by form: partial-aggregates map-side, shuffling one candidate
+    // per (day x partition) instead of every order row.
     "q11_argmax" -> { (s, dir) =>
       t(s, dir, "orders")
         .withColumn("d", date_format(col("o_orderdate"), "yyyy-MM-dd"))
-        .transform(
-          AggOps.argMax(Seq(col("d")), col("o_totalprice"), Seq(col("o_custkey"))))
+        .transform(AggOps.argMax(Seq("d"), "o_totalprice", Seq("o_custkey")))
         .select(col("d"), col("o_custkey").as("top_cust"), col("o_totalprice").as("top_price"))
         .orderBy("d")
     }
@@ -153,9 +161,9 @@ object LabQueries {
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q05_matmul" ->
       """SELECT i, j, CAST(sum(va * vb) AS BIGINT) AS val
-        |FROM (SELECT s_suppkey % 8 AS i, s_nationkey % 8 AS k, s_suppkey % 97 AS va
+        |FROM (SELECT s_suppkey % 32 AS i, s_suppkey % 256 AS k, s_suppkey % 97 AS va
         |      FROM supplier) a
-        |JOIN (SELECT c_nationkey % 8 AS k, c_custkey % 8 AS j, c_custkey % 89 AS vb
+        |JOIN (SELECT c_custkey % 256 AS k, c_custkey % 32 AS j, c_custkey % 89 AS vb
         |      FROM customer) b USING (k)
         |GROUP BY i, j ORDER BY i, j""".stripMargin,
     "q06_rowmax" ->

@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.llm._
+import graft.operators.AggOps
+import graft.sources.Sources
+
+/** The LLM-data-pipeline query surface (dedup, similarity, text analysis,
+  * multimodal) plus the events/time and raw-text-ingestion coverage
+  * entries. Same oracle conventions as LabQueries: identical aliases both
+  * sides, deterministic ORDER BY, integer outputs wherever a double could
+  * drift between engines' accumulation orders.
+  */
+object LlmQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) = Sources.table(s, dir, name)
+
+  /** Staging dir for the raw-text ingestion round-trip (q28). */
+  private val stagingRoot = "/root/repo/target/staging"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup over documents ∪ (documents with shifted ids): every
+    // text occurs twice; the survivor is the smaller doc_id, dupes = 2.
+    // One hash-partitioned aggregate on sha2(normalized text).
+    "q20_dedup_exact" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val doubled = d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.exact(doubled, "text", "doc_id").orderBy("doc_id")
+    },
+
+    // Near-dup pairs via MinHash-LSH: shingle -> minhash -> band-bucket ->
+    // in-bucket pair join -> exact Jaccard verify. The fixtures plant 25
+    // pairs at J>=0.96 against a background below 0.07, so threshold 0.5
+    // has a wide margin; 8 bands x 4 rows gives miss probability ~3e-8 at
+    // J=0.97 (and the hashing is deterministic, so a local pass is
+    // conclusive). Output sizes as integers: J >= t iff inter >= uni*t.
+    "q21_dedup_near" -> { (s, dir) =>
+      Dedup.nearDupPairs(t(s, dir, "documents"), "text", "doc_id",
+          shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Exact cosine top-5 neighbors for the first 10 vectors: broadcast
+    // queries x single corpus scan, local-then-global top-k. Ranking by
+    // round(cos, 6) desc + id asc is reproducible against the oracle's
+    // identical double fold; output is ids/ranks only (ints).
+    "q22_cosine_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.cosineTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("nid"), col("rank"))
+        .orderBy("qid", "rank")
+    },
+
+    // ANN variant: hyperplane-LSH bucketed candidates, exact scoring in
+    // buckets. Approximate by construction -> no SQL oracle (driver
+    // rows-only check); recall vs q22 is asserted in SimilaritySpec.
+    "q23_ann_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.annTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, planes = 16, bands = 4)
+        .select(col("qid"), col("nid"), col("rank"))
+        .orderBy("qid", "rank")
+    },
+
+    // Per-language corpus stats: one scan, integer aggregates.
+    "q24_textstats" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(TextStats.tokenCount(col("text"))).as("tokens"),
+          sum(col("n_chars")).as("chars"),
+          max(TextStats.tokenCount(col("text"))).as("max_tokens"))
+        .orderBy("lang")
+    },
+
+    // Word-bigram frequency across the corpus: n-gram generation is a
+    // per-row Generator (no shuffle), then one hash-agg.
+    "q25_ngrams" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextStats.wordNgrams(col("text"), 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bigram")
+    },
+
+    // Multimodal/nested columns: join text with its embedding into one
+    // struct column, operate through the nested fields, aggregate per
+    // label. Payload bytes are derived (encode), binary length + array
+    // cardinality are integers. embeddings is the smaller side at any
+    // sf (one row per document) — broadcast it.
+    "q26_multimodal" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      d.join(broadcast(e), d("doc_id") === e("vec_id"))
+        .select(
+          col("label"),
+          struct(
+            col("text").as("text"),
+            encode(col("text"), "UTF-8").as("payload"),
+            col("embedding").as("embedding")).as("media"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(length(col("media.payload"))).as("bytes"),
+          sum(size(col("media.embedding"))).as("dims"),
+          sum(TextStats.tokenCount(col("media.text"))).as("tokens"))
+        .orderBy("label")
+    },
+
+    // Events: per event-type hourly activity — the timestamp surface.
+    // The fixture's parquet type is TIMESTAMP(NANOS): read as epoch-nanos
+    // long (SparkEngine aligns the legacy flag), convert to micros, and
+    // format under the UTC session so the string key can't drift from
+    // the tz-naive oracle.
+    "q27_events_hourly" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          col("event_type"),
+          // integer `div`, NOT `/`: epoch-nanos exceed double's 53-bit
+          // mantissa, so float division would corrupt the timestamp
+          date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH").as("hr"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type", "hr")
+    },
+
+    // Raw-text ingestion round-trip: stage nation as '|'-delimited lines
+    // (with an injected junk header + malformed rows), read back through
+    // Sources.delimited — exercising line scan, regex split, S5 header
+    // drop and S4 numeric-parse drop inside the correctness gate.
+    "q28_text_ingest" -> { (s, dir) =>
+      import s.implicits._
+      val staged = s"$stagingRoot/q28_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val junk = Seq("n_nationkey|n_name|n_regionkey", "JUNK|row", "x|y|notanint").toDF("line")
+      t(s, dir, "nation")
+        .select(concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey")).as("line"))
+        .unionByName(junk)
+        .coalesce(1).write.mode("overwrite").text(staged)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      Sources.delimited(s, staged, "\\|", schema, exactArity = true)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("cnt"), min(col("n_name")).as("first_nation"))
+        .orderBy("n_regionkey")
+    },
+
+    // Fingerprints: SimHash + rolling hash per doc. xxhash64-based -> not
+    // reproducible in DuckDB; driver rows-only check, semantics asserted
+    // in FingerprintSpec (near-dup pairs land within small Hamming
+    // distance; permutations change rollingHash but not simhash).
+    "q29_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          Fingerprint.simhash64(col("text")).as("simhash"),
+          Fingerprint.rollingHash(col("text")).as("rhash"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID heuristic + quality score per doc (heuristic doubles ->
+    // rows-only check; exercised properly in TextStatsSpec).
+    "q30_quality" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextStats.langId(col("text")).as("lang_guess"),
+          TextStats.qualityScore(col("text"), TextStats.langProfiles("en")).as("quality"),
+          TextStats.subwordCountEstimate(col("text")).as("subwords"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |SELECT min(doc_id) AS doc_id, count(*) AS dupes
+        |FROM u GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |ORDER BY doc_id""".stripMargin,
+    "q21_dedup_near" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(w)-2, 0)+1),
+        |                       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+        |  FROM words WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         len(list_intersect(a.s, b.s)) AS inter,
+        |         len(list_distinct(a.s || b.s)) AS uni
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, inter, uni FROM pairs
+        |WHERE inter >= uni * 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q22_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+        |s AS (
+        |  SELECT qid, nid,
+        |         round(
+        |           list_sum(list_transform(range(1, len(qe)+1),
+        |                    i -> qe[i]::DOUBLE * ce[i]::DOUBLE))
+        |           / (sqrt(list_sum(list_transform(range(1, len(qe)+1),
+        |                    i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+        |            * sqrt(list_sum(list_transform(range(1, len(ce)+1),
+        |                    i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))), 6) AS cos
+        |  FROM q, c WHERE qid <> nid),
+        |r AS (SELECT qid, nid,
+        |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        |      FROM s)
+        |SELECT qid, nid, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q24_textstats" ->
+      """SELECT lang, count(*) AS docs,
+        |       CAST(sum(CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
+        |                THEN 0
+        |                ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+        |           END) AS BIGINT) AS tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars,
+        |       max(CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
+        |                THEN 0
+        |                ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+        |           END) AS max_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q25_ngrams" ->
+      """WITH words AS (
+        |  SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(w)-1, 0)+1),
+        |                i -> concat_ws(' ', w[i], w[i+1]))) AS bigram
+        |  FROM words WHERE len(w) >= 2)
+        |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram ORDER BY bigram""".stripMargin,
+    "q26_multimodal" ->
+      """SELECT label, count(*) AS cnt,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes,
+        |       CAST(sum(len(embedding)) AS BIGINT) AS dims,
+        |       CAST(sum(CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
+        |                THEN 0
+        |                ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+        |           END) AS BIGINT) AS tokens
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "q27_events_hourly" ->
+      """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
+        |       count(*) AS cnt, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type, hr ORDER BY event_type, hr""".stripMargin,
+    "q28_text_ingest" ->
+      """SELECT n_regionkey, count(*) AS cnt, min(n_name) AS first_nation
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+  )
+}

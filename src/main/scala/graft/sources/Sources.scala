@@ -50,23 +50,32 @@ object Sources {
     delimited(spark, path, "\\s+", schema)
 
   /** Arbitrary-regex-delimited text: covers lab9's `::` records and any
-    * separator the csv reader can't express. Drops rows with fewer fields
-    * than the schema and rows where a numeric field fails to parse (S4).
+    * separator the csv reader can't express. Rows where a numeric field
+    * fails to parse are dropped (S4). Arity policy mirrors the reference:
+    * `exactArity=true` drops rows with MORE fields than the schema too
+    * (lab3's `parts.length == 2`); set it false for the labs that accept
+    * extra trailing fields (lab9's `>= 3`, lab11's `>= 4`).
     */
   def delimited(
       spark: SparkSession,
       path: String,
       sepRegex: String,
-      schema: StructType): DataFrame = {
+      schema: StructType,
+      exactArity: Boolean = true): DataFrame = {
     val n = schema.fields.length
+    val arityOk =
+      if (exactArity) size(col("f")) === n else size(col("f")) >= n
     val lines = spark.read
       .text(path)
       .select(regexp_replace(col("value"), "^﻿", "").as("value"))
       .where(length(trim(col("value"))) > 0)
       .select(split(trim(col("value")), sepRegex).as("f"))
-      .where(size(col("f")) >= n)
+      .where(arityOk)
+    // try_cast, not cast: Spark 4's ANSI mode makes a plain cast THROW on
+    // malformed input, while the reference's contract (S4) is
+    // catch-and-skip. try_cast yields null exactly where parseInt threw.
     val cols = schema.fields.zipWithIndex.map { case (fld, i) =>
-      col("f").getItem(i).cast(fld.dataType).as(fld.name)
+      col("f").getItem(i).try_cast(fld.dataType).as(fld.name)
     }
     val parsed = lines.select(cols.toIndexedSeq: _*)
     // S4: any non-string field that failed its cast (null where the raw
