@@ -1,0 +1,79 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.engine.SparkEngine
+import graft.operators.{AggOps, CooMatMul, KvTextSink, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Property-based semantics checks (SURVEY.md §5.3): the distributed
+  * operators agree with straightforward sequential folds on random input.
+  * Case counts are kept small — every case is a real local Spark job.
+  */
+object EngineProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private lazy val spark =
+    SparkEngine.session(master = "local[4]", appName = "graft-props", shufflePartitions = 4)
+
+  private val dim = 4
+  /** Sparse COO matrix as cell -> value (Map dedups coordinates, matching
+    * CooMatMul's implicit duplicate-sum over unique cells).
+    */
+  private val genMatrix: Gen[Map[(Int, Int), Int]] =
+    Gen.mapOf(for {
+      i <- Gen.choose(0, dim - 1)
+      j <- Gen.choose(0, dim - 1)
+      v <- Gen.choose(-9, 9)
+    } yield (i, j) -> v)
+
+  property("CooMatMul == naive O(n^3) multiply (arbitrary K, lab5 generalized)") =
+    forAll(genMatrix, genMatrix) { (a, b) =>
+      import spark.implicits._
+      val adf = a.toSeq.map { case ((i, j), v) => (i, j.toLong, v) }.toDF("row", "col", "val")
+      val bdf = b.toSeq.map { case ((i, j), v) => (i.toLong, j, v) }.toDF("row", "col", "val")
+      val got = CooMatMul(adf, bdf)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      // naive: a cell exists iff some k contributes; its value may be 0
+      val expected = (for {
+        i <- 0 until dim; j <- 0 until dim
+        ks = (0 until dim).filter(k => a.contains((i, k)) && b.contains((k, j)))
+        if ks.nonEmpty
+      } yield (i, j) -> ks.map(k => a((i, k)).toLong * b((k, j))).sum).toMap
+      got == expected
+    }
+
+  private val genDoc: Gen[List[String]] =
+    Gen.listOfN(8, Gen.oneOf("", "cat dog", "the cat", "a  b\tc", "dog"))
+
+  property("wordCount == sequential token fold (lab2)") = forAll(genDoc) { docs =>
+    import spark.implicits._
+    val got = docs.toDF("text")
+      .transform(TextOps.wordCount(col("text")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = docs.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    got == expected
+  }
+
+  property("KvTextSink output is globally sorted by key (S2)") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { keys =>
+      import spark.implicits._
+      val lines = KvTextSink.collect(keys.zipWithIndex.toDF("k", "v"))
+      val ks = lines.map(_.takeWhile(_ != '\t'))
+      ks == ks.sorted
+    }
+
+  property("groupMax == sequential max fold") =
+    forAll(Gen.nonEmptyListOf(for {
+      g <- Gen.choose(0, 3); v <- Gen.choose(-1000, 1000)
+    } yield (s"g$g", v))) { rows =>
+      import spark.implicits._
+      val got = rows.toDF("g", "v")
+        .transform(AggOps.groupMax(col("g"), col("v"), as = "m"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      got == rows.groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).max }
+    }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Unit boundaries for the §2b operator families: the grade-ladder and
+  * binary-classify thresholds exactly at their cut points, argmax
+  * tie-breaks, list-agg canonical order, top-k.
+  */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Classify.ladder hits grade boundaries exactly (lab4:91-103)") {
+    val df = Seq(100, 90, 89, 80, 79, 70, 69, 60, 59, 0).toDF("marks")
+    val got = df
+      .select(
+        col("marks"),
+        Classify.ladder(
+          col("marks"),
+          Seq(90.0 -> "A", 80.0 -> "B", 70.0 -> "C", 60.0 -> "D"),
+          otherwise = "F").as("g"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      100 -> "A", 90 -> "A", 89 -> "B", 80 -> "B", 79 -> "C",
+      70 -> "C", 69 -> "D", 60 -> "D", 59 -> "F", 0 -> "F"))
+  }
+
+  test("Classify.binary is Shiny at exactly 30 (lab7:92 uses >=)") {
+    val df = Seq(31, 30, 29).toDF("t")
+    val got = df
+      .select(col("t"), Classify.binary(col("t"), 30.0, "Shiny", "Cool").as("l"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(31 -> "Shiny", 30 -> "Shiny", 29 -> "Cool"))
+  }
+
+  test("argMax takes the max row and breaks ties toward the smallest witness") {
+    val df = Seq(
+      ("d1", 10, 5), ("d1", 20, 9), ("d1", 20, 3), // tie at 20 -> witness 3
+      ("d2", 7, 1)
+    ).toDF("d", "trips", "base")
+    val got = df
+      .transform(AggOps.argMax(Seq("d"), "trips", Seq("base")))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set(("d1", 20, 3), ("d2", 7, 1)))
+  }
+
+  test("argMax and argMaxWindow agree on every group") {
+    val df = (1 to 500)
+      .map(i => (s"g${i % 13}", i * 7 % 101, i))
+      .toDF("g", "v", "id")
+    val a = df.transform(AggOps.argMax(Seq("g"), "v", Seq("id")))
+      .select("g", "v", "id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val w = df.transform(AggOps.argMaxWindow(Seq(col("g")), col("v"), Seq(col("id"))))
+      .select("g", "v", "id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(a == w)
+  }
+
+  test("listAgg canonicalizes the in-group order (S6)") {
+    val df = Seq(("m", "zebra"), ("m", "apple"), ("m", "mango")).toDF("k", "v")
+    val got = df.transform(AggOps.listAgg(col("k"), col("v"), as = "items")).head()
+    assert(got.getString(1) == "apple, mango, zebra")
+  }
+
+  test("topK returns k rows per group in order") {
+    val df = Seq(("a", 3), ("a", 1), ("a", 5), ("b", 2)).toDF("g", "v")
+    val got = df
+      .transform(AggOps.topK(Seq(col("g")), Seq(col("v").desc), 2))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got == Set(("a", 5), ("a", 3), ("b", 2)))
+  }
+
+  test("rowwiseMax is greatest across columns (lab6:93-96)") {
+    val df = Seq((1, 9, 4)).toDF("a", "b", "c")
+    val got = df.select(AggOps.rowwiseMax(Seq(col("a"), col("b"), col("c")))).head().getInt(0)
+    assert(got == 9)
+  }
+
+  test("wordCount tokenizes on whitespace runs and drops empty tokens (lab2)") {
+    val df = Seq("the  cat sat", "the dog", "  ").toDF("text")
+    val got = df.transform(TextOps.wordCount(col("text")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("the" -> 2L, "cat" -> 1L, "sat" -> 1L, "dog" -> 1L))
+  }
+}

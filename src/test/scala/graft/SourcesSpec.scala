@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.types._
+import graft.sources.Sources
+
+/** Boundary semantics of the schema-on-read text path (SURVEY.md S4/S5):
+  * BOM strip, header death via parse guard, exact vs relaxed arity,
+  * cast-to-null row drops, blank-line filtering.
+  */
+class SourcesSpec extends SparkSpec {
+
+  private def tmpFile(lines: String*): String = {
+    val p: Path = Files.createTempFile("graft-src", ".txt")
+    Files.write(p, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private val yearTemp = StructType(Seq(
+    StructField("year", StringType),
+    StructField("temp", IntegerType)))
+
+  test("S4: rows with unparseable ints are dropped, not failed (ANSI-safe)") {
+    val path = tmpFile("1900 41", "1901 notanint", "1902 35")
+    val rows = Sources.whitespace(spark, path, yearTemp)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(rows == Set("1900" -> 41, "1902" -> 35))
+  }
+
+  test("S4/S5: a UTF-8 BOM'd header line dies via the parse guard") {
+    val path = tmpFile("﻿Year Temperature", "1900 41")
+    val rows = Sources.whitespace(spark, path, yearTemp).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1900"))
+  }
+
+  test("exact arity drops over-long rows; relaxed arity keeps them") {
+    val path = tmpFile("1900 41", "1901 42 junk")
+    val exact = Sources.delimited(spark, path, "\\s+", yearTemp, exactArity = true)
+    val relaxed = Sources.delimited(spark, path, "\\s+", yearTemp, exactArity = false)
+    assert(exact.collect().map(_.getString(0)).toSeq == Seq("1900"))
+    assert(relaxed.collect().map(_.getString(0)).sorted.toSeq == Seq("1900", "1901"))
+  }
+
+  test("under-arity and blank lines are dropped under either policy") {
+    val path = tmpFile("1900 41", "", "   ", "1901")
+    val rows = Sources.delimited(spark, path, "\\s+", yearTemp, exactArity = false).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1900"))
+  }
+
+  test("multi-char regex separators split like the reference (lab9 '::')") {
+    val path = tmpFile("1::1193::great::x::y")
+    val schema = StructType(Seq(
+      StructField("f0", StringType),
+      StructField("movie", StringType),
+      StructField("tag", StringType)))
+    val r = Sources.delimited(spark, path, "::", schema, exactArity = false).head()
+    assert((r.getString(0), r.getString(1), r.getString(2)) == ("1", "1193", "great"))
+  }
+
+  test("string-typed fields never cause drops (nulls only come from casts)") {
+    val path = tmpFile("a b", "c d")
+    val schema = StructType(Seq(StructField("x", StringType), StructField("y", StringType)))
+    assert(Sources.delimited(spark, path, "\\s+", schema).count() == 2)
+  }
+}

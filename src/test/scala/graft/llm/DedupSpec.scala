@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.llm.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalize collapses whitespace and case") {
+    val got = Seq("  The\tQuick   Fox\n").toDF("t")
+      .select(Dedup.normalize(col("t"))).head().getString(0)
+    assert(got == "the quick fox")
+  }
+
+  test("shingles: distinct word n-grams; short docs yield an empty set") {
+    val df = Seq("a b c d", "a b", "a b a b a b").toDF("t")
+    val got = df.select(Dedup.shingles(col("t"), 3)).collect().map(_.getSeq[String](0).toSet)
+    assert(got(0) == Set("a b c", "b c d"))
+    assert(got(1) == Set.empty[String])
+    assert(got(2) == Set("a b a", "b a b")) // distinct
+  }
+
+  test("exact dedup groups case/whitespace variants; survivor is min id") {
+    val df = Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world"),
+      (3L, "something else")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("exactRows keeps the full survivor row") {
+    val df = Seq(
+      (5L, "dup text", "keep-me"),
+      (9L, "DUP   text", "drop-me")).toDF("doc_id", "text", "extra")
+    val got = Dedup.exactRows(df, "text", "doc_id").collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 5L && got.head.getString(2) == "keep-me")
+  }
+
+  test("nearDupPairs finds a planted near-dup and ignores unrelated docs") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"token$i").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(df, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("nearDupPairs reports exact integer Jaccard components") {
+    // identical docs: inter == uni
+    val t = "one two three four five six"
+    val df = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val r = Dedup.nearDupPairs(df, "text", "doc_id").head()
+    assert(r.getInt(2) == r.getInt(3) && r.getInt(2) == 4) // 6 words -> 4 tri-shingles
+  }
+
+  test("maxBucketSize guard drops degenerate buckets before pairing") {
+    // 30 identical docs would otherwise form C(30,2)=435 pairs
+    val df = (1 to 30).map(i => (i.toLong, "same text in every doc here")).toDF("doc_id", "text")
+    val capped = Dedup.nearDupPairs(df, "text", "doc_id", maxBucketSize = 10)
+    assert(capped.count() == 0)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.llm.Fingerprint
+
+class FingerprintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+  private val nearDup = (1 to 60).map(i => if (i == 30) "edited" else s"tok$i").mkString(" ")
+  private val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+
+  private def fp(texts: String*): Map[String, (Long, Long)] =
+    texts.toDF("t")
+      .select(col("t"),
+        Fingerprint.simhash64(col("t")).as("s"),
+        Fingerprint.rollingHash(col("t")).as("r"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("simhash: near-dups land within a few bits; unrelated docs far apart") {
+    val m = fp(base, nearDup, unrelated)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(base)._1, m(nearDup)._1) <= 12)
+    assert(ham(m(base)._1, m(unrelated)._1) >= 20)
+  }
+
+  test("hamming64 column matches Long.bitCount") {
+    val got = Seq((0x0fL, 0xf0L)).toDF("a", "b")
+      .select(Fingerprint.hamming64(col("a"), col("b"))).head().getInt(0)
+    assert(got == 8)
+  }
+
+  test("rollingHash is order-sensitive where simhash is not") {
+    val fwd = "alpha beta gamma delta"
+    val rev = "delta gamma beta alpha"
+    val m = fp(fwd, rev)
+    assert(m(fwd)._2 != m(rev)._2, "permutation must change the rolling hash")
+    assert(m(fwd)._1 == m(rev)._1, "simhash is a bag-of-tokens sketch")
+  }
+
+  test("fingerprints are deterministic across evaluations") {
+    val a = fp(base); val b = fp(base)
+    assert(a == b)
+  }
+}

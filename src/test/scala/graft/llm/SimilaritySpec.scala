@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.llm.Similarity
+import graft.sources.Sources
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vdf(rows: (Long, Seq[Float])*) = rows.toDF("vec_id", "embedding")
+
+  test("cosine: orthogonal = 0, identical = 1, opposite = -1, zero-norm = null") {
+    val df = vdf(
+      1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f), 3L -> Seq(2f, 0f),
+      4L -> Seq(-1f, 0f), 5L -> Seq(0f, 0f))
+    val q = df.where(col("vec_id") === 1).select(col("embedding").as("qv"))
+    val got = df.crossJoin(q)
+      .select(col("vec_id"), Similarity.cosine(col("embedding"), col("qv")).as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(got(1L).contains(1.0) && got(3L).contains(1.0))
+    assert(got(2L).contains(0.0))
+    assert(got(4L).contains(-1.0))
+    assert(got(5L).isEmpty)
+  }
+
+  test("cosineTopK ranks by similarity with id tie-break, self excluded") {
+    val df = vdf(
+      1L -> Seq(1f, 0f),
+      2L -> Seq(1f, 0.1f), // closest to 1
+      3L -> Seq(1f, 1f),
+      4L -> Seq(0f, 1f))   // farthest from 1
+    val got = Similarity
+      .cosineTopK(df, df.where(col("vec_id") === 1), "vec_id", "embedding", k = 3)
+      .orderBy("rank")
+      .collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(2L, 3L, 4L))
+  }
+
+  test("topKPerKey local-then-global selection equals a plain global top-k") {
+    val df = (1 to 1000).map(i => (i % 7, i * 31 % 997, i)).toDF("g", "score", "id")
+      .repartition(8) // force multiple partitions so the local pass matters
+    val viaOp = df
+      .transform(Similarity.topKPerKey(Seq(col("g")), Seq(col("score").desc, col("id").asc), 5))
+      .select("g", "score", "id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    val expected = (1 to 1000).map(i => (i % 7, i * 31 % 997, i))
+      .groupBy(_._1).values
+      .flatMap(_.sortBy(t => (-t._2, t._3)).take(5)).toSet
+    assert(viaOp == expected)
+  }
+
+  test("ANN top-k: high recall on clustered vectors (the contract LSH promises)") {
+    // 100 base directions x 5 tightly perturbed copies: every vector's true
+    // neighbors are its cluster-mates at cos ≈ 0.99. Hyperplane LSH is
+    // built for exactly this case — near-parallel vectors agree on almost
+    // every sign bit, so cluster-mates collide in some band w.h.p.
+    val rnd = new scala.util.Random(42)
+    val dims = 32
+    val vecs = for {
+      c <- 0 until 100
+      base = Array.fill(dims)(rnd.nextGaussian().toFloat)
+      rep <- 0 until 5
+    } yield ((c * 5 + rep).toLong, base.map(v => v + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    val df = vdf(vecs: _*)
+    val q = df.where(col("vec_id") < 25)
+    val exact = Similarity.cosineTopK(df, q, "vec_id", "embedding", k = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(df, q, "vec_id", "embedding", k = 4, planes = 16, bands = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    info(f"clustered ANN recall@4 = $recall%.2f")
+    assert(recall >= 0.9, s"recall $recall below 0.9 on clustered data — LSH regressed")
+  }
+
+  test("ANN top-k recall is reported on the (near-random) sf0.001 fixture") {
+    // The fixture's embeddings are nearly orthogonal random vectors (no
+    // cluster structure), which bounds any LSH's recall — report it and
+    // assert only a loose floor as a regression tripwire.
+    val e = Sources.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(e, q, "vec_id", "embedding", k = 5, planes = 16, bands = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    info(f"fixture ANN recall@5 = $recall%.2f (${ann.size} returned)")
+    assert(recall >= 0.3, s"recall $recall collapsed — candidate generation broken")
+  }
+
+  test("hyperplaneBits is deterministic and angle-sensitive") {
+    val df = vdf(1L -> Seq(1f, 2f, 3f), 2L -> Seq(1.01f, 2f, 3f), 3L -> Seq(-1f, -2f, -3f))
+    val bits = df.select(col("vec_id"), Similarity.hyperplaneBits(col("embedding"), 16).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(bits(1L) == bits(2L), "tiny perturbation should not flip bits")
+    assert(bits(3L) == bits(1L).map(1 - _), "negation flips every sign bit")
+  }
+}
