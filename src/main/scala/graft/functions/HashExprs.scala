@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot per-document fingerprint path.
+  *
+  * The same sketches exist as pure built-in higher-order-function
+  * compositions (graft.operators.llm.Fingerprint.*Builtin) — correct, but
+  * HOF lambdas are CodegenFallback and interpret ~64 ops per token. These
+  * expressions run the identical algorithm as one tight compiled loop per
+  * row and participate in whole-stage codegen via `defineCodeGen` (the
+  * generated code calls the static hasher below) — measured ~20x faster
+  * at 5k docs. This is the brief's escalation path: built-ins first, a
+  * native `Expression` with `doGenCode` where the built-ins can't go fast
+  * enough, never a black-box UDF.
+  */
+object HashImpls {
+
+  private final val Seed = 42L // same seed as Spark's xxhash64 built-in
+
+  @inline private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+
+  /** 64-bit SimHash over lower-cased whitespace tokens: each token votes
+    * +-1 on every bit of its xxhash64; the vote signs become the output
+    * bits. Token boundaries are ASCII-whitespace runs (safe to scan at
+    * the byte level — UTF-8 continuation bytes are never ASCII), matching
+    * the builtin form's `\s+` normalization.
+    */
+  def simhash(input: UTF8String): Long = {
+    val s = input.toLowerCase
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes()
+    val votes = new Array[Int](64)
+    var i = 0
+    var any = false
+    while (i < n) {
+      while (i < n && isSpace(s.getByte(i))) i += 1
+      val start = i
+      while (i < n && !isSpace(s.getByte(i))) i += 1
+      if (i > start) {
+        any = true
+        val h = XXH64.hashUnsafeBytes(base, off + start, i - start, Seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    if (!any) return 0L
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Order-sensitive rolling hash: a chain h := xxhash64(token, seed = h)
+    * over lower-cased whitespace tokens, starting at 0. Distinguishes
+    * permutations (unlike the bag-of-tokens SimHash).
+    */
+  def rollingHash(input: UTF8String): Long = {
+    val s = input.toLowerCase
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes()
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      while (i < n && isSpace(s.getByte(i))) i += 1
+      val start = i
+      while (i < n && !isSpace(s.getByte(i))) i += 1
+      if (i > start) h = XXH64.hashUnsafeBytes(base, off + start, i - start, h)
+    }
+    h
+  }
+}
+
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.simhash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+case class RollingHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash64"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.rollingHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.rollingHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): RollingHash64Expr =
+    copy(child = newChild)
+}
+
+/** Column-level entry points (no session/registry required). The cast
+  * pins the input to StringType (the expressions themselves skip
+  * ExpectsInputTypes — its type classes are private[sql] in Spark 4).
+  */
+object exprs {
+  def simhash64(c: Column): Column =
+    GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(c.cast("string"))))
+  def rollingHash64(c: Column): Column =
+    GraftColumnBridge.column(RollingHash64Expr(GraftColumnBridge.expression(c.cast("string"))))
+}
+
+/** SQL registration (`SELECT simhash64(text) ...`) via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`, the standard
+  * extension hook — or programmatically through [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.simhashDesc)
+    ext.injectFunction(GraftExtensions.rollingDesc)
+  }
+}
+
+object GraftExtensions {
+  private val simhashDesc = (
+    new FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+    (args: Seq[Expression]) => SimHash64Expr(args.head))
+  private val rollingDesc = (
+    new FunctionIdentifier("rolling_hash64"),
+    new ExpressionInfo(classOf[RollingHash64Expr].getName, "rolling_hash64"),
+    (args: Seq[Expression]) => RollingHash64Expr(args.head))
+
+  /** Register on an already-built session (tests, driver-provided sessions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("simhash64", args => SimHash64Expr(args.head), "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("rolling_hash64", args => RollingHash64Expr(args.head), "built-in")
+  }
+}

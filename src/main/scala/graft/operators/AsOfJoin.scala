@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the LATEST right row with
+  * `right.ts <= left.ts` within the same key — the time-series lookup the
+  * reference has no analogue for (SURVEY.md §2b joins: "as-of — absent").
+  *
+  * Implementation is the scalable merge form, not a range join: both
+  * sides are tagged and unioned, hash-partitioned by key, sorted by
+  * (ts, tag) within partitions, and each left row picks up the running
+  * `last` right payload via a window frame. Cost is ONE shuffle of
+  * left+right plus a partition-local sort — the same shape as a
+  * sort-merge join, with no quadratic candidate blowup however dense the
+  * right side is. At equal timestamps the right row is visible to the
+  * left row (inclusive <=; right sorts first via the tag).
+  *
+  * Determinism: if the right side can hold multiple rows at the same
+  * (key, ts), pre-reduce it (e.g. `AggOps.argMax`) — otherwise which one
+  * wins depends on sort ties.
+  *
+  * Output: every left column, plus each `rightPayload` column as
+  * `<prefix><name>` (null where no right row precedes — filter on
+  * `<prefix>` non-null for inner semantics).
+  */
+object AsOfJoin {
+
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+
+    val lStruct = struct(left.columns.toIndexedSeq.map(left(_)): _*)
+    val lType = left.select(lStruct.as("s")).schema("s").dataType
+    val rStruct = struct(rightPayload.toIndexedSeq.map(right(_)): _*)
+    val rType = right.select(rStruct.as("s")).schema("s").dataType
+
+    val lNorm = left.select(
+      keys.toIndexedSeq.map(col) ++ Seq(
+        col(leftTs).as("__ts"),
+        lit(1).as("__tag"),
+        lStruct.as("__l"),
+        lit(null).cast(rType).as("__r")): _*)
+    val rNorm = right.select(
+      keys.toIndexedSeq.map(col) ++ Seq(
+        col(rightTs).as("__ts"),
+        lit(0).as("__tag"),
+        lit(null).cast(lType).as("__l"),
+        rStruct.as("__r")): _*)
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lNorm.unionByName(rNorm)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+      .select(
+        col("__l.*") +:
+          rightPayload.toIndexedSeq.map(p => col("__asof").getField(p).as(prefix + p)): _*)
+  }
+}

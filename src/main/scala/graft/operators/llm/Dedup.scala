@@ -33,12 +33,18 @@ object Dedup {
   /** Normalized whitespace tokens. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 
-  /** Distinct word n-gram shingles of the normalized text; empty array
-    * when the document has fewer than `n` words (guarded — Spark's
-    * `sequence(1, 0)` would otherwise count DOWN).
+  /** Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    * array column; empty array when the document has fewer than `n` words
+    * (guarded — Spark's `sequence(1, 0)` would otherwise count DOWN).
+    *
+    * Pass an attribute (a real column), not a derived expression:
+    * higher-order functions are CodegenFallback, so an expression subtree
+    * referenced inside the lambda is RE-EVALUATED per array element —
+    * `slice(split(regexp_replace(...)), i, n)` would re-run the regex for
+    * every shingle position. [[shingles]] wraps this for the one-shot
+    * convenience form.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = tokens(text)
+  def shinglesFromTokens(w: Column, n: Int): Column =
     when(
       size(w) >= n,
       array_distinct(
@@ -46,7 +52,13 @@ object Dedup {
           sequence(lit(1), size(w) - lit(n - 1)),
           i => concat_ws(" ", slice(w, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** One-shot convenience form of [[shinglesFromTokens]] over raw text.
+    * Fine for tests and single-use expressions; inside multi-stage
+    * pipelines materialize the token array first (see [[nearDupPairs]]).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Exact-duplicate groups: one row per distinct normalized text, with
     * the smallest id as the canonical survivor and the duplicate count.
@@ -107,14 +119,29 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rowsPerBand = numHashes / bands
 
+    // Each array (tokens -> shingles -> signature) is materialized into a
+    // real column BEFORE the next higher-order function consumes it:
+    // lambdas re-evaluate non-attribute subtrees per element (HOFs are
+    // CodegenFallback, no subexpression elimination), so chaining the
+    // expressions directly would re-run the normalize regex per shingle
+    // position and the whole MinHash per band — measured 20x slower.
+    // CollapseProject keeps the steps separate (the producers are
+    // non-cheap and multiply-referenced).
+    //
+    // The shingle-set table is then used three times (band generation +
+    // both sides of the verification join); persisting it is the local
+    // form of writing the signature table out once at cluster scale.
     val withSets = df
-      .select(col(idCol).as("__id"), shingles(col(textCol), shingleSize).as("__sh"))
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__w"))
+      .select(col("__id"), shinglesFromTokens(col("__w"), shingleSize).as("__sh"))
       .where(size(col("__sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = withSets
+      .select(col("__id"), minhash(col("__sh"), numHashes).as("__sig"))
       .select(
         col("__id"),
-        posexplode(bandHashes(minhash(col("__sh"), numHashes), bands, rowsPerBand))
+        posexplode(bandHashes(col("__sig"), bands, rowsPerBand))
           .as(Seq("__band", "__bh")))
 
     // Quadratic-blowup guard: drop buckets above the cap. The count join

@@ -7,24 +7,34 @@ import org.apache.spark.sql.functions._
   * quality heuristics, n-grams, language-ID scoring. All single-pass
   * Catalyst expressions over the text column — zero shuffles until the
   * caller aggregates, zero UDFs.
+  *
+  * Every operator has a `...FromTokens` form taking a MATERIALIZED token
+  * array column. Use those in multi-stat pipelines: higher-order-function
+  * lambdas re-evaluate non-attribute subtrees per element (CodegenFallback,
+  * no subexpression elimination), so feeding `tokens(text)` expressions to
+  * several stats re-runs the normalize regex once per stat per row — or
+  * worse, per array element. The text-input forms are one-shot conveniences.
   */
 object TextStats {
 
-  /** Whitespace token count of the normalized text (0 for blank docs). */
-  def tokenCount(text: Column): Column =
-    when(length(Dedup.normalize(text)) === 0, lit(0))
-      .otherwise(size(Dedup.tokens(text)))
+  /** Whitespace token count from a materialized token array (0 for blank
+    * docs — normalization of an empty/blank doc yields `[""]`).
+    */
+  def tokenCountFromTokens(w: Column): Column = size(array_remove(w, ""))
+
+  /** One-shot form over raw text. */
+  def tokenCount(text: Column): Column = tokenCountFromTokens(Dedup.tokens(text))
 
   def charCount(text: Column): Column = length(text)
 
   def lineCount(text: Column): Column = size(split(text, "\n"))
 
   /** Mean token length (null for empty docs). */
-  def avgTokenLen(text: Column): Column = {
-    val t = Dedup.tokens(text)
-    when(size(t) > 0,
-      aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(t))
-  }
+  def avgTokenLenFromTokens(w: Column): Column =
+    when(tokenCountFromTokens(w) > 0,
+      aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(w))
+
+  def avgTokenLen(text: Column): Column = avgTokenLenFromTokens(Dedup.tokens(text))
 
   /** Fraction of characters that are ASCII punctuation. */
   def punctRatio(text: Column): Column =
@@ -33,48 +43,58 @@ object TextStats {
       .otherwise(lit(0.0))
 
   /** Fraction of tokens found in `stopwords` (a quality / language cue). */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val t = Dedup.tokens(text)
+  def stopwordRatioFromTokens(w: Column, stopwords: Seq[String]): Column = {
     val sw = array(stopwords.map(lit): _*)
-    when(size(t) > 0,
-      size(filter(t, w => array_contains(sw, w))).cast("double") / size(t))
+    val n = tokenCountFromTokens(w)
+    when(n > 0, size(filter(w, t => array_contains(sw, t))).cast("double") / n)
       .otherwise(lit(0.0))
   }
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordRatioFromTokens(Dedup.tokens(text), stopwords)
 
   /** BPE-ish subword count estimate: whitespace tokens plus extra units
     * for digit runs and punctuation (a cheap proxy for tokenizer cost
     * when the real tokenizer isn't available cluster-side).
     */
-  def subwordCountEstimate(text: Column): Column = {
-    val words = tokenCount(text)
+  def subwordCountEstimateFromTokens(text: Column, w: Column): Column = {
+    val words = tokenCountFromTokens(w)
     val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
     val digitRuns = size(filter(split(text, "[^0-9]+"), s => length(s) > 0))
     words + punct + digitRuns
   }
 
+  def subwordCountEstimate(text: Column): Column =
+    subwordCountEstimateFromTokens(text, Dedup.tokens(text))
+
   /** Composite quality score in [0, 1]: rewards mid-length documents
     * with low punctuation density and a healthy stopword rate. Weights
     * are heuristic; tune per-corpus.
     */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+  def qualityScoreFromTokens(text: Column, w: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(tokenCountFromTokens(w).cast("double") / 100.0, lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
-    val swScore = least(stopwordRatio(text, stopwords) * 4.0, lit(1.0))
+    val swScore = least(stopwordRatioFromTokens(w, stopwords) * 4.0, lit(1.0))
     round(lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3, 6)
   }
 
-  /** Word n-grams of the normalized text (non-distinct, order-preserving;
-    * use with explode + groupBy-count for n-gram frequency).
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    qualityScoreFromTokens(text, Dedup.tokens(text), stopwords)
+
+  /** Word n-grams from a materialized token array (non-distinct,
+    * order-preserving; use with explode + groupBy-count for n-gram
+    * frequency).
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val w = Dedup.tokens(text)
+  def ngramsFromTokens(w: Column, n: Int): Column =
     when(
       size(w) >= n,
       transform(
         sequence(lit(1), size(w) - lit(n - 1)),
         i => concat_ws(" ", slice(w, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  def wordNgrams(text: Column, n: Int): Column =
+    ngramsFromTokens(Dedup.tokens(text), n)
 
   /** Default stopword profiles for the language-ID heuristic. */
   val langProfiles: Map[String, Seq[String]] = Map(
@@ -88,11 +108,16 @@ object TextStats {
     * A real pipeline would swap in fastText — the operator shape (pure
     * per-row expression, no shuffle) is the part that must scale.
     */
-  def langId(text: Column, profiles: Map[String, Seq[String]] = langProfiles): Column = {
+  def langIdFromTokens(
+      w: Column,
+      profiles: Map[String, Seq[String]] = langProfiles): Column = {
     val scored = profiles.toSeq.sortBy(_._1).map { case (lang, sw) =>
-      struct(stopwordRatio(text, sw).as("score"), lit(lang).as("lang"))
+      struct(stopwordRatioFromTokens(w, sw).as("score"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  def langId(text: Column, profiles: Map[String, Seq[String]] = langProfiles): Column =
+    langIdFromTokens(Dedup.tokens(text), profiles)
 }

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{AggOps, AsOfJoin}
+import graft.sources.Sources
+
+/** Engine-extension queries: the §2b operator classes the reference has
+  * NO instance of ("—" rows — rollup/cube, semi/anti joins, window
+  * functions, set operations, as-of join, top-k), each exercised against
+  * the DuckDB oracle so "supported" means hash-verified, not just
+  * compilable.
+  *
+  * Money amounts are aggregated as exact cents (BIGINT) wherever a result
+  * is hash-compared — double SUM accumulation order differs between
+  * engines; longs don't.
+  */
+object ExtQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) = Sources.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ROLLUP hierarchy totals: detail + per-flag subtotal + grand total in
+    // one pass (Catalyst expands to a single Expand + hash-agg — one
+    // shuffle regardless of grouping-set count).
+    "q31_rollup" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"),
+          col("qty"))
+        .orderBy("rf", "ls")
+    },
+
+    // Existence joins: customers partitioned into has-orders/no-orders via
+    // left_semi + left_anti (no payload from the right side crosses the
+    // shuffle — the planner keeps only the join key).
+    "q32_semi_anti" -> { (s, dir) =>
+      val c = t(s, dir, "customer").select("c_custkey")
+      val o = t(s, dir, "orders").select("o_custkey")
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(lit("has_orders").as("tag"), col("c_custkey"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(lit("no_orders").as("tag"), col("c_custkey"))
+      semi.unionByName(anti).orderBy("tag", "c_custkey")
+    },
+
+    // Analytic window functions: per-customer order sequence number and
+    // running spend. One hash-partition by customer, one sort per
+    // partition, both windows share the single Exchange.
+    "q33_window_rank" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          row_number().over(w).as("seq"),
+          sum(round(col("o_totalprice") * 100).cast("long")).over(run).as("run_cents"))
+        .orderBy("o_custkey", "seq")
+    },
+
+    // Set operations: key sets via INTERSECT / EXCEPT (both plan as
+    // aggregate + join under AQE, no row payload).
+    "q34_setops" -> { (s, dir) =>
+      val ck = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val sk = t(s, dir, "supplier").select(col("s_suppkey").as("k"))
+      ck.intersect(sk).select(lit("both").as("tag"), col("k"))
+        .unionByName(ck.except(sk).select(lit("cust_only").as("tag"), col("k")))
+        .orderBy("tag", "k")
+    },
+
+    // As-of join: each purchase event picks up the user's latest click at
+    // or before it (AsOfJoin: union + single key-shuffle + sorted window,
+    // no range-join blowup). Clicks are pre-reduced per (user, ts) so the
+    // tie rule is deterministic on both engines; raw nanos ordering.
+    "q35_asof" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max(col("event_id")).as("cid"))
+      AsOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("cid"))
+        .where(col("asof_cid").isNotNull)
+        .select(col("pid"), col("asof_cid").as("cid"))
+        .orderBy("pid")
+    },
+
+    // Per-group top-k (generalizes lab11's top-1): top-3 orders per
+    // priority by price.
+    "q36_topk" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .transform(AggOps.topK(
+          Seq(col("o_orderpriority")),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+          3))
+        .select(
+          col("o_orderpriority"),
+          col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .orderBy(col("o_orderpriority"), col("price_cents").desc, col("o_orderkey"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q31_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS cnt, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+    "q32_semi_anti" ->
+      """SELECT 'has_orders' AS tag, c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'no_orders' AS tag, c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY tag, c_custkey""".stripMargin,
+    "q33_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |       row_number() OVER w AS seq,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, seq""".stripMargin,
+    "q34_setops" ->
+      """SELECT 'both' AS tag, k FROM
+        |  (SELECT c_custkey AS k FROM customer INTERSECT SELECT s_suppkey FROM supplier)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, k FROM
+        |  (SELECT c_custkey AS k FROM customer EXCEPT SELECT s_suppkey FROM supplier)
+        |ORDER BY tag, k""".stripMargin,
+    "q35_asof" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c0 AS (SELECT user_id, ts, max(event_id) AS cid FROM events
+        |            WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.pid, c.cid FROM p
+        |ASOF JOIN c0 c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY pid""".stripMargin,
+    "q36_topk" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        |ORDER BY o_orderpriority, price_cents DESC, o_orderkey""".stripMargin
+  )
+}

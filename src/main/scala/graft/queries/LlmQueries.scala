@@ -64,23 +64,28 @@ object LlmQueries {
         .orderBy("qid", "rank")
     },
 
-    // Per-language corpus stats: one scan, integer aggregates.
+    // Per-language corpus stats: one scan, integer aggregates. The token
+    // count is materialized once per row, then fed to both aggregates.
     "q24_textstats" -> { (s, dir) =>
       t(s, dir, "documents")
+        .select(col("lang"), col("n_chars"), TextStats.tokenCount(col("text")).as("tc"))
         .groupBy("lang")
         .agg(
           count(lit(1)).as("docs"),
-          sum(TextStats.tokenCount(col("text"))).as("tokens"),
+          sum(col("tc")).as("tokens"),
           sum(col("n_chars")).as("chars"),
-          max(TextStats.tokenCount(col("text"))).as("max_tokens"))
+          max(col("tc")).as("max_tokens"))
         .orderBy("lang")
     },
 
     // Word-bigram frequency across the corpus: n-gram generation is a
-    // per-row Generator (no shuffle), then one hash-agg.
+    // per-row Generator (no shuffle), then one hash-agg. Tokens are
+    // materialized before the n-gram HOF consumes them (lambda subtrees
+    // re-evaluate per element).
     "q25_ngrams" -> { (s, dir) =>
       t(s, dir, "documents")
-        .select(explode(TextStats.wordNgrams(col("text"), 2)).as("bigram"))
+        .select(Dedup.tokens(col("text")).as("w"))
+        .select(explode(TextStats.ngramsFromTokens(col("w"), 2)).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("cnt"))
         .orderBy("bigram")
@@ -164,14 +169,17 @@ object LlmQueries {
     },
 
     // Language-ID heuristic + quality score per doc (heuristic doubles ->
-    // rows-only check; exercised properly in TextStatsSpec).
+    // rows-only check; exercised properly in TextStatsSpec). One
+    // tokenization per row shared by all three stats.
     "q30_quality" -> { (s, dir) =>
       t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("w"))
         .select(
           col("doc_id"),
-          TextStats.langId(col("text")).as("lang_guess"),
-          TextStats.qualityScore(col("text"), TextStats.langProfiles("en")).as("quality"),
-          TextStats.subwordCountEstimate(col("text")).as("subwords"))
+          TextStats.langIdFromTokens(col("w")).as("lang_guess"),
+          TextStats.qualityScoreFromTokens(col("text"), col("w"), TextStats.langProfiles("en"))
+            .as("quality"),
+          TextStats.subwordCountEstimateFromTokens(col("text"), col("w")).as("subwords"))
         .orderBy("doc_id")
     }
   )

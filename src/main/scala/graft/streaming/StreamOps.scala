@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators for the event-stream surface (the
+  * `events` fixture shape: event_id, ts, user_id, event_type, value).
+  * The reference is pure batch (SURVEY.md §0); this is the engine's
+  * north-star extension, built on watermarks + windowed state so it runs
+  * identically over `readStream` sources at cluster scale.
+  *
+  * Scale notes: every operator here keys its state by a bounded-cardinality
+  * key (window x type, user session, dedup id within the watermark) and
+  * relies on the watermark to evict state — no unbounded state growth.
+  * The same transforms run in batch mode (Spark unifies the APIs), which
+  * is how the specs cross-check streamed results against batch answers.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts per key with a watermark: late events beyond
+    * `lateness` are dropped and their window state evicted.
+    */
+  def tumblingCounts(
+      df: DataFrame,
+      tsCol: String,
+      width: String,
+      keys: Seq[Column],
+      lateness: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), width) +: keys: _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Session windows: events for a key closer than `gap` merge into one
+    * session row (start, end, n_events, sum_value).
+    */
+  def sessionize(
+      df: DataFrame,
+      tsCol: String,
+      key: Column,
+      gap: String,
+      lateness: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), key)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        key,
+        col("n_events"),
+        col("sum_value"))
+
+  /** Streaming exact dedup: first occurrence of each id wins; duplicate
+    * state older than the watermark is evicted (the streaming face of
+    * `Dedup.exact` — at 100 TB/day the watermark bound is what keeps the
+    * dedup state finite; plain dropDuplicates would grow state forever).
+    */
+  def dedupStream(df: DataFrame, tsCol: String, idCols: Seq[String], lateness: String): DataFrame =
+    df.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark(idCols)
+
+  /** Typed event for the stateful operators below (mirrors the events
+    * fixture schema).
+    */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  case class UserTotals(user_id: Long, events: Long, sum_value: Double)
+
+  /** Custom per-key state via mapGroupsWithState: running per-user totals
+    * emitted on every trigger. The escape hatch for aggregations the
+    * built-in windowed aggs can't express.
+    *
+    * `timeout = Some(d)` expires idle state after `d` of processing time
+    * (unbounded-key safety valve in production). Note processing-time
+    * timeouts make the engine schedule batches continuously —
+    * `processAllAvailable` never quiesces — so tests use the None default.
+    */
+  def runningUserTotals(
+      events: Dataset[Event],
+      timeout: Option[String] = None): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    val conf = timeout.map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](conf) {
+        (user: Long, batch: Iterator[Event], state: GroupState[UserTotals]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
+            val (n, s) = batch.foldLeft((prev.events, prev.sum_value)) {
+              case ((c, acc), e) => (c + 1, acc + e.value)
+            }
+            val next = UserTotals(user, n, s)
+            state.update(next)
+            timeout.foreach(state.setTimeoutDuration)
+            next
+          }
+      }
+  }
+
+  /** Output-mode guidance: windowed aggs with watermark support Append
+    * (emit once, on watermark close) and Update; mapGroupsWithState
+    * requires Update.
+    */
+  val appendMode: OutputMode = OutputMode.Append()
+  val updateMode: OutputMode = OutputMode.Update()
+}

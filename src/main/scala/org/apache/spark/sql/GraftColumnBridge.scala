@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column <-> catalyst Expression bridge.
+  *
+  * Spark 4 moved `Column` onto ColumnNode (Connect-compatible) and made
+  * the classic converters `private[sql]`; this shim lives in the sql
+  * package purely to re-export the two conversions graft's native
+  * expressions need. No Spark internals are modified.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -43,4 +43,23 @@ class FingerprintSpec extends SparkSpec {
     val a = fp(base); val b = fp(base)
     assert(a == b)
   }
+
+  test("native simhash64 expression agrees with the built-in HOF form") {
+    // same algorithm, same xxhash seed, same tokenization -> identical
+    // output; this is the guard that the codegen'd expression and the
+    // pure-Catalyst reference never drift
+    val rows = Seq(base, nearDup, unrelated, "Mixed  CASE\ttext", "").toDF("t")
+      .select(
+        Fingerprint.simhash64(col("t")).as("native"),
+        Fingerprint.simhash64Builtin(col("t")).as("builtin"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("expressions are SQL-callable after GraftExtensions registration") {
+    graft.functions.GraftExtensions.register(spark)
+    Seq(base).toDF("t").createOrReplaceTempView("fp_docs")
+    val r = spark.sql("SELECT simhash64(t) AS s, rolling_hash64(t) AS r FROM fp_docs").head()
+    assert(r.getLong(0) != 0L && r.getLong(1) != 0L)
+  }
 }

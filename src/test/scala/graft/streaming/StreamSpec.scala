@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.streaming.StreamOps.Event
+
+/** Structured-Streaming semantics through MemoryStream: windowed counts
+  * close on watermark, session windows merge by gap, within-watermark
+  * dedup, and custom mapGroupsWithState totals. Each query drains with
+  * processAllAvailable so assertions see deterministic state.
+  */
+class StreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+  private def memStream[A: Encoder]: MemoryStream[A] =
+    MemoryStream[A](implicitly[Encoder[A]], spark.sqlContext)
+  private var n = 0
+  private def sinkName(): String = { n += 1; s"stream_sink_$n" }
+
+  test("tumblingCounts: windows emit once closed by the watermark (append)") {
+    val ms = memStream[(Timestamp, String)]
+    val out = sinkName()
+    val q = StreamOps
+      .tumblingCounts(ms.toDF.toDF("ts", "etype"), "ts", "10 minutes", Seq(col("etype")), "5 minutes")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      ms.addData((ts("10:01"), "a"), (ts("10:02"), "a"), (ts("10:03"), "b"))
+      q.processAllAvailable()
+      assert(spark.table(out).count() == 0, "window must stay open until the watermark passes")
+      ms.addData((ts("10:30"), "a")) // watermark -> 10:25, closes [10:00,10:10)
+      q.processAllAvailable()
+      val rows = spark.table(out)
+        .select(col("window.start"), col("etype"), col("cnt"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set((ts("10:00"), "a", 2L), (ts("10:00"), "b", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize: events within the gap merge into one session") {
+    val ms = memStream[(Timestamp, Long, Double)]
+    val out = sinkName()
+    val df = ms.toDF.toDF("ts", "user_id", "value")
+    val q = StreamOps.sessionize(df, "ts", col("user_id"), gap = "5 minutes", lateness = "1 minute")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      // user 1: 10:00,10:03,10:06 -> one session; 10:30 -> a second one
+      ms.addData((ts("10:00"), 1L, 1.0), (ts("10:03"), 1L, 2.0), (ts("10:06"), 1L, 3.0))
+      ms.addData((ts("10:30"), 1L, 4.0))
+      q.processAllAvailable()
+      ms.addData((ts("11:30"), 2L, 0.0)) // advance watermark, close everything earlier
+      q.processAllAvailable()
+      val sessions = spark.table(out)
+        .where(col("user_id") === 1L)
+        .select(col("session_start"), col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(sessions == Set((ts("10:00"), 3L, 6.0), (ts("10:30"), 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("dedupStream: duplicate ids within the watermark are dropped") {
+    val ms = memStream[(Timestamp, Long)]
+    val out = sinkName()
+    val q = StreamOps.dedupStream(ms.toDF.toDF("ts", "id"), "ts", Seq("id"), "10 minutes")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      ms.addData((ts("10:00"), 7L), (ts("10:01"), 7L), (ts("10:02"), 8L))
+      q.processAllAvailable()
+      ms.addData((ts("10:04"), 7L)) // still within watermark -> duplicate
+      q.processAllAvailable()
+      val ids = spark.table(out).select("id").collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(7L, 8L))
+    } finally q.stop()
+  }
+
+  test("runningUserTotals: mapGroupsWithState accumulates across batches") {
+    val ms = memStream[Event]
+    val out = sinkName()
+    val q = StreamOps.runningUserTotals(ms.toDS())
+      .writeStream.format("memory").queryName(out).outputMode("update").start()
+    try {
+      ms.addData(
+        Event(1L, ts("10:00"), 100L, "click", 1.0),
+        Event(2L, ts("10:01"), 100L, "view", 2.0),
+        Event(3L, ts("10:02"), 200L, "click", 5.0))
+      q.processAllAvailable()
+      ms.addData(Event(4L, ts("10:03"), 100L, "purchase", 4.0))
+      q.processAllAvailable()
+      // update sink appends each emitted update; the LAST row per user is
+      // the current running state
+      val latest = spark.table(out)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.last }
+      assert(latest(100L) == ((100L, 3L, 7.0)))
+      assert(latest(200L) == ((200L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("the same tumbling transform runs in batch mode (unified API)") {
+    val batch = Seq(
+      (ts("10:01"), "a"), (ts("10:02"), "a"), (ts("10:30"), "b")).toDF("ts", "etype")
+    val got = StreamOps.tumblingCounts(batch, "ts", "10 minutes", Seq(col("etype")))
+      .select(col("window.start"), col("etype"), col("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((ts("10:00"), "a", 2L), (ts("10:30"), "b", 1L)))
+  }
+}
