@@ -132,4 +132,51 @@ object Similarity {
       .select(col("qid"), col("nid"), round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
       .transform(topKPerKey(Seq(col("qid")), Seq(col("cos").desc, col("nid").asc), k))
   }
+
+  /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs with
+    * cosine >= threshold — the vector-space face of near-dedup (catches
+    * paraphrases MinHash's lexical shingles miss).
+    *
+    * Same LSH discipline as [[Dedup.nearDupPairs]]: hyperplane band
+    * signatures, pair generation ONLY within buckets (self-equi-join on
+    * band hash), exact cosine verification on candidates, and a
+    * bucket-size cap so degenerate regions (e.g. a zero-vector pile-up)
+    * can't go quadratic. Approximate by construction — a pair missing
+    * every shared band is missed; recall is governed by planes/bands.
+    */
+  def embeddingNearDups(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int = 16,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(planes % bands == 0, "planes must divide evenly into bands")
+    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = base
+      .select(col("__id"), hyperplaneBits(col("__v"), planes).as("__sig"))
+      .select(
+        col("__id"),
+        posexplode(Dedup.bandHashes(col("__sig"), bands, planes / bands))
+          .as(Seq("__band", "__bh")))
+    val sized = banded
+      .groupBy("__band", "__bh").agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucketSize)
+      .select("__band", "__bh")
+    val kept = banded.join(sized, Seq("__band", "__bh"))
+    val candidates = kept.as("a")
+      .join(
+        kept.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__bh") === col("b.__bh") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("__id").as("id_a"), col("__v").as("__va")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__v").as("__vb")), "id_b")
+      .select(col("id_a"), col("id_b"), round(cosine(col("__va"), col("__vb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
 }

@@ -168,6 +168,16 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Embedding-cosine near-dup pairs (LSH-bucketed candidates + exact
+    // verify). Approximate by construction -> rows-only check here;
+    // recall semantics asserted on planted vectors in SimilaritySpec.
+    "q37_embed_neardup" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.embeddingNearDups(e, "vec_id", "embedding", threshold = 0.3)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    },
+
     // Language-ID heuristic + quality score per doc (heuristic doubles ->
     // rows-only check; exercised properly in TextStatsSpec). One
     // tokenization per row shared by all three stats.

@@ -1,0 +1,65 @@
+package graft
+
+import graft.queries.{LabQueries, LlmQueries}
+
+/** Physical-plan shape assertions — the properties that decide whether a
+  * query survives a 100x scale-up, pinned so a refactor can't silently
+  * regress them: column pruning and filter pushdown at the parquet scan,
+  * partial (map-side) aggregation before every shuffle, broadcast joins
+  * for small dimensions, whole-stage codegen in projection pipelines.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = (LabQueries.queries ++ LlmQueries.queries)(name)(spark, sf)
+    df.collect() // finalize AQE so the string shows the real executed plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q03 groupmax: map-side partial max + pruned scan") {
+    val p = plan("q03_groupmax")
+    assert(p.contains("partial_max"), s"no partial aggregation in:\n$p")
+    val readSchema = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(readSchema.exists(cols =>
+      cols.contains("l_returnflag") && cols.contains("l_extendedprice")
+        && cols.split(",").length == 2),
+      s"scan reads more than the two referenced columns: $readSchema")
+  }
+
+  test("q08 groupcount: partial count before the shuffle") {
+    assert(plan("q08_groupcount").contains("partial_count"))
+  }
+
+  test("q09 listagg: small dimension table is broadcast, not shuffled") {
+    assert(plan("q09_listagg").contains("BroadcastHashJoin"))
+  }
+
+  test("q11 argmax: max_by partial-aggregates map-side (not a window)") {
+    val p = plan("q11_argmax")
+    assert(p.contains("partial_max_by"), s"argmax lost its partial aggregation:\n$p")
+  }
+
+  test("entry(): filter is pushed down to the parquet scan") {
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,0.0)]"),
+      s"filter not pushed to scan:\n$p")
+  }
+
+  test("q07 classify: projection runs inside whole-stage codegen") {
+    val p = plan("q07_classify")
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"no codegen stage marker in:\n$p")
+  }
+
+  test("q26 multimodal: embeddings side is broadcast") {
+    assert(plan("q26_multimodal").contains("BroadcastHashJoin"))
+  }
+
+  test("q20 exact dedup: one hash-partitioned aggregate, partial first") {
+    val p = plan("q20_dedup_exact")
+    assert(p.contains("partial_min") || p.contains("partial_first"),
+      s"dedup shuffle is not map-side reduced:\n$p")
+  }
+}

@@ -88,6 +88,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall collapsed — candidate generation broken")
   }
 
+  test("embeddingNearDups finds planted high-cosine pairs, skips the rest") {
+    val rnd = new scala.util.Random(7)
+    val dims = 32
+    // 50 random vectors + 5 planted near-identical pairs (ids 100x/100x+1)
+    val noise = (0 until 50).map(i => (i.toLong, Seq.fill(dims)(rnd.nextGaussian().toFloat)))
+    val planted = (0 until 5).flatMap { p =>
+      val v = Array.fill(dims)(rnd.nextGaussian().toFloat)
+      Seq(
+        (1000L + 2 * p, v.toSeq),
+        (1001L + 2 * p, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq))
+    }
+    val df = vdf(noise ++ planted: _*)
+    val pairs = Similarity.embeddingNearDups(df, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 5).map(p => (1000L + 2 * p, 1001L + 2 * p)).toSet
+    assert(pairs == expected)
+  }
+
   test("hyperplaneBits is deterministic and angle-sensitive") {
     val df = vdf(1L -> Seq(1f, 2f, 3f), 2L -> Seq(1.01f, 2f, 3f), 3L -> Seq(-1f, -2f, -3f))
     val bits = df.select(col("vec_id"), Similarity.hyperplaneBits(col("embedding"), 16).as("b"))
