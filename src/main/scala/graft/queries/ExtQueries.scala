@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{AggOps, AsOfJoin}
+import graft.operators.{AggOps, AsOfJoin, RangeJoin}
 import graft.sources.Sources
 
 /** Engine-extension queries: the §2b operator classes the reference has
@@ -90,6 +90,23 @@ object ExtQueries {
         .orderBy("pid")
     },
 
+    // Range join via bucketing: events within the minute before each
+    // purchase (any user). A naive BETWEEN theta-join is
+    // broadcast-nested-loop (O(n*m)); RangeJoin buckets the time axis so
+    // it's a hash equi-join + in-bucket filter. Both engines compare at
+    // microsecond precision (Spark `div 1000` and DuckDB's nanos->micros
+    // read both floor).
+    "q38_range_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val all = ev.select(col("event_id"), expr("ts div 1000").as("tus"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), expr("ts div 1000").as("ptus"))
+        .withColumn("lo", col("ptus") - 60000000L)
+      RangeJoin.pointInInterval(p, all, "lo", "ptus", "tus", bucketWidth = 60000000L)
+        .groupBy("pid").agg(count(lit(1)).as("cnt"))
+        .orderBy("pid")
+    },
+
     // Per-group top-k (generalizes lab11's top-1): top-3 orders per
     // priority by price.
     "q36_topk" -> { (s, dir) =>
@@ -142,6 +159,13 @@ object ExtQueries {
         |SELECT p.pid, c.cid FROM p
         |ASOF JOIN c0 c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY pid""".stripMargin,
+    "q38_range_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS tus, event_type FROM events),
+        |     p AS (SELECT event_id AS pid, tus AS ptus FROM e
+        |           WHERE event_type = 'purchase')
+        |SELECT p.pid, count(*) AS cnt FROM p
+        |JOIN e ON e.tus BETWEEN p.ptus - 60000000 AND p.ptus
+        |GROUP BY p.pid ORDER BY p.pid""".stripMargin,
     "q36_topk" ->
       """SELECT o_orderpriority, o_orderkey,
         |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents

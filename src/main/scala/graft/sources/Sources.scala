@@ -24,6 +24,16 @@ object Sources {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Line-delimited JSON with explicit schema (no inference — mirrors the
+    * engine's fixed-schema philosophy; missing fields are null).
+    */
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+  /** ORC (self-describing columnar; schema travels with the file). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** CSV with explicit schema. `header=true` covers the reference's
     * startsWith/equalsIgnoreCase header heuristics for well-formed files
     * (lab8:85, lab10:79, lab11:81).

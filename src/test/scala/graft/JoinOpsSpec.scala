@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
+
+/** Semantics of the join extensions: bucketed range join vs a reference
+  * cross-join filter, salted skew join vs the plain join, as-of edge
+  * cases.
+  */
+class JoinOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RangeJoin.pointInInterval == cross-join + BETWEEN filter") {
+    val rnd = new scala.util.Random(3)
+    val intervals = (1 to 50).map { i =>
+      val lo = rnd.nextInt(1000).toLong; (i.toLong, lo, lo + rnd.nextInt(200).toLong)
+    }
+    val points = (1 to 300).map(j => (j.toLong, rnd.nextInt(1400).toLong - 100))
+    val l = intervals.toDF("lid", "lo", "hi")
+    val r = points.toDF("rid", "p")
+    val got = RangeJoin.pointInInterval(l, r, "lo", "hi", "p", bucketWidth = 64)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val expected = (for {
+      (lid, lo, hi) <- intervals; (rid, p) <- points if p >= lo && p <= hi
+    } yield (lid, rid)).toSet
+    assert(got == expected)
+  }
+
+  test("RangeJoin honors extra equi-keys (per-entity windows)") {
+    val l = Seq((1L, "u1", 0L, 10L), (2L, "u2", 0L, 10L)).toDF("lid", "user", "lo", "hi")
+    val r = Seq((10L, "u1", 5L), (11L, "u2", 5L), (12L, "u1", 50L)).toDF("rid", "user", "p")
+    val got = RangeJoin.pointInInterval(l, r, "lo", "hi", "p", 16, keys = Seq("user"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 11L)))
+  }
+
+  test("SkewJoin.salted == plain join, hot key included") {
+    val facts = (1 to 2000)
+      .map(i => (if (i % 3 == 0) "hot" else s"k${i % 50}", i))
+      .toDF("k", "v")
+    val dims = (Seq(("hot", "H")) ++ (0 until 50).map(i => (s"k$i", s"d$i"))).toDF("k", "d")
+    val salted = SkewJoin.salted(facts, dims, Seq("k"), saltFrom = "v", factor = 8)
+      .select("k", "v", "d").collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val plain = facts.join(dims, "k")
+      .select("k", "v", "d").collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("AsOfJoin: equal timestamps are inclusive; no-predecessor rows get null") {
+    val l = Seq((1L, 100L, 10L), (2L, 100L, 5L), (3L, 200L, 8L)).toDF("lid", "k", "ts")
+    val r = Seq((100L, 10L, "at10"), (100L, 7L, "at7")).toDF("k", "ts", "tag")
+    val got = AsOfJoin(l, r, Seq("k"), "ts", "ts", Seq("tag"))
+      .select("lid", "asof_tag").collect()
+      .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    assert(got == Map(
+      1L -> Some("at10"), // right row AT the left ts is visible (<= semantics)
+      2L -> None,         // ts 5: no click at or before
+      3L -> None))        // different key entirely
+  }
+}

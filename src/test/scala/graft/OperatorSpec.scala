@@ -77,6 +77,12 @@ class OperatorSpec extends SparkSpec {
     assert(got == 9)
   }
 
+  test("approx_count_distinct lands within 5% of exact (sketch surface)") {
+    val df = (1 to 20000).map(_ % 5000).toDF("v")
+    val approx = df.agg(approx_count_distinct(col("v"))).head().getLong(0)
+    assert(math.abs(approx - 5000L) <= 250L, s"approx=$approx vs exact=5000")
+  }
+
   test("wordCount tokenizes on whitespace runs and drops empty tokens (lab2)") {
     val df = Seq("the  cat sat", "the dog", "  ").toDF("text")
     val got = df.transform(TextOps.wordCount(col("text")))

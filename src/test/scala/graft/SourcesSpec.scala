@@ -59,6 +59,27 @@ class SourcesSpec extends SparkSpec {
     assert((r.getString(0), r.getString(1), r.getString(2)) == ("1", "1193", "great"))
   }
 
+  test("JSON round-trip with explicit schema") {
+    val dir = Files.createTempDirectory("graft-json").toString
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    df.write.mode("overwrite").json(dir)
+    val back = Sources.json(spark, dir, StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType))))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("ORC round-trip (self-describing schema)") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    import spark.implicits._
+    val df = Seq((1L, 1.5), (2L, 2.5)).toDF("id", "x")
+    df.write.mode("overwrite").orc(dir)
+    val back = Sources.orc(spark, dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "x"))
+    assert(back.count() == 2)
+  }
+
   test("string-typed fields never cause drops (nulls only come from casts)") {
     val path = tmpFile("a b", "c d")
     val schema = StructType(Seq(StructField("x", StringType), StructField("y", StringType)))
