@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XXH64}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot per-document fingerprint path.
@@ -65,6 +66,77 @@ object HashImpls {
     out
   }
 
+  /** Distinct hashes of all `n`-token shingles of a token array: each
+    * shingle hashes as a chain of its tokens' bytes (h := xxh64(tok,
+    * seed=h), seeded by n), so token boundaries stay significant without
+    * materializing concatenated shingle strings. The shingle IDENTITY is
+    * its 64-bit hash — downstream MinHash/Jaccard operate on these longs;
+    * collision probability is negligible at 2^-64 per pair.
+    */
+  def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](m - n + 1)
+    var cnt = 0
+    var i = 0
+    while (i <= m - n) {
+      var h = n.toLong
+      var j = 0
+      while (j < n) {
+        val t = tokens.getUTF8String(i + j)
+        h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), h)
+        j += 1
+      }
+      if (seen.add(h)) { out(cnt) = h; cnt += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+  }
+
+  /** MinHash signature of a shingle-hash set: entry i is
+    * `min over s of xxh64(s, seed=i)` — `k` independent permutation
+    * minima from one pass over the set.
+    */
+  def minHashSig(shingleHashes: ArrayData, k: Int): ArrayData = {
+    val m = shingleHashes.numElements()
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      var best = Long.MaxValue
+      var j = 0
+      while (j < m) {
+        val h = XXH64.hashLong(shingleHashes.getLong(j), i.toLong)
+        if (h < best) best = h
+        j += 1
+      }
+      sig(i) = best
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Band hashes of a signature: `bands` buckets of `len/bands` entries,
+    * each chained into one long seeded by its band index.
+    */
+  def bandHashes(sig: ArrayData, bands: Int): ArrayData = {
+    val m = sig.numElements()
+    val rows = m / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong
+      var j = 0
+      while (j < rows) {
+        h = XXH64.hashLong(sig.getLong(b * rows + j), h)
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Order-sensitive rolling hash: a chain h := xxhash64(token, seed = h)
     * over lower-cased whitespace tokens, starting at 0. Distinguishes
     * permutations (unlike the bag-of-tokens SimHash).
@@ -84,6 +156,39 @@ object HashImpls {
     }
     h
   }
+}
+
+case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.shingleHashes(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.minHashSig(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.minHashSig($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class BandHashesExpr(child: Expression, bands: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.bandHashes(input.asInstanceOf[ArrayData], bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.bandHashes($c, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): BandHashesExpr =
+    copy(child = newChild)
 }
 
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
@@ -117,6 +222,12 @@ object exprs {
     GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(c.cast("string"))))
   def rollingHash64(c: Column): Column =
     GraftColumnBridge.column(RollingHash64Expr(GraftColumnBridge.expression(c.cast("string"))))
+  def shingleHashes(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(ShingleHashesExpr(GraftColumnBridge.expression(tokens), n))
+  def minhashSig(shingleHashes: Column, k: Int): Column =
+    GraftColumnBridge.column(MinHashSigExpr(GraftColumnBridge.expression(shingleHashes), k))
+  def bandHashes(sig: Column, bands: Int): Column =
+    GraftColumnBridge.column(BandHashesExpr(GraftColumnBridge.expression(sig), bands))
 }
 
 /** SQL registration (`SELECT simhash64(text) ...`) via
@@ -127,6 +238,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.simhashDesc)
     ext.injectFunction(GraftExtensions.rollingDesc)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 

@@ -119,29 +119,29 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rowsPerBand = numHashes / bands
 
-    // Each array (tokens -> shingles -> signature) is materialized into a
-    // real column BEFORE the next higher-order function consumes it:
-    // lambdas re-evaluate non-attribute subtrees per element (HOFs are
-    // CodegenFallback, no subexpression elimination), so chaining the
-    // expressions directly would re-run the normalize regex per shingle
-    // position and the whole MinHash per band — measured 20x slower.
-    // CollapseProject keeps the steps separate (the producers are
-    // non-cheap and multiply-referenced).
+    // The whole sketch path is native codegen expressions
+    // (graft.functions): shingles are identified by 64-bit chain hashes
+    // (never materialized as strings), MinHash minima and band hashes are
+    // tight compiled loops. The earlier pure-HOF composition (kept as
+    // minhash/bandHashes for reference) interpreted ~k*|shingles| lambda
+    // steps per row — measured 5-20x slower.
     //
-    // The shingle-set table is then used three times (band generation +
-    // both sides of the verification join); persisting it is the local
-    // form of writing the signature table out once at cluster scale.
+    // The shingle-hash table is used three times (band generation + both
+    // sides of the verification join); persisting it is the local form of
+    // writing the signature table out once at cluster scale.
     val withSets = df
       .select(col(idCol).as("__id"), tokens(col(textCol)).as("__w"))
-      .select(col("__id"), shinglesFromTokens(col("__w"), shingleSize).as("__sh"))
+      .select(
+        col("__id"),
+        graft.functions.exprs.shingleHashes(col("__w"), shingleSize).as("__sh"))
       .where(size(col("__sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = withSets
-      .select(col("__id"), minhash(col("__sh"), numHashes).as("__sig"))
+      .select(col("__id"), graft.functions.exprs.minhashSig(col("__sh"), numHashes).as("__sig"))
       .select(
         col("__id"),
-        posexplode(bandHashes(col("__sig"), bands, rowsPerBand))
+        posexplode(graft.functions.exprs.bandHashes(col("__sig"), bands))
           .as(Seq("__band", "__bh")))
 
     // Quadratic-blowup guard: drop buckets above the cap. The count join

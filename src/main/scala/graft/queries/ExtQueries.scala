@@ -108,13 +108,16 @@ object ExtQueries {
     },
 
     // Per-group top-k (generalizes lab11's top-1): top-3 orders per
-    // priority by price.
+    // priority by price — via the custom TopKPerKey operator (bounded
+    // heaps, partial+final, no partition sort; graft.plans). The window
+    // formulation stays available as AggOps.topK.
     "q36_topk" -> { (s, dir) =>
-      t(s, dir, "orders")
-        .transform(AggOps.topK(
-          Seq(col("o_orderpriority")),
-          Seq(col("o_totalprice").desc, col("o_orderkey").asc),
-          3))
+      val df = t(s, dir, "orders")
+      graft.plans.TopK.perKey(
+        df,
+        Seq(col("o_orderpriority")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        3)
         .select(
           col("o_orderpriority"),
           col("o_orderkey"),
