@@ -137,6 +137,51 @@ object HashImpls {
     new GenericArrayData(out)
   }
 
+  /** Dot product of two float arrays, accumulated in double in index
+    * order (bit-identical to a sequential SQL fold — the property the
+    * cosine oracle comparison relies on). Fails fast on length mismatch
+    * rather than silently padding like zip_with.
+    */
+  def dotProduct(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product: length mismatch ($n vs ${b.numElements()})")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Random-hyperplane LSH signature: sign bit of `sum_d vec[d]*w(p,d)`
+    * per plane, with deterministic pseudo-weights
+    * `w = xxh64(p, d) / Long.MaxValue` — the EXACT formula of the HOF
+    * reference (Similarity.hyperplaneBitsBuiltin): seed 42, per-child
+    * int-hash chaining, index-order accumulation, so the two forms are
+    * bit-identical and interchangeable.
+    */
+  def hyperplaneBits(vec: ArrayData, planes: Int): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Int](planes)
+    var p = 0
+    while (p < planes) {
+      val seedP = XXH64.hashInt(p, Seed)
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val w = XXH64.hashInt(d, seedP).toDouble / Long.MaxValue.toDouble
+        acc += vec.getFloat(d).toDouble * w
+        d += 1
+      }
+      out(p) = if (acc > 0) 1 else 0
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Order-sensitive rolling hash: a chain h := xxhash64(token, seed = h)
     * over lower-cased whitespace tokens, starting at 0. Distinguishes
     * permutations (unlike the bag-of-tokens SimHash).
@@ -191,6 +236,31 @@ case class BandHashesExpr(child: Expression, bands: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+case class HyperplaneBitsExpr(child: Expression, planes: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "hyperplane_bits"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.hyperplaneBits(input.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.hyperplaneBits($c, $planes)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBitsExpr =
+    copy(child = newChild)
+}
+
+case class DotProductExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "dot_product"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.dotProduct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpls.dotProduct($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -228,6 +298,13 @@ object exprs {
     GraftColumnBridge.column(MinHashSigExpr(GraftColumnBridge.expression(shingleHashes), k))
   def bandHashes(sig: Column, bands: Int): Column =
     GraftColumnBridge.column(BandHashesExpr(GraftColumnBridge.expression(sig), bands))
+  def dotProduct(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProductExpr(
+      GraftColumnBridge.expression(a.cast("array<float>")),
+      GraftColumnBridge.expression(b.cast("array<float>"))))
+  def hyperplaneBits(vec: Column, planes: Int): Column =
+    GraftColumnBridge.column(HyperplaneBitsExpr(
+      GraftColumnBridge.expression(vec.cast("array<float>")), planes))
 }
 
 /** SQL registration (`SELECT simhash64(text) ...`) via

@@ -25,9 +25,14 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two float-array columns, accumulated in double in
-    * index order (matches a sequential SQL-oracle fold exactly).
+    * index order (matches a sequential SQL-oracle fold exactly). Native
+    * compiled loop (graft.functions) — the zip_with/aggregate HOF form
+    * below interprets per element and is kept as the reference.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = graft.functions.exprs.dotProduct(a, b)
+
+  /** Built-in-composition reference form of [[dot]]. */
+  def dotBuiltin(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -84,9 +89,14 @@ object Similarity {
 
   /** Random-hyperplane LSH signature: one sign bit per plane (as an
     * int array, ready for band hashing). Vectors with small angle agree
-    * on most bits.
+    * on most bits. Native compiled loop; the HOF reference form below is
+    * bit-identical (same weight formula) — asserted in SimilaritySpec.
     */
   def hyperplaneBits(vec: Column, planes: Int = 16): Column =
+    graft.functions.exprs.hyperplaneBits(vec, planes)
+
+  /** Built-in-composition reference form of [[hyperplaneBits]]. */
+  def hyperplaneBitsBuiltin(vec: Column, planes: Int = 16): Column =
     transform(
       sequence(lit(0), lit(planes - 1)),
       p => {

@@ -106,11 +106,33 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == expected)
   }
 
+  test("native dot product is bit-identical to the HOF fold") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 50).map(i => (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = vdf(rows: _*)
+    val q = df.where(col("vec_id") === 1).select(col("embedding").as("qv"))
+    val cmp = df.crossJoin(q).select(
+      Similarity.dot(col("embedding"), col("qv")).as("native"),
+      Similarity.dotBuiltin(col("embedding"), col("qv")).as("hof"))
+      .collect()
+    cmp.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // same fold order -> bit-equal
+  }
+
   test("hyperplaneBits is deterministic and angle-sensitive") {
     val df = vdf(1L -> Seq(1f, 2f, 3f), 2L -> Seq(1.01f, 2f, 3f), 3L -> Seq(-1f, -2f, -3f))
     val bits = df.select(col("vec_id"), Similarity.hyperplaneBits(col("embedding"), 16).as("b"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(bits(1L) == bits(2L), "tiny perturbation should not flip bits")
     assert(bits(3L) == bits(1L).map(1 - _), "negation flips every sign bit")
+  }
+
+  test("native hyperplaneBits is bit-identical to the HOF reference") {
+    val rnd = new scala.util.Random(13)
+    val df = vdf((1 to 40).map(i => (i.toLong, Seq.fill(48)(rnd.nextGaussian().toFloat))): _*)
+    val cmp = df.select(
+      Similarity.hyperplaneBits(col("embedding"), 16).as("native"),
+      Similarity.hyperplaneBitsBuiltin(col("embedding"), 16).as("hof"))
+      .collect()
+    cmp.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1)))
   }
 }
