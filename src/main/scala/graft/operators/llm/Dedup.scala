@@ -174,4 +174,61 @@ object Dedup {
         size(array_union(col("__sa"), col("__sb"))).as("uni"))
       .where(col("inter") >= col("uni") * threshold)
   }
+
+  /** Collapse near-dup PAIRS into duplicate GROUPS (connected components
+    * of the pair graph): a doc that chains A≈B≈C belongs with both even
+    * when A and C aren't directly similar. Iterative min-label
+    * propagation — each round every node adopts the smallest label among
+    * itself and its neighbors; converges in O(component diameter) rounds
+    * (near-dup components are shallow in practice; `maxIter` bounds the
+    * driver loop, and each round is one shuffle join). At extreme scale
+    * swap in the large-star/small-star variant — the operator contract
+    * (pairs in, (id, group) out) stays the same.
+    *
+    * Returns (id, group) where group = smallest id in the component.
+    */
+  def nearDupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct().withColumn("group", col("id"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("group")).as("ngroup"))
+      val next = labels
+        .join(prop, labels("id") === prop("src"), "left")
+        .select(
+          col("id"),
+          least(col("group"), coalesce(col("ngroup"), col("group"))).as("group"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.withColumnRenamed("group", "old"), "id")
+        .where(col("group") =!= col("old"))
+        .count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Full near-dedup: keep one survivor (smallest id) per duplicate
+    * group; docs in no group pass through untouched.
+    */
+  def dedupNearRows(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = nearDupPairs(df, textCol, idCol, shingleSize, numHashes, bands, threshold)
+    val losers = nearDupGroups(pairs)
+      .where(col("id") =!= col("group"))
+      .select(col("id").as("__loser"))
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
 }

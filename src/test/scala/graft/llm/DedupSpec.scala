@@ -58,6 +58,25 @@ class DedupSpec extends SparkSpec {
     assert(r.getInt(2) == r.getInt(3) && r.getInt(2) == 4) // 6 words -> 4 tri-shingles
   }
 
+  test("nearDupGroups chains transitively: A~B~C is one group without A~C") {
+    val base = (1 to 40).map(i => s"w$i")
+    val a = base.mkString(" ")
+    val b = base.updated(19, "CHANGED").mkString(" ")
+    val c = base.updated(19, "CHANGED").updated(29, "ALSO").mkString(" ")
+    val far = (1 to 40).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c), (9L, far)).toDF("doc_id", "text")
+    // threshold 0.8: direct pairs (1,2) and (2,3) qualify, (1,3) does not
+    val pairs = Dedup.nearDupPairs(df, "text", "doc_id", threshold = 0.8)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 2L), (2L, 3L)))
+    val groups = Dedup.nearDupGroups(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), "chain must collapse to one group")
+    val survivors = Dedup.dedupNearRows(df, "text", "doc_id", threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 9L))
+  }
+
   test("maxBucketSize guard drops degenerate buckets before pairing") {
     // 30 identical docs would otherwise form C(30,2)=435 pairs
     val df = (1 to 30).map(i => (i.toLong, "same text in every doc here")).toDF("doc_id", "text")

@@ -99,6 +99,41 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parquet readStream over the events fixture matches the batch answer") {
+    // the production source shape: a directory of parquet files consumed
+    // incrementally (maxFilesPerTrigger) — results must equal the batch
+    // run of the SAME transform over the same data
+    // stream sources read DIRECTORIES; stage the fixture file into one
+    val src = "/root/testdata/sf0.001/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(src),
+      java.nio.file.Paths.get(dir, "part-0.parquet"))
+    val schema = spark.read.parquet(src).schema
+    val streamDf = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .select(timestamp_micros(expr("ts div 1000")).as("tsc"), col("event_type"))
+    val out = sinkName()
+    val q = StreamOps.tumblingCounts(streamDf, "tsc", "1 day", Seq(col("event_type")), "0 seconds")
+      .writeStream.format("memory").queryName(out).outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table(out)
+        .select(col("window.start"), col("event_type"), col("cnt"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = StreamOps.tumblingCounts(
+        spark.read.parquet(src)
+          .select(timestamp_micros(expr("ts div 1000")).as("tsc"), col("event_type")),
+        "tsc", "1 day", Seq(col("event_type")))
+        .select(col("window.start"), col("event_type"), col("cnt"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("the same tumbling transform runs in batch mode (unified API)") {
     val batch = Seq(
       (ts("10:01"), "a"), (ts("10:02"), "a"), (ts("10:30"), "b")).toDF("ts", "etype")
