@@ -182,6 +182,43 @@ object HashImpls {
     new GenericArrayData(out)
   }
 
+  @inline private def isAsciiPunct(b: Byte): Boolean =
+    (b >= '!' && b <= '/') || (b >= ':' && b <= '@') ||
+      (b >= '[' && b <= '`') || (b >= '{' && b <= '~')
+
+  /** Count of ASCII punctuation characters — byte-scan equivalent of
+    * `length(regexp_replace(text, "[^\\p{Punct}]", ""))` (Java's
+    * \p{Punct} is the POSIX ASCII class; UTF-8 continuation bytes are
+    * never ASCII, so byte counting equals char counting).
+    */
+  def punctCount(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (isAsciiPunct(s.getByte(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Number of maximal ASCII digit runs — byte-scan equivalent of
+    * counting the non-empty pieces of `split(text, "[^0-9]+")`.
+    */
+  def digitRuns(s: UTF8String): Int = {
+    val n = s.numBytes()
+    var c = 0
+    var inRun = false
+    var i = 0
+    while (i < n) {
+      val d = s.getByte(i) >= '0' && s.getByte(i) <= '9'
+      if (d && !inRun) c += 1
+      inRun = d
+      i += 1
+    }
+    c
+  }
+
   /** Order-sensitive rolling hash: a chain h := xxhash64(token, seed = h)
     * over lower-cased whitespace tokens, starting at 0. Distinguishes
     * permutations (unlike the bag-of-tokens SimHash).
@@ -233,6 +270,28 @@ case class BandHashesExpr(child: Expression, bands: Int) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.bandHashes($c, $bands)")
   override protected def withNewChildInternal(newChild: Expression): BandHashesExpr =
+    copy(child = newChild)
+}
+
+case class PunctCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "punct_count"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.punctCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.punctCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): PunctCountExpr =
+    copy(child = newChild)
+}
+
+case class DigitRunsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "digit_runs"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.digitRuns(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.digitRuns($c)")
+  override protected def withNewChildInternal(newChild: Expression): DigitRunsExpr =
     copy(child = newChild)
 }
 
@@ -305,6 +364,10 @@ object exprs {
   def hyperplaneBits(vec: Column, planes: Int): Column =
     GraftColumnBridge.column(HyperplaneBitsExpr(
       GraftColumnBridge.expression(vec.cast("array<float>")), planes))
+  def punctCount(c: Column): Column =
+    GraftColumnBridge.column(PunctCountExpr(GraftColumnBridge.expression(c.cast("string"))))
+  def digitRuns(c: Column): Column =
+    GraftColumnBridge.column(DigitRunsExpr(GraftColumnBridge.expression(c.cast("string"))))
 }
 
 /** SQL registration (`SELECT simhash64(text) ...`) via

@@ -36,10 +36,12 @@ object TextStats {
 
   def avgTokenLen(text: Column): Column = avgTokenLenFromTokens(Dedup.tokens(text))
 
-  /** Fraction of characters that are ASCII punctuation. */
+  /** Fraction of characters that are ASCII punctuation (native byte-scan
+    * count; equals the regexp_replace-and-length formulation).
+    */
   def punctRatio(text: Column): Column =
     when(length(text) > 0,
-      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / length(text))
+      graft.functions.exprs.punctCount(text).cast("double") / length(text))
       .otherwise(lit(0.0))
 
   /** Fraction of tokens found in `stopwords` (a quality / language cue). */
@@ -57,12 +59,10 @@ object TextStats {
     * for digit runs and punctuation (a cheap proxy for tokenizer cost
     * when the real tokenizer isn't available cluster-side).
     */
-  def subwordCountEstimateFromTokens(text: Column, w: Column): Column = {
-    val words = tokenCountFromTokens(w)
-    val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
-    val digitRuns = size(filter(split(text, "[^0-9]+"), s => length(s) > 0))
-    words + punct + digitRuns
-  }
+  def subwordCountEstimateFromTokens(text: Column, w: Column): Column =
+    tokenCountFromTokens(w) +
+      graft.functions.exprs.punctCount(text) +
+      graft.functions.exprs.digitRuns(text)
 
   def subwordCountEstimate(text: Column): Column =
     subwordCountEstimateFromTokens(text, Dedup.tokens(text))

@@ -90,6 +90,23 @@ object ExtQueries {
         .orderBy("pid")
     },
 
+    // Fact-to-dimension join + rollup by a derived dimension attribute
+    // (TPC-H Q14 shape): lineitem x part on partkey, revenue in exact
+    // cents per brand. part is small relative to lineitem at every sf ->
+    // broadcast; the aggregate partial-reduces before its shuffle.
+    "q39_part_revenue" -> { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("line_cnt"),
+          sum(col("l_quantity").cast("long")).as("qty"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_cents"))
+        .orderBy("p_brand")
+    },
+
     // Range join via bucketing: events within the minute before each
     // purchase (any user). A naive BETWEEN theta-join is
     // broadcast-nested-loop (O(n*m)); RangeJoin buckets the time axis so
@@ -162,6 +179,13 @@ object ExtQueries {
         |SELECT p.pid, c.cid FROM p
         |ASOF JOIN c0 c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY pid""".stripMargin,
+    "q39_part_revenue" ->
+      """SELECT p_brand, count(*) AS line_cnt,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |            AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q38_range_join" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS tus, event_type FROM events),
         |     p AS (SELECT event_id AS pid, tus AS ptus FROM e

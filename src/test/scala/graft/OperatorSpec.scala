@@ -77,6 +77,16 @@ class OperatorSpec extends SparkSpec {
     assert(got == 9)
   }
 
+  test("KvTextSink.write emits a single sorted key\\tvalue text file (S2/S3)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kvsink").toString + "/out"
+    KvTextSink.write(Seq(("b", 2), ("a", 1), ("c", 3)).toDF("k", "v"), dir)
+    val parts = new java.io.File(dir).listFiles.filter(_.getName.startsWith("part-"))
+    assert(parts.length == 1, "reference contract is exactly one output file")
+    val src = scala.io.Source.fromFile(parts.head, "UTF-8")
+    try assert(src.getLines().toSeq == Seq("a\t1", "b\t2", "c\t3"))
+    finally src.close()
+  }
+
   test("approx_count_distinct lands within 5% of exact (sketch surface)") {
     val df = (1 to 20000).map(_ % 5000).toDF("v")
     val approx = df.agg(approx_count_distinct(col("v"))).head().getLong(0)
