@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{LabQueries, LlmQueries}
+import graft.queries.{ExtQueries, LabQueries, LlmQueries}
 
 /** Physical-plan shape assertions — the properties that decide whether a
   * query survives a 100x scale-up, pinned so a refactor can't silently
@@ -13,7 +13,7 @@ class PlanSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private def plan(name: String): String = {
-    val df = (LabQueries.queries ++ LlmQueries.queries)(name)(spark, sf)
+    val df = (LabQueries.queries ++ LlmQueries.queries ++ ExtQueries.queries)(name)(spark, sf)
     df.collect() // finalize AQE so the string shows the real executed plan
     df.queryExecution.executedPlan.toString
   }
@@ -61,5 +61,35 @@ class PlanSpec extends SparkSpec {
     val p = plan("q20_dedup_exact")
     assert(p.contains("partial_min") || p.contains("partial_first"),
       s"dedup shuffle is not map-side reduced:\n$p")
+  }
+
+  test("q38 range join: bucketed equi-join, never a nested-loop join") {
+    val p = plan("q38_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no hash/merge equi-join found:\n$p")
+  }
+
+  test("q39 part join: dimension side broadcast, aggregate partial-reduced") {
+    val p = plan("q39_part_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"part should broadcast:\n$p")
+    assert(p.contains("partial_count"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q31 rollup: one Expand + one aggregate shuffle for all grouping sets") {
+    val p = plan("q31_rollup")
+    assert(p.contains("Expand"), s"rollup should plan through Expand:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size
+      <= 2 * 2, // initial + final AQE sections, one agg exchange each
+      s"rollup must not shuffle once per grouping set:\n$p")
+  }
+
+  test("q33 window functions: both windows share a single exchange") {
+    val p = plan("q33_window_rank")
+    // rank + running sum over the same partitioning: one hash exchange
+    // (x2 for AQE's initial+final printout), not one per window
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"windows did not share the exchange:\n$p")
   }
 }
