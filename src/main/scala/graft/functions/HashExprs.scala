@@ -182,6 +182,18 @@ object HashImpls {
     new GenericArrayData(out)
   }
 
+  /** Count of array elements present in `words` (pre-built set). */
+  def stopwordHits(tokens: ArrayData, words: java.util.HashSet[UTF8String]): Int = {
+    val n = tokens.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (words.contains(tokens.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
   @inline private def isAsciiPunct(b: Byte): Boolean =
     (b >= '!' && b <= '/') || (b >= ':' && b <= '@') ||
       (b >= '[' && b <= '`') || (b >= '{' && b <= '~')
@@ -270,6 +282,31 @@ case class BandHashesExpr(child: Expression, bands: Int) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.bandHashes($c, $bands)")
   override protected def withNewChildInternal(newChild: Expression): BandHashesExpr =
+    copy(child = newChild)
+}
+
+/** Membership count against a fixed word list (language-ID / quality
+  * scoring hot loop). The set is built once per executor via a transient
+  * lazy field; codegen references it through the expression object
+  * (addReferenceObj), keeping the probe inside whole-stage codegen.
+  */
+case class StopwordHitsExpr(child: Expression, words: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "stopword_hits"
+
+  @transient lazy val wordSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.stopwordHits(input.asInstanceOf[ArrayData], wordSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwordExpr", this, classOf[StopwordHitsExpr].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.stopwordHits($c, $ref.wordSet())")
+  }
+  override protected def withNewChildInternal(newChild: Expression): StopwordHitsExpr =
     copy(child = newChild)
 }
 
@@ -366,6 +403,8 @@ object exprs {
       GraftColumnBridge.expression(vec.cast("array<float>")), planes))
   def punctCount(c: Column): Column =
     GraftColumnBridge.column(PunctCountExpr(GraftColumnBridge.expression(c.cast("string"))))
+  def stopwordHits(tokens: Column, words: Seq[String]): Column =
+    GraftColumnBridge.column(StopwordHitsExpr(GraftColumnBridge.expression(tokens), words))
   def digitRuns(c: Column): Column =
     GraftColumnBridge.column(DigitRunsExpr(GraftColumnBridge.expression(c.cast("string"))))
 }

@@ -44,11 +44,15 @@ object TextStats {
       graft.functions.exprs.punctCount(text).cast("double") / length(text))
       .otherwise(lit(0.0))
 
-  /** Fraction of tokens found in `stopwords` (a quality / language cue). */
+  /** Fraction of tokens found in `stopwords` (a quality / language cue).
+    * Native hash-set probe per token (graft.functions.StopwordHitsExpr);
+    * the array_contains-filter HOF form would linear-scan the word list
+    * per token, interpreted.
+    */
   def stopwordRatioFromTokens(w: Column, stopwords: Seq[String]): Column = {
-    val sw = array(stopwords.map(lit): _*)
     val n = tokenCountFromTokens(w)
-    when(n > 0, size(filter(w, t => array_contains(sw, t))).cast("double") / n)
+    when(n > 0,
+      graft.functions.exprs.stopwordHits(w, stopwords).cast("double") / n)
       .otherwise(lit(0.0))
   }
 

@@ -104,6 +104,33 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream inner join with an event-time range: each left event
+    * pairs with right events of the same key whose timestamp falls in
+    * `[leftTs - windowBefore, leftTs]`. Both sides carry watermarks and
+    * the time-range condition bounds the join state (rows older than the
+    * watermark + range are evicted) — the streaming face of the batch
+    * RangeJoin/AsOfJoin pair. Column names must be disjoint across the
+    * two inputs except for nothing (the key columns are passed
+    * per-side).
+    */
+  def streamRangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      windowBefore: String,
+      lateness: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(
+      r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $windowBefore") &&
+        col(rightTs) <= col(leftTs))
+  }
+
   /** Output-mode guidance: windowed aggs with watermark support Append
     * (emit once, on watermark close) and Update; mapGroupsWithState
     * requires Update.

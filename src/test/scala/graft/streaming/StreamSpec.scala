@@ -134,6 +134,31 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamRangeJoin: stream-stream join within the event-time range") {
+    val purchases = memStream[(Timestamp, Long, Long)]
+    val clicks = memStream[(Timestamp, Long, Long)]
+    val out = sinkName()
+    val q = StreamOps.streamRangeJoin(
+        purchases.toDF.toDF("pts", "puser", "pid"),
+        clicks.toDF.toDF("cts", "cuser", "cid"),
+        "puser", "cuser", "pts", "cts", windowBefore = "10 minutes", lateness = "1 minute")
+      .select("pid", "cid")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      clicks.addData((ts("10:00"), 1L, 100L), (ts("10:20"), 1L, 101L), (ts("10:02"), 2L, 200L))
+      purchases.addData((ts("10:05"), 1L, 500L)) // matches click 100 (5 min before), not 101 (after)
+      q.processAllAvailable()
+      // advance both watermarks so results flush
+      clicks.addData((ts("11:00"), 9L, 999L))
+      purchases.addData((ts("11:00"), 9L, 998L))
+      q.processAllAvailable()
+      val rows = spark.table(out).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.contains((500L, 100L)), s"expected (500,100) in $rows")
+      assert(!rows.contains((500L, 101L)), "future click must not match")
+      assert(!rows.contains((500L, 200L)), "other user's click must not match")
+    } finally q.stop()
+  }
+
   test("the same tumbling transform runs in batch mode (unified API)") {
     val batch = Seq(
       (ts("10:01"), "a"), (ts("10:02"), "a"), (ts("10:30"), "b")).toDF("ts", "etype")
