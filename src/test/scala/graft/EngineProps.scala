@@ -66,6 +66,40 @@ object EngineProps extends Properties("graft") {
       ks == ks.sorted
     }
 
+  property("AsOfJoin == naive latest-at-or-before scan") = {
+    val genRows = Gen.listOfN(30, for {
+      k <- Gen.choose(0, 3); ts <- Gen.choose(0L, 50L)
+    } yield (k, ts))
+    forAll(genRows, genRows) { (lrows, rrows) =>
+      import spark.implicits._
+      // unique right (k, ts) so the winner is well-defined
+      val rDedup = rrows.distinct.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+      val l = lrows.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+        .toDF("lid", "k", "ts")
+      val r = rDedup.toDF("k", "ts", "rid")
+      val got = graft.operators.AsOfJoin(l, r, Seq("k"), "ts", "ts", Seq("rid"))
+        .select("lid", "asof_rid")
+        .collect().map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long])).toMap
+      val expected = lrows.zipWithIndex.map { case ((k, ts), i) =>
+        val cand = rDedup.filter(rr => rr._1 == k && rr._2 <= ts)
+        i.toLong -> (if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3))
+      }.toMap
+      got == expected
+    }
+  }
+
+  property("exact dedup == sequential normalize-group fold") =
+    forAll(Gen.listOfN(20, Gen.oneOf("a B", "A  b", "c", "C ", "d e f"))) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = graft.operators.llm.Dedup.exact(df, "text", "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = texts.zipWithIndex
+        .groupBy(_._1.trim.toLowerCase.replaceAll("\\s+", " "))
+        .map { case (_, g) => g.map(_._2.toLong).min -> g.size.toLong }
+      got == expected
+    }
+
   property("groupMax == sequential max fold") =
     forAll(Gen.nonEmptyListOf(for {
       g <- Gen.choose(0, 3); v <- Gen.choose(-1000, 1000)
