@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -96,10 +96,13 @@ object HashImpls {
 
   /** MinHash signature of a shingle-hash set: entry i is
     * `min over s of xxh64(s, seed=i)` — `k` independent permutation
-    * minima from one pass over the set.
+    * minima from one pass over the set. An EMPTY set has no signature:
+    * returns null (a sentinel like [Long.MaxValue]*k would band-collide
+    * every empty document with every other as a perfect duplicate).
     */
   def minHashSig(shingleHashes: ArrayData, k: Int): ArrayData = {
     val m = shingleHashes.numElements()
+    if (m == 0) return null
     val sig = new Array[Long](k)
     var i = 0
     while (i < k) {
@@ -137,23 +140,40 @@ object HashImpls {
     new GenericArrayData(out)
   }
 
-  /** Dot product of two float arrays, accumulated in double in index
-    * order (bit-identical to a sequential SQL fold — the property the
-    * cosine oracle comparison relies on). Fails fast on length mismatch
-    * rather than silently padding like zip_with.
+  /** Dot product accumulated in double in index order (bit-identical to
+    * the zip_with/aggregate reference fold, which widens each element to
+    * double before multiplying — the property the cosine oracle
+    * comparison relies on). Separate float/double entry points so
+    * neither element type pays an array-conversion cast. Null semantics
+    * match the reference: a null element or a length mismatch yields
+    * null (the HOF's null-padded zip_with poisons its fold the same
+    * way), so corrupt rows surface as null cosine instead of a silently
+    * wrong score.
     */
-  def dotProduct(a: ArrayData, b: ArrayData): Double = {
+  def dotProductF(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
-    if (n != b.numElements())
-      throw new IllegalArgumentException(
-        s"dot_product: length mismatch ($n vs ${b.numElements()})")
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
+  }
+
+  def dotProductD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
   }
 
   /** Random-hyperplane LSH signature: sign bit of `sum_d vec[d]*w(p,d)`
@@ -176,7 +196,10 @@ object HashImpls {
         acc += vec.getFloat(d).toDouble * w
         d += 1
       }
-      out(p) = if (acc > 0) 1 else 0
+      // NaN counts as positive: Spark SQL comparisons treat NaN as the
+      // greatest double, so the reference `when(proj > 0, 1)` yields 1 —
+      // Java's NaN > 0 == false would silently diverge
+      out(p) = if (acc > 0 || java.lang.Double.isNaN(acc)) 1 else 0
       p += 1
     }
     new GenericArrayData(out)
@@ -266,10 +289,14 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
 case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  override def nullable: Boolean = true // empty input -> null signature
   override protected def nullSafeEval(input: Any): Any =
     HashImpls.minHashSig(input.asInstanceOf[ArrayData], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.minHashSig($c, $k)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HashImpls.minHashSig($c, $k);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
     copy(child = newChild)
 }
@@ -344,14 +371,33 @@ case class HyperplaneBitsExpr(child: Expression, planes: Int) extends UnaryExpre
     copy(child = newChild)
 }
 
+/** Both children must share one element type — float or double —
+  * selecting the matching no-conversion code path (validated at plan
+  * construction in `exprs.dotProduct` and re-checked lazily here).
+  */
 case class DotProductExpr(left: Expression, right: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def prettyName: String = "dot_product"
+  override def nullable: Boolean = true // null element / length mismatch -> null
+
+  private lazy val implName: String = left.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => "dotProductF"
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) => "dotProductD"
+    case t => throw new IllegalArgumentException(
+      s"dot_product expects array<float> or array<double>, got $t")
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    HashImpls.dotProduct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (implName == "dotProductF")
+      HashImpls.dotProductF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else HashImpls.dotProductD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpls.dotProduct($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_boxed = graft.functions.HashImpls.$implName($a, $b);
+      if (${ev.value}_boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_boxed.doubleValue(); }
+    """)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
@@ -394,10 +440,16 @@ object exprs {
     GraftColumnBridge.column(MinHashSigExpr(GraftColumnBridge.expression(shingleHashes), k))
   def bandHashes(sig: Column, bands: Int): Column =
     GraftColumnBridge.column(BandHashesExpr(GraftColumnBridge.expression(sig), bands))
+  /** No cast is applied: the expression dispatches on the analyzed
+    * element type (float and double each get a native no-conversion
+    * loop, both accumulating in double exactly like the reference
+    * fold's per-element cast("double")); any other input type fails at
+    * planning.
+    */
   def dotProduct(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProductExpr(
-      GraftColumnBridge.expression(a.cast("array<float>")),
-      GraftColumnBridge.expression(b.cast("array<float>"))))
+      GraftColumnBridge.expression(a),
+      GraftColumnBridge.expression(b)))
   def hyperplaneBits(vec: Column, planes: Int): Column =
     GraftColumnBridge.column(HyperplaneBitsExpr(
       GraftColumnBridge.expression(vec.cast("array<float>")), planes))
@@ -422,20 +474,34 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 }
 
 object GraftExtensions {
+
+  /** Arity-checked SQL builder that pins the argument to string (the
+    * expressions skip ExpectsInputTypes — its type classes are
+    * private[sql] — so without the cast a `simhash64(123)` would die
+    * with a codegen/ClassCastException deep in execution instead of a
+    * plan-time error).
+    */
+  private def unaryString(name: String, f: Expression => Expression)(
+      args: Seq[Expression]): Expression = {
+    if (args.length != 1)
+      throw new IllegalArgumentException(s"$name expects exactly 1 argument, got ${args.length}")
+    f(Cast(args.head, StringType))
+  }
+
   private val simhashDesc = (
     new FunctionIdentifier("simhash64"),
     new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
-    (args: Seq[Expression]) => SimHash64Expr(args.head))
+    unaryString("simhash64", SimHash64Expr(_)) _)
   private val rollingDesc = (
     new FunctionIdentifier("rolling_hash64"),
     new ExpressionInfo(classOf[RollingHash64Expr].getName, "rolling_hash64"),
-    (args: Seq[Expression]) => RollingHash64Expr(args.head))
+    unaryString("rolling_hash64", RollingHash64Expr(_)) _)
 
   /** Register on an already-built session (tests, driver-provided sessions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("simhash64", args => SimHash64Expr(args.head), "built-in")
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("rolling_hash64", args => RollingHash64Expr(args.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", unaryString("simhash64", SimHash64Expr(_)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash64", unaryString("rolling_hash64", RollingHash64Expr(_)), "built-in")
   }
 }

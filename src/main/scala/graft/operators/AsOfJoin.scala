@@ -36,6 +36,11 @@ object AsOfJoin {
       rightPayload: Seq[String],
       prefix: String = "asof_"): DataFrame = {
 
+    val reserved = Seq("__ts", "__tag", "__l", "__r", "__asof")
+    val clash = (left.columns ++ right.columns).toSet.intersect(reserved.toSet)
+    require(clash.isEmpty, s"AsOfJoin reserves internal column names $reserved; " +
+      s"rename the input columns $clash")
+
     val lStruct = struct(left.columns.toIndexedSeq.map(left(_)): _*)
     val lType = left.select(lStruct.as("s")).schema("s").dataType
     val rStruct = struct(rightPayload.toIndexedSeq.map(right(_)): _*)

@@ -34,15 +34,23 @@ object RangeJoin {
       bucketWidth: Long,
       keys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // the exact-predicate filter below resolves lo/hi/point by bare name
+    // on the JOINED frame — shared non-key column names would be
+    // ambiguous there, so reject them up front
+    val shared = left.columns.toSet.intersect(right.columns.toSet) -- keys.toSet - "__bucket"
+    require(shared.isEmpty,
+      s"RangeJoin requires disjoint non-key column names; shared: $shared")
+    require(!left.columns.contains("__bucket") && !right.columns.contains("__bucket"),
+      "RangeJoin reserves the column name __bucket")
     // `div` (integral divide) via expr: Column./ is floating-point
     // division, which corrupts epoch-nanos (> 2^53) — same pitfall as
-    // q27's timestamp handling.
+    // q27's timestamp handling. Names are backquoted for expr().
     val l = left.withColumn(
       "__bucket",
       explode(sequence(
-        expr(s"cast($lo as bigint) div $bucketWidth"),
-        expr(s"cast($hi as bigint) div $bucketWidth"))))
-    val r = right.withColumn("__bucket", expr(s"cast($point as bigint) div $bucketWidth"))
+        expr(s"cast(`$lo` as bigint) div $bucketWidth"),
+        expr(s"cast(`$hi` as bigint) div $bucketWidth"))))
+    val r = right.withColumn("__bucket", expr(s"cast(`$point` as bigint) div $bucketWidth"))
     l.join(r, keys :+ "__bucket")
       .where(col(point) >= col(lo) && col(point) <= col(hi))
       .drop("__bucket")

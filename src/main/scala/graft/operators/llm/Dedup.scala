@@ -193,6 +193,7 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct().withColumn("group", col("id"))
+    var prevCached: Option[DataFrame] = None
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -207,10 +208,15 @@ object Dedup {
       changed = next
         .join(labels.withColumnRenamed("group", "old"), "id")
         .where(col("group") =!= col("old"))
-        .count()
+        .count() // materializes `next`, so the superseded cache can go
+      prevCached.foreach(_.unpersist(blocking = false))
+      prevCached = Some(next)
       labels = next
       i += 1
     }
+    // final labels stay cached (materialized above); the edge cache is
+    // only needed during the loop
+    edges.unpersist(blocking = false)
     labels
   }
 

@@ -29,10 +29,14 @@ object TextStats {
 
   def lineCount(text: Column): Column = size(split(text, "\n"))
 
-  /** Mean token length (null for empty docs). */
+  /** Mean token length (null for empty docs). Numerator and denominator
+    * both use the empty-token-filtered count, so arrays containing ""
+    * entries don't deflate the average.
+    */
   def avgTokenLenFromTokens(w: Column): Column =
     when(tokenCountFromTokens(w) > 0,
-      aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(w))
+      aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / tokenCountFromTokens(w))
 
   def avgTokenLen(text: Column): Column = avgTokenLenFromTokens(Dedup.tokens(text))
 

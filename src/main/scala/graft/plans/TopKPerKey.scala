@@ -134,7 +134,9 @@ object TopK {
       if (keys.isEmpty) Nil
       else df.select(keys: _*).queryExecution.analyzed
         .collectFirst { case p: Project => p.projectList }
-        .getOrElse(Seq.empty)
+        // throw rather than silently degrade to a GLOBAL top-k
+        .getOrElse(throw new IllegalStateException(
+          "could not resolve key columns to a Project — key expressions unsupported"))
         .map { case a: Alias => a.child; case e => e }
     GraftColumnBridge.ofRows(spark, TopKPerKeyPlan(keyExprs, sortExprs, k, child))
   }
