@@ -18,7 +18,7 @@ object SparkEngine {
       master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
       appName: String = "graft",
       shufflePartitions: Int = 32): SparkSession = {
-    val spark = SparkSession
+    val builder = SparkSession
       .builder()
       .master(master)
       .appName(appName)
@@ -32,8 +32,12 @@ object SparkEngine {
       // as a LongType of epoch-nanos and convert explicitly.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine extensions: native SQL functions, the TopKPerKey strategy and
+    // the row_number-filter -> TopKPerKey optimizer rewrite
+    graft.functions.GraftExtensions.register(spark)
+    graft.plans.TopK.register(spark)
     spark
   }
 
@@ -43,6 +47,8 @@ object SparkEngine {
   def align(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.GraftExtensions.register(spark)
+    graft.plans.TopK.register(spark)
     spark
   }
 }

@@ -470,6 +470,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftExtensions.simhashDesc)
     ext.injectFunction(GraftExtensions.rollingDesc)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }
 }
 

@@ -107,9 +107,13 @@ case class TopKPerKeyExec(
   */
 object TopK {
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(TopKRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewriteRule
+  }
 
   /** The k first rows per key under `order` (use `col.desc`/`col.asc`).
     * Make the order a total order (add a unique tie-break column) for

@@ -90,6 +90,24 @@ object ExtQueries {
         .orderBy("pid")
     },
 
+    // Batch sessionization via session_window (the same gap-merge the
+    // streaming path uses — Spark unifies them): per-user sessions with
+    // a 30-minute gap. Oracle reconstructs sessions with the lag/running-
+    // sum idiom; both compare at microsecond precision. Inclusive-gap
+    // boundary semantics match (session_window merges diff <= gap; the
+    // oracle breaks on diff > gap).
+    "q40_sessionize" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("tsc"))
+        .groupBy(session_window(col("tsc"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us")
+    },
+
     // Fact-to-dimension join + rollup by a derived dimension attribute
     // (TPC-H Q14 shape): lineitem x part on partkey, revenue in exact
     // cents per brand. part is small relative to lineitem at every sf ->
@@ -179,6 +197,16 @@ object ExtQueries {
         |SELECT p.pid, c.cid FROM p
         |ASOF JOIN c0 c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY pid""".stripMargin,
+    "q40_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+        |      FROM e)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start_us""".stripMargin,
     "q39_part_revenue" ->
       """SELECT p_brand, count(*) AS line_cnt,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,

@@ -38,6 +38,33 @@ class TopKPlanSpec extends SparkSpec {
     assert(!p.contains("Sort "), s"bounded-heap top-k must not sort partitions:\n$p")
   }
 
+  test("optimizer rule rewrites row_number-filter-drop into TopKPerKey") {
+    TopK.register(spark)
+    val df = sample.transform(AggOps.topK(Seq(col("g")), Seq(col("v").desc, col("id").asc), 4))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), s"window top-k idiom was not rewritten:\n$p")
+    assert(!p.contains("Window"), s"rank window should be gone:\n$p")
+    // results must equal the un-rewritten semantics (computed manually)
+    val got = df.select("g", "v", "id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val expected = (1 to 5000).map(i => (s"g${i % 23}", i * 131 % 4999, i))
+      .groupBy(_._1).values.flatMap(_.sortBy(t => (-t._2, t._3)).take(4)).toSet
+    assert(got == expected)
+  }
+
+  test("optimizer rule leaves windows whose rank is still referenced") {
+    TopK.register(spark)
+    // q33 shape: the row_number is part of the output -> must NOT rewrite
+    val df = sample.withColumn("seq",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("v").desc)))
+      .where(col("seq") <= 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("TopKPerKey"), s"must not rewrite when rank is consumed:\n$p")
+  }
+
   test("k larger than every group returns all rows") {
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("g", "v")
     assert(TopK.perKey(df, Seq(col("g")), Seq(col("v").desc), 10).count() == 3)
