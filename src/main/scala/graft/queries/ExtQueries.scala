@@ -90,6 +90,44 @@ object ExtQueries {
         .orderBy("pid")
     },
 
+    // JSON scalar surface: typed from_json over the events.props payload
+    // column, extracted field aggregated per event type. The parse is a
+    // per-row expression in the scan stage — no UDF, no shuffle of the
+    // raw JSON.
+    "q41_json" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      t(s, dir, "events")
+        .select(
+          col("event_type"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+
+    // Pivot (conditional-aggregation spread): orders per year x priority.
+    // Pivot values are pinned explicitly (sanitized to stable column
+    // names) and coalesced to 0 so empty cells match the oracle's
+    // FILTER-count zeros.
+    "q42_pivot" -> { (s, dir) =>
+      val prios = Seq(
+        "1-URGENT" -> "p1_urgent",
+        "2-HIGH" -> "p2_high",
+        "3-MEDIUM" -> "p3_medium",
+        "4-NOT SPECIFIED" -> "p4_not_specified",
+        "5-LOW" -> "p5_low")
+      t(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("yr"), col("o_orderpriority"))
+        .groupBy("yr")
+        .pivot("o_orderpriority", prios.map(_._1))
+        .agg(count(lit(1)))
+        .select(col("yr") +: prios.map { case (v, a) =>
+          coalesce(col(s"`$v`"), lit(0L)).as(a)
+        }: _*)
+        .orderBy("yr")
+    },
+
     // Batch sessionization via session_window (the same gap-merge the
     // streaming path uses — Spark unifies them): per-user sessions with
     // a 30-minute gap. Oracle reconstructs sessions with the lag/running-
@@ -197,6 +235,19 @@ object ExtQueries {
         |SELECT p.pid, c.cid FROM p
         |ASOF JOIN c0 c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY pid""".stripMargin,
+    "q41_json" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+        |       max(CAST(props->>'k' AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q42_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |       CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS p1_urgent,
+        |       CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS p2_high,
+        |       CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3_medium,
+        |       CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4_not_specified,
+        |       CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS p5_low
+        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
     "q40_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, ts,
