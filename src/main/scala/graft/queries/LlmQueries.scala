@@ -168,6 +168,31 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Context-window chunking: overlapping token windows per document.
+    // The oracle re-derives every chunk's token count from window
+    // arithmetic alone (size n, stride, cap), so boundary behavior —
+    // short tails, docs below one window, blank docs — is hash-verified.
+    "q43_chunks" -> { (s, dir) =>
+      Chunking.byTokens(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "text", maxTokens = 50, overlap = 10)
+        .select(
+          col("doc_id"),
+          col("chunk_idx"),
+          TextStats.tokenCount(col("chunk_text")).as("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Deterministic per-group sampling: the sample's per-group
+    // cardinality contract (exactly min(k, |group|)) is oracle-verified;
+    // WHICH rows are chosen is engine-hash-specific and asserted
+    // deterministic in SamplingChunkingSpec.
+    "q44_sample" -> { (s, dir) =>
+      Sampling.perGroup(t(s, dir, "documents"), Seq(col("lang")), col("doc_id"), k = 3)
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang")
+    },
+
     // Embedding-cosine near-dup pairs (LSH-bucketed candidates + exact
     // verify). Approximate by construction -> rows-only check here;
     // recall semantics asserted on planted vectors in SimilaritySpec.
@@ -266,6 +291,22 @@ object LlmQueries {
         |           END) AS BIGINT) AS tokens
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |GROUP BY label ORDER BY label""".stripMargin,
+    "q43_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
+        |              THEN 0
+        |              ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+        |         END AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, n,
+        |             unnest(range(0, CAST(ceil(greatest(n - 10, 1)::DOUBLE / 40) AS INT))) AS chunk_idx
+        |      FROM t WHERE n > 0)
+        |SELECT doc_id, chunk_idx, least(50, n - chunk_idx * 40) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q44_sample" ->
+      """SELECT lang, least(3, count(*)) AS cnt
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q27_events_hourly" ->
       """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
         |       count(*) AS cnt, count(DISTINCT user_id) AS users

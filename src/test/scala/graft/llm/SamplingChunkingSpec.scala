@@ -1,0 +1,60 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.llm.{Chunking, Sampling}
+
+class SamplingChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bernoulli: deterministic across runs, rate approximately honored") {
+    val df = (1L to 10000L).toDF("id")
+    val a = Sampling.bernoulli(df, col("id"), lit(0.3), seed = 7)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.bernoulli(df, col("id"), lit(0.3), seed = 7)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "hash-derived sampling must be reproducible")
+    assert(math.abs(a.size - 3000) < 300, s"rate off: ${a.size}/10000 at 0.3")
+    val other = Sampling.bernoulli(df, col("id"), lit(0.3), seed = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(a != other, "different seeds must select different rows")
+  }
+
+  test("perGroup: exactly min(k, |group|) rows, deterministic") {
+    val df = (1 to 1000).map(i => (s"g${i % 7}", i.toLong)).toDF("g", "id")
+      .unionByName(Seq(("tiny", 9999L)).toDF("g", "id"))
+    val s1 = Sampling.perGroup(df, Seq(col("g")), col("id"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val s2 = Sampling.perGroup(df, Seq(col("g")), col("id"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s1 == s2)
+    val sizes = s1.groupBy(_._1).view.mapValues(_.size).toMap
+    assert((0 until 7).forall(i => sizes(s"g$i") == 5))
+    assert(sizes("tiny") == 1)
+  }
+
+  test("chunking: windows, overlap, short tails, sub-window and blank docs") {
+    val df = Seq(
+      (1L, "a b c"),       // maxTokens 2, overlap 1 -> [a b], [b c]
+      (2L, "a"),           // single sub-window chunk
+      (3L, "   "),         // blank -> no chunks
+      (4L, "a b c d e")    // [a b], [b c], [c d], [d e]
+    ).toDF("doc_id", "text")
+    val got = Chunking.byTokens(df, "text", maxTokens = 2, overlap = 1)
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got(1L) == Seq("a b", "b c"))
+    assert(got(2L) == Seq("a"))
+    assert(!got.contains(3L))
+    assert(got(4L) == Seq("a b", "b c", "c d", "d e"))
+  }
+
+  test("chunking with zero overlap partitions the tokens exactly") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val got = Chunking.byTokens(Seq((1L, text)).toDF("doc_id", "text"), "text", maxTokens = 4)
+      .orderBy("chunk_idx").select("chunk_text").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10"))
+    assert(got.mkString(" ") == text)
+  }
+}
