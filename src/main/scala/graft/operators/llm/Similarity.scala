@@ -143,6 +143,50 @@ object Similarity {
       .transform(topKPerKey(Seq(col("qid")), Seq(col("cos").desc, col("nid").asc), k))
   }
 
+  /** IVF-style approximate top-k: the complementary ANN scale path to
+    * [[annTopK]]'s hyperplane LSH. A deterministic sample of the corpus
+    * serves as the centroid codebook (hash-sampled — no training step,
+    * no RNG); every corpus vector is assigned to its nearest centroid
+    * (one broadcast pass), and each query probes only its `nprobe`
+    * closest cells, scoring exactly within them.
+    *
+    * Scale shape: codebook is broadcast twice (assignment + probe);
+    * the corpus shuffles ONCE by cell id; per-query work is
+    * `nprobe/centroids` of the corpus. Recall rises with nprobe
+    * (= exact when nprobe >= centroids).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 0L): DataFrame = {
+    require(nprobe >= 1 && centroids >= 1, "need nprobe >= 1 and centroids >= 1")
+    // codebook: bottom-k hash sample of the corpus (deterministic)
+    val codebook = corpus
+      .select(col(idCol).as("__cell"), col(vecCol).as("__cv0"))
+      .orderBy(Sampling.hashUnit(col("__cell"), seed).asc)
+      .limit(centroids)
+
+    def nearestCells(df: DataFrame, id: String, vec: String, n: Int): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .join(broadcast(codebook))
+        .select(col(id), col(vec), col("__cell"),
+          cosine(col(vec), col("__cv0")).as("__cc"))
+        .transform(topKPerKey(Seq(col(id)), Seq(col("__cc").desc, col("__cell").asc), n))
+        .drop("__cc", "rank")
+
+    val assigned = nearestCells(corpus, "nid", "__cv", 1)
+    val probes = nearestCells(queries, "qid", "__qv", nprobe)
+    assigned.join(probes, Seq("__cell"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
+      .transform(topKPerKey(Seq(col("qid")), Seq(col("cos").desc, col("nid").asc), k))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs with
     * cosine >= threshold — the vector-space face of near-dedup (catches
     * paraphrases MinHash's lexical shingles miss).

@@ -64,6 +64,18 @@ object LlmQueries {
         .orderBy("qid", "rank")
     },
 
+    // IVF ANN variant: hash-sampled centroid codebook, nearest-cell
+    // assignment, nprobe-cell probing. Approximate -> rows-only check;
+    // recall and the exhaustive-probe == exact property are asserted in
+    // SimilaritySpec.
+    "q45_ivf_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, centroids = 16, nprobe = 6)
+        .select(col("qid"), col("nid"), col("rank"))
+        .orderBy("qid", "rank")
+    },
+
     // Per-language corpus stats: one scan, integer aggregates. The token
     // count is materialized once per row, then fed to both aggregates.
     "q24_textstats" -> { (s, dir) =>

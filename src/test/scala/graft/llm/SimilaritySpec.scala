@@ -106,6 +106,31 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == expected)
   }
 
+  test("IVF top-k: high recall on clustered vectors; exact when probing all cells") {
+    val rnd = new scala.util.Random(21)
+    val dims = 32
+    val vecs = for {
+      c <- 0 until 40
+      base = Array.fill(dims)(rnd.nextGaussian().toFloat)
+      rep <- 0 until 5
+    } yield ((c * 5 + rep).toLong, base.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    val df = vdf(vecs: _*)
+    val q = df.where(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(df, q, "vec_id", "embedding", k = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(df, q, "vec_id", "embedding", k = 4,
+        centroids = 16, nprobe = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    info(f"IVF recall@4 = $recall%.2f (centroids=16, nprobe=4)")
+    assert(recall >= 0.8, s"IVF recall $recall below 0.8 on clustered data")
+    // probing every cell makes IVF exhaustive
+    val all = Similarity.ivfTopK(df, q, "vec_id", "embedding", k = 4,
+        centroids = 8, nprobe = 8)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == exact)
+  }
+
   test("native dot product is bit-identical to the HOF fold") {
     val rnd = new scala.util.Random(11)
     val rows = (1 to 50).map(i => (i.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat)))
