@@ -50,6 +50,10 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     case Project(projectList,
         Filter(cond, Window(Seq(alias: Alias), part, order, child, _)))
         if isRowNumber(alias) && order.nonEmpty &&
+          // nondeterministic order exprs (rand()) are re-evaluated per
+          // heap comparison — leave those to the window operator, which
+          // materializes the sort key once per row
+          order.forall(_.deterministic) && part.forall(_.deterministic) &&
           limitOf(cond, alias.exprId).exists(_ > 0) &&
           projectList.forall(_.references.subsetOf(child.outputSet)) =>
       val k = limitOf(cond, alias.exprId).get
