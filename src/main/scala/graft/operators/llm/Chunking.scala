@@ -22,6 +22,11 @@ object Chunking {
       overlap: Int = 0): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
     require(overlap >= 0 && overlap < maxTokens, "need 0 <= overlap < maxTokens")
+    val reserved = Seq("chunk_idx", "chunk_text", "__w", "__n", "__chunks")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"Chunking reserves output/internal column names $reserved; rename $clash " +
+        "(e.g. when re-chunking a previous pass's output)")
     val stride = maxTokens - overlap
     val carried = df.columns.toIndexedSeq.map(col)
     df.withColumn("__w", Dedup.tokens(col(textCol)))

@@ -165,11 +165,17 @@ object Similarity {
       nprobe: Int = 4,
       seed: Long = 0L): DataFrame = {
     require(nprobe >= 1 && centroids >= 1, "need nprobe >= 1 and centroids >= 1")
-    // codebook: bottom-k hash sample of the corpus (deterministic)
-    val codebook = corpus
+    // codebook: bottom-k hash sample of the corpus (deterministic).
+    // Collected to the driver once — it is <= `centroids` rows of
+    // metadata-scale, and leaving it lazy would re-run the corpus scan
+    // for EACH of the two broadcast joins below.
+    val spark = corpus.sparkSession
+    val cbPlan = corpus
       .select(col(idCol).as("__cell"), col(vecCol).as("__cv0"))
       .orderBy(Sampling.hashUnit(col("__cell"), seed).asc)
       .limit(centroids)
+    val codebook = spark.createDataFrame(
+      java.util.Arrays.asList(cbPlan.collect(): _*), cbPlan.schema)
 
     def nearestCells(df: DataFrame, id: String, vec: String, n: Int): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec))

@@ -61,39 +61,79 @@ case class TopKPerKeyExec(
     else if (keys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  /** Memory contract: held state is (distinct keys in this pass) x k
+    * copied rows on the JVM heap — the same per-key-state shape as a hash
+    * aggregate. The PARTIAL pass additionally bounds itself: past
+    * `spark.graft.topk.partialFlushRows` held rows it emits everything
+    * and resets (emitting more than k per key is correct there — the
+    * final pass re-reduces), so an adversarial key cardinality degrades
+    * to extra shuffled rows, not an OOM. The FINAL pass's state is
+    * bounded by the keys hash-clustered into one partition; for workloads
+    * where even that is too much, disable the rewrite
+    * (spark.graft.topk.rewrite.enabled=false) to keep the spillable
+    * window plan.
+    */
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val isPartial = partial
+    val flushThreshold = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.topk.partialFlushRows", "4000000").toLong
     // (mapPartitions, not the private[spark] mapPartitionsInternal; the
     // closure contains no RDD references so the cleaning pass is moot)
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = GenerateOrdering.generate(sortOrder, childOutput)
-      // heap head = WORST kept row (reverse ordering) so one compare
-      // decides admission
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit, ord.reverse)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < limit) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
-        }
-      }
       import scala.jdk.CollectionConverters._
-      heaps.values.asScala.iterator.flatMap { heap =>
-        // emit in sort order within each key (deterministic output)
-        val arr = heap.toArray(new Array[InternalRow](heap.size))
-        java.util.Arrays.sort(arr, ord)
-        arr.iterator
+
+      def drain(heaps: java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]])
+          : Iterator[InternalRow] =
+        heaps.values.asScala.toList.iterator.flatMap { heap =>
+          // emit in sort order within each key (deterministic output)
+          val arr = heap.toArray(new Array[InternalRow](heap.size))
+          java.util.Arrays.sort(arr, ord)
+          arr.iterator
+        }
+
+      new Iterator[InternalRow] {
+        // heap head = WORST kept row (reverse ordering) so one compare
+        // decides admission
+        private var heaps =
+          new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+        private var held = 0L
+        private var out: Iterator[InternalRow] = Iterator.empty
+
+        private def fill(): Unit = {
+          while (!out.hasNext && iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              heap = new java.util.PriorityQueue[InternalRow](limit, ord.reverse)
+              heaps.put(key.copy(), heap)
+            }
+            if (heap.size < limit) { heap.add(row.copy()); held += 1 }
+            else if (ord.compare(row, heap.peek()) < 0) {
+              heap.poll()
+              heap.add(row.copy())
+            }
+            if (isPartial && held >= flushThreshold) {
+              out = drain(heaps)
+              heaps = new java.util.HashMap()
+              held = 0L
+            }
+          }
+          if (!out.hasNext && !iter.hasNext && !heaps.isEmpty) {
+            out = drain(heaps)
+            heaps = new java.util.HashMap()
+            held = 0L
+          }
+        }
+
+        override def hasNext: Boolean = { fill(); out.hasNext }
+        override def next(): InternalRow = { fill(); out.next() }
       }
     }
   }

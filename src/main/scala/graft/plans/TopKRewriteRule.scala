@@ -46,7 +46,16 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  /** Escape hatch: `SET spark.graft.topk.rewrite.enabled=false` restores
+    * the stock window plan (whose external sort can spill) for workloads
+    * whose per-partition key cardinality overwhelms the heap-state bound
+    * documented on [[TopKPerKeyExec]].
+    */
+  private def enabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.topk.rewrite.enabled", "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan = if (!enabled) plan else plan.transform {
     case Project(projectList,
         Filter(cond, Window(Seq(alias: Alias), part, order, child, _)))
         if isRowNumber(alias) && order.nonEmpty &&

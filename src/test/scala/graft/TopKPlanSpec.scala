@@ -65,6 +65,29 @@ class TopKPlanSpec extends SparkSpec {
     assert(!p.contains("TopKPerKey"), s"must not rewrite when rank is consumed:\n$p")
   }
 
+  test("partial-pass flush budget does not change results") {
+    spark.conf.set("spark.graft.topk.partialFlushRows", "16") // force many flushes
+    try {
+      val got = TopK.perKey(sample, Seq(col("g")), Seq(col("v").desc, col("id").asc), 7)
+        .select("g", "v", "id")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+      val expected = (1 to 5000).map(i => (s"g${i % 23}", i * 131 % 4999, i))
+        .groupBy(_._1).values.flatMap(_.sortBy(t => (-t._2, t._3)).take(7)).toSet
+      assert(got == expected)
+    } finally spark.conf.unset("spark.graft.topk.partialFlushRows")
+  }
+
+  test("rewrite kill-switch restores the window plan") {
+    TopK.register(spark)
+    spark.conf.set("spark.graft.topk.rewrite.enabled", "false")
+    try {
+      val df = sample.transform(AggOps.topK(Seq(col("g")), Seq(col("v").desc), 2))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("TopKPerKey"), s"rewrite must honor the kill-switch:\n$p")
+    } finally spark.conf.unset("spark.graft.topk.rewrite.enabled")
+  }
+
   test("k larger than every group returns all rows") {
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("g", "v")
     assert(TopK.perKey(df, Seq(col("g")), Seq(col("v").desc), 10).count() == 3)
