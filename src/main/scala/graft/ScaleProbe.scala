@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.SparkEngine
+import graft.operators.llm.{Dedup, Similarity}
+import graft.sources.Sources
+
+/** Manual scale probe (not part of the driver contract): replicates the
+  * sf0.1 documents/embeddings fixtures N-fold with shifted ids and runs
+  * the LSH operators, printing wall times — evidence that candidate
+  * generation stays bucket-bounded (near-linear) rather than quadratic as
+  * the corpus grows. Usage: runMain graft.ScaleProbe [factor]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkEngine.session(master = "local[32]", appName = "graft-scale")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
+    }
+
+    val d0 = Sources.table(spark, dir, "documents").select("doc_id", "text")
+    val docs = (0 until factor)
+      .map(i => d0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        // perturb text per replica so replicas are near-dups, not exact:
+        concat(col("text"), lit(s" replica$i")).as("text")))
+      .reduce(_ unionByName _)
+    println(s"[scale] corpus: ${factor}x documents")
+
+    time("exact dedup")(Dedup.exact(docs, "text", "doc_id").count())
+    time(s"near-dup pairs (MinHash-LSH)")(
+      Dedup.nearDupPairs(docs, "text", "doc_id").count())
+
+    val e0 = Sources.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val embs = (0 until factor)
+      .map(i => e0.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    time("ANN top-5 for 100 queries (hyperplane LSH)")(
+      Similarity.annTopK(embs, embs.where(col("vec_id") < 100), "vec_id", "embedding", 5).count())
+
+    spark.stop()
+  }
+}
