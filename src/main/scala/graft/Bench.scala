@@ -22,6 +22,9 @@ object Bench {
       shufflePartitions = cpus)
 
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // caches an operator persisted internally during a PREVIOUS query
+      // (tracked in ManagedCache) must not subsidize this one's timing
+      graft.engine.ManagedCache.unpersistAll()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); return -1.0 }

@@ -52,13 +52,19 @@ object AggOps {
     * shuffling one row per (group x map-partition).
     *
     * `tieBreakAsc` columns must be numeric (they are negated to express
-    * "smallest wins" inside a max). Output: `part` columns followed by
-    * `ord` and the tie-break/witness columns, under their input names.
+    * "smallest wins" inside a max — note `-Long.MinValue` overflows back
+    * to `Long.MinValue`, so a tie-break column containing that sentinel
+    * misorders; use [[argMaxWindow]] for such domains). Output: `part`
+    * columns followed by `ord` and the tie-break/witness columns, under
+    * their input names.
     */
   def argMax(
       part: Seq[String],
       ord: String,
       tieBreakAsc: Seq[String]): DataFrame => DataFrame = {
+    require(part.nonEmpty,
+      "argMax needs at least one grouping column; for a global argmax use " +
+        "df.agg(max_by(...)) directly")
     df => {
       val payload = struct((ord +: tieBreakAsc).map(col): _*)
       val ranking = struct(col(ord) +: tieBreakAsc.map(c => -col(c)): _*)

@@ -52,7 +52,14 @@ object AsOfJoin {
         lit(1).as("__tag"),
         lStruct.as("__l"),
         lit(null).cast(rType).as("__r")): _*)
-    val rNorm = right.select(
+    // Null-timestamp right rows are dropped: ascending-nulls-first ordering
+    // would otherwise sort them BEFORE every real row, making a null-ts row
+    // the "preceding" match for left rows that have no genuine match —
+    // DuckDB's ASOF JOIN likewise excludes null join keys. Left rows with a
+    // null timestamp are kept and (with right nulls gone) precede all right
+    // rows, so they surface with a null asof payload, consistent with the
+    // left-outer "no match" contract documented above.
+    val rNorm = right.where(col(rightTs).isNotNull).select(
       keys.toIndexedSeq.map(col) ++ Seq(
         col(rightTs).as("__ts"),
         lit(0).as("__tag"),

@@ -128,14 +128,15 @@ object Dedup {
     //
     // The shingle-hash table is used three times (band generation + both
     // sides of the verification join); persisting it is the local form of
-    // writing the signature table out once at cluster scale.
-    val withSets = df
-      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__w"))
-      .select(
-        col("__id"),
-        graft.functions.exprs.shingleHashes(col("__w"), shingleSize).as("__sh"))
-      .where(size(col("__sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // writing the signature table out once at cluster scale. Routed
+    // through ManagedCache so session owners can reclaim it
+    // (ManagedCache.unpersistAll) — the handle is otherwise unreachable.
+    val withSets = graft.engine.ManagedCache.persist(
+      df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__w"))
+        .select(
+          col("__id"),
+          graft.functions.exprs.shingleHashes(col("__w"), shingleSize).as("__sh"))
+        .where(size(col("__sh")) > 0))
 
     val banded = withSets
       .select(col("__id"), graft.functions.exprs.minhashSig(col("__sh"), numHashes).as("__sig"))
@@ -188,10 +189,10 @@ object Dedup {
     * Returns (id, group) where group = smallest id in the component.
     */
   def nearDupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = graft.engine.ManagedCache.persist(
+      pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     var labels = edges.select(col("src").as("id")).distinct().withColumn("group", col("id"))
     var prevCached: Option[DataFrame] = None
     var changed = 1L
@@ -199,12 +200,12 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("group")).as("ngroup"))
-      val next = labels
-        .join(prop, labels("id") === prop("src"), "left")
-        .select(
-          col("id"),
-          least(col("group"), coalesce(col("ngroup"), col("group"))).as("group"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = graft.engine.ManagedCache.persist(
+        labels
+          .join(prop, labels("id") === prop("src"), "left")
+          .select(
+            col("id"),
+            least(col("group"), coalesce(col("ngroup"), col("group"))).as("group")))
       changed = next
         .join(labels.withColumnRenamed("group", "old"), "id")
         .where(col("group") =!= col("old"))
@@ -214,9 +215,14 @@ object Dedup {
       labels = next
       i += 1
     }
-    // final labels stay cached (materialized above); the edge cache is
-    // only needed during the loop
+    // final labels stay cached (materialized above, tracked by
+    // ManagedCache); the edge cache is only needed during the loop
     edges.unpersist(blocking = false)
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"nearDupGroups stopped after maxIter=$maxIter rounds with $changed labels " +
+          "still changing — groups are NOT fully collapsed (a duplicate component " +
+          "wider than maxIter hops keeps multiple survivors); raise maxIter")
     labels
   }
 

@@ -213,8 +213,10 @@ object Similarity {
       bands: Int = 4,
       maxBucketSize: Int = 10000): DataFrame = {
     require(planes % bands == 0, "planes must divide evenly into bands")
-    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cached: read once for band signatures and twice for verification;
+    // tracked so callers can reclaim it (graft.engine.ManagedCache)
+    val base = graft.engine.ManagedCache.persist(
+      df.select(col(idCol).as("__id"), col(vecCol).as("__v")))
     val banded = base
       .select(col("__id"), hyperplaneBits(col("__v"), planes).as("__sig"))
       .select(

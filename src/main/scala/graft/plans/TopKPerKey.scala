@@ -111,7 +111,11 @@ case class TopKPerKeyExec(
             val key = keyProj(row)
             var heap = heaps.get(key)
             if (heap == null) {
-              heap = new java.util.PriorityQueue[InternalRow](limit, ord.reverse)
+              // small initial capacity: a large k (callers sometimes pass a
+              // huge literal as "effectively unlimited") must not eagerly
+              // allocate a k-sized array per distinct key — the heap grows
+              // on demand only for keys that actually reach k rows
+              heap = new java.util.PriorityQueue[InternalRow](math.min(limit, 16), ord.reverse)
               heaps.put(key.copy(), heap)
             }
             if (heap.size < limit) { heap.add(row.copy()); held += 1 }
@@ -168,6 +172,7 @@ object TopK {
   def perKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
+    require(k >= 1, s"TopK.perKey needs k >= 1, got $k")
     val spark = df.sparkSession
     register(spark)
     val child = df.queryExecution.analyzed
