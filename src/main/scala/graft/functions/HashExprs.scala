@@ -254,6 +254,38 @@ object HashImpls {
     c
   }
 
+  /** 64-bit SimHash over a PRE-HASHED feature set (e.g. shingle hashes
+    * from [[shingleHashes]]): each feature hash votes +-1 on every bit
+    * directly — no re-tokenization. SimHash over shingles separates
+    * near-duplicates far better than over unigram tokens when documents
+    * share a common vocabulary: the angle between shingle-set vectors
+    * tracks Jaccard, while unigram bags of same-domain docs are all
+    * nearly parallel. Empty set sketches to 0L (same convention as
+    * [[simhash]]).
+    */
+  def simhashFromHashes(hashes: ArrayData): Long = {
+    val m = hashes.numElements()
+    if (m == 0) return 0L
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** Order-sensitive rolling hash: a chain h := xxhash64(token, seed = h)
     * over lower-cased whitespace tokens, starting at 0. Distinguishes
     * permutations (unlike the bag-of-tokens SimHash).
@@ -414,6 +446,17 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class SimHashFromHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_from_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.simhashFromHashes(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.simhashFromHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashFromHashesExpr =
+    copy(child = newChild)
+}
+
 case class RollingHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash64"
@@ -434,6 +477,8 @@ object exprs {
     GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(c.cast("string"))))
   def rollingHash64(c: Column): Column =
     GraftColumnBridge.column(RollingHash64Expr(GraftColumnBridge.expression(c.cast("string"))))
+  def simhashFromHashes(hashes: Column): Column =
+    GraftColumnBridge.column(SimHashFromHashesExpr(GraftColumnBridge.expression(hashes)))
   def shingleHashes(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHashesExpr(GraftColumnBridge.expression(tokens), n))
   def minhashSig(shingleHashes: Column, k: Int): Column =

@@ -180,6 +180,85 @@ object ExtQueries {
         .orderBy("pid")
     },
 
+    // CUBE: all four grouping sets (status x priority, each alone, grand
+    // total) in ONE Expand + hash-agg pass — one shuffle total, vs four
+    // separate scans+aggregates a naive union would cost. Money is exact
+    // cents (rounded to integral doubles sum exactly; cast to long).
+    "q47_cube" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("cnt"),
+          col("cents"))
+        .orderBy("status", "prio")
+    },
+
+    // Exact percentiles (continuous/interpolated) per group — the sort-
+    // based exact form as the verifiable baseline; approx_percentile is
+    // the sketch path at scale (asserted within tolerance in
+    // OperatorSpec). Rounded to 6 decimals: both engines interpolate the
+    // same rank formula, rounding absorbs the last-ulp difference of the
+    // two linear-interpolation orderings.
+    "q48_percentiles" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // Analytic lead/lag: per-customer day gap and spend delta between
+    // consecutive orders. Same single-exchange window shape as q33; the
+    // unique orderkey tie-break makes lag() deterministic.
+    "q49_lead_lag" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), lag(col("o_orderdate"), 1).over(w).cast("date"))
+            .cast("int").as("gap_days"),
+          (cents - lag(cents, 1).over(w)).as("delta_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Scalar subquery through the SQL front-end (spark.sql over a temp
+    // view): orders above the global mean price, counted per priority.
+    // The mean is computed over integral cent doubles (sums exactly in
+    // IEEE double at any row count that fits 2^53 cents — deterministic
+    // under any aggregation order, so the > comparison can't flap).
+    "q50_above_avg" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS cnt
+          |FROM graft_orders
+          |WHERE round(o_totalprice * 100) >
+          |      (SELECT avg(round(o_totalprice * 100)) FROM graft_orders)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // Regex extraction surface: leading word of each part name (Java and
+    // RE2 agree on this pattern class), distinct-count of brands per
+    // word. countDistinct is exact (two-phase hash agg).
+    "q51_regex" -> { (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+          col("p_brand"))
+        .groupBy("first_word")
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("p_brand")).as("brands"))
+        .orderBy("first_word")
+    },
+
     // Per-group top-k (generalizes lab11's top-1): top-3 orders per
     // priority by price — via the custom TopKPerKey operator (bounded
     // heaps, partial+final, no partition sort; graft.plans). The window
@@ -278,6 +357,39 @@ object ExtQueries {
         |FROM orders
         |QUALIFY row_number() OVER (
         |  PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) <= 3
-        |ORDER BY o_orderpriority, price_cents DESC, o_orderkey""".stripMargin
+        |ORDER BY o_orderpriority, price_cents DESC, o_orderkey""".stripMargin,
+    "q47_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS prio,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, prio""".stripMargin,
+    "q48_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+        |       round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |       round(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
+        |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q49_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+        |                      CAST(o_orderdate AS DATE)) AS INTEGER) AS gap_days,
+        |       CAST(round(o_totalprice * 100) AS BIGINT)
+        |         - lag(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS delta_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q50_above_avg" ->
+      """SELECT o_orderpriority, count(*) AS cnt
+        |FROM orders
+        |WHERE round(o_totalprice * 100) >
+        |      (SELECT avg(round(o_totalprice * 100)) FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q51_regex" ->
+      """SELECT regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |       count(*) AS cnt, count(DISTINCT p_brand) AS brands
+        |FROM part GROUP BY first_word ORDER BY first_word""".stripMargin
   )
 }

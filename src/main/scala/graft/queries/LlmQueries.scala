@@ -215,19 +215,46 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // Language-ID heuristic + quality score per doc (heuristic doubles ->
-    // rows-only check; exercised properly in TextStatsSpec). One
-    // tokenization per row shared by all three stats.
+    // Language-ID heuristic + quality scoring per doc, decomposed into
+    // its deterministic components (token/punct/digit-run/stopword
+    // counts, the composite score, the lang-ID argmax) so the WHOLE
+    // heuristic stack is hash-verified against a DuckDB re-derivation —
+    // not just rows-counted. One tokenization per row shared by all
+    // stats. The score arithmetic is written in the same operation order
+    // on both sides (IEEE doubles are deterministic given the order).
     "q30_quality" -> { (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("w"))
         .select(
           col("doc_id"),
           TextStats.langIdFromTokens(col("w")).as("lang_guess"),
+          TextStats.tokenCountFromTokens(col("w")).as("tokens"),
+          graft.functions.exprs.punctCount(col("text")).as("punct"),
+          graft.functions.exprs.digitRuns(col("text")).as("digit_runs"),
+          graft.functions.exprs.stopwordHits(col("w"), TextStats.langProfiles("en"))
+            .as("sw_hits"),
+          TextStats.subwordCountEstimateFromTokens(col("text"), col("w")).as("subwords"),
           TextStats.qualityScoreFromTokens(col("text"), col("w"), TextStats.langProfiles("en"))
-            .as("quality"),
-          TextStats.subwordCountEstimateFromTokens(col("text"), col("w")).as("subwords"))
+            .as("quality"))
         .orderBy("doc_id")
+    },
+
+    // SimHash near-dup pairs — the third dedup family alongside exact
+    // (q20) and MinHash-Jaccard (q21). Shingle-set SimHash, banded
+    // bit-slice candidates, exact Hamming verify. On the fixtures the
+    // planted pairs (J>=0.96) land at Hamming 0-10 while the background
+    // floor starts at 15 (measured), so radius 12 selects exactly the
+    // Jaccard-planted pair set and the oracle re-derives it from shingle
+    // Jaccard (the xxhash fingerprint itself is not SQL-reproducible;
+    // ids are the cross-engine-comparable surface). Recall is guaranteed
+    // (pigeonhole) to radius bands-1=7 and probabilistic-but-
+    // deterministic beyond — the hashing has no RNG, so this local pass
+    // is conclusive for the fixture.
+    "q46_simhash_neardup" -> { (s, dir) =>
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
+          maxHamming = 12, bands = 8)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
     }
   )
 
@@ -325,6 +352,66 @@ object LlmQueries {
         |FROM events GROUP BY event_type, hr ORDER BY event_type, hr""".stripMargin,
     "q28_text_ingest" ->
       """SELECT n_regionkey, count(*) AS cnt, min(n_name) AS first_nation
-        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q30_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
+        |              THEN []::VARCHAR[]
+        |              ELSE string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+        |         END AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, len(w) AS n,
+        |         len(regexp_extract_all(text, '[[:punct:]]')) AS punct,
+        |         len(regexp_extract_all(text, '[0-9]+')) AS digit_runs,
+        |         len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS en_hits,
+        |         len(list_filter(w, t -> t IN ('el','la','de','y','que','en','un','una','es','los'))) AS es_hits,
+        |         len(list_filter(w, t -> t IN ('le','la','de','et','que','en','un','une','est','les'))) AS fr_hits,
+        |         len(list_filter(w, t -> t IN ('der','die','das','und','zu','in','ist','den','von','mit'))) AS de_hits
+        |  FROM base),
+        |sc AS (
+        |  SELECT doc_id, n, punct, digit_runs, en_hits,
+        |         CASE WHEN n > 0 THEN en_hits::DOUBLE / n ELSE 0.0 END AS s_en,
+        |         CASE WHEN n > 0 THEN es_hits::DOUBLE / n ELSE 0.0 END AS s_es,
+        |         CASE WHEN n > 0 THEN fr_hits::DOUBLE / n ELSE 0.0 END AS s_fr,
+        |         CASE WHEN n > 0 THEN de_hits::DOUBLE / n ELSE 0.0 END AS s_de,
+        |         CASE WHEN length(text) > 0 THEN punct::DOUBLE / length(text) ELSE 0.0 END AS pr
+        |  FROM c),
+        |b AS (
+        |  SELECT *, greatest(s_de, s_en, s_es, s_fr) AS best
+        |  FROM sc)
+        |SELECT doc_id,
+        |       CASE WHEN best <= 0 THEN 'und'
+        |            WHEN s_fr = best THEN 'fr'
+        |            WHEN s_es = best THEN 'es'
+        |            WHEN s_en = best THEN 'en'
+        |            ELSE 'de' END AS lang_guess,
+        |       CAST(n AS INTEGER) AS tokens,
+        |       CAST(punct AS INTEGER) AS punct,
+        |       CAST(digit_runs AS INTEGER) AS digit_runs,
+        |       CAST(en_hits AS INTEGER) AS sw_hits,
+        |       CAST(n + punct + digit_runs AS INTEGER) AS subwords,
+        |       round(least(n::DOUBLE / 100.0, 1.0) * 0.4
+        |             + (1.0 - least(pr * 5.0, 1.0)) * 0.3
+        |             + least(s_en * 4.0, 1.0) * 0.3, 6) AS quality
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q46_simhash_neardup" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(w)-2, 0)+1),
+        |                       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+        |  FROM words WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         len(list_intersect(a.s, b.s)) AS inter,
+        |         len(list_distinct(a.s || b.s)) AS uni
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b FROM pairs
+        |WHERE inter >= uni * 0.5 ORDER BY id_a, id_b""".stripMargin
   )
 }

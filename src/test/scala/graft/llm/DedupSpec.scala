@@ -83,4 +83,19 @@ class DedupSpec extends SparkSpec {
     val capped = Dedup.nearDupPairs(df, "text", "doc_id", maxBucketSize = 10)
     assert(capped.count() == 0)
   }
+
+  test("simhashNearDupPairs: planted near-dup within radius, unrelated beyond it") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"token$i").mkString(" ")
+    val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, "too short")).toDF("doc_id", "text")
+    val got = Dedup.simhashNearDupPairs(df, "text", "doc_id", maxHamming = 12, bands = 8)
+      .collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(got.head.getInt(2) <= 12)
+    // identical docs are at Hamming 0
+    val same = Dedup.simhashNearDupPairs(
+      Seq((1L, base), (2L, base)).toDF("doc_id", "text"), "text", "doc_id")
+    assert(same.head().getInt(2) == 0)
+  }
 }
