@@ -255,6 +255,69 @@ object LlmQueries {
           maxHamming = 12, bands = 8)
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
+    },
+
+    // Quantile-gated quality filter: keep documents at or above the
+    // median quality score — the curation step that follows scoring.
+    // The median is a scalar subquery (one extra tiny aggregate, then a
+    // broadcast comparison — the corpus is scanned once for scores, once
+    // for the filter; at scale the score column would be materialized).
+    // Boundary-safe: an interpolated median either equals a present
+    // value exactly (both middle values equal) or falls strictly between
+    // two adjacent values — either way a last-ulp interpolation
+    // difference cannot flip any row across the threshold.
+    "q52_quality_filter" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("text"), Dedup.tokens(col("text")).as("w"))
+        .select(
+          col("lang"),
+          TextStats.qualityScoreFromTokens(col("text"), col("w"), TextStats.langProfiles("en"))
+            .as("quality"))
+        .createOrReplaceTempView("graft_scored")
+      s.sql(
+        """SELECT lang, count(*) AS cnt
+          |FROM graft_scored
+          |WHERE quality >= (SELECT percentile(quality, 0.5) FROM graft_scored)
+          |GROUP BY lang ORDER BY lang""".stripMargin)
+    },
+
+    // Decontamination: drop every document whose normalized content hash
+    // appears in a contamination set (here: a simulated benchmark list —
+    // every 50th doc), then count survivors per language. The anti-join
+    // ships only 32-byte digests of the (small) contamination side —
+    // broadcast, no shuffle of the corpus; the standard eval-leak guard
+    // in front of a training run. Digest comparison happens within each
+    // engine, so the oracle needs no cross-engine hash parity.
+    "q53_decontam" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val digest = sha2(Dedup.normalize(col("text")), 256)
+      val contam = d.where(col("doc_id") % 50 === 0).select(digest.as("__h"))
+      d.join(broadcast(contam), digest === col("__h"), "left_anti")
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang")
+    },
+
+    // TF-IDF top term per document: term frequency per (doc, term), doc
+    // frequency per term, idf = ln(N/df), top-1 by rounded score via the
+    // custom TopKPerKey operator (bounded heap — no per-doc sort).
+    // Ranking uses the ROUNDED score so the deterministic term tie-break
+    // decides any cross-engine last-ulp ln() disagreement.
+    "q54_tfidf" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val toks = d
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+        .where(length(col("term")) > 0)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("__n"))
+      val scored = tf.join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .select(
+          col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tf") * log(col("__n").cast("double") / col("df")), 6).as("tfidf"))
+      graft.plans.TopK.perKey(
+          scored, Seq(col("doc_id")), Seq(col("tfidf").desc, col("term").asc), 1)
+        .orderBy("doc_id")
     }
   )
 
@@ -396,6 +459,54 @@ object LlmQueries {
         |             + (1.0 - least(pr * 5.0, 1.0)) * 0.3
         |             + least(s_en * 4.0, 1.0) * 0.3, 6) AS quality
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q52_quality_filter" ->
+      """WITH base AS (
+        |  SELECT lang, text,
+        |         CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
+        |              THEN []::VARCHAR[]
+        |              ELSE string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+        |         END AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, len(w) AS n,
+        |         len(regexp_extract_all(text, '[[:punct:]]')) AS punct,
+        |         len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS en_hits,
+        |         length(text) AS tl
+        |  FROM base),
+        |sc AS (
+        |  SELECT lang,
+        |         round(least(n::DOUBLE / 100.0, 1.0) * 0.4
+        |               + (1.0 - least((CASE WHEN tl > 0 THEN punct::DOUBLE / tl ELSE 0.0 END) * 5.0, 1.0)) * 0.3
+        |               + least((CASE WHEN n > 0 THEN en_hits::DOUBLE / n ELSE 0.0 END) * 4.0, 1.0) * 0.3, 6) AS quality
+        |  FROM c)
+        |SELECT lang, count(*) AS cnt FROM sc
+        |WHERE quality >= (SELECT quantile_cont(quality, 0.5) FROM sc)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q53_decontam" ->
+      """WITH contam AS (
+        |  SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+        |  FROM documents WHERE doc_id % 50 = 0)
+        |SELECT lang, count(*) AS cnt FROM documents
+        |WHERE sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |      NOT IN (SELECT h FROM contam)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q54_tfidf" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM words
+        |  WHERE length(term) > 0 GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, tf.term AS term, tf, df,
+        |         round(tf * ln(n::DOUBLE / df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, tfidf FROM s
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) = 1
+        |ORDER BY doc_id""".stripMargin,
     "q46_simhash_neardup" ->
       """WITH words AS (
         |  SELECT doc_id,
