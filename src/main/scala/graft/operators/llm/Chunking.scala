@@ -15,11 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
-  def byTokens(
-      df: DataFrame,
-      textCol: String,
-      maxTokens: Int,
-      overlap: Int = 0): DataFrame = {
+  private def checkArgs(df: DataFrame, maxTokens: Int, overlap: Int): Unit = {
     require(maxTokens > 0, "maxTokens must be positive")
     require(overlap >= 0 && overlap < maxTokens, "need 0 <= overlap < maxTokens")
     val reserved = Seq("chunk_idx", "chunk_text", "__w", "__n", "__chunks")
@@ -27,6 +23,38 @@ object Chunking {
     require(clash.isEmpty,
       s"Chunking reserves output/internal column names $reserved; rename $clash " +
         "(e.g. when re-chunking a previous pass's output)")
+  }
+
+  /** Native form: one compiled Generator pass per document
+    * (graft.functions.ChunkTokensExpr) — no intermediate chunk array, no
+    * interpreted HOF slices. Semantics identical to [[byTokensBuiltin]]
+    * (asserted in SamplingChunkingSpec).
+    */
+  def byTokens(
+      df: DataFrame,
+      textCol: String,
+      maxTokens: Int,
+      overlap: Int = 0): DataFrame = {
+    checkArgs(df, maxTokens, overlap)
+    val carried = df.columns.toIndexedSeq.map(col)
+    df.withColumn("__w", Dedup.tokens(col(textCol)))
+      .select(carried :+
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.ChunkTokensExpr(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("__w")),
+            maxTokens, overlap))
+          .as(Seq("chunk_idx", "chunk_text")): _*)
+  }
+
+  /** Built-in-composition reference form of [[byTokens]] (HOF transform +
+    * slice + posexplode). Kept as the cross-check and API fallback.
+    */
+  def byTokensBuiltin(
+      df: DataFrame,
+      textCol: String,
+      maxTokens: Int,
+      overlap: Int = 0): DataFrame = {
+    checkArgs(df, maxTokens, overlap)
     val stride = maxTokens - overlap
     val carried = df.columns.toIndexedSeq.map(col)
     df.withColumn("__w", Dedup.tokens(col(textCol)))

@@ -230,9 +230,22 @@ object Dedup {
     val slices = (0 until bands).map { b =>
       shiftrightunsigned(col("__f"), b * bits).bitwiseAND(lit(mask))
     }
-    val banded = sigs.select(
-      col("__id"),
-      posexplode(array(slices: _*)).as(Seq("__band", "__bh")))
+    // The 8-byte fingerprint rides along through the band explode, so
+    // verification happens IN the band join's output stage — the Hamming
+    // filter cuts candidate occurrences to true pairs before anything is
+    // re-shuffled. (Contrast nearDupPairs, whose verification payload is
+    // the whole shingle set: there candidates are deduped first and the
+    // sets joined back. A pair sharing several bands costs a few extra
+    // XOR+popcounts here — nothing against the distinct-shuffle saved.)
+    // persisted: consumed three times (bucket sizing + both sides of the
+    // self-join); without it the shingle+fingerprint scan re-runs each
+    // time. ~24 bytes x bands per doc — the cluster-scale form writes the
+    // fingerprint table once.
+    val banded = graft.engine.ManagedCache.persist(
+      sigs.select(
+        col("__id"),
+        col("__f"),
+        posexplode(array(slices: _*)).as(Seq("__band", "__bh"))))
 
     val sized = banded
       .groupBy("__band", "__bh").agg(count(lit(1)).as("__n"))
@@ -240,22 +253,17 @@ object Dedup {
       .select("__band", "__bh")
     val kept = banded.join(sized, Seq("__band", "__bh"))
 
-    val candidates = kept.as("a")
+    kept.as("a")
       .join(
         kept.as("b"),
         col("a.__band") === col("b.__band") && col("a.__bh") === col("b.__bh") &&
           col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .distinct()
-
-    candidates
-      .join(sigs.select(col("__id").as("id_a"), col("__f").as("__fa")), "id_a")
-      .join(sigs.select(col("__id").as("id_b"), col("__f").as("__fb")), "id_b")
       .select(
-        col("id_a"),
-        col("id_b"),
-        Fingerprint.hamming64(col("__fa"), col("__fb")).cast("int").as("hamming"))
+        col("a.__id").as("id_a"),
+        col("b.__id").as("id_b"),
+        Fingerprint.hamming64(col("a.__f"), col("b.__f")).cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Collapse near-dup PAIRS into duplicate GROUPS (connected components

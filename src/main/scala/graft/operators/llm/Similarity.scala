@@ -213,32 +213,49 @@ object Similarity {
       bands: Int = 4,
       maxBucketSize: Int = 10000): DataFrame = {
     require(planes % bands == 0, "planes must divide evenly into bands")
-    // cached: read once for band signatures and twice for verification;
-    // tracked so callers can reclaim it (graft.engine.ManagedCache)
-    val base = graft.engine.ManagedCache.persist(
-      df.select(col(idCol).as("__id"), col(vecCol).as("__v")))
-    val banded = base
-      .select(col("__id"), hyperplaneBits(col("__v"), planes).as("__sig"))
-      .select(
-        col("__id"),
-        posexplode(Dedup.bandHashes(col("__sig"), bands, planes / bands))
-          .as(Seq("__band", "__bh")))
+    // The vector rides along through the band explode (a few hundred
+    // bytes per row, duplicated `bands` times — metadata-scale), so the
+    // exact-cosine verification runs INSIDE the band join's output stage
+    // and the threshold filter drops non-pairs before any re-shuffle. A
+    // pair sharing several bands scores its cosine once per shared band;
+    // that duplicate arithmetic is local and codegen'd, far cheaper than
+    // the alternative (distinct over every candidate occurrence, then
+    // two joins to fetch the vectors back).
+    // persisted: consumed three times (bucket sizing + both sides of the
+    // self-join); tracked in ManagedCache for reclamation. The norm is
+    // precomputed per VECTOR here so each candidate occurrence scores
+    // with one dot product + a multiply — cosine() inline would redo
+    // both norms (3 dot products) per occurrence.
+    val banded = graft.engine.ManagedCache.persist(
+      df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+        .select(
+          col("__id"), col("__v"),
+          norm(col("__v")).as("__nm"),
+          hyperplaneBits(col("__v"), planes).as("__sig"))
+        .select(
+          col("__id"),
+          col("__v"),
+          col("__nm"),
+          posexplode(Dedup.bandHashes(col("__sig"), bands, planes / bands))
+            .as(Seq("__band", "__bh"))))
     val sized = banded
       .groupBy("__band", "__bh").agg(count(lit(1)).as("__n"))
       .where(col("__n") <= maxBucketSize)
       .select("__band", "__bh")
     val kept = banded.join(sized, Seq("__band", "__bh"))
-    val candidates = kept.as("a")
+    kept.as("a")
       .join(
         kept.as("b"),
         col("a.__band") === col("b.__band") && col("a.__bh") === col("b.__bh") &&
           col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .distinct()
-    candidates
-      .join(base.select(col("__id").as("id_a"), col("__v").as("__va")), "id_a")
-      .join(base.select(col("__id").as("id_b"), col("__v").as("__vb")), "id_b")
-      .select(col("id_a"), col("id_b"), round(cosine(col("__va"), col("__vb")), 6).as("cos"))
+      .select(
+        col("a.__id").as("id_a"),
+        col("b.__id").as("id_b"),
+        round(
+          when(col("a.__nm") * col("b.__nm") > 0,
+            dot(col("a.__v"), col("b.__v")) / (col("a.__nm") * col("b.__nm"))),
+          6).as("cos"))
       .where(col("cos") >= threshold)
+      .distinct()
   }
 }

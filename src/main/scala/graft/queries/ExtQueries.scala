@@ -208,10 +208,17 @@ object ExtQueries {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25_qty"),
-          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
-          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75_qty"),
+          // one shared percentile buffer for all three quantity cut
+          // points (the agg holds one value-count map per group either
+          // way; three separate calls would build it three times)
+          expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("__pq"),
           round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
+        .select(
+          col("l_returnflag"),
+          round(col("__pq")(0), 6).as("p25_qty"),
+          round(col("__pq")(1), 6).as("p50_qty"),
+          round(col("__pq")(2), 6).as("p75_qty"),
+          col("p90_price"))
         .orderBy("l_returnflag")
     },
 

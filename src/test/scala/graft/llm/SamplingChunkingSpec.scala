@@ -50,6 +50,23 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(got(4L) == Seq("a b", "b c", "c d", "d e"))
   }
 
+  test("chunking: native generator matches the built-in HOF composition") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k"),
+      (2L, "one"),
+      (3L, "  "),
+      (4L, (1 to 137).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    for ((mt, ov) <- Seq((2, 1), (4, 0), (50, 10), (5, 4))) {
+      val nat = Chunking.byTokens(docs, "text", mt, ov)
+        .select("doc_id", "chunk_idx", "chunk_text")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val ref = Chunking.byTokensBuiltin(docs, "text", mt, ov)
+        .select("doc_id", "chunk_idx", "chunk_text")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(nat == ref, s"native != builtin at maxTokens=$mt overlap=$ov")
+    }
+  }
+
   test("chunking with zero overlap partitions the tokens exactly") {
     val text = (1 to 10).map(i => s"t$i").mkString(" ")
     val got = Chunking.byTokens(Seq((1L, text)).toDF("doc_id", "text"), "text", maxTokens = 4)
