@@ -92,4 +92,34 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
       s"windows did not share the exchange:\n$p")
   }
+
+  test("q47 cube: one Expand, not one scan per grouping set") {
+    val p = plan("q47_cube")
+    assert(p.contains("Expand"), s"cube should plan through Expand:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size <= 2,
+      s"cube must scan the fact table once:\n$p")
+  }
+
+  test("q49 lead/lag: both window columns share one exchange") {
+    assert("Exchange hashpartitioning".r.findAllIn(plan("q49_lead_lag")).size <= 2)
+  }
+
+  test("q53 decontamination: digest list broadcast, anti join never shuffles the corpus") {
+    val p = plan("q53_decontam")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"decontamination should be a broadcast anti join:\n$p")
+  }
+
+  test("q54 tfidf: top-1 per doc runs on the bounded-heap TopKPerKey operator") {
+    val p = plan("q54_tfidf")
+    assert(p.contains("TopKPerKey"), s"tfidf top-1 should use TopKPerKeyExec:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus-size scalar should broadcast:\n$p")
+  }
+
+  test("q46 simhash near-dup: equi-join candidates, no nested loop, no cartesian") {
+    val p = plan("q46_simhash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band self-join degenerated:\n$p")
+  }
 }
