@@ -104,6 +104,38 @@ object StreamOps {
       }
   }
 
+  /** One emitted row per crossed threshold multiple. */
+  case class SpendAlert(user_id: Long, events: Long, crossed: Double)
+
+  /** Custom state emitting 0..N rows per group per trigger via
+    * flatMapGroupsWithState — the generalization of
+    * [[runningUserTotals]]'s one-row-per-group contract: an alert row for
+    * EVERY multiple of `threshold` a user's running value total crosses
+    * in a batch, and nothing when no threshold is crossed. State is the
+    * same bounded per-user running total; Append output mode (each alert
+    * is emitted exactly once, never revised).
+    */
+  def spendAlerts(
+      events: Dataset[Event],
+      threshold: Double): Dataset[SpendAlert] = {
+    import events.sparkSession.implicits._
+    require(threshold > 0, "threshold must be positive")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotals, SpendAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
+          val (n, s) = batch.foldLeft((prev.events, prev.sum_value)) {
+            case ((c, acc), e) => (c + 1, acc + e.value)
+          }
+          state.update(UserTotals(user, n, s))
+          val before = math.floor(prev.sum_value / threshold).toLong
+          val after = math.floor(s / threshold).toLong
+          ((before + 1) to after).iterator.map(k => SpendAlert(user, n, k * threshold))
+      }
+  }
+
   /** Stream-stream inner join with an event-time range: each left event
     * pairs with right events of the same key whose timestamp falls in
     * `[leftTs - windowBefore, leftTs]`. Both sides carry watermarks and

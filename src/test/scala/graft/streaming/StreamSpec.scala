@@ -99,6 +99,28 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("spendAlerts: flatMapGroupsWithState emits 0..N rows per group per batch") {
+    val ms = memStream[Event]
+    val out = sinkName()
+    val q = StreamOps.spendAlerts(ms.toDS(), threshold = 5.0)
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      // user 100: 1+2 = 3 -> no crossing; user 200: 12 -> crosses 5 and 10
+      ms.addData(
+        Event(1L, ts("10:00"), 100L, "click", 1.0),
+        Event(2L, ts("10:01"), 100L, "view", 2.0),
+        Event(3L, ts("10:02"), 200L, "click", 12.0))
+      q.processAllAvailable()
+      // user 100: 3 -> 9 crosses 5 exactly once (state carried across batches)
+      ms.addData(Event(4L, ts("10:03"), 100L, "purchase", 6.0))
+      q.processAllAvailable()
+      val rows = spark.table(out)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set((200L, 1L, 5.0), (200L, 1L, 10.0), (100L, 3L, 5.0)),
+        s"unexpected alert set: $rows")
+    } finally q.stop()
+  }
+
   test("parquet readStream over the events fixture matches the batch answer") {
     // the production source shape: a directory of parquet files consumed
     // incrementally (maxFilesPerTrigger) — results must equal the batch
