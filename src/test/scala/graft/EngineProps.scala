@@ -110,4 +110,28 @@ object EngineProps extends Properties("graft") {
         .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
       got == rows.groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).max }
     }
+
+  property("simhashFromHashes is order-invariant (bag-of-features sketch)") =
+    forAll(Gen.nonEmptyListOf(Gen.long)) { hs =>
+      import spark.implicits._
+      val df = Seq((hs, scala.util.Random.shuffle(hs))).toDF("a", "b")
+      val r = df.select(
+        graft.functions.exprs.simhashFromHashes(col("a")),
+        graft.functions.exprs.simhashFromHashes(col("b"))).head()
+      r.getLong(0) == r.getLong(1)
+    }
+
+  property("native chunk generator == builtin HOF composition (random docs)") = {
+    val genText = Gen.listOf(Gen.oneOf("aa", "b", "ccc", "", " ")).map(_.mkString(" "))
+    forAll(Gen.listOfN(6, genText), Gen.choose(1, 6), Gen.choose(0, 5)) { (texts, mt, ovRaw) =>
+      val ov = math.min(ovRaw, mt - 1)
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def run(f: (org.apache.spark.sql.DataFrame, String, Int, Int) => org.apache.spark.sql.DataFrame) =
+        f(df, "text", mt, ov).select("doc_id", "chunk_idx", "chunk_text")
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      run(graft.operators.llm.Chunking.byTokens) ==
+        run(graft.operators.llm.Chunking.byTokensBuiltin(_, _, _, _))
+    }
+  }
 }
