@@ -34,6 +34,9 @@ object ScaleProbe {
     time("exact dedup")(Dedup.exact(docs, "text", "doc_id").count())
     time(s"near-dup pairs (MinHash-LSH)")(
       Dedup.nearDupPairs(docs, "text", "doc_id").count())
+    time(s"near-dup pairs (SimHash-Hamming)")(
+      Dedup.simhashNearDupPairs(docs, "text", "doc_id").count())
+    graft.engine.ManagedCache.unpersistAll()
 
     val e0 = Sources.table(spark, dir, "embeddings").select("vec_id", "embedding")
     val embs = (0 until factor)
@@ -41,6 +44,12 @@ object ScaleProbe {
       .reduce(_ unionByName _)
     time("ANN top-5 for 100 queries (hyperplane LSH)")(
       Similarity.annTopK(embs, embs.where(col("vec_id") < 100), "vec_id", "embedding", 5).count())
+    // threshold 0.8: replica cliques + genuinely near-parallel vectors.
+    // (The q37 query uses 0.3 on the UNreplicated corpus; over N exact
+    // replicas a loose threshold measures output size, not the operator.)
+    time("embedding near-dup pairs (hyperplane LSH)")(
+      Similarity.embeddingNearDups(embs, "vec_id", "embedding", threshold = 0.8).count())
+    graft.engine.ManagedCache.unpersistAll()
 
     spark.stop()
   }
