@@ -65,13 +65,16 @@ object LlmQueries {
     },
 
     // IVF ANN variant: hash-sampled centroid codebook, nearest-cell
-    // assignment, nprobe-cell probing. Approximate -> rows-only check;
-    // recall and the exhaustive-probe == exact property are asserted in
-    // SimilaritySpec.
+    // assignment, nprobe-cell probing. Run here with nprobe = centroids
+    // (exhaustive probing): the full IVF machinery executes, and since
+    // every cell is probed the result provably equals the exact top-k —
+    // which makes it HASH-VERIFIABLE against the same oracle as q22.
+    // The approximate configuration (nprobe << centroids) and its recall
+    // floor are asserted in SimilaritySpec.
     "q45_ivf_topk" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, centroids = 16, nprobe = 6)
+          k = 5, centroids = 16, nprobe = 16)
         .select(col("qid"), col("nid"), col("rank"))
         .orderBy("qid", "rank")
     },
@@ -321,6 +324,28 @@ object LlmQueries {
     }
   )
 
+  /** Exact brute-force cosine top-5 for the first 10 vectors — the oracle
+    * for q22 (direct exact top-k) and q45 (IVF with every cell probed,
+    * which provably reduces to the exact answer).
+    */
+  private val exactCosineTopKSql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+      |s AS (
+      |  SELECT qid, nid,
+      |         round(
+      |           list_sum(list_transform(range(1, len(qe)+1),
+      |                    i -> qe[i]::DOUBLE * ce[i]::DOUBLE))
+      |           / (sqrt(list_sum(list_transform(range(1, len(qe)+1),
+      |                    i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
+      |            * sqrt(list_sum(list_transform(range(1, len(ce)+1),
+      |                    i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))), 6) AS cos
+      |  FROM q, c WHERE qid <> nid),
+      |r AS (SELECT qid, nid,
+      |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+      |      FROM s)
+      |SELECT qid, nid, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q20_dedup_exact" ->
       """WITH u AS (SELECT doc_id, text FROM documents
@@ -345,23 +370,10 @@ object LlmQueries {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, inter, uni FROM pairs
         |WHERE inter >= uni * 0.5 ORDER BY id_a, id_b""".stripMargin,
-    "q22_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
-        |s AS (
-        |  SELECT qid, nid,
-        |         round(
-        |           list_sum(list_transform(range(1, len(qe)+1),
-        |                    i -> qe[i]::DOUBLE * ce[i]::DOUBLE))
-        |           / (sqrt(list_sum(list_transform(range(1, len(qe)+1),
-        |                    i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))
-        |            * sqrt(list_sum(list_transform(range(1, len(ce)+1),
-        |                    i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))), 6) AS cos
-        |  FROM q, c WHERE qid <> nid),
-        |r AS (SELECT qid, nid,
-        |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-        |      FROM s)
-        |SELECT qid, nid, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q22_cosine_topk" -> exactCosineTopKSql,
+    // exhaustive-probe IVF == exact top-k (every cell probed), so the
+    // same exact-cosine oracle applies
+    "q45_ivf_topk" -> exactCosineTopKSql,
     "q24_textstats" ->
       """SELECT lang, count(*) AS docs,
         |       CAST(sum(CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
