@@ -71,16 +71,26 @@ object Sources {
       path: String,
       sepRegex: String,
       schema: StructType,
-      exactArity: Boolean = true): DataFrame = {
+      exactArity: Boolean = true,
+      headerPrefixes: Seq[String] = Nil): DataFrame = {
     val n = schema.fields.length
     val arityOk =
       if (exactArity) size(col("f")) === n else size(col("f")) >= n
+    // S5, explicit form: the reference also drops headers by VALUE
+    // heuristics — startsWith("Transaction") lab8:85, startsWith("ISBN")
+    // lab10:79, equalsIgnoreCase("year") lab6:84. Needed for all-string
+    // schemas, where a header line parses cleanly and the S4 numeric
+    // guard below never fires. Case-insensitive prefix match on the
+    // first field (equality is the prefix matching the whole token).
+    val headerOk = headerPrefixes.foldLeft(lit(true)) { (acc, p) =>
+      acc && !lower(col("f").getItem(0)).startsWith(p.toLowerCase)
+    }
     val lines = spark.read
       .text(path)
       .select(regexp_replace(col("value"), "^﻿", "").as("value"))
       .where(length(trim(col("value"))) > 0)
       .select(split(trim(col("value")), sepRegex).as("f"))
-      .where(arityOk)
+      .where(arityOk && headerOk)
     // try_cast, not cast: Spark 4's ANSI mode makes a plain cast THROW on
     // malformed input, while the reference's contract (S4) is
     // catch-and-skip. try_cast yields null exactly where parseInt threw.

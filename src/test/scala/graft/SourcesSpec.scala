@@ -80,6 +80,31 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 2)
   }
 
+  test("S5 explicit: prefix header heuristic drops headers that parse as valid strings") {
+    // all-string schema: the S4 numeric guard can't catch this header
+    // (the reference's lab8 startsWith("Transaction") case)
+    val schema = StructType(Seq(
+      StructField("txn", StringType),
+      StructField("country", StringType)))
+    val path = tmpFile("Transaction_date,Country", "t1,Germany", "t2,France")
+    val noHeuristic = Sources.delimited(spark, path, ",", schema)
+      .collect().map(_.getString(0)).toSet
+    assert(noHeuristic == Set("Transaction_date", "t1", "t2"),
+      "without the heuristic the header row survives — that's the gap")
+    val withHeuristic = Sources.delimited(spark, path, ",", schema,
+        headerPrefixes = Seq("Transaction"))
+      .collect().map(_.getString(0)).toSet
+    assert(withHeuristic == Set("t1", "t2"))
+    // equality form: the prefix covering the whole first token
+    // (equalsIgnoreCase("year"), lab6:84) — and case-insensitivity
+    val p2 = tmpFile("YEAR jan", "1900 41")
+    val r2 = Sources.delimited(spark, p2, "\\s+",
+        StructType(Seq(StructField("year", StringType), StructField("jan", StringType))),
+        headerPrefixes = Seq("year"))
+      .collect().map(_.getString(0)).toSeq
+    assert(r2 == Seq("1900"))
+  }
+
   test("string-typed fields never cause drops (nulls only come from casts)") {
     val path = tmpFile("a b", "c d")
     val schema = StructType(Seq(StructField("x", StringType), StructField("y", StringType)))
