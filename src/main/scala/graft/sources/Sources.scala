@@ -34,6 +34,32 @@ object Sources {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** JDBC table read. The 4-arg overload issues ONE query over one
+    * connection; use [[jdbcPartitioned]] for anything sizable.
+    */
+  def jdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** Parallel JDBC read: `numPartitions` concurrent range queries over
+    * `partitionColumn` (each executor pulls its own slice — the only
+    * JDBC shape that scales past one connection's throughput). Filters
+    * and column pruning push down into the remote SQL.
+    */
+  def jdbcPartitioned(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      partitionColumn: String,
+      lowerBound: Long,
+      upperBound: Long,
+      numPartitions: Int,
+      props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound, numPartitions, props)
+
   /** CSV with explicit schema. `header=true` covers the reference's
     * startsWith/equalsIgnoreCase header heuristics for well-formed files
     * (lab8:85, lab10:79, lab11:81).
