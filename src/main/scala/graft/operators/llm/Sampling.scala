@@ -26,6 +26,27 @@ object Sampling {
   def bernoulli(df: DataFrame, idCol: Column, rate: Column, seed: Long = 0L): DataFrame =
     df.where(hashUnit(idCol, seed) < rate)
 
+  /** Stratified sampling (the deterministic face of `sampleBy`): each
+    * stratum keeps rows at its own rate — the source-mixing primitive
+    * (e.g. upsample low-resource languages, downsample boilerplate-heavy
+    * sources). Strata missing from `rates` fall back to `defaultRate`
+    * (0.0 = drop). Still a pure scan-stage filter: the rate ladder is a
+    * constant-folded CASE WHEN, no join, no shuffle.
+    */
+  def stratified(
+      df: DataFrame,
+      strataCol: Column,
+      rates: Map[String, Double],
+      idCol: Column,
+      defaultRate: Double = 0.0,
+      seed: Long = 0L): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0), "rates must be in [0, 1]")
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (k, r)) => when(strataCol === lit(k), lit(r)).otherwise(acc)
+    }
+    bernoulli(df, idCol, rate, seed)
+  }
+
   /** Exactly-k uniform sample per group: the k smallest id-hashes win
     * (bottom-k sketch). Rides the bounded-heap TopKPerKey operator — no
     * per-group sort, k rows per (group x partition) cross the shuffle.

@@ -20,6 +20,22 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(a != other, "different seeds must select different rows")
   }
 
+  test("stratified: per-stratum rates honored, unknown strata use the default") {
+    val df = (1L to 30000L).map(i => (if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx", i))
+      .toDF("lang", "id")
+    val kept = Sampling.stratified(df, col("lang"), Map("en" -> 0.5, "de" -> 0.1), col("id"))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept("en") - 5000) < 500, s"en rate off: ${kept.get("en")}")
+    assert(math.abs(kept("de") - 1000) < 300, s"de rate off: ${kept.get("de")}")
+    assert(!kept.contains("xx"), "default rate 0 must drop unlisted strata")
+    // deterministic: same seed -> same selection
+    val a = Sampling.stratified(df, col("lang"), Map("en" -> 0.5), col("id"))
+      .collect().map(_.getLong(1)).toSet
+    val b = Sampling.stratified(df, col("lang"), Map("en" -> 0.5), col("id"))
+      .collect().map(_.getLong(1)).toSet
+    assert(a == b)
+  }
+
   test("perGroup: exactly min(k, |group|) rows, deterministic") {
     val df = (1 to 1000).map(i => (s"g${i % 7}", i.toLong)).toDF("g", "id")
       .unionByName(Seq(("tiny", 9999L)).toDF("g", "id"))
