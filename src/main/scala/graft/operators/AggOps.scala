@@ -94,6 +94,61 @@ object AggOps {
       val w = Window.partitionBy(part: _*).orderBy(ord: _*)
       df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
     }
+
+  /** Exact interpolated percentiles per group via count compression.
+    *
+    * Spark's built-in `percentile` aggregate holds a value->count map per
+    * group in ONE executor's memory — on a distinct-heavy double column
+    * (prices, scores) that map is proportional to group size, an OOM at
+    * large scale. Here the heavy reduction is a fully parallel
+    * partial+final count over (group, value); only the DISTINCT values of
+    * each group flow into the cumulative-rank window (spillable sort),
+    * and a final hash aggregate picks the two values straddling each cut
+    * point. Memory is bounded at any group size; the only per-group
+    * serial step is a sort of the group's distinct values.
+    *
+    * Same linear-interpolation semantics as `percentile` / DuckDB
+    * `quantile_cont` (asserted in OperatorSpec): result =
+    * v_lo + frac * (v_hi - v_lo) at 0-based position h = (n-1)*p, where
+    * v at rank k is the value whose cumulative count range covers k.
+    *
+    * Output: `part` columns + one double column per entry of `ps`, named
+    * by `names`.
+    */
+  def exactPercentiles(
+      part: Seq[String],
+      valueCol: String,
+      ps: Seq[Double],
+      names: Seq[String]): DataFrame => DataFrame = {
+    require(ps.nonEmpty && ps.length == names.length, "one output name per percentile")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), "percentiles must be in [0, 1]")
+    df => {
+      val w = Window.partitionBy(part.map(col): _*).orderBy(col(valueCol).asc)
+      val whole = Window.partitionBy(part.map(col): _*)
+      val cdf = df
+        .groupBy(part.map(col) :+ col(valueCol): _*)
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(w)) // inclusive cumulative
+        .withColumn("__n", sum(col("__c")).over(whole))
+      val aggs = ps.zip(names).flatMap { case (p, name) =>
+        val h = (col("__n") - 1).cast("double") * lit(p)
+        val kLo = floor(h).cast("long")
+        val kHi = least(kLo + 1, col("__n") - 1)
+        def at(k: Column) = // value whose [cum - c, cum) rank range covers k
+          max(when(col("__cum") - col("__c") <= k && k < col("__cum"), col(valueCol)))
+        Seq(
+          at(kLo).as(s"__lo_$name"),
+          at(kHi).as(s"__hi_$name"),
+          max(h - floor(h)).as(s"__f_$name")) // constant within a group
+      }
+      cdf.groupBy(part.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(part.map(col) ++ ps.zip(names).map { case (_, name) =>
+          (col(s"__lo_$name")
+            + col(s"__f_$name") * (col(s"__hi_$name") - col(s"__lo_$name"))).as(name)
+        }: _*)
+    }
+  }
 }
 
 /** Generalized COO sparse matrix multiply (lab5/MatrixMultiplication.sh).

@@ -198,27 +198,27 @@ object ExtQueries {
         .orderBy("status", "prio")
     },
 
-    // Exact percentiles (continuous/interpolated) per group — the sort-
-    // based exact form as the verifiable baseline; approx_percentile is
-    // the sketch path at scale (asserted within tolerance in
-    // OperatorSpec). Rounded to 6 decimals: both engines interpolate the
-    // same rank formula, rounding absorbs the last-ulp difference of the
-    // two linear-interpolation orderings.
+    // Exact percentiles (continuous/interpolated) per group via the
+    // sort-based AggOps.exactPercentiles — bounded memory at any group
+    // size, unlike the built-in `percentile`'s per-group value map
+    // (OperatorSpec asserts the two agree, and that approx_percentile
+    // lands within tolerance as the sketch path). Rounded to 6 decimals:
+    // both engines interpolate the same rank formula, rounding absorbs
+    // the last-ulp difference of the interpolation orderings.
     "q48_percentiles" -> { (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          // one shared percentile buffer for all three quantity cut
-          // points (the agg holds one value-count map per group either
-          // way; three separate calls would build it three times)
-          expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("__pq"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
+      val li = t(s, dir, "lineitem")
+      val qty = li.transform(AggOps.exactPercentiles(
+        Seq("l_returnflag"), "l_quantity",
+        Seq(0.25, 0.5, 0.75), Seq("p25_qty", "p50_qty", "p75_qty")))
+      val price = li.transform(AggOps.exactPercentiles(
+        Seq("l_returnflag"), "l_extendedprice", Seq(0.9), Seq("p90_price")))
+      qty.join(price, "l_returnflag") // 3 rows x 3 rows, broadcast
         .select(
           col("l_returnflag"),
-          round(col("__pq")(0), 6).as("p25_qty"),
-          round(col("__pq")(1), 6).as("p50_qty"),
-          round(col("__pq")(2), 6).as("p75_qty"),
-          col("p90_price"))
+          round(col("p25_qty"), 6).as("p25_qty"),
+          round(col("p50_qty"), 6).as("p50_qty"),
+          round(col("p75_qty"), 6).as("p75_qty"),
+          round(col("p90_price"), 6).as("p90_price"))
         .orderBy("l_returnflag")
     },
 

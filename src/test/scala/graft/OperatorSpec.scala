@@ -99,4 +99,28 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("the" -> 2L, "cat" -> 1L, "sat" -> 1L, "dog" -> 1L))
   }
+
+  test("exactPercentiles (sort-based) == builtin percentile (map-based)") {
+    // awkward group sizes incl. a singleton; values with duplicates
+    val rows = Seq("a" -> 10.0, "a" -> 1.0, "a" -> 7.5, "a" -> 7.5, "a" -> 2.0,
+      "b" -> 3.0, "b" -> 4.0, "c" -> 42.0)
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val names = ps.map(p => s"p${(p * 100).toInt}")
+    val got = df.transform(AggOps.exactPercentiles(Seq("g"), "v", ps, names))
+      .collect().map(r => r.getString(0) -> names.indices.map(i => r.getDouble(i + 1))).toMap
+    val exp = df.groupBy("g")
+      .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    assert(got.keySet == exp.keySet)
+    for (g <- got.keySet; i <- ps.indices)
+      assert(math.abs(got(g)(i) - exp(g)(i)) < 1e-12,
+        s"group $g p=${ps(i)}: sort-based ${got(g)(i)} vs builtin ${exp(g)(i)}")
+  }
+
+  test("approx_percentile lands near the exact percentile (sketch surface)") {
+    val df = (1 to 20000).map(_.toDouble).toDF("v")
+    val approx = df.agg(expr("approx_percentile(v, 0.5, 1000)")).head().getDouble(0)
+    assert(math.abs(approx - 10000.5) <= 200, s"approx median $approx vs 10000.5")
+  }
 }
