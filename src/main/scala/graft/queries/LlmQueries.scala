@@ -300,6 +300,44 @@ object LlmQueries {
         .orderBy("lang")
     },
 
+    // Incremental corpus merge (upsert): a v2 snapshot re-delivers a
+    // third of the docs with edits; latest version wins per doc_id via
+    // ONE max_by hash aggregate (partial+final — no window, no sort;
+    // each map partition reduces to one candidate row per doc before the
+    // shuffle). The refresh step of a continuously-crawled corpus.
+    "q55_corpus_merge" -> { (s, dir) =>
+      val v1 = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), lit(1).as("version"))
+      val v2 = t(s, dir, "documents").where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"), lit(2).as("version"))
+      v1.unionByName(v2)
+        .groupBy("doc_id")
+        .agg(max_by(struct(col("version"), col("text")), col("version")).as("__w"))
+        .select(
+          col("doc_id"),
+          col("__w.version").as("version"),
+          length(col("__w.text")).as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // Redaction/scrubbing: mask digit runs (the stand-in for PII-pattern
+    // scrubbing), report per-language how many docs changed and how many
+    // characters the masks removed. Pure scan-stage regexp — no UDF, no
+    // shuffle before the final small aggregate.
+    "q56_redact" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("lang"),
+          col("text"),
+          regexp_replace(col("text"), "[0-9]+", "#").as("redacted"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(when(col("text") =!= col("redacted"), 1).otherwise(0)).as("docs_changed"),
+          sum(length(col("text")) - length(col("redacted"))).as("chars_removed"))
+        .orderBy("lang")
+    },
+
     // TF-IDF top term per document: term frequency per (doc, term), doc
     // frequency per term, idf = ln(N/df), top-1 by rounded score via the
     // custom TopKPerKey operator (bounded heap — no per-doc sort).
@@ -502,6 +540,22 @@ object LlmQueries {
         |WHERE sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |      NOT IN (SELECT h FROM contam)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q55_corpus_merge" ->
+      """WITH v1 AS (SELECT doc_id, text, 1 AS version FROM documents),
+        |v2 AS (SELECT doc_id, text || ' v2' AS text, 2 AS version
+        |       FROM documents WHERE doc_id % 3 = 0),
+        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT doc_id,
+        |       CAST(arg_max(version, version) AS INTEGER) AS version,
+        |       length(arg_max(text, version)) AS n_chars
+        |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q56_redact" ->
+      """SELECT lang, count(*) AS docs,
+        |       CAST(sum(CASE WHEN text <> regexp_replace(text, '[0-9]+', '#', 'g')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_changed,
+        |       CAST(sum(length(text) - length(regexp_replace(text, '[0-9]+', '#', 'g')))
+        |            AS BIGINT) AS chars_removed
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q54_tfidf" ->
       """WITH words AS (
         |  SELECT doc_id,
