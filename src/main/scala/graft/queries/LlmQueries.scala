@@ -338,6 +338,25 @@ object LlmQueries {
         .orderBy("lang")
     },
 
+    // Heavy hitters: top-10 bigrams via the custom Misra-Gries
+    // TypedImperativeAggregate (graft.functions.HeavyHittersAgg) — at
+    // most `width` counters per partition, `width` rows per partition
+    // into the shuffle, vs the exact form's one-row-per-DISTINCT-bigram.
+    // width=4096 exceeds the fixture's distinct-bigram count at
+    // verification scale, so no decrement fires and the sketch counts
+    // are EXACT (Misra-Gries property) — hash-verified against the exact
+    // SQL top-10; the approximate regime (distinct >> width) is asserted
+    // in HeavyHittersSpec.
+    "q57_heavy_hitters" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(Dedup.tokens(col("text")).as("w"))
+        .select(explode(TextStats.ngramsFromTokens(col("w"), 2)).as("bigram"))
+        .agg(graft.functions.HeavyHitters.topK(col("bigram"), width = 4096, k = 10).as("__top"))
+        .select(explode(col("__top")).as("e"))
+        .select(col("e.item").as("bigram"), col("e.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+    },
+
     // TF-IDF top term per document: term frequency per (doc, term), doc
     // frequency per term, idf = ln(N/df), top-1 by rounded score via the
     // custom TopKPerKey operator (bounded heap — no per-doc sort).
@@ -540,6 +559,16 @@ object LlmQueries {
         |WHERE sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |      NOT IN (SELECT h FROM contam)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q57_heavy_hitters" ->
+      """WITH words AS (
+        |  SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(w)-1, 0)+1),
+        |                i -> concat_ws(' ', w[i], w[i+1]))) AS bigram
+        |  FROM words WHERE len(w) >= 2)
+        |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+        |ORDER BY cnt DESC, bigram LIMIT 10""".stripMargin,
     "q55_corpus_merge" ->
       """WITH v1 AS (SELECT doc_id, text, 1 AS version FROM documents),
         |v2 AS (SELECT doc_id, text || ' v2' AS text, 2 AS version
