@@ -117,6 +117,12 @@ class PlanSpec extends SparkSpec {
       s"corpus-size scalar should broadcast:\n$p")
   }
 
+  test("q57 heavy hitters: sketch partial-aggregates before the single-partition shuffle") {
+    val p = plan("q57_heavy_hitters")
+    assert(p.contains("partial_heavy_hitters"),
+      s"sketch must reduce map-side (width rows per partition into the shuffle):\n$p")
+  }
+
   test("q46 simhash near-dup: equi-join candidates, no nested loop, no cartesian") {
     val p = plan("q46_simhash_neardup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
