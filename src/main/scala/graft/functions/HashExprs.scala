@@ -4,9 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot per-document fingerprint path.
@@ -512,8 +512,7 @@ object exprs {
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.simhashDesc)
-    ext.injectFunction(GraftExtensions.rollingDesc)
+    GraftExtensions.descs.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }
@@ -534,20 +533,59 @@ object GraftExtensions {
     f(Cast(args.head, StringType))
   }
 
-  private val simhashDesc = (
-    new FunctionIdentifier("simhash64"),
-    new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
-    unaryString("simhash64", SimHash64Expr(_)) _)
-  private val rollingDesc = (
-    new FunctionIdentifier("rolling_hash64"),
-    new ExpressionInfo(classOf[RollingHash64Expr].getName, "rolling_hash64"),
-    unaryString("rolling_hash64", RollingHash64Expr(_)) _)
+  private def unary(name: String, f: Expression => Expression)(
+      args: Seq[Expression]): Expression = {
+    if (args.length != 1)
+      throw new IllegalArgumentException(s"$name expects exactly 1 argument, got ${args.length}")
+    f(args.head)
+  }
+
+  private def binary(name: String, f: (Expression, Expression) => Expression)(
+      args: Seq[Expression]): Expression = {
+    if (args.length != 2)
+      throw new IllegalArgumentException(s"$name expects exactly 2 arguments, got ${args.length}")
+    f(args.head, args(1))
+  }
+
+  /** (expr, int-literal) shape — the int must be a foldable literal
+    * because it parameterizes the expression itself (shingle size, hash
+    * count, band count).
+    */
+  private def unaryWithInt(name: String, f: (Expression, Int) => Expression)(
+      args: Seq[Expression]): Expression = args match {
+    case Seq(e, Literal(i: Int, IntegerType)) => f(e, i)
+    case _ => throw new IllegalArgumentException(
+      s"$name expects (expr, int literal), got ${args.length} args")
+  }
+
+  /** The full native surface, callable from pure SQL — the whole MinHash
+    * sketch pipeline composes as
+    * `band_hashes(minhash_sig(shingle_hashes(split(text, ' '), 3), 32), 8)`.
+    */
+  private val descs: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq[(String, Seq[Expression] => Expression)](
+      "simhash64" -> unaryString("simhash64", SimHash64Expr(_)) _,
+      "rolling_hash64" -> unaryString("rolling_hash64", RollingHash64Expr(_)) _,
+      "punct_count" -> unaryString("punct_count", PunctCountExpr(_)) _,
+      "digit_runs" -> unaryString("digit_runs", DigitRunsExpr(_)) _,
+      "simhash_from_hashes" -> unary("simhash_from_hashes", SimHashFromHashesExpr(_)) _,
+      "shingle_hashes" -> unaryWithInt("shingle_hashes", ShingleHashesExpr(_, _)) _,
+      "minhash_sig" -> unaryWithInt("minhash_sig", MinHashSigExpr(_, _)) _,
+      "band_hashes" -> unaryWithInt("band_hashes", BandHashesExpr(_, _)) _,
+      "hyperplane_bits" -> unaryWithInt(
+        "hyperplane_bits",
+        (e, p) => HyperplaneBitsExpr(Cast(e, ArrayType(org.apache.spark.sql.types.FloatType)), p)) _,
+      "dot_product" -> binary("dot_product", DotProductExpr(_, _)) _,
+    ).map { case (name, builder) =>
+      (new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[HashImpls.type].getName, name),
+        builder)
+    }
 
   /** Register on an already-built session (tests, driver-provided sessions). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", unaryString("simhash64", SimHash64Expr(_)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash64", unaryString("rolling_hash64", RollingHash64Expr(_)), "built-in")
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    descs.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
 }
