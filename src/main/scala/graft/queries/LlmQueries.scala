@@ -357,6 +357,27 @@ object LlmQueries {
         .orderBy(col("cnt").desc, col("bigram"))
     },
 
+    // The full curation pipeline COMPOSED end-to-end — exact dedup
+    // (survivor keeps its full row) -> quality gate -> context-window
+    // chunking -> per-language accounting. Each stage is individually
+    // oracle-proven (q20/q30/q43); this entry proves they compose into
+    // one lazy plan (single pipeline, no materialization barriers
+    // between stages) and still hash-match a full SQL re-derivation.
+    "q58_pipeline" -> { (s, dir) =>
+      val deduped = Dedup.exactRows(t(s, dir, "documents"), "text", "doc_id")
+      val kept = deduped
+        .select(col("doc_id"), col("lang"), col("text"), Dedup.tokens(col("text")).as("w"))
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextStats.qualityScoreFromTokens(col("text"), col("w"), TextStats.langProfiles("en"))
+            .as("q"))
+        .where(col("q") >= 0.5)
+        .select("doc_id", "lang", "text")
+      Chunking.byTokens(kept, "text", maxTokens = 50, overlap = 10)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("chunks"), countDistinct(col("doc_id")).as("docs"))
+        .orderBy("lang")
+    },
+
     // TF-IDF top term per document: term frequency per (doc, term), doc
     // frequency per term, idf = ln(N/df), top-1 by rounded score via the
     // custom TopKPerKey operator (bounded heap — no per-doc sort).
@@ -559,6 +580,35 @@ object LlmQueries {
         |WHERE sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |      NOT IN (SELECT h FROM contam)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q58_pipeline" ->
+      """WITH surv AS (
+        |  SELECT arg_min(doc_id, doc_id) AS doc_id,
+        |         arg_min(text, doc_id) AS text,
+        |         arg_min(lang, doc_id) AS lang
+        |  FROM documents
+        |  GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+        |tok AS (
+        |  SELECT doc_id, lang, text,
+        |         CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
+        |              THEN []::VARCHAR[]
+        |              ELSE string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+        |         END AS w
+        |  FROM surv),
+        |sc AS (
+        |  SELECT doc_id, lang, len(w) AS n,
+        |         round(least(len(w)::DOUBLE / 100.0, 1.0) * 0.4
+        |               + (1.0 - least((CASE WHEN length(text) > 0
+        |                   THEN len(regexp_extract_all(text, '[[:punct:]]'))::DOUBLE / length(text)
+        |                   ELSE 0.0 END) * 5.0, 1.0)) * 0.3
+        |               + least((CASE WHEN len(w) > 0
+        |                   THEN len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / len(w)
+        |                   ELSE 0.0 END) * 4.0, 1.0) * 0.3, 6) AS q
+        |  FROM tok),
+        |keep AS (SELECT doc_id, lang, n FROM sc WHERE q >= 0.5 AND n > 0)
+        |SELECT lang,
+        |       CAST(sum(CAST(ceil(greatest(n - 10, 1)::DOUBLE / 40) AS INT)) AS BIGINT) AS chunks,
+        |       count(*) AS docs
+        |FROM keep GROUP BY lang ORDER BY lang""".stripMargin,
     "q57_heavy_hitters" ->
       """WITH words AS (
         |  SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
