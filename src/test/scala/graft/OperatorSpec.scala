@@ -100,6 +100,19 @@ class OperatorSpec extends SparkSpec {
     assert(got == Map("the" -> 2L, "cat" -> 1L, "sat" -> 1L, "dog" -> 1L))
   }
 
+  test("argument guards fail fast with clear messages") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    assert(intercept[IllegalArgumentException] {
+      AggOps.argMax(Seq.empty, "a", Seq("b"))
+    }.getMessage.contains("grouping column"))
+    assert(intercept[IllegalArgumentException] {
+      graft.plans.TopK.perKey(df, Seq(col("a")), Seq(col("b")), 0)
+    }.getMessage.contains("k >= 1"))
+    assert(intercept[IllegalArgumentException] {
+      AggOps.exactPercentiles(Seq("a"), "b", Seq(0.5, 1.5), Seq("x", "y"))(df)
+    }.getMessage.contains("[0, 1]"))
+  }
+
   test("exactPercentiles (sort-based) == builtin percentile (map-based)") {
     // awkward group sizes incl. a singleton; values with duplicates
     val rows = Seq("a" -> 10.0, "a" -> 1.0, "a" -> 7.5, "a" -> 7.5, "a" -> 2.0,
