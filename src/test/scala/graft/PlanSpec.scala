@@ -128,4 +128,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"band self-join degenerated:\n$p")
   }
+
+  test("runtime bloom-filter pruning: selective dim join filters the fact scan") {
+    // the 100 TB shape: a selective dimension predicate should prune the
+    // fact-side shuffle via an injected bloom filter (might_contain),
+    // not scan-and-shuffle every fact row into the join
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a shuffle join
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val l = spark.read.parquet(s"$sf/lineitem.parquet")
+      val p = spark.read.parquet(s"$sf/part.parquet").where(col("p_size") === 1)
+      val q = l.join(p, l("l_partkey") === p("p_partkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected on the fact side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
