@@ -28,6 +28,29 @@ class SinkSpec extends SparkSpec {
     assert(scanned.nonEmpty && scanned.forall(_.contains("lang=lang1")))
   }
 
+  test("dynamic partition pruning: a selective dim join prunes fact partitions at runtime") {
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    val fact = (1 to 30000).map(i => (i.toLong, s"src${i % 10}", i % 100)).toDF("id", "src", "v")
+    Sinks.partitionedParquet(fact, dir, Seq("src"))
+    // dim filter selects ONE of the 10 partitions; the fact side only
+    // learns which at runtime (through the join), so static pruning can't
+    // help — this is exactly the DPP shape of a 100 TB star join. The dim
+    // must be a real scan (a local Seq constant-folds its Filter away and
+    // DPP sees no selective predicate to reuse).
+    val dimDir = Files.createTempDirectory("graft-dpp-dim").toString
+    (0 until 10).map(i => (s"src$i", i)).toDF("d_src", "d_id")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).where(col("d_id") === 7)
+    val f = spark.read.parquet(dir)
+    val q = f.join(dim, f("src") === dim("d_src"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+    val row = q.collect().head
+    assert(row.getLong(1) == 3000)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning subquery on the fact scan:\n$p")
+  }
+
   test("round-trip preserves rows and the partition column") {
     val dir = Files.createTempDirectory("graft-sink2").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "src", "x")
