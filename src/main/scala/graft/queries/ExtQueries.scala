@@ -266,6 +266,25 @@ object ExtQueries {
         .orderBy("first_word")
     },
 
+    // MapType surface: props parsed as a real map column, exploded to
+    // (key, value) rows, aggregated per key — the dynamic-schema
+    // counterpart of q41's fixed-struct extraction (generic property
+    // bags are the common telemetry shape; the map parse happens in the
+    // scan stage).
+    "q59_maptype" -> { (s, dir) =>
+      import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+      t(s, dir, "events")
+        .select(explode(from_json(col("props"), MapType(StringType, IntegerType)))
+          .as(Seq("key", "value")))
+        .groupBy("key")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value")).as("sum_v"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"))
+        .orderBy("key")
+    },
+
     // Per-group top-k (generalizes lab11's top-1): top-3 orders per
     // priority by price — via the custom TopKPerKey operator (bounded
     // heaps, partial+final, no partition sort; graft.plans). The window
@@ -397,6 +416,14 @@ object ExtQueries {
     "q51_regex" ->
       """SELECT regexp_extract(p_name, '^(\w+)', 1) AS first_word,
         |       count(*) AS cnt, count(DISTINCT p_brand) AS brands
-        |FROM part GROUP BY first_word ORDER BY first_word""".stripMargin
+        |FROM part GROUP BY first_word ORDER BY first_word""".stripMargin,
+    "q59_maptype" ->
+      """WITH kv AS (
+        |  SELECT unnest(json_keys(props)) AS key, props FROM events)
+        |SELECT key, count(*) AS cnt,
+        |       CAST(sum(CAST(json_extract(props, '$.' || key) AS INTEGER)) AS BIGINT) AS sum_v,
+        |       min(CAST(json_extract(props, '$.' || key) AS INTEGER)) AS min_v,
+        |       max(CAST(json_extract(props, '$.' || key) AS INTEGER)) AS max_v
+        |FROM kv GROUP BY key ORDER BY key""".stripMargin
   )
 }
