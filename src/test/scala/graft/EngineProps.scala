@@ -121,6 +121,37 @@ object EngineProps extends Properties("graft") {
       r.getLong(0) == r.getLong(1)
     }
 
+  property("exactPercentiles == builtin percentile (random groups/values/cut points)") = {
+    val genRows = Gen.nonEmptyListOf(for {
+      g <- Gen.choose(0, 2); v <- Gen.choose(-50, 50)
+    } yield (s"g$g", v.toDouble + 0.25))
+    forAll(genRows, Gen.choose(0.0, 1.0)) { (rows, p) =>
+      import spark.implicits._
+      val df = rows.toDF("g", "v")
+      val got = df.transform(AggOps.exactPercentiles(Seq("g"), "v", Seq(p), Seq("q")))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val exp = df.groupBy("g").agg(expr(s"percentile(v, $p)").as("q"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      got.keySet == exp.keySet &&
+        got.keySet.forall(g => math.abs(got(g) - exp(g)) < 1e-9)
+    }
+  }
+
+  property("heavy hitters (exact regime) == groupBy-count top-k (random streams)") = {
+    val genItems = Gen.nonEmptyListOf(Gen.choose(0, 9).map(i => s"item$i"))
+    forAll(genItems, Gen.choose(1, 5)) { (items, k) =>
+      import spark.implicits._
+      val df = items.toDF("item").repartition(3)
+      val got = df
+        .agg(graft.functions.HeavyHitters.topK(col("item"), width = 32, k = k).as("t"))
+        .select(explode(col("t")).as("e"))
+        .collect().map(r => (r.getStruct(0).getString(0), r.getStruct(0).getLong(1))).toSeq
+      val exp = items.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (item, c) => (-c, item) }.take(k)
+      got == exp
+    }
+  }
+
   property("native chunk generator == builtin HOF composition (random docs)") = {
     val genText = Gen.listOf(Gen.oneOf("aa", "b", "ccc", "", " ")).map(_.mkString(" "))
     forAll(Gen.listOfN(6, genText), Gen.choose(1, 6), Gen.choose(0, 5)) { (texts, mt, ovRaw) =>
