@@ -126,6 +126,7 @@ object AggOps {
       val w = Window.partitionBy(part.map(col): _*).orderBy(col(valueCol).asc)
       val whole = Window.partitionBy(part.map(col): _*)
       val cdf = df
+        .where(col(valueCol).isNotNull) // builtin percentile ignores nulls; so do we
         .groupBy(part.map(col) :+ col(valueCol): _*)
         .agg(count(lit(1)).as("__c"))
         .withColumn("__cum", sum(col("__c")).over(w)) // inclusive cumulative

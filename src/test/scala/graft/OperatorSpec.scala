@@ -114,9 +114,11 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("exactPercentiles (sort-based) == builtin percentile (map-based)") {
-    // awkward group sizes incl. a singleton; values with duplicates
-    val rows = Seq("a" -> 10.0, "a" -> 1.0, "a" -> 7.5, "a" -> 7.5, "a" -> 2.0,
-      "b" -> 3.0, "b" -> 4.0, "c" -> 42.0)
+    // awkward group sizes incl. a singleton; values with duplicates; a
+    // null value (builtin percentile ignores nulls — so must we)
+    val rows = Seq("a" -> Some(10.0), "a" -> Some(1.0), "a" -> Some(7.5),
+      "a" -> Some(7.5), "a" -> Some(2.0), "a" -> None,
+      "b" -> Some(3.0), "b" -> Some(4.0), "c" -> Some(42.0))
     val df = rows.toDF("g", "v")
     val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
     val names = ps.map(p => s"p${(p * 100).toInt}")
