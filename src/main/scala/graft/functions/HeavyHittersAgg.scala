@@ -87,9 +87,14 @@ case class HeavyHittersAgg(
       b1.put(item, if (cur == null) c else java.lang.Long.valueOf(cur.longValue + c.longValue))
     }
     if (b1.size > width) {
-      // keep the top `width` by count — standard mergeable-summary trim
+      // keep the top `width` by count — standard mergeable-summary trim.
+      // Ties break on the item so the trim (and thus the whole merge
+      // tree) is deterministic regardless of hash-map iteration order.
       val entries = new java.util.ArrayList(b1.entrySet())
-      entries.sort((a, b) => java.lang.Long.compare(b.getValue.longValue, a.getValue.longValue))
+      entries.sort { (a, b) =>
+        val c = java.lang.Long.compare(b.getValue.longValue, a.getValue.longValue)
+        if (c != 0) c else a.getKey.compareTo(b.getKey)
+      }
       var i = width
       while (i < entries.size()) { b1.remove(entries.get(i).getKey); i += 1 }
     }
