@@ -25,6 +25,25 @@ object KvTextSink {
   def write(df: DataFrame, path: String): Unit =
     lines(df).coalesce(1).write.mode("overwrite").text(path)
 
+  /** The scale form of the S2 contract: `shards` range-partitioned sorted
+    * files. Keys are range-partitioned by the sort key and sorted within
+    * each partition, so every line of part-file N orders before every
+    * line of part-file N+1 — concatenating the files in name order
+    * reproduces [[write]]'s single sorted stream, but the sort and the
+    * write parallelize across the cluster instead of funneling through
+    * one task.
+    */
+  def writeSharded(df: DataFrame, path: String, shards: Int): Unit = {
+    import df.sparkSession.implicits._
+    val key = col(df.columns.head).cast("string")
+    val cols: Seq[Column] = df.columns.toIndexedSeq.map(c => col(c).cast("string"))
+    df.repartitionByRange(shards, key)
+      .sortWithinPartitions(key)
+      .select(concat_ws("\t", cols: _*).as("line"))
+      .as[String]
+      .write.mode("overwrite").text(path)
+  }
+
   /** Collect as the reference's `hdfs dfs -cat` output (tests only). */
   def collect(df: DataFrame): Seq[String] = lines(df).collect().toIndexedSeq
 }

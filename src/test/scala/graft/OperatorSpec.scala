@@ -87,6 +87,21 @@ class OperatorSpec extends SparkSpec {
     finally src.close()
   }
 
+  test("KvTextSink.writeSharded: concatenating shards in name order == single sorted file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val df = (1 to 5000).map(i => (f"k$i%05d", i)).sortBy(_.hashCode).toDF("k", "v")
+    KvTextSink.writeSharded(df, dir, shards = 4)
+    val parts = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length > 1, "sharded write must produce multiple files")
+    val concatenated = parts.toSeq.flatMap { f =>
+      val s = scala.io.Source.fromFile(f, "UTF-8")
+      try s.getLines().toIndexedSeq finally s.close()
+    }
+    assert(concatenated == KvTextSink.collect(df),
+      "name-ordered shard concatenation must reproduce the single sorted stream")
+  }
+
   test("approx_count_distinct lands within 5% of exact (sketch surface)") {
     val df = (1 to 20000).map(_ % 5000).toDF("v")
     val approx = df.agg(approx_count_distinct(col("v"))).head().getLong(0)
