@@ -285,6 +285,23 @@ object ExtQueries {
         .orderBy("key")
     },
 
+    // Data-profiling audit: one pass over the fact table computing row
+    // count, per-column exact distinct counts, null counts and ranges —
+    // the ingest-validation query every pipeline runs first. Multiple
+    // COUNT(DISTINCT) in one aggregate plans as a single Expand + one
+    // shuffle, not one scan per column.
+    "q60_profile" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(
+          count(lit(1)).as("rows"),
+          countDistinct(col("l_partkey")).as("d_part"),
+          countDistinct(col("l_suppkey")).as("d_supp"),
+          countDistinct(col("l_returnflag")).as("d_flag"),
+          sum(col("l_partkey").isNull.cast("long")).as("null_part"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+    },
+
     // Per-group top-k (generalizes lab11's top-1): top-3 orders per
     // priority by price — via the custom TopKPerKey operator (bounded
     // heaps, partial+final, no partition sort; graft.plans). The window
@@ -417,6 +434,15 @@ object ExtQueries {
       """SELECT regexp_extract(p_name, '^(\w+)', 1) AS first_word,
         |       count(*) AS cnt, count(DISTINCT p_brand) AS brands
         |FROM part GROUP BY first_word ORDER BY first_word""".stripMargin,
+    "q60_profile" ->
+      """SELECT count(*) AS rows,
+        |       count(DISTINCT l_partkey) AS d_part,
+        |       count(DISTINCT l_suppkey) AS d_supp,
+        |       count(DISTINCT l_returnflag) AS d_flag,
+        |       CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_part,
+        |       min(l_quantity) AS min_qty,
+        |       max(l_quantity) AS max_qty
+        |FROM lineitem""".stripMargin,
     "q59_maptype" ->
       """WITH kv AS (
         |  SELECT unnest(json_keys(props)) AS key, props FROM events)
