@@ -57,4 +57,20 @@ class JoinOpsSpec extends SparkSpec {
       2L -> None,         // ts 5: no click at or before
       3L -> None))        // different key entirely
   }
+
+  test("AsOfJoin: null timestamps never match (DuckDB ASOF parity)") {
+    val l = Seq(
+      (1L, 100L, Some(10L)), // normal: matches the ts-7 right row
+      (2L, 100L, None)       // null left ts: no predecessor, null payload
+    ).toDF("lid", "k", "ts")
+    val r = Seq(
+      (100L, Some(7L), "real"),
+      // null-ts right row would sort BEFORE every row under asc-nulls-first
+      // and become a bogus universal predecessor if not excluded
+      (100L, None, "bogus")).toDF("k", "ts", "tag")
+    val got = AsOfJoin(l, r, Seq("k"), "ts", "ts", Seq("tag"))
+      .select("lid", "asof_tag").collect()
+      .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    assert(got == Map(1L -> Some("real"), 2L -> None))
+  }
 }
