@@ -104,6 +104,22 @@ object StreamOps {
       }
   }
 
+  /** Streaming NEAR-dup dedup: first document per SimHash fingerprint
+    * wins within the watermark — the streaming face of the SimHash dedup
+    * family (radius-0 form: content variations that sketch to the same
+    * 64 bits collapse; state is one fingerprint per surviving doc,
+    * evicted by the watermark).
+    */
+  def dedupStreamByFingerprint(
+      df: DataFrame,
+      tsCol: String,
+      textCol: String,
+      lateness: String): DataFrame =
+    df.withColumn("__fp", graft.functions.exprs.simhash64(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** One emitted row per crossed threshold multiple. */
   case class SpendAlert(user_id: Long, events: Long, crossed: Double)
 

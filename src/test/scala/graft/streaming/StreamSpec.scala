@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.streaming.StreamOps.Event
 
+/** Top-level so spark.implicits can derive its Encoder. */
+case class StreamSpecDoc(doc_id: Long, ts: Timestamp, text: String)
+
 /** Structured-Streaming semantics through MemoryStream: windowed counts
   * close on watermark, session windows merge by gap, within-watermark
   * dedup, and custom mapGroupsWithState totals. Each query drains with
@@ -97,6 +100,34 @@ class StreamSpec extends SparkSpec {
       assert(latest(100L) == ((100L, 3L, 7.0)))
       assert(latest(200L) == ((200L, 1L, 5.0)))
     } finally q.stop()
+  }
+
+  test("dedupStreamByFingerprint: same-sketch docs collapse, distinct ones survive") {
+    val ms = memStream[StreamSpecDoc]
+    val out = sinkName()
+    val q = StreamOps.dedupStreamByFingerprint(ms.toDS().toDF(), "ts", "text", "10 minutes")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      ms.addData(
+        StreamSpecDoc(1L, ts("10:00"), "the quick brown fox"),
+        StreamSpecDoc(2L, ts("10:01"), "the  QUICK   brown fox"), // same tokens -> same sketch
+        StreamSpecDoc(3L, ts("10:02"), "a completely different document"))
+      q.processAllAvailable()
+      val ids = spark.table(out).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L), s"fingerprint dedup kept: $ids")
+    } finally q.stop()
+  }
+
+  test("observe: pipeline telemetry counters surface through the batch run") {
+    val obs = new org.apache.spark.sql.Observation("graft_metrics")
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1000).toDF("id")
+      .observe(obs, count(lit(1)).as("rows_in"), sum(col("id")).as("id_sum"))
+      .where(col("id") % 2 === 0)
+    assert(df.count() == 500)
+    val m = obs.get
+    assert(m("rows_in") == 1000L && m("id_sum") == 499500L,
+      s"observed metrics wrong: $m")
   }
 
   test("spendAlerts: flatMapGroupsWithState emits 0..N rows per group per batch") {
