@@ -36,9 +36,16 @@ object Bench {
     val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
 
     // Warm-up: full untimed pass (codegen compile, parquet footer reads,
-    // JIT). Timed pass follows on the same session.
+    // JIT). Then two timed passes; report the min per query — GC pauses
+    // and scheduler jitter only ever ADD time, so the min is the better
+    // estimate of the plan's true cost.
     queries.foreach { case (n, f) => runOnce(n, f) }
-    val results = queries.map { case (n, f) => n -> runOnce(n, f) }
+    val t1 = queries.map { case (n, f) => n -> runOnce(n, f) }
+    val t2 = queries.map { case (n, f) => n -> runOnce(n, f) }
+    val results = queries.map { case (n, _) =>
+      val (a, b) = (t1(n), t2(n))
+      n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

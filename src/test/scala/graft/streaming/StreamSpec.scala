@@ -130,6 +130,55 @@ class StreamSpec extends SparkSpec {
       s"observed metrics wrong: $m")
   }
 
+  test("stream-static enrichment: events join a broadcast dimension, no stream state") {
+    import spark.implicits._
+    val dim = Seq((100L, "gold"), (200L, "basic")).toDF("user_id", "tier")
+    val ms = memStream[Event]
+    val out = sinkName()
+    val q = ms.toDS().toDF()
+      .join(broadcast(dim), "user_id") // static side re-broadcast per batch
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      ms.addData(
+        Event(1L, ts("10:00"), 100L, "click", 1.0),
+        Event(2L, ts("10:01"), 300L, "click", 1.0), // no dim row -> dropped (inner)
+        Event(3L, ts("10:02"), 200L, "view", 2.0))
+      q.processAllAvailable()
+      val got = spark.table(out).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "gold"), (3L, "basic")))
+    } finally q.stop()
+  }
+
+  test("RocksDB state store provider runs the stateful aggregation (scale-grade state)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = memStream[Event]
+    val out = sinkName()
+    try {
+      val q = StreamOps.tumblingCounts(ms.toDS().toDF(), "ts", "10 minutes",
+          Seq(col("event_type")), lateness = "0 seconds")
+        .writeStream.format("memory").queryName(out).outputMode("update").start()
+      try {
+        ms.addData(
+          Event(1L, ts("10:01"), 1L, "click", 1.0),
+          Event(2L, ts("10:02"), 2L, "click", 1.0),
+          Event(3L, ts("10:03"), 3L, "view", 1.0))
+        q.processAllAvailable()
+        val counts = spark.table(out)
+          .select("event_type", "cnt").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(counts == Map("click" -> 2L, "view" -> 1L),
+          s"RocksDB-backed aggregation wrong: $counts")
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("spendAlerts: flatMapGroupsWithState emits 0..N rows per group per batch") {
     val ms = memStream[Event]
     val out = sinkName()
