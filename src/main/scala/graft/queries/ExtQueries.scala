@@ -285,6 +285,32 @@ object ExtQueries {
         .orderBy("key")
     },
 
+    // Unpivot (melt): the inverse reshape of q42 — the wide yr x priority
+    // count matrix back to long (yr, prio, cnt) rows, zeros included.
+    // Wide-to-long is a per-row Expand (no shuffle); only the final sort
+    // exchanges.
+    "q61_unpivot" -> { (s, dir) =>
+      val prios = Seq(
+        "1-URGENT" -> "p1_urgent",
+        "2-HIGH" -> "p2_high",
+        "3-MEDIUM" -> "p3_medium",
+        "4-NOT SPECIFIED" -> "p4_not_specified",
+        "5-LOW" -> "p5_low")
+      val wide = t(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("yr"), col("o_orderpriority"))
+        .groupBy("yr")
+        .pivot("o_orderpriority", prios.map(_._1))
+        .agg(count(lit(1)))
+        .select(col("yr") +: prios.map { case (v, a) =>
+          coalesce(col(s"`$v`"), lit(0L)).as(a)
+        }: _*)
+      wide.unpivot(
+          Array(col("yr")),
+          prios.map(p => col(p._2)).toArray,
+          "prio", "cnt")
+        .orderBy("yr", "prio")
+    },
+
     // Data-profiling audit: one pass over the fact table computing row
     // count, per-column exact distinct counts, null counts and ranges —
     // the ingest-validation query every pipeline runs first. Multiple
@@ -434,6 +460,24 @@ object ExtQueries {
       """SELECT regexp_extract(p_name, '^(\w+)', 1) AS first_word,
         |       count(*) AS cnt, count(DISTINCT p_brand) AS brands
         |FROM part GROUP BY first_word ORDER BY first_word""".stripMargin,
+    "q61_unpivot" ->
+      """WITH yrs AS (SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS yr FROM orders),
+        |p(prio) AS (VALUES ('p1_urgent'), ('p2_high'), ('p3_medium'),
+        |                   ('p4_not_specified'), ('p5_low')),
+        |cnts AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |         CASE o_orderpriority
+        |           WHEN '1-URGENT' THEN 'p1_urgent'
+        |           WHEN '2-HIGH' THEN 'p2_high'
+        |           WHEN '3-MEDIUM' THEN 'p3_medium'
+        |           WHEN '4-NOT SPECIFIED' THEN 'p4_not_specified'
+        |           ELSE 'p5_low' END AS prio,
+        |         count(*) AS c
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT yrs.yr AS yr, p.prio AS prio, CAST(coalesce(c, 0) AS BIGINT) AS cnt
+        |FROM yrs CROSS JOIN p
+        |LEFT JOIN cnts ON cnts.yr = yrs.yr AND cnts.prio = p.prio
+        |ORDER BY yrs.yr, p.prio""".stripMargin,
     "q60_profile" ->
       """SELECT count(*) AS rows,
         |       count(DISTINCT l_partkey) AS d_part,
