@@ -142,12 +142,18 @@ object AggOps {
           at(kHi).as(s"__hi_$name"),
           max(h - floor(h)).as(s"__f_$name")) // constant within a group
       }
-      cdf.groupBy(part.map(col): _*)
+      val computed = cdf.groupBy(part.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
         .select(part.map(col) ++ ps.zip(names).map { case (_, name) =>
           (col(s"__lo_$name")
             + col(s"__f_$name") * (col(s"__hi_$name") - col(s"__lo_$name"))).as(name)
         }: _*)
+      // builtin percentile still RETURNS a group whose values are all
+      // null (with a null result); the null filter above would silently
+      // drop it — restore such groups via the distinct group list (small:
+      // one row per group, broadcast)
+      df.select(part.map(col): _*).distinct()
+        .join(computed, part, "left")
     }
   }
 }

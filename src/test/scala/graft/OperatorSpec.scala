@@ -133,19 +133,27 @@ class OperatorSpec extends SparkSpec {
     // null value (builtin percentile ignores nulls — so must we)
     val rows = Seq("a" -> Some(10.0), "a" -> Some(1.0), "a" -> Some(7.5),
       "a" -> Some(7.5), "a" -> Some(2.0), "a" -> None,
-      "b" -> Some(3.0), "b" -> Some(4.0), "c" -> Some(42.0))
+      "b" -> Some(3.0), "b" -> Some(4.0), "c" -> Some(42.0),
+      "d" -> None) // all-null group: present in output, null result
     val df = rows.toDF("g", "v")
     val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
     val names = ps.map(p => s"p${(p * 100).toInt}")
     val got = df.transform(AggOps.exactPercentiles(Seq("g"), "v", ps, names))
-      .collect().map(r => r.getString(0) -> names.indices.map(i => r.getDouble(i + 1))).toMap
+      .collect().map(r => r.getString(0) ->
+        names.indices.map(i => if (r.isNullAt(i + 1)) None else Some(r.getDouble(i + 1)))).toMap
     val exp = df.groupBy("g")
       .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("p"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) ps.map(_ => None)
+         else r.getSeq[Double](1).toIndexedSeq.map(Some(_)))).toMap
     assert(got.keySet == exp.keySet)
-    for (g <- got.keySet; i <- ps.indices)
-      assert(math.abs(got(g)(i) - exp(g)(i)) < 1e-12,
-        s"group $g p=${ps(i)}: sort-based ${got(g)(i)} vs builtin ${exp(g)(i)}")
+    for (g <- got.keySet; i <- ps.indices) (got(g)(i), exp(g)(i)) match {
+      case (Some(a), Some(b)) =>
+        assert(math.abs(a - b) < 1e-12,
+          s"group $g p=${ps(i)}: count-compressed $a vs builtin $b")
+      case (a, b) =>
+        assert(a == b, s"group $g p=${ps(i)}: null mismatch $a vs $b")
+    }
   }
 
   test("approx_percentile lands near the exact percentile (sketch surface)") {
