@@ -582,10 +582,14 @@ object GraftExtensions {
         builder)
     }
 
-  /** Register on an already-built session (tests, driver-provided sessions). */
+  /** Register on an already-built session (tests, driver-provided
+    * sessions). Idempotent: skips names already present, so repeated
+    * `align()` calls don't log a replaced-function warning per query.
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     descs.foreach { case (id, _, builder) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        id.funcName, builder, "built-in")
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          id.funcName, builder, "built-in")
     }
 }
