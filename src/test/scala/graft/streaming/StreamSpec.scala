@@ -179,6 +179,43 @@ class StreamSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint restart: windowed state survives a stop/start cycle (file sink)") {
+    // memory sink can't recover from a checkpoint; the parquet sink can.
+    // Window W1 collects two events BEFORE the restart and only closes
+    // (append emission) AFTER it — the emitted count proves the window
+    // state crossed the stop/start boundary.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft-ckpt-out").toString
+    val ms = memStream[Event]
+    def start() = StreamOps.tumblingCounts(ms.toDS().toDF(), "ts", "10 minutes",
+        Seq(col("event_type")), lateness = "0 seconds")
+      .select(col("window.start").cast("long").as("ws"), col("event_type"), col("cnt"))
+      .writeStream.format("parquet")
+      .option("path", dest)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    try {
+      ms.addData(
+        Event(1L, ts("10:01"), 100L, "click", 1.0),
+        Event(2L, ts("10:03"), 200L, "click", 1.0))
+      q1.processAllAvailable() // W1 still open: nothing emitted yet
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      // advances the watermark past W1's end -> W1 closes and emits
+      ms.addData(Event(3L, ts("10:25"), 300L, "click", 1.0))
+      q2.processAllAvailable()
+      val counts = spark.read.parquet(dest)
+        .select("event_type", "cnt").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      assert(counts.contains("click" -> 2L),
+        s"window state lost across restart; emitted: ${counts.toSeq}")
+    } finally q2.stop()
+  }
+
   test("spendAlerts: flatMapGroupsWithState emits 0..N rows per group per batch") {
     val ms = memStream[Event]
     val out = sinkName()
