@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{AggOps, AsOfJoin, RangeJoin}
+import graft.operators.{AggOps, AsOfJoin, RangeJoin, Resample}
 import graft.sources.Sources
 
 /** Engine-extension queries: the §2b operator classes the reference has
@@ -285,6 +285,23 @@ object ExtQueries {
         .orderBy("key")
     },
 
+    // Time-grid resample + forward fill: each user's purchase value
+    // projected onto a daily grid, latest purchase carried forward —
+    // grid explode + as-of join (Resample), no range join. Observations
+    // are pre-reduced per (user, ts) so the carried value is
+    // deterministic.
+    "q62_resample" -> { (s, dir) =>
+      val day = 86400000000L // micros
+      val obs = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+        .groupBy("user_id", "tus").agg(max(col("value")).as("v"))
+      Resample.forwardFill(obs, Seq("user_id"), "tus", Seq("v"), day)
+        .where(col("asof_v").isNotNull)
+        .select(col("user_id"), col("grid_ts"), col("asof_v").as("v"))
+        .orderBy("user_id", "grid_ts")
+    },
+
     // Unpivot (melt): the inverse reshape of q42 — the wide yr x priority
     // count matrix back to long (yr, prio, cnt) rows, zeros included.
     // Wide-to-long is a per-row Expand (no shuffle); only the final sort
@@ -460,6 +477,20 @@ object ExtQueries {
       """SELECT regexp_extract(p_name, '^(\w+)', 1) AS first_word,
         |       count(*) AS cnt, count(DISTINCT p_brand) AS brands
         |FROM part GROUP BY first_word ORDER BY first_word""".stripMargin,
+    "q62_resample" ->
+      """WITH obs AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, max(value) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, tus),
+        |b AS (SELECT user_id, min(tus) AS lo, max(tus) AS hi FROM obs GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |         unnest(range(((lo + 86399999999) // 86400000000) * 86400000000,
+        |                      hi + 1, 86400000000)) AS grid_ts
+        |  FROM b)
+        |SELECT g.user_id AS user_id, g.grid_ts AS grid_ts, o.v AS v
+        |FROM grid g
+        |ASOF JOIN obs o ON g.user_id = o.user_id AND g.grid_ts >= o.tus
+        |ORDER BY user_id, grid_ts""".stripMargin,
     "q61_unpivot" ->
       """WITH yrs AS (SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS yr FROM orders),
         |p(prio) AS (VALUES ('p1_urgent'), ('p2_high'), ('p3_medium'),

@@ -58,6 +58,20 @@ class JoinOpsSpec extends SparkSpec {
       3L -> None))        // different key entirely
   }
 
+  test("Resample.forwardFill: daily grid carries the latest observation forward") {
+    // user 1: obs at t=5 (v=10) and t=25 (v=20), step 10
+    // grid: 10, 20 (fill 10), then 30 > hi=25 -> stops at hi
+    val obs = Seq((1L, 5L, 10.0), (1L, 25L, 20.0), (2L, 40L, 7.0))
+      .toDF("k", "t", "v")
+    val got = graft.operators.Resample.forwardFill(obs, Seq("k"), "t", Seq("v"), step = 10L)
+      .select("k", "grid_ts", "asof_v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      (1L, 10L, 10.0), // first boundary after t=5, fills from the t=5 obs
+      (1L, 20L, 10.0), // still before the t=25 obs
+      (2L, 40L, 7.0))) // single obs exactly on its own boundary
+  }
+
   test("AsOfJoin: null timestamps never match (DuckDB ASOF parity)") {
     val l = Seq(
       (1L, 100L, Some(10L)), // normal: matches the ts-7 right row
