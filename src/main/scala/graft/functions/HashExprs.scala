@@ -254,6 +254,30 @@ object HashImpls {
     c
   }
 
+  /** Normalized whitespace tokenization in one byte pass: split on ASCII
+    * whitespace runs (Java regex `\s` is ASCII-only), lowercase each
+    * token (full Unicode toLowerCase, applied per token — lowercase
+    * mappings never produce or consume whitespace, so the split points
+    * are identical to lowering first). Exactly equals the built-in
+    * `split(trim(regexp_replace(lower(text), "\s+", " ")), " ")`
+    * composition, including the blank-document artifact (a single empty
+    * token) — property-asserted in EngineProps.
+    */
+  def tokenize(input: UTF8String): ArrayData = {
+    val bytes = input.getBytes // one owned copy; token views point into it
+    val n = bytes.length
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < n) {
+      while (i < n && isSpace(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isSpace(bytes(i))) i += 1
+      if (i > start) out.add(UTF8String.fromBytes(bytes, start, i - start).toLowerCase)
+    }
+    if (out.isEmpty) return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+    new GenericArrayData(out.toArray)
+  }
+
   /** 64-bit SimHash over a PRE-HASHED feature set (e.g. shingle hashes
     * from [[shingleHashes]]): each feature hash votes +-1 on every bit
     * directly — no re-tokenization. SimHash over shingles separates
@@ -446,6 +470,17 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class TokenizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokenize"
+  override protected def nullSafeEval(input: Any): Any =
+    HashImpls.tokenize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.tokenize($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenizeExpr =
+    copy(child = newChild)
+}
+
 case class SimHashFromHashesExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_from_hashes"
@@ -477,6 +512,8 @@ object exprs {
     GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(c.cast("string"))))
   def rollingHash64(c: Column): Column =
     GraftColumnBridge.column(RollingHash64Expr(GraftColumnBridge.expression(c.cast("string"))))
+  def tokenize(c: Column): Column =
+    GraftColumnBridge.column(TokenizeExpr(GraftColumnBridge.expression(c.cast("string"))))
   def simhashFromHashes(hashes: Column): Column =
     GraftColumnBridge.column(SimHashFromHashesExpr(GraftColumnBridge.expression(hashes)))
   def shingleHashes(tokens: Column, n: Int): Column =
@@ -565,6 +602,7 @@ object GraftExtensions {
   private val descs: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq[(String, Seq[Expression] => Expression)](
       "simhash64" -> unaryString("simhash64", SimHash64Expr(_)) _,
+      "tokenize" -> unaryString("tokenize", TokenizeExpr(_)) _,
       "rolling_hash64" -> unaryString("rolling_hash64", RollingHash64Expr(_)) _,
       "punct_count" -> unaryString("punct_count", PunctCountExpr(_)) _,
       "digit_runs" -> unaryString("digit_runs", DigitRunsExpr(_)) _,

@@ -30,8 +30,17 @@ object Dedup {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
-  /** Normalized whitespace tokens. */
-  def tokens(text: Column): Column = split(normalize(text), " ")
+  /** Normalized whitespace tokens — the first step of nearly every text
+    * operator, so it runs as ONE native byte-scan pass
+    * (graft.functions.TokenizeExpr) instead of two regex passes plus a
+    * split. Bit-identical to [[tokensBuiltin]] (property-asserted),
+    * including the blank-doc `[""]` artifact the downstream counts rely
+    * on.
+    */
+  def tokens(text: Column): Column = graft.functions.exprs.tokenize(text)
+
+  /** Built-in-composition reference form of [[tokens]]. */
+  def tokensBuiltin(text: Column): Column = split(normalize(text), " ")
 
   /** Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
     * array column; empty array when the document has fewer than `n` words

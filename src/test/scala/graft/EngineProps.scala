@@ -152,6 +152,20 @@ object EngineProps extends Properties("graft") {
     }
   }
 
+  property("native tokenize == lower/regex/split composition (incl unicode + blanks)") = {
+    val genText = Gen.listOf(Gen.oneOf(
+      "cat", "DOG", "ÉtÉ", "İstanbul", "a\tb", "x\n\ny", "", " ", "  ",
+      "ß", "tab\there", "123", "!?")).map(_.mkString(" "))
+    forAll(Gen.listOfN(8, genText)) { texts =>
+      import spark.implicits._
+      val df = texts.toDF("t")
+      val pairs = df.select(
+        graft.operators.llm.Dedup.tokens(col("t")),
+        graft.operators.llm.Dedup.tokensBuiltin(col("t"))).collect()
+      pairs.forall(r => r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   property("native chunk generator == builtin HOF composition (random docs)") = {
     val genText = Gen.listOf(Gen.oneOf("aa", "b", "ccc", "", " ")).map(_.mkString(" "))
     forAll(Gen.listOfN(6, genText), Gen.choose(1, 6), Gen.choose(0, 5)) { (texts, mt, ovRaw) =>
