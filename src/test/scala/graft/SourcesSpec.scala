@@ -105,6 +105,14 @@ class SourcesSpec extends SparkSpec {
     assert(r2 == Seq("1900"))
   }
 
+  test("CRLF line endings parse identically to LF (trailing \\r trimmed before split)") {
+    val path = tmpFile("1900 41\r", "1901 35\r", "1902 20")
+    val rows = Sources.whitespace(spark, path, yearTemp)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(rows == Set("1900" -> 41, "1901" -> 35, "1902" -> 20),
+      "Windows-origin files must parse like Unix ones")
+  }
+
   test("string-typed fields never cause drops (nulls only come from casts)") {
     val path = tmpFile("a b", "c d")
     val schema = StructType(Seq(StructField("x", StringType), StructField("y", StringType)))
