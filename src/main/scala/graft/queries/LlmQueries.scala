@@ -378,6 +378,21 @@ object LlmQueries {
         .orderBy("lang")
     },
 
+    // Global top-k by quality: ORDER BY score LIMIT k plans as
+    // TakeOrderedAndProject — per-partition bounded top-k then a single
+    // k-row merge on the driver; the full corpus is never range-sorted
+    // (PlanSpec pins the plan shape). Complements per-key top-k (q36).
+    "q63_top_quality" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("w"))
+        .select(
+          col("doc_id"),
+          TextStats.qualityScoreFromTokens(col("text"), col("w"), TextStats.langProfiles("en"))
+            .as("quality"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+        .limit(20)
+    },
+
     // TF-IDF top term per document: term frequency per (doc, term), doc
     // frequency per term, idf = ln(N/df), top-1 by rounded score via the
     // custom TopKPerKey operator (bounded heap — no per-doc sort).
@@ -635,6 +650,26 @@ object LlmQueries {
         |       CAST(sum(length(text) - length(regexp_replace(text, '[0-9]+', '#', 'g')))
         |            AS BIGINT) AS chars_removed
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q63_top_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
+        |              THEN []::VARCHAR[]
+        |              ELSE string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+        |         END AS w
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |         round(least(len(w)::DOUBLE / 100.0, 1.0) * 0.4
+        |               + (1.0 - least((CASE WHEN length(text) > 0
+        |                   THEN len(regexp_extract_all(text, '[[:punct:]]'))::DOUBLE / length(text)
+        |                   ELSE 0.0 END) * 5.0, 1.0)) * 0.3
+        |               + least((CASE WHEN len(w) > 0
+        |                   THEN len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','that','it','for')))::DOUBLE / len(w)
+        |                   ELSE 0.0 END) * 4.0, 1.0) * 0.3, 6) AS quality
+        |  FROM base)
+        |SELECT doc_id, quality FROM sc
+        |ORDER BY quality DESC, doc_id LIMIT 20""".stripMargin,
     "q54_tfidf" ->
       """WITH words AS (
         |  SELECT doc_id,

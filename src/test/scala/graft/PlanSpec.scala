@@ -129,6 +129,14 @@ class PlanSpec extends SparkSpec {
       s"band self-join degenerated:\n$p")
   }
 
+  test("q63 global top-k: TakeOrderedAndProject, never a full range sort") {
+    val p = plan("q63_top_quality")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ORDER BY + LIMIT should plan as bounded top-k:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global top-k must not range-sort the corpus:\n$p")
+  }
+
   test("runtime bloom-filter pruning: selective dim join filters the fact scan") {
     // the 100 TB shape: a selective dimension predicate should prune the
     // fact-side shuffle via an injected bloom filter (might_contain),
