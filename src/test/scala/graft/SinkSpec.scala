@@ -51,6 +51,25 @@ class SinkSpec extends SparkSpec {
       s"no dynamic partition pruning subquery on the fact scan:\n$p")
   }
 
+  test("schema evolution: mergeSchema unions lake file schemas; unionByName fills gaps") {
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    // v1 files lack the `source` column a later writer added
+    Seq((1L, "t1")).toDF("id", "text").write.parquet(s"$dir/batch=1")
+    Seq((2L, "t2", "web")).toDF("id", "text", "source").write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "text", "source", "batch"))
+    val bySource = merged.select("id", "source").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(bySource == Map(1L -> None, 2L -> Some("web")),
+      "old files must surface the new column as null")
+
+    // the DataFrame-level counterpart for in-flight merges
+    val v1 = Seq((1L, "t1")).toDF("id", "text")
+    val v2 = Seq((2L, "t2", "web")).toDF("id", "text", "source")
+    val u = v1.unionByName(v2, allowMissingColumns = true)
+    assert(u.count() == 2 && u.columns.toSet == Set("id", "text", "source"))
+  }
+
   test("round-trip preserves rows and the partition column") {
     val dir = Files.createTempDirectory("graft-sink2").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "src", "x")
