@@ -213,27 +213,47 @@ object Similarity {
       bands: Int = 4,
       maxBucketSize: Int = 10000): DataFrame = {
     require(planes % bands == 0, "planes must divide evenly into bands")
-    // The vector rides along through the band explode (a few hundred
-    // bytes per row, duplicated `bands` times — metadata-scale), so the
-    // exact-cosine verification runs INSIDE the band join's output stage
-    // and the threshold filter drops non-pairs before any re-shuffle. A
-    // pair sharing several bands scores its cosine once per shared band;
-    // that duplicate arithmetic is local and codegen'd, far cheaper than
-    // the alternative (distinct over every candidate occurrence, then
-    // two joins to fetch the vectors back).
-    // persisted: consumed three times (bucket sizing + both sides of the
-    // self-join); tracked in ManagedCache for reclamation. The norm is
-    // precomputed per VECTOR here so each candidate occurrence scores
-    // with one dot product + a multiply — cosine() inline would redo
-    // both norms (3 dot products) per occurrence.
-    val banded = graft.engine.ManagedCache.persist(
+    // Exact-duplicate collapse first: web-scale corpora carry heavy
+    // EXACT vector duplication (re-crawls, mirrors), and a clique of k
+    // identical vectors shares every band — in-bucket candidate work
+    // would grow with k^2 (measured quadratic on a replicated probe
+    // corpus). The LSH pipeline therefore sees one REPRESENTATIVE per
+    // distinct vector; member pairs are expanded back at the end, which
+    // is output-sized work (those pairs ARE the answer) while candidate
+    // generation stays duplication-independent.
+    val grouped = graft.engine.ManagedCache.persist(
       df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-        .select(
-          col("__id"), col("__v"),
+        .groupBy("__v")
+        .agg(min(col("__id")).as("__rep"), sort_array(collect_list(col("__id"))).as("__ids")))
+
+    // intra-clique pairs: identical vectors are pairs by definition
+    // (cosine computed by the same formula for output parity)
+    val intra = grouped.where(size(col("__ids")) > 1)
+      .select(
+        round(cosine(col("__v"), col("__v")), 6).as("cos"),
+        explode(
+          flatten(transform(
+            sequence(lit(0), size(col("__ids")) - 2),
+            i => transform(
+              slice(col("__ids"), i + 2, size(col("__ids"))),
+              b => struct(element_at(col("__ids"), i + 1).as("id_a"), b.as("id_b"))))))
+          .as("__p"))
+      .select(col("__p.id_a"), col("__p.id_b"), col("cos"))
+      .where(col("cos") >= threshold)
+
+    // cross-clique pairs: the banded pipeline over representatives. The
+    // vector+norm ride through the band explode so exact-cosine
+    // verification runs INSIDE the band join's output stage (threshold
+    // cuts non-pairs before any re-shuffle); persisted because it feeds
+    // bucket sizing plus both self-join sides.
+    val banded = graft.engine.ManagedCache.persist(
+      grouped.select(
+          col("__rep"), col("__ids"), col("__v"),
           norm(col("__v")).as("__nm"),
           hyperplaneBits(col("__v"), planes).as("__sig"))
         .select(
-          col("__id"),
+          col("__rep"),
+          col("__ids"),
           col("__v"),
           col("__nm"),
           posexplode(Dedup.bandHashes(col("__sig"), bands, planes / bands))
@@ -243,19 +263,28 @@ object Similarity {
       .where(col("__n") <= maxBucketSize)
       .select("__band", "__bh")
     val kept = banded.join(sized, Seq("__band", "__bh"))
-    kept.as("a")
+    val cross = kept.as("a")
       .join(
         kept.as("b"),
         col("a.__band") === col("b.__band") && col("a.__bh") === col("b.__bh") &&
-          col("a.__id") < col("b.__id"))
+          col("a.__rep") < col("b.__rep"))
       .select(
-        col("a.__id").as("id_a"),
-        col("b.__id").as("id_b"),
+        col("a.__ids").as("__as"),
+        col("b.__ids").as("__bs"),
         round(
           when(col("a.__nm") * col("b.__nm") > 0,
             dot(col("a.__v"), col("b.__v")) / (col("a.__nm") * col("b.__nm"))),
           6).as("cos"))
       .where(col("cos") >= threshold)
       .distinct()
+      // representative pair -> member pairs (output-sized expansion)
+      .select(explode(col("__as")).as("__ia"), col("__bs"), col("cos"))
+      .select(col("__ia"), explode(col("__bs")).as("__ib"), col("cos"))
+      .select(
+        least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        col("cos"))
+
+    intra.unionByName(cross)
   }
 }
