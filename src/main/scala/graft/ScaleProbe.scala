@@ -38,6 +38,18 @@ object ScaleProbe {
       Dedup.simhashNearDupPairs(docs, "text", "doc_id").count())
     graft.engine.ManagedCache.unpersistAll()
 
+    // sharded text sink vs the single-task golden form: same byte stream
+    // (line-sorted in both paths), but the sort and the write spread
+    // across the cluster — the S2 contract's scale path
+    val kvOut = java.nio.file.Files.createTempDirectory("graft-scale-kv").toString
+    val kv = docs.select(col("doc_id"), length(col("text")).as("len"))
+    time("KV sink, sharded (32 range shards)") {
+      graft.operators.KvTextSink.writeSharded(kv, s"$kvOut/sharded", shards = 32); 0L
+    }
+    time("KV sink, single-file (coalesce 1)") {
+      graft.operators.KvTextSink.write(kv, s"$kvOut/single"); 0L
+    }
+
     val e0 = Sources.table(spark, dir, "embeddings").select("vec_id", "embedding")
     val embs = (0 until factor)
       .map(i => e0.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))

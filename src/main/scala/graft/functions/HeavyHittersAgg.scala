@@ -22,7 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Guarantees (classic Misra-Gries): estimated count is an UNDERcount by
   * at most N/width (N = stream length); every item with true frequency
-  * > N/width survives the summary. When the distinct-item count never
+  * > N/width survives the summary. The bound holds across ANY
+  * partial-buffer merge tree: merge() applies the mergeable-summaries
+  * trim (subtract the (width+1)-th largest count, drop non-positive —
+  * Agarwal et al., "Mergeable Summaries"), not a lossy keep-top-width
+  * cut. When the distinct-item count never
   * exceeds `width`, no decrement ever fires and counts are EXACT — which
   * is what the oracle-checked query relies on at verification scale,
   * while HeavyHittersSpec exercises the approximate regime
@@ -87,16 +91,27 @@ case class HeavyHittersAgg(
       b1.put(item, if (cur == null) c else java.lang.Long.valueOf(cur.longValue + c.longValue))
     }
     if (b1.size > width) {
-      // keep the top `width` by count — standard mergeable-summary trim.
-      // Ties break on the item so the trim (and thus the whole merge
-      // tree) is deterministic regardless of hash-map iteration order.
-      val entries = new java.util.ArrayList(b1.entrySet())
-      entries.sort { (a, b) =>
-        val c = java.lang.Long.compare(b.getValue.longValue, a.getValue.longValue)
-        if (c != 0) c else a.getKey.compareTo(b.getKey)
+      // mergeable-summaries trim (Agarwal et al.): subtract the
+      // (width+1)-th largest count from every counter and drop the
+      // non-positive ones. This is the Misra-Gries decrement applied in
+      // bulk, so the N/width undercount bound holds across ANY merge
+      // tree — a plain keep-top-width trim would not subtract and the
+      // bound would decay per merge level. Deterministic: survivors and
+      // their counts depend only on the count multiset, not on hash-map
+      // iteration order.
+      val counts = new Array[Long](b1.size)
+      var i = 0
+      val cit = b1.values().iterator()
+      while (cit.hasNext) { counts(i) = cit.next().longValue; i += 1 }
+      java.util.Arrays.sort(counts) // ascending; pivot = (width+1)-th largest
+      val pivot = counts(counts.length - width - 1)
+      val it = b1.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val nv = e.getValue.longValue - pivot
+        if (nv <= 0L) it.remove()
+        else e.setValue(java.lang.Long.valueOf(nv))
       }
-      var i = width
-      while (i < entries.size()) { b1.remove(entries.get(i).getKey); i += 1 }
     }
     b1
   }

@@ -11,13 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object KvTextSink {
 
-  /** Render (key, value...) rows into the reference's line format. */
+  /** Render (key, value...) rows into the reference's line format.
+    *
+    * Sorted by the FULL rendered line, not the key alone: key order is
+    * preserved (`\t` sorts below every printable byte, so "a\t..." still
+    * precedes "ab\t..."), and duplicate keys get a deterministic value
+    * order — which makes [[write]] and [[writeSharded]] produce the SAME
+    * byte stream even when keys repeat. (A key containing a literal tab
+    * would blur the key/value boundary — outside the S2 contract.)
+    */
   def lines(df: DataFrame): Dataset[String] = {
     import df.sparkSession.implicits._
     val cols: Seq[Column] = df.columns.toIndexedSeq.map(c => col(c).cast("string"))
     df.select(concat_ws("\t", cols: _*).as("line"))
-      .orderBy(col(df.columns.head).cast("string"))
-      .select(col("line"))
+      .orderBy(col("line"))
       .as[String]
   }
 
@@ -35,11 +42,12 @@ object KvTextSink {
     */
   def writeSharded(df: DataFrame, path: String, shards: Int): Unit = {
     import df.sparkSession.implicits._
-    val key = col(df.columns.head).cast("string")
     val cols: Seq[Column] = df.columns.toIndexedSeq.map(c => col(c).cast("string"))
-    df.repartitionByRange(shards, key)
-      .sortWithinPartitions(key)
-      .select(concat_ws("\t", cols: _*).as("line"))
+    // range-partition and sort by the FULL line (same total order as
+    // [[lines]]), so concatenation equivalence holds under duplicate keys
+    df.select(concat_ws("\t", cols: _*).as("line"))
+      .repartitionByRange(shards, col("line"))
+      .sortWithinPartitions(col("line"))
       .as[String]
       .write.mode("overwrite").text(path)
   }

@@ -38,8 +38,11 @@ object Resample {
     val grid = bounds.select(
       keys.map(col) :+
         explode(sequence(
-          // first grid point at or after __lo (integer ceil to the step)
-          expr(s"((__lo + ${step - 1}) div $step) * $step"),
+          // first grid point at or after __lo: ceil to the step via pmod,
+          // which is floor-division-based — correct for NEGATIVE epochs
+          // too (lo=-15, step=10 -> -10), where a truncating `div` ceil
+          // would give 0 and disagree with a floor-division oracle
+          expr(s"__lo + pmod($step - pmod(__lo, $step), $step)"),
           col("__hi"),
           lit(step))).as("grid_ts"): _*)
     AsOfJoin(grid, df, keys, "grid_ts", tsCol, payload)

@@ -45,7 +45,8 @@ class HeavyHittersSpec extends SparkSpec {
       .select(explode(col("t")).as("e"))
       .head().getStruct(0).getLong(1)
     assert(est <= 6000, "Misra-Gries never overcounts within a partition chain")
-    // merged partials can each have shed at most their local N/width
-    assert(est >= 6000 - n / width * 4, s"undercount beyond bound: $est")
+    // the TRUE mergeable-summaries bound — the total decrement across
+    // update chains AND merge trims is at most N/width
+    assert(est >= 6000 - n / width, s"undercount beyond N/width bound: $est")
   }
 }

@@ -72,6 +72,19 @@ class JoinOpsSpec extends SparkSpec {
       (2L, 40L, 7.0))) // single obs exactly on its own boundary
   }
 
+  test("Resample.forwardFill: negative (pre-1970) epochs use floor-division grid") {
+    // lo=-15: ceil(-15/10)*10 = -10 (a truncating div would give 0 and
+    // silently drop the -10 grid point); lo=-20 sits exactly on a boundary
+    val obs = Seq((1L, -15L, 1.0), (1L, 12L, 2.0), (2L, -20L, 3.0), (2L, -3L, 4.0))
+      .toDF("k", "t", "v")
+    val got = graft.operators.Resample.forwardFill(obs, Seq("k"), "t", Seq("v"), step = 10L)
+      .select("k", "grid_ts", "asof_v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      (1L, -10L, 1.0), (1L, 0L, 1.0), (1L, 10L, 1.0),
+      (2L, -20L, 3.0), (2L, -10L, 3.0)))
+  }
+
   test("AsOfJoin: null timestamps never match (DuckDB ASOF parity)") {
     val l = Seq(
       (1L, 100L, Some(10L)), // normal: matches the ts-7 right row
