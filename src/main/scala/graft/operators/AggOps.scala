@@ -95,22 +95,37 @@ object AggOps {
       df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
     }
 
-  /** Exact interpolated percentiles per group via count compression.
+  /** Exact interpolated percentiles per group via count compression,
+    * with FULLY PARALLEL rank resolution.
     *
     * Spark's built-in `percentile` aggregate holds a value->count map per
     * group in ONE executor's memory — on a distinct-heavy double column
     * (prices, scores) that map is proportional to group size, an OOM at
-    * large scale. Here the heavy reduction is a fully parallel
-    * partial+final count over (group, value); only the DISTINCT values of
-    * each group flow into the cumulative-rank window (spillable sort),
-    * and a final hash aggregate picks the two values straddling each cut
-    * point. Memory is bounded at any group size; the only per-group
-    * serial step is a sort of the group's distinct values.
+    * large scale. Here every stage is parallel and memory-bounded:
+    *
+    *   1. count compression — a partial+final hash aggregate over
+    *      (group, value): the only pass over the full data;
+    *   2. the compressed counts are RANGE-partitioned by (group, value)
+    *      and stamped with their chunk id; because the group columns are
+    *      a prefix of the range key, chunk order == value order within
+    *      every group;
+    *   3. per-(group, chunk) subtotals roll up to prefix offsets and
+    *      group totals — windows over at most `shuffle.partitions` rows
+    *      per group, never over the data;
+    *   4. global cumulative ranks = chunk offset + a running sum local to
+    *      each (group, chunk): every sort task is bounded by the range
+    *      chunk size, NEVER by group size (no per-group serial CDF sort —
+    *      a 3-group corpus resolves ranks across all partitions);
+    *   5. a final hash aggregate picks the two values straddling each cut
+    *      point.
     *
     * Same linear-interpolation semantics as `percentile` / DuckDB
     * `quantile_cont` (asserted in OperatorSpec): result =
     * v_lo + frac * (v_hi - v_lo) at 0-based position h = (n-1)*p, where
     * v at rank k is the value whose cumulative count range covers k.
+    * NULL group keys form a group like any other (all joins here are
+    * null-safe `<=>`), and a group whose values are ALL null is returned
+    * with null percentiles — both matching the builtin.
     *
     * Output: `part` columns + one double column per entry of `ps`, named
     * by `names`.
@@ -123,14 +138,43 @@ object AggOps {
     require(ps.nonEmpty && ps.length == names.length, "one output name per percentile")
     require(ps.forall(p => p >= 0.0 && p <= 1.0), "percentiles must be in [0, 1]")
     df => {
-      val w = Window.partitionBy(part.map(col): _*).orderBy(col(valueCol).asc)
-      val whole = Window.partitionBy(part.map(col): _*)
-      val cdf = df
+      val nChunks = df.sparkSession.sessionState.conf.numShufflePartitions
+      val counts = df
         .where(col(valueCol).isNotNull) // builtin percentile ignores nulls; so do we
         .groupBy(part.map(col) :+ col(valueCol): _*)
         .agg(count(lit(1)).as("__c"))
-        .withColumn("__cum", sum(col("__c")).over(w)) // inclusive cumulative
-        .withColumn("__n", sum(col("__c")).over(whole))
+      // count-compress BEFORE the range exchange (the A/B ran 0.4s the
+      // other way at sf0.1: range-partitioning raw rows ships 2x the
+      // rows and its boundary sampling re-executes the scan). Persisted
+      // (ManagedCache) so the offsets branch and the rank branch below
+      // read the SAME materialized partitioning — __pid must mean one
+      // thing.
+      val ranged = graft.engine.ManagedCache.persist(
+        counts
+          .repartitionByRange(nChunks, part.map(col) :+ col(valueCol): _*)
+          .withColumn("__pid", spark_partition_id()))
+      val wOff = Window.partitionBy(part.map(col): _*).orderBy(col("__pid").asc)
+      val wAll = Window.partitionBy(part.map(col): _*)
+      val offsets = ranged
+        .groupBy(part.map(col) :+ col("__pid"): _*)
+        .agg(sum(col("__c")).as("__ct"))
+        .withColumn("__off", sum(col("__ct")).over(wOff) - col("__ct"))
+        .withColumn("__n", sum(col("__ct")).over(wAll))
+        .drop("__ct")
+      // the (part, __pid) equi-join's hash distribution already satisfies
+      // the local window's requirement — no exchange between them, just a
+      // chunk-bounded sort
+      val cdf = ranged.as("l")
+        .join(offsets.as("r"),
+          part.map(c => col(s"l.`$c`") <=> col(s"r.`$c`"))
+            .foldLeft(col("l.__pid") === col("r.__pid"))(_ && _))
+        .select(part.map(c => col(s"l.`$c`")) ++ Seq(
+          col(s"l.`$valueCol`"), col("l.__c"), col("l.__pid"),
+          col("r.__off"), col("r.__n")): _*)
+        .withColumn("__cum", // inclusive global cumulative count
+          col("__off") + sum(col("__c")).over(
+            Window.partitionBy(part.map(col) :+ col("__pid"): _*)
+              .orderBy(col(valueCol).asc)))
       val aggs = ps.zip(names).flatMap { case (p, name) =>
         val h = (col("__n") - 1).cast("double") * lit(p)
         val kLo = floor(h).cast("long")
@@ -149,11 +193,20 @@ object AggOps {
             + col(s"__f_$name") * (col(s"__hi_$name") - col(s"__lo_$name"))).as(name)
         }: _*)
       // builtin percentile still RETURNS a group whose values are all
-      // null (with a null result); the null filter above would silently
-      // drop it — restore such groups via the distinct group list (small:
-      // one row per group, broadcast)
-      df.select(part.map(col): _*).distinct()
-        .join(computed, part, "left")
+      // null (with a null result); the null filter above dropped those
+      // rows. Such groups are exactly the IsNull rows' groups minus
+      // `computed`'s keys — recovered from an IsNull-pushed scan (prunes
+      // to metadata when the value column is null-free) instead of a
+      // full-table re-scan. The anti-join is null-safe: a group whose KEY
+      // is null is a group like any other (`=` would duplicate it).
+      val missing = df.where(col(valueCol).isNull)
+        .select(part.map(col): _*).distinct().as("g")
+        .join(computed.as("p"),
+          part.map(c => col(s"g.`$c`") <=> col(s"p.`$c`"))
+            .foldLeft(lit(true))(_ && _),
+          "left_anti")
+        .select(part.map(col) ++ names.map(n => lit(null).cast("double").as(n)): _*)
+      computed.unionByName(missing)
     }
   }
 }

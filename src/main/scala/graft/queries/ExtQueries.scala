@@ -206,19 +206,30 @@ object ExtQueries {
     // both engines interpolate the same rank formula, rounding absorbs
     // the last-ulp difference of the interpolation orderings.
     "q48_percentiles" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
-      val qty = li.transform(AggOps.exactPercentiles(
-        Seq("l_returnflag"), "l_quantity",
-        Seq(0.25, 0.5, 0.75), Seq("p25_qty", "p50_qty", "p75_qty")))
-      val price = li.transform(AggOps.exactPercentiles(
-        Seq("l_returnflag"), "l_extendedprice", Seq(0.9), Seq("p90_price")))
-      qty.join(price, "l_returnflag") // 3 rows x 3 rows, broadcast
+      // ONE scan + ONE percentile pipeline for both measures: unpivot the
+      // two value columns into (which, v) rows and group by (which, flag)
+      // — vs two separate pipelines this halves the scan / count-agg /
+      // range-shuffle fixed costs, and the unpivoted shuffle volume is
+      // the same (it is dominated by the near-unique price column either
+      // way). The tiny 6-row result pivots back with one conditional agg.
+      val pct = t(s, dir, "lineitem")
+        .selectExpr("l_returnflag",
+          "stack(2, 'qty', l_quantity, 'price', l_extendedprice) AS (which, v)")
+        .transform(AggOps.exactPercentiles(
+          Seq("which", "l_returnflag"), "v",
+          Seq(0.25, 0.5, 0.75, 0.9), Seq("p25", "p50", "p75", "p90")))
+      pct.groupBy("l_returnflag")
+        .agg(
+          max(when(col("which") === "qty", col("p25"))).as("q25"),
+          max(when(col("which") === "qty", col("p50"))).as("q50"),
+          max(when(col("which") === "qty", col("p75"))).as("q75"),
+          max(when(col("which") === "price", col("p90"))).as("pr90"))
         .select(
           col("l_returnflag"),
-          round(col("p25_qty"), 6).as("p25_qty"),
-          round(col("p50_qty"), 6).as("p50_qty"),
-          round(col("p75_qty"), 6).as("p75_qty"),
-          round(col("p90_price"), 6).as("p90_price"))
+          round(col("q25"), 6).as("p25_qty"),
+          round(col("q50"), 6).as("p50_qty"),
+          round(col("q75"), 6).as("p75_qty"),
+          round(col("pr90"), 6).as("p90_price"))
         .orderBy("l_returnflag")
     },
 

@@ -102,6 +102,23 @@ class OperatorSpec extends SparkSpec {
       "name-ordered shard concatenation must reproduce the single sorted stream")
   }
 
+  test("KvTextSink.writeSharded: concat == single file under DUPLICATE keys") {
+    // every key appears 40 times with distinct values: the full-line sort
+    // must give both write paths the same within-key value order (a
+    // key-only sort leaves the tie order to partitioning luck)
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards-dup").toString
+    val df = (1 to 4000).map(i => (f"k${i % 100}%03d", i)).sortBy(_.hashCode).toDF("k", "v")
+    KvTextSink.writeSharded(df, dir, shards = 4)
+    val parts = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val concatenated = parts.toSeq.flatMap { f =>
+      val s = scala.io.Source.fromFile(f, "UTF-8")
+      try s.getLines().toIndexedSeq finally s.close()
+    }
+    assert(concatenated == KvTextSink.collect(df),
+      "duplicate-key tie order must match between sharded and single-file writes")
+  }
+
   test("approx_count_distinct lands within 5% of exact (sketch surface)") {
     val df = (1 to 20000).map(_ % 5000).toDF("v")
     val approx = df.agg(approx_count_distinct(col("v"))).head().getLong(0)
@@ -130,11 +147,14 @@ class OperatorSpec extends SparkSpec {
 
   test("exactPercentiles (sort-based) == builtin percentile (map-based)") {
     // awkward group sizes incl. a singleton; values with duplicates; a
-    // null value (builtin percentile ignores nulls — so must we)
+    // null value (builtin percentile ignores nulls — so must we); a NULL
+    // GROUP KEY with non-null values (the restore join must be null-safe
+    // or this group's percentiles silently come back null)
     val rows = Seq("a" -> Some(10.0), "a" -> Some(1.0), "a" -> Some(7.5),
       "a" -> Some(7.5), "a" -> Some(2.0), "a" -> None,
       "b" -> Some(3.0), "b" -> Some(4.0), "c" -> Some(42.0),
-      "d" -> None) // all-null group: present in output, null result
+      "d" -> None, // all-null group: present in output, null result
+      (null: String) -> Some(5.0), (null: String) -> Some(6.0))
     val df = rows.toDF("g", "v")
     val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
     val names = ps.map(p => s"p${(p * 100).toInt}")

@@ -129,6 +129,25 @@ class PlanSpec extends SparkSpec {
       s"band self-join degenerated:\n$p")
   }
 
+  test("q48 percentiles: CDF ranks resolve chunk-parallel, no per-group serial sort") {
+    // every Window that sorts by the VALUE column must also partition by
+    // the range-chunk id — a window partitioned by the group columns
+    // alone would land each group's whole distinct-value set in one task
+    // (the round-3 scale-weak plan). Windows ordered by __pid (the tiny
+    // per-chunk offset rollup) are exempt: they hold <= nChunks rows per
+    // group by construction.
+    val p = plan("q48_percentiles")
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty, s"no Window operators found in:\n$p")
+    // the CDF running sum is the window over `sum(__c)` (raw value
+    // counts); the offsets rollups sum `__ct` over <= nChunks rows/group
+    val cdfWindows = windowLines.filter(_.contains("sum(__c#"))
+    assert(cdfWindows.nonEmpty, s"expected the CDF running-sum window in:\n$p")
+    cdfWindows.foreach(l =>
+      assert(l.contains("__pid"),
+        s"CDF window not chunk-partitioned (per-group serial sort):\n$l"))
+  }
+
   test("q63 global top-k: TakeOrderedAndProject, never a full range sort") {
     val p = plan("q63_top_quality")
     assert(p.contains("TakeOrderedAndProject"),
