@@ -204,16 +204,20 @@ object Dedup {
     * least one of `bands` bit-slices of the fingerprint (a self-equi-join
     * on the slice value), then exact Hamming verification on candidates.
     *
-    * Pigeonhole guarantee: a pair at Hamming distance d <= bands - 1
-    * shares at least one untouched band, so recall is 1.0 for
-    * `maxHamming < bands`; a wider `maxHamming` still verifies correctly
-    * but candidate recall beyond bands-1 becomes probabilistic (d diffs
-    * must touch every band to hide a pair — e.g. at d=10 over 8 bands
-    * ~97% of pairs still share a clean band). Slice width is 64/bands
-    * bits: fewer bands mean wider slices, finer buckets (better scaling
-    * of bucket population) but a smaller guaranteed radius;
-    * `maxBucketSize` guards the degenerate pile-ups (e.g. empty docs all
-    * fingerprint to 0).
+    * Pigeonhole guarantee: with per-band probe radius `probeHamming` = r,
+    * a pair at Hamming distance d <= bands*(r+1) - 1 must have SOME band
+    * with <= r differing bits (else total >= bands*(r+1) > d), and that
+    * band's probe set covers it — recall is 1.0 there. r = 0 is plain
+    * banding (guaranteed radius bands-1); r = 1 emits the slice value
+    * plus its one-bit flips on ONE side of the self-join (1 + 64/bands
+    * variants), doubling the guaranteed radius per band count WITHOUT
+    * narrowing slices — the scale-relevant trade, since bucket
+    * population grows as n / 2^(64/bands): 16 four-bit bands would make
+    * buckets n/16 (quadratic candidate growth, and `maxBucketSize`
+    * would start DROPPING buckets — recall collapse — exactly when the
+    * corpus grows), while 8 eight-bit bands with r=1 hold the same
+    * radius-15 guarantee at n/256 buckets. `maxBucketSize` still guards
+    * degenerate pile-ups (e.g. empty docs all fingerprint to 0).
     *
     * Scale shape mirrors [[nearDupPairs]]: one map pass for signatures
     * (8 bytes/doc of state — 4-16x smaller than a MinHash signature),
@@ -227,8 +231,10 @@ object Dedup {
       maxHamming: Int = 7,
       bands: Int = 8,
       shingleSize: Int = 3,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000,
+      probeHamming: Int = 0): DataFrame = {
     require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(probeHamming >= 0 && probeHamming <= 1, "probeHamming must be 0 or 1")
     val bits = 64 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1L
 
@@ -270,7 +276,18 @@ object Dedup {
       .select("__band", "__bh")
     val kept = banded.join(sized, Seq("__band", "__bh"))
 
-    kept.as("a")
+    // multiprobe: ONE side of the self-join also emits each slice's
+    // one-bit flips, so two docs whose slice differs by <= probeHamming
+    // bits still meet in the equi-join — same hash-join shape, probe-side
+    // fan-out of (1 + slice bits)
+    val probed =
+      if (probeHamming == 0) kept
+      else kept.select(
+        col("__id"), col("__f"), col("__band"),
+        explode(array(col("__bh") +:
+          (0 until bits).map(i => col("__bh").bitwiseXOR(lit(1L << i))): _*)).as("__bh"))
+
+    probed.as("a")
       .join(
         kept.as("b"),
         col("a.__band") === col("b.__band") && col("a.__bh") === col("b.__bh") &&
@@ -289,9 +306,11 @@ object Dedup {
     * propagation — each round every node adopts the smallest label among
     * itself and its neighbors; converges in O(component diameter) rounds
     * (near-dup components are shallow in practice; `maxIter` bounds the
-    * driver loop, and each round is one shuffle join). At extreme scale
-    * swap in the large-star/small-star variant — the operator contract
-    * (pairs in, (id, group) out) stays the same.
+    * driver loop, and each round is one shuffle join). If a component is
+    * deeper than `maxIter` hops, the operator ESCALATES to
+    * [[alternatingStarGroups]] (large-star/small-star, O(log^2 n) rounds
+    * on any shape) instead of returning half-collapsed groups — the
+    * contract (pairs in, (id, group) out) is unconditional.
     *
     * Returns (id, group) where group = smallest id in the component.
     */
@@ -325,12 +344,93 @@ object Dedup {
     // final labels stay cached (materialized above, tracked by
     // ManagedCache); the edge cache is only needed during the loop
     edges.unpersist(blocking = false)
-    if (changed > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"nearDupGroups stopped after maxIter=$maxIter rounds with $changed labels " +
-          "still changing — groups are NOT fully collapsed (a duplicate component " +
-          "wider than maxIter hops keeps multiple survivors); raise maxIter")
+    if (changed > 0) {
+      // a component deeper than maxIter hops: diameter-bound propagation
+      // is the wrong algorithm — hand off to the logarithmic-round one
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"nearDupGroups propagation still changing after maxIter=$maxIter rounds " +
+          "(component diameter exceeds maxIter) — escalating to large-star/small-star")
+      return alternatingStarGroups(pairs)
+    }
     labels
+  }
+
+  /** Connected components by alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): converges in O(log^2 n) rounds on ANY graph shape — long
+    * paths, high-degree hubs — where min-label propagation needs
+    * O(diameter) rounds. Each round is two grouped aggregates and a join,
+    * all partial+final reduced; no step materializes a neighborhood list,
+    * so a billion-edge skewed graph never concentrates in one task.
+    *
+    *   - large-star: every node connects its LARGER neighbors to the
+    *     smallest member of its closed neighborhood;
+    *   - small-star: every node connects its smaller neighbors and
+    *     itself to its minimum neighbor.
+    *
+    * Fixpoint = every component is a star rooted at its minimum id.
+    * Same contract as [[nearDupGroups]]: (id_a, id_b) pairs in,
+    * (id, group = smallest id in component) out.
+    */
+  def alternatingStarGroups(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    // canonical directed edge u -> v with u > v; self-loops dropped
+    def canon(df: DataFrame): DataFrame = df.select(
+        greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+      val m = sym.groupBy("x").agg(least(min(col("y")), col("x")).as("m"))
+      canon(sym.where(col("y") > col("x"))
+        .join(m, "x")
+        .select(col("y").as("a"), col("m").as("b")))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // all neighbors of u here are < u, so min(closed nbhd) = min(v)
+      val m = e.groupBy("u").agg(min(col("v")).as("m"))
+      canon(e.join(m, "u").select(col("v").as("a"), col("m").as("b"))
+        .unionAll(m.select(col("u").as("a"), col("m").as("b"))))
+    }
+
+    // localCheckpoint (eager) rather than persist: each round references
+    // its input several times, so an un-truncated iterated LINEAGE grows
+    // exponentially (plan-tree blowup long before any data moves).
+    // Checkpointing materializes AND cuts the plan; superseded rounds'
+    // blocks are reclaimed by the ContextCleaner once unreferenced. On a
+    // multi-node cluster a reliable checkpoint dir is the durable form.
+    var edges = canon(pairs.select(col("id_a").as("a"), col("id_b").as("b")))
+      .localCheckpoint(true)
+    // convergence = edge set stable across a full round (count + content
+    // checksum — one tiny aggregate over the candidate edge set;
+    // bit_xor is order-independent and cannot overflow under ANSI mode)
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(edges)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nsig = signature(next)
+      edges = next
+      converged = nsig == sig
+      sig = nsig
+      round += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"alternatingStarGroups hit maxRounds=$maxRounds before the edge set " +
+          "stabilized — component collapse may be incomplete")
+    // at fixpoint every edge points member -> root (root = component min)
+    edges.select(col("u").as("id"), col("v").as("group"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("group")).distinct())
+      .distinct()
   }
 
   /** Full near-dedup: keep one survivor (smallest id) per duplicate

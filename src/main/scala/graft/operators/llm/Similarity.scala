@@ -135,11 +135,16 @@ object Similarity {
 
     val qb = banded(queries, "qid", "__qv")
     val cb = banded(corpus, "nid", "__cv")
+    // verify-in-join (the q37/q46 pattern): the cosine is scored INSIDE
+    // the band join's output stage, so the candidate dedup exchanges
+    // (qid, nid, cos) — never the two embedding arrays. A pair sharing
+    // several bands costs a few redundant dot products in-stage; nothing
+    // against shuffling full vectors through the distinct.
     cb.join(broadcast(qb),
         col("qid") =!= col("nid") &&
           cb("__band") === qb("__band") && cb("__bh") === qb("__bh"))
-      .select("qid", "nid", "__qv", "__cv").distinct()
       .select(col("qid"), col("nid"), round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
+      .distinct()
       .transform(topKPerKey(Seq(col("qid")), Seq(col("cos").desc, col("nid").asc), k))
   }
 

@@ -56,10 +56,15 @@ object LlmQueries {
     // ANN variant: hyperplane-LSH bucketed candidates, exact scoring in
     // buckets. Approximate by construction -> no SQL oracle (driver
     // rows-only check); recall vs q22 is asserted in SimilaritySpec.
+    // planes=64/bands=16 per the measured sf0.1 sweep (RECALL_r05:
+    // recall@5 = 0.42 at 16/4, 0.78 at 32/8, 0.92 at 64/16): 4-bit
+    // bands keep candidates bounded while 64 planes give the angular
+    // resolution this low-cosine corpus needs. The query side is
+    // broadcast, so the extra bands cost corpus-scan width, not shuffle.
     "q23_ann_topk" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       Similarity.annTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, planes = 16, bands = 4)
+          k = 5, planes = 64, bands = 16)
         .select(col("qid"), col("nid"), col("rank"))
         .orderBy("qid", "rank")
     },
@@ -249,13 +254,17 @@ object LlmQueries {
     // floor starts at 15 (measured), so radius 12 selects exactly the
     // Jaccard-planted pair set and the oracle re-derives it from shingle
     // Jaccard (the xxhash fingerprint itself is not SQL-reproducible;
-    // ids are the cross-engine-comparable surface). Recall is guaranteed
-    // (pigeonhole) to radius bands-1=7 and probabilistic-but-
-    // deterministic beyond — the hashing has no RNG, so this local pass
-    // is conclusive for the fixture.
+    // ids are the cross-engine-comparable surface). probeHamming=1 over
+    // 8 eight-bit bands makes recall GUARANTEED to radius
+    // bands*2-1 = 15 >= 12 (a pair with >= 2 differing bits in EVERY
+    // band would be at distance >= 16), so the oracle row cannot flake
+    // under fixture regeneration — while keeping 256-value buckets
+    // (bands=16 would reach the same radius with n/16 bucket
+    // population: quadratic candidates, and recall collapse once
+    // maxBucketSize starts dropping buckets).
     "q46_simhash_neardup" -> { (s, dir) =>
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "text", "doc_id",
-          maxHamming = 12, bands = 8)
+          maxHamming = 12, bands = 8, probeHamming = 1)
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     },

@@ -77,6 +77,52 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Set(1L, 9L))
   }
 
+  test("simhash multiprobe (8 bands, r=1) == 16-band banding: same radius-15 pair set") {
+    // both parameterizations pigeonhole-guarantee recall to Hamming 15,
+    // so at maxHamming=12 the candidate machinery must be invisible in
+    // the output — multiprobe just gets there with 256-value buckets
+    // instead of 16-value ones (the at-scale difference)
+    val df = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "documents")
+    def pairs(bands: Int, probe: Int) =
+      Dedup.simhashNearDupPairs(df, "text", "doc_id",
+          maxHamming = 12, bands = bands, probeHamming = probe)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multiprobe = pairs(8, 1)
+    val fineBands = pairs(16, 0)
+    assert(multiprobe == fineBands,
+      s"multiprobe and 16-band pair sets diverged: ${multiprobe.diff(fineBands)} / ${fineBands.diff(multiprobe)}")
+    assert(multiprobe.nonEmpty, "fixture should contain planted near-dup pairs")
+  }
+
+  test("alternatingStarGroups collapses stars, paths, and an isolated pair") {
+    import org.apache.spark.sql.functions.col
+    // component 1: path 10-11-12-13-14; component 2: star around 20;
+    // component 3: pair (30, 31); edges given in arbitrary orientation
+    val pairs = Seq(
+      (11L, 10L), (11L, 12L), (13L, 12L), (13L, 14L),
+      (20L, 21L), (22L, 20L), (20L, 23L),
+      (31L, 30L)).toDF("id_a", "id_b")
+    val got = Dedup.alternatingStarGroups(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L,
+      30L -> 30L, 31L -> 30L))
+  }
+
+  test("nearDupGroups escalates past maxIter: deep path still fully collapses") {
+    import org.apache.spark.sql.functions.col
+    // a 41-node path (diameter 40): min-label propagation cannot finish
+    // in maxIter=3 rounds, so the operator must hand off to
+    // large-star/small-star and STILL return fully-collapsed groups
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupGroups(pairs, maxIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 40L).map(_ -> 0L).toMap,
+      "deep component must collapse to the minimum id via the star fallback")
+  }
+
   test("maxBucketSize guard drops degenerate buckets before pairing") {
     // 30 identical docs would otherwise form C(30,2)=435 pairs
     val df = (1 to 30).map(i => (i.toLong, "same text in every doc here")).toDF("doc_id", "text")
