@@ -36,6 +36,9 @@ object ScaleProbe {
       Dedup.nearDupPairs(docs, "text", "doc_id").count())
     time(s"near-dup pairs (SimHash-Hamming)")(
       Dedup.simhashNearDupPairs(docs, "text", "doc_id").count())
+    time(s"near-dup pairs (SimHash multiprobe r=1, radius-15 guarantee)")(
+      Dedup.simhashNearDupPairs(docs, "text", "doc_id",
+        maxHamming = 12, bands = 8, probeHamming = 1).count())
     graft.engine.ManagedCache.unpersistAll()
 
     // sharded text sink vs the single-task golden form: same byte stream

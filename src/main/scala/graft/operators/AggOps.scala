@@ -139,16 +139,18 @@ object AggOps {
     require(ps.forall(p => p >= 0.0 && p <= 1.0), "percentiles must be in [0, 1]")
     df => {
       val nChunks = df.sparkSession.sessionState.conf.numShufflePartitions
-      val counts = df
-        .where(col(valueCol).isNotNull) // builtin percentile ignores nulls; so do we
-        .groupBy(part.map(col) :+ col(valueCol): _*)
-        .agg(count(lit(1)).as("__c"))
       // count-compress BEFORE the range exchange (the A/B ran 0.4s the
       // other way at sf0.1: range-partitioning raw rows ships 2x the
-      // rows and its boundary sampling re-executes the scan). Persisted
-      // (ManagedCache) so the offsets branch and the rank branch below
-      // read the SAME materialized partitioning — __pid must mean one
-      // thing.
+      // rows and its boundary sampling re-executes the scan). `counts`
+      // is persisted because repartitionByRange executes its child TWICE
+      // (boundary-sampling job + the exchange itself) — uncached, that
+      // is two full aggregation passes. `ranged` is persisted so the
+      // offsets branch and the rank branch below read the SAME
+      // materialized partitioning — __pid must mean one thing.
+      val counts = graft.engine.ManagedCache.persist(
+        df.where(col(valueCol).isNotNull) // builtin percentile ignores nulls; so do we
+          .groupBy(part.map(col) :+ col(valueCol): _*)
+          .agg(count(lit(1)).as("__c")))
       val ranged = graft.engine.ManagedCache.persist(
         counts
           .repartitionByRange(nChunks, part.map(col) :+ col(valueCol): _*)

@@ -152,6 +152,30 @@ object EngineProps extends Properties("graft") {
     }
   }
 
+  property("alternatingStarGroups == union-find (random graphs)") = {
+    val genEdges = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 30L); b <- Gen.choose(0L, 30L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    forAll(genEdges) { edges =>
+      import spark.implicits._
+      // driver-side union-find oracle: group = min id of the component
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      val got = graft.operators.llm.Dedup
+        .alternatingStarGroups(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    }
+  }
+
   property("native tokenize == lower/regex/split composition (incl unicode + blanks)") = {
     val genText = Gen.listOf(Gen.oneOf(
       "cat", "DOG", "ÉtÉ", "İstanbul", "a\tb", "x\n\ny", "", " ", "  ",
