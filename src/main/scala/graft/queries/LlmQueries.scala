@@ -423,6 +423,23 @@ object LlmQueries {
       graft.plans.TopK.perKey(
           scored, Seq(col("doc_id")), Seq(col("tfidf").desc, col("term").asc), 1)
         .orderBy("doc_id")
+    },
+
+    // Greedy sequence packing: documents in doc_id order fill
+    // fixed-token-budget packs per language shard (the step between
+    // curation and writing concatenated training sequences). Pure window
+    // running sum + integer division — fully hash-verifiable; shards
+    // pack in parallel, the sequential unit is the shard by design.
+    "q64_pack" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), Dedup.tokens(col("text")).as("w"))
+        .select(col("doc_id"), col("lang"),
+          TextStats.tokenCountFromTokens(col("w")).as("tok"))
+      Packing.greedyPack(d, Seq(col("lang")), Seq(col("doc_id")), col("tok"),
+          budget = 2048)
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("docs"), sum(col("tok")).as("toks"))
+        .orderBy("lang", "pack_id")
     }
   )
 
@@ -712,6 +729,21 @@ object LlmQueries {
         |         len(list_distinct(a.s || b.s)) AS uni
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b FROM pairs
-        |WHERE inter >= uni * 0.5 ORDER BY id_a, id_b""".stripMargin
+        |WHERE inter >= uni * 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q64_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
+        |              THEN 0
+        |              ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+        |         END AS tok
+        |  FROM documents),
+        |packed AS (
+        |  SELECT lang, tok,
+        |         CAST((sum(tok) OVER (PARTITION BY lang ORDER BY doc_id) - tok) // 2048
+        |              AS BIGINT) AS pack_id
+        |  FROM toks)
+        |SELECT lang, pack_id, count(*) AS docs, CAST(sum(tok) AS BIGINT) AS toks
+        |FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
   )
 }

@@ -90,4 +90,21 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(got == Seq("t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10"))
     assert(got.mkString(" ") == text)
   }
+
+  test("greedyPack: next-fit pack assignment per shard, oversized item overflows its own pack") {
+    // shard A, budget 10: tokens 4,4,4 -> cum-before 0,4,8 -> packs 0,0,0
+    // (third item overflows pack 0 by 2 — next-fit tail); then 25
+    // (oversized: cum-before 12 -> pack 1), then 3 -> cum-before 37 -> pack 3
+    // (pack 2 skipped entirely by the oversized item). shard B independent.
+    val df = Seq(
+      ("A", 1L, 4L), ("A", 2L, 4L), ("A", 3L, 4L), ("A", 4L, 25L), ("A", 5L, 3L),
+      ("B", 1L, 9L), ("B", 2L, 2L)).toDF("shard", "id", "tok")
+    val got = graft.operators.llm.Packing
+      .greedyPack(df, Seq(col("shard")), Seq(col("id")), col("tok"), budget = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got == Map(
+      ("A", 1L) -> 0L, ("A", 2L) -> 0L, ("A", 3L) -> 0L,
+      ("A", 4L) -> 1L, ("A", 5L) -> 3L,
+      ("B", 1L) -> 0L, ("B", 2L) -> 0L))
+  }
 }
