@@ -425,6 +425,40 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // BM25 top term per document — the doc-length-normalized retrieval
+    // score (k1=1.2, b=0.75), extending the q54 tf-idf family. Every
+    // double is computed in the SAME operation order as the DuckDB
+    // oracle, ranking uses the ROUNDED score with a term tie-break
+    // (q54's cross-engine discipline), and avgdl is a single broadcast
+    // scalar division so both engines see bit-identical inputs.
+    "q65_bm25" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val toks = d
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+        .where(length(col("term")) > 0)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val n = d.agg(count(lit(1)).as("__n"))
+      val tot = dl.agg(sum(col("dl")).as("__tot"))
+      val avgdl = col("__tot").cast("double") / col("__n").cast("double")
+      val idf = log((col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+      val scored = tf
+        .join(tf.groupBy("term").agg(count(lit(1)).as("df")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(n))
+        .crossJoin(broadcast(tot))
+        .select(
+          col("doc_id"), col("term"), col("tf"), col("dl"),
+          round(
+            idf * (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75)
+                + lit(0.75) * (col("dl").cast("double") / avgdl))),
+            6).as("bm25"))
+      graft.plans.TopK.perKey(
+          scored, Seq(col("doc_id")), Seq(col("bm25").desc, col("term").asc), 1)
+        .orderBy("doc_id")
+    },
+
     // Greedy sequence packing: documents in doc_id order fill
     // fixed-token-budget packs per language shard (the step between
     // curation and writing concatenated training sequences). Pure window
@@ -730,6 +764,31 @@ object LlmQueries {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b FROM pairs
         |WHERE inter >= uni * 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q65_bm25" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM words
+        |  WHERE length(term) > 0 GROUP BY doc_id, term),
+        |dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM words
+        |  WHERE length(term) > 0 GROUP BY doc_id),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+        |s AS (
+        |  SELECT doc_id, tf.term AS term, tf, dl,
+        |         round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+        |               * (tf * 2.2)
+        |               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl::DOUBLE / (tot::DOUBLE / n::DOUBLE)))),
+        |               6) AS bm25
+        |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+        |       CROSS JOIN n CROSS JOIN tot)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl, bm25 FROM s
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, term) = 1
+        |ORDER BY doc_id""".stripMargin,
     "q64_pack" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,
