@@ -319,30 +319,33 @@ object Dedup {
       pairs
         .select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    // labels are localCheckpoint'ed (eager) each round, not persisted:
+    // an iterated lineage doubles per round (the label plan feeds both
+    // the join and the convergence check), and persist caches data
+    // without cutting the plan tree — 20 rounds would hand the analyzer
+    // a 2^20-node plan. Checkpointing materializes AND truncates;
+    // superseded rounds' blocks are reclaimed by the ContextCleaner.
     var labels = edges.select(col("src").as("id")).distinct().withColumn("group", col("id"))
-    var prevCached: Option[DataFrame] = None
+      .localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("group")).as("ngroup"))
-      val next = graft.engine.ManagedCache.persist(
-        labels
-          .join(prop, labels("id") === prop("src"), "left")
-          .select(
-            col("id"),
-            least(col("group"), coalesce(col("ngroup"), col("group"))).as("group")))
+      val next = labels
+        .join(prop, labels("id") === prop("src"), "left")
+        .select(
+          col("id"),
+          least(col("group"), coalesce(col("ngroup"), col("group"))).as("group"))
+        .localCheckpoint(true)
       changed = next
         .join(labels.withColumnRenamed("group", "old"), "id")
         .where(col("group") =!= col("old"))
-        .count() // materializes `next`, so the superseded cache can go
-      prevCached.foreach(_.unpersist(blocking = false))
-      prevCached = Some(next)
+        .count()
       labels = next
       i += 1
     }
-    // final labels stay cached (materialized above, tracked by
-    // ManagedCache); the edge cache is only needed during the loop
+    // the edge cache is only needed during the loop
     edges.unpersist(blocking = false)
     if (changed > 0) {
       // a component deeper than maxIter hops: diameter-bound propagation
