@@ -460,20 +460,23 @@ object LlmQueries {
     },
 
     // Greedy sequence packing: documents in doc_id order fill
-    // fixed-token-budget packs per language shard (the step between
-    // curation and writing concatenated training sequences). Pure window
-    // running sum + integer division — fully hash-verifiable; shards
-    // pack in parallel, the sequential unit is the shard by design.
+    // fixed-token-budget packs per (language, writer) shard — the step
+    // between curation and writing concatenated training sequences.
+    // Pure window running sum + integer division, fully hash-verifiable.
+    // The writer dimension (doc_id mod 4 here; one shard per output
+    // writer task at cluster scale) is what keeps packing parallel:
+    // packing is sequential WITHIN a shard by definition, so the shard
+    // count — not the corpus — bounds the largest sort task.
     "q64_pack" -> { (s, dir) =>
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), Dedup.tokens(col("text")).as("w"))
-        .select(col("doc_id"), col("lang"),
+        .select(col("doc_id"), col("lang"), pmod(col("doc_id"), lit(4)).as("writer"),
           TextStats.tokenCountFromTokens(col("w")).as("tok"))
-      Packing.greedyPack(d, Seq(col("lang")), Seq(col("doc_id")), col("tok"),
-          budget = 2048)
-        .groupBy(col("lang"), col("pack_id"))
+      Packing.greedyPack(d, Seq(col("lang"), col("writer")), Seq(col("doc_id")),
+          col("tok"), budget = 2048)
+        .groupBy(col("lang"), col("writer"), col("pack_id"))
         .agg(count(lit(1)).as("docs"), sum(col("tok")).as("toks"))
-        .orderBy("lang", "pack_id")
+        .orderBy("lang", "writer", "pack_id")
     }
   )
 
@@ -791,18 +794,19 @@ object LlmQueries {
         |ORDER BY doc_id""".stripMargin,
     "q64_pack" ->
       """WITH toks AS (
-        |  SELECT doc_id, lang,
+        |  SELECT doc_id, lang, CAST(doc_id % 4 AS BIGINT) AS writer,
         |         CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
         |              THEN 0
         |              ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
         |         END AS tok
         |  FROM documents),
         |packed AS (
-        |  SELECT lang, tok,
-        |         CAST((sum(tok) OVER (PARTITION BY lang ORDER BY doc_id) - tok) // 2048
+        |  SELECT lang, writer, tok,
+        |         CAST((sum(tok) OVER (PARTITION BY lang, writer ORDER BY doc_id) - tok) // 2048
         |              AS BIGINT) AS pack_id
         |  FROM toks)
-        |SELECT lang, pack_id, count(*) AS docs, CAST(sum(tok) AS BIGINT) AS toks
-        |FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
+        |SELECT lang, writer, pack_id, count(*) AS docs, CAST(sum(tok) AS BIGINT) AS toks
+        |FROM packed GROUP BY lang, writer, pack_id
+        |ORDER BY lang, writer, pack_id""".stripMargin
   )
 }
