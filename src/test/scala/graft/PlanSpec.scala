@@ -117,6 +117,21 @@ class PlanSpec extends SparkSpec {
       s"corpus-size scalar should broadcast:\n$p")
   }
 
+  test("q65 bm25: top-1 per doc on the bounded-heap operator, scalars broadcast") {
+    val p = plan("q65_bm25")
+    assert(p.contains("TopKPerKey"), s"bm25 top-1 should use TopKPerKeyExec:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"N/avgdl scalars should broadcast:\n$p")
+  }
+
+  test("q64 packing: running-sum window partitioned by the writer shard, not language alone") {
+    val p = plan("q64_pack")
+    val wins = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(wins.nonEmpty, s"no Window operators found in:\n$p")
+    wins.foreach(l => assert(l.contains("writer"),
+      s"packing window lost its writer shard (per-language serial sort):\n$l"))
+  }
+
   test("q57 heavy hitters: sketch partial-aggregates before the single-partition shuffle") {
     val p = plan("q57_heavy_hitters")
     assert(p.contains("partial_heavy_hitters"),
