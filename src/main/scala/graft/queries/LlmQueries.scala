@@ -425,6 +425,18 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Fuzzy self-join at edit distance <= 1 (record linkage over
+    // near-identical name prefixes). Deletion-neighborhood candidates
+    // are COMPLETE (SymSpell pigeonhole), so unlike the LSH queries this
+    // approximate-looking operator is fully hash-verifiable against a
+    // DuckDB all-pairs levenshtein — the oracle re-derives every pair.
+    "q66_fuzzy_join" -> { (s, dir) =>
+      val p = t(s, dir, "part")
+        .select(col("p_partkey").as("id"), substring(col("p_name"), 1, 12).as("s"))
+      FuzzyJoin.editDistance1Pairs(p, "s", "id")
+        .orderBy("id_a", "id_b")
+    },
+
     // BM25 top term per document — the doc-length-normalized retrieval
     // score (k1=1.2, b=0.75), extending the q54 tf-idf family. Every
     // double is computed in the SAME operation order as the DuckDB
@@ -767,6 +779,13 @@ object LlmQueries {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b FROM pairs
         |WHERE inter >= uni * 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q66_fuzzy_join" ->
+      """WITH s AS (
+        |  SELECT p_partkey AS id, substr(p_name, 1, 12) AS s FROM part)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        |FROM s a JOIN s b ON a.id < b.id AND levenshtein(a.s, b.s) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "q65_bm25" ->
       """WITH words AS (
         |  SELECT doc_id,

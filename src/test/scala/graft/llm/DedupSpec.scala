@@ -95,6 +95,20 @@ class DedupSpec extends SparkSpec {
     assert(multiprobe.nonEmpty, "fixture should contain planted near-dup pairs")
   }
 
+  test("editDistance1Pairs: complete within-1 pairs incl. cliques (deletion neighborhoods)") {
+    // substitution (abc~abd), insertion/deletion (ab~abc), an exact
+    // clique (two "abc"), and a far string; every true pair must appear
+    // because deletion-neighborhood candidates are complete at d <= 1
+    val df = Seq((1L, "ab"), (2L, "abc"), (3L, "abd"), (4L, "abc"), (9L, "xyz"))
+      .toDF("id", "s")
+    val got = graft.operators.llm.FuzzyJoin.editDistance1Pairs(df, "s", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set(
+      (1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1),
+      (2L, 3L, 1), (3L, 4L, 1),
+      (2L, 4L, 0)))
+  }
+
   test("alternatingStarGroups collapses stars, paths, and an isolated pair") {
     import org.apache.spark.sql.functions.col
     // component 1: path 10-11-12-13-14; component 2: star around 20;
