@@ -193,6 +193,55 @@ object Dedup {
       .where(col("inter") >= col("uni") * threshold)
   }
 
+  /** Fuzzy (n-gram) decontamination: drop every corpus document whose
+    * shingle-set Jaccard with ANY blocklist document reaches `threshold`
+    * — the near-dup face of exact-digest decontamination (q53). Real
+    * eval-leak guards are n-gram-overlap based: a contaminated document
+    * that differs from the benchmark text by a few tokens sails through
+    * an exact-hash anti-join but not through this.
+    *
+    * Scale shape mirrors q53's broadcast discipline: the blocklist is
+    * the SMALL side — its banded MinHash sketch AND its shingle sets
+    * broadcast, the corpus is scanned map-side (band explode + in-join
+    * Jaccard verification, no corpus shuffle), and only the matched
+    * LOSER ids (tiny) reach the final anti-join. Candidate recall
+    * follows the same LSH band law as [[nearDupPairs]] (identical
+    * sketch parameters).
+    */
+  def fuzzyDecontaminate(
+      corpus: DataFrame,
+      blocklist: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    def sets(df: DataFrame, id: String, sh: String) =
+      df.select(col(idCol).as(id), tokens(col(textCol)).as("__w"))
+        .select(col(id),
+          graft.functions.exprs.shingleHashes(col("__w"), shingleSize).as(sh))
+        .where(size(col(sh)) > 0)
+    def bandedOf(df: DataFrame, id: String, sh: String, band: String, bh: String) =
+      df.select(col(id), col(sh),
+          graft.functions.exprs.minhashSig(col(sh), numHashes).as("__sig"))
+        .select(col(id), col(sh),
+          posexplode(graft.functions.exprs.bandHashes(col("__sig"), bands))
+            .as(Seq(band, bh)))
+
+    val cb = bandedOf(sets(corpus, "__cid", "__csh"), "__cid", "__csh", "__cband", "__cbh")
+    val bb = bandedOf(sets(blocklist, "__bid", "__bsh"), "__bid", "__bsh", "__bband", "__bbh")
+    val losers = cb
+      .join(broadcast(bb),
+        col("__cband") === col("__bband") && col("__cbh") === col("__bbh"))
+      .where(size(array_intersect(col("__csh"), col("__bsh")))
+        >= size(array_union(col("__csh"), col("__bsh"))) * threshold)
+      .select(col("__cid"))
+      .distinct()
+    corpus.join(losers, corpus(idCol) === col("__cid"), "left_anti")
+  }
+
   /** SimHash near-duplicate pairs: the third dedup family (exact,
     * MinHash-Jaccard, SimHash-Hamming). One 64-bit fingerprint per doc,
     * computed over the doc's SHINGLE-HASH set in the scan stage —

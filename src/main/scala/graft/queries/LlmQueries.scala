@@ -425,6 +425,20 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Fuzzy (n-gram) decontamination: q53's exact-digest guard misses a
+    // contaminated doc that differs by a few tokens; this drops every
+    // corpus doc whose shingle Jaccard with a blocklist doc (every 50th
+    // doc, q53's convention) reaches 0.5. Blocklist sketch + sets
+    // broadcast; the corpus never shuffles. Oracle re-derives the full
+    // Jaccard cross-check; recall is conclusive on the fixture for the
+    // same reason q21's is (identical sketch, deterministic hashing).
+    "q67_fuzzy_decontam" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      Dedup.fuzzyDecontaminate(d, d.where(col("doc_id") % 50 === 0), "text", "doc_id")
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang")
+    },
+
     // Fuzzy self-join at edit distance <= 1 (record linkage over
     // near-identical name prefixes). Deletion-neighborhood candidates
     // are COMPLETE (SymSpell pigeonhole), so unlike the LSH queries this
@@ -779,6 +793,23 @@ object LlmQueries {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b FROM pairs
         |WHERE inter >= uni * 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q67_fuzzy_decontam" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang,
+        |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(w)-2, 0)+1),
+        |                       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+        |  FROM words WHERE len(w) >= 3),
+        |bl AS (SELECT doc_id AS bid, s AS bs FROM sh WHERE doc_id % 50 = 0),
+        |losers AS (
+        |  SELECT DISTINCT sh.doc_id FROM sh JOIN bl ON
+        |    len(list_intersect(sh.s, bl.bs)) >= len(list_distinct(sh.s || bl.bs)) * 0.5)
+        |SELECT d.lang, count(*) AS cnt FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q66_fuzzy_join" ->
       """WITH s AS (
         |  SELECT p_partkey AS id, substr(p_name, 1, 12) AS s FROM part)

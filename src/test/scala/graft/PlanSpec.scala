@@ -117,6 +117,13 @@ class PlanSpec extends SparkSpec {
       s"corpus-size scalar should broadcast:\n$p")
   }
 
+  test("q67 fuzzy decontamination: blocklist sketch broadcast into the band join") {
+    val p = plan("q67_fuzzy_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"blocklist bands should broadcast — the corpus must not shuffle:\n$p")
+    assert(p.contains("LeftAnti"), s"survivors should come from an anti join:\n$p")
+  }
+
   test("q65 bm25: top-1 per doc on the bounded-heap operator, scalars broadcast") {
     val p = plan("q65_bm25")
     assert(p.contains("TopKPerKey"), s"bm25 top-1 should use TopKPerKeyExec:\n$p")

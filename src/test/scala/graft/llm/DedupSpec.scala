@@ -95,6 +95,21 @@ class DedupSpec extends SparkSpec {
     assert(multiprobe.nonEmpty, "fixture should contain planted near-dup pairs")
   }
 
+  test("fuzzyDecontaminate drops near-matches of the blocklist, not just exact ones") {
+    val base = (1 to 40).map(i => s"w$i")
+    val contaminated = base.mkString(" ")                       // exact copy of blocklist
+    val nearContam = base.updated(19, "CHANGED").mkString(" ")  // J ~ 0.93 vs blocklist
+    val clean = (1 to 40).map(i => s"z$i").mkString(" ")
+    val corpus = Seq((1L, contaminated), (2L, nearContam), (3L, clean), (4L, "too short"))
+      .toDF("doc_id", "text")
+    val blocklist = Seq((100L, base.mkString(" "))).toDF("doc_id", "text")
+    val survivors = Dedup.fuzzyDecontaminate(corpus, blocklist, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1 (exact) and 2 (near) are contaminated; 3 is unrelated; 4 has no
+    // shingles so it cannot match anything and passes through
+    assert(survivors == Set(3L, 4L))
+  }
+
   test("editDistance1Pairs: complete within-1 pairs incl. cliques (deletion neighborhoods)") {
     // substitution (abc~abd), insertion/deletion (ab~abc), an exact
     // clique (two "abc"), and a far string; every true pair must appear
