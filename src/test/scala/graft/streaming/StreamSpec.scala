@@ -43,6 +43,36 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavy-hitters sketch aggregates inside a watermarked streaming window") {
+    // the custom TypedImperativeAggregate must serialize/merge correctly
+    // under streaming state: per-window top terms, emitted on watermark
+    // close (trending-terms over a stream — the MG sketch's partial
+    // buffers live in the state store between micro-batches)
+    val ms = memStream[(Timestamp, String)]
+    val out = sinkName()
+    val q = ms.toDF.toDF("ts", "term")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(graft.functions.HeavyHitters.topK(col("term"), width = 16, k = 2).as("top"))
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      // two micro-batches into the SAME window: the sketch buffer must
+      // round-trip the state store between them
+      ms.addData((ts("10:01"), "x"), (ts("10:02"), "y"), (ts("10:03"), "x"))
+      q.processAllAvailable()
+      ms.addData((ts("10:04"), "x"), (ts("10:05"), "y"), (ts("10:06"), "x"), (ts("10:07"), "z"))
+      q.processAllAvailable()
+      ms.addData((ts("10:30"), "w")) // watermark -> 10:25, closes [10:00,10:10)
+      q.processAllAvailable()
+      val rows = spark.table(out)
+        .select(col("window.start"), explode(col("top")).as("e"))
+        .select(col("start"), col("e.item"), col("e.cnt"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set((ts("10:00"), "x", 4L), (ts("10:00"), "y", 2L)),
+        s"streaming sketch state diverged: $rows")
+    } finally q.stop()
+  }
+
   test("sessionize: events within the gap merge into one session") {
     val ms = memStream[(Timestamp, Long, Double)]
     val out = sinkName()
