@@ -176,6 +176,33 @@ object EngineProps extends Properties("graft") {
     }
   }
 
+  property("editDistance1Pairs == brute-force levenshtein <= 1 (random strings)") = {
+    // short strings over a 2-letter alphabet: dense with true pairs,
+    // duplicates (cliques), and empty strings — the completeness claim
+    // (deletion-neighborhood candidates miss nothing at d <= 1) checked
+    // against an exhaustive driver-side DP
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val genStr = Gen.choose(0, 4).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b'))).map(_.mkString)
+    forAll(Gen.nonEmptyListOf(genStr)) { strs =>
+      import spark.implicits._
+      val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val got = graft.operators.llm.FuzzyJoin
+        .editDistance1Pairs(rows.toDF("id", "s"), "s", "id")
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exp = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows if ia < ib && lev(sa, sb) <= 1
+      } yield (ia, ib)).toSet
+      got == exp
+    }
+  }
+
   property("native tokenize == lower/regex/split composition (incl unicode + blanks)") = {
     val genText = Gen.listOf(Gen.oneOf(
       "cat", "DOG", "ÉtÉ", "İstanbul", "a\tb", "x\n\ny", "", " ", "  ",
