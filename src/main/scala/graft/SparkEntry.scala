@@ -29,7 +29,8 @@ object SparkEntry {
     * must not drift from the timezone-naive DuckDB oracle.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (LabQueries.queries ++ LlmQueries.queries ++ ExtQueries.queries).map { case (name, fn) =>
+    (LabQueries.queries ++ LlmQueries.queries ++ ExtQueries.queries ++
+      TpchQueries.queries).map { case (name, fn) =>
       name -> { (s: SparkSession, dir: String) =>
         fn(graft.engine.SparkEngine.align(s), dir)
       }
@@ -39,5 +40,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    LabQueries.oracleSql ++ LlmQueries.oracleSql ++ ExtQueries.oracleSql
+    LabQueries.oracleSql ++ LlmQueries.oracleSql ++ ExtQueries.oracleSql ++
+      TpchQueries.oracleSql
 }

@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+
+/** TPC-H-shaped analytic suite over the driver's TPC-H-ish tables —
+  * the classic multi-join/aggregate decision-support patterns a user of
+  * a general analytics engine runs daily (pricing rollup, shipping
+  * priority, local-supplier volume, forecast revenue, returned items,
+  * large orders). The reference lab corpus has no multi-table analytics
+  * beyond lab5's matmul join; this module is the engine-extension proof
+  * that the join/agg surface composes into real reporting queries.
+  *
+  * Determinism discipline (hash-compared against DuckDB, no tolerance):
+  *   - money is aggregated as exact integers — cents (x100) for plain
+  *     sums, 1e-4-dollar units (price-cents x discount-cents) for
+  *     `price*(1-disc)` revenue, 1e-6-dollar units for
+  *     `price*(1-disc)*(1+tax)` charges. Each per-row product is an
+  *     exact integer below 2^53 BEFORE the long cast, so partial-agg
+  *     order can't change the total. (At 100 TB the 1e-6 units would
+  *     need ~2^63 headroom checks — the operator note in SURVEY §7b
+  *     records the decimal(38,6) swap for that regime.)
+  *   - averages derive from the exact integer sums with ONE double
+  *     division + round(6) written identically on both sides (a binary
+  *     double can never land exactly on a .5e-6 boundary, so HALF_UP vs
+  *     away-from-zero rounding modes agree).
+  *   - timestamps group/emit as 'yyyy-MM-dd' strings (date_format vs
+  *     strftime), never raw timestamps, so renderings can't drift.
+  *   - every ORDER BY ends in a unique key so row order is total.
+  *
+  * Scale shape: lineitem⨝orders⨝customer are shuffle hash joins on
+  * their natural keys (AQE re-plans the post-filter small sides);
+  * nation/region are broadcast; every filter is a parquet pushdown on
+  * the scan (date/segment/flag predicates — PlanSpec pins q71's).
+  */
+object TpchQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) = Sources.table(s, dir, name)
+
+  /** l_extendedprice in exact cents (integral double < 2^53, cast late). */
+  private val priceCents = round(col("l_extendedprice") * 100)
+  /** (1 - l_discount) in exact cents. */
+  private val discFactorCents = round((lit(1) - col("l_discount")) * 100)
+  /** (1 + l_tax) in exact cents. */
+  private val taxFactorCents = round((lit(1) + col("l_tax")) * 100)
+  /** price*(1-disc) in 1e-4 dollars: product of two exact integers. */
+  private val discPriceE4 = (priceCents * discFactorCents).cast("long")
+  /** price*(1-disc)*(1+tax) in 1e-6 dollars. */
+  private val chargeE6 = (priceCents * discFactorCents * taxFactorCents).cast("long")
+
+  /** avg = exact-long-sum / count, one division, round 6. */
+  private def avg6(sumCol: Column, cntCol: Column): Column =
+    round(sumCol.cast("double") / cntCol, 6)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 pricing summary: one scan, partial+final hash-agg on a
+    // 2-value x 2-value key (4 groups — the partial agg collapses 60k
+    // rows/task to 4 before the exchange; at 100 TB the shuffle moves
+    // bytes proportional to tasks, not rows).
+    "q68_tpch_pricing" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(priceCents.cast("long")).as("sum_base_cents"),
+          sum(discPriceE4).as("sum_disc_e4"),
+          sum(chargeE6).as("sum_charge_e6"),
+          count(lit(1)).as("cnt"))
+        .withColumn("avg_qty", avg6(col("sum_qty"), col("cnt")))
+        .withColumn("avg_price", avg6(col("sum_base_cents"), col("cnt") * 100))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // TPC-H Q3 shipping priority: segment-filtered customers ⨝ orders on
+    // custkey, ⨝ lineitem on orderkey, top-10 unshipped orders by
+    // revenue. The two joins shuffle on their natural keys; the final
+    // top-10 is TakeOrderedAndProject (no global sort materialized).
+    "q69_tpch_shipprio" -> { (s, dir) =>
+      val cutoff = lit("1998-03-15").cast("timestamp")
+      val cust = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"), discPriceE4.as("__rev"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_date")
+        .agg(sum(col("__rev")).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q5 local-supplier volume: 6-table join where the supplier
+    // must sit in the customer's nation. nation+region broadcast (tiny
+    // dims at every SF); customer/orders/lineitem/supplier shuffle on
+    // natural keys; the c_nationkey = s_nationkey locality predicate
+    // rides the lineitem⨝supplier join condition.
+    "q70_tpch_local_volume" -> { (s, dir) =>
+      val asiaNations = broadcast(
+        t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name"))
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), discPriceE4.as("__rev"))
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(supp,
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("__rev")).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("n_name"))
+    },
+
+    // TPC-H Q6 forecast revenue: pure scan-filter-agg — every predicate
+    // (date window, discount band, quantity cap) is a parquet pushdown;
+    // the agg is one global long sum (partial per task, one row final).
+    "q71_tpch_discount_rev" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .where(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            round(col("l_discount") * 100).between(5, 7) &&
+            col("l_quantity") < 24)
+        .agg(sum((priceCents * round(col("l_discount") * 100)).cast("long"))
+          .as("revenue_e4"))
+    },
+
+    // TPC-H Q10 returned-item reporting: who returned the most revenue
+    // last quarter. lineitem(R)⨝orders⨝customer⨝nation(broadcast);
+    // top-20 customers by lost revenue, TakeOrderedAndProject again.
+    "q72_tpch_returns" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), discPriceE4.as("__rev"))
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+          col("c_nationkey"))
+      val nat = broadcast(t(s, dir, "nation").select("n_nationkey", "n_name"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "acctbal_cents", "n_name")
+        .agg(sum(col("__rev")).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q18 large-volume orders: the HAVING-subquery pattern. The
+    // qualifying-order set is a lineitem self-aggregation (partial+final
+    // on l_orderkey) semi-joined back — at scale the semi-join side is
+    // tiny (99.9th-percentile threshold), so AQE broadcasts it.
+    "q73_tpch_big_orders" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .where(col("sum_qty") > 300)
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          round(col("o_totalprice") * 100).cast("long").as("totalprice_cents"))
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name")
+      big.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_date",
+          "totalprice_cents", "sum_qty")
+        .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+        .limit(100)
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q68_tpch_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |       CAST(sum(CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+        |       CAST(sum(CAST(round(l_extendedprice*100) * round((1-l_discount)*100) * round((1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
+        |       count(*) AS cnt,
+        |       round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |       round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / (count(*) * 100), 6) AS avg_price
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q69_tpch_shipprio" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |       CAST(sum(CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate  > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_date
+        |ORDER BY revenue_e4 DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q70_tpch_local_volume" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue_e4 DESC, n_name""".stripMargin,
+    "q71_tpch_discount_rev" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice*100) * round(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND round(l_discount*100) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+    "q72_tpch_returns" ->
+      """SELECT c_custkey, c_name,
+        |       CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents, n_name,
+        |       CAST(sum(CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-04-01'
+        |GROUP BY c_custkey, c_name, acctbal_cents, n_name
+        |ORDER BY revenue_e4 DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q73_tpch_big_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |       CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents,
+        |       CAST(big.sum_qty AS BIGINT) AS sum_qty
+        |FROM (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(CAST(l_quantity AS BIGINT)) > 300) big
+        |JOIN orders   ON big.l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice_cents DESC, o_orderkey
+        |LIMIT 100""".stripMargin
+  )
+}
