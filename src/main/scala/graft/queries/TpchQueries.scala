@@ -18,9 +18,10 @@ import graft.sources.Sources
   *     `price*(1-disc)` revenue, 1e-6-dollar units for
   *     `price*(1-disc)*(1+tax)` charges. Each per-row product is an
   *     exact integer below 2^53 BEFORE the long cast, so partial-agg
-  *     order can't change the total. (At 100 TB the 1e-6 units would
-  *     need ~2^63 headroom checks — the operator note in SURVEY §7b
-  *     records the decimal(38,6) swap for that regime.)
+  *     order can't change the total. (At 100 TB the 1e-6 units approach
+  *     2^63 headroom — [[q68PricingDecimal]] is the decimal(38,6) swap
+  *     for that regime, value-parity-tested in TpchSuiteSpec with the
+  *     measured A/B cost in SURVEY §7b.)
   *   - averages derive from the exact integer sums with ONE double
   *     division + round(6) written identically on both sides (a binary
   *     double can never land exactly on a .5e-6 boundary, so HALF_UP vs
@@ -31,8 +32,12 @@ import graft.sources.Sources
   *
   * Scale shape: lineitem⨝orders⨝customer are shuffle hash joins on
   * their natural keys (AQE re-plans the post-filter small sides);
-  * nation/region are broadcast; every filter is a parquet pushdown on
-  * the scan (date/segment/flag predicates — PlanSpec pins q71's).
+  * nation/region are broadcast; every filter is a raw-column parquet
+  * pushdown on the scan (date/segment/flag/band predicates). PlanSpec
+  * pins the suite: q71's PushedFilters (shipdate window, discount band,
+  * quantity cap), the q70/q72 broadcast dims, TakeOrderedAndProject for
+  * the three top-k queries, q68's partial+final hash-agg, and q75's
+  * decorrelation into a join.
   */
 object TpchQueries {
 
@@ -53,6 +58,30 @@ object TpchQueries {
   private def avg6(sumCol: Column, cntCol: Column): Column =
     round(sumCol.cast("double") / cntCol, 6)
 
+  /** The exact-decimal money path for the regime where the 1e-6-dollar
+    * long units would overflow 2^63 (roughly >9.2e12 dollars of summed
+    * charge — reachable on a 100 TB lineitem). Same q68 rollup with
+    * money as decimal(12,2)/(38,6): Spark sums decimals exactly at any
+    * scale (overflow raises, never wraps). TpchSuiteSpec asserts this
+    * plan's totals equal the long path's on the fixtures; SURVEY §7b
+    * records the measured A/B cost of the swap.
+    */
+  def q68PricingDecimal(s: SparkSession, dir: String): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)"))
+    val tax = (lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(3,2)"))
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+        sum(price).as("sum_base"),
+        sum((price * disc).cast("decimal(38,6)")).as("sum_disc"),
+        sum((price * disc * tax).cast("decimal(38,6)")).as("sum_charge"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 pricing summary: one scan, partial+final hash-agg on a
     // 2-value x 2-value key (4 groups — the partial agg collapses 60k
@@ -63,7 +92,10 @@ object TpchQueries {
         .where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          // round-before-cast: Spark's cast truncates toward zero while
+          // DuckDB's CAST rounds — round() first so a fractional quantity
+          // can never diverge (same discipline as the money columns).
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
           sum(priceCents.cast("long")).as("sum_base_cents"),
           sum(discPriceE4).as("sum_disc_e4"),
           sum(chargeE6).as("sum_charge_e6"),
@@ -128,14 +160,17 @@ object TpchQueries {
     },
 
     // TPC-H Q6 forecast revenue: pure scan-filter-agg — every predicate
-    // (date window, discount band, quantity cap) is a parquet pushdown;
-    // the agg is one global long sum (partial per task, one row final).
+    // (date window, discount band, quantity cap) is a raw-column
+    // comparison so ALL of them reach PushedFilters and prune parquet
+    // row groups (a derived expression like round(disc*100) would not);
+    // the discount band [0.045, 0.075] is exact at 2-decimal discounts.
+    // The agg is one global long sum (partial per task, one row final).
     "q71_tpch_discount_rev" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .where(
           col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
-            round(col("l_discount") * 100).between(5, 7) &&
+            col("l_discount").between(0.045, 0.075) &&
             col("l_quantity") < 24)
         .agg(sum((priceCents * round(col("l_discount") * 100)).cast("long"))
           .as("revenue_e4"))
@@ -173,7 +208,7 @@ object TpchQueries {
     "q73_tpch_big_orders" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
       val big = li.groupBy("l_orderkey")
-        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
         .where(col("sum_qty") > 300)
       val ord = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
@@ -186,18 +221,82 @@ object TpchQueries {
           "totalprice_cents", "sum_qty")
         .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
         .limit(100)
+    },
+
+    // TPC-H Q13 customer distribution: the LEFT OUTER null-extension
+    // query. The o_orderpriority predicate lives in the JOIN CONDITION,
+    // not a WHERE — the classic outer-join trap (a WHERE would silently
+    // turn the join inner and drop zero-order customers). count(col)
+    // skips the null-extended rows, so unmatched customers land in the
+    // c_count=0 bucket. Scale: one shuffle join on custkey + two
+    // partial+final hash-aggs; no broadcast needed (both sides big).
+    "q74_tpch_custdist" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+      cust
+        .join(ord,
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "1-URGENT",
+          "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q17 small-quantity revenue: a CORRELATED scalar subquery
+    // through the SQL front-end — proves Catalyst decorrelates the
+    // per-row avg into one aggregate + join (PlanSpec pins it: the
+    // executed plan has a join on l_partkey and no per-row subquery).
+    // Determinism: quantities are integral doubles, so per-part sums are
+    // exact; avg is ONE double division and 0.2*avg ONE multiply,
+    // written identically on both engines — the < compare can't flap.
+    "q75_tpch_small_qty" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_l75")
+      s.sql(
+        """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+          |         AS lost_cents,
+          |       count(*) AS cnt
+          |FROM graft_l75 l1
+          |WHERE l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+          |                       FROM graft_l75 l2
+          |                       WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+    },
+
+    // FULL OUTER join with null extension on BOTH sides: daily order
+    // activity vs daily ship activity. Ship dates trail order dates by
+    // months, so the calendar tails are one-sided — order-only days
+    // null-extend the ship column and vice versa; coalesce folds them
+    // to zero. Scale: two partial+final aggs then one shuffle join on
+    // the day key (small join — one row per day — but written as the
+    // general shuffle shape, not a collect).
+    "q76_full_outer_days" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d_ord"))
+        .agg(count(lit(1)).as("ord_cnt"))
+      val l = t(s, dir, "lineitem")
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("d_ship"))
+        .agg(count(lit(1)).as("ship_cnt"))
+      o.join(l, col("d_ord") === col("d_ship"), "full_outer")
+        .select(
+          coalesce(col("d_ord"), col("d_ship")).as("day"),
+          coalesce(col("ord_cnt"), lit(0L)).as("n_ord"),
+          coalesce(col("ship_cnt"), lit(0L)).as("n_ship"))
+        .orderBy("day")
     }
   )
 
   val oracleSql: Map[String, String] = Map(
     "q68_tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
         |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
         |       CAST(sum(CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
         |       CAST(sum(CAST(round(l_extendedprice*100) * round((1-l_discount)*100) * round((1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
         |       count(*) AS cnt,
-        |       round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |       round(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_qty,
         |       round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / (count(*) * 100), 6) AS avg_price
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -234,7 +333,7 @@ object TpchQueries {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate <  TIMESTAMP '1998-01-01'
-        |  AND round(l_discount*100) BETWEEN 5 AND 7
+        |  AND l_discount BETWEEN 0.045 AND 0.075
         |  AND l_quantity < 24""".stripMargin,
     "q72_tpch_returns" ->
       """SELECT c_custkey, c_name,
@@ -255,12 +354,41 @@ object TpchQueries {
         |       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
         |       CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents,
         |       CAST(big.sum_qty AS BIGINT) AS sum_qty
-        |FROM (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |FROM (SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
         |      FROM lineitem GROUP BY l_orderkey
-        |      HAVING sum(CAST(l_quantity AS BIGINT)) > 300) big
+        |      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300) big
         |JOIN orders   ON big.l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY totalprice_cents DESC, o_orderkey
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+    "q74_tpch_custdist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) dist
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q75_tpch_small_qty" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS lost_cents,
+        |       count(*) AS cnt
+        |FROM lineitem l1
+        |WHERE l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                       FROM lineitem l2
+        |                       WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
+    "q76_full_outer_days" ->
+      """SELECT coalesce(d_ord, d_ship) AS day,
+        |       CAST(coalesce(ord_cnt, 0) AS BIGINT) AS n_ord,
+        |       CAST(coalesce(ship_cnt, 0) AS BIGINT) AS n_ship
+        |FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d_ord,
+        |             count(*) AS ord_cnt
+        |      FROM orders GROUP BY 1) o
+        |FULL OUTER JOIN
+        |     (SELECT strftime(l_shipdate, '%Y-%m-%d') AS d_ship,
+        |             count(*) AS ship_cnt
+        |      FROM lineitem GROUP BY 1) l
+        |ON d_ord = d_ship
+        |ORDER BY day""".stripMargin
   )
 }

@@ -100,4 +100,36 @@ class JoinOpsSpec extends SparkSpec {
       .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
     assert(got == Map(1L -> Some("real"), 2L -> None))
   }
+
+  test("left outer ON-condition null-extension: filtered matches count as zero (q74)") {
+    // the classic outer-join trap: a non-key predicate in the JOIN
+    // CONDITION keeps the left row (null-extended); the same predicate
+    // as a WHERE silently turns the join inner and drops it
+    val cust = Seq(1L, 2L, 3L).toDF("ck")
+    val ord = Seq((10L, 1L, "LOW"), (11L, 2L, "URGENT")).toDF("ok", "ock", "prio")
+    val onCond = cust
+      .join(ord, col("ck") === col("ock") && col("prio") =!= "URGENT", "left_outer")
+      .groupBy("ck").agg(count(col("ok")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cust 2's only order fails the condition -> c=0; cust 3 has none -> c=0
+    assert(onCond == Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
+    val whereCond = cust
+      .join(ord, col("ck") === col("ock"), "left_outer")
+      .where(col("prio") =!= "URGENT") // null prio rows fail this too
+      .groupBy("ck").agg(count(col("ok")).as("c"))
+      .collect().map(r => r.getLong(0)).toSet
+    assert(whereCond == Set(1L), "WHERE after outer join must drop null-extended rows")
+  }
+
+  test("full outer join null-extends BOTH sides; coalesce folds to zero (q76)") {
+    val a = Seq(("d1", 2L), ("d2", 3L)).toDF("da", "na")
+    val b = Seq(("d2", 5L), ("d3", 7L)).toDF("db", "nb")
+    val got = a.join(b, col("da") === col("db"), "full_outer")
+      .select(
+        coalesce(col("da"), col("db")).as("d"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("d1", 2L, 0L), ("d2", 3L, 5L), ("d3", 0L, 7L)))
+  }
 }

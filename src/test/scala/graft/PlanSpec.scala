@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{ExtQueries, LabQueries, LlmQueries}
+import graft.queries.{ExtQueries, LabQueries, LlmQueries, TpchQueries}
 
 /** Physical-plan shape assertions — the properties that decide whether a
   * query survives a 100x scale-up, pinned so a refactor can't silently
@@ -13,7 +13,8 @@ class PlanSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private def plan(name: String): String = {
-    val df = (LabQueries.queries ++ LlmQueries.queries ++ ExtQueries.queries)(name)(spark, sf)
+    val df = (LabQueries.queries ++ LlmQueries.queries ++ ExtQueries.queries ++
+      TpchQueries.queries)(name)(spark, sf)
     df.collect() // finalize AQE so the string shows the real executed plan
     df.queryExecution.executedPlan.toString
   }
@@ -176,6 +177,63 @@ class PlanSpec extends SparkSpec {
       s"ORDER BY + LIMIT should plan as bounded top-k:\n$p")
     assert(!p.contains("Exchange rangepartitioning"),
       s"global top-k must not range-sort the corpus:\n$p")
+  }
+
+  // ---- TPC-H suite (q68-q76): the plan shapes the module docstring
+  // promises. Six oracle rows alone can't catch a refactor that silently
+  // de-optimizes the flagship suite — these pins can.
+
+  test("q71 discount revenue: ALL predicates reach PushedFilters as raw columns") {
+    // the plan's metadata string truncates at 100 chars by default —
+    // widen it so the full PushedFilters list is assertable
+    val saved = spark.conf.getOption("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val p = plan("q71_tpch_discount_rev")
+      for (pred <- Seq(
+        "GreaterThanOrEqual(l_shipdate,", "LessThan(l_shipdate,",
+        "GreaterThanOrEqual(l_discount,0.045)", "LessThanOrEqual(l_discount,0.075)",
+        "LessThan(l_quantity,24.0)"))
+        assert(p.contains(pred), s"predicate $pred not pushed to the parquet scan:\n$p")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.maxMetadataStringLength", v)
+      case None => spark.conf.unset("spark.sql.maxMetadataStringLength")
+    }
+  }
+
+  test("q68 pricing rollup: partial+final hash aggregation, pruned scan") {
+    val p = plan("q68_tpch_pricing")
+    assert(p.contains("partial_sum"), s"no map-side partial aggregation:\n$p")
+    // the scan's projected column list: the 7 referenced columns only
+    // (ReadSchema truncates at 100 chars, so assert on the bracket list)
+    val scanCols = "FileScan parquet \\[(.*?)\\]".r.findFirstMatchIn(p).map(_.group(1))
+    assert(scanCols.isDefined, s"no FileScan in:\n$p")
+    assert(scanCols.exists(c => !c.contains("l_orderkey") && !c.contains("l_partkey")),
+      s"scan reads unreferenced columns: $scanCols")
+  }
+
+  test("q69/q72/q73 top-k: TakeOrderedAndProject, never a global range sort") {
+    for (q <- Seq("q69_tpch_shipprio", "q72_tpch_returns", "q73_tpch_big_orders")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q should plan bounded top-k:\n$p")
+      assert(!p.contains("Exchange rangepartitioning"),
+        s"$q must not range-sort before the limit:\n$p")
+    }
+  }
+
+  test("q70/q72: nation/region dimensions broadcast, never shuffled") {
+    assert(plan("q70_tpch_local_volume").contains("BroadcastHashJoin"))
+    assert(plan("q72_tpch_returns").contains("BroadcastHashJoin"))
+  }
+
+  test("q75 correlated subquery: decorrelated into one aggregate + join") {
+    val p = plan("q75_tpch_small_qty")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"correlated avg should become a join:\n$p")
+    assert(!p.contains("Subquery"),
+      s"per-row subquery execution survived decorrelation:\n$p")
+    assert(p.contains("partial_avg"), s"per-part avg lost its partial agg:\n$p")
   }
 
   test("runtime bloom-filter pruning: selective dim join filters the fact scan") {
