@@ -36,8 +36,9 @@ import graft.sources.Sources
   * pushdown on the scan (date/segment/flag/band predicates). PlanSpec
   * pins the suite: q71's PushedFilters (shipdate window, discount band,
   * quantity cap), the q70/q72 broadcast dims, TakeOrderedAndProject for
-  * the three top-k queries, q68's partial+final hash-agg, and q75's
-  * decorrelation into a join.
+  * the three top-k queries, q68's partial+final hash-agg, q75's
+  * decorrelation into a join, and q77/q78's EXISTS / NOT EXISTS
+  * decorrelation into semi/anti joins.
   */
 object TpchQueries {
 
@@ -250,19 +251,23 @@ object TpchQueries {
     // through the SQL front-end — proves Catalyst decorrelates the
     // per-row avg into one aggregate + join (PlanSpec pins it: the
     // executed plan has a join on l_partkey and no per-row subquery).
+    // The table is referenced as a direct `parquet.`path`` relation so
+    // the query function stays pure — no temp-view registration, no
+    // session state mutated (every entry in this map must be safely
+    // callable concurrently with different dirs).
     // Determinism: quantities are integral doubles, so per-part sums are
     // exact; avg is ONE double division and 0.2*avg ONE multiply,
     // written identically on both engines — the < compare can't flap.
     "q75_tpch_small_qty" -> { (s, dir) =>
-      t(s, dir, "lineitem").createOrReplaceTempView("graft_l75")
+      val li = s"parquet.`$dir/lineitem.parquet`"
       s.sql(
-        """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-          |         AS lost_cents,
-          |       count(*) AS cnt
-          |FROM graft_l75 l1
-          |WHERE l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
-          |                       FROM graft_l75 l2
-          |                       WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+        s"""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           |         AS lost_cents,
+           |       count(*) AS cnt
+           |FROM $li l1
+           |WHERE l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+           |                       FROM $li l2
+           |                       WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
     },
 
     // FULL OUTER join with null extension on BOTH sides: daily order
@@ -285,6 +290,68 @@ object TpchQueries {
           coalesce(col("ord_cnt"), lit(0L)).as("n_ord"),
           coalesce(col("ship_cnt"), lit(0L)).as("n_ship"))
         .orderBy("day")
+    },
+
+    // TPC-H Q4 shape: correlated EXISTS through the SQL front-end —
+    // "orders placed in Q3'97 where at least one line shipped more than
+    // 90 days after the order date" (this fixture's lineitem has no
+    // commit/receipt dates, so late-shipment is the Q4 'late' proxy; the
+    // decorrelation surface is identical). The subquery carries TWO
+    // outer references — an equi one (l_orderkey = o_orderkey) and a
+    // non-equi one (l_shipdate > o_orderdate + 90 days) — so Catalyst
+    // must rewrite it as a LEFT SEMI join on orderkey with the date
+    // predicate in the join condition, executed once, never per-row.
+    // PlanSpec pins LeftSemi + no per-row subquery. Scale: semi join
+    // shuffles both sides once on orderkey; the order-date window is a
+    // raw-column parquet pushdown.
+    "q77_tpch_waiting_orders" -> { (s, dir) =>
+      val ord = s"parquet.`$dir/orders.parquet`"
+      val li = s"parquet.`$dir/lineitem.parquet`"
+      s.sql(
+        s"""SELECT o_orderpriority, count(*) AS order_count
+           |FROM $ord o
+           |WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+           |  AND o.o_orderdate <  TIMESTAMP '1997-10-01'
+           |  AND EXISTS (SELECT 1 FROM $li l
+           |              WHERE l.l_orderkey = o.o_orderkey
+           |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS)
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // TPC-H Q21 shape: nested EXISTS + NOT EXISTS — "suppliers solely to
+    // blame for a return on a finished multi-supplier order" (returnflag
+    // 'R' stands in for receipt>commit lateness; the double-subquery
+    // decorrelation surface is Q21's). EXISTS → LEFT SEMI (another
+    // supplier touched the order), NOT EXISTS → LEFT ANTI (no OTHER
+    // supplier's line was returned); both correlate on l_orderkey with a
+    // non-equi suppkey<>suppkey residual, so each rewrites to ONE join
+    // keyed on orderkey — never a per-row probe. Scale: three shuffles
+    // on orderkey (fact, semi, anti — same key, AQE reuses exchanges
+    // where possible) + a broadcast supplier dim; output ≤ supplier
+    // count. Determinism: s_name is unique, so the DESC/ASC order is
+    // total.
+    "q78_tpch_sole_blame" -> { (s, dir) =>
+      val li = s"parquet.`$dir/lineitem.parquet`"
+      val ord = s"parquet.`$dir/orders.parquet`"
+      val supp = s"parquet.`$dir/supplier.parquet`"
+      s.sql(
+        s"""SELECT s_name, count(*) AS numwait
+           |FROM $li l1
+           |JOIN $ord o ON o.o_orderkey = l1.l_orderkey
+           |           AND o.o_orderstatus = 'F'
+           |JOIN $supp s ON s.s_suppkey = l1.l_suppkey
+           |WHERE l1.l_returnflag = 'R'
+           |  AND EXISTS (SELECT 1 FROM $li l2
+           |              WHERE l2.l_orderkey = l1.l_orderkey
+           |                AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (SELECT 1 FROM $li l3
+           |                  WHERE l3.l_orderkey = l1.l_orderkey
+           |                    AND l3.l_suppkey <> l1.l_suppkey
+           |                    AND l3.l_returnflag = 'R')
+           |GROUP BY s_name
+           |ORDER BY numwait DESC, s_name
+           |LIMIT 100""".stripMargin)
     }
   )
 
@@ -389,6 +456,33 @@ object TpchQueries {
         |             count(*) AS ship_cnt
         |      FROM lineitem GROUP BY 1) l
         |ON d_ord = d_ship
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+    "q77_tpch_waiting_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q78_tpch_sole_blame" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |             AND o.o_orderstatus = 'F'
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin
   )
 }

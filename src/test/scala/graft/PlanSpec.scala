@@ -204,12 +204,17 @@ class PlanSpec extends SparkSpec {
   test("q68 pricing rollup: partial+final hash aggregation, pruned scan") {
     val p = plan("q68_tpch_pricing")
     assert(p.contains("partial_sum"), s"no map-side partial aggregation:\n$p")
-    // the scan's projected column list: the 7 referenced columns only
-    // (ReadSchema truncates at 100 chars, so assert on the bracket list)
+    // the scan's projected column list must be EXACTLY the 7 referenced
+    // columns — compare the full set (strip the #id suffixes), so a
+    // regression that drags in any unreferenced column (l_comment,
+    // l_orderkey, ...) fails, not just the two spot-checked ones
     val scanCols = "FileScan parquet \\[(.*?)\\]".r.findFirstMatchIn(p).map(_.group(1))
     assert(scanCols.isDefined, s"no FileScan in:\n$p")
-    assert(scanCols.exists(c => !c.contains("l_orderkey") && !c.contains("l_partkey")),
-      s"scan reads unreferenced columns: $scanCols")
+    val projected = scanCols.get.split(",").map(_.trim.takeWhile(_ != '#')).toSet
+    val expected = Set("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    assert(projected == expected,
+      s"scan projection drifted from the 7 referenced columns: $projected")
   }
 
   test("q69/q72/q73 top-k: TakeOrderedAndProject, never a global range sort") {
@@ -223,8 +228,47 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q70/q72: nation/region dimensions broadcast, never shuffled") {
-    assert(plan("q70_tpch_local_volume").contains("BroadcastHashJoin"))
-    assert(plan("q72_tpch_returns").contains("BroadcastHashJoin"))
+    // a bare contains("BroadcastHashJoin") would pass if AQE broadcast
+    // some OTHER small side while nation/region shuffle-joined — also
+    // assert no shuffle exchange ever hashes the dim keys
+    val p70 = plan("q70_tpch_local_volume")
+    assert(p70.contains("BroadcastHashJoin"), s"no broadcast join in q70:\n$p70")
+    assert(!p70.contains("hashpartitioning(n_nationkey") &&
+      !p70.contains("hashpartitioning(r_regionkey"),
+      s"nation/region scan reached a shuffle exchange:\n$p70")
+    val p72 = plan("q72_tpch_returns")
+    assert(p72.contains("BroadcastHashJoin"), s"no broadcast join in q72:\n$p72")
+    assert(!p72.contains("hashpartitioning(n_nationkey"),
+      s"nation scan reached a shuffle exchange:\n$p72")
+  }
+
+  test("q77 correlated EXISTS: decorrelated into one LeftSemi join") {
+    val p = plan("q77_tpch_waiting_orders")
+    assert(p.contains("LeftSemi"),
+      s"EXISTS should rewrite to a semi join:\n$p")
+    assert(!p.contains("Subquery"),
+      s"per-row subquery execution survived decorrelation:\n$p")
+    // the order-date window is a raw-column predicate — it must reach
+    // the orders parquet scan, not evaluate post-join
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"),
+      s"order-date window not pushed to the orders scan:\n$p")
+  }
+
+  test("q78 EXISTS + NOT EXISTS: one LeftSemi + one LeftAnti, no per-row probe") {
+    val p = plan("q78_tpch_sole_blame")
+    assert(p.contains("LeftSemi"),
+      s"EXISTS should rewrite to a semi join:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS should rewrite to an anti join:\n$p")
+    assert(!p.contains("Subquery"),
+      s"per-row subquery execution survived decorrelation:\n$p")
+  }
+
+  test("q75/q77/q78 SQL front-end queries are pure: no temp views registered") {
+    for (q <- Seq("q75_tpch_small_qty", "q77_tpch_waiting_orders", "q78_tpch_sole_blame"))
+      plan(q)
+    assert(spark.catalog.listTables().filter("name like 'graft%'").count() == 0,
+      "a query function registered a session temp view (side effect)")
   }
 
   test("q75 correlated subquery: decorrelated into one aggregate + join") {
