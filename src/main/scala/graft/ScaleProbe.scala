@@ -53,6 +53,54 @@ object ScaleProbe {
       graft.operators.KvTextSink.write(kv, s"$kvOut/single"); 0L
     }
 
+    // AQE skew-join rewrite: the most common 100 TB failure mode is one
+    // hot shuffle key serializing a join. A zipfian fact (70% of rows on
+    // one key) joins a uniform dim; with the skew thresholds scaled to
+    // probe volume (the RATIO mechanics are identical at cluster scale),
+    // AQE must split the hot partition — visible as skew=true /
+    // "skewed" in the executed plan — instead of one straggler task
+    // sorting 70% of the fact. The manual salt (RangeJoin.SkewJoin)
+    // remains the explicit-control alternative; this probe shows the
+    // automatic path fires.
+    val skewConfs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val savedConfs = skewConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(2000000L).select(
+        when(col("id") % 10 < 7, 0L).otherwise(col("id") % 1000).as("k"),
+        concat(lit("payload-payload-payload-payload-"), col("id")).as("payload"))
+      val dim = spark.range(1000L).select(col("id").as("k"),
+        concat(lit("dim-"), col("id")).as("dval"))
+      def skewJoinRun(enabled: Boolean): (Double, String) = {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", enabled.toString)
+        // the aggregate keeps payload/dval alive so column pruning can't
+        // shrink the skewed partition below the probe thresholds
+        val df = fact.join(dim, "k")
+          .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("pbytes"),
+            count(col("dval")).as("nd"))
+        val t0 = System.nanoTime()
+        df.collect()
+        ((System.nanoTime() - t0) / 1e9, df.queryExecution.executedPlan.toString)
+      }
+      val (tOff, _) = skewJoinRun(enabled = false)
+      val (tOn, planOn) = skewJoinRun(enabled = true)
+      val fired = planOn.contains("skew=true") || planOn.contains("skewed")
+      println(f"[scale] AQE skew join (zipfian 70%% hot key, 2M rows): " +
+        f"skewJoin=off $tOff%.1f s, skewJoin=on $tOn%.1f s, rewrite fired: $fired")
+      if (!fired) println("[scale] WARNING: AQE skew rewrite did not fire at this volume")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      savedConfs.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+
     val e0 = Sources.table(spark, dir, "embeddings").select("vec_id", "embedding")
     val embs = (0 until factor)
       .map(i => e0.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))

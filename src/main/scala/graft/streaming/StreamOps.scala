@@ -179,6 +179,34 @@ object StreamOps {
         col(rightTs) <= col(leftTs))
   }
 
+  /** The flagship q68 pricing rollup as a continuous query: the same
+    * exact-integer money discipline (cents / 1e-4 / 1e-6-dollar units —
+    * see TpchQueries), aggregated per event-time window per
+    * (returnflag, linestatus), state evicted by the watermark. Because
+    * the per-window sums are exact integers, summing emitted windows
+    * reproduces the batch rollup EXACTLY — the property StreamSpec pins
+    * (a double-summed rollup could drift by accumulation order between
+    * the batch and incremental paths). Input must carry the lineitem
+    * money columns; runs identically over batch frames (unified API).
+    */
+  def pricingRollup(
+      df: DataFrame,
+      tsCol: String,
+      width: String,
+      lateness: String): DataFrame = {
+    val priceCents = round(col("l_extendedprice") * 100)
+    val discFactorCents = round((lit(1) - col("l_discount")) * 100)
+    val taxFactorCents = round((lit(1) + col("l_tax")) * 100)
+    df.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), width), col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+        sum(priceCents.cast("long")).as("sum_base_cents"),
+        sum((priceCents * discFactorCents).cast("long")).as("sum_disc_e4"),
+        sum((priceCents * discFactorCents * taxFactorCents).cast("long")).as("sum_charge_e6"),
+        count(lit(1)).as("cnt"))
+  }
+
   /** Output-mode guidance: windowed aggs with watermark support Append
     * (emit once, on watermark close) and Update; mapGroupsWithState
     * requires Update.

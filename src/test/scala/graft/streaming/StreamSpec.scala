@@ -10,6 +10,11 @@ import graft.streaming.StreamOps.Event
 /** Top-level so spark.implicits can derive its Encoder. */
 case class StreamSpecDoc(doc_id: Long, ts: Timestamp, text: String)
 
+/** Lineitem money columns for the streaming pricing-rollup parity test. */
+case class StreamSpecLine(
+    l_returnflag: String, l_linestatus: String, l_shipdate: Timestamp,
+    l_quantity: Double, l_extendedprice: Double, l_discount: Double, l_tax: Double)
+
 /** Structured-Streaming semantics through MemoryStream: windowed counts
   * close on watermark, session windows merge by gap, within-watermark
   * dedup, and custom mapGroupsWithState totals. Each query drains with
@@ -325,6 +330,67 @@ class StreamSpec extends SparkSpec {
       assert(rows.contains((500L, 100L)), s"expected (500,100) in $rows")
       assert(!rows.contains((500L, 101L)), "future click must not match")
       assert(!rows.contains((500L, 200L)), "other user's click must not match")
+    } finally q.stop()
+  }
+
+  test("q68 pricing rollup as a watermarked stream over the lineitem fixture: batch == stream") {
+    // the flagship batch rollup run continuously: the REAL sf0.001
+    // lineitem rows arrive in shipdate order (the fixture's natural
+    // cadence) across several micro-batches; per-window exact-integer
+    // sums emit as the watermark closes each window. Parity is exact
+    // because every aggregate is an integer — no accumulation-order
+    // drift between the incremental and batch paths.
+    val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val rows = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(cols.map(col): _*)
+      .orderBy("l_shipdate")
+      .as[StreamSpecLine].collect()
+    val ms = memStream[StreamSpecLine]
+    val out = sinkName()
+    val q = StreamOps.pricingRollup(ms.toDS().toDF(), "l_shipdate",
+        width = "90 days", lateness = "30 days")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      // in-order chunks: the watermark only rises between batches, so no
+      // row is ever late; every window eventually closes via the sentinel
+      rows.grouped(math.max(1, rows.length / 4)).foreach { chunk =>
+        ms.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val sentinel = StreamSpecLine("ZZ", "Z", ts("23:59"), 0, 0, 0, 0)
+        .copy(l_shipdate = Timestamp.valueOf("2005-01-01 00:00:00"))
+      ms.addData(sentinel) // watermark -> 2004-12-02: closes every real window
+      q.processAllAvailable()
+
+      def rollupSet(df: org.apache.spark.sql.DataFrame) = df
+        .where(col("l_returnflag") =!= "ZZ")
+        .select(col("window.start"), col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("sum_base_cents"), col("sum_disc_e4"),
+          col("sum_charge_e6"), col("cnt"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+
+      val streamed = rollupSet(spark.table(out))
+      val batch = rollupSet(StreamOps.pricingRollup(
+        rows.toIndexedSeq.toDS().toDF(), "l_shipdate", "90 days", "30 days"))
+      assert(streamed.nonEmpty && streamed == batch,
+        s"stream/batch rollup diverged: ${streamed.size} vs ${batch.size} windows")
+
+      // and the emitted windows RE-AGGREGATE to the flagship totals —
+      // exact-integer sums make the incremental path bit-identical
+      val totals = spark.table(out).where(col("l_returnflag") =!= "ZZ")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("sum_charge_e6").as("charge"), sum("cnt").as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val batchTotals = rows.toIndexedSeq.toDS().toDF()
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum((round(col("l_extendedprice") * 100) *
+          round((lit(1) - col("l_discount")) * 100) *
+          round((lit(1) + col("l_tax")) * 100)).cast("long")).as("charge"),
+          count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(totals == batchTotals, "windowed stream totals diverged from the batch rollup")
     } finally q.stop()
   }
 
