@@ -70,6 +70,15 @@ def main():
                 results[name] = {"error": str(ex)[:300]}
 
     ok = all(v.get("values") for v in results.values())
+    # README drift guard: the stated query counts must match the artifact
+    # (the counts have drifted three rounds running when unchecked)
+    n_queries = len([d for d in glob.glob(f"{OUT}/q*") if os.path.isdir(d)])
+    readme = open("/root/repo/README.md").read()
+    if (f"{n_queries} queries" not in readme
+            or f"{len(oracle)} of {n_queries} hash-verified" not in readme):
+        print(f"FAIL README: counts drifted — artifact has {n_queries} queries, "
+              f"{len(oracle)} of {n_queries} hash-verified")
+        ok = False
     for k, v in results.items():
         flag = "PASS" if v.get("values") else "FAIL"
         print(f"{flag} {k}: {v}")

@@ -249,19 +249,20 @@ object ExtQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
-    // Scalar subquery through the SQL front-end (spark.sql over a temp
-    // view): orders above the global mean price, counted per priority.
+    // Scalar subquery through the SQL front-end (spark.sql over a direct
+    // parquet relation — no temp view, so the query function stays pure):
+    // orders above the global mean price, counted per priority.
     // The mean is computed over integral cent doubles (sums exactly in
     // IEEE double at any row count that fits 2^53 cents — deterministic
     // under any aggregation order, so the > comparison can't flap).
     "q50_above_avg" -> { (s, dir) =>
-      t(s, dir, "orders").createOrReplaceTempView("graft_orders")
+      val ord = s"parquet.`$dir/orders.parquet`"
       s.sql(
-        """SELECT o_orderpriority, count(*) AS cnt
-          |FROM graft_orders
-          |WHERE round(o_totalprice * 100) >
-          |      (SELECT avg(round(o_totalprice * 100)) FROM graft_orders)
-          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        s"""SELECT o_orderpriority, count(*) AS cnt
+           |FROM $ord
+           |WHERE round(o_totalprice * 100) >
+           |      (SELECT avg(round(o_totalprice * 100)) FROM $ord)
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     },
 
     // Regex extraction surface: leading word of each part name (Java and

@@ -279,18 +279,21 @@ object LlmQueries {
     // two adjacent values — either way a last-ulp interpolation
     // difference cannot flip any row across the threshold.
     "q52_quality_filter" -> { (s, dir) =>
-      t(s, dir, "documents")
+      val scored = t(s, dir, "documents")
         .select(col("lang"), col("text"), Dedup.tokens(col("text")).as("w"))
         .select(
           col("lang"),
           TextStats.qualityScoreFromTokens(col("text"), col("w"), TextStats.langProfiles("en"))
             .as("quality"))
-        .createOrReplaceTempView("graft_scored")
-      s.sql(
-        """SELECT lang, count(*) AS cnt
-          |FROM graft_scored
-          |WHERE quality >= (SELECT percentile(quality, 0.5) FROM graft_scored)
-          |GROUP BY lang ORDER BY lang""".stripMargin)
+      // the median gate as a broadcast 1-row aggregate (the same plan a
+      // scalar subquery decorrelates to, without registering a temp view
+      // — query functions must stay side-effect-free; the SQL-front-end
+      // scalar-subquery surface itself is proven by q50/q75)
+      val median = scored.agg(expr("percentile(quality, 0.5)").as("__med"))
+      scored.crossJoin(broadcast(median))
+        .where(col("quality") >= col("__med"))
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang")
     },
 
     // Decontamination: drop every document whose normalized content hash

@@ -264,11 +264,16 @@ class PlanSpec extends SparkSpec {
       s"per-row subquery execution survived decorrelation:\n$p")
   }
 
-  test("q75/q77/q78 SQL front-end queries are pure: no temp views registered") {
-    for (q <- Seq("q75_tpch_small_qty", "q77_tpch_waiting_orders", "q78_tpch_sole_blame"))
+  test("SQL front-end queries are pure: running them registers no temp views") {
+    // snapshot-based so views registered by OTHER suites sharing the
+    // session can't produce false failures — only NEW views fail
+    val before = spark.catalog.listTables().collect().map(_.name).toSet
+    for (q <- Seq("q50_above_avg", "q52_quality_filter", "q75_tpch_small_qty",
+        "q77_tpch_waiting_orders", "q78_tpch_sole_blame"))
       plan(q)
-    assert(spark.catalog.listTables().filter("name like 'graft%'").count() == 0,
-      "a query function registered a session temp view (side effect)")
+    val added = spark.catalog.listTables().collect().map(_.name).toSet -- before
+    assert(added.isEmpty,
+      s"query functions registered session temp views (side effect): $added")
   }
 
   test("q75 correlated subquery: decorrelated into one aggregate + join") {
