@@ -49,7 +49,13 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Stdout passes through the driver's tail capture, which has truncated
+    // per-query timings before (BENCH_r09 lost q05/q73) — persist the full
+    // line to a file too so every entry survives regardless of capture.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

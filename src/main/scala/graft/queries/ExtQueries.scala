@@ -373,6 +373,61 @@ object ExtQueries {
           col("o_orderkey"),
           round(col("o_totalprice") * 100).cast("long").as("price_cents"))
         .orderBy(col("o_orderpriority"), col("price_cents").desc, col("o_orderkey"))
+    },
+
+    // Explicit GROUPING SETS — the general Expand form that rollup (q31)
+    // and cube (q47) are special cases of: three UNRELATED grouping sets
+    // ((flag,status),(flag),(ship_year)) resolved in ONE pass, with
+    // grouping_id() disambiguating which set a row belongs to (both
+    // engines encode it first-column = MSB: (A,F,·)=1, (A,·,·)=3,
+    // (·,·,1997)=6 — probed, not assumed). PlanSpec pins ONE Expand +
+    // ONE hash-partition exchange with a partial aggregate below it:
+    // 3× row replication at the map side, never 3 scans or a union of
+    // aggregates. Scale: replication factor = #sets (constant), and the
+    // partial agg collapses each task's rows to ~|groups| before the
+    // shuffle — bytes moved stay proportional to group count, not input.
+    "q81_grouping_sets" -> { (s, dir) =>
+      val li = s"parquet.`$dir/lineitem.parquet`"
+      s.sql(
+        s"""SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+           |       coalesce(CAST(year(l_shipdate) AS INT), -1) AS ship_year,
+           |       CAST(grouping_id(l_returnflag, l_linestatus, year(l_shipdate)) AS BIGINT) AS gid,
+           |       count(*) AS cnt,
+           |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+           |FROM $li
+           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+           |                        (year(l_shipdate)))
+           |ORDER BY gid, rf, ls, ship_year""".stripMargin)
+    },
+
+    // Recursive CTE (Spark 4.x WITH RECURSIVE, UnionLoop execution):
+    // cumulative monthly 1997 revenue as a month-over-month ladder — the
+    // anchor seeds January, each iteration joins the PREVIOUS iteration's
+    // single row to the next month's aggregate. Exercises the iterative
+    // plan surface (UnionLoop/UnionLoopRef — PlanSpec pins it) with a
+    // recursion depth bounded by the calendar (12), independent of SF;
+    // the date window is a raw-column pushdown on every iteration's scan.
+    // Determinism: exact integer cents throughout; m is a unique key.
+    "q82_recursive_cummonth" -> { (s, dir) =>
+      val ord = s"parquet.`$dir/orders.parquet`"
+      val monthly =
+        s"""SELECT CAST(month(o_orderdate) AS INT) AS m,
+           |               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_e4
+           |        FROM $ord
+           |        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           |          AND o_orderdate <  TIMESTAMP '1998-01-01'
+           |        GROUP BY 1""".stripMargin
+      s.sql(
+        s"""WITH RECURSIVE cum AS (
+           |  SELECT m, rev_e4, rev_e4 AS cum_e4
+           |  FROM ($monthly)
+           |  WHERE m = 1
+           |  UNION ALL
+           |  SELECT mo.m, mo.rev_e4, cum.cum_e4 + mo.rev_e4
+           |  FROM cum
+           |  JOIN ($monthly) mo ON mo.m = cum.m + 1
+           |)
+           |SELECT m, rev_e4, cum_e4 FROM cum ORDER BY m""".stripMargin)
     }
   )
 
@@ -537,6 +592,37 @@ object ExtQueries {
         |       CAST(sum(CAST(json_extract(props, '$.' || key) AS INTEGER)) AS BIGINT) AS sum_v,
         |       min(CAST(json_extract(props, '$.' || key) AS INTEGER)) AS min_v,
         |       max(CAST(json_extract(props, '$.' || key) AS INTEGER)) AS max_v
-        |FROM kv GROUP BY key ORDER BY key""".stripMargin
+        |FROM kv GROUP BY key ORDER BY key""".stripMargin,
+    "q81_grouping_sets" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+        |       coalesce(CAST(year(l_shipdate) AS INT), -1) AS ship_year,
+        |       CAST(grouping(l_returnflag, l_linestatus, year(l_shipdate)) AS BIGINT) AS gid,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+        |                        (year(l_shipdate)))
+        |ORDER BY gid, rf, ls, ship_year""".stripMargin,
+    "q82_recursive_cummonth" ->
+      """WITH RECURSIVE cum AS (
+        |  SELECT m, rev_e4, rev_e4 AS cum_e4
+        |  FROM (SELECT CAST(month(o_orderdate) AS INT) AS m,
+        |               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_e4
+        |        FROM orders
+        |        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |        GROUP BY 1)
+        |  WHERE m = 1
+        |  UNION ALL
+        |  SELECT mo.m, mo.rev_e4, cum.cum_e4 + mo.rev_e4
+        |  FROM cum
+        |  JOIN (SELECT CAST(month(o_orderdate) AS INT) AS m,
+        |               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_e4
+        |        FROM orders
+        |        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |        GROUP BY 1) mo ON mo.m = cum.m + 1
+        |)
+        |SELECT m, rev_e4, cum_e4 FROM cum ORDER BY m""".stripMargin
   )
 }

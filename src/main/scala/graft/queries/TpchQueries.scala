@@ -352,6 +352,57 @@ object TpchQueries {
            |GROUP BY s_name
            |ORDER BY numwait DESC, s_name
            |LIMIT 100""".stripMargin)
+    },
+
+    // TPC-H Q2 shape: a correlated scalar subquery whose BODY ITSELF JOINS
+    // tables — the last decorrelation class after q75 (single-table
+    // correlate) and q77/q78 (EXISTS). "Best supplier per region": the
+    // subquery computes max(acctbal) over supplier⨝nation correlated on
+    // the outer region key, so Catalyst must pull the join+aggregate out,
+    // group it by n_regionkey, and join it back — ONE aggregate over the
+    // whole supplier table, never a per-row probe (PlanSpec pins: no
+    // Subquery node survives, and a max-aggregate join appears instead).
+    // Scale: dims all broadcast at any SF; the decorrelated aggregate
+    // reads supplier once. Determinism: both engines compare the SAME
+    // stored double bit-patterns (max of a set of doubles is one of them,
+    // equality is exact); s_name is unique so the order is total.
+    "q79_tpch_region_best_supplier" -> { (s, dir) =>
+      val supp = s"parquet.`$dir/supplier.parquet`"
+      val nat = s"parquet.`$dir/nation.parquet`"
+      val reg = s"parquet.`$dir/region.parquet`"
+      s.sql(
+        s"""SELECT r_name, n_name, s_name,
+           |       CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+           |FROM $supp s
+           |JOIN $nat n ON s.s_nationkey = n.n_nationkey
+           |JOIN $reg r ON n.n_regionkey = r.r_regionkey
+           |WHERE s.s_acctbal = (SELECT max(s2.s_acctbal)
+           |                     FROM $supp s2
+           |                     JOIN $nat n2 ON s2.s_nationkey = n2.n_nationkey
+           |                     WHERE n2.n_regionkey = r.r_regionkey)
+           |ORDER BY r_name, s_name""".stripMargin)
+    },
+
+    // TPC-H Q11 shape: HAVING gated on a scalar subquery over the SAME
+    // fact table — "brands carrying more than 4% of total revenue". The
+    // share threshold is exact integer arithmetic (sum*25 > total instead
+    // of sum > total*0.04 — no float ever enters the compare), so the
+    // gate can't flap between engines. Catalyst evaluates the total as
+    // ONE uncorrelated scalar subquery (a second scan + global agg,
+    // executed once and broadcast into the filter — PlanSpec pins exactly
+    // one Subquery, zero correlated per-row probes). Scale: two scans of
+    // lineitem (group-by + global sum), each partial-aggregated; the part
+    // dim broadcasts.
+    "q80_tpch_brand_share" -> { (s, dir) =>
+      val li = s"parquet.`$dir/lineitem.parquet`"
+      val part = s"parquet.`$dir/part.parquet`"
+      val e4 = "CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT)"
+      s.sql(
+        s"""SELECT p_brand, CAST(sum($e4) AS BIGINT) AS revenue_e4
+           |FROM $li JOIN $part ON l_partkey = p_partkey
+           |GROUP BY p_brand
+           |HAVING sum($e4) * 25 > (SELECT sum($e4) FROM $li)
+           |ORDER BY revenue_e4 DESC, p_brand""".stripMargin)
     }
   )
 
@@ -483,6 +534,25 @@ object TpchQueries {
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+    "q79_tpch_region_best_supplier" ->
+      """SELECT r_name, n_name, s_name,
+        |       CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE s.s_acctbal = (SELECT max(s2.s_acctbal)
+        |                     FROM supplier s2
+        |                     JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |                     WHERE n2.n_regionkey = r.r_regionkey)
+        |ORDER BY r_name, s_name""".stripMargin,
+    "q80_tpch_brand_share" ->
+      """SELECT p_brand,
+        |       CAST(sum(CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |HAVING sum(CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT)) * 25 >
+        |       (SELECT sum(CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT)) FROM lineitem)
+        |ORDER BY revenue_e4 DESC, p_brand""".stripMargin
   )
 }

@@ -264,12 +264,69 @@ class PlanSpec extends SparkSpec {
       s"per-row subquery execution survived decorrelation:\n$p")
   }
 
+  test("q79 correlated subquery with join body: decorrelated into one aggregate") {
+    val p = plan("q79_tpch_region_best_supplier")
+    // the subquery body (supplier⨝nation, max by region) must be pulled
+    // out as ONE grouped aggregate joined back on (acctbal, regionkey) —
+    // a surviving Subquery node would mean a per-outer-row probe
+    assert(!p.contains("Subquery"),
+      s"per-row subquery execution survived decorrelation:\n$p")
+    assert(p.contains("max(s_acctbal)"),
+      s"decorrelated max-aggregate missing from the plan:\n$p")
+    assert(p.contains("partial_max"),
+      s"the decorrelated aggregate lost its partial (map-side) phase:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dim/aggregate sides should broadcast at this size:\n$p")
+  }
+
+  test("q80 HAVING scalar subquery: global total computed once, not per group") {
+    val p = plan("q80_tpch_brand_share")
+    // the share threshold is an UNCORRELATED scalar subquery — it must
+    // appear as exactly ONE one-shot subquery plan (partial_sum →
+    // SinglePartition), broadcast into the HAVING filter; distinct ids
+    // (not occurrences) so AQE's initial+final printout can't double-count
+    val subqueryIds = "Subquery subquery#(\\d+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(subqueryIds.size == 1,
+      s"expected exactly one one-shot scalar subquery, got $subqueryIds:\n$p")
+    assert(p.contains("Exchange SinglePartition"),
+      s"global-total aggregate should reduce to a single partition:\n$p")
+    assert(p.contains("partial_sum"),
+      s"revenue aggregation lost its partial phase:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part dimension should broadcast:\n$p")
+  }
+
+  test("q81 grouping sets: ONE Expand + ONE aggregate shuffle for all three sets") {
+    val p = plan("q81_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets should plan through Expand:\n$p")
+    assert("Expand".r.findAllIn(p).length <= 2, // initial + final AQE sections
+      s"grouping sets should plan as exactly one Expand:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"all grouping sets must share one aggregate shuffle:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length <= 2,
+      s"grouping sets must scan lineitem once, not once per set:\n$p")
+    assert(p.contains("partial_count"),
+      s"the Expand output lost its map-side partial aggregation:\n$p")
+  }
+
+  test("q82 recursive CTE: executes as an iterative UnionLoop, date pushdown intact") {
+    val p = plan("q82_recursive_cummonth")
+    assert(p.contains("UnionLoop"),
+      s"recursive CTE should execute as UnionLoop:\n$p")
+    // the loop body is embedded as a logical plan (planned per iteration),
+    // so pushdown shows as the raw-column date filter sitting on the scan
+    assert(p.contains("o_orderdate") && p.contains("1997-01-01"),
+      s"1997 date window missing from the loop body's orders scan:\n$p")
+  }
+
   test("SQL front-end queries are pure: running them registers no temp views") {
     // snapshot-based so views registered by OTHER suites sharing the
     // session can't produce false failures — only NEW views fail
     val before = spark.catalog.listTables().collect().map(_.name).toSet
     for (q <- Seq("q50_above_avg", "q52_quality_filter", "q75_tpch_small_qty",
-        "q77_tpch_waiting_orders", "q78_tpch_sole_blame"))
+        "q77_tpch_waiting_orders", "q78_tpch_sole_blame",
+        "q79_tpch_region_best_supplier", "q80_tpch_brand_share",
+        "q81_grouping_sets", "q82_recursive_cummonth"))
       plan(q)
     val added = spark.catalog.listTables().collect().map(_.name).toSet -- before
     assert(added.isEmpty,
