@@ -63,9 +63,12 @@ object TpchQueries {
     * long units would overflow 2^63 (roughly >9.2e12 dollars of summed
     * charge — reachable on a 100 TB lineitem). Same q68 rollup with
     * money as decimal(12,2)/(38,6): Spark sums decimals exactly at any
-    * scale (overflow raises, never wraps). TpchSuiteSpec asserts this
-    * plan's totals equal the long path's on the fixtures; SURVEY §7b
-    * records the measured A/B cost of the swap.
+    * scale (overflow raises, never wraps — unlike the long path, whose
+    * Java-long sum wraps silently past 2^63 with no signal from codegen;
+    * that is the whole rationale for the swap, not just extra digits).
+    * TpchSuiteSpec asserts this plan's totals equal the long path's on
+    * the fixtures AND that a decimal(38,6) sum past its 1e32 bound
+    * raises under ANSI; SURVEY §7b records the measured A/B cost.
     */
   def q68PricingDecimal(s: SparkSession, dir: String): DataFrame = {
     val price = col("l_extendedprice").cast("decimal(12,2)")

@@ -120,6 +120,27 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming decontamination — the streaming face of the batch digest
+    * anti-join (q53): every micro-batch's documents are content-digested
+    * (sha2 over normalized text, same digest as the batch path) and LEFT
+    * ANTI joined against the broadcast static blocklist, so blocklisted
+    * content never emits, in any batch. Stream-static anti joins hold NO
+    * stream state — the blocklist re-broadcasts per batch, which is the
+    * point at scale: the corpus streams through map-side, only 32-byte
+    * digests of the (small) contamination side ship to executors.
+    */
+  def decontaminateStream(
+      docs: DataFrame,
+      textCol: String,
+      blocklist: DataFrame,
+      blockTextCol: String): DataFrame = {
+    val digest = sha2(graft.operators.llm.Dedup.normalize(col(textCol)), 256)
+    val block = broadcast(
+      blocklist.select(
+        sha2(graft.operators.llm.Dedup.normalize(col(blockTextCol)), 256).as("__h")))
+    docs.join(block, digest === col("__h"), "left_anti")
+  }
+
   /** One emitted row per crossed threshold multiple. */
   case class SpendAlert(user_id: Long, events: Long, crossed: Double)
 

@@ -30,6 +30,25 @@ class TpchSuiteSpec extends SparkSpec {
     assert(decPath == longPath)
   }
 
+  test("decimal(38,6) sum overflow RAISES under ANSI — never wraps (2^63-regime contract)") {
+    // the long-cents path wraps silently past 2^63 (Java long arithmetic
+    // has no overflow signal inside codegen sum), which is exactly why
+    // q68PricingDecimal is the contract for the 100 TB regime: drive a
+    // decimal(38,6) sum past its 1e32 bound and the engine must raise
+    val df = spark.range(4)
+      .select(expr("CAST('9.9e31' AS DECIMAL(38,6))").as("v"))
+    val thrown = intercept[Throwable] {
+      df.agg(sum(col("v")).as("total")).collect()
+    }
+    val chain = Iterator.iterate(thrown)(_.getCause).takeWhile(_ != null)
+      .map(t => s"${t.getClass.getName}: ${String.valueOf(t.getMessage)}")
+      .mkString(" | ")
+    assert(chain.toLowerCase.contains("overflow")
+        || chain.contains("NUMERIC_VALUE_OUT_OF_RANGE")
+        || chain.contains("ArithmeticException"),
+      s"expected a decimal-overflow error, got: $chain")
+  }
+
   test("q74 custdist accounting is closed: buckets sum to the customer count") {
     val total = TpchQueries.queries("q74_tpch_custdist")(spark, sf)
       .agg(sum("custdist")).collect()(0).getLong(0)

@@ -153,6 +153,31 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateStream: blocklisted docs never emit, across micro-batches") {
+    import spark.implicits._
+    // static blocklist, normalized-digest matching: case/whitespace
+    // variants of a blocked text must still be caught (batch-q53 parity)
+    val blocklist = Seq("the forbidden benchmark answer", "another leaked prompt")
+      .toDF("text")
+    val ms = memStream[StreamSpecDoc]
+    val out = sinkName()
+    val q = StreamOps.decontaminateStream(ms.toDS().toDF(), "text", blocklist, "text")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      ms.addData(
+        StreamSpecDoc(1L, ts("10:00"), "a clean training document"),
+        StreamSpecDoc(2L, ts("10:01"), "the forbidden benchmark answer"))
+      q.processAllAvailable()
+      ms.addData( // a later batch re-delivers blocked content, differently cased
+        StreamSpecDoc(3L, ts("10:02"), "The  FORBIDDEN benchmark answer"),
+        StreamSpecDoc(4L, ts("10:03"), "another clean document"),
+        StreamSpecDoc(5L, ts("10:04"), "Another   Leaked Prompt"))
+      q.processAllAvailable()
+      val ids = spark.table(out).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 4L), s"decontamination emitted blocklisted docs: $ids")
+    } finally q.stop()
+  }
+
   test("observe: pipeline telemetry counters surface through the batch run") {
     val obs = new org.apache.spark.sql.Observation("graft_metrics")
     import org.apache.spark.sql.functions._
