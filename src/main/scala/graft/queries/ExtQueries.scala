@@ -428,6 +428,33 @@ object ExtQueries {
            |  JOIN ($monthly) mo ON mo.m = cum.m + 1
            |)
            |SELECT m, rev_e4, cum_e4 FROM cum ORDER BY m""".stripMargin)
+    },
+
+    // LATERAL correlated subquery join — the FROM-clause correlate (each
+    // region row drives a dependent subquery with its own ORDER BY +
+    // LIMIT): top-2 suppliers per region. Catalyst decorrelates the
+    // correlated LIMIT into a per-regionkey row_number window + ONE join
+    // — never a per-row subquery execution (PlanSpec pins no Subquery
+    // node; with GraftExtensions active the row_number<=k idiom is
+    // further rewritable to the bounded-heap TopKPerKey operator). Scale:
+    // the supplier⨝nation side shuffles once on regionkey for the window;
+    // region broadcasts; output ≤ 2 rows per region.
+    "q83_lateral_top2" -> { (s, dir) =>
+      val supp = s"parquet.`$dir/supplier.parquet`"
+      val nat = s"parquet.`$dir/nation.parquet`"
+      val reg = s"parquet.`$dir/region.parquet`"
+      s.sql(
+        s"""SELECT r_name, s_name, acctbal_cents
+           |FROM $reg r
+           |JOIN LATERAL (
+           |  SELECT s_name, CAST(round(s_acctbal*100) AS BIGINT) AS acctbal_cents
+           |  FROM $supp s
+           |  JOIN $nat n ON s.s_nationkey = n.n_nationkey
+           |  WHERE n.n_regionkey = r.r_regionkey
+           |  ORDER BY s_acctbal DESC, s_name
+           |  LIMIT 2
+           |) t ON TRUE
+           |ORDER BY r_name, acctbal_cents DESC, s_name""".stripMargin)
     }
   )
 
@@ -623,6 +650,18 @@ object ExtQueries {
         |          AND o_orderdate <  TIMESTAMP '1998-01-01'
         |        GROUP BY 1) mo ON mo.m = cum.m + 1
         |)
-        |SELECT m, rev_e4, cum_e4 FROM cum ORDER BY m""".stripMargin
+        |SELECT m, rev_e4, cum_e4 FROM cum ORDER BY m""".stripMargin,
+    "q83_lateral_top2" ->
+      """SELECT r_name, s_name, acctbal_cents
+        |FROM region r
+        |JOIN LATERAL (
+        |  SELECT s_name, CAST(round(s_acctbal*100) AS BIGINT) AS acctbal_cents
+        |  FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY s_acctbal DESC, s_name
+        |  LIMIT 2
+        |) t ON TRUE
+        |ORDER BY r_name, acctbal_cents DESC, s_name""".stripMargin
   )
 }

@@ -319,6 +319,19 @@ class PlanSpec extends SparkSpec {
       s"1997 date window missing from the loop body's orders scan:\n$p")
   }
 
+  test("q83 LATERAL join: correlated LIMIT decorrelated to a per-key window, no per-row subquery") {
+    val p = plan("q83_lateral_top2")
+    assert(!p.contains("Subquery"),
+      s"LATERAL subquery executed per-row instead of decorrelating:\n$p")
+    // the correlated ORDER BY + LIMIT 2 must become a per-regionkey
+    // top-k (row_number window, or TopKPerKey when the rewrite rule
+    // recognizes the filter-drop idiom) joined back once
+    assert(p.contains("row_number") || p.contains("TopKPerKey"),
+      s"no per-group top-k operator in the decorrelated plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"region side should broadcast:\n$p")
+  }
+
   test("SQL front-end queries are pure: running them registers no temp views") {
     // snapshot-based so views registered by OTHER suites sharing the
     // session can't produce false failures — only NEW views fail
@@ -326,7 +339,7 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("q50_above_avg", "q52_quality_filter", "q75_tpch_small_qty",
         "q77_tpch_waiting_orders", "q78_tpch_sole_blame",
         "q79_tpch_region_best_supplier", "q80_tpch_brand_share",
-        "q81_grouping_sets", "q82_recursive_cummonth"))
+        "q81_grouping_sets", "q82_recursive_cummonth", "q83_lateral_top2"))
       plan(q)
     val added = spark.catalog.listTables().collect().map(_.name).toSet -- before
     assert(added.isEmpty,
