@@ -455,6 +455,25 @@ object ExtQueries {
            |  LIMIT 2
            |) t ON TRUE
            |ORDER BY r_name, acctbal_cents DESC, s_name""".stripMargin)
+    },
+
+    // VARIANT semi-structured column (Spark 4 binary JSON encoding):
+    // parse_json ONCE into a variant, then typed-path extraction with
+    // variant_get — the modern lake pattern for schema-on-read property
+    // bags (vs q41's typed from_json and q59's MapType explode, which
+    // need a declared schema up front). At scale the parse happens once
+    // per row in the scan stage and each path read is a cheap binary
+    // descent, not a re-parse of the JSON text per extracted field.
+    "q84_variant" -> { (s, dir) =>
+      val ev = s"parquet.`$dir/events.parquet`"
+      s.sql(
+        s"""SELECT event_type, count(*) AS cnt,
+           |       CAST(sum(variant_get(parse_json(props), '$$.k', 'bigint')) AS BIGINT) AS sum_k,
+           |       min(variant_get(parse_json(props), '$$.k', 'bigint')) AS min_k,
+           |       max(variant_get(parse_json(props), '$$.k', 'bigint')) AS max_k
+           |FROM $ev
+           |GROUP BY event_type
+           |ORDER BY event_type""".stripMargin)
     }
   )
 
@@ -662,6 +681,14 @@ object ExtQueries {
         |  ORDER BY s_acctbal DESC, s_name
         |  LIMIT 2
         |) t ON TRUE
-        |ORDER BY r_name, acctbal_cents DESC, s_name""".stripMargin
+        |ORDER BY r_name, acctbal_cents DESC, s_name""".stripMargin,
+    "q84_variant" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
   )
 }

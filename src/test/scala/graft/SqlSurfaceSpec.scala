@@ -56,4 +56,28 @@ class SqlSurfaceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("int literal"), s"unexpected error: ${e.getMessage}")
   }
+
+  test("Dataset.groupingSets (typed API) == q81's SQL GROUPING SETS, row for row") {
+    // both faces of the grouping-sets surface must agree: the SQL
+    // front-end form (q81) and the Spark-4 DataFrame-API form over the
+    // same sets ((flag,status),(flag),(ship_year)) with grouping_id()
+    val sf = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val y = year(col("l_shipdate"))
+    val api = li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq(y)),
+        col("l_returnflag"), col("l_linestatus"), y)
+      .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+        sum(round(col("l_quantity")).cast("long")).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        coalesce(col("year(l_shipdate)"), lit(-1)).as("ship_year"),
+        col("gid"), col("cnt"), col("qty"))
+      .orderBy("gid", "rf", "ls", "ship_year")
+      .collect().map(_.toSeq).toSeq
+    val sql = graft.queries.ExtQueries.queries("q81_grouping_sets")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(api == sql, s"API and SQL grouping sets disagree:\napi=$api\nsql=$sql")
+  }
 }
