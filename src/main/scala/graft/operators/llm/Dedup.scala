@@ -193,6 +193,87 @@ object Dedup {
       .where(col("inter") >= col("uni") * threshold)
   }
 
+  /** EXACT n-gram-Jaccard similarity self-join via prefix filtering
+    * (the PPJoin/AllPairs family) — the deterministic, zero-recall-loss
+    * counterpart of [[nearDupPairs]]. MinHash banding trades a tunable
+    * miss probability for bucket locality; prefix filtering is COMPLETE:
+    * every pair with Jaccard >= `threshold` is guaranteed to collide on
+    * a blocking key, so the output is the exact similarity join (which is
+    * why the driver can hash-compare it against an all-pairs SQL oracle,
+    * with no planted-pair margin argument needed).
+    *
+    * Blocking law: order all shingles by ascending document frequency
+    * (rarest first; frequency computed from the corpus itself, ties by
+    * hash value — a deterministic global total order). A pair with
+    * |x∩y| >= α must collide within the first |x|-α+1 / |y|-α+1 ordered
+    * shingles of each side (prefix-filtering principle: if the prefixes
+    * were disjoint, all common shingles would sit in the suffixes, which
+    * hold only α-1 slots). Jaccard >= t implies overlap >= ceil(t·|x|)
+    * on each side, so each doc blocks on its first |S| - ceil(t·|S|) + 1
+    * rarest shingles (the ceil is computed with a 1e-9 slack SUBTRACTED
+    * so double rounding can only lengthen the prefix, never break
+    * completeness).
+    *
+    * Scale shape: document frequency is one hash-agg over exploded
+    * shingles; the rarest-first rank is a per-doc window (partitioned by
+    * doc — no global sort); candidate volume is governed by the rarity
+    * of prefix shingles (buckets are df-small BY CONSTRUCTION — the
+    * reason prefix filtering needs no maxBucketSize cap), and exact
+    * Jaccard verifies inside the candidate join. At 100 TB the df table
+    * is a second pass over the corpus — the classic index-then-join
+    * trade every exact similarity join pays; when a miss probability of
+    * 1e-8 is acceptable, [[nearDupPairs]] is the single-pass choice.
+    *
+    * Returns (id_a, id_b, inter, uni), id_a < id_b, Jaccard >= threshold.
+    */
+  def jaccardJoinExact(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val sets = graft.engine.ManagedCache.persist(
+      df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__w"))
+        .select(
+          col("__id"),
+          graft.functions.exprs.shingleHashes(col("__w"), shingleSize).as("__sh"))
+        .where(size(col("__sh")) > 0))
+
+    val exploded = sets.select(col("__id"), size(col("__sh")).as("__sz"),
+      explode(col("__sh")).as("__tok"))
+    val dfreq = exploded.groupBy("__tok").agg(count(lit(1)).as("__df"))
+
+    // Rarest-first rank within each doc; block on the prefix only.
+    val prefixLen = col("__sz") - ceil(col("__sz") * threshold - lit(1e-9)) + lit(1)
+    val prefix = exploded
+      .join(dfreq, "__tok")
+      .withColumn("__rank",
+        row_number().over(
+          Window.partitionBy("__id").orderBy(col("__df"), col("__tok"))))
+      .where(col("__rank") <= prefixLen)
+      .select("__id", "__tok")
+
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+
+    val sa = sets.select(col("__id").as("id_a"), col("__sh").as("__sa"))
+    val sb = sets.select(col("__id").as("id_b"), col("__sh").as("__sb"))
+    candidates
+      .join(sa, "id_a")
+      .join(sb, "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).as("inter"),
+        size(array_union(col("__sa"), col("__sb"))).as("uni"))
+      .where(col("inter") >= col("uni") * threshold)
+  }
+
   /** Fuzzy (n-gram) decontamination: drop every corpus document whose
     * shingle-set Jaccard with ANY blocklist document reaches `threshold`
     * — the near-dup face of exact-digest decontamination (q53). Real

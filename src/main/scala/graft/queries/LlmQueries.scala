@@ -42,6 +42,19 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // EXACT Jaccard similarity join (prefix filtering, PPJoin family):
+    // the deterministic counterpart of q21 — no LSH miss probability, so
+    // the oracle is the plain all-pairs Jaccard re-derivation with NO
+    // margin argument: every J >= 0.6 pair must appear, bit-for-bit.
+    // Threshold 0.6 (vs q21's 0.5) also exercises a non-dyadic boundary:
+    // inter >= uni*0.6 evaluates as the same IEEE double product on both
+    // engines.
+    "q91_jaccard_join" -> { (s, dir) =>
+      Dedup.jaccardJoinExact(t(s, dir, "documents"), "text", "doc_id",
+          shingleSize = 3, threshold = 0.6)
+        .orderBy("id_a", "id_b")
+    },
+
     // Exact cosine top-5 neighbors for the first 10 vectors: broadcast
     // queries x single corpus scan, local-then-global top-k. Ranking by
     // round(cos, 6) desc + id asc is reproducible against the oracle's
@@ -555,6 +568,23 @@ object LlmQueries {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, inter, uni FROM pairs
         |WHERE inter >= uni * 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q91_jaccard_join" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(w)-2, 0)+1),
+        |                       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+        |  FROM words WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         len(list_intersect(a.s, b.s)) AS inter,
+        |         len(list_distinct(a.s || b.s)) AS uni
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, inter, uni FROM pairs
+        |WHERE inter >= uni * 0.6 ORDER BY id_a, id_b""".stripMargin,
     "q22_cosine_topk" -> exactCosineTopKSql,
     // exhaustive-probe IVF == exact top-k (every cell probed), so the
     // same exact-cosine oracle applies

@@ -406,6 +406,162 @@ object TpchQueries {
            |GROUP BY p_brand
            |HAVING sum($e4) * 25 > (SELECT sum($e4) FROM $li)
            |ORDER BY revenue_e4 DESC, p_brand""".stripMargin)
+    },
+
+    // TPC-H Q14 promo-revenue share: one month of lineitem ⨝ part, two
+    // conditional sums in ONE aggregate pass (never two scans), share
+    // derived from the exact-long sums with one double division. part is
+    // broadcast (2k rows at sf0.01; a 100 TB lineitem still only ships
+    // the dim). The shipdate window is a raw-column parquet pushdown.
+    "q85_tpch_promo_share" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      val part = t(s, dir, "part").select("p_partkey", "p_type")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", discPriceE4).otherwise(lit(0L)))
+            .as("promo_e4"),
+          sum(discPriceE4).as("total_e4"))
+        .withColumn(
+          "promo_share_pct",
+          round(col("promo_e4").cast("double") * 100 / col("total_e4"), 6))
+    },
+
+    // TPC-H Q15 top supplier: a CTE (named derived aggregate) referenced
+    // TWICE — once as the join input, once under an uncorrelated scalar
+    // max subquery. Exact-long revenue makes the max unambiguous (no
+    // float ties), so "the" top supplier is well-defined on both engines.
+    // Scale: the quarter window pushes to the lineitem scan; the revenue
+    // aggregate is partial+final on suppkey; supplier (small dim)
+    // broadcasts; the scalar max is one extra reduction over the ALREADY
+    // AGGREGATED per-supplier rows, not a second lineitem scan.
+    "q86_tpch_top_supplier" -> { (s, dir) =>
+      val li = s"parquet.`$dir/lineitem.parquet`"
+      val supp = s"parquet.`$dir/supplier.parquet`"
+      val e4 = "CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT)"
+      s.sql(
+        s"""WITH revenue AS (
+           |  SELECT l_suppkey, CAST(sum($e4) AS BIGINT) AS total_e4
+           |  FROM $li
+           |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+           |  GROUP BY l_suppkey)
+           |SELECT s_suppkey, s_name, total_e4
+           |FROM $supp JOIN revenue ON s_suppkey = l_suppkey
+           |WHERE total_e4 = (SELECT max(total_e4) FROM revenue)
+           |ORDER BY s_suppkey""".stripMargin)
+    },
+
+    // TPC-H Q19 shape: disjunctive OR-of-ANDs predicates mixing part and
+    // lineitem attributes. The planner must still extract the common
+    // p_partkey equi-join (hash join, never a nested-loop over the OR) and
+    // push the part-only disjunction (brand/size triples) to the dim side;
+    // the mixed-side residual evaluates post-join. PlanSpec pins: no
+    // BroadcastNestedLoopJoin / CartesianProduct in the plan.
+    "q87_tpch_disjunctive" -> { (s, dir) =>
+      val li = s"parquet.`$dir/lineitem.parquet`"
+      val part = s"parquet.`$dir/part.parquet`"
+      val e4 = "CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT)"
+      s.sql(
+        s"""SELECT CAST(sum($e4) AS BIGINT) AS revenue_e4, count(*) AS cnt
+           |FROM $li JOIN $part ON p_partkey = l_partkey
+           |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 11)
+           |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+           |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+    },
+
+    // TPC-H Q22 shape: customers above the positive-balance average with
+    // no recent urgent order — an uncorrelated scalar-aggregate gate plus
+    // a conditional NOT EXISTS anti-join. The average gate is EXACT
+    // integer arithmetic (cents*count > total-cents, no float boundary
+    // can flap between engines); Catalyst evaluates the (sum, count) pair
+    // once and broadcasts it, and the NOT EXISTS decorrelates to a
+    // LeftAnti on custkey with the priority/date filter pushed to the
+    // orders scan.
+    "q88_tpch_idle_rich" -> { (s, dir) =>
+      val cust = s"parquet.`$dir/customer.parquet`"
+      val ord = s"parquet.`$dir/orders.parquet`"
+      s.sql(
+        s"""WITH pos AS (
+           |  SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS s,
+           |         count(*) AS n
+           |  FROM $cust WHERE c_acctbal > 0)
+           |SELECT c_nationkey, count(*) AS numcust,
+           |       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+           |FROM $cust c, pos
+           |WHERE CAST(round(c_acctbal*100) AS BIGINT) * pos.n > pos.s
+           |  AND NOT EXISTS (SELECT 1 FROM $ord o
+           |                  WHERE o.o_custkey = c.c_custkey
+           |                    AND o.o_orderpriority = '1-URGENT'
+           |                    AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+    },
+
+    // TPC-H Q7 volume shipping: supplier-nation x customer-nation trade
+    // flow per ship year. The nation dim joins TWICE under different
+    // roles (supplier side / customer side) — both broadcast; the
+    // fact-side joins shuffle on their natural keys. The nation-pair
+    // disjunction prunes both dim scans BEFORE the fact joins (two-row
+    // dims), so the big joins only see matching suppliers/customers.
+    "q89_tpch_nation_volume" -> { (s, dir) =>
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        .where(col("supp_nation").isin("NATION_1", "NATION_2"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        .where(col("cust_nation").isin("NATION_1", "NATION_2"))
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      li.join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(
+          col("supp_nation"), col("cust_nation"),
+          date_format(col("l_shipdate"), "yyyy").as("l_year"))
+        .agg(sum(discPriceE4).as("revenue_e4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // TPC-H Q8 market share: NATION_3 suppliers' share of ECONOMY-part
+    // revenue sold into AMERICA, per order year. Both sums come from ONE
+    // aggregate pass (conditional sum over the supplier-nation name);
+    // share = exact-long ratio with one double division. Five dims
+    // (part-filtered, supplier, both nations, region) broadcast; only
+    // lineitem ⨝ orders ⨝ customer shuffle.
+    "q90_tpch_market_share" -> { (s, dir) =>
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      val part = t(s, dir, "part")
+        .where(col("p_type") === "ECONOMY").select("p_partkey")
+      val reg = t(s, dir, "region")
+        .where(col("r_name") === "AMERICA").select("r_regionkey")
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      t(s, dir, "lineitem")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(reg), col("c_rk") === col("r_regionkey"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", discPriceE4).otherwise(lit(0L)))
+            .as("nation_e4"),
+          sum(discPriceE4).as("total_e4"))
+        .withColumn(
+          "mkt_share",
+          round(col("nation_e4").cast("double") / col("total_e4"), 6))
+        .orderBy("o_year")
     }
   )
 
@@ -556,6 +712,88 @@ object TpchQueries {
         |GROUP BY p_brand
         |HAVING sum(CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT)) * 25 >
         |       (SELECT sum(CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT)) FROM lineitem)
-        |ORDER BY revenue_e4 DESC, p_brand""".stripMargin
+        |ORDER BY revenue_e4 DESC, p_brand""".stripMargin,
+    "q85_tpch_promo_share" ->
+      """SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                     THEN CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT)
+        |                     ELSE 0 END) AS BIGINT) AS promo_e4,
+        |       CAST(sum(CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_e4,
+        |       round(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                           THEN CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT)
+        |                           ELSE 0 END) AS DOUBLE) * 100
+        |             / sum(CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT)), 6) AS promo_share_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-10-01'""".stripMargin,
+    "q86_tpch_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_e4
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_e4 = (SELECT max(total_e4) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q87_tpch_disjunctive" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |       count(*) AS cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q88_tpch_idle_rich" ->
+      """WITH pos AS (
+        |  SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS s,
+        |         count(*) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+        |FROM customer c, pos
+        |WHERE CAST(round(c_acctbal*100) AS BIGINT) * pos.n > pos.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT'
+        |                    AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q89_tpch_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |       CAST(sum(e4) AS BIGINT) AS revenue_e4
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |             strftime(l_shipdate, '%Y') AS l_year,
+        |             CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT) AS e4
+        |      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |      JOIN orders ON o_orderkey = l_orderkey
+        |      JOIN customer ON c_custkey = o_custkey
+        |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l_shipdate <  TIMESTAMP '1998-01-01') sub
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q90_tpch_market_share" ->
+      """SELECT o_year,
+        |       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN e4 ELSE 0 END) AS BIGINT) AS nation_e4,
+        |       CAST(sum(e4) AS BIGINT) AS total_e4,
+        |       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN e4 ELSE 0 END) AS DOUBLE)
+        |             / sum(e4), 6) AS mkt_share
+        |FROM (SELECT strftime(o_orderdate, '%Y') AS o_year,
+        |             CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT) AS e4,
+        |             n1.n_name AS supp_nation
+        |      FROM part JOIN lineitem ON p_partkey = l_partkey
+        |      JOIN supplier ON s_suppkey = l_suppkey
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |      JOIN region ON n2.n_regionkey = r_regionkey
+        |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |        AND o_orderdate <  TIMESTAMP '1998-01-01') sub
+        |GROUP BY o_year ORDER BY o_year""".stripMargin
   )
 }

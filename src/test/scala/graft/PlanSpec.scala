@@ -355,6 +355,82 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_avg"), s"per-part avg lost its partial agg:\n$p")
   }
 
+  /** The executed-plan string prints BOTH the AQE final and initial
+    * plans; scan-count assertions must look at the final section only.
+    */
+  private def finalPlan(p: String): String =
+    p.split("== Initial Plan ==").head
+
+  test("q85 promo share: ONE lineitem scan feeds both conditional sums") {
+    val p = plan("q85_tpch_promo_share")
+    // two conditional aggregates must come from a single pass — a
+    // regression to one-scan-per-sum doubles the 100 TB read
+    assert("lineitem\\.parquet".r.findAllIn(finalPlan(p)).size == 1,
+      s"promo/total sums scan lineitem more than once:\n$p")
+    assert(p.contains("partial_sum"), s"aggregate lost its partial phase:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim should broadcast:\n$p")
+  }
+
+  test("q86 top supplier: scalar max runs over the aggregated CTE, not lineitem") {
+    val p = plan("q86_tpch_top_supplier")
+    val subqueryIds = "Subquery subquery#(\\d+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(subqueryIds.size == 1,
+      s"expected exactly one one-shot scalar subquery, got $subqueryIds:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in plan:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-supplier revenue lost its partial aggregation:\n$p")
+    // the quarter window must reach the lineitem scan
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"),
+      s"ship-date window not pushed to the lineitem scan:\n$p")
+  }
+
+  test("q87 disjunctive predicates: common equi-key extracted, no nested loop") {
+    val p = plan("q87_tpch_disjunctive")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"OR-of-ANDs predicate degraded the join to a nested loop:\n$p")
+    assert(p.contains("HashJoin"),
+      s"p_partkey = l_partkey should remain a hash join:\n$p")
+  }
+
+  test("q88 idle-rich: conditional NOT EXISTS decorrelates to LeftAnti, filter pushed") {
+    val p = plan("q88_tpch_idle_rich")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS should rewrite to an anti join:\n$p")
+    // the priority filter is a raw-column predicate on orders — it must
+    // prune the scan feeding the anti join, not evaluate inside it
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      s"priority filter not pushed to the orders scan:\n$p")
+  }
+
+  test("q89 nation volume: both nation roles broadcast, dim prune precedes fact joins") {
+    val p = plan("q89_tpch_nation_volume")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in plan:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"the two nation roles should both broadcast:\n$p")
+    // the nation-name disjunction prunes the dim scans (In/EqualTo on n_name)
+    assert(p.contains("In(n_name,") || p.contains("EqualTo(n_name,"),
+      s"nation-name filter not pushed to the dim scans:\n$p")
+  }
+
+  test("q90 market share: ONE aggregate pass over one lineitem scan") {
+    val p = plan("q90_tpch_market_share")
+    assert("lineitem\\.parquet".r.findAllIn(finalPlan(p)).size == 1,
+      s"nation/total sums scan lineitem more than once:\n$p")
+    assert(p.contains("partial_sum"), s"aggregate lost its partial phase:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in plan:\n$p")
+  }
+
+  test("q91 exact jaccard join: equi-join blocking, per-doc window, no all-pairs") {
+    val p = plan("q91_jaccard_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"prefix blocking degraded to an all-pairs join:\n$p")
+    // the rarest-first rank is a PER-DOC window — a global sort here
+    // would serialize the corpus
+    assert(p.contains("row_number"), s"prefix rank window missing:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global single-partition stage in the blocking path:\n$p")
+  }
+
   test("runtime bloom-filter pruning: selective dim join filters the fact scan") {
     // the 100 TB shape: a selective dimension predicate should prune the
     // fact-side shuffle via an injected bloom filter (might_contain),

@@ -159,6 +159,40 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("jaccardJoinExact finds a planted near-dup and ignores unrelated docs") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"token$i").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardJoinExact(df, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("jaccardJoinExact == brute-force all-pairs (completeness, no LSH miss law)") {
+    // the operator's whole claim is determinism: every J >= t pair MUST
+    // appear. Compare against the quadratic ground truth on the real
+    // sf0.001 documents fixture at two thresholds, including one (0.5)
+    // where t*|S| lands exactly on integers — the prefix-length boundary.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sets = docs
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("s"))
+      .where(size(col("s")) > 0)
+    for (t <- Seq(0.5, 0.6)) {
+      val got = Dedup.jaccardJoinExact(docs, "text", "doc_id", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+      val truth = sets.as("a")
+        .join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          size(array_intersect(col("a.s"), col("b.s"))).as("inter"),
+          size(array_union(col("a.s"), col("b.s"))).as("uni"))
+        .where(col("inter") >= col("uni") * t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+      assert(got == truth, s"prefix-filtered join diverged from ground truth at t=$t")
+      assert(truth.nonEmpty, "fixture lost its planted near-dup pairs")
+    }
+  }
+
   test("simhashNearDupPairs: planted near-dup within radius, unrelated beyond it") {
     val base = (1 to 60).map(i => s"token$i").mkString(" ")
     val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"token$i").mkString(" ")
