@@ -34,6 +34,8 @@ object ScaleProbe {
     time("exact dedup")(Dedup.exact(docs, "text", "doc_id").count())
     time(s"near-dup pairs (MinHash-LSH)")(
       Dedup.nearDupPairs(docs, "text", "doc_id").count())
+    time(s"near-dup pairs (exact Jaccard, prefix filter)")(
+      Dedup.jaccardJoinExact(docs, "text", "doc_id", threshold = 0.6).count())
     time(s"near-dup pairs (SimHash-Hamming)")(
       Dedup.simhashNearDupPairs(docs, "text", "doc_id").count())
     time(s"near-dup pairs (SimHash multiprobe r=1, radius-15 guarantee)")(

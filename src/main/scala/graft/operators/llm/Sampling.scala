@@ -53,4 +53,63 @@ object Sampling {
     */
   def perGroup(df: DataFrame, keys: Seq[Column], idCol: Column, k: Int, seed: Long = 0L): DataFrame =
     graft.plans.TopK.perKey(df, keys, Seq(hashUnit(idCol, seed).asc), k)
+
+  /** Engine-portable uniform unit in [0, 1) from (seed, id) — sha256 hex
+    * digits instead of [[hashUnit]]'s xxhash64, so ANY engine with sha256
+    * (DuckDB, Trino, plain Python) reproduces the same decision for the
+    * same row. Use where the split/shuffle assignment must be auditable
+    * OUTSIDE Spark (e.g. a held-out eval set whose membership is
+    * re-derived downstream); [[hashUnit]] is the cheaper in-engine form.
+    * 13 hex digits = 52 uniform bits, exact in a double.
+    */
+  def sha2Unit(id: Column, seed: Long): Column =
+    conv(substring(sha2(concat_ws(":", lit(seed.toString), id.cast("string")), 256), 1, 13),
+      16, 10).cast("double") / lit(4503599627370496.0) // 2^52
+
+  /** Deterministic train/val/test labeling by cumulative hash thresholds:
+    * fractions ((train,0.8),(val,0.1),(test,0.1)) label a row 'train' when
+    * u < 0.8, 'val' when u < 0.9, else 'test'. A pure scan-stage
+    * expression — no shuffle, no state; membership is stable under
+    * re-partitioning, retries, and corpus growth (adding documents never
+    * relabels existing ones — the property that keeps eval sets
+    * uncontaminated across pipeline runs).
+    */
+  def splitLabel(id: Column, fractions: Seq[(String, Double)], seed: Long = 0L): Column = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0))
+    val total = fractions.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"fractions must sum to 1, got $total")
+    val u = sha2Unit(id, seed)
+    // snap cumulative thresholds to 12 decimals: 0.8 + 0.1 accumulates to
+    // 0.9000000000000001, which is NOT the double an engine parses from
+    // the literal '0.9' — snapping makes the boundary identical to the
+    // threshold any SQL re-derivation writes down
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.rint(c * 1e12) / 1e12)
+    fractions.init.zip(cum.init).foldRight(lit(fractions.last._1): Column) {
+      case (((name, _), c), acc) => when(u < lit(c), lit(name)).otherwise(acc)
+    }
+  }
+
+  /** Deterministic corpus shuffle for training order: assign each row a
+    * shard (16 independent hash bits, uniform) and a position within its
+    * shard (rank of the row's full hash). Reading shards in order, each
+    * internally by position, yields a reproducible global permutation
+    * WITHOUT a global total-order sort: one hash-partitioned exchange on
+    * the shard key + a per-shard local sort — each shard is one writer
+    * task at any corpus size (the standard shuffle-then-shard
+    * pre-training layout). Shard and position use disjoint hex spans of
+    * the same sha256, so they are independent but jointly reproducible
+    * anywhere sha256 exists.
+    */
+  def shuffleShard(df: DataFrame, idCol: Column, shards: Int, seed: Long = 0L): DataFrame = {
+    require(shards > 0 && shards <= 65536, "shards must fit the 16-bit hash span")
+    import org.apache.spark.sql.expressions.Window
+    val h = sha2(concat_ws(":", lit(seed.toString), idCol.cast("string")), 256)
+    df.withColumn("__h", h)
+      .withColumn("shard",
+        (conv(substring(col("__h"), 14, 4), 16, 10).cast("long") % shards).cast("int"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy(col("shard")).orderBy(col("__h"), idCol)))
+      .drop("__h")
+  }
 }

@@ -226,6 +226,33 @@ object LlmQueries {
         .orderBy("lang")
     },
 
+    // Deterministic corpus shuffle (shuffle-then-shard training layout):
+    // shard + in-shard position from disjoint sha256 hex spans — the
+    // oracle re-derives the identical permutation in DuckDB, proving the
+    // assignment is engine-portable, not an artifact of Spark hashing.
+    "q92_corpus_shuffle" -> { (s, dir) =>
+      Sampling.shuffleShard(
+          t(s, dir, "documents").select("doc_id"), col("doc_id"),
+          shards = 8, seed = 42L)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    },
+
+    // Deterministic train/val/test split audit: hash-threshold labels
+    // (80/10/10), counted per (split, lang). Membership is a pure
+    // scan-stage expression — stable under repartitioning and corpus
+    // growth, re-derivable outside Spark (the eval-set contamination
+    // guard for any downstream consumer).
+    "q93_split_audit" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      d.select(
+          Sampling.splitLabel(col("doc_id"),
+            Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 7L).as("split"),
+          col("lang"))
+        .groupBy("split", "lang").agg(count(lit(1)).as("docs"))
+        .orderBy("split", "lang")
+    },
+
     // Embedding-cosine near-dup pairs (LSH-bucketed candidates + exact
     // verify). Approximate by construction -> rows-only check here;
     // recall semantics asserted on planted vectors in SimilaritySpec.
@@ -636,6 +663,29 @@ object LlmQueries {
     "q44_sample" ->
       """SELECT lang, least(3, count(*)) AS cnt
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q92_corpus_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         sha256(concat('42', ':', CAST(doc_id AS VARCHAR))) AS hx
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(CAST(('0x' || substr(hx, 14, 4)) AS BIGINT) % 8 AS INT) AS shard,
+        |       CAST(row_number() OVER (
+        |              PARTITION BY CAST(('0x' || substr(hx, 14, 4)) AS BIGINT) % 8
+        |              ORDER BY hx, doc_id) AS INT) AS pos
+        |FROM h
+        |ORDER BY shard, pos""".stripMargin,
+    "q93_split_audit" ->
+      """WITH u AS (
+        |  SELECT lang,
+        |         CAST(('0x' || substr(sha256(concat('7', ':', CAST(doc_id AS VARCHAR))), 1, 13)) AS BIGINT)
+        |           / 4503599627370496.0 AS u
+        |  FROM documents)
+        |SELECT CASE WHEN u < 0.8 THEN 'train'
+        |            WHEN u < 0.9 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       lang, count(*) AS docs
+        |FROM u GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q27_events_hourly" ->
       """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
         |       count(*) AS cnt, count(DISTINCT user_id) AS users

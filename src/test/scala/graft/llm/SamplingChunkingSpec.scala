@@ -49,6 +49,46 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(sizes("tiny") == 1)
   }
 
+  test("splitLabel: fractions honored, stable under corpus growth, seed-sensitive") {
+    val df = (1L to 10000L).toDF("id")
+    val fr = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val counts = df.select(Sampling.splitLabel(col("id"), fr, seed = 7).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 8000) < 400, s"train off: $counts")
+    assert(math.abs(counts("val") - 1000) < 200, s"val off: $counts")
+    assert(math.abs(counts("test") - 1000) < 200, s"test off: $counts")
+    // growth-stability: labels computed on a subset match the superset's —
+    // adding documents must never relabel existing ones (eval-set
+    // contamination guard)
+    val subset = (1L to 1000L).toDF("id")
+      .select(col("id"), Sampling.splitLabel(col("id"), fr, seed = 7).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val superset = df
+      .select(col("id"), Sampling.splitLabel(col("id"), fr, seed = 7).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(subset.forall { case (k, v) => superset(k) == v })
+    val other = df.select(Sampling.splitLabel(col("id"), fr, seed = 8).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(other != counts, "different seeds must produce a different split")
+  }
+
+  test("shuffleShard: balanced shards, contiguous positions, deterministic") {
+    val df = (1L to 8000L).toDF("id")
+    val got = Sampling.shuffleShard(df, col("id"), shards = 8, seed = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.map(_._2).toSet == (0 until 8).toSet)
+    // each shard's positions are exactly 1..n (a dense permutation)
+    got.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.size),
+        s"shard $sh positions are not dense")
+      assert(math.abs(rows.size - 1000) < 250, s"shard $sh unbalanced: ${rows.size}")
+    }
+    val again = Sampling.shuffleShard(df, col("id"), shards = 8, seed = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq,
+      "the permutation must be reproducible")
+  }
+
   test("chunking: windows, overlap, short tails, sub-window and blank docs") {
     val df = Seq(
       (1L, "a b c"),       // maxTokens 2, overlap 1 -> [a b], [b c]
