@@ -89,6 +89,26 @@ object TextStats {
   def qualityScore(text: Column, stopwords: Seq[String]): Column =
     qualityScoreFromTokens(text, Dedup.tokens(text), stopwords)
 
+  /** Count of the most frequent element of a string array (0 for an
+    * empty array): sort the copy, then one O(n) pass over equal-adjacent
+    * runs with a (prev, run, best) HOF state machine. Per-row — no
+    * explode, no shuffle — so "top n-gram frequency" style repetition
+    * signals cost O(n log n) compute and ZERO exchange, where the
+    * explode+groupBy formulation shuffles one row per n-gram occurrence.
+    */
+  def topRunCount(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(
+          x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** Word n-grams from a materialized token array (non-distinct,
     * order-preserving; use with explode + groupBy-count for n-gram
     * frequency).

@@ -253,6 +253,50 @@ object LlmQueries {
         .orderBy("split", "lang")
     },
 
+    // Per-doc repetition signals (the Gopher-style quality gates a
+    // pretraining pipeline runs before anything else): token count,
+    // distinct-token count, and the count of the MOST FREQUENT bigram —
+    // computed entirely per-row, ZERO shuffles before the final sort.
+    // The top-bigram count sorts the row's bigram array and runs an
+    // O(n log n) HOF state machine over equal-adjacent runs (prev, run,
+    // best) instead of an O(n^2) count-each-distinct scan or an
+    // explode+groupBy (which would shuffle one row per bigram — at
+    // 100 TB that exchange dwarfs the scan; per-row HOFs ship nothing).
+    // The repetitive flag compares integers (2*distinct < tokens), so
+    // no float boundary can flap between engines.
+    "q96_repetition" -> { (s, dir) =>
+      t(s, dir, "documents")
+        // blank docs normalize to [""] — strip empties so they count 0
+        .select(col("doc_id"), array_remove(Dedup.tokens(col("text")), "").as("w"))
+        .select(
+          col("doc_id"),
+          size(col("w")).as("n_tokens"),
+          size(array_distinct(col("w"))).as("n_distinct"),
+          TextStats.topRunCount(TextStats.ngramsFromTokens(col("w"), 2))
+            .as("top_bigram_cnt"))
+        .withColumn("repetitive", (col("n_distinct") * 2 < col("n_tokens")).cast("int"))
+        .orderBy("doc_id")
+    },
+
+    // Near-dup GROUPS: the q21 pair surface collapsed to connected
+    // components (min-label propagation, escalating to large-star/
+    // small-star past the diameter bound — Dedup.nearDupGroups). This is
+    // the step that turns a pair list into survivors: a doc chaining
+    // A≈B≈C groups with both even though A and C never paired. The
+    // oracle re-derives the transitive closure with a recursive CTE, so
+    // group assignment — not just pair discovery — is hash-verified.
+    // Scale: each propagation round is one shuffle join on the node id;
+    // rounds are bounded by component diameter (shallow for near-dup
+    // graphs), with the O(log^2 n) star algorithm as the deep-graph
+    // fallback.
+    "q97_dedup_groups" -> { (s, dir) =>
+      val pairs = Dedup.nearDupPairs(t(s, dir, "documents"), "text", "doc_id",
+          shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      Dedup.nearDupGroups(pairs)
+        .select(col("id"), col("group").as("grp"))
+        .orderBy("id")
+    },
+
     // Embedding-cosine near-dup pairs (LSH-bucketed candidates + exact
     // verify). Approximate by construction -> rows-only check here;
     // recall semantics asserted on planted vectors in SimilaritySpec.
@@ -675,6 +719,53 @@ object LlmQueries {
         |              ORDER BY hx, doc_id) AS INT) AS pos
         |FROM h
         |ORDER BY shard, pos""".stripMargin,
+    "q96_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
+        |              THEN []::VARCHAR[]
+        |              ELSE string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+        |         END AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+        |         list_transform(range(1, greatest(len(w)-1, 0)+1),
+        |                        i -> concat_ws(' ', w[i], w[i+1])) AS b
+        |  FROM base),
+        |cnt AS (
+        |  SELECT doc_id, bigram, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(b) AS bigram FROM bg)
+        |  GROUP BY doc_id, bigram),
+        |top AS (SELECT doc_id, max(c) AS top FROM cnt GROUP BY doc_id)
+        |SELECT g.doc_id AS doc_id,
+        |       CAST(g.n_tokens AS INT) AS n_tokens,
+        |       CAST(g.n_distinct AS INT) AS n_distinct,
+        |       CAST(coalesce(top.top, 0) AS INT) AS top_bigram_cnt,
+        |       CASE WHEN g.n_distinct * 2 < g.n_tokens THEN 1 ELSE 0 END AS repetitive
+        |FROM bg g LEFT JOIN top ON g.doc_id = top.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q97_dedup_groups" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id,
+        |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(w)-2, 0)+1),
+        |                       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+        |  FROM words WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) >= len(list_distinct(a.s || b.s)) * 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS id, least(a, min(b)) AS grp
+        |FROM reach GROUP BY a ORDER BY id""".stripMargin,
     "q93_split_audit" ->
       """WITH u AS (
         |  SELECT lang,

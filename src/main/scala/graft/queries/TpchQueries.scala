@@ -562,6 +562,58 @@ object TpchQueries {
           "mkt_share",
           round(col("nation_e4").cast("double") / col("total_e4"), 6))
         .orderBy("o_year")
+    },
+
+    // TPC-H Q12 shape: orders ⨝ lineitem with TWO conditional counts in
+    // one aggregate pass — high- vs low-priority line counts per return
+    // class for a one-year ship window (the fixture has no l_shipmode, so
+    // l_returnflag is the grouping stand-in; the shape — join, then
+    // bucket the JOINED-IN column under a CASE — is Q12's). Scale: the
+    // date window is a raw-column parquet pushdown on the fact scan, the
+    // join shuffles once on orderkey, and the conditional sums collapse
+    // map-side to 3 groups — the exchange after the join moves rows
+    // proportional to tasks, not lineitems.
+    "q94_tpch_shipmode" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_returnflag")
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(isHigh, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+          sum(when(isHigh, lit(0L)).otherwise(lit(1L))).as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+
+    // TPC-H Q16 shape: NOT IN (subquery) — the one subquery-join class
+    // the suite hadn't covered. NOT IN has three-valued-logic semantics
+    // (a NULL anywhere in the subquery output empties the result), so
+    // Catalyst CANNOT use a plain LeftAnti: it plans a null-aware anti
+    // join — BroadcastHashJoin ... LeftAnti ... isNullAwareAntiJoin=true
+    // for this single-column case (PlanSpec pins it). Scale: NAAJ
+    // REQUIRES broadcasting the exclusion set (a shuffle anti join can't
+    // check the null-existence condition locally), which is exactly right
+    // here — the blocklist is a filtered dim — but means a HUGE NOT IN
+    // side should be rewritten as NOT EXISTS (shuffle-able LeftAnti,
+    // cf. q78/q88) once it outgrows the broadcast threshold; the
+    // distinct-count aggregate is partial+final on (brand, type, size).
+    "q95_tpch_supplier_cnt" -> { (s, dir) =>
+      val li = s"parquet.`$dir/lineitem.parquet`"
+      val part = s"parquet.`$dir/part.parquet`"
+      val supp = s"parquet.`$dir/supplier.parquet`"
+      s.sql(
+        s"""SELECT p_brand, p_type, p_size,
+           |       count(DISTINCT l_suppkey) AS supplier_cnt
+           |FROM $li JOIN $part ON l_partkey = p_partkey
+           |WHERE p_brand <> 'Brand#1'
+           |  AND p_size IN (1, 4, 7, 10, 13)
+           |  AND l_suppkey NOT IN (SELECT s_suppkey FROM $supp
+           |                        WHERE s_acctbal < 1000)
+           |GROUP BY p_brand, p_type, p_size
+           |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
     }
   )
 
@@ -794,6 +846,27 @@ object TpchQueries {
         |      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
         |        AND o_orderdate >= TIMESTAMP '1996-01-01'
         |        AND o_orderdate <  TIMESTAMP '1998-01-01') sub
-        |GROUP BY o_year ORDER BY o_year""".stripMargin
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q94_tpch_shipmode" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q95_tpch_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 4, 7, 10, 13)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 1000)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
   )
 }

@@ -431,6 +431,39 @@ class PlanSpec extends SparkSpec {
       s"global single-partition stage in the blocking path:\n$p")
   }
 
+  test("q94 shipmode: date window pushed to the fact scan, partial conditional sums") {
+    val p = plan("q94_tpch_shipmode")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"),
+      s"ship-date window not pushed to the lineitem scan:\n$p")
+    assert(p.contains("partial_sum"),
+      s"conditional counts lost their map-side partial phase:\n$p")
+  }
+
+  test("q95 NOT IN: plans a null-aware anti join, not a per-row probe") {
+    val p = plan("q95_tpch_supplier_cnt")
+    assert(p.contains("LeftAnti"),
+      s"NOT IN should plan an anti join:\n$p")
+    // NOT IN's three-valued-logic semantics need the null-aware variant —
+    // a plain LeftAnti would return wrong results if the exclusion set
+    // ever contained a null. BroadcastHashJoinExec prints the
+    // isNullAwareAntiJoin flag as the trailing boolean of its argument
+    // list: "BroadcastHashJoin [...], [...], LeftAnti, BuildRight, true"
+    assert("LeftAnti, Build(Left|Right), true".r.findFirstIn(p).isDefined,
+      s"anti join is not null-aware:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"NOT IN degraded to a nested-loop probe:\n$p")
+  }
+
+  test("q96 repetition: per-row signals shuffle nothing before the output sort") {
+    val p = plan("q96_repetition")
+    // every signal (token count, distinct count, top-bigram run) is a
+    // per-row HOF — the only exchange allowed is the final orderBy's
+    // range partitioning; a hashpartitioning exchange would mean the
+    // bigram count fell back to explode+groupBy
+    assert(!p.contains("hashpartitioning"),
+      s"per-row repetition signals introduced a hash shuffle:\n$p")
+  }
+
   test("runtime bloom-filter pruning: selective dim join filters the fact scan") {
     // the 100 TB shape: a selective dimension predicate should prune the
     // fact-side shuffle via an injected bloom filter (might_contain),

@@ -35,6 +35,16 @@ class TextStatsSpec extends SparkSpec {
     assert(math.abs(r - 1.0 / 3.0) < 1e-9)
   }
 
+  test("topRunCount: most-frequent-element count via sorted-run HOF") {
+    def top(xs: Seq[String]): Int =
+      Seq(Tuple1(xs)).toDF("a").select(TextStats.topRunCount(col("a"))).head().getInt(0)
+    assert(top(Seq("b", "a", "b", "c", "b")) == 3)
+    assert(top(Seq("x")) == 1)
+    assert(top(Seq.empty) == 0)
+    // ties: either run reports its (equal) length
+    assert(top(Seq("a", "b", "a", "b")) == 2)
+  }
+
   test("wordNgrams preserves order and multiplicity (unlike shingles)") {
     val got = Seq("a b a b").toDF("t")
       .select(TextStats.wordNgrams(col("t"), 2)).head().getSeq[String](0)
