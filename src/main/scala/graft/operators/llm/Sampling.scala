@@ -39,12 +39,17 @@ object Sampling {
       rates: Map[String, Double],
       idCol: Column,
       defaultRate: Double = 0.0,
-      seed: Long = 0L): DataFrame = {
+      seed: Long = 0L,
+      portable: Boolean = false): DataFrame = {
     require(rates.values.forall(r => r >= 0.0 && r <= 1.0), "rates must be in [0, 1]")
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
       case (acc, (k, r)) => when(strataCol === lit(k), lit(r)).otherwise(acc)
     }
-    bernoulli(df, idCol, rate, seed)
+    // portable = sha2-derived unit (re-derivable anywhere sha256 exists,
+    // like splitLabel) for auditable mixtures; default xxhash64 is the
+    // cheaper in-engine form
+    if (portable) df.where(sha2Unit(idCol, seed) < rate)
+    else bernoulli(df, idCol, rate, seed)
   }
 
   /** Exactly-k uniform sample per group: the k smallest id-hashes win

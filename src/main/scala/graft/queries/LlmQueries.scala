@@ -297,6 +297,50 @@ object LlmQueries {
         .orderBy("id")
     },
 
+    // Source-mixture reweighting audit (the domain-weights step of corpus
+    // assembly: upsample low-resource languages, downsample boilerplate):
+    // per-stratum deterministic Bernoulli keep-rates, counted per lang.
+    // portable=true derives the keep decision from sha256 — the SAME unit
+    // the oracle recomputes — so the audited mixture is engine-portable,
+    // not an artifact of Spark hashing. A pure scan-stage filter: the
+    // rate ladder constant-folds into a CASE, no join, no shuffle; rates
+    // are dyadic (1/0.5/0.25) so the u<rate boundary is exact on both
+    // engines.
+    "q98_mixture" -> { (s, dir) =>
+      Sampling.stratified(
+          t(s, dir, "documents"), col("lang"),
+          Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.25),
+          col("doc_id"), defaultRate = 0.0, seed = 11L, portable = true)
+        .groupBy("lang").agg(count(lit(1)).as("docs"))
+        .orderBy("lang")
+    },
+
+    // Train/test split LEAKAGE audit: test-split docs sharing any word
+    // 5-gram with ANY train-split doc (the eval-contamination check run
+    // before publishing a split — q93 labels, q53/q67 are the remove
+    // step; this one MEASURES the overlap). Per-doc distinct 5-grams
+    // explode once, the train side collapses to a distinct gram set, and
+    // the audit is one equi-join on the gram key: shuffle-partitioned by
+    // gram at any scale (no per-doc cross product); at 100 TB the train
+    // gram set stays disk-backed and the join is where a runtime bloom
+    // filter / broadcast-of-test-side would slot in (test splits are the
+    // small side by construction).
+    "q99_split_leakage" -> { (s, dir) =>
+      val labeled = t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          Sampling.splitLabel(col("doc_id"),
+            Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 7L).as("split"),
+          array_distinct(TextStats.ngramsFromTokens(
+            array_remove(Dedup.tokens(col("text")), ""), 5)).as("gs"))
+      val grams = labeled.select(col("doc_id"), col("split"), explode(col("gs")).as("g"))
+      val train = grams.where(col("split") === "train").select("g").distinct()
+      grams.where(col("split") === "test")
+        .join(train, Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("shared_grams"))
+        .orderBy("doc_id")
+    },
+
     // Embedding-cosine near-dup pairs (LSH-bucketed candidates + exact
     // verify). Approximate by construction -> rows-only check here;
     // recall semantics asserted on planted vectors in SimilaritySpec.
@@ -766,6 +810,40 @@ object LlmQueries {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS id, least(a, min(b)) AS grp
         |FROM reach GROUP BY a ORDER BY id""".stripMargin,
+    "q98_mixture" ->
+      """WITH u AS (
+        |  SELECT lang,
+        |         CAST(('0x' || substr(sha256(concat('11', ':', CAST(doc_id AS VARCHAR))), 1, 13)) AS BIGINT)
+        |           / 4503599627370496.0 AS u
+        |  FROM documents)
+        |SELECT lang, count(*) AS docs
+        |FROM u
+        |WHERE u < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
+        |                    WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.25 ELSE 0.0 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q99_split_leakage" ->
+      """WITH lab AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, text,
+        |          CAST(('0x' || substr(sha256(concat('7', ':', CAST(doc_id AS VARCHAR))), 1, 13)) AS BIGINT)
+        |            / 4503599627370496.0 AS u
+        |        FROM documents)),
+        |words AS (
+        |  SELECT doc_id, split,
+        |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM lab),
+        |grams AS (
+        |  SELECT doc_id, split,
+        |         unnest(list_distinct(list_transform(range(1, greatest(len(w)-4, 0)+1),
+        |                i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))) AS g
+        |  FROM words WHERE len(w) >= 5),
+        |tr AS (SELECT DISTINCT g FROM grams WHERE split = 'train')
+        |SELECT t.doc_id AS doc_id, count(*) AS shared_grams
+        |FROM (SELECT doc_id, g FROM grams WHERE split = 'test') t
+        |JOIN tr ON t.g = tr.g
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
     "q93_split_audit" ->
       """WITH u AS (
         |  SELECT lang,
