@@ -326,17 +326,19 @@ object LlmQueries {
     // filter / broadcast-of-test-side would slot in (test splits are the
     // small side by construction).
     "q99_split_leakage" -> { (s, dir) =>
-      val labeled = t(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          Sampling.splitLabel(col("doc_id"),
-            Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 7L).as("split"),
-          array_distinct(TextStats.ngramsFromTokens(
-            array_remove(Dedup.tokens(col("text")), ""), 5)).as("gs"))
-      val grams = labeled.select(col("doc_id"), col("split"), explode(col("gs")).as("g"))
-      val train = grams.where(col("split") === "train").select("g").distinct()
-      grams.where(col("split") === "test")
-        .join(train, Seq("g"))
+      // the split label is a scan-stage expression, so FILTER FIRST:
+      // each branch tokenizes only its own split's docs (0.8x + 0.1x of
+      // the corpus) instead of both branches re-evaluating the shared
+      // gram subtree over everything (2.0x — measured 7.0 s -> ~3 s at
+      // sf0.1; at 100 TB the doubled tokenize pass is the whole bill)
+      def grams(split: String) = t(s, dir, "documents")
+        .where(Sampling.splitLabel(col("doc_id"),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 7L) === split)
+        .select(col("doc_id"),
+          explode(array_distinct(TextStats.ngramsFromTokens(
+            array_remove(Dedup.tokens(col("text")), ""), 5))).as("g"))
+      grams("test")
+        .join(grams("train").select("g").distinct(), Seq("g"))
         .groupBy("doc_id").agg(count(lit(1)).as("shared_grams"))
         .orderBy("doc_id")
     },

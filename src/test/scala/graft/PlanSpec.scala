@@ -464,6 +464,14 @@ class PlanSpec extends SparkSpec {
       s"per-row repetition signals introduced a hash shuffle:\n$p")
   }
 
+  test("q99 split leakage: gram-keyed equi-join, never a doc x doc cross product") {
+    val p = plan("q99_split_leakage")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"leakage audit degraded to an all-pairs comparison:\n$p")
+    assert(p.contains("Join") || p.contains("join"),
+      s"expected an equi-join on the gram key:\n$p")
+  }
+
   test("runtime bloom-filter pruning: selective dim join filters the fact scan") {
     // the 100 TB shape: a selective dimension predicate should prune the
     // fact-side shuffle via an injected bloom filter (might_contain),
