@@ -462,17 +462,20 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("group")).as("ngroup"))
+      // carry the per-row changed flag THROUGH the checkpoint instead of
+      // re-joining next against the previous labels for the convergence
+      // check — that third join was a whole extra shuffle job per round;
+      // summing a materialized flag column is a cache scan
+      val newGroup = least(col("group"), coalesce(col("ngroup"), col("group")))
       val next = labels
         .join(prop, labels("id") === prop("src"), "left")
         .select(
           col("id"),
-          least(col("group"), coalesce(col("ngroup"), col("group"))).as("group"))
+          newGroup.as("group"),
+          (newGroup =!= col("group")).cast("long").as("__ch"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.withColumnRenamed("group", "old"), "id")
-        .where(col("group") =!= col("old"))
-        .count()
-      labels = next
+      changed = next.agg(coalesce(sum(col("__ch")), lit(0L))).head().getLong(0)
+      labels = next.drop("__ch")
       i += 1
     }
     // the edge cache is only needed during the loop
