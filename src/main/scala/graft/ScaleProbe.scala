@@ -43,6 +43,33 @@ object ScaleProbe {
         maxHamming = 12, bands = 8, probeHamming = 1).count())
     graft.engine.ManagedCache.unpersistAll()
 
+    // Connected components at graph scale: chains of diameter 7 are the
+    // propagation shape (rounds = diameter, each ONE shuffle join); a
+    // single deep chain exercises the large-star/small-star escalation
+    // (O(log^2 n) rounds regardless of diameter). Wall time should scale
+    // with edges x rounds, never quadratically in nodes.
+    val chains = factor * 10000
+    val chainLen = 8
+    val chainEdges = spark.range(chains.toLong * chainLen)
+      .where(col("id") % chainLen =!= (chainLen - 1))
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    time(s"connected components (${chains} chains x $chainLen, diameter 7)") {
+      val groups = Dedup.nearDupGroups(chainEdges)
+      val n = groups.select("group").distinct().count()
+      require(n == chains, s"expected $chains components, got $n")
+      n
+    }
+    val deep = spark.range(2000L)
+      .where(col("id") < 1999)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    time("connected components (ONE chain of 2000, escalates to star rounds)") {
+      val groups = Dedup.nearDupGroups(deep, maxIter = 10)
+      val n = groups.select("group").distinct().count()
+      require(n == 1, s"expected 1 component, got $n")
+      n
+    }
+    graft.engine.ManagedCache.unpersistAll()
+
     // sharded text sink vs the single-task golden form: same byte stream
     // (line-sorted in both paths), but the sort and the write spread
     // across the cluster — the S2 contract's scale path
