@@ -614,6 +614,37 @@ object TpchQueries {
            |                        WHERE s_acctbal < 1000)
            |GROUP BY p_brand, p_type, p_size
            |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+    },
+
+    // TPC-H Q9 shape: product-type profit per supplier nation per order
+    // year — the widest remaining classic (5-table join, measure built
+    // from MULTIPLE tables' columns: lineitem price/discount/quantity x
+    // part cost). The fixture has no partsupp, so unit cost is proxied
+    // as 80% of p_retailprice; the shape — revenue minus a joined-in
+    // per-part cost, aggregated by two dims — is Q9's. Exact-integer
+    // discipline: profit_e4 = disc_price_e4 - retail_cents*80*qty, every
+    // term an exact integer in 1e-4 dollars (cents x 80 = 0.8x price in
+    // e4 units; quantities are integral). Scale: part/supplier/nation
+    // broadcast (name-filtered part prunes first), lineitem ⨝ orders
+    // shuffle on orderkey, aggregate is partial+final on (nation, year).
+    "q100_tpch_profit" -> { (s, dir) =>
+      val part = t(s, dir, "part")
+        .where(col("p_name").contains("red")) // Q9's '%green%' substring filter
+        .select(col("p_partkey"), round(col("p_retailprice") * 100).as("retail_cents"))
+      val nat = t(s, dir, "nation").select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
+      val profitE4 = discPriceE4 -
+        (col("retail_cents") * lit(80) * round(col("l_quantity"))).cast("long")
+      t(s, dir, "lineitem")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("s_nk"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .agg(sum(profitE4).as("profit_e4"))
+        .orderBy(col("nation"), col("o_year").desc)
     }
   )
 
@@ -867,6 +898,18 @@ object TpchQueries {
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
         |                        WHERE s_acctbal < 1000)
         |GROUP BY p_brand, p_type, p_size
-        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q100_tpch_profit" ->
+      """SELECT n_name AS nation, strftime(o_orderdate, '%Y') AS o_year,
+        |       CAST(sum(CAST(round(l_extendedprice*100) * round((1-l_discount)*100) AS BIGINT)
+        |                - CAST(round(p_retailprice*100) * 80 * round(l_quantity) AS BIGINT)) AS BIGINT) AS profit_e4
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, o_year
+        |ORDER BY n_name, o_year DESC""".stripMargin
   )
 }

@@ -464,6 +464,16 @@ class PlanSpec extends SparkSpec {
       s"per-row repetition signals introduced a hash shuffle:\n$p")
   }
 
+  test("q100 profit: dims broadcast, name filter pushed to the part scan, partial agg") {
+    val p = plan("q100_tpch_profit")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"part/supplier/nation should all broadcast:\n$p")
+    assert(p.contains("StringContains(p_name,red)"),
+      s"the '%red%' filter did not reach the part scan:\n$p")
+    assert(p.contains("partial_sum"),
+      s"profit aggregate lost its map-side partial phase:\n$p")
+  }
+
   test("q99 split leakage: gram-keyed equi-join, never a doc x doc cross product") {
     val p = plan("q99_split_leakage")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
