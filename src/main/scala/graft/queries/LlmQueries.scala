@@ -297,6 +297,20 @@ object LlmQueries {
         .orderBy("id")
     },
 
+    // Apply-dedup compaction — the step AFTER q21 (detect pairs) and q97
+    // (collapse to groups): drop every non-survivor (group members above
+    // the min id), keep everything else untouched, and count the
+    // compacted corpus per language. The removal is one LEFT ANTI join
+    // against the loser set (group-output-sized, tiny next to the
+    // corpus); the oracle re-derives pairs, transitive closure, AND
+    // survivor selection, so the whole detect->group->apply pipeline is
+    // hash-verified end to end.
+    "q101_dedup_apply" -> { (s, dir) =>
+      Dedup.dedupNearRows(t(s, dir, "documents"), "text", "doc_id")
+        .groupBy("lang").agg(count(lit(1)).as("docs"))
+        .orderBy("lang")
+    },
+
     // Source-mixture reweighting audit (the domain-weights step of corpus
     // assembly: upsample low-resource languages, downsample boilerplate):
     // per-stratum deterministic Bernoulli keep-rates, counted per lang.
@@ -812,6 +826,32 @@ object LlmQueries {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS id, least(a, min(b)) AS grp
         |FROM reach GROUP BY a ORDER BY id""".stripMargin,
+    "q101_dedup_apply" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id,
+        |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, greatest(len(w)-2, 0)+1),
+        |                       i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+        |  FROM words WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) >= len(list_distinct(a.s || b.s)) * 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (SELECT a AS id, least(a, min(b)) AS grp FROM reach GROUP BY a),
+        |losers AS (SELECT id FROM labels WHERE id <> grp)
+        |SELECT lang, count(*) AS docs
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q98_mixture" ->
       """WITH u AS (
         |  SELECT lang,
