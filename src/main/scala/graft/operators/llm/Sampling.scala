@@ -47,8 +47,10 @@ object Sampling {
     }
     // portable = sha2-derived unit (re-derivable anywhere sha256 exists,
     // like splitLabel) for auditable mixtures; default xxhash64 is the
-    // cheaper in-engine form
-    if (portable) df.where(sha2Unit(idCol, seed) < rate)
+    // cheaper in-engine form. The rate>0 guard short-circuits in codegen,
+    // so rate-0 strata (defaultRate drops — potentially MOST rows) never
+    // pay the sha256.
+    if (portable) df.where(rate > lit(0.0) && sha2Unit(idCol, seed) < rate)
     else bernoulli(df, idCol, rate, seed)
   }
 

@@ -357,7 +357,8 @@ class StreamSpec extends SparkSpec {
         .trigger(Trigger.AvailableNow()).start()
       // AvailableNow terminates by itself once the backlog is drained —
       // a timeout here means the trigger never finished
-      assert(q.awaitTermination(120000), "AvailableNow run did not self-terminate")
+      try assert(q.awaitTermination(120000), "AvailableNow run did not self-terminate")
+      finally q.stop() // no-op after normal termination; frees a wedged run
     }
     drain()
     val afterFirst = spark.read.parquet(outDir).count()
