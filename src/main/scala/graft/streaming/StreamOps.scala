@@ -200,6 +200,34 @@ object StreamOps {
         col(rightTs) <= col(leftTs))
   }
 
+  /** LEFT OUTER stream-stream range join: same key + time-range condition
+    * as [[streamRangeJoin]], but an unmatched left event still emits —
+    * right columns null — once the watermark proves no in-range right row
+    * can arrive anymore. This "emit on state expiry" is the semantics
+    * that separates outer from inner streaming joins: the null-extended
+    * row is necessarily LATE by up to (lateness + range) because
+    * non-arrival can only be certified retrospectively. Same bounded
+    * state as the inner form (both sides evicted past watermark + range).
+    */
+  def streamRangeJoinLeftOuter(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      windowBefore: String,
+      lateness: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(
+      r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $windowBefore") &&
+        col(rightTs) <= col(leftTs),
+      "left_outer")
+  }
+
   /** The flagship q68 pricing rollup as a continuous query: the same
     * exact-integer money discipline (cents / 1e-4 / 1e-6-dollar units —
     * see TpchQueries), aggregated per event-time window per

@@ -399,6 +399,37 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamRangeJoinLeftOuter: unmatched left emits null-extended after expiry") {
+    val purchases = memStream[(Timestamp, Long, Long)]
+    val clicks = memStream[(Timestamp, Long, Long)]
+    val out = sinkName()
+    val q = StreamOps.streamRangeJoinLeftOuter(
+        purchases.toDF.toDF("pts", "puser", "pid"),
+        clicks.toDF.toDF("cts", "cuser", "cid"),
+        "puser", "cuser", "pts", "cts", windowBefore = "10 minutes", lateness = "1 minute")
+      .select("pid", "cid")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      clicks.addData((ts("10:00"), 1L, 100L))
+      purchases.addData((ts("10:05"), 1L, 500L)) // matched: click 5 min before
+      purchases.addData((ts("10:05"), 2L, 600L)) // user 2 never clicks
+      q.processAllAvailable()
+      // the null-extension CANNOT have emitted yet: non-arrival is only
+      // certified once the watermark passes pts + lateness
+      val early = spark.table(out).collect().map(_.getLong(0)).toSet
+      assert(!early.contains(600L),
+        s"unmatched row emitted before the watermark certified it: $early")
+      // push both watermarks far past 10:05 + range + lateness
+      clicks.addData((ts("12:00"), 9L, 999L))
+      purchases.addData((ts("12:00"), 9L, 998L))
+      q.processAllAvailable()
+      val rows = spark.table(out).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((500L, 100L)), s"matched pair missing: $rows")
+      assert(rows.contains((600L, -1L)), s"null-extended unmatched row missing: $rows")
+    } finally q.stop()
+  }
+
   test("q68 pricing rollup as a watermarked stream over the lineitem fixture: batch == stream") {
     // the flagship batch rollup run continuously: the REAL sf0.001
     // lineitem rows arrive in shipdate order (the fixture's natural
