@@ -645,6 +645,36 @@ object TpchQueries {
         .groupBy(col("nation"), date_format(col("o_orderdate"), "yyyy").as("o_year"))
         .agg(sum(profitE4).as("profit_e4"))
         .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q20 shape — the last of the 22: IN (subquery) nesting
+    // ANOTHER IN plus a correlated scalar threshold inside HAVING
+    // ("suppliers who shipped >20% of some red part's total volume",
+    // standing in for Q20's availqty > half-of-shipped gate; the
+    // fixtures have no partsupp). The decorrelation stack is Q20's:
+    // inner IN → semi join on partkey; the HAVING subquery correlates
+    // on the GROUP KEY (l_partkey), so Catalyst pulls it out as one
+    // per-part aggregate joined back — never a per-group probe; the
+    // outer IN → semi join on suppkey. Exact-integer share gate
+    // (sum*5 > total) — no float boundary. Scale: two lineitem
+    // aggregates (per supplier-part, per part), both partial+final;
+    // part dim broadcasts; supplier never widens the fact rows.
+    "q102_tpch_dominant_supplier" -> { (s, dir) =>
+      val li = s"parquet.`$dir/lineitem.parquet`"
+      val part = s"parquet.`$dir/part.parquet`"
+      val supp = s"parquet.`$dir/supplier.parquet`"
+      s.sql(
+        s"""SELECT s_suppkey, s_name
+           |FROM $supp
+           |WHERE s_suppkey IN (
+           |  SELECT l_suppkey FROM $li l1
+           |  WHERE l_partkey IN (SELECT p_partkey FROM $part
+           |                      WHERE p_name LIKE '%red%')
+           |  GROUP BY l_suppkey, l_partkey
+           |  HAVING sum(CAST(round(l_quantity) AS BIGINT)) * 5 >
+           |         (SELECT sum(CAST(round(l2.l_quantity) AS BIGINT))
+           |          FROM $li l2 WHERE l2.l_partkey = l1.l_partkey))
+           |ORDER BY s_suppkey""".stripMargin)
     }
   )
 
@@ -910,6 +940,18 @@ object TpchQueries {
         |JOIN orders   ON l_orderkey = o_orderkey
         |WHERE p_name LIKE '%red%'
         |GROUP BY n_name, o_year
-        |ORDER BY n_name, o_year DESC""".stripMargin
+        |ORDER BY n_name, o_year DESC""".stripMargin,
+    "q102_tpch_dominant_supplier" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem l1
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_name LIKE '%red%')
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(CAST(round(l_quantity) AS BIGINT)) * 5 >
+        |         (SELECT sum(CAST(round(l2.l_quantity) AS BIGINT))
+        |          FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey))
+        |ORDER BY s_suppkey""".stripMargin
   )
 }

@@ -474,6 +474,16 @@ class PlanSpec extends SparkSpec {
       s"profit aggregate lost its map-side partial phase:\n$p")
   }
 
+  test("q102 nested IN + correlated HAVING: fully decorrelated, no per-row probe") {
+    val p = plan("q102_tpch_dominant_supplier")
+    assert(p.contains("LeftSemi"),
+      s"IN subqueries should rewrite to semi joins:\n$p")
+    assert(!p.contains("Subquery"),
+      s"per-row subquery execution survived decorrelation:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the volume aggregates lost their map-side partial phase:\n$p")
+  }
+
   test("q99 split leakage: gram-keyed equi-join, never a doc x doc cross product") {
     val p = plan("q99_split_leakage")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
