@@ -86,6 +86,25 @@ object Multimodal {
     }
   }
 
+  /** Resize/downsample stub: reduces the payload to every `factor`-th
+    * byte (stand-in for image resize / audio resample — a real codec
+    * replaces only the lambda body). Like the decode path it is a pure
+    * per-row transform: at 100 TB the resize happens in the scan stage
+    * that read the bytes, and only the REDUCED payload flows downstream
+    * — the property that matters when the operator feeds a shuffle.
+    */
+  def resizePayload(payload: org.apache.spark.sql.Column, factor: Int): org.apache.spark.sql.Column = {
+    require(factor >= 1, "factor must be >= 1")
+    // binary has no element HOFs — round-trip through the byte array
+    // form: slice every factor-th element, reassemble. Latin-1 ("ISO-8859-1")
+    // maps bytes 1:1 to chars, so encode/decode is lossless plumbing.
+    val chars = split(decode(payload, "ISO-8859-1"), "")
+    encode(
+      array_join(
+        filter(chars, (_, i) => i % factor === 0), ""),
+      "ISO-8859-1")
+  }
+
   /** Frame/segment sampling stub: slices the payload into `k` evenly
     * spaced windows (stand-in for video frame extraction). Pure
     * expression — no UDF, no shuffle.

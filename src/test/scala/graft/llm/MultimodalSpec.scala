@@ -17,6 +17,19 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(m.payload, "UTF-8") == "hello")
   }
 
+  test("resizePayload keeps every factor-th byte; factor 1 is the identity") {
+    def resize(s: String, f: Int): Array[Byte] =
+      Seq(s).toDF("t")
+        .select(Multimodal.resizePayload(encode(col("t"), "UTF-8"), f))
+        .head().getAs[Array[Byte]](0)
+    assert(new String(resize("abcdef", 2), "UTF-8") == "ace")
+    assert(new String(resize("abcdef", 3), "UTF-8") == "ad")
+    assert(new String(resize("abcdef", 1), "UTF-8") == "abcdef")
+    // non-ASCII bytes survive the Latin-1 round trip bit-for-bit
+    val multi = "héllo→"
+    assert(resize(multi, 1).toSeq == multi.getBytes("UTF-8").toSeq)
+  }
+
   test("featurize is deterministic and shape-stable (the decoder contract)") {
     val docs = Sources.table(spark, "/root/testdata/sf0.001", "documents")
     val feats = Multimodal.featurize(Multimodal.fromDocuments(docs), dims = 8)
