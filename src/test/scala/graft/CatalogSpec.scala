@@ -43,4 +43,37 @@ class CatalogSpec extends SparkSpec {
       assert(!spark.catalog.tableExists("graft_nation_summary"))
     }
   }
+
+  test("ANALYZE TABLE: CBO column statistics drive the optimizer's row estimates") {
+    // the stats surface a 100 TB cluster plans by: ANALYZE writes
+    // table/column statistics into the catalog, and with CBO on the
+    // optimizer estimates FILTERED cardinalities from them (histogram-
+    // free ndv/min/max), which is what picks broadcast sides and join
+    // orders when sizes can't be inferred from file lengths alone
+    spark.sql("DROP TABLE IF EXISTS graft_li_stats")
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_returnflag", "l_quantity")
+      .write.saveAsTable("graft_li_stats")
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      val actual = spark.table("graft_li_stats").count()
+      spark.sql(
+        "ANALYZE TABLE graft_li_stats COMPUTE STATISTICS FOR COLUMNS l_returnflag, l_quantity")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val rc = spark.table("graft_li_stats").queryExecution.optimizedPlan.stats.rowCount
+      assert(rc.exists(_.toLong == actual),
+        s"catalog rowCount $rc != actual $actual after ANALYZE")
+      val filtered = spark.table("graft_li_stats")
+        .where(col("l_quantity") < lit(5.0))
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(filtered.isDefined && filtered.get.toLong < actual,
+        s"column stats did not shrink the filtered estimate: $filtered vs $actual")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+      spark.sql("DROP TABLE IF EXISTS graft_li_stats")
+    }
+  }
 }
