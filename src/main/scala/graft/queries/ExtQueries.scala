@@ -64,6 +64,28 @@ object ExtQueries {
         .orderBy("o_custkey", "seq")
     },
 
+    // The distribution-ranking window family — ntile / dense_rank /
+    // percent_rank / cume_dist — per customer over order value. One
+    // window spec feeds all four (one shuffle on custkey, one in-
+    // partition sort). percent_rank and cume_dist are single IEEE
+    // divisions of integer rank/count ((r-1)/(n-1), r/n) — both engines
+    // compute the same double; round(6) written identically both sides.
+    // The DESC value order ends in the unique orderkey, so ranks are
+    // total and the hash can't flap on ties.
+    "q103_window_family" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          dense_rank().over(w).as("drank"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // Set operations: key sets via INTERSECT / EXCEPT (both plan as
     // aggregate + join under AQE, no row payload).
     "q34_setops" -> { (s, dir) =>
@@ -498,6 +520,15 @@ object ExtQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, seq""".stripMargin,
+    "q103_window_family" ->
+      """SELECT o_custkey, o_orderkey,
+        |       ntile(4) OVER w AS quartile,
+        |       dense_rank() OVER w AS drank,
+        |       round(percent_rank() OVER w, 6) AS prank,
+        |       round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q34_setops" ->
       """SELECT 'both' AS tag, k FROM
         |  (SELECT c_custkey AS k FROM customer INTERSECT SELECT s_suppkey FROM supplier)
