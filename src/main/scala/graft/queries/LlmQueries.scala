@@ -316,6 +316,32 @@ object LlmQueries {
         .orderBy("lang")
     },
 
+    // Corpus-statistical rarity scoring — the exact-integer cousin of
+    // LM-perplexity quality filtering: per doc, the total corpus
+    // frequency of its tokens (freq_mass — low means rare vocabulary)
+    // and the frequency of its rarest token. All integers, so the hash
+    // oracle is bit-stable where a log-prob would drift in the last ulp
+    // between engines' libm. Scale shape: vocabulary derives from ONE
+    // grouped count of the exploded tokens, then joins back on the token
+    // key — vocabulary is bounded by distinct tokens (broadcastable for
+    // natural language; AQE decides), and the stopword-skewed fact side
+    // is exactly what the AQE skew-join rewrite (ScaleProbe) splits. A
+    // per-token window would be WRONG at scale: every occurrence of
+    // "the" would land in one window partition.
+    "q104_token_rarity" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_remove(Dedup.tokens(col("text")), "")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("gcnt"))
+      toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+          sum(col("gcnt")).as("freq_mass"),
+          min(col("gcnt")).as("rarest"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // Source-mixture reweighting audit (the domain-weights step of corpus
     // assembly: upsample low-resource languages, downsample boilerplate):
     // per-stratum deterministic Bernoulli keep-rates, counted per lang.
@@ -825,6 +851,22 @@ object LlmQueries {
           |FROM documents
           |WHERE doc_id NOT IN (SELECT id FROM losers)
           |GROUP BY lang ORDER BY lang""".stripMargin),
+    "q104_token_rarity" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0
+        |              THEN []::VARCHAR[]
+        |              ELSE string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+        |         END AS w
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(w) AS tok FROM base),
+        |vocab AS (SELECT tok, count(*) AS gcnt FROM toks GROUP BY tok)
+        |SELECT doc_id,
+        |       CAST(sum(gcnt) AS BIGINT) AS freq_mass,
+        |       CAST(min(gcnt) AS BIGINT) AS rarest,
+        |       count(*) AS n_tokens
+        |FROM toks JOIN vocab USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q98_mixture" ->
       """WITH u AS (
         |  SELECT lang,
