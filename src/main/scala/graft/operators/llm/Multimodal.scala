@@ -86,23 +86,27 @@ object Multimodal {
     }
   }
 
-  /** Resize/downsample stub: reduces the payload to every `factor`-th
-    * byte (stand-in for image resize / audio resample — a real codec
-    * replaces only the lambda body). Like the decode path it is a pure
-    * per-row transform: at 100 TB the resize happens in the scan stage
-    * that read the bytes, and only the REDUCED payload flows downstream
-    * — the property that matters when the operator feeds a shuffle.
+  /** Resize/downsample stub: keeps every `factor`-th payload byte
+    * (stand-in for image resize / audio resample). Same shape as
+    * [[featurize]]: a real codec initializes once per partition and
+    * replaces the byte-decimation loop. O(n) bytes per row, no per-byte
+    * object churn; the resize happens in the map partition that read the
+    * bytes, so only the REDUCED payload flows downstream — the property
+    * that matters when the operator feeds a shuffle.
     */
-  def resizePayload(payload: org.apache.spark.sql.Column, factor: Int): org.apache.spark.sql.Column = {
+  def resize(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
     require(factor >= 1, "factor must be >= 1")
-    // binary has no element HOFs — round-trip through the byte array
-    // form: slice every factor-th element, reassemble. Latin-1 ("ISO-8859-1")
-    // maps bytes 1:1 to chars, so encode/decode is lossless plumbing.
-    val chars = split(decode(payload, "ISO-8859-1"), "")
-    encode(
-      array_join(
-        filter(chars, (_, i) => i % factor === 0), ""),
-      "ISO-8859-1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // real codec init would go here, once per partition
+      it.map { m =>
+        val out = new Array[Byte]((m.payload.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = m.payload(i * factor); i += 1 }
+        m.copy(payload = out)
+      }
+    }
   }
 
   /** Frame/segment sampling stub: slices the payload into `k` evenly

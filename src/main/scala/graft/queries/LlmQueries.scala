@@ -329,9 +329,13 @@ object LlmQueries {
     // per-token window would be WRONG at scale: every occurrence of
     // "the" would land in one window partition.
     "q104_token_rarity" -> { (s, dir) =>
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(array_remove(Dedup.tokens(col("text")), "")).as("tok"))
+      // toks feeds BOTH the vocabulary aggregate and the join probe —
+      // materialize it once (q99's double-evaluation lesson; Verify and
+      // Bench unpersist between queries via ManagedCache)
+      val toks = graft.engine.ManagedCache.persist(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_remove(Dedup.tokens(col("text")), "")).as("tok")))
       val vocab = toks.groupBy("tok").agg(count(lit(1)).as("gcnt"))
       toks.join(vocab, "tok")
         .groupBy("doc_id")

@@ -190,15 +190,9 @@ object StreamOps {
       leftTs: String,
       rightTs: String,
       windowBefore: String,
-      lateness: String = "1 hour"): DataFrame = {
-    val l = left.withWatermark(leftTs, lateness)
-    val r = right.withWatermark(rightTs, lateness)
-    l.join(
-      r,
-      col(leftKey) === col(rightKey) &&
-        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $windowBefore") &&
-        col(rightTs) <= col(leftTs))
-  }
+      lateness: String = "1 hour"): DataFrame =
+    streamRangeJoinImpl(left, right, leftKey, rightKey, leftTs, rightTs,
+      windowBefore, lateness, "inner")
 
   /** LEFT OUTER stream-stream range join: same key + time-range condition
     * as [[streamRangeJoin]], but an unmatched left event still emits —
@@ -217,7 +211,20 @@ object StreamOps {
       leftTs: String,
       rightTs: String,
       windowBefore: String,
-      lateness: String = "1 hour"): DataFrame = {
+      lateness: String = "1 hour"): DataFrame =
+    streamRangeJoinImpl(left, right, leftKey, rightKey, leftTs, rightTs,
+      windowBefore, lateness, "left_outer")
+
+  private def streamRangeJoinImpl(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      windowBefore: String,
+      lateness: String,
+      joinType: String): DataFrame = {
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
     l.join(
@@ -225,7 +232,7 @@ object StreamOps {
       col(leftKey) === col(rightKey) &&
         col(rightTs) >= col(leftTs) - expr(s"INTERVAL $windowBefore") &&
         col(rightTs) <= col(leftTs),
-      "left_outer")
+      joinType)
   }
 
   /** The flagship q68 pricing rollup as a continuous query: the same

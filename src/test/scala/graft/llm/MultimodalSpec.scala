@@ -17,15 +17,15 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(m.payload, "UTF-8") == "hello")
   }
 
-  test("resizePayload keeps every factor-th byte; factor 1 is the identity") {
-    def resize(s: String, f: Int): Array[Byte] =
-      Seq(s).toDF("t")
-        .select(Multimodal.resizePayload(encode(col("t"), "UTF-8"), f))
-        .head().getAs[Array[Byte]](0)
+  test("resize keeps every factor-th byte; factor 1 is the identity") {
+    def resize(s: String, f: Int): Array[Byte] = {
+      val docs = Seq((1L, s)).toDF("doc_id", "text")
+      Multimodal.resize(Multimodal.fromDocuments(docs), f).head().payload
+    }
     assert(new String(resize("abcdef", 2), "UTF-8") == "ace")
     assert(new String(resize("abcdef", 3), "UTF-8") == "ad")
     assert(new String(resize("abcdef", 1), "UTF-8") == "abcdef")
-    // non-ASCII bytes survive the Latin-1 round trip bit-for-bit
+    // arbitrary (non-ASCII) bytes survive bit-for-bit at factor 1
     val multi = "héllo→"
     assert(resize(multi, 1).toSeq == multi.getBytes("UTF-8").toSeq)
   }
