@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming operators for the event-stream surface (the
   * `events` fixture shape: event_id, ts, user_id, event_type, value).
@@ -102,6 +102,53 @@ object StreamOps {
             next
           }
       }
+  }
+
+  /** The same running per-user totals on Spark 4's `transformWithState`
+    * API — the successor to mapGroupsWithState: explicit named state
+    * variables (`ValueState`/`ListState`/`MapState`) with per-state TTL,
+    * timers decoupled from output, and state-schema evolution. One
+    * `ValueState[UserTotals]` per user here; StreamSpec asserts this
+    * processor and [[runningUserTotals]] emit identical totals over the
+    * same input, pinning the migration path.
+    */
+  def runningUserTotalsTws(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RunningTotalsProcessor(),
+        TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** StatefulProcessor for [[runningUserTotalsTws]]: one ValueState cell
+    * per user (TTL none — the q-style safety valve would be a TTLConfig,
+    * not a timer, under this API).
+    */
+  private class RunningTotalsProcessor
+      extends StatefulProcessor[Long, Event, UserTotals] {
+    @transient private var totals: ValueState[UserTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals](
+        "totals",
+        org.apache.spark.sql.Encoders.product[UserTotals],
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserTotals] = {
+      val prev =
+        if (totals.exists()) totals.get() else UserTotals(user, 0L, 0.0)
+      val (n, s) = rows.foldLeft((prev.events, prev.sum_value)) {
+        case ((c, acc), e) => (c + 1, acc + e.value)
+      }
+      val next = UserTotals(user, n, s)
+      totals.update(next)
+      Iterator.single(next)
+    }
   }
 
   /** Streaming NEAR-dup dedup: first document per SimHash fingerprint

@@ -137,6 +137,41 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningUserTotalsTws: transformWithState matches the mapGroupsWithState op") {
+    // the Spark 4 stateful API (named ValueState + TTL + timers) must
+    // produce the same totals as the legacy processor over the same
+    // batches — pinning the migration path. TWS requires the RocksDB
+    // state store provider.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = memStream[Event]
+    val out = sinkName()
+    try {
+      val q = StreamOps.runningUserTotalsTws(ms.toDS())
+        .writeStream.format("memory").queryName(out).outputMode("update").start()
+      try {
+        ms.addData(
+          Event(1L, ts("10:00"), 100L, "click", 1.0),
+          Event(2L, ts("10:01"), 100L, "view", 2.0),
+          Event(3L, ts("10:02"), 200L, "click", 5.0))
+        q.processAllAvailable()
+        ms.addData(Event(4L, ts("10:03"), 100L, "purchase", 4.0))
+        q.processAllAvailable()
+        val latest = spark.table(out)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .groupBy(_._1).map { case (u, rows) => u -> rows.last }
+        // identical to the mapGroupsWithState expectations above
+        assert(latest(100L) == ((100L, 3L, 7.0)))
+        assert(latest(200L) == ((200L, 1L, 5.0)))
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("dedupStreamByFingerprint: same-sketch docs collapse, distinct ones survive") {
     val ms = memStream[StreamSpecDoc]
     val out = sinkName()
