@@ -86,6 +86,49 @@ object ExtQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Event-time RANGE frame: rolling 7-day spend per customer — the
+    // frame is bounded by ORDER-key VALUE distance (day_no in [cur-6,
+    // cur]), not row count, so sparse/dense order histories window
+    // identically and same-day orders are peers (both engines give
+    // peers the same frame result — no tie ambiguity). Plan shape is
+    // the same as any window: one hash-partition by customer, one
+    // in-partition sort; the frame bound adds no extra shuffle.
+    "q105_range_frame" -> { (s, dir) =>
+      val base = t(s, dir, "orders").select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).as("day_no"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-6, 0)
+      base.select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("day_no"),
+        sum(col("cents")).over(w).as("win_cents"),
+        count(lit(1)).over(w).as("win_orders"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Histogram binning: fixed-width buckets over l_quantity via the
+    // built-in width_bucket (codegen'd arithmetic in the scan stage —
+    // bucket = floor(n*(v-lo)/(hi-lo))+1), then one hash-agg for
+    // count/bounds/mass per bucket. The distribution-profiling
+    // companion to q60's scalar profile; 10 output rows regardless of
+    // input size, so the result never grows with the corpus.
+    "q106_histogram" -> { (s, dir) =>
+      t(s, dir, "lineitem").select(
+          width_bucket(col("l_quantity"), lit(1.0), lit(51.0), lit(10)).cast("int").as("bucket"),
+          col("l_quantity"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("cnt"),
+          min(col("l_quantity")).as("min_q"),
+          max(col("l_quantity")).as("max_q"),
+          sum(col("price_cents")).as("cents"))
+        .orderBy("bucket")
+    },
+
     // Set operations: key sets via INTERSECT / EXCEPT (both plan as
     // aggregate + join under AQE, no row payload).
     "q34_setops" -> { (s, dir) =>
@@ -529,6 +572,25 @@ object ExtQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q105_range_frame" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day_no,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_custkey, o_orderkey, day_no,
+        |       CAST(sum(cents) OVER w AS BIGINT) AS win_cents,
+        |       CAST(count(*) OVER w AS BIGINT) AS win_orders
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q106_histogram" ->
+      """WITH b AS (SELECT
+        |  CAST(floor(10.0 * (l_quantity - 1.0) / 50.0) AS INTEGER) + 1 AS bucket,
+        |  l_quantity, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |  FROM lineitem)
+        |SELECT bucket, count(*) AS cnt, min(l_quantity) AS min_q,
+        |       max(l_quantity) AS max_q, CAST(sum(price_cents) AS BIGINT) AS cents
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q34_setops" ->
       """SELECT 'both' AS tag, k FROM
         |  (SELECT c_custkey AS k FROM customer INTERSECT SELECT s_suppkey FROM supplier)
