@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming operators for the event-stream surface (the
   * `events` fixture shape: event_id, ts, user_id, event_type, value).
@@ -148,6 +148,73 @@ object StreamOps {
       val next = UserTotals(user, n, s)
       totals.update(next)
       Iterator.single(next)
+    }
+  }
+
+  case class SessionSummary(user_id: Long, n_events: Long, sum_value: Double, last_ms: Long)
+
+  /** Event-time session close on `transformWithState` TIMERS: a session
+    * accumulates per-user state and registers an event-time timer at
+    * last-event + gap; each later batch within the gap deletes the old
+    * timer and re-arms. Nothing emits on input — the summary row emits
+    * from `handleExpiredTimer` when the WATERMARK certifies the gap has
+    * passed (Append semantics: each session exactly once). This is the
+    * timer half of the Spark 4 stateful API that [[runningUserTotalsTws]]
+    * doesn't touch, and the hand-rolled analogue of `session_window`
+    * ([[sessionize]]) for sessions needing custom close-time logic.
+    * State per key is one summary row + one timer, watermark-evicted.
+    */
+  def sessionCloseTws(
+      events: Dataset[Event],
+      gapMs: Long,
+      lateness: String = "10 seconds"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionCloseProcessor(gapMs),
+        TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** StatefulProcessor for [[sessionCloseTws]]: ValueState summary +
+    * one re-armed event-time timer per open session.
+    */
+  private class SessionCloseProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, SessionSummary] {
+    @transient private var sess: ValueState[SessionSummary] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionSummary](
+        "session",
+        org.apache.spark.sql.Encoders.product[SessionSummary],
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long,
+        rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SessionSummary] = {
+      val prev = if (sess.exists()) Some(sess.get()) else None
+      prev.foreach(p => getHandle.deleteTimer(p.last_ms + gapMs))
+      val (n0, s0, l0) =
+        prev.map(p => (p.n_events, p.sum_value, p.last_ms)).getOrElse((0L, 0.0, 0L))
+      val (n, s, l) = rows.foldLeft((n0, s0, l0)) { case ((c, acc, lm), e) =>
+        (c + 1, acc + e.value, math.max(lm, e.ts.getTime))
+      }
+      sess.update(SessionSummary(user, n, s, l))
+      getHandle.registerTimer(l + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        user: Long,
+        timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionSummary] = {
+      val out =
+        if (sess.exists()) Iterator.single(sess.get()) else Iterator.empty
+      sess.clear()
+      out
     }
   }
 

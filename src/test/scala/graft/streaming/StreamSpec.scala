@@ -172,6 +172,45 @@ class StreamSpec extends SparkSpec {
     }
   }
 
+  test("sessionCloseTws: event-time timer closes the session exactly once on watermark") {
+    // the timer half of the transformWithState API: input batches only
+    // re-arm the timer; the summary emits from handleExpiredTimer when
+    // the watermark passes last-event + gap, and an open session stays
+    // silent. Gap 2 min, lateness 10 s.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = memStream[Event]
+    val out = sinkName()
+    try {
+      val q = StreamOps.sessionCloseTws(ms.toDS(), gapMs = 120000L)
+        .writeStream.format("memory").queryName(out).outputMode("append").start()
+      try {
+        ms.addData(
+          Event(1L, ts("10:00"), 100L, "click", 1.0),
+          Event(2L, ts("10:01"), 100L, "view", 2.0))
+        q.processAllAvailable()
+        assert(spark.table(out).count() == 0, "open session must not emit")
+        // within the gap: extends the session, re-arms the timer
+        ms.addData(Event(3L, ts("10:02"), 100L, "purchase", 4.0))
+        q.processAllAvailable()
+        assert(spark.table(out).count() == 0, "extended session must not emit")
+        // far-future event advances the watermark past 10:04 -> timer fires
+        ms.addData(Event(4L, ts("10:30"), 200L, "click", 5.0))
+        q.processAllAvailable()
+        val rows = spark.table(out)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        assert(rows.toSeq == Seq((100L, 3L, 7.0, ts("10:02").getTime)),
+          s"exactly one closed session expected, got ${rows.toSeq}")
+        // user 200's session (timer 10:32) is still open at watermark 10:29:50
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("dedupStreamByFingerprint: same-sketch docs collapse, distinct ones survive") {
     val ms = memStream[StreamSpecDoc]
     val out = sinkName()
