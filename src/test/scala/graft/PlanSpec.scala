@@ -94,6 +94,27 @@ class PlanSpec extends SparkSpec {
       s"windows did not share the exchange:\n$p")
   }
 
+  test("q105 range frame: both frame aggs share one exchange, one Window") {
+    val p = plan("q105_range_frame")
+    // the value-distance frame is evaluated in the same partition sort as
+    // any window — sum+count must share one hash exchange and one Window
+    // operator, and the frame must be RANGE, not ROWS
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"frame aggs did not share the exchange:\n$p")
+    assert("(?i)specifiedwindowframe\\(RangeFrame".r.findAllIn(p).nonEmpty
+      || p.contains("RANGE BETWEEN"), s"window frame is not a RANGE frame:\n$p")
+  }
+
+  test("q106 histogram: partial agg before the shuffle, two-column scan") {
+    val p = plan("q106_histogram")
+    assert(p.contains("partial_count"), s"no partial aggregation in:\n$p")
+    val readSchema = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(readSchema.exists(cols =>
+      cols.contains("l_quantity") && cols.contains("l_extendedprice")
+        && cols.split(",").length == 2),
+      s"scan reads more than the two referenced columns: $readSchema")
+  }
+
   test("q47 cube: one Expand, not one scan per grouping set") {
     val p = plan("q47_cube")
     assert(p.contains("Expand"), s"cube should plan through Expand:\n$p")
