@@ -81,6 +81,58 @@ object Similarity {
       .transform(topKPerKey(Seq(col("qid")), Seq(col("cos").desc, col("nid").asc), k))
   }
 
+  /** Per-vector int8 quantization scale: max|x| / 127, so components map
+    * into [-127, 127]. Double fold in index order — oracle-reproducible.
+    */
+  def int8Scale(vec: Column): Column =
+    aggregate(vec, lit(0.0), (m, x) => greatest(m, abs(x.cast("double")))) / lit(127.0)
+
+  /** Int8-quantize a float vector: round(x / scale) per component (the
+    * all-zero vector quantizes to zeros). 4x smaller than float32 at
+    * rest and on the wire — at 100 TB of embeddings the quantized corpus
+    * is what should shuffle/broadcast; ranking quality is asserted
+    * against the exact path in SimilaritySpec and hash-pinned by q107.
+    */
+  def int8Quantize(vec: Column, scale: Column): Column =
+    when(scale > lit(0.0),
+      transform(vec, x => round(x.cast("double") / scale).cast("int")))
+      .otherwise(transform(vec, _ => lit(0)))
+
+  /** Integer dot product (exact, overflow-safe: 64 dims x 127^2 << 2^63). */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine top-k over int8-QUANTIZED vectors: the quantization scales
+    * cancel in the cosine, so the score is integer dot products plus one
+    * double division — bit-reproducible against a SQL oracle doing the
+    * same integer arithmetic (unlike float dot folds, no accumulation-
+    * order sensitivity at all). Brute force like [[cosineTopK]]:
+    * broadcast queries, local-then-global top-k.
+    */
+  def quantizedCosineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    def prep(df: DataFrame, id: String, qv: String, nrm: String) =
+      df.select(
+          col(idCol).as(id),
+          int8Quantize(col(vecCol), int8Scale(col(vecCol))).as(qv))
+        .withColumn(nrm, sqrt(intDot(col(qv), col(qv)).cast("double")))
+    val q = prep(queries, "qid", "__qa", "__qn")
+    val c = prep(corpus, "nid", "__ca", "__cn")
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(
+        col("qid"),
+        col("nid"),
+        round(
+          when(col("__qn") * col("__cn") > 0,
+            intDot(col("__qa"), col("__ca")).cast("double") / (col("__qn") * col("__cn"))),
+          6).as("qcos"))
+      .transform(topKPerKey(Seq(col("qid")), Seq(col("qcos").desc, col("nid").asc), k))
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * xxhash64 scaled into [-1, 1]. No RNG state — reproducible anywhere.
     */

@@ -66,6 +66,20 @@ object LlmQueries {
         .orderBy("qid", "rank")
     },
 
+    // Int8-quantized cosine top-k: the compressed-corpus variant of q22
+    // (4x smaller vectors at rest/in flight — the 100 TB storage path).
+    // Scales cancel in the cosine, so scoring is integer dot products +
+    // one double division: hash-verifiable against a DuckDB oracle doing
+    // the same integer arithmetic, despite quantization being lossy
+    // (both engines quantize identically). Recall vs the exact path is
+    // asserted in SimilaritySpec.
+    "q107_quant_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.quantizedCosineTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("nid"), col("rank"))
+        .orderBy("qid", "rank")
+    },
+
     // ANN variant: hyperplane-LSH bucketed candidates, exact scoring in
     // buckets. Approximate by construction -> no SQL oracle (driver
     // rows-only check); recall vs q22 is asserted in SimilaritySpec.
@@ -758,6 +772,32 @@ object LlmQueries {
       ("WITH " + jaccardPairCtes(0.6) +
         "\nSELECT id_a, id_b, inter, uni FROM pairs ORDER BY id_a, id_b"),
     "q22_cosine_topk" -> exactCosineTopKSql,
+    "q107_quant_topk" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |         list_aggregate(list_transform(embedding, x -> abs(x::DOUBLE)), 'max')
+        |           / 127.0 AS sc
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id,
+        |         CASE WHEN sc > 0
+        |              THEN list_transform(embedding, x -> CAST(round(x::DOUBLE / sc) AS BIGINT))
+        |              ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+        |  FROM b),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |         sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]))::DOUBLE) AS nrm
+        |  FROM qz),
+        |s AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |         round(CASE WHEN q.nrm * c.nrm > 0 THEN
+        |           list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.qv[i]))::DOUBLE
+        |             / (q.nrm * c.nrm) END, 6) AS qcos
+        |  FROM n q, n c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT qid, nid,
+        |             row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, nid) AS rank
+        |      FROM s)
+        |SELECT qid, nid, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // exhaustive-probe IVF == exact top-k (every cell probed), so the
     // same exact-cosine oracle applies
     "q45_ivf_topk" -> exactCosineTopKSql,

@@ -88,6 +88,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall collapsed — candidate generation broken")
   }
 
+  test("int8-quantized top-k nearly matches the exact ranking on the fixture") {
+    // int8 keeps ~7 bits of per-component precision — on 64-dim vectors
+    // the cosine error is ~1e-3, so the top-5 sets should almost always
+    // agree with the float path (the compressed corpus is the 100 TB
+    // storage path; this is its quality contract).
+    val e = Sources.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedCosineTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    info(f"int8 recall@5 vs exact = $recall%.2f")
+    assert(recall >= 0.9, s"int8 recall $recall below 0.9 — quantization path degraded")
+  }
+
+  test("int8Quantize: components bounded by 127, zero vector quantizes to zeros") {
+    val df = vdf(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))
+      .select(col("vec_id"),
+        Similarity.int8Quantize(col("embedding"), Similarity.int8Scale(col("embedding"))).as("qv"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(rows(1L) == Seq(64, -127, 32, 0))
+    assert(rows(2L) == Seq(0, 0, 0, 0))
+    assert(rows.values.forall(_.forall(v => v >= -127 && v <= 127)))
+  }
+
   test("embeddingNearDups finds planted high-cosine pairs, skips the rest") {
     val rnd = new scala.util.Random(7)
     val dims = 32
