@@ -54,8 +54,11 @@ object Bench {
     // Stdout passes through the driver's tail capture, which has truncated
     // per-query timings before (BENCH_r09 lost q05/q73) — persist the full
     // line to a file too so every entry survives regardless of capture.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (line + "\n").getBytes("UTF-8"))
+    // SPARK_GRAFT_ONLY runs skip the write: a one-query iteration must not
+    // clobber the full-suite artifact.
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -46,6 +46,11 @@ object Recall {
     }
 
     val exactTopk = topkSet(Similarity.cosineTopK(e, q, "vec_id", "embedding", k))
+    // q107: int8-quantized brute force — lossy storage, not lossy search;
+    // at 64 dims the quantization noise rarely reorders a top-5
+    val int8Recall = meanRecall(
+      topkSet(Similarity.quantizedCosineTopK(e, q, "vec_id", "embedding", k)),
+      exactTopk)
     // tuning sweep: recall@k as planes/bands scale (the bench q23 config
     // is 16/4 — the sweep is what a user pays/gains moving off it)
     val annSweep = Seq((16, 4), (32, 8), (64, 16)).map { case (p, b) =>
@@ -99,6 +104,7 @@ object Recall {
 
     val json =
       f"""{"sf":"$sfDir","k":$k,"queries":${exactTopk.size},
+         |"q107_quant_topk":{"recall_at_k":$int8Recall%.4f},
          |"q23_ann_topk":[${annSweep.mkString(",")}],
          |"q45_ivf_topk":[${ivfSweep.mkString(",")}],
          |"q37_embed_neardup":{"threshold":$threshold,"planes":16,"bands":4,

@@ -176,6 +176,57 @@ object HashImpls {
     java.lang.Double.valueOf(acc)
   }
 
+  /** Int8 scalar quantization in one native pass: scale = max|x|/127,
+    * q[i] = round(x[i]/scale) — EXACTLY the HOF reference form
+    * (Similarity.int8QuantizeBuiltin): the max fold skips null elements
+    * like `greatest`, rounding is BigDecimal HALF_UP like Spark's
+    * `round`, null elements stay null in the output, and the all-zero
+    * vector quantizes to zeros.
+    */
+  def int8Quantize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val v = Math.abs(a.getFloat(i).toDouble)
+        if (v > maxabs) maxabs = v
+      }
+      i += 1
+    }
+    val sc = maxabs / 127.0
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) =
+        if (a.isNullAt(i)) null
+        else if (sc > 0)
+          Int.box(java.math.BigDecimal.valueOf(a.getFloat(i).toDouble / sc)
+            .setScale(0, java.math.RoundingMode.HALF_UP).intValue)
+        else Int.box(0)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Integer dot product over int arrays, accumulated in long (exact —
+    * no overflow at any realistic dim x 127^2). Null element or length
+    * mismatch yields null, matching the zip_with/aggregate reference
+    * fold's null poisoning.
+    */
+  def intDot(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getInt(i).toLong * b.getInt(i).toLong
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
   /** Random-hyperplane LSH signature: sign bit of `sum_d vec[d]*w(p,d)`
     * per plane, with deterministic pseudo-weights
     * `w = xxh64(p, d) / Long.MaxValue` — the EXACT formula of the HOF
@@ -459,6 +510,42 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One-pass int8 quantization of an array<float> (see
+  * HashImpls.int8Quantize for the exact semantics).
+  */
+case class Int8QuantizeExpr(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType)
+  override def prettyName: String = "int8_quantize"
+
+  override protected def nullSafeEval(a: Any): Any =
+    HashImpls.int8Quantize(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpls.int8Quantize($c)")
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantizeExpr =
+    copy(child = newChild)
+}
+
+/** Long-accumulated integer dot product over two array<int> columns. */
+case class IntDotExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "int_dot"
+  override def nullable: Boolean = true // null element / length mismatch -> null
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashImpls.intDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long ${ev.value}_boxed = graft.functions.HashImpls.intDot($a, $b);
+      if (${ev.value}_boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_boxed.longValue(); }
+    """)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -535,6 +622,13 @@ object exprs {
   def hyperplaneBits(vec: Column, planes: Int): Column =
     GraftColumnBridge.column(HyperplaneBitsExpr(
       GraftColumnBridge.expression(vec.cast("array<float>")), planes))
+  def int8Quantize(vec: Column): Column =
+    GraftColumnBridge.column(Int8QuantizeExpr(
+      GraftColumnBridge.expression(vec.cast("array<float>"))))
+  def intDot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(IntDotExpr(
+      GraftColumnBridge.expression(a.cast("array<int>")),
+      GraftColumnBridge.expression(b.cast("array<int>"))))
   def punctCount(c: Column): Column =
     GraftColumnBridge.column(PunctCountExpr(GraftColumnBridge.expression(c.cast("string"))))
   def stopwordHits(tokens: Column, words: Seq[String]): Column =
@@ -614,6 +708,14 @@ object GraftExtensions {
         "hyperplane_bits",
         (e, p) => HyperplaneBitsExpr(Cast(e, ArrayType(org.apache.spark.sql.types.FloatType)), p)) _,
       "dot_product" -> binary("dot_product", DotProductExpr(_, _)) _,
+      "int8_quantize" -> unary(
+        "int8_quantize",
+        e => Int8QuantizeExpr(Cast(e, ArrayType(org.apache.spark.sql.types.FloatType)))) _,
+      "int_dot" -> binary(
+        "int_dot",
+        (a, b) => IntDotExpr(
+          Cast(a, ArrayType(org.apache.spark.sql.types.IntegerType)),
+          Cast(b, ArrayType(org.apache.spark.sql.types.IntegerType)))) _,
     ).map { case (name, builder) =>
       (new FunctionIdentifier(name),
         new ExpressionInfo(classOf[HashImpls.type].getName, name),

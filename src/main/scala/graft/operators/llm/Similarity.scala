@@ -92,14 +92,24 @@ object Similarity {
     * rest and on the wire — at 100 TB of embeddings the quantized corpus
     * is what should shuffle/broadcast; ranking quality is asserted
     * against the exact path in SimilaritySpec and hash-pinned by q107.
+    * Native one-pass compiled loop; [[int8QuantizeBuiltin]] is the
+    * bit-identical HOF reference form (asserted in EngineProps).
     */
-  def int8Quantize(vec: Column, scale: Column): Column =
+  def int8Quantize(vec: Column): Column = graft.functions.exprs.int8Quantize(vec)
+
+  /** Built-in-composition reference form of [[int8Quantize]]. */
+  def int8QuantizeBuiltin(vec: Column, scale: Column): Column =
     when(scale > lit(0.0),
       transform(vec, x => round(x.cast("double") / scale).cast("int")))
       .otherwise(transform(vec, _ => lit(0)))
 
-  /** Integer dot product (exact, overflow-safe: 64 dims x 127^2 << 2^63). */
-  def intDot(a: Column, b: Column): Column =
+  /** Integer dot product (exact, overflow-safe: 64 dims x 127^2 << 2^63).
+    * Native compiled loop; [[intDotBuiltin]] is the reference fold.
+    */
+  def intDot(a: Column, b: Column): Column = graft.functions.exprs.intDot(a, b)
+
+  /** Built-in-composition reference form of [[intDot]]. */
+  def intDotBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, v) => acc + v)
 
   /** Cosine top-k over int8-QUANTIZED vectors: the quantization scales
@@ -118,7 +128,7 @@ object Similarity {
     def prep(df: DataFrame, id: String, qv: String, nrm: String) =
       df.select(
           col(idCol).as(id),
-          int8Quantize(col(vecCol), int8Scale(col(vecCol))).as(qv))
+          int8Quantize(col(vecCol)).as(qv))
         .withColumn(nrm, sqrt(intDot(col(qv), col(qv)).cast("double")))
     val q = prep(queries, "qid", "__qa", "__qn")
     val c = prep(corpus, "nid", "__ca", "__cn")

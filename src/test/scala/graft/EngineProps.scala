@@ -217,6 +217,23 @@ object EngineProps extends Properties("graft") {
     }
   }
 
+  property("native int8 quantize + int dot == builtin HOF forms (random vectors)") = {
+    import graft.operators.llm.Similarity
+    val genVec = Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
+    forAll(Gen.listOfN(6, genVec)) { vecs =>
+      import spark.implicits._
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val rows = df.select(
+        Similarity.int8Quantize(col("v")).as("nq"),
+        Similarity.int8QuantizeBuiltin(col("v"), Similarity.int8Scale(col("v"))).as("bq"))
+        .withColumn("nd", Similarity.intDot(col("nq"), col("nq")))
+        .withColumn("bd", Similarity.intDotBuiltin(col("bq"), col("bq")))
+        .collect()
+      rows.forall(r =>
+        r.getSeq[Int](0) == r.getSeq[Int](1) && r.getLong(2) == r.getLong(3))
+    }
+  }
+
   property("native chunk generator == builtin HOF composition (random docs)") = {
     val genText = Gen.listOf(Gen.oneOf("aa", "b", "ccc", "", " ")).map(_.mkString(" "))
     forAll(Gen.listOfN(6, genText), Gen.choose(1, 6), Gen.choose(0, 5)) { (texts, mt, ovRaw) =>

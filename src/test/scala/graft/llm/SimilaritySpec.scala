@@ -108,8 +108,7 @@ class SimilaritySpec extends SparkSpec {
     val df = vdf(
       (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
       (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))
-      .select(col("vec_id"),
-        Similarity.int8Quantize(col("embedding"), Similarity.int8Scale(col("embedding"))).as("qv"))
+      .select(col("vec_id"), Similarity.int8Quantize(col("embedding")).as("qv"))
     val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(rows(1L) == Seq(64, -127, 32, 0))
     assert(rows(2L) == Seq(0, 0, 0, 0))
