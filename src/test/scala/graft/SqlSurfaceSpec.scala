@@ -50,6 +50,17 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getLong(1) == api.getLong(1) && r.getLong(2) == api.getLong(2))
   }
 
+  test("int8 quantize + int dot callable from SQL, parity with the Column API") {
+    val r = spark.sql(
+      """SELECT int8_quantize(array(0.5D, -1.0D, 0.25D, 0.0D)) AS qv,
+        |       int_dot(array(1, 2, 3), array(4, 5, 6)) AS d""".stripMargin).head()
+    assert(r.getSeq[Int](0) == Seq(64, -127, 32, 0))
+    assert(r.getLong(1) == 32L)
+    val api = Seq(Seq(0.5f, -1.0f, 0.25f, 0.0f)).toDF("v")
+      .select(graft.functions.exprs.int8Quantize(col("v"))).head()
+    assert(r.getSeq[Int](0) == api.getSeq[Int](0))
+  }
+
   test("int parameter must be a literal: clear plan-time error otherwise") {
     val e = intercept[Exception] {
       spark.sql("SELECT shingle_hashes(split('a b', ' '), 1 + length('xx'))").collect()
