@@ -329,6 +329,23 @@ object StreamOps {
     streamRangeJoinImpl(left, right, leftKey, rightKey, leftTs, rightTs,
       windowBefore, lateness, "left_outer")
 
+  /** FULL OUTER stream-stream range join: unmatched rows from EITHER
+    * side emit null-extended on state expiry (the left-outer semantics
+    * of [[streamRangeJoinLeftOuter]], applied symmetrically). Completes
+    * the streaming join-type matrix; same watermark-bounded state.
+    */
+  def streamRangeJoinFullOuter(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      windowBefore: String,
+      lateness: String = "1 hour"): DataFrame =
+    streamRangeJoinImpl(left, right, leftKey, rightKey, leftTs, rightTs,
+      windowBefore, lateness, "full_outer")
+
   private def streamRangeJoinImpl(
       left: DataFrame,
       right: DataFrame,

@@ -504,6 +504,35 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamRangeJoinFullOuter: unmatched rows from BOTH sides emit null-extended") {
+    val purchases = memStream[(Timestamp, Long, Long)]
+    val clicks = memStream[(Timestamp, Long, Long)]
+    val out = sinkName()
+    val q = StreamOps.streamRangeJoinFullOuter(
+        purchases.toDF.toDF("pts", "puser", "pid"),
+        clicks.toDF.toDF("cts", "cuser", "cid"),
+        "puser", "cuser", "pts", "cts", windowBefore = "10 minutes", lateness = "1 minute")
+      .select("pid", "cid")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      clicks.addData((ts("10:00"), 1L, 100L)) // matched by purchase 500
+      clicks.addData((ts("10:00"), 3L, 300L)) // user 3 never purchases
+      purchases.addData((ts("10:05"), 1L, 500L))
+      purchases.addData((ts("10:05"), 2L, 600L)) // user 2 never clicks
+      q.processAllAvailable()
+      // push both watermarks far past every row's expiry
+      clicks.addData((ts("12:00"), 9L, 999L))
+      purchases.addData((ts("12:00"), 9L, 998L))
+      q.processAllAvailable()
+      val rows = spark.table(out).collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                   if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((500L, 100L)), s"matched pair missing: $rows")
+      assert(rows.contains((600L, -1L)), s"left-unmatched row missing: $rows")
+      assert(rows.contains((-1L, 300L)), s"right-unmatched row missing: $rows")
+    } finally q.stop()
+  }
+
   test("q68 pricing rollup as a watermarked stream over the lineitem fixture: batch == stream") {
     // the flagship batch rollup run continuously: the REAL sf0.001
     // lineitem rows arrive in shipdate order (the fixture's natural
