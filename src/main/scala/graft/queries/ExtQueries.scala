@@ -129,6 +129,45 @@ object ExtQueries {
         .orderBy("bucket")
     },
 
+    // Statistical moments (mean / sample stddev / correlation) derived
+    // from EXACT integer/decimal power sums (n, Σx, Σx², Σy, Σy², Σxy)
+    // instead of the built-in floating aggregates: stddev_samp/corr
+    // merge Welford states in partition order, so their low bits vary
+    // run to run and engine to engine — power sums are
+    // order-independent integers, making the moments hash-verifiable
+    // and partition-count-independent. One partial-first hash-agg;
+    // the only doubles are the final few divisions, identical IEEE in
+    // both engines. Cents sums ride decimal(38,0): Σc² at bench scale
+    // (~6e18) already brushes 2^63, the same 100 TB overflow boundary
+    // the money discipline documents.
+    "q108_stats_moments" -> { (s, dir) =>
+      val q = col("l_quantity").cast("long")
+      val c = round(col("l_extendedprice") * 100).cast("decimal(19,0)")
+      val n = col("n")
+      val dbl = (x: org.apache.spark.sql.Column) => x.cast("double")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).as("sq"),
+          sum(q * q).as("sqq"),
+          sum(c).as("sc"),
+          sum(c * c).as("scc"),
+          sum(q.cast("decimal(19,0)") * c).as("sqc"))
+        .select(
+          col("rf"),
+          n,
+          round(dbl(col("sq")) / n, 6).as("mean_qty"),
+          round(sqrt(dbl(n * col("sqq") - col("sq") * col("sq")) / dbl(n * (n - 1))), 6)
+            .as("stddev_qty"),
+          round(
+            dbl(n * col("sqc") - col("sq") * col("sc")) /
+              (sqrt(dbl(n * col("sqq") - col("sq") * col("sq"))) *
+                sqrt(dbl(n * col("scc") - col("sc") * col("sc")))),
+            6).as("corr_qty_price"))
+        .orderBy("rf")
+    },
+
     // Set operations: key sets via INTERSECT / EXCEPT (both plan as
     // aggregate + join under AQE, no row payload).
     "q34_setops" -> { (s, dir) =>
@@ -572,6 +611,21 @@ object ExtQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q108_stats_moments" ->
+      """WITH b AS (SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS q,
+        |                  CAST(round(l_extendedprice * 100) AS HUGEINT) AS c
+        |           FROM lineitem),
+        |a AS (SELECT rf, count(*) AS n,
+        |             CAST(sum(q) AS HUGEINT) AS sq, CAST(sum(q*q) AS HUGEINT) AS sqq,
+        |             sum(c) AS sc, sum(c*c) AS scc, sum(CAST(q AS HUGEINT)*c) AS sqc
+        |      FROM b GROUP BY rf)
+        |SELECT rf, CAST(n AS BIGINT) AS n,
+        |       round(sq::DOUBLE / n, 6) AS mean_qty,
+        |       round(sqrt((n*sqq - sq*sq)::DOUBLE / (n*(n-1))::DOUBLE), 6) AS stddev_qty,
+        |       round((n*sqc - sq*sc)::DOUBLE /
+        |             (sqrt((n*sqq - sq*sq)::DOUBLE) * sqrt((n*scc - sc*sc)::DOUBLE)),
+        |             6) AS corr_qty_price
+        |FROM a ORDER BY rf""".stripMargin,
     "q105_range_frame" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,
         |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day_no,

@@ -77,6 +77,30 @@ class OperatorSpec extends SparkSpec {
     assert(got == 9)
   }
 
+  test("q108 exact-power-sum moments match the builtin floating aggregates") {
+    // the hash-verifiable formulation (integer/decimal power sums, final
+    // double division) must agree with stddev_samp/corr to floating
+    // tolerance — same statistic, minus the merge-order nondeterminism
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val ours = graft.queries.ExtQueries.queries("q108_stats_moments")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val builtin = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        avg(col("l_quantity")).as("m"),
+        stddev_samp(col("l_quantity")).as("sd"),
+        corr(col("l_quantity"), round(col("l_extendedprice") * 100)).as("co"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(ours.keySet == builtin.keySet)
+    for ((k, (m, sd, co)) <- ours) {
+      val (bm, bsd, bco) = builtin(k)
+      assert(math.abs(m - bm) < 1e-6, s"$k mean: $m vs $bm")
+      assert(math.abs(sd - bsd) < 1e-6, s"$k stddev: $sd vs $bsd")
+      assert(math.abs(co - bco) < 1e-6, s"$k corr: $co vs $bco")
+    }
+  }
+
   test("KvTextSink.write emits a single sorted key\\tvalue text file (S2/S3)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-kvsink").toString + "/out"
     KvTextSink.write(Seq(("b", 2), ("a", 1), ("c", 3)).toDF("k", "v"), dir)
