@@ -97,6 +97,58 @@ object Sampling {
     }
   }
 
+  /** Temperature-flattened source-mixture resample (the domain-rebalance
+    * step of corpus assembly, DoReMi/multilingual-sampling style): source
+    * s with n_s documents gets share ∝ n_s^T with T = 0.5 — large sources
+    * are downweighted, small sources upweighted, without any source ever
+    * being upsampled past its size. Everything that decides MEMBERSHIP is
+    * exact integer arithmetic, so the selected set is engine-portable and
+    * hash-verifiable:
+    *   - integer weight  m_s    = floor(sqrt(n_s) * weightScale) — sqrt of
+    *     an integer-valued double is correctly-rounded IEEE in every
+    *     engine, one multiply + floor after it stays deterministic;
+    *   - integer quota   q_s    = min(n_s, (Σn DIV den * num) * m_s DIV Σm)
+    *     — pure integral division, no float shares;
+    *   - membership: the q_s documents with the smallest seeded sha256
+    *     digest (the q92 portable-hash order), rank restart per source.
+    * Scale shape: the weight/quota side is one tiny aggregate over
+    * DISTINCT sources (broadcast back); the corpus side is one hash
+    * exchange on the source key + in-partition rank — the q92 per-shard
+    * layout. Per-source rank is a per-source total order; skewed mega-
+    * sources split the same way q92 shards do (rank within hash-sharded
+    * sub-sources, then offset by shard prefix counts). Overflow boundary:
+    * target * m_s brushes 2^63 once corpus count^1.5 * weightScale/den
+    * exceeds 9.2e18 (~7e8 docs at the default scale) — drop weightScale
+    * to 1e3 for another 1e3x of headroom, same documented discipline as
+    * q108's Σc².
+    */
+  def mixtureResample(
+      df: DataFrame,
+      sourceCol: Column,
+      idCol: Column,
+      targetNum: Long = 1L,
+      targetDen: Long = 2L,
+      weightScale: Long = 1000000L,
+      seed: Long = 0L): DataFrame = {
+    require(targetNum > 0 && targetDen > 0 && weightScale > 0)
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(sourceCol.as("__src")).agg(count(lit(1)).as("__n"))
+      .withColumn("__m",
+        floor(sqrt(col("__n").cast("double")) * lit(weightScale.toDouble)).cast("long"))
+    val tot = counts.agg(sum("__m").as("__msum"), sum("__n").as("__nd"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .withColumn("__quota",
+        least(col("__n"), expr(s"__nd DIV ${targetDen}L * ${targetNum}L * __m DIV __msum")))
+      .select(col("__src"), col("__quota"))
+    val hx = sha2(concat_ws(":", lit(seed.toString), idCol.cast("string")), 256)
+    df.withColumn("__hx", hx)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(sourceCol).orderBy(col("__hx"), idCol)))
+      .join(broadcast(quotas), sourceCol === col("__src"))
+      .where(col("rnk") <= col("__quota"))
+      .drop("__hx", "__src", "__quota")
+  }
+
   /** Deterministic corpus shuffle for training order: assign each row a
     * shard (16 independent hash bits, uniform) and a position within its
     * shard (rank of the row's full hash). Reading shards in order, each

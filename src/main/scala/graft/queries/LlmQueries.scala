@@ -378,6 +378,22 @@ object LlmQueries {
         .orderBy("lang")
     },
 
+    // Temperature-flattened mixture RESAMPLE (q98 audits rates; this one
+    // SELECTS the rebalanced corpus): per-source share ∝ sqrt(n_s) at half
+    // the corpus size, membership = the quota_s docs with the smallest
+    // seeded sha256 per source. All quota arithmetic is exact-integer
+    // (floor(sqrt·1e6) weights, DIV quotas) and the pick order is the
+    // q92 portable hash — so the full membership list hash-verifies
+    // against DuckDB re-deriving it from scratch. See
+    // Sampling.mixtureResample for the 100 TB shape + overflow boundary.
+    "q109_mixture_resample" -> { (s, dir) =>
+      Sampling.mixtureResample(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("source"), col("doc_id"), seed = 13L)
+        .select(col("source"), col("doc_id"), col("rnk"))
+        .orderBy("source", "rnk")
+    },
+
     // Train/test split LEAKAGE audit: test-split docs sharing any word
     // 5-gram with ANY train-split doc (the eval-contamination check run
     // before publishing a split — q93 labels, q53/q67 are the remove
@@ -895,6 +911,26 @@ object LlmQueries {
           |FROM documents
           |WHERE doc_id NOT IN (SELECT id FROM losers)
           |GROUP BY lang ORDER BY lang""".stripMargin),
+    "q109_mixture_resample" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n,
+        |             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS m
+        |      FROM c),
+        |t AS (SELECT CAST(sum(m) AS BIGINT) AS msum, CAST(sum(n) AS BIGINT) AS nd
+        |      FROM w),
+        |q AS (SELECT source, least(n, (nd // 2) * 1 * m // msum) AS quota
+        |      FROM w, t),
+        |h AS (SELECT source, doc_id,
+        |             sha256(concat('13', ':', CAST(doc_id AS VARCHAR))) AS hx
+        |      FROM documents),
+        |r AS (SELECT source, doc_id,
+        |             CAST(row_number() OVER (
+        |                    PARTITION BY source ORDER BY hx, doc_id) AS INT) AS rnk
+        |      FROM h)
+        |SELECT r.source, r.doc_id, r.rnk
+        |FROM r JOIN q USING (source)
+        |WHERE rnk <= quota
+        |ORDER BY source, rnk""".stripMargin,
     "q104_token_rarity" ->
       """WITH base AS (
         |  SELECT doc_id,

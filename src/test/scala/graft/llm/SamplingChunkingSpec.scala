@@ -89,6 +89,37 @@ class SamplingChunkingSpec extends SparkSpec {
       "the permutation must be reproducible")
   }
 
+  test("mixtureResample: exact integer quotas, flattening direction, cap, determinism") {
+    // skewed corpus: 6400/1600/400/100 docs per source
+    val df = ((1L to 6400L).map(("a", _)) ++ (6401L to 8000L).map(("b", _)) ++
+      (8001L to 8400L).map(("c", _)) ++ (8401L to 8500L).map(("d", _))).toDF("src", "id")
+    val got = Sampling.mixtureResample(df, col("src"), col("id"), seed = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val bySrc = got.groupBy(_._1).view.mapValues(_.size).toMap
+    // recompute the quota arithmetic exactly as documented
+    val n = Map("a" -> 6400L, "b" -> 1600L, "c" -> 400L, "d" -> 100L)
+    val m = n.view.mapValues(v => math.floor(math.sqrt(v.toDouble) * 1e6).toLong).toMap
+    val msum = m.values.sum; val target = n.values.sum / 2
+    val quota = n.map { case (k, v) => k -> math.min(v, target * m(k) / msum) }
+    assert(bySrc == quota.map { case (k, v) => k -> v.toInt },
+      s"selected counts $bySrc != integer quotas $quota")
+    // temperature flattening: the mega-source's selected share sits below
+    // its corpus share, small sources above (capped at their size)
+    assert(bySrc("a").toDouble / got.length < 6400.0 / 8500.0)
+    assert(bySrc("d") == 100, "a source is never upsampled past its size")
+    // per-source ranks are dense 1..quota and the run is reproducible
+    got.groupBy(_._1).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.size), s"$s ranks not dense")
+    }
+    val again = Sampling.mixtureResample(df, col("src"), col("id"), seed = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.sortBy(_._2).toSeq == again.sortBy(_._2).toSeq)
+    // a different seed picks a different membership at the same quotas
+    val other = Sampling.mixtureResample(df, col("src"), col("id"), seed = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(other.toSet != got.map(t => (t._1, t._2)).toSet)
+  }
+
   test("chunking: windows, overlap, short tails, sub-window and blank docs") {
     val df = Seq(
       (1L, "a b c"),       // maxTokens 2, overlap 1 -> [a b], [b c]
