@@ -635,6 +635,10 @@ object exprs {
     GraftColumnBridge.column(StopwordHitsExpr(GraftColumnBridge.expression(tokens), words))
   def digitRuns(c: Column): Column =
     GraftColumnBridge.column(DigitRunsExpr(GraftColumnBridge.expression(c.cast("string"))))
+  def zorder2(x: Column, y: Column): Column =
+    GraftColumnBridge.column(ZOrder2Expr(
+      GraftColumnBridge.expression(x.cast("long")),
+      GraftColumnBridge.expression(y.cast("long"))))
 }
 
 /** SQL registration (`SELECT simhash64(text) ...`) via
@@ -716,6 +720,9 @@ object GraftExtensions {
         (a, b) => IntDotExpr(
           Cast(a, ArrayType(org.apache.spark.sql.types.IntegerType)),
           Cast(b, ArrayType(org.apache.spark.sql.types.IntegerType)))) _,
+      "zorder2" -> binary(
+        "zorder2",
+        (x, y) => ZOrder2Expr(Cast(x, LongType), Cast(y, LongType))) _,
     ).map { case (name, builder) =>
       (new FunctionIdentifier(name),
         new ExpressionInfo(classOf[HashImpls.type].getName, name),

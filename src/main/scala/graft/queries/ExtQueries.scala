@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{AggOps, AsOfJoin, RangeJoin, Resample}
 import graft.sources.Sources
+import graft.functions.exprs
 
 /** Engine-extension queries: the §2b operator classes the reference has
   * NO instance of ("—" rows — rollup/cube, semi/anti joins, window
@@ -166,6 +167,26 @@ object ExtQueries {
                 sqrt(dbl(n * col("scc") - col("sc") * col("sc")))),
             6).as("corr_qty_price"))
         .orderBy("rf")
+    },
+
+    // Z-order (Morton) clustering key: the bit-interleave that drives
+    // the multi-dimensional layout path (Layout.zorderWrite — every
+    // output file becomes an axis-aligned tile of (x, y) space, so
+    // parquet min/max stats prune scans on EITHER column; LayoutSpec
+    // measures the row-group skipping). This query hash-verifies the
+    // key math itself against a DuckDB re-derivation of the same
+    // 5-step magic-mask interleave — the layout contract is exactly
+    // "same bits in, same key out", engine-independent.
+    "q110_zorder" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 97 === 0)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_partkey"),
+          col("l_suppkey"),
+          exprs.zorder2(col("l_partkey"), col("l_suppkey")).as("zkey"))
+        .orderBy("l_orderkey", "l_linenumber")
     },
 
     // Set operations: key sets via INTERSECT / EXCEPT (both plan as
@@ -645,6 +666,33 @@ object ExtQueries {
         |SELECT bucket, count(*) AS cnt, min(l_quantity) AS min_q,
         |       max(l_quantity) AS max_q, CAST(sum(price_cents) AS BIGINT) AS cents
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // The 5-step magic-mask bit spread, re-derived as plain SQL bit
+    // arithmetic (one CTE per step; DuckDB's &, |, << are 64-bit signed
+    // like the JVM's). Any divergence in the interleave flips bits in
+    // zkey and fails the hash compare.
+    "q110_zorder" ->
+      """WITH z0 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(l_partkey AS BIGINT) & 4294967295 AS px,
+        |  CAST(l_suppkey AS BIGINT) & 4294967295 AS py
+        |  FROM lineitem WHERE l_orderkey % 97 = 0),
+        |z1 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  (px | (px << 16)) & 281470681808895 AS px,
+        |  (py | (py << 16)) & 281470681808895 AS py FROM z0),
+        |z2 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  (px | (px << 8)) & 71777214294589695 AS px,
+        |  (py | (py << 8)) & 71777214294589695 AS py FROM z1),
+        |z3 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  (px | (px << 4)) & 1085102592571150095 AS px,
+        |  (py | (py << 4)) & 1085102592571150095 AS py FROM z2),
+        |z4 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  (px | (px << 2)) & 3689348814741910323 AS px,
+        |  (py | (py << 2)) & 3689348814741910323 AS py FROM z3),
+        |z5 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  (px | (px << 1)) & 6148914691236517205 AS px,
+        |  (py | (py << 1)) & 6148914691236517205 AS py FROM z4)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       px | (py << 1) AS zkey
+        |FROM z5 ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q34_setops" ->
       """SELECT 'both' AS tag, k FROM
         |  (SELECT c_custkey AS k FROM customer INTERSECT SELECT s_suppkey FROM supplier)

@@ -247,4 +247,22 @@ object EngineProps extends Properties("graft") {
         run(graft.operators.llm.Chunking.byTokensBuiltin(_, _, _, _))
     }
   }
+
+  property("native zorder2 == builtin bit-op composition == bit-by-bit reference") = {
+    val genCoord = Gen.oneOf(
+      Gen.choose(0L, 1023L), // the realistic bucket-ordinal range
+      Gen.choose(0L, 0xffffffffL)) // full 32-bit domain incl. the sign-adjacent top bits
+    forAll(Gen.listOfN(8, Gen.zip(genCoord, genCoord))) { pts =>
+      import spark.implicits._
+      val rows = pts.toDF("x", "y").select(
+        graft.functions.exprs.zorder2(col("x"), col("y")),
+        graft.operators.Layout.zorderKeyBuiltin(col("x"), col("y"))).collect()
+      val ref = pts.map { case (x, y) =>
+        (0 until 32).foldLeft(0L) { (acc, i) =>
+          acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+        }
+      }
+      rows.zip(ref).forall { case (r, e) => r.getLong(0) == e && r.getLong(1) == e }
+    }
+  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+/** Z-order layout: measures that the clustered write actually changes
+  * what the scan READS, not just how files sort. The metric is the
+  * FileSourceScanExec numOutputRows after an executed filter query —
+  * i.e. rows surviving parquet row-group pruning, before the post-scan
+  * filter. No special read path: plain `spark.read.parquet` with
+  * default filter pushdown.
+  */
+class LayoutSpec extends SparkSpec {
+
+  private def scanRows(df: DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "no FileSourceScanExec in executed plan")
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("z-order layout prunes row groups on both axes; linear sort only on its own") {
+    val n = 1 << 19 // 512k rows, 64 files => 8k rows/file
+    val dir = Files.createTempDirectory("graft-layout").toFile
+    dir.deleteOnExit()
+    val lin = s"${dir.getAbsolutePath}/linear"
+    val zod = s"${dir.getAbsolutePath}/zorder"
+
+    // Deterministic uniform 1024x1024 grid; no correlation between axes.
+    val df = spark.range(n).select(
+      pmod(xxhash64(col("id")), lit(1024)).as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1024)).as("y"),
+      col("id").as("payload"))
+    Layout.linearWrite(df, col("x"), 64, lin)
+    Layout.zorderWrite(df, col("x"), col("y"), 64, zod)
+
+    def read(p: String) = spark.read.parquet(p)
+    val box = (d: DataFrame) => d.where(col("x") < 128 && col("y") < 128)
+    val yOnly = (d: DataFrame) => d.where(col("y") < 128)
+
+    // Same answer under both layouts.
+    val expectBox = box(read(lin)).count()
+    assert(box(read(zod)).count() === expectBox)
+    assert(yOnly(read(zod)).count() === yOnly(read(lin)).count())
+
+    // Box on (x, y): linear prunes only the x range (~1/8 of rows);
+    // z-order's aligned 128x128 box is a contiguous Morton range
+    // (~1/64). Assert a conservative 2x gap to stay robust to range
+    // boundary placement.
+    val linBox = scanRows(box(read(lin)))
+    val zodBox = scanRows(box(read(zod)))
+    assert(zodBox * 2 <= linBox, s"z-order box scan $zodBox !<< linear $linBox")
+
+    // y-only filter: the linear-by-x layout cannot prune at all (reads
+    // everything); z-order still skips most tiles.
+    val linY = scanRows(yOnly(read(lin)))
+    val zodY = scanRows(yOnly(read(zod)))
+    assert(linY >= (n * 9L) / 10, s"linear layout unexpectedly pruned y-filter: $linY of $n")
+    assert(zodY * 2 <= linY, s"z-order y-only scan $zodY !<< linear $linY")
+
+    info(s"box scan rows: linear=$linBox zorder=$zodBox (of $n)")
+    info(s"y-only scan rows: linear=$linY zorder=$zodY (of $n)")
+  }
+}
