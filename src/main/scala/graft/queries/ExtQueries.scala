@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{AggOps, AsOfJoin, RangeJoin, Resample}
+import graft.operators.{AggOps, AsOfJoin, RangeJoin, Resample, SketchOps}
 import graft.sources.Sources
 import graft.functions.exprs
 
@@ -187,6 +187,34 @@ object ExtQueries {
           col("l_suppkey"),
           exprs.zorder2(col("l_partkey"), col("l_suppkey")).as("zkey"))
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Persisted-sketch distinct rollup (SketchOps): per-day HLL sketches
+    // of the customer set — the table an ingest job would store — merged
+    // to per-month distinct estimates WITHOUT touching the raw rows
+    // again. The approximate estimate itself can't hash-match a foreign
+    // engine, so the query outputs the two CONTRACTS as booleans and the
+    // oracle pins them to literal true: (a) merge-invariance — the
+    // union of daily sketches estimates identically to one sketch built
+    // directly over the month (register maxima are associative); (b) the
+    // error envelope — estimate within 5% of the exact distinct count,
+    // which the oracle recomputes exactly.
+    "q112_sketch_rollup" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val daily = SketchOps.sketchBy(orders, col("o_orderdate"), col("o_custkey"))
+      val merged = SketchOps.rollup(daily, trunc(col("bucket"), "month"))
+      val direct = orders.groupBy(trunc(col("o_orderdate"), "month").as("grp"))
+        .agg(
+          hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("direct_distinct"),
+          countDistinct(col("o_custkey")).as("exact_cnt"))
+      merged.join(direct, "grp")
+        .select(
+          col("grp").as("month"),
+          col("exact_cnt"),
+          (col("approx_distinct") === col("direct_distinct")).as("merge_invariant"),
+          (abs(col("approx_distinct") - col("exact_cnt")) <=
+            col("exact_cnt") * 0.05).as("within_5pct"))
+        .orderBy("month")
     },
 
     // Set operations: key sets via INTERSECT / EXCEPT (both plan as
@@ -693,6 +721,15 @@ object ExtQueries {
         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |       px | (py << 1) AS zkey
         |FROM z5 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // The oracle can't reproduce Datasketches registers, so it asserts
+    // the contracts: exact counts must match, and both booleans must be
+    // literally true on every row for the hash to match.
+    "q112_sketch_rollup" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |       count(DISTINCT o_custkey) AS exact_cnt,
+        |       true AS merge_invariant,
+        |       true AS within_5pct
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
     "q34_setops" ->
       """SELECT 'both' AS tag, k FROM
         |  (SELECT c_custkey AS k FROM customer INTERSECT SELECT s_suppkey FROM supplier)
