@@ -193,6 +193,116 @@ object Dedup {
       .where(col("inter") >= col("uni") * threshold)
   }
 
+  /** Per-doc signature row for the PERSISTED signature-table pattern:
+    * `(id, sh, bands)` — the shingle-hash set (for exact verification)
+    * and the LSH band hashes (for candidate generation), both arrays of
+    * longs. This is what an ingest job computes ONCE per batch and
+    * appends to the signature table; raw text never needs to be touched
+    * again for dedup. ~(numHashes/bands + |shingles|) longs per doc —
+    * orders of magnitude narrower than the text. Plain long arrays, so
+    * the table round-trips parquet with no engine-private state
+    * (DedupSpec asserts the round trip).
+    *
+    * Docs with an empty shingle set are dropped (they cannot near-dup
+    * match — same rule as [[nearDupPairs]]).
+    */
+  def signatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__w"))
+      .select(
+        col("id"),
+        graft.functions.exprs.shingleHashes(col("__w"), shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(
+        col("id"), col("sh"),
+        graft.functions.exprs.bandHashes(
+          graft.functions.exprs.minhashSig(col("sh"), numHashes), bands).as("bands"))
+  }
+
+  /** Incremental near-dup: all pairs (id_a < id_b, exact Jaccard >=
+    * `threshold`) that involve AT LEAST ONE document of `batchSigs`,
+    * against the union of `historySigs` and `batchSigs` — the daily-
+    * ingest form of [[nearDupPairs]].
+    *
+    * The 100 TB contract this exists for: re-running the batch dedup
+    * over (history + today) re-sketches and re-shuffles the entire
+    * corpus every day. With a persisted signature table ([[signatures]])
+    * the history side is NEVER re-scanned or re-sketched — each ingest
+    * appends the new batch's signatures, and the per-batch query is:
+    *   1. band rows of the BATCH joined against band rows of the whole
+    *     signature table (an equi-join keyed on (band, bandhash); the
+    *     history side ships only its band longs, and with the signature
+    *     table bucketed/partitioned on the band hash the history side
+    *     needs no shuffle at all);
+    *   2. the same degenerate-bucket cap as the batch path, counted over
+    *     the union (so a boilerplate bucket is dropped by GLOBAL size,
+    *     not per-side size);
+    *   3. exact Jaccard verification on candidates only, via the STORED
+    *     shingle-hash sets — no text access.
+    * History-history pairs are excluded by construction (both sides of
+    * the candidate join must touch a batch row), which is also the
+    * correctness statement: those pairs were already emitted by earlier
+    * runs. DedupSpec asserts the equivalence: incremental output ==
+    * full-recompute output restricted to pairs touching the batch.
+    *
+    * Both inputs must come from [[signatures]] with the same parameters
+    * (shingleSize/numHashes/bands — signatures sketched under different
+    * parameters are incomparable; at cluster scale the parameters are
+    * part of the signature table's schema contract).
+    */
+  def incrementalNearDupPairs(
+      historySigs: DataFrame,
+      batchSigs: DataFrame,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val all = graft.engine.ManagedCache.persist(
+      historySigs.select(col("id"), col("sh"), col("bands"))
+        .unionByName(batchSigs.select(col("id"), col("sh"), col("bands"))))
+
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.select(
+        col("id"),
+        posexplode(col("bands")).as(Seq("__band", "__bh")))
+
+    val allBanded = banded(all)
+    // Global bucket cap: sizes counted over history+batch, so a
+    // degenerate bucket is dropped even when each side alone is small.
+    val sized = allBanded
+      .groupBy("__band", "__bh").agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucketSize)
+      .select("__band", "__bh")
+
+    // Batch side probes the (capped) full table. Canonical (least,
+    // greatest) ordering + distinct collapses the two directions a
+    // batch-batch pair generates and dedups multi-band collisions.
+    val candidates = banded(batchSigs).as("a")
+      .join(allBanded.join(sized, Seq("__band", "__bh")).as("b"),
+        col("a.__band") === col("b.__band") && col("a.__bh") === col("b.__bh") &&
+          col("a.id") =!= col("b.id"))
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+
+    val sa = all.select(col("id").as("id_a"), col("sh").as("__sa"))
+    val sb = all.select(col("id").as("id_b"), col("sh").as("__sb"))
+    candidates
+      .join(sa, "id_a")
+      .join(sb, "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).as("inter"),
+        size(array_union(col("__sa"), col("__sb"))).as("uni"))
+      .where(col("inter") >= col("uni") * threshold)
+  }
+
   /** EXACT n-gram-Jaccard similarity self-join via prefix filtering
     * (the PPJoin/AllPairs family) — the deterministic, zero-recall-loss
     * counterpart of [[nearDupPairs]]. MinHash banding trades a tunable

@@ -42,6 +42,23 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Incremental near-dup via the persisted signature table: every 5th
+    // doc plays today's ingest batch, the rest are "history" whose
+    // signatures were computed by earlier runs (Dedup.signatures — and at
+    // scale, read back from the signature table; DedupSpec does the
+    // parquet round trip). The batch's band rows probe history+batch;
+    // history text is never touched. Oracle: the same all-pairs Jaccard
+    // re-derivation as q21, restricted to pairs touching the batch.
+    "q113_dedup_incremental" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val history = Dedup.signatures(d.where(col("doc_id") % 5 =!= 0), "text", "doc_id",
+        shingleSize = 3, numHashes = 32, bands = 8)
+      val batch = Dedup.signatures(d.where(col("doc_id") % 5 === 0), "text", "doc_id",
+        shingleSize = 3, numHashes = 32, bands = 8)
+      Dedup.incrementalNearDupPairs(history, batch, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
     // EXACT Jaccard similarity join (prefix filtering, PPJoin family):
     // the deterministic counterpart of q21 — no LSH miss probability, so
     // the oracle is the plain all-pairs Jaccard re-derivation with NO
@@ -521,6 +538,26 @@ object LlmQueries {
         .orderBy("lang")
     },
 
+    // Decontamination, large-blocklist form: same contract as q53 but
+    // through the Bloom gate (BloomGate.decontaminate) — blocklist
+    // aggregated into one Bloom filter shipped as a scalar subquery,
+    // corpus probed map-side, only bloom-positives anti-joined. The
+    // blocklist here (every 7th doc) is small, but the PLAN is the
+    // 100 TB one: no broadcast of the key set, no full-corpus shuffle.
+    // The result is exact (the anti-join removes false positives), so
+    // the oracle is the same plain NOT IN the broadcast path uses.
+    "q111_decontam_bloom" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val digest = sha2(Dedup.normalize(col("text")), 256)
+      val blocklist = d.where(col("doc_id") % 7 === 0).select(digest.as("__h"))
+      BloomGate.decontaminate(
+          d.withColumn("__digest", digest), blocklist,
+          col("__digest"), col("__h"),
+          expectedItems = 20000L, fpp = 0.01)
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang")
+    },
+
     // Incremental corpus merge (upsert): a v2 snapshot re-delivers a
     // third of the docs with edits; latest version wins per doc_id via
     // ONE max_by hash aggregate (partial+final — no window, no sort;
@@ -787,6 +824,12 @@ object LlmQueries {
     "q91_jaccard_join" ->
       ("WITH " + jaccardPairCtes(0.6) +
         "\nSELECT id_a, id_b, inter, uni FROM pairs ORDER BY id_a, id_b"),
+    // Same pair law as q21, restricted to pairs touching the batch
+    // (doc_id % 5 = 0) — history-history pairs are prior runs' output.
+    "q113_dedup_incremental" ->
+      ("WITH " + jaccardPairCtes(0.5) +
+        "\nSELECT id_a, id_b, inter, uni FROM pairs" +
+        "\nWHERE id_a % 5 = 0 OR id_b % 5 = 0 ORDER BY id_a, id_b"),
     "q22_cosine_topk" -> exactCosineTopKSql,
     "q107_quant_topk" ->
       """WITH b AS (
@@ -1069,6 +1112,16 @@ object LlmQueries {
       """WITH contam AS (
         |  SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
         |  FROM documents WHERE doc_id % 50 = 0)
+        |SELECT lang, count(*) AS cnt FROM documents
+        |WHERE sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |      NOT IN (SELECT h FROM contam)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // Same NOT-IN shape as q53 — the Bloom gate is answer-invisible by
+    // construction, which is exactly what this row proves.
+    "q111_decontam_bloom" ->
+      """WITH contam AS (
+        |  SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+        |  FROM documents WHERE doc_id % 7 = 0)
         |SELECT lang, count(*) AS cnt FROM documents
         |WHERE sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |      NOT IN (SELECT h FROM contam)

@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
-import graft.operators.llm.Dedup
+import graft.operators.llm.{BloomGate, Dedup}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -206,5 +206,69 @@ class DedupSpec extends SparkSpec {
     val same = Dedup.simhashNearDupPairs(
       Seq((1L, base), (2L, base)).toDF("doc_id", "text"), "text", "doc_id")
     assert(same.head().getInt(2) == 0)
+  }
+
+  test("BloomGate.decontaminate == plain anti-join; gate passes only a sliver to the join") {
+    val corpus = spark.range(20000).select(
+      col("id"), concat(lit("k"), col("id")).as("key"))
+    val block = spark.range(20000).where(col("id") % 40 === 0)
+      .select(concat(lit("k"), col("id")).as("bkey")) // 500 blocked keys
+    val got = BloomGate.decontaminate(
+      corpus, block, col("key"), col("bkey"), expectedItems = 500L, fpp = 0.01)
+    val expect = corpus.join(block, col("key") === col("bkey"), "left_anti")
+    assert(got.count() === 19500L)
+    assert(
+      got.select("id").except(expect.select("id")).isEmpty
+        && expect.select("id").except(got.select("id")).isEmpty,
+      "bloom-gated result diverged from the plain anti-join")
+
+    // No false negatives is the load-bearing property: every blocked key
+    // must be bloom-positive. And the gate must actually gate — at 1%
+    // fpp the positive set is ~500 hits + ~195 fp, far below the corpus.
+    val bf = BloomGate.bloomOf(block, col("bkey"), 500L, 0.01).scalar()
+    val positives = corpus.where(BloomGate.mightContain(bf, col("key"))).count()
+    assert(positives >= 500L, s"bloom gate produced a false negative: $positives < 500")
+    assert(positives <= 2000L,
+      s"bloom gate passes too much to the verify join: $positives of 20000 (expected ~700)")
+
+    // The filter reaches the plan as a scalar subquery (plan-static,
+    // evaluated once) — the same mechanism as injected runtime filters.
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("Subquery") || plan.contains("subquery"),
+      s"bloom filter not planned as a scalar subquery:\n$plan")
+  }
+
+  test("incrementalNearDupPairs == full recompute restricted to batch-touching pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val full = Dedup.nearDupPairs(docs, "text", "doc_id",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .where(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+
+    // History signatures go through a parquet round trip — the persisted
+    // signature table IS the contract (no engine-private state).
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigs").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getAbsolutePath}/sigs"
+    Dedup.signatures(docs.where(col("doc_id") % 5 =!= 0), "text", "doc_id")
+      .write.mode("overwrite").parquet(path)
+    val history = spark.read.parquet(path)
+    val batch = Dedup.signatures(docs.where(col("doc_id") % 5 === 0), "text", "doc_id")
+
+    val inc = Dedup.incrementalNearDupPairs(history, batch, threshold = 0.5)
+    val cols = Seq("id_a", "id_b", "inter", "uni")
+    assert(
+      inc.select(cols.map(col): _*).except(full.select(cols.map(col): _*)).isEmpty
+        && full.select(cols.map(col): _*).except(inc.select(cols.map(col): _*)).isEmpty,
+      "incremental dedup diverged from restricted full recompute")
+    // and it must not leak history-history pairs
+    assert(inc.where(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0).isEmpty)
+  }
+
+  test("BloomGate.optimalNumBits matches the textbook formula") {
+    // 1e9 keys @ 1% fpp ~ 9.585 bits/key ~ 1.2 GB — the sizing claim in
+    // the Scaladoc, asserted so the doc can't drift from the code.
+    val bits = BloomGate.optimalNumBits(1000000000L, 0.01)
+    assert(bits > 9400000000L && bits < 9700000000L, s"unexpected sizing: $bits")
+    assert(BloomGate.optimalNumBits(1000L, 0.5) < BloomGate.optimalNumBits(1000L, 0.01))
   }
 }
