@@ -217,6 +217,22 @@ object ExtQueries {
         .orderBy("month")
     },
 
+    // One-pass column profiler (Profiler.profile): the per-source
+    // data-quality report — rows/nulls/exact-distinct/min/max/bytes for
+    // five columns of orders in ONE aggregate over ONE scan (countDistinct
+    // multi-column form plans a single Expand pass, not one job per
+    // column). o_orderdate profiled as DATE so min/max render
+    // engine-identically; the double column is excluded (float-to-text
+    // is engine-specific, documented on the operator).
+    "q114_profile" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+        .withColumn("o_orderdate", to_date(col("o_orderdate")))
+      graft.operators.Profiler.profile(
+          orders,
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"))
+        .orderBy("col_name")
+    },
+
     // Set operations: key sets via INTERSECT / EXCEPT (both plan as
     // aggregate + join under AQE, no row payload).
     "q34_setops" -> { (s, dir) =>
@@ -721,6 +737,23 @@ object ExtQueries {
         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |       px | (py << 1) AS zkey
         |FROM z5 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // One SELECT per profiled column, UNION ALL — the report the one-pass
+    // profiler must reproduce bit-for-bit (counts are BIGINT, min/max are
+    // the VARCHAR rendering, total_bytes the summed rendered length).
+    "q114_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |       count(*) FILTER (WHERE $c IS NULL) AS n_null,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       min(CAST($c AS VARCHAR)) AS min_val,
+           |       max(CAST($c AS VARCHAR)) AS max_val,
+           |       CAST(coalesce(sum(length(CAST($c AS VARCHAR))), 0) AS BIGINT) AS total_bytes
+           |FROM src""".stripMargin
+      "WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority FROM orders)\n" +
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority")
+          .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     // The oracle can't reproduce Datasketches registers, so it asserts
     // the contracts: exact counts must match, and both booleans must be
     // literally true on every row for the hash to match.

@@ -205,4 +205,36 @@ class OperatorSpec extends SparkSpec {
     val approx = df.agg(expr("approx_percentile(v, 0.5, 1000)")).head().getDouble(0)
     assert(math.abs(approx - 10000.5) <= 200, s"approx median $approx vs 10000.5")
   }
+
+  test("Profiler: nulls/distinct/minmax/bytes correct; single scan; approx mode same schema") {
+    val df = Seq(
+      (Some(1L), Some("b")), (Some(2L), None), (None, Some("a")),
+      (Some(2L), Some("ab")), (None, None)
+    ).toDF("k", "s")
+    val rep = graft.operators.Profiler.profile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = rep("k"); val s = rep("s")
+    assert(k.getLong(1) == 5 && k.getLong(2) == 2 && k.getLong(3) == 2)
+    assert(k.getString(4) == "1" && k.getString(5) == "2" && k.getLong(6) == 3)
+    assert(s.getLong(2) == 2 && s.getLong(3) == 3)
+    assert(s.getString(4) == "a" && s.getString(5) == "b") // lexical on strings
+    assert(s.getLong(6) == 4) // "b"+"a"+"ab"
+
+    // all-NULL column: distinct 0, min/max NULL, bytes coalesce to 0
+    val nul = graft.operators.Profiler.profile(
+      Seq((1, Option.empty[String])).toDF("a", "b"), Seq("b")).head()
+    assert(nul.getLong(3) == 0 && nul.isNullAt(4) && nul.isNullAt(5) && nul.getLong(6) == 0)
+
+    // ONE scan feeds all statistics — that's the operator's whole point
+    val plan = graft.operators.Profiler.profile(df, Seq("k", "s"))
+      .queryExecution.executedPlan.toString
+    val scans = "LocalTableScan".r.findAllIn(plan).size
+    assert(scans == 1, s"profiler re-scanned the input ($scans scans):\n$plan")
+
+    // approx mode: same report schema, estimates exact at these sizes
+    val approx = graft.operators.Profiler.profile(df, Seq("k", "s"), exact = false)
+    assert(approx.schema == graft.operators.Profiler.profile(df, Seq("k", "s")).schema)
+    assert(approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      == Map("k" -> 2L, "s" -> 3L))
+  }
 }
