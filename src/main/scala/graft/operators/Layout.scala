@@ -66,4 +66,50 @@ object Layout {
     df.repartitionByRange(files, x)
       .sortWithinPartitions(x)
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction: rewrite the parquet directory at `path` into
+    * `ceil(totalBytes / targetFileBytes)` files, optionally re-clustering
+    * on `clusterBy` so footer min/max pruning SURVIVES the rewrite.
+    *
+    * Why this is a first-class operator at 100 TB: every incremental
+    * path in this engine (streaming sinks, the q113 signature-table
+    * appends, per-batch ingest) produces one-file-per-trigger layouts,
+    * and scan cost degrades with file count twice over — task-scheduling
+    * overhead per file, and footer stats that stop pruning because each
+    * tiny file spans the whole key range. Periodic compaction is the
+    * maintenance job every lakehouse runs.
+    *
+    * Shape: file sizes come from a driver-side directory listing (cheap,
+    * metadata-only); the rewrite is ONE range shuffle when clustered
+    * (same cost class as zorderWrite) or a shuffle-free `coalesce` when
+    * not — coalesce merges existing partitions in place, so unclustered
+    * compaction never re-shuffles data. The rewrite goes to `outPath`
+    * (compact-then-swap, the transactional idiom: the caller atomically
+    * renames after success rather than rewriting in place — a mid-job
+    * failure leaves the source untouched).
+    *
+    * Returns (filesBefore, filesAfter-target). LayoutSpec asserts
+    * content equality, the file-count collapse, and that clustered
+    * compaction restores pruning that the small-file layout lost.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      outPath: String,
+      targetFileBytes: Long,
+      clusterBy: Seq[Column] = Nil): (Int, Int) = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(hadoopPath)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val files = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    val out =
+      if (clusterBy.nonEmpty)
+        df.repartitionByRange(files, clusterBy: _*).sortWithinPartitions(clusterBy: _*)
+      else df.coalesce(files)
+    out.write.mode("overwrite").parquet(outPath)
+    (dataFiles.length, files)
+  }
 }

@@ -394,6 +394,29 @@ object StreamOps {
         count(lit(1)).as("cnt"))
   }
 
+  /** Streaming writer for the persisted distinct-sketch table
+    * (`operators/SketchOps`): one HLL sketch row per event-time window of
+    * `width`, emitted once on watermark close (Append). This is the
+    * INGEST half of the pre-aggregate-at-ingest / merge-at-query
+    * pattern — the streaming job appends (bucket, sketch) rows, and any
+    * later rollup runs `SketchOps.rollup` over the table without
+    * touching raw events. State per window is one HLL register array
+    * (~KB), evicted by the watermark; register max-merge is commutative,
+    * so partial aggregation applies and arrival order cannot change the
+    * emitted sketch (StreamSpec asserts the emitted rows merge to the
+    * IDENTICAL estimate as a direct batch sketch of the same events).
+    */
+  def sketchStream(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      width: String,
+      lateness: String): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), width))
+      .agg(hll_sketch_agg(col(keyCol)).as("sketch"))
+      .select(col("window.start").as("bucket"), col("sketch"))
+
   /** Output-mode guidance: windowed aggs with watermark support Append
     * (emit once, on watermark close) and Update; mapGroupsWithState
     * requires Update.

@@ -65,4 +65,50 @@ class LayoutSpec extends SparkSpec {
     info(s"box scan rows: linear=$linBox zorder=$zodBox (of $n)")
     info(s"y-only scan rows: linear=$linY zorder=$zodY (of $n)")
   }
+
+  test("compact collapses a many-small-files layout and restores key pruning") {
+    val n = 1 << 17 // 128k rows
+    val dir = Files.createTempDirectory("graft-compact").toFile
+    dir.deleteOnExit()
+    val src = s"${dir.getAbsolutePath}/small"
+    val out = s"${dir.getAbsolutePath}/compacted"
+    val outPlain = s"${dir.getAbsolutePath}/compacted_plain"
+
+    // Simulate per-trigger ingest: 64 appends, each spanning the WHOLE
+    // key range (every small file has useless min/max stats).
+    val df = spark.range(n).select(
+      pmod(xxhash64(col("id")), lit(100000)).as("k"), col("id").as("payload"))
+    df.repartition(64).write.mode("overwrite").parquet(src)
+    val filesBefore = new java.io.File(src).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesBefore == 64)
+
+    val totalBytes = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val (before, after) = Layout.compact(
+      spark, src, out, targetFileBytes = totalBytes / 8 + 1, clusterBy = Seq(col("k")))
+    assert(before == 64 && after <= 8)
+    val filesAfter = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesAfter == after, s"wrote $filesAfter files, planned $after")
+
+    // Content identical (it's a rewrite, not a transformation).
+    val a = spark.read.parquet(src); val b = spark.read.parquet(out)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+
+    // The small-file layout cannot prune a key filter (every file spans
+    // the full range); the clustered compaction prunes most of it.
+    val q = (p: String) => spark.read.parquet(p).where(col("k") < 5000)
+    val smallScan = scanRows(q(src))
+    val compScan = scanRows(q(out))
+    assert(smallScan >= (n * 9L) / 10, s"small files unexpectedly pruned: $smallScan of $n")
+    assert(compScan * 4 <= smallScan, s"compacted scan $compScan !<< small-file $smallScan")
+
+    // Unclustered compaction must not shuffle: plan has no Exchange.
+    Layout.compact(spark, src, outPlain, targetFileBytes = totalBytes / 8 + 1)
+    val plainFiles = new java.io.File(outPlain).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(plainFiles <= 8)
+    val plan = spark.read.parquet(src).coalesce(8).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"coalesce compaction should not shuffle:\n$plan")
+
+    info(s"compaction: $before files -> $filesAfter; key-filter scan $smallScan -> $compScan")
+  }
 }

@@ -594,6 +594,38 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sketchStream appends the persisted sketch table; rollup == direct batch sketch") {
+    // The streaming half of SketchOps: hourly HLL sketch rows emitted on
+    // watermark close, across several micro-batches with out-of-order
+    // (but in-lateness) arrivals. The emitted rows, merged by
+    // SketchOps.rollup, must estimate IDENTICALLY to one batch sketch
+    // over the same events — register max-merge is order-independent.
+    val ms = memStream[(Timestamp, Long)]
+    val out = sinkName()
+    val q = StreamOps.sketchStream(
+        ms.toDF.toDF("ts", "user_id"), "ts", "user_id", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    val users = (0L until 400L).map(u => (ts(f"10:${u % 50}%02d"), u % 97)) ++
+      (0L until 400L).map(u => (ts(f"11:${(u * 7) % 50}%02d"), u % 113))
+    try {
+      ms.addData(users.take(300): _*)
+      q.processAllAvailable()
+      ms.addData(users.drop(300): _*) // second batch re-opens hour 10 within lateness
+      q.processAllAvailable()
+      ms.addData((ts("13:30"), 1L)) // advance watermark, close 10:00 and 11:00
+      q.processAllAvailable()
+
+      val table = spark.table(out).where(col("bucket") < ts("13:00"))
+      assert(table.count() == 2, "expected one sketch row per closed hourly window")
+      val merged = graft.operators.SketchOps.rollup(table, lit(1))
+        .head().getAs[Long]("approx_distinct")
+      val direct = users.toDF("ts", "user_id")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))).head().getLong(0)
+      assert(merged == direct,
+        s"streamed sketch rows diverged from direct batch sketch: $merged vs $direct")
+    } finally q.stop()
+  }
+
   test("the same tumbling transform runs in batch mode (unified API)") {
     val batch = Seq(
       (ts("10:01"), "a"), (ts("10:02"), "a"), (ts("10:30"), "b")).toDF("ts", "etype")
