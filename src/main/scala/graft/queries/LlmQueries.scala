@@ -332,6 +332,30 @@ object LlmQueries {
         .orderBy("id")
     },
 
+    // Group-aware train/val/test split: q93's hash split assigns PER DOC,
+    // which lets two near-duplicates land in train and test — exactly the
+    // leakage q99 audits for. The fix is to hash the near-dup GROUP
+    // representative (connected-component min id; singletons represent
+    // themselves), so a whole duplicate cluster moves as one unit and
+    // can never straddle splits BY CONSTRUCTION (same rep => same label,
+    // deterministically). Cost at scale: the group table is pair-output-
+    // sized (tiny next to the corpus), the join against it is the only
+    // addition over q93, and the label stays a pure scan-stage
+    // expression of the rep. The oracle re-derives pairs, transitive
+    // closure, reps, AND the sha256 threshold split per doc.
+    "q115_group_split" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.nearDupPairs(d, "text", "doc_id",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      val groups = Dedup.nearDupGroups(pairs).withColumnRenamed("id", "doc_id")
+      d.join(groups, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          Sampling.splitLabel(coalesce(col("group"), col("doc_id")),
+            Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 7L).as("split"))
+        .orderBy("doc_id")
+    },
+
     // Apply-dedup compaction — the step AFTER q21 (detect pairs) and q97
     // (collapse to groups): drop every non-survivor (group members above
     // the min id), keep everything else untouched, and count the
@@ -947,6 +971,24 @@ object LlmQueries {
     "q97_dedup_groups" ->
       ("WITH RECURSIVE " + jaccardPairCtes(0.5) + ",\n" + closureCtes +
         "\nSELECT id, grp FROM labels ORDER BY id"),
+    // q93's split law applied to the group REP (component min id via the
+    // recursive closure; singletons rep themselves) instead of the doc id.
+    "q115_group_split" ->
+      ("WITH RECURSIVE " + jaccardPairCtes(0.5) + ",\n" + closureCtes + ",\n" +
+        """rep AS (
+          |  SELECT d.doc_id,
+          |         coalesce(l.grp, d.doc_id) AS rep
+          |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.id),
+          |u AS (
+          |  SELECT doc_id,
+          |         CAST(('0x' || substr(sha256(concat('7', ':', CAST(rep AS VARCHAR))), 1, 13)) AS BIGINT)
+          |           / 4503599627370496.0 AS u
+          |  FROM rep)
+          |SELECT doc_id,
+          |       CASE WHEN u < 0.8 THEN 'train'
+          |            WHEN u < 0.9 THEN 'val'
+          |            ELSE 'test' END AS split
+          |FROM u ORDER BY doc_id""".stripMargin),
     "q101_dedup_apply" ->
       ("WITH RECURSIVE " + jaccardPairCtes(0.5) + ",\n" + closureCtes + ",\n" +
         """losers AS (SELECT id FROM labels WHERE id <> grp)
