@@ -233,6 +233,27 @@ object ExtQueries {
         .orderBy("col_name")
     },
 
+    // Persisted-histogram quantile rollup (HistSketch): per-day HDR-style
+    // log-bucket counts of lineitem price cents — the mergeable table an
+    // ingest job stores — rolled up to per-month p50/p95/p99 WITHOUT
+    // touching raw rows again. The bucket map is pure integer/bit
+    // arithmetic (floor-log2 via minimal binary-string length) and the
+    // rank gate is division-free (cum*qd >= n*qn), so the approximate
+    // quantiles are DETERMINISTIC and the oracle re-derives them
+    // bit-for-bit — unlike merge-order-dependent sketches (GK/KLL).
+    "q116_hist_quantiles" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val daily = graft.operators.HistSketch.sketchBy(
+        li, to_date(col("l_shipdate")), cents, subBits = 5)
+      graft.operators.HistSketch.rollup(
+          daily, trunc(col("bucket"), "month"),
+          Seq((50, 100), (95, 100), (99, 100)), subBits = 5)
+        .select(col("grp").as("month"), col("n_total"),
+          col("p_50_100"), col("p_95_100"), col("p_99_100"))
+        .orderBy("month")
+    },
+
     // Set operations: key sets via INTERSECT / EXCEPT (both plan as
     // aggregate + join under AQE, no row payload).
     "q34_setops" -> { (s, dir) =>
@@ -754,6 +775,36 @@ object ExtQueries {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority")
           .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    // Full re-derivation of the HDR bucket map (floor-log2 = minimal
+    // binary-string length, integer shifts) and the division-free rank
+    // walk — every quantile must match bit-for-bit.
+    "q116_hist_quantiles" ->
+      """WITH v AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT month,
+        |         CASE WHEN length(bin(c)) - 1 <= 5 THEN c
+        |              ELSE (CAST(length(bin(c)) - 1 - 5 AS BIGINT) << 5)
+        |                   + (c >> (length(bin(c)) - 1 - 5)) END AS hb,
+        |         count(*) AS cnt
+        |  FROM v GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT month, hb, cnt,
+        |         sum(cnt) OVER (PARTITION BY month ORDER BY hb) AS cum,
+        |         sum(cnt) OVER (PARTITION BY month) AS n
+        |  FROM b),
+        |lo AS (
+        |  SELECT month, n, cum,
+        |         CASE WHEN (hb >> 5) <= 1 THEN hb
+        |              ELSE (hb - ((hb >> 5) - 1) * 32) << ((hb >> 5) - 1) END AS lo
+        |  FROM cum)
+        |SELECT month, CAST(max(n) AS BIGINT) AS n_total,
+        |       min(CASE WHEN cum * 100 >= n * 50 THEN lo END) AS p_50_100,
+        |       min(CASE WHEN cum * 100 >= n * 95 THEN lo END) AS p_95_100,
+        |       min(CASE WHEN cum * 100 >= n * 99 THEN lo END) AS p_99_100
+        |FROM lo GROUP BY month ORDER BY month""".stripMargin,
     // The oracle can't reproduce Datasketches registers, so it asserts
     // the contracts: exact counts must match, and both booleans must be
     // literally true on every row for the hash to match.

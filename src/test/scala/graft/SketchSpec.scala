@@ -31,6 +31,52 @@ class SketchSpec extends SparkSpec {
       s"estimate outside 5% envelope: $merged vs 50000")
   }
 
+  test("HistSketch bucket map: monotone, exact below 2^(b+1), relative error <= 2^-b") {
+    import graft.operators.HistSketch
+    val df = spark.range(1, 300000).select(col("id").as("v"))
+      .withColumn("hb", HistSketch.bucketOf(col("v"), subBits = 5))
+      .withColumn("lo", HistSketch.bucketLo(col("hb"), subBits = 5))
+    // exactness below 64; monotone via per-row check against the previous
+    // value's bucket (v and v-1 differ by at most one bucket step)
+    assert(df.where(col("v") < 64 && col("hb") =!= col("v")).isEmpty)
+    val prev = df.select(col("v").as("pv"), col("hb").as("phb"))
+    assert(df.join(prev, col("v") === col("pv") + 1)
+      .where(col("hb") < col("phb")).isEmpty, "bucket map not monotone")
+    // lower bound law + value-space error envelope
+    assert(df.where(col("lo") > col("v")).isEmpty, "bucketLo exceeded its value")
+    assert(df.where((col("v") - col("lo")) * 32 > col("lo")).isEmpty,
+      "bucket wider than 2^-5 relative")
+  }
+
+  test("HistSketch rollup: merge-invariant through parquet; envelope vs exact percentiles") {
+    import graft.operators.HistSketch
+    // skewed positive longs across 10 daily buckets
+    val df = spark.range(1, 60001).select(
+      (col("id") % 10).as("day"),
+      (col("id") * col("id") % 1000000 + 1).as("v"))
+    val dir = Files.createTempDirectory("graft-hist").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getAbsolutePath}/daily"
+    HistSketch.sketchBy(df, col("day"), col("v")).write.mode("overwrite").parquet(path)
+
+    val qs = Seq((50, 100), (95, 100), (99, 100))
+    val fromDisk = HistSketch.rollup(spark.read.parquet(path), lit(1), qs).head()
+    val direct = HistSketch.rollup(
+      HistSketch.sketchBy(df, lit(0), col("v")), lit(1), qs).head()
+    assert(fromDisk == direct, s"round-tripped rollup diverged: $fromDisk vs $direct")
+    assert(fromDisk.getLong(1) == 60000L)
+
+    // each reported quantile is a lower bound of the exact one, within
+    // 2^-5 relative in value space
+    val exact = df.stat.approxQuantile("v", Array(0.5, 0.95, 0.99), 0.0)
+    for (((_, _), i) <- qs.zipWithIndex) {
+      val lo = fromDisk.getLong(2 + i)
+      val ex = exact(i)
+      assert(lo <= ex + 1e-9, s"q${i}: lo $lo above exact $ex")
+      assert((ex - lo) * 32 <= lo + 1e-9, s"q${i}: exact $ex outside envelope of $lo")
+    }
+  }
+
   test("sketch column survives a parquet round trip and still merges") {
     val df = spark.range(20000).select(
       (col("id") % 4).as("day"),
