@@ -540,6 +540,35 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental connected-components maintenance: yesterday's label
+    * table + today's new pairs → today's label table, WITHOUT re-running
+    * CC over all historical pairs — the grouping half of the incremental
+    * dedup chain ([[incrementalNearDupPairs]] finds the new pairs; this
+    * folds them into the standing groups).
+    *
+    * The trick is standard: an existing component is connectivity-
+    * equivalent to its STAR (every member linked to its label), so CC
+    * over (star edges of the old labels) ∪ (new pairs) equals CC over
+    * (all old pairs) ∪ (new pairs). The old-label side is label-table-
+    * sized — #docs-in-groups rows, independent of how many historical
+    * PAIRS produced them — and stars are depth-1, so min-label
+    * propagation converges in rounds bounded by the NEW pairs' chain
+    * depth, not history's. Labels stay canonical (component min id),
+    * including when a new pair merges two old components. DedupSpec
+    * asserts equivalence with the full recompute across a two-batch
+    * split, including a batch-2 pair that bridges two batch-1 groups.
+    */
+  def incrementalGroups(
+      oldLabels: DataFrame,
+      newPairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val starEdges = oldLabels
+      .where(col("id") =!= col("group"))
+      .select(col("id").as("id_a"), col("group").as("id_b"))
+    nearDupGroups(
+      starEdges.unionByName(newPairs.select(col("id_a"), col("id_b"))), maxIter)
+  }
+
   /** Collapse near-dup PAIRS into duplicate GROUPS (connected components
     * of the pair graph): a doc that chains A≈B≈C belongs with both even
     * when A and C aren't directly similar. Iterative min-label

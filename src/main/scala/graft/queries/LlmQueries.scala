@@ -356,6 +356,28 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // The full incremental dedup day, end to end: history's standing
+    // group labels (CC over history-only pairs) + the new batch's pairs
+    // (via the persisted-signature path, q113) folded in with
+    // incrementalGroups — and the result must equal the BATCH closure
+    // over the whole corpus, which is exactly q97's oracle. History
+    // pairs are never recomputed at scale (the label table stands in
+    // for them, star-compressed); this query re-derives them only
+    // because fixtures ship raw text, not yesterday's label table.
+    "q117_groups_incremental" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val hist = d.where(col("doc_id") % 5 =!= 0)
+      val histPairs = Dedup.nearDupPairs(hist, "text", "doc_id",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      val newPairs = Dedup.incrementalNearDupPairs(
+        Dedup.signatures(hist, "text", "doc_id"),
+        Dedup.signatures(d.where(col("doc_id") % 5 === 0), "text", "doc_id"),
+        threshold = 0.5)
+      Dedup.incrementalGroups(Dedup.nearDupGroups(histPairs), newPairs)
+        .select(col("id"), col("group").as("grp"))
+        .orderBy("id")
+    },
+
     // Apply-dedup compaction — the step AFTER q21 (detect pairs) and q97
     // (collapse to groups): drop every non-survivor (group members above
     // the min id), keep everything else untouched, and count the
@@ -969,6 +991,11 @@ object LlmQueries {
         |FROM bg g LEFT JOIN top ON g.doc_id = top.doc_id
         |ORDER BY doc_id""".stripMargin,
     "q97_dedup_groups" ->
+      ("WITH RECURSIVE " + jaccardPairCtes(0.5) + ",\n" + closureCtes +
+        "\nSELECT id, grp FROM labels ORDER BY id"),
+    // IDENTICAL to q97's oracle on purpose: the incremental path must
+    // reproduce the batch closure exactly.
+    "q117_groups_incremental" ->
       ("WITH RECURSIVE " + jaccardPairCtes(0.5) + ",\n" + closureCtes +
         "\nSELECT id, grp FROM labels ORDER BY id"),
     // q93's split law applied to the group REP (component min id via the

@@ -238,6 +238,19 @@ class PlanSpec extends SparkSpec {
       s"scan projection drifted from the 7 referenced columns: $projected")
   }
 
+  test("q116 histogram rollup: two-column scan, partial counts before the shuffle") {
+    val p = plan("q116_hist_quantiles")
+    val scanCols = "FileScan parquet \\[(.*?)\\]".r.findFirstMatchIn(p).map(_.group(1))
+    assert(scanCols.isDefined, s"no FileScan in:\n$p")
+    val projected = scanCols.get.split(",").map(_.trim.takeWhile(_ != '#')).toSet
+    assert(projected == Set("l_extendedprice", "l_shipdate"),
+      s"histogram sketch scan reads more than its two inputs: $projected")
+    // the per-(day,bucket) counts combine map-side: the shuffle carries
+    // sketch rows, not raw rows
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"no map-side partial aggregation before the sketch shuffle:\n$p")
+  }
+
   test("q69/q72/q73 top-k: TakeOrderedAndProject, never a global range sort") {
     for (q <- Seq("q69_tpch_shipprio", "q72_tpch_returns", "q73_tpch_big_orders")) {
       val p = plan(q)

@@ -264,6 +264,24 @@ class DedupSpec extends SparkSpec {
     assert(inc.where(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0).isEmpty)
   }
 
+  test("incrementalGroups == full CC recompute, incl. a pair bridging two old groups") {
+    // batch 1: two separate chains {1-2-3} and {10-11}, plus {20-21}
+    val old = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    // batch 2: extends a chain (3-4), bridges two old components (11-20),
+    // and adds a brand-new pair (30-31)
+    val fresh = Seq((3L, 4L), (11L, 20L), (30L, 31L)).toDF("id_a", "id_b")
+
+    val oldLabels = Dedup.nearDupGroups(old)
+    val inc = Dedup.incrementalGroups(oldLabels, fresh)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.nearDupGroups(old.unionByName(fresh))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, s"incremental CC diverged: $inc vs $full")
+    // the bridge must have merged {10,11} and {20,21} under min id 10
+    assert(inc(21L) == 10L && inc(20L) == 10L && inc(11L) == 10L)
+    assert(inc(4L) == 1L && inc(31L) == 30L)
+  }
+
   test("BloomGate.optimalNumBits matches the textbook formula") {
     // 1e9 keys @ 1% fpp ~ 9.585 bits/key ~ 1.2 GB — the sizing claim in
     // the Scaladoc, asserted so the doc can't drift from the code.
