@@ -61,6 +61,36 @@ object Sampling {
   def perGroup(df: DataFrame, keys: Seq[Column], idCol: Column, k: Int, seed: Long = 0L): DataFrame =
     graft.plans.TopK.perKey(df, keys, Seq(hashUnit(idCol, seed).asc), k)
 
+  /** Deterministic weighted sampling WITHOUT replacement, exactly k per
+    * group (Efraimidis–Spirakis A-ES): each row draws its uniform u from
+    * the engine-portable [[sha2Unit]] and scores `u^(1/w)`; the k
+    * largest scores win, which selects each row with probability
+    * proportional to its weight among the survivors — the standard
+    * "sample documents by quality/length score" primitive of corpus
+    * assembly, with NO RNG state: membership is a pure function of
+    * (seed, id, weight), stable under re-partitioning, retries, and
+    * re-runs, and re-derivable by any engine with sha256 + pow.
+    *
+    * The score is rounded to 6 decimals before ranking (ties then break
+    * by id ascending): `pow` is the one non-portable step — libm last-ulp
+    * differences could otherwise flip a rank across engines. Same
+    * discipline as the q22 cosine ranking.
+    *
+    * Rides the bounded-heap TopKPerKey operator: no per-group sort, k
+    * rows per (group x partition) cross the shuffle. Weights must be
+    * strictly positive.
+    */
+  def weightedPerGroup(
+      df: DataFrame,
+      keys: Seq[Column],
+      idCol: Column,
+      weight: Column,
+      k: Int,
+      seed: Long = 0L): DataFrame = {
+    val score = round(pow(sha2Unit(idCol, seed), lit(1.0) / weight.cast("double")), 6)
+    graft.plans.TopK.perKey(df, keys, Seq(score.desc, idCol.asc), k)
+  }
+
   /** Engine-portable uniform unit in [0, 1) from (seed, id) — sha256 hex
     * digits instead of [[hashUnit]]'s xxhash64, so ANY engine with sha256
     * (DuckDB, Trino, plain Python) reproduces the same decision for the

@@ -604,6 +604,21 @@ object LlmQueries {
         .orderBy("lang")
     },
 
+    // Deterministic weighted sampling (A-ES): 5 docs per lang, selection
+    // probability proportional to document length — the quality/length-
+    // weighted corpus-assembly draw. No RNG state: membership is a pure
+    // function of (seed, doc_id, weight), so the oracle re-derives the
+    // exact set with sha256 + pow (score rounded to 6 decimals, ties by
+    // id — the q22 ranking discipline for the one libm-dependent step).
+    "q118_weighted_sample" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      Sampling.weightedPerGroup(
+          d, Seq(col("lang")), col("doc_id"),
+          length(col("text")) + lit(1), k = 5, seed = 11L)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    },
+
     // Incremental corpus merge (upsert): a v2 snapshot re-delivers a
     // third of the docs with edits; latest version wins per doc_id via
     // ONE max_by hash aggregate (partial+final — no window, no sort;
@@ -1185,6 +1200,20 @@ object LlmQueries {
         |WHERE sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |      NOT IN (SELECT h FROM contam)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // A-ES re-derivation: same sha256 unit, same u^(1/w) score, same
+    // round-to-6 + id tie-break ranking.
+    "q118_weighted_sample" ->
+      """WITH u AS (
+        |  SELECT lang, doc_id,
+        |         CAST(('0x' || substr(sha256(concat('11', ':', CAST(doc_id AS VARCHAR))), 1, 13)) AS BIGINT)
+        |           / 4503599627370496.0 AS u,
+        |         length(text) + 1 AS w
+        |  FROM documents),
+        |s AS (SELECT lang, doc_id, round(pow(u, 1.0 / w), 6) AS sc FROM u),
+        |r AS (SELECT lang, doc_id,
+        |             row_number() OVER (PARTITION BY lang ORDER BY sc DESC, doc_id) AS rn
+        |      FROM s)
+        |SELECT lang, doc_id FROM r WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
     // Same NOT-IN shape as q53 — the Bloom gate is answer-invisible by
     // construction, which is exactly what this row proves.
     "q111_decontam_bloom" ->

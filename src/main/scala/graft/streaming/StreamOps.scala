@@ -417,6 +417,31 @@ object StreamOps {
       .agg(hll_sketch_agg(col(keyCol)).as("sketch"))
       .select(col("window.start").as("bucket"), col("sketch"))
 
+  /** Streaming writer for the persisted quantile-histogram table
+    * (`operators/HistSketch`): per event-time window of `width`, one
+    * (bucket, hb, cnt) row per occupied histogram bucket, emitted on
+    * watermark close — the streaming ingest half of the q116 rollup.
+    * State per open window is the occupied-bucket count (a few thousand
+    * longs at most, logarithmic in the value range); counts are plain
+    * sums, so arrival order and partitioning cannot change the emitted
+    * rows, and `HistSketch.rollup` over the table answers p50/p95/p99
+    * for any grain without touching raw events (StreamSpec asserts
+    * bit-identical quantiles vs a direct batch sketch).
+    */
+  def histStream(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      width: String,
+      lateness: String,
+      subBits: Int = 5): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy(
+        window(col(tsCol), width),
+        graft.operators.HistSketch.bucketOf(col(valueCol), subBits).as("hb"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("bucket"), col("hb"), col("cnt"))
+
   /** Output-mode guidance: windowed aggs with watermark support Append
     * (emit once, on watermark close) and Update; mapGroupsWithState
     * requires Update.

@@ -120,6 +120,32 @@ class SamplingChunkingSpec extends SparkSpec {
     assert(other.toSet != got.map(t => (t._1, t._2)).toSet)
   }
 
+  test("weightedPerGroup: exact k, deterministic under repartition, weight-proportional") {
+    // 10k rows in one group, 1k of them with 50x the weight of the rest
+    val df = spark.range(10000).select(
+      lit("g").as("grp"), col("id"),
+      when(col("id") < 1000, lit(50.0)).otherwise(lit(1.0)).as("w"))
+    val picked = Sampling.weightedPerGroup(
+      df, Seq(col("grp")), col("id"), col("w"), k = 500, seed = 3L)
+    assert(picked.count() === 500)
+
+    // pure function of (seed, id, w): identical set under repartition
+    val again = Sampling.weightedPerGroup(
+      df.repartition(13), Seq(col("grp")), col("id"), col("w"), k = 500, seed = 3L)
+    assert(picked.select("id").except(again.select("id")).isEmpty
+      && again.select("id").except(picked.select("id")).isEmpty)
+
+    // heavy rows are 10% of the population but carry ~85% of the total
+    // weight; A-ES must overrepresent them drastically vs uniform (~50)
+    val heavy = picked.where(col("id") < 1000).count()
+    assert(heavy > 150, s"heavy rows not overrepresented: $heavy of 500")
+
+    // a different seed draws a materially different set
+    val other = Sampling.weightedPerGroup(
+      df, Seq(col("grp")), col("id"), col("w"), k = 500, seed = 4L)
+    assert(picked.select("id").except(other.select("id")).count() > 100)
+  }
+
   test("chunking: windows, overlap, short tails, sub-window and blank docs") {
     val df = Seq(
       (1L, "a b c"),       // maxTokens 2, overlap 1 -> [a b], [b c]

@@ -626,6 +626,35 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("histStream appends the quantile-histogram table; rollup == direct batch sketch") {
+    val ms = memStream[(Timestamp, Long)]
+    val out = sinkName()
+    val q = StreamOps.histStream(
+        ms.toDF.toDF("ts", "v"), "ts", "v", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    // skewed positive values across two hours, split over two batches
+    val vals = (1L to 800L).map(i => (ts(f"10:${i % 50}%02d"), i * i % 9973 + 1)) ++
+      (1L to 800L).map(i => (ts(f"11:${(i * 3) % 50}%02d"), i * 7 % 5003 + 1))
+    try {
+      ms.addData(vals.take(1000): _*)
+      q.processAllAvailable()
+      ms.addData(vals.drop(1000): _*)
+      q.processAllAvailable()
+      ms.addData((ts("13:30"), 1L)) // close both hourly windows
+      q.processAllAvailable()
+
+      val table = spark.table(out).where(col("bucket") < ts("13:00"))
+      val qs = Seq((50, 100), (95, 100), (99, 100))
+      val streamed = graft.operators.HistSketch.rollup(table, lit(1), qs).head()
+      val direct = graft.operators.HistSketch.rollup(
+        graft.operators.HistSketch.sketchBy(
+          vals.toDF("ts", "v"), lit(0), col("v")), lit(1), qs).head()
+      assert(streamed == direct,
+        s"streamed histogram diverged from direct batch sketch: $streamed vs $direct")
+      assert(streamed.getLong(1) == 1600L)
+    } finally q.stop()
+  }
+
   test("the same tumbling transform runs in batch mode (unified API)") {
     val batch = Seq(
       (ts("10:01"), "a"), (ts("10:02"), "a"), (ts("10:30"), "b")).toDF("ts", "etype")
