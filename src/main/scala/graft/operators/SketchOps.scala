@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BitmapBitPosition, BitmapBucketNumber, BitmapConstructAgg, BitmapCount, BitmapOrAgg}
 import org.apache.spark.sql.functions._
 
 /** Persisted-sketch rollups: the pre-aggregate-at-ingest / merge-at-query
@@ -47,4 +48,38 @@ object SketchOps {
   def rollup(sketches: DataFrame, group: Column): DataFrame =
     sketches.groupBy(group.as("grp"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct"))
+
+  // ---- EXACT distinct via partitioned bitmaps -------------------------
+  // The deterministic counterpart of the HLL pair above, built on
+  // Spark's bitmap aggregate family: a key k sets bit
+  // bitmap_bit_position(k) in the bitmap numbered bitmap_bucket_number(k)
+  // (4096-key ranges), so the per-ingest-bucket summary is (bucket, bno,
+  // bitmap) rows. OR-merge is idempotent — a key re-delivered across
+  // days collapses to the same bit — and sum(bitmap_count) after the OR
+  // is the EXACT distinct count, hash-verifiable against any engine's
+  // COUNT(DISTINCT). Storage is O(key range)/8 bits worst case vs HLL's
+  // fixed KBs: the exact form is the right trade for dense/bounded key
+  // domains (user ids, custkeys), the HLL form for open-ended ones.
+
+  private def agg2(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Column =
+    GraftColumnBridge.column(f.toAggregateExpression())
+  private def ex(c: Column) = GraftColumnBridge.expression(c)
+
+  /** Per-(ingest bucket, bitmap number) exact-membership bitmaps: what
+    * the ingest job appends. One partial+final hash aggregate.
+    */
+  def bitmapSketchBy(df: DataFrame, bucket: Column, key: Column): DataFrame =
+    df.groupBy(
+        bucket.as("bucket"),
+        GraftColumnBridge.column(BitmapBucketNumber(ex(key))).as("bno"))
+      .agg(agg2(BitmapConstructAgg(BitmapBitPosition(ex(key)))).as("bm"))
+
+  /** OR-merge persisted bitmaps to a coarser grain and count exactly:
+    * two hash aggregates over sketch rows, raw data untouched.
+    */
+  def bitmapRollup(sketches: DataFrame, group: Column): DataFrame =
+    sketches.groupBy(group.as("grp"), col("bno"))
+      .agg(agg2(BitmapOrAgg(ex(col("bm")))).as("bm"))
+      .groupBy("grp")
+      .agg(sum(GraftColumnBridge.column(BitmapCount(ex(col("bm"))))).as("exact_distinct"))
 }

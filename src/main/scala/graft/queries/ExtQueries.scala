@@ -217,6 +217,20 @@ object ExtQueries {
         .orderBy("month")
     },
 
+    // Exact-distinct bitmap rollup: q112's pattern with EXACT counts —
+    // per-day (bitmap number, bitmap) rows OR-merged to months;
+    // idempotent merge collapses re-delivered keys, and the result
+    // hash-matches DuckDB's plain COUNT(DISTINCT) with no error-envelope
+    // argument needed. The exact form suits dense/bounded key domains
+    // (custkeys); HLL (q112) suits open-ended ones.
+    "q119_bitmap_rollup" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val daily = SketchOps.bitmapSketchBy(orders, col("o_orderdate"), col("o_custkey"))
+      SketchOps.bitmapRollup(daily, trunc(col("bucket"), "month"))
+        .select(col("grp").as("month"), col("exact_distinct"))
+        .orderBy("month")
+    },
+
     // One-pass column profiler (Profiler.profile): the per-source
     // data-quality report — rows/nulls/exact-distinct/min/max/bytes for
     // five columns of orders in ONE aggregate over ONE scan (countDistinct
@@ -758,6 +772,11 @@ object ExtQueries {
         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |       px | (py << 1) AS zkey
         |FROM z5 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Plain COUNT(DISTINCT) — the bitmap path must reproduce it exactly.
+    "q119_bitmap_rollup" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |       count(DISTINCT o_custkey) AS exact_distinct
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
     // One SELECT per profiled column, UNION ALL — the report the one-pass
     // profiler must reproduce bit-for-bit (counts are BIGINT, min/max are
     // the VARCHAR rendering, total_bytes the summed rendered length).

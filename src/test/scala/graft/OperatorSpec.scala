@@ -236,5 +236,11 @@ class OperatorSpec extends SparkSpec {
     assert(approx.schema == graft.operators.Profiler.profile(df, Seq("k", "s")).schema)
     assert(approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
       == Map("k" -> 2L, "s" -> 3L))
+
+    // the cost model the Scaladoc claims: exact multi-column distinct
+    // rides ONE Expand; approx mode must not pay the Expand at all
+    assert(plan.contains("Expand"), s"exact profile should plan an Expand:\n$plan")
+    val ap = approx.queryExecution.executedPlan.toString
+    assert(!ap.contains("Expand"), s"approx profile must not Expand:\n$ap")
   }
 }

@@ -31,6 +31,29 @@ class SketchSpec extends SparkSpec {
       s"estimate outside 5% envelope: $merged vs 50000")
   }
 
+  test("bitmap sketch: exact distinct through parquet, idempotent under re-delivery") {
+    import graft.operators.SketchOps
+    // 30k keys spread over 5 days, every key delivered on TWO days (the
+    // idempotence case HLL also handles but bitmaps must prove: OR-merge
+    // counts a re-delivered key once)
+    val df = spark.range(30000).select((col("id") % 5).as("day"), col("id").as("k"))
+      .unionByName(spark.range(30000).select(((col("id") + 1) % 5).as("day"), col("id").as("k")))
+    val dir = Files.createTempDirectory("graft-bitmap").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getAbsolutePath}/daily"
+    SketchOps.bitmapSketchBy(df, col("day"), col("k")).write.mode("overwrite").parquet(path)
+
+    val merged = SketchOps.bitmapRollup(spark.read.parquet(path), lit(1))
+      .head().getAs[Long]("exact_distinct")
+    assert(merged === 30000L, s"bitmap rollup not exact/idempotent: $merged")
+
+    // per-day counts are exact too (each day holds 2*6000 deliveries of
+    // 12000 distinct keys)
+    val perDay = SketchOps.bitmapRollup(spark.read.parquet(path), col("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDay.values.toSet == Set(12000L), s"per-day exact counts wrong: $perDay")
+  }
+
   test("HistSketch bucket map: monotone, exact below 2^(b+1), relative error <= 2^-b") {
     import graft.operators.HistSketch
     val df = spark.range(1, 300000).select(col("id").as("v"))

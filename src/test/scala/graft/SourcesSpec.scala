@@ -118,4 +118,34 @@ class SourcesSpec extends SparkSpec {
     val schema = StructType(Seq(StructField("x", StringType), StructField("y", StringType)))
     assert(Sources.delimited(spark, path, "\\s+", schema).count() == 2)
   }
+
+  test("ignoreCorruptFiles: a truncated parquet part fails loudly by default, skips when opted in") {
+    // The production posture for a 100 TB lake with occasional bad
+    // parts: default = fail (silent data loss is worse than a failed
+    // job); spark.sql.files.ignoreCorruptFiles=true = read what's
+    // readable, for the explicit salvage pass.
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getAbsolutePath}/t"
+    spark.range(1000).repartition(4).write.mode("overwrite").parquet(path)
+    val parts = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length == 4)
+    // truncate one part mid-file: valid magic, destroyed footer
+    val raf = new java.io.RandomAccessFile(parts.head, "rw")
+    raf.setLength(raf.length() / 2)
+    raf.close()
+
+    val err = intercept[Exception] { spark.read.parquet(path).count() }
+    assert(err.getMessage != null)
+    try {
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+      // the salvage read needs an EXPLICIT schema: inference itself may
+      // pick the corrupt footer, and ignoreCorruptFiles governs the data
+      // scan, not footer-based schema discovery
+      val schema = StructType(Seq(StructField("id", org.apache.spark.sql.types.LongType)))
+      val n = spark.read.schema(schema).parquet(path).count()
+      assert(n > 0 && n < 1000, s"expected partial rows from 3 good parts, got $n")
+    } finally spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+  }
 }
