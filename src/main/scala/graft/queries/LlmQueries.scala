@@ -604,6 +604,33 @@ object LlmQueries {
         .orderBy("lang")
     },
 
+    // Robust outlier gate (median/MAD): the data-cleaning filter that
+    // survives the heavy tails a mean/stddev z-score drowns in. Per-lang
+    // median doc length and median absolute deviation via the exact
+    // bounded-memory percentile operator (two passes over a count-
+    // compressed table, no per-group sort); rows with |len - med| >
+    // 3*MAD are flagged. Lengths are integers, so the interpolated
+    // median/MAD land on exact .0/.5 doubles — engine-portable, and the
+    // oracle re-derives them with quantile_cont.
+    "q120_mad_outliers" -> { (s, dir) =>
+      import graft.operators.AggOps
+      val lens = t(s, dir, "documents")
+        .select(col("lang"), length(col("text")).cast("double").as("len"))
+      val med = lens.transform(
+        AggOps.exactPercentiles(Seq("lang"), "len", Seq(0.5), Seq("med")))
+      val dev = lens.join(broadcast(med), Seq("lang"))
+        .withColumn("adev", abs(col("len") - col("med")))
+      val mad = dev.transform(
+        AggOps.exactPercentiles(Seq("lang"), "adev", Seq(0.5), Seq("mad")))
+      dev.join(broadcast(mad), Seq("lang"))
+        .groupBy("lang")
+        .agg(
+          min(col("med")).as("med"),
+          min(col("mad")).as("mad"),
+          sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L)).as("outliers"))
+        .orderBy("lang")
+    },
+
     // Deterministic weighted sampling (A-ES): 5 docs per lang, selection
     // probability proportional to document length — the quality/length-
     // weighted corpus-assembly draw. No RNG state: membership is a pure
@@ -1200,6 +1227,19 @@ object LlmQueries {
         |WHERE sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |      NOT IN (SELECT h FROM contam)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // quantile_cont == the exact interpolated percentile (the q48
+    // parity), then the same 3*MAD integer-safe comparison.
+    "q120_mad_outliers" ->
+      """WITH lens AS (
+        |  SELECT lang, CAST(length(text) AS DOUBLE) AS len FROM documents),
+        |med AS (SELECT lang, quantile_cont(len, 0.5) AS med FROM lens GROUP BY lang),
+        |mad AS (
+        |  SELECT l.lang, quantile_cont(abs(l.len - m.med), 0.5) AS mad
+        |  FROM lens l JOIN med m USING (lang) GROUP BY l.lang)
+        |SELECT l.lang, min(m.med) AS med, min(d.mad) AS mad,
+        |       CAST(sum(CASE WHEN abs(l.len - m.med) > 3 * d.mad THEN 1 ELSE 0 END) AS BIGINT) AS outliers
+        |FROM lens l JOIN med m USING (lang) JOIN mad d USING (lang)
+        |GROUP BY l.lang ORDER BY lang""".stripMargin,
     // A-ES re-derivation: same sha256 unit, same u^(1/w) score, same
     // round-to-6 + id tie-break ranking.
     "q118_weighted_sample" ->
