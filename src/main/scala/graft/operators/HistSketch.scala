@@ -53,13 +53,20 @@ object HistSketch {
     GraftColumnBridge.column(ShiftLeft(
       GraftColumnBridge.expression(v), GraftColumnBridge.expression(n)))
 
-  /** Deterministic value → bucket id (monotone; see object doc). */
+  /** Deterministic value → bucket id (monotone; see object doc). A
+    * negative input fails the job loudly (`assert_true`) rather than
+    * landing in a garbage bucket — the histogram's domain is
+    * non-negative integers by contract, and a silent mis-bucket would
+    * corrupt every rollup that ever merges the sketch row.
+    */
   def bucketOf(v: Column, subBits: Int = 5): Column = {
     require(subBits >= 1 && subBits <= 16, s"subBits out of range: $subBits")
     val vl = v.cast("long")
     val e = (length(bin(vl)) - 1).cast("int")
-    when(e <= subBits, vl).otherwise(
+    val bucket = when(e <= subBits, vl).otherwise(
       ((e - subBits).cast("long") * (1L << subBits)) + shr(vl, e - lit(subBits)))
+    // assert_true yields NULL when the predicate holds, throws otherwise
+    coalesce(assert_true(vl >= 0, lit("HistSketch values must be non-negative")), bucket)
   }
 
   /** Bucket id → the bucket's smallest value (the reported quantile

@@ -69,6 +69,12 @@ class SketchSpec extends SparkSpec {
     assert(df.where(col("lo") > col("v")).isEmpty, "bucketLo exceeded its value")
     assert(df.where((col("v") - col("lo")) * 32 > col("lo")).isEmpty,
       "bucket wider than 2^-5 relative")
+
+    // negative input must fail the job, not mis-bucket silently
+    val err = intercept[Exception] {
+      spark.range(1).select(graft.operators.HistSketch.bucketOf(lit(-1L))).collect()
+    }
+    assert(err.getMessage.contains("non-negative"), s"wrong guard error: ${err.getMessage}")
   }
 
   test("HistSketch rollup: merge-invariant through parquet; envelope vs exact percentiles") {
