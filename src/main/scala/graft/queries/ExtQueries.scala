@@ -217,6 +217,129 @@ object ExtQueries {
         .orderBy("month")
     },
 
+    // Ordered funnel (view → click → purchase): the behavioral-analytics
+    // staple. Each stage is one hash aggregate keyed on user_id plus a
+    // join back to events — the ORDER constraint (click AFTER the first
+    // view, purchase AFTER that click) is what separates this from three
+    // independent counts, and the min-timestamp formulation keeps every
+    // stage a plain groupBy (no per-user sort, no session arrays — at
+    // 100 TB a per-user event array blows up on power users; min-per-
+    // stage stays O(1) state per user). Timestamps compare as integer
+    // micros on both engines.
+    "q121_funnel" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_type"))
+      val s1 = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tus").as("t1"))
+      val s2 = e.join(s1, "user_id")
+        .where(col("event_type") === "click" && col("tus") > col("t1"))
+        .groupBy("user_id").agg(min("tus").as("t2"))
+      val s3 = e.join(s2, "user_id")
+        .where(col("event_type") === "purchase" && col("tus") > col("t2"))
+        .groupBy("user_id").agg(min("tus").as("t3"))
+      s1.agg(count(lit(1)).as("stage_view"))
+        .crossJoin(s2.agg(count(lit(1)).as("stage_click")))
+        .crossJoin(s3.agg(count(lit(1)).as("stage_purchase")))
+    },
+
+    // Retention cohorts: users grouped by first-seen day, distinct-active
+    // counts at day offsets 0..7 — the DAU/retention curve. Two hash
+    // aggregates (first-seen, then cohort cells) over the distinct
+    // (user, day) activity set; output is cohort-grid-sized, never
+    // event-sized.
+    "q122_retention" -> { (s, dir) =>
+      val act = t(s, dir, "events")
+        .select(
+          col("user_id"),
+          to_date(timestamp_micros(expr("ts div 1000"))).as("d"))
+        .distinct()
+      val first = act.groupBy("user_id").agg(min("d").as("f"))
+      act.join(first, "user_id")
+        .withColumn("k", datediff(col("d"), col("f")))
+        .where(col("k") <= 7)
+        .groupBy("f", "k")
+        .agg(countDistinct("user_id").as("users"))
+        .orderBy("f", "k")
+    },
+
+    // Percentile-rank normalization via the mergeable histogram — the
+    // feature-transform reuse of q116's sketch: bucket-grain CDF
+    // (strictly-below cumulative counts) joined back to rows, decile =
+    // (below*10) div n in pure integer arithmetic. The histogram is
+    // bucket-count-sized (broadcastable at any corpus size) and the row
+    // side needs only its bucket id — the transform never re-sorts the
+    // data. Output pins the transform's CONTRACT: decile occupancy of
+    // the normalized column (~10% per decile up to bucket granularity),
+    // 10 rows regardless of input size.
+    "q123_pct_rank" -> { (s, dir) =>
+      import graft.operators.HistSketch
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val li = t(s, dir, "lineitem").select(HistSketch.bucketOf(cents, 5).as("hb"))
+      val hist = li.groupBy("hb").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("hb").rowsBetween(Window.unboundedPreceding, -1)
+      val cdf = hist.select(
+        col("hb"),
+        coalesce(sum("cnt").over(w), lit(0L)).as("below"),
+        sum("cnt").over(Window.partitionBy(lit(1))).as("n"))
+      li.join(broadcast(cdf), "hb")
+        .select(expr("(below * 10) div n").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("cnt"))
+        .orderBy("decile")
+    },
+
+    // Event-type transition matrix (prev → next counts per user in
+    // event-time order): the sequence-analytics staple. ONE shuffle on
+    // user_id, lag within the partition sort (ties broken by event_id so
+    // the matrix is deterministic), then a grid-sized hash aggregate.
+    "q124_transitions" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"),
+          col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      e.withColumn("prev", lag("event_type", 1).over(w))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("prev", "next")
+    },
+
+    // Rolling 7-day active users — the classically expensive sliding
+    // distinct, answered EXACTLY from the persisted daily bitmap table:
+    // each report day OR-merges its window's 7 daily bitmap rows
+    // (idempotent, so a user active on 5 of the 7 days counts once).
+    // The join is day-grid × sketch rows — calendar-sized, never
+    // event-sized; the raw events are touched once at ingest. The naive
+    // form re-shuffles 7 days of raw events per report day, every day.
+    "q125_rolling_active" -> { (s, dir) =>
+      val act = t(s, dir, "events")
+        .select(to_date(timestamp_micros(expr("ts div 1000"))).as("d"), col("user_id"))
+      val daily = SketchOps.bitmapSketchBy(act, col("d"), col("user_id"))
+      val days = daily.select(col("bucket").as("rd")).distinct()
+      SketchOps.bitmapRollup(
+          daily.join(days,
+            col("bucket") >= date_sub(col("rd"), 6) && col("bucket") <= col("rd")),
+          col("rd"))
+        .select(col("grp").as("rd"), col("exact_distinct").as("active_7d"))
+        .orderBy("rd")
+    },
+
+    // Inter-event gap percentiles: per-user event-time deltas (lag) fed
+    // into the mergeable histogram — p50/p95/p99 of the gap distribution
+    // in micros, deterministic end to end. The lag is one shuffle on
+    // user_id; the histogram rollup is sketch-row-sized.
+    "q126_gap_quantiles" -> { (s, dir) =>
+      import graft.operators.HistSketch
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val gaps = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"))
+        .withColumn("gap", col("tus") - lag("tus", 1).over(w))
+        .where(col("gap").isNotNull)
+      HistSketch.rollup(
+          HistSketch.sketchBy(gaps, lit(0L), col("gap"), subBits = 5),
+          lit(1), Seq((50, 100), (95, 100), (99, 100)), subBits = 5)
+        .select(col("n_total"), col("p_50_100"), col("p_95_100"), col("p_99_100"))
+    },
+
     // Exact-distinct bitmap rollup: q112's pattern with EXACT counts —
     // per-day (bitmap number, bitmap) rows OR-merged to months;
     // idempotent merge collapses re-delivered keys, and the result
@@ -772,6 +895,89 @@ object ExtQueries {
         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |       px | (py << 1) AS zkey
         |FROM z5 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Sliding distinct re-derived the straightforward way: day grid ×
+    // activity join, exact COUNT(DISTINCT) per window.
+    "q125_rolling_active" ->
+      """WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d AS rd FROM act)
+        |SELECT dy.rd AS rd, count(DISTINCT a.user_id) AS active_7d
+        |FROM days dy JOIN act a ON a.d BETWEEN dy.rd - 6 AND dy.rd
+        |GROUP BY 1 ORDER BY rd""".stripMargin,
+    // Same lag formulation, then the q116 bucket map + rank walk over
+    // one global group.
+    "q126_gap_quantiles" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS ptus
+        |  FROM events),
+        |g AS (SELECT tus - ptus AS c FROM e WHERE ptus IS NOT NULL),
+        |b AS (
+        |  SELECT CASE WHEN length(bin(c)) - 1 <= 5 THEN c
+        |              ELSE (CAST(length(bin(c)) - 1 - 5 AS BIGINT) << 5)
+        |                   + (c >> (length(bin(c)) - 1 - 5)) END AS hb,
+        |         count(*) AS cnt
+        |  FROM g GROUP BY 1),
+        |cum AS (SELECT hb, sum(cnt) OVER (ORDER BY hb) AS cum, sum(cnt) OVER () AS n FROM b),
+        |lo AS (
+        |  SELECT cum, n,
+        |         CASE WHEN (hb >> 5) <= 1 THEN hb
+        |              ELSE (hb - ((hb >> 5) - 1) * 32) << ((hb >> 5) - 1) END AS lo
+        |  FROM cum)
+        |SELECT CAST(max(n) AS BIGINT) AS n_total,
+        |       min(CASE WHEN cum * 100 >= n * 50 THEN lo END) AS p_50_100,
+        |       min(CASE WHEN cum * 100 >= n * 95 THEN lo END) AS p_95_100,
+        |       min(CASE WHEN cum * 100 >= n * 99 THEN lo END) AS p_99_100
+        |FROM lo""".stripMargin,
+    // Same bucket map as q116, strictly-below CDF, integer decile.
+    "q123_pct_rank" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+        |b AS (
+        |  SELECT CASE WHEN length(bin(c)) - 1 <= 5 THEN c
+        |              ELSE (CAST(length(bin(c)) - 1 - 5 AS BIGINT) << 5)
+        |                   + (c >> (length(bin(c)) - 1 - 5)) END AS hb,
+        |         count(*) AS cnt
+        |  FROM v GROUP BY 1),
+        |cdf AS (
+        |  SELECT hb,
+        |         coalesce(sum(cnt) OVER (ORDER BY hb
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+        |         sum(cnt) OVER () AS n,
+        |         cnt
+        |  FROM b)
+        |SELECT CAST((below * 10) // n AS BIGINT) AS decile,
+        |       CAST(sum(cnt) AS BIGINT) AS cnt
+        |FROM cdf GROUP BY 1 ORDER BY decile""".stripMargin,
+    "q124_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events)
+        |SELECT prev, event_type AS next, count(*) AS cnt
+        |FROM e WHERE prev IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY prev, next""".stripMargin,
+    // Same staged min-timestamp formulation; epoch_us == Spark's
+    // `ts div 1000` on the nanos-as-long fixture.
+    "q121_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+        |s1 AS (SELECT user_id, min(tus) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(tus) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND tus > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(tus) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tus > t2 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s1) AS stage_view,
+        |       (SELECT count(*) FROM s2) AS stage_click,
+        |       (SELECT count(*) FROM s3) AS stage_purchase""".stripMargin,
+    "q122_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS f FROM act GROUP BY 1)
+        |SELECT f.f AS f, date_diff('day', f.f, a.d) AS k,
+        |       count(DISTINCT a.user_id) AS users
+        |FROM act a JOIN f USING (user_id)
+        |WHERE date_diff('day', f.f, a.d) <= 7
+        |GROUP BY 1, 2 ORDER BY f, k""".stripMargin,
     // Plain COUNT(DISTINCT) — the bitmap path must reproduce it exactly.
     "q119_bitmap_rollup" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

@@ -251,6 +251,18 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial aggregation before the sketch shuffle:\n$p")
   }
 
+  test("q123 percentile-rank: the CDF side joins as a broadcast, rows never re-sort") {
+    val p = plan("q123_pct_rank")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket-grain CDF should broadcast to the row side:\n$p")
+    // the transform must never sort-merge the row side against the CDF
+    // (that would sort the whole table to join a few hundred buckets);
+    // the only permissible sorts are the histogram branch's window and
+    // the final 10-row output ordering
+    assert(!p.contains("SortMergeJoin"),
+      s"row side must not sort-merge against the bucket CDF:\n$p")
+  }
+
   test("q69/q72/q73 top-k: TakeOrderedAndProject, never a global range sort") {
     for (q <- Seq("q69_tpch_shipprio", "q72_tpch_returns", "q73_tpch_big_orders")) {
       val p = plan(q)
