@@ -78,7 +78,10 @@ object Sampling {
     *
     * Rides the bounded-heap TopKPerKey operator: no per-group sort, k
     * rows per (group x partition) cross the shuffle. Weights must be
-    * strictly positive.
+    * strictly positive — a non-positive weight fails the job loudly
+    * (`assert_true`) rather than silently hijacking the sample
+    * (`pow(u, 1/w)` with w <= 0 would rank that row above every honest
+    * one).
     */
   def weightedPerGroup(
       df: DataFrame,
@@ -87,7 +90,10 @@ object Sampling {
       weight: Column,
       k: Int,
       seed: Long = 0L): DataFrame = {
-    val score = round(pow(sha2Unit(idCol, seed), lit(1.0) / weight.cast("double")), 6)
+    val w = weight.cast("double")
+    val score = coalesce(
+      assert_true(w > 0, lit("weightedPerGroup weights must be strictly positive")),
+      round(pow(sha2Unit(idCol, seed), lit(1.0) / w), 6))
     graft.plans.TopK.perKey(df, keys, Seq(score.desc, idCol.asc), k)
   }
 

@@ -144,6 +144,13 @@ class SamplingChunkingSpec extends SparkSpec {
     val other = Sampling.weightedPerGroup(
       df, Seq(col("grp")), col("id"), col("w"), k = 500, seed = 4L)
     assert(picked.select("id").except(other.select("id")).count() > 100)
+
+    // a non-positive weight must fail the job, not hijack the sample
+    val bad = df.withColumn("w", when(col("id") === 7, lit(0.0)).otherwise(col("w")))
+    val err = intercept[Exception] {
+      Sampling.weightedPerGroup(bad, Seq(col("grp")), col("id"), col("w"), k = 5).collect()
+    }
+    assert(err.getMessage.contains("strictly positive"), s"wrong guard: ${err.getMessage}")
   }
 
   test("chunking: windows, overlap, short tails, sub-window and blank docs") {
