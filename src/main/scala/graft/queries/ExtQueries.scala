@@ -303,6 +303,49 @@ object ExtQueries {
         .orderBy("prev", "next")
     },
 
+    // Month-over-month growth: the reporting staple — monthly revenue in
+    // exact cents (one hash aggregate), then lag/delta over the
+    // month-count-sized result. The window runs over ~84 rows, never the
+    // fact table; deltas are integer-exact.
+    "q127_mom_growth" -> { (s, dir) =>
+      val monthly = t(s, dir, "lineitem")
+        .groupBy(trunc(col("l_shipdate"), "month").as("month"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
+      monthly
+        .withColumn("prev_cents",
+          lag("rev_cents", 1).over(Window.orderBy("month")))
+        .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
+        .orderBy("month")
+    },
+
+    // Pareto / ABC analysis: what share of revenue the top-k% of parts
+    // carry. Per-part revenue (one hash aggregate), rank desc by
+    // (revenue, part) — the id tie-break makes the curve deterministic —
+    // then cumulative share at each part-count decile. All membership
+    // and cumulation in exact integers; the one division is the final
+    // per-mille share, computed with integer arithmetic
+    // (cum*1000 div total).
+    "q128_pareto" -> { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+      val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+      val ranked = rev
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cum", sum("rev").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val totals = ranked.agg(
+        max("rn").as("n_parts"), max("cum").as("total_rev"))
+      val d10 = s.range(1, 11).select(col("id").as("decile"))
+      ranked.crossJoin(broadcast(totals))
+        .join(broadcast(d10), col("rn") === expr("(decile * n_parts) div 10"))
+        .select(
+          col("decile"),
+          col("rn").as("parts"),
+          expr("(cum * 1000) div total_rev").as("share_permille"))
+        .orderBy("decile")
+    },
+
     // Rolling 7-day active users — the classically expensive sliding
     // distinct, answered EXACTLY from the persisted daily bitmap table:
     // each report day OR-merges its window's 7 daily bitmap rows
@@ -895,6 +938,33 @@ object ExtQueries {
         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |       px | (py << 1) AS zkey
         |FROM z5 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q127_mom_growth" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT month, rev_cents,
+        |       lag(rev_cents) OVER (ORDER BY month) AS prev_cents,
+        |       rev_cents - lag(rev_cents) OVER (ORDER BY month) AS delta_cents
+        |FROM m ORDER BY month""".stripMargin,
+    // Same rank/cum/boundary arithmetic, all integer.
+    "q128_pareto" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT l_partkey, rev,
+        |         row_number() OVER (ORDER BY rev DESC, l_partkey) AS rn,
+        |         sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rev),
+        |t AS (SELECT max(rn) AS n_parts, max(cum) AS total_rev FROM r),
+        |d AS (SELECT * FROM range(1, 11) tt(decile))
+        |SELECT d.decile, r.rn AS parts,
+        |       CAST((r.cum * 1000) // t.total_rev AS BIGINT) AS share_permille
+        |FROM r, t, d WHERE r.rn = (d.decile * t.n_parts) // 10
+        |ORDER BY d.decile""".stripMargin,
     // Sliding distinct re-derived the straightforward way: day grid ×
     // activity join, exact COUNT(DISTINCT) per window.
     "q125_rolling_active" ->
