@@ -394,6 +394,56 @@ object StreamOps {
         count(lit(1)).as("cnt"))
   }
 
+  case class FunnelProgress(t1: Long, t2: Long, t3: Long) // -1 = stage not reached
+  case class FunnelCompletion(user_id: Long, view_us: Long, click_us: Long, purchase_us: Long)
+
+  /** Streaming ordered funnel (view → click → purchase) as a per-user
+    * state machine on `flatMapGroupsWithState` — the CEP-style sequence
+    * detection the batch q121 computes retrospectively, emitted LIVE:
+    * one `FunnelCompletion` per user, exactly once, the moment the third
+    * stage lands; users stuck mid-funnel stay silent. State is three
+    * longs per user (the staged min timestamps), not an event list, so
+    * power users cost the same as everyone else.
+    *
+    * Ordering semantics: each micro-batch's per-user events are sorted
+    * by (event time, event_id) before applying the stage machine, so
+    * in-order delivery reproduces q121's staged-min semantics exactly
+    * (StreamSpec asserts completion parity with the batch formulation);
+    * an event arriving AFTER a later-stage event already consumed its
+    * slot (cross-batch out-of-order) cannot retroactively rewire stages
+    * — the documented divergence window, bounded by delivery order, the
+    * standard trade of O(1)-state streaming funnels.
+    */
+  def funnelStream(events: Dataset[Event]): Dataset[FunnelCompletion] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelCompletion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[FunnelProgress]) =>
+          val prev = state.getOption.getOrElse(FunnelProgress(-1L, -1L, -1L))
+          if (prev.t3 >= 0) Iterator.empty // already completed and emitted
+          else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val next = sorted.foldLeft(prev) { (st, e) =>
+              val tus = e.ts.getTime * 1000L
+              e.event_type match {
+                case "view" if st.t1 < 0 => st.copy(t1 = tus)
+                case "click" if st.t1 >= 0 && st.t2 < 0 && tus > st.t1 =>
+                  st.copy(t2 = tus)
+                case "purchase" if st.t2 >= 0 && st.t3 < 0 && tus > st.t2 =>
+                  st.copy(t3 = tus)
+                case _ => st
+              }
+            }
+            state.update(next)
+            if (next.t3 >= 0) Iterator.single(
+              FunnelCompletion(user, next.t1, next.t2, next.t3))
+            else Iterator.empty
+          }
+      }
+  }
+
   /** Streaming writer for the persisted distinct-sketch table
     * (`operators/SketchOps`): one HLL sketch row per event-time window of
     * `width`, emitted once on watermark close (Append). This is the

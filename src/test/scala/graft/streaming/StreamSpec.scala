@@ -655,6 +655,45 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream: exactly-once completion on the third stage; partial funnels stay silent") {
+    import StreamOps.Event
+    val ms = memStream[Event]
+    val out = sinkName()
+    val q = StreamOps.funnelStream(ms.toDS())
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    def ev(id: Long, hhmm: String, u: Long, t: String) = Event(id, ts(hhmm), u, t, 0.0)
+    try {
+      // user 1 progresses across batches; user 2 clicks before viewing
+      // (click must NOT count); user 3 never purchases
+      ms.addData(
+        ev(1, "10:00", 1L, "view"), ev(2, "10:01", 1L, "click"),
+        ev(3, "10:00", 2L, "click"), ev(4, "10:01", 2L, "view"),
+        ev(5, "10:00", 3L, "view"), ev(6, "10:01", 3L, "click"))
+      q.processAllAvailable()
+      assert(spark.table(out).count() == 0, "no funnel is complete yet")
+
+      ms.addData(ev(7, "10:05", 1L, "purchase"), ev(8, "10:05", 2L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table(out)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // only user 1 completed: user 2's click preceded its view
+      assert(rows.map(_._1).toSet == Set(1L), s"wrong completions: ${rows.toSeq}")
+      val (_, v, c, p) = rows.head
+      assert(v < c && c < p, "stage timestamps must be strictly ordered")
+
+      // a second purchase must not re-emit (exactly-once per user)
+      ms.addData(ev(9, "10:30", 1L, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table(out).count() == 1, "completion emitted more than once")
+
+      // user 2's view (10:01) is on record, so a NEW click after it and
+      // a purchase after that complete the funnel late
+      ms.addData(ev(10, "10:10", 2L, "click"), ev(11, "10:11", 2L, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table(out).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("the same tumbling transform runs in batch mode (unified API)") {
     val batch = Seq(
       (ts("10:01"), "a"), (ts("10:02"), "a"), (ts("10:30"), "b")).toDF("ts", "etype")
