@@ -303,6 +303,27 @@ object ExtQueries {
         .orderBy("prev", "next")
     },
 
+    // Sessionized conversion: per-day session counts and the share that
+    // contained a purchase — the session-level companion of the q121
+    // user-level funnel. Sessions come from `session_window` (30-minute
+    // gap); the oracle re-derives them as gaps-and-islands (new session
+    // when the gap is >= 30 min — the >= matches session_window's
+    // exclusive end), which doubles as a hash-checked equivalence proof
+    // between the two session formulations.
+    "q129_session_conversion" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("tsc"),
+          col("event_type"))
+        .groupBy(session_window(col("tsc"), "30 minutes"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .select(to_date(col("session_window.start")).as("d"), col("conv"))
+        .groupBy("d")
+        .agg(count(lit(1)).as("sessions"), sum("conv").as("converted"))
+        .orderBy("d")
+    },
+
     // Month-over-month growth: the reporting staple — monthly revenue in
     // exact cents (one hash aggregate), then lag/delta over the
     // month-count-sized result. The window runs over ~84 rows, never the
@@ -938,6 +959,28 @@ object ExtQueries {
         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |       px | (py << 1) AS zkey
         |FROM z5 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Gaps-and-islands sessions (>= 30 min gap breaks, matching
+    // session_window's exclusive end), then the same per-day rollup.
+    "q129_session_conversion" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events),
+        |s AS (
+        |  SELECT user_id, tus, event_type,
+        |         CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+        |                OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+        |                   >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, tus, event_type,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM s),
+        |sess AS (
+        |  SELECT user_id, sid, min(tus) AS start_us,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM g GROUP BY 1, 2)
+        |SELECT CAST(make_timestamp(start_us) AS DATE) AS d,
+        |       count(*) AS sessions, CAST(sum(conv) AS BIGINT) AS converted
+        |FROM sess GROUP BY 1 ORDER BY d""".stripMargin,
     "q127_mom_growth" ->
       """WITH m AS (
         |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
