@@ -100,8 +100,17 @@ object Layout {
       clusterBy: Seq[Column] = Nil): (Int, Int) = {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(hadoopPath)
+    // Recursive listing: a PARTITIONED dataset keeps its data files in
+    // key=value subdirectories, where a flat listStatus sees zero
+    // .parquet files — totalBytes=0 would silently compact everything
+    // into one file regardless of size.
+    val it = fs.listFiles(hadoopPath, /* recursive = */ true)
+    val dataFiles = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .toArray
+    require(dataFiles.nonEmpty,
+      s"compact($path): no .parquet data files found — mis-pointed path?")
     val totalBytes = dataFiles.map(_.getLen).sum
     val files = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path)

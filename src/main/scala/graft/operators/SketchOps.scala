@@ -52,14 +52,20 @@ object SketchOps {
   // ---- EXACT distinct via partitioned bitmaps -------------------------
   // The deterministic counterpart of the HLL pair above, built on
   // Spark's bitmap aggregate family: a key k sets bit
-  // bitmap_bit_position(k) in the bitmap numbered bitmap_bucket_number(k)
-  // (4096-key ranges), so the per-ingest-bucket summary is (bucket, bno,
-  // bitmap) rows. OR-merge is idempotent — a key re-delivered across
-  // days collapses to the same bit — and sum(bitmap_count) after the OR
-  // is the EXACT distinct count, hash-verifiable against any engine's
-  // COUNT(DISTINCT). Storage is O(key range)/8 bits worst case vs HLL's
-  // fixed KBs: the exact form is the right trade for dense/bounded key
-  // domains (user ids, custkeys), the HLL form for open-ended ones.
+  // bitmap_bit_position(k) in the bitmap numbered bitmap_bucket_number(k).
+  // Each bitmap is 4096 BYTES = 32768 bits, so one bucket covers a
+  // 32768-key range — size the expected bucket fan-out accordingly (a
+  // dense 1e9-key domain yields ~30.5k bitmap rows per ingest bucket).
+  // PRECONDITION: keys must be POSITIVE integers — Spark's
+  // bitmap_bit_position is (k-1) % 32768, so k <= 0 folds onto other
+  // keys' bits and the "exact" count silently undercounts; guard or
+  // shift the domain first. OR-merge is idempotent — a key re-delivered
+  // across days collapses to the same bit — and sum(bitmap_count) after
+  // the OR is the EXACT distinct count, hash-verifiable against any
+  // engine's COUNT(DISTINCT). Storage is O(key range)/8 bits worst case
+  // vs HLL's fixed KBs: the exact form is the right trade for
+  // dense/bounded key domains (user ids, custkeys), the HLL form for
+  // open-ended ones.
 
   private def agg2(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction): Column =
     GraftColumnBridge.column(f.toAggregateExpression())

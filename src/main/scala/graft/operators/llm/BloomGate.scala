@@ -93,8 +93,14 @@ object BloomGate {
       fpp: Double = 0.01): DataFrame = {
     val bf = bloomOf(blocklist, blockKey, expectedItems, fpp).scalar()
     val block = blocklist.select(blockKey.as("__bloom_gate_key"))
-    val clean = corpus.where(!mightContain(bf, key))
-    val candidates = corpus.where(mightContain(bf, key))
+    // NULL keys route explicitly to the clean branch: `might_contain`
+    // evaluates to NULL for a NULL key, so without the isNull disjunct a
+    // null-key row would satisfy NEITHER branch predicate and silently
+    // vanish — whereas the plain anti-join this operator claims
+    // equivalence with RETAINS null-key rows (null never equi-matches a
+    // blocklist key). Same law on both branches keeps them a partition.
+    val clean = corpus.where(key.isNull || !mightContain(bf, key))
+    val candidates = corpus.where(key.isNotNull && mightContain(bf, key))
       .join(block, key === col("__bloom_gate_key"), "left_anti")
     clean.unionByName(candidates)
   }
