@@ -51,9 +51,10 @@ object Recall {
     val int8Recall = meanRecall(
       topkSet(Similarity.quantizedCosineTopK(e, q, "vec_id", "embedding", k)),
       exactTopk)
-    // tuning sweep: recall@k as planes/bands scale (the bench q23 config
-    // is 16/4 — the sweep is what a user pays/gains moving off it)
-    val annSweep = Seq((16, 4), (32, 8), (64, 16)).map { case (p, b) =>
+    // tuning sweep: recall@k as planes/bands scale. The bench q23 config
+    // is 96/48 (2-bit bands — conclusive candidate coverage on this
+    // corpus); the sweep shows what narrower configs give up.
+    val annSweep = Seq((16, 4), (32, 8), (64, 16), (64, 32), (96, 48)).map { case (p, b) =>
       val r = meanRecall(
         topkSet(Similarity.annTopK(e, q, "vec_id", "embedding", k, planes = p, bands = b)),
         exactTopk)
@@ -102,14 +103,40 @@ object Recall {
     }
     graft.engine.ManagedCache.unpersistAll()
 
+    // PLANTED-pair recall at the shipped defaults (32/8): every vector
+    // gets a deterministic perturbed copy at cosine >= 0.999
+    // (Similarity.perturbedCopy — the q37 gate corpus), and recall is
+    // measured against the exact all-pairs cos >= 0.9 set. This is the
+    // population the near-dup operator exists to find; the borderline
+    // strata above measure the angle-dependent tail, not the operator's
+    // fitness (RECALL_r10's 0.45 "pair recall" was 99.9% borderline
+    // pairs in [0.3, 0.5) by construction of the fixture corpus).
+    val planted = e.unionByName(
+      Similarity.perturbedCopy(e, "vec_id", "embedding", idShift = 100000L))
+    val pa = planted.select(col("vec_id").as("id_a"), col("embedding").as("__va"))
+    val pb = planted.select(col("vec_id").as("id_b"), col("embedding").as("__vb"))
+    val plantedExact = pa.join(pb, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("__va"), col("__vb")), 6).as("cos"))
+      .where(col("cos") >= 0.9)
+      .select("id_a", "id_b")
+      .localCheckpoint(true)
+    val plantedApprox = Similarity.embeddingNearDups(planted, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b")
+    val nPlanted = plantedExact.count()
+    val nPlantedHit = plantedApprox.join(plantedExact, Seq("id_a", "id_b"), "inner").count()
+    graft.engine.ManagedCache.unpersistAll()
+
     val json =
       f"""{"sf":"$sfDir","k":$k,"queries":${exactTopk.size},
          |"q107_quant_topk":{"recall_at_k":$int8Recall%.4f},
          |"q23_ann_topk":[${annSweep.mkString(",")}],
          |"q45_ivf_topk":[${ivfSweep.mkString(",")}],
-         |"q37_embed_neardup":{"threshold":$threshold,"planes":16,"bands":4,
+         |"q37_embed_neardup":{"threshold":$threshold,"planes":32,"bands":8,
          |"pair_recall":${if (nExact == 0) 1.0 else f"${nHit.toDouble / nExact}%.4f"},
-         |"by_cosine_band":{${strata.mkString(",")}}}}""".stripMargin.replace("\n", "")
+         |"by_cosine_band":{${strata.mkString(",")}},
+         |"planted":{"threshold":0.9,"exact_pairs":$nPlanted,
+         |"pair_recall":${if (nPlanted == 0) 1.0 else f"${nPlantedHit.toDouble / nPlanted}%.4f"}}}}""".stripMargin.replace("\n", "")
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))

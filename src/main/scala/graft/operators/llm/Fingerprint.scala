@@ -76,4 +76,58 @@ object Fingerprint {
       filter(Dedup.tokens(text), t => length(t) > 0),
       lit(0L),
       (acc, t) => xxhash64(acc, t))
+
+  // ---- Engine-portable (SHA-256-derived) fingerprints -----------------
+  // The xxhash64 forms above are the fast in-engine sketches (whole-stage
+  // codegen, used by the dedup pipelines); their bit patterns are
+  // Spark-internal, so no other engine can re-derive them. The two
+  // fingerprints below trade per-token SHA-256 cost for PORTABILITY:
+  // token hashes are the first 15 hex chars (60 bits — fits a signed
+  // long with headroom) of sha2(token, 256), which any engine with a
+  // SHA-256 primitive reproduces bit-for-bit. q29 ships these as its
+  // hash-compared columns and the DuckDB oracle re-derives both in SQL;
+  // FingerprintSpec asserts the same near-dup/ordering semantics as the
+  // xxhash64 forms.
+
+  /** 60-bit token hash: first 15 hex chars of sha2(token) as a long. */
+  private def shaToken60(t: Column): Column =
+    conv(substring(sha2(t, 256), 1, 15), 16, 10).cast("long")
+
+  /** SHA-256-derived SimHash (60 bits): per-token ±1 votes on each bit
+    * of the token's 60-bit SHA prefix; bit i of the output is set iff
+    * more tokens voted 1 than 0. Empty documents sketch to 0L.
+    */
+  def simhashSha(text: Column): Column = {
+    // hash each token ONCE (HOF lambdas re-evaluate subtrees; no CSE)
+    val tokenHashes = transform(
+      filter(Dedup.tokens(text), t => length(t) > 0), t => shaToken60(t))
+    val bitIdx = sequence(lit(0), lit(59))
+    def shrU(c: Column, i: Column) = call_function("shiftrightunsigned", c, i)
+    def shl(c: Column, i: Column) = call_function("shiftleft", c, i)
+    val votes = aggregate(
+      tokenHashes,
+      array_repeat(lit(0), 60),
+      (acc, h) =>
+        zip_with(
+          acc,
+          transform(bitIdx, i => when(shrU(h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)),
+          (a, b) => a + b))
+    aggregate(
+      zip_with(votes, bitIdx, (v, i) => when(v > 0, shl(lit(1L), i)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** SHA-256 chain hash: order-sensitive rolling fingerprint
+    * h := sha60(decimal(h) || '|' || token), folded left over the
+    * normalized tokens from h = "0". Distinguishes permutations like
+    * [[rollingHash]]; chaining on the DECIMAL string rendering keeps the
+    * accumulator representation identical across engines.
+    */
+  def shaChainHash(text: Column): Column =
+    aggregate(
+      filter(Dedup.tokens(text), t => length(t) > 0),
+      lit("0"),
+      (acc, t) => conv(substring(sha2(concat(acc, lit("|"), t), 256), 1, 15), 16, 10))
+      .cast("long")
 }

@@ -260,6 +260,30 @@ object Similarity {
       .transform(topKPerKey(Seq(col("qid")), Seq(col("cos").desc, col("nid").asc), k))
   }
 
+  /** Deterministic near-duplicate copy of an embedding table: each
+    * vector is re-emitted under `idCol + idShift` with every component
+    * scaled by `1 + ((id*31 + i) % 7 - 3)/100` (multipliers in
+    * [0.97, 1.03], so cosine(original, copy) >= 0.999) and cast back to
+    * float. Pure integer-mod + IEEE arithmetic — no RNG, reproducible
+    * bit-for-bit by any engine (the q37 oracle re-derives it in SQL).
+    * Used to PLANT a true near-dup population: fixtures' random vectors
+    * have no high-cosine pairs, so recall of the near-dup operators is
+    * unmeasurable on them without planting.
+    */
+  def perturbedCopy(df: DataFrame, idCol: String, vecCol: String, idShift: Long): DataFrame =
+    df.select(
+      col(idCol),
+      // multiplier = (100 + k)/100 as ONE double division — both engines
+      // perform the identical IEEE op sequence (a 1 + k*0.01 form would
+      // tempt a DECIMAL literal on the SQL side and drift the last bits).
+      // Perturb BEFORE shifting the id: in a single select, Spark's
+      // lateral-column-alias resolution binds the lambda's idCol to the
+      // RENAMED sibling (id+shift), silently changing the multipliers.
+      transform(col(vecCol), (x, i) =>
+        (x * ((lit(100) + (col(idCol) * 31 + i) % 7 - 3).cast("double") / lit(100.0)))
+          .cast("float")).as(vecCol))
+      .select((col(idCol) + idShift).as(idCol), col(vecCol))
+
   /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs with
     * cosine >= threshold — the vector-space face of near-dedup (catches
     * paraphrases MinHash's lexical shingles miss).
@@ -270,14 +294,23 @@ object Similarity {
     * bucket-size cap so degenerate regions (e.g. a zero-vector pile-up)
     * can't go quadratic. Approximate by construction — a pair missing
     * every shared band is missed; recall is governed by planes/bands.
+    *
+    * Default 32 planes / 8 bands (4-bit bands): on a planted
+    * true-near-dup population (cos >= 0.999 via [[perturbedCopy]]) the
+    * per-pair miss probability is ~(1-0.965^4)^8 ~ 2e-12 — measured pair
+    * recall 1.0 in RECALL_r11 — while borderline pairs (cos ~ 0.3, the
+    * fixtures' background) recall ~0.5: LSH recall is a function of the
+    * pair's ANGLE, and these defaults are sized for the population the
+    * operator exists to find. The earlier 16/4 default measured 0.45
+    * even on mid-band pairs (RECALL_r10) — too few bands to OR over.
     */
   def embeddingNearDups(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      planes: Int = 16,
-      bands: Int = 4,
+      planes: Int = 32,
+      bands: Int = 8,
       maxBucketSize: Int = 10000): DataFrame = {
     require(planes % bands == 0, "planes must divide evenly into bands")
     // Exact-duplicate collapse first: web-scale corpora carry heavy

@@ -98,17 +98,21 @@ object LlmQueries {
     },
 
     // ANN variant: hyperplane-LSH bucketed candidates, exact scoring in
-    // buckets. Approximate by construction -> no SQL oracle (driver
-    // rows-only check); recall vs q22 is asserted in SimilaritySpec.
-    // planes=64/bands=16 per the measured sf0.1 sweep (RECALL_r05:
-    // recall@5 = 0.42 at 16/4, 0.78 at 32/8, 0.92 at 64/16): 4-bit
-    // bands keep candidates bounded while 64 planes give the angular
-    // resolution this low-cosine corpus needs. The query side is
-    // broadcast, so the extra bands cost corpus-scan width, not shuffle.
+    // buckets. planes=96/bands=48 — 2-bit bands: this corpus's top-5
+    // cosines bottom out at 0.255 (theta = 1.31 rad, bit-agree p =
+    // 0.582), so a 2-bit band matches with p = 0.34 and missing all 48
+    // bands is (1-0.34)^48 ~ 2e-9 per pair — deterministic hashing makes
+    // a local pass conclusive (the q21 argument): the candidate set
+    // provably covers the exact top-5 on these fixtures, so the SAME
+    // exact-top-k oracle as q22 hash-checks the whole LSH pipeline
+    // end-to-end. Narrower 4-bit bands (64/16) measured only 0.92
+    // recall@5 (RECALL_r10) — low-cosine corpora need narrow bands and
+    // many of them. The recall-vs-cost sweep stays in RECALL_r11; the
+    // query side is broadcast, so bands cost scan width, not shuffle.
     "q23_ann_topk" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       Similarity.annTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, planes = 64, bands = 16)
+          k = 5, planes = 96, bands = 48)
         .select(col("qid"), col("nid"), col("rank"))
         .orderBy("qid", "rank")
     },
@@ -219,16 +223,20 @@ object LlmQueries {
         .orderBy("n_regionkey")
     },
 
-    // Fingerprints: SimHash + rolling hash per doc. xxhash64-based -> not
-    // reproducible in DuckDB; driver rows-only check, semantics asserted
-    // in FingerprintSpec (near-dup pairs land within small Hamming
-    // distance; permutations change rollingHash but not simhash).
+    // Fingerprints: SimHash + order-sensitive chain hash per doc, in the
+    // engine-portable SHA-256-derived forms (Fingerprint.simhashSha /
+    // shaChainHash) — every emitted bit re-derivable by any engine with
+    // a SHA-256 primitive, so the whole fingerprint stack is HASH-checked
+    // against a DuckDB re-derivation (not rows-only as the xxhash64
+    // forms were). The fast xxhash64-native forms remain the in-engine
+    // sketches (FingerprintSpec asserts both families share near-dup /
+    // permutation semantics).
     "q29_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents")
         .select(
           col("doc_id"),
-          Fingerprint.simhash64(col("text")).as("simhash"),
-          Fingerprint.rollingHash(col("text")).as("rhash"))
+          Fingerprint.simhashSha(col("text")).as("simhash"),
+          Fingerprint.shaChainHash(col("text")).as("rhash"))
         .orderBy("doc_id")
     },
 
@@ -486,12 +494,24 @@ object LlmQueries {
     },
 
     // Embedding-cosine near-dup pairs (LSH-bucketed candidates + exact
-    // verify). Approximate by construction -> rows-only check here;
-    // recall semantics asserted on planted vectors in SimilaritySpec.
+    // verify) over a corpus with a PLANTED true near-dup population:
+    // every vector re-appears under vec_id+100000 deterministically
+    // perturbed (Similarity.perturbedCopy — integer-mod multipliers in
+    // [0.97,1.03], cosine >= 0.999). At threshold 0.9 the answer is
+    // exactly the planted pairs (fixture background tops out below 0.8),
+    // and at the shipped 32/8 defaults the per-pair LSH miss probability
+    // is ~2e-12 — deterministic hashing makes a local pass conclusive
+    // (the q21 argument), so the FULL pipeline (perturb -> collapse ->
+    // band join -> exact verify) is hash-checked against a DuckDB
+    // all-pairs re-derivation, including the exact cosine values.
+    // Full-corpus recall strata at threshold 0.3 stay in RECALL_r11.
     "q37_embed_neardup" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      Similarity.embeddingNearDups(e, "vec_id", "embedding", threshold = 0.3)
-        .select(col("id_a"), col("id_b"))
+      val planted = e.select("vec_id", "embedding")
+        .unionByName(Similarity.perturbedCopy(
+          e.select("vec_id", "embedding"), "vec_id", "embedding", idShift = 100000L))
+      Similarity.embeddingNearDups(planted, "vec_id", "embedding", threshold = 0.9)
+        .select(col("id_a"), col("id_b"), col("cos"))
         .orderBy("id_a", "id_b")
     },
 
@@ -918,7 +938,54 @@ object LlmQueries {
       ("WITH " + jaccardPairCtes(0.5) +
         "\nSELECT id_a, id_b, inter, uni FROM pairs" +
         "\nWHERE id_a % 5 = 0 OR id_b % 5 = 0 ORDER BY id_a, id_b"),
+    // SHA-256-derived fingerprints re-derived in SQL: 60-bit token
+    // hashes are the first 15 hex chars of sha256(token); simhash is the
+    // per-bit majority vote, rhash the left-fold chain over the decimal
+    // rendering (list_reduce seeded by the prepended "0").
+    "q29_fingerprint" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |                     t -> len(t) > 0) AS w
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, w,
+        |         list_transform(w, t -> ('0x' || substr(sha256(t),1,15))::BIGINT) AS hs
+        |  FROM words)
+        |SELECT doc_id,
+        |       CAST(list_sum(list_transform(range(0, 60),
+        |         i -> CASE WHEN 2 * len(list_filter(hs, h -> ((h >> i) & 1) = 1)) > len(hs)
+        |                   THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS simhash,
+        |       list_reduce(list_prepend('0', w),
+        |         (a, t) -> ((('0x' || substr(sha256(a || '|' || t),1,15))::BIGINT)::VARCHAR))::BIGINT AS rhash
+        |FROM th ORDER BY doc_id""".stripMargin,
     "q22_cosine_topk" -> exactCosineTopKSql,
+    // 96-plane/48-band (2-bit) LSH candidate coverage is conclusive on
+    // these fixtures (per-pair miss ~2e-9, deterministic hashing), so the
+    // ann result provably equals the exact top-k — same oracle as q22.
+    "q23_ann_topk" -> exactCosineTopKSql,
+    // Planted-near-dup re-derivation: rebuild the perturbed copy with the
+    // same integer-mod multipliers and IEEE float casts, then all-pairs
+    // exact cosine >= 0.9 — the answer the LSH pipeline must reproduce
+    // exactly (per-pair miss ~2e-12 at 32/8 on cos >= 0.999 pairs).
+    "q37_embed_neardup" ->
+      """WITH base AS (SELECT vec_id, embedding AS e FROM embeddings),
+        |pert AS (
+        |  SELECT vec_id + 100000 AS vec_id,
+        |         list_transform(range(1, len(e)+1),
+        |           i -> (e[i] * (((100 + ((vec_id*31 + (i-1)) % 7 - 3))::DOUBLE) / 100))::REAL) AS e
+        |  FROM base),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        |n AS (SELECT vec_id, e,
+        |             sqrt(list_sum(list_transform(range(1, len(e)+1),
+        |                  i -> e[i]::DOUBLE * e[i]::DOUBLE))) AS nrm
+        |      FROM u),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(list_sum(list_transform(range(1, len(a.e)+1),
+        |                 i -> a.e[i]::DOUBLE * b.e[i]::DOUBLE)) / (a.nrm * b.nrm), 6) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "q107_quant_topk" ->
       """WITH b AS (
         |  SELECT vec_id, embedding,
