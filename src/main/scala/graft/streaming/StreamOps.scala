@@ -397,6 +397,29 @@ object StreamOps {
   case class FunnelProgress(t1: Long, t2: Long, t3: Long) // -1 = stage not reached
   case class FunnelCompletion(user_id: Long, view_us: Long, click_us: Long, purchase_us: Long)
 
+  /** True event-time MICROseconds of a Timestamp. `getTime` alone is
+    * millisecond-truncated — events distinct at micro- but equal at
+    * milli-granularity would collapse and the strict `>` stage gates
+    * could diverge from the batch q121 (which compares true micros).
+    */
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000
+
+  /** The q121 staged-min fold over events sorted by (event-time micros,
+    * event_id): first view sets t1, first later click sets t2, first
+    * still-later purchase sets t3 — identical to the batch staged-min
+    * aggregates when applied in global event-time order.
+    */
+  private def foldFunnel(st0: FunnelProgress, evs: Seq[(Long, String)]): FunnelProgress =
+    evs.foldLeft(st0) { case (st, (tus, tpe)) =>
+      tpe match {
+        case "view" if st.t1 < 0 => st.copy(t1 = tus)
+        case "click" if st.t1 >= 0 && st.t2 < 0 && tus > st.t1 => st.copy(t2 = tus)
+        case "purchase" if st.t2 >= 0 && st.t3 < 0 && tus > st.t2 => st.copy(t3 = tus)
+        case _ => st
+      }
+    }
+
   /** Streaming ordered funnel (view → click → purchase) as a per-user
     * state machine on `flatMapGroupsWithState` — the CEP-style sequence
     * detection the batch q121 computes retrospectively, emitted LIVE:
@@ -424,22 +447,88 @@ object StreamOps {
           val prev = state.getOption.getOrElse(FunnelProgress(-1L, -1L, -1L))
           if (prev.t3 >= 0) Iterator.empty // already completed and emitted
           else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            val next = sorted.foldLeft(prev) { (st, e) =>
-              val tus = e.ts.getTime * 1000L
-              e.event_type match {
-                case "view" if st.t1 < 0 => st.copy(t1 = tus)
-                case "click" if st.t1 >= 0 && st.t2 < 0 && tus > st.t1 =>
-                  st.copy(t2 = tus)
-                case "purchase" if st.t2 >= 0 && st.t3 < 0 && tus > st.t2 =>
-                  st.copy(t3 = tus)
-                case _ => st
-              }
-            }
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            val next = foldFunnel(prev, sorted.map(e => (micros(e.ts), e.event_type)))
             state.update(next)
             if (next.t3 >= 0) Iterator.single(
               FunnelCompletion(user, next.t1, next.t2, next.t3))
             else Iterator.empty
+          }
+      }
+  }
+
+  /** Per-user buffered-funnel state: the fold over the FINALIZED prefix
+    * (every event older than the watermark, applied in event-time order)
+    * plus the still-mutable tail buffer of (micros, type, event_id)
+    * events at-or-after the watermark. `done` tombstones a user whose
+    * completion has been emitted (exactly-once).
+    */
+  case class FunnelBuf(
+      t1: Long, t2: Long, t3: Long,
+      buf: Seq[(Long, String, Long)],
+      done: Boolean)
+
+  /** Event-time-buffered ordered funnel: batch-q121 parity under
+    * arbitrary cross-batch reordering, the gap [[funnelStream]] documents.
+    *
+    * Where [[funnelStream]] consumes each micro-batch irrevocably (a
+    * later stage arriving in an earlier micro-batch can steal a slot the
+    * true event-time order would not give it), this variant BUFFERS
+    * events until the watermark passes them. The staged-min fold is only
+    * "finalized" over events strictly older than the watermark — which
+    * is exactly the set that can no longer be reordered, because rows
+    * later than `lateness` are dropped by the watermark — so the fold is
+    * always computed in true global event-time order, and the result
+    * equals the batch staged-min aggregates no matter how delivery
+    * interleaved (StreamSpec asserts parity under adversarially shuffled
+    * micro-batch delivery).
+    *
+    * A completion (t1 < t2 < t3) is emitted once the watermark passes t3:
+    * any event that could still rewire a stage (a view before t1, a
+    * click inside (t1, t2), a purchase inside (t2, t3)) has event time
+    * < t3 and is therefore already dropped. Emission needs no new data
+    * for the user — an event-time timer set at t3 fires on watermark
+    * advance.
+    *
+    * State per user is the three staged longs plus ONLY the events inside
+    * the lateness horizon (older ones compress into the fold as the
+    * watermark passes them): bounded by per-user event rate x lateness,
+    * the standard price of exact out-of-order CEP.
+    */
+  def funnelStreamBuffered(events: Dataset[Event], lateness: String): Dataset[FunnelCompletion] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, FunnelCompletion](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[FunnelBuf]) =>
+          val prev = state.getOption.getOrElse(FunnelBuf(-1L, -1L, -1L, Nil, done = false))
+          if (prev.done) Iterator.empty
+          else {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val all = (prev.buf ++ batch.map(e => (micros(e.ts), e.event_type, e.event_id)))
+              .sortBy(t => (t._1, t._3))
+            // finalize the prefix the watermark has passed; keep the tail
+            val (expired, live) = all.partition(_._1 < wmUs)
+            val base = foldFunnel(
+              FunnelProgress(prev.t1, prev.t2, prev.t3),
+              expired.map(t => (t._1, t._2)))
+            // candidate result including the still-mutable tail
+            val cand = foldFunnel(base, live.map(t => (t._1, t._2)))
+            if (cand.t3 >= 0 && cand.t3 < wmUs) {
+              // no admissible future event can precede t3 — final
+              state.update(FunnelBuf(cand.t1, cand.t2, cand.t3, Nil, done = true))
+              Iterator.single(FunnelCompletion(user, cand.t1, cand.t2, cand.t3))
+            } else {
+              state.update(FunnelBuf(base.t1, base.t2, base.t3, live, done = false))
+              if (cand.t3 >= 0) {
+                // completion pending: wake this user when the watermark
+                // passes t3, even if no further events arrive for them
+                state.setTimeoutTimestamp(cand.t3 / 1000L + 1)
+              }
+              Iterator.empty
+            }
           }
       }
   }

@@ -694,6 +694,117 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStreamBuffered: batch parity under adversarially reversed micro-batch delivery") {
+    import StreamOps.Event
+    def tsU(hhmm: String, us: Int): Timestamp = {
+      val t = Timestamp.valueOf(s"2024-01-01 $hhmm:00"); t.setNanos(us * 1000); t
+    }
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+    val ms = memStream[Event]
+    val out = sinkName()
+    val outEager = sinkName()
+    val q = StreamOps.funnelStreamBuffered(ms.toDS(), lateness = "30 minutes")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    // the eager variant reads the SAME stream: its documented divergence
+    // under cross-batch reordering is what the buffered form closes
+    val qe = StreamOps.funnelStream(ms.toDS())
+      .writeStream.format("memory").queryName(outEager).outputMode("append").start()
+    def ev(id: Long, t: Timestamp, u: Long, tp: String) = Event(id, t, u, tp, 0.0)
+    try {
+      // u1: stages delivered in REVERSE batch order (purchase first);
+      // u2: a later view arrives BEFORE the true first view, so the eager
+      //     machine wires t1=10:02 and then rejects the 10:01 click;
+      // u3: never completes; u4: stages distinct only at MICROsecond
+      //     granularity (pins the getNanos fix), also delivered reversed.
+      ms.addData(
+        ev(103, ts("10:10"), 1L, "purchase"),
+        ev(202, ts("10:02"), 2L, "view"), ev(204, ts("10:03"), 2L, "purchase"),
+        ev(403, tsU("10:00", 5), 4L, "purchase"))
+      q.processAllAvailable(); qe.processAllAvailable()
+      ms.addData(
+        ev(102, ts("10:05"), 1L, "click"),
+        ev(203, ts("10:01"), 2L, "click"),
+        ev(402, tsU("10:00", 3), 4L, "click"))
+      q.processAllAvailable(); qe.processAllAvailable()
+      ms.addData(
+        ev(101, ts("10:00"), 1L, "view"),
+        ev(201, ts("10:00"), 2L, "view"),
+        ev(301, ts("10:00"), 3L, "view"),
+        ev(401, tsU("10:00", 1), 4L, "view"))
+      q.processAllAvailable(); qe.processAllAvailable()
+      assert(spark.table(out).count() === 0, "nothing final until the watermark passes t3")
+
+      // watermark pushers (one batch to advance it, one to fire timers)
+      ms.addData(ev(901, ts("11:00"), 99L, "view"))
+      q.processAllAvailable(); qe.processAllAvailable()
+      ms.addData(ev(902, ts("11:05"), 99L, "click"))
+      q.processAllAvailable(); qe.processAllAvailable()
+
+      val got = spark.table(out)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      // the batch q121 staged-min answer, in true micros
+      val expected = Map(
+        1L -> (us(ts("10:00")), us(ts("10:05")), us(ts("10:10"))),
+        2L -> (us(ts("10:00")), us(ts("10:01")), us(ts("10:03"))),
+        4L -> (us(tsU("10:00", 1)), us(tsU("10:00", 3)), us(tsU("10:00", 5))))
+      assert(got === expected, s"buffered funnel diverged from batch: $got")
+      // exactly-once: a replayed later purchase must not re-emit
+      ms.addData(ev(104, ts("10:20"), 1L, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table(out).count() === 3)
+      // and the eager machine provably CANNOT complete any of these
+      // (every user's stages arrived in reverse batch order)
+      assert(spark.table(outEager).count() === 0,
+        "delivery was not adversarial — eager funnel completed")
+    } finally { q.stop(); qe.stop() }
+  }
+
+  test("state rescale: restart from checkpoint under a different shuffle-partition count") {
+    // The local proxy for an executor rescale: stateful-operator state is
+    // hash-partitioned by numShufflePartitions FIXED AT FIRST START (in
+    // the checkpoint's offset log); a restart under a different session
+    // shuffle-partition setting must keep reading/writing that state
+    // correctly — windows opened before the restart close with complete
+    // counts after it, and no state is orphaned or double-counted.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rescale").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft-rescale-out").toString
+    val ms = memStream[Event]
+    def start() = StreamOps.tumblingCounts(ms.toDS().toDF(), "ts", "10 minutes",
+        Seq(col("event_type")), lateness = "0 seconds")
+      .select(col("window.start").cast("long").as("ws"), col("event_type"), col("cnt"))
+      .writeStream.format("parquet")
+      .option("path", dest)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val q1 = start()
+    try {
+      ms.addData(
+        Event(1L, ts("10:01"), 100L, "click", 1.0),
+        Event(2L, ts("10:03"), 200L, "click", 1.0),
+        Event(3L, ts("10:04"), 300L, "view", 1.0))
+      q1.processAllAvailable() // windows still open; state only
+    } finally q1.stop()
+
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", (before.toInt * 3 + 1).toString)
+      val q2 = start()
+      try {
+        // one more in-window event plus the watermark push that closes W1
+        ms.addData(Event(4L, ts("10:06"), 400L, "click", 1.0))
+        q2.processAllAvailable()
+        ms.addData(Event(5L, ts("10:25"), 500L, "click", 1.0))
+        q2.processAllAvailable()
+        val counts = spark.read.parquet(dest)
+          .select("event_type", "cnt").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toSet
+        assert(counts.contains("click" -> 3L) && counts.contains("view" -> 1L),
+          s"state lost or double-counted across the rescale restart: $counts")
+      } finally q2.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("the same tumbling transform runs in batch mode (unified API)") {
     val batch = Seq(
       (ts("10:01"), "a"), (ts("10:02"), "a"), (ts("10:30"), "b")).toDF("ts", "etype")
