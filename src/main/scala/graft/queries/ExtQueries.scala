@@ -189,6 +189,45 @@ object ExtQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // Transactional MERGE INTO (LakeTable): init a copy-on-write table
+    // from orders partitioned by status, merge one deterministic source
+    // batch — updates (keys % 10 = 0: price += 100, status forced to 'F',
+    // i.e. PARTITION-MOVING for open orders) plus inserts (keys % 10 = 3
+    // re-keyed into a brand-new 'N' partition) — then read the committed
+    // snapshot back and aggregate. The oracle re-derives the merged table
+    // relationally (source wins on key ∪ untouched target rows), so the
+    // whole manifest/commit/copy-on-write machinery is hash-checked: a
+    // lost update, double-applied insert, phantom from an uncommitted
+    // batch, or a row dropped by the partition rewrite all shift cnt or
+    // cents. Crash-safety (uncommitted batch invisible, concurrent-commit
+    // refusal, vacuum) is pinned in LakeTableSpec.
+    "q130_lake_merge" -> { (s, dir) =>
+      val root = s"/root/repo/target/staging/q130_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true) // fresh table per verify run
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      graft.operators.LakeTable.init(s, root, orders, "o_orderstatus")
+      val updates = orders.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .withColumn("o_orderstatus", lit("F"))
+      val inserts = orders.where(col("o_orderkey") % 10 === 3)
+        .select(
+          (col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_custkey"),
+          lit("N").as("o_orderstatus"),
+          col("o_totalprice"))
+      graft.operators.LakeTable.merge(
+        s, root, updates.unionByName(inserts), Seq("o_orderkey"), "o_orderstatus")
+      graft.operators.LakeTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("o_orderstatus")
+    },
+
     // Persisted-sketch distinct rollup (SketchOps): per-day HLL sketches
     // of the customer set — the table an ingest job would store — merged
     // to per-month distinct estimates WITHOUT touching the raw rows
@@ -959,6 +998,24 @@ object ExtQueries {
         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |       px | (py << 1) AS zkey
         |FROM z5 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Relational re-derivation of the MERGE result: source wins on key
+    // (updates repartitioned to 'F', inserts re-keyed into 'N'),
+    // untouched target rows carried — exactly what the committed
+    // snapshot must contain.
+    "q130_lake_merge" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey, 'F' AS o_orderstatus,
+        |         o_totalprice + 100.0 AS o_totalprice
+        |  FROM t WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice
+        |  FROM t WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT * FROM t WHERE o_orderkey % 10 <> 0)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // Gaps-and-islands sessions (>= 30 min gap breaks, matching
     // session_window's exclusive end), then the same per-day rollup.
     "q129_session_conversion" ->
