@@ -73,6 +73,16 @@ def main():
     # README drift guard: the stated query counts must match the artifact
     # (the counts have drifted three rounds running when unchecked)
     n_queries = len([d for d in glob.glob(f"{OUT}/q*") if os.path.isdir(d)])
+    # BENCH_FULL drift guard: the builder-written bench artifact must
+    # cover the WHOLE query surface — a truncated BENCH_r*.json stdout
+    # tail must never be the only record (round-10 verdict item 7)
+    bench_full = "/root/repo/BENCH_FULL.json"
+    if os.path.exists(bench_full):
+        n_bench = len(json.load(open(bench_full)).get("queries", {}))
+        if n_bench != n_queries:
+            print(f"FAIL BENCH_FULL: {n_bench} bench timings vs {n_queries} queries "
+                  f"in the artifact — regenerate with graft.Bench")
+            ok = False
     readme = open("/root/repo/README.md").read()
     if (f"{n_queries} queries" not in readme
             or f"{len(oracle)} of {n_queries} hash-verified" not in readme):
