@@ -95,9 +95,14 @@ object Fingerprint {
 
   /** SHA-256-derived SimHash (60 bits): per-token ±1 votes on each bit
     * of the token's 60-bit SHA prefix; bit i of the output is set iff
-    * more tokens voted 1 than 0. Empty documents sketch to 0L.
+    * more tokens voted 1 than 0. Empty documents sketch to 0L. Native
+    * compiled loop (one MessageDigest per thread); [[simhashShaBuiltin]]
+    * is the bit-identical HOF reference form (FingerprintSpec parity).
     */
-  def simhashSha(text: Column): Column = {
+  def simhashSha(text: Column): Column = graft.functions.exprs.simhashSha60(text)
+
+  /** Built-in-composition reference form of [[simhashSha]]. */
+  def simhashShaBuiltin(text: Column): Column = {
     // hash each token ONCE (HOF lambdas re-evaluate subtrees; no CSE)
     val tokenHashes = transform(
       filter(Dedup.tokens(text), t => length(t) > 0), t => shaToken60(t))
@@ -122,9 +127,13 @@ object Fingerprint {
     * h := sha60(decimal(h) || '|' || token), folded left over the
     * normalized tokens from h = "0". Distinguishes permutations like
     * [[rollingHash]]; chaining on the DECIMAL string rendering keeps the
-    * accumulator representation identical across engines.
+    * accumulator representation identical across engines. Native
+    * compiled loop; [[shaChainHashBuiltin]] is the reference form.
     */
-  def shaChainHash(text: Column): Column =
+  def shaChainHash(text: Column): Column = graft.functions.exprs.shaChainHash(text)
+
+  /** Built-in-composition reference form of [[shaChainHash]]. */
+  def shaChainHashBuiltin(text: Column): Column =
     aggregate(
       filter(Dedup.tokens(text), t => length(t) > 0),
       lit("0"),

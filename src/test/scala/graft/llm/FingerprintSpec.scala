@@ -56,6 +56,33 @@ class FingerprintSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("native SHA fingerprints agree with the built-in HOF forms and keep the family semantics") {
+    // the q29 portable forms: native compiled loop vs pure-Catalyst
+    // sha2/conv composition — same tokenization, same 15-hex-nibble
+    // truncation, same decimal-rendered chain accumulator
+    val rows = Seq(base, nearDup, unrelated, "Mixed  CASE\ttext", "", "  ", "one")
+      .toDF("t")
+      .select(
+        Fingerprint.simhashSha(col("t")).as("sn"),
+        Fingerprint.simhashShaBuiltin(col("t")).as("sb"),
+        Fingerprint.shaChainHash(col("t")).as("cn"),
+        Fingerprint.shaChainHashBuiltin(col("t")).as("cb"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "simhashSha native != builtin")
+      assert(r.getLong(2) == r.getLong(3), "shaChainHash native != builtin")
+    }
+    // same near-dup/order semantics as the xxhash64 family
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val m = Seq(base, nearDup, unrelated, "alpha beta", "beta alpha").toDF("t")
+      .select(col("t"), Fingerprint.simhashSha(col("t")), Fingerprint.shaChainHash(col("t")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ham(m(base)._1, m(nearDup)._1) <= 12)
+    assert(ham(m(base)._1, m(unrelated)._1) >= 18)
+    assert(m("alpha beta")._1 == m("beta alpha")._1, "simhash is a bag sketch")
+    assert(m("alpha beta")._2 != m("beta alpha")._2, "chain hash is order-sensitive")
+  }
+
   test("expressions are SQL-callable after GraftExtensions registration") {
     graft.functions.GraftExtensions.register(spark)
     Seq(base).toDF("t").createOrReplaceTempView("fp_docs")
