@@ -143,6 +143,42 @@ object ScaleProbe {
       Similarity.embeddingNearDups(embs, "vec_id", "embedding", threshold = 0.8).count())
     graft.engine.ManagedCache.unpersistAll()
 
+    // LakeTable copy-on-write locality: MERGE cost must track the TOUCHED
+    // slice, not the table. Build a table of factor x orders across 32
+    // hash partitions, then merge (a) a batch confined to ONE partition
+    // and (b) a same-sized batch spread across all 32. Both batches have
+    // identical row counts; the narrow merge should rewrite ~1/32 of the
+    // files and finish far faster — the 100 TB upsert story (corrections
+    // cluster in recent partitions) in miniature.
+    {
+      import graft.operators.LakeTable
+      val lakeRoot = java.nio.file.Files.createTempDirectory("graft-scale-lake").toString
+      val o0 = Sources.table(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val big = (0 until factor)
+        .map(i => o0.select((col("o_orderkey") + lit(i * 100000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice")))
+        .reduce(_ unionByName _)
+        .withColumn("pt", pmod(col("o_custkey"), lit(32)).cast("string"))
+      time(s"lake init (${factor}x orders, 32 partitions)") {
+        LakeTable.init(spark, s"$lakeRoot/t", big, "pt"); big.count()
+      }
+      val narrow = big.where(col("pt") === "7").limit(20000)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+      val wide = big.limit(20000)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+      time("lake merge, 20k updates confined to 1/32 partitions") {
+        val s = LakeTable.merge(spark, s"$lakeRoot/t", narrow, Seq("o_orderkey"), "pt")
+        println(s"[scale]   rewrote ${s.filesRewritten} files, carried ${s.filesCarried}")
+        s.rowsWritten
+      }
+      time("lake merge, 20k updates spread across all 32 partitions") {
+        val s = LakeTable.merge(spark, s"$lakeRoot/t", wide, Seq("o_orderkey"), "pt")
+        println(s"[scale]   rewrote ${s.filesRewritten} files, carried ${s.filesCarried}")
+        s.rowsWritten
+      }
+    }
+
     spark.stop()
   }
 }

@@ -166,7 +166,20 @@ object LakeTable {
       root: String,
       source: DataFrame,
       keyCols: Seq[String],
-      partitionCol: String): MergeStats = {
+      partitionCol: String): MergeStats =
+    mergeImpl(spark, root, source, keyCols, partitionCol, () => ())
+
+  /** [[merge]] with a pre-commit hook — the deterministic injection point
+    * LakeTableSpec uses to steal the version number mid-merge and prove
+    * the conflict is detected (a real race hits the same rename).
+    */
+  private[graft] def mergeImpl(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      partitionCol: String,
+      preCommit: () => Unit): MergeStats = {
     val (v, entries) = snapshot(spark, root)
     require(v > 0, s"LakeTable.merge: no committed snapshot at $root")
     val target = read(spark, root)
@@ -191,6 +204,7 @@ object LakeTable {
           .join(broadcast(srcKeys), keyCols, "left_anti"))
     val merged = survivors.fold(source)(s => source.unionByName(s))
     val written = writeBatch(spark, root, merged, partitionCol)
+    preCommit()
     require(
       commit(spark, root, v + 1, carry ++ written),
       s"LakeTable.merge: concurrent commit at $root (retry on a fresh snapshot)")
@@ -200,6 +214,45 @@ object LakeTable {
       filesRewritten = rewrite.size,
       filesCarried = carry.size,
       rowsWritten = written.size)
+  }
+
+  /** [[merge]] with optimistic-concurrency retries: a writer that loses
+    * the commit race recomputes against the WINNER's snapshot and tries
+    * again (its orphaned copy-on-write batch is reclaimed by the next
+    * `vacuum`). This is the standard lakehouse-log loop; bounded retries
+    * keep a livelocked writer from spinning forever under contention.
+    */
+  def mergeWithRetry(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      partitionCol: String,
+      maxRetries: Int = 3): MergeStats =
+    mergeWithRetryImpl(spark, root, source, keyCols, partitionCol, maxRetries, () => ())
+
+  @annotation.tailrec
+  private[graft] def mergeWithRetryImpl(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      partitionCol: String,
+      maxRetries: Int,
+      preCommit: () => Unit): MergeStats = {
+    val attempt =
+      try Right(mergeImpl(spark, root, source, keyCols, partitionCol, preCommit))
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("concurrent commit") &&
+              maxRetries > 0 =>
+          Left(e)
+      }
+    attempt match {
+      case Right(stats) => stats
+      case Left(_) =>
+        mergeWithRetryImpl(spark, root, source, keyCols, partitionCol, maxRetries - 1, preCommit)
+    }
   }
 
   /** Delete data files no committed manifest references (crash leftovers

@@ -116,4 +116,31 @@ class LakeTableSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("already at version"))
   }
+
+  test("mergeWithRetry: the race loser recomputes on the winner's snapshot") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    // a one-shot saboteur steals the version number BETWEEN the merge's
+    // snapshot read and its commit — exactly a losing race. The first
+    // attempt must fail the rename; the retry recomputes against the
+    // winner's snapshot and lands on the next version.
+    var stole = false
+    val steal: () => Unit = () =>
+      if (!stole) {
+        stole = true
+        val (v, e) = LakeTable.snapshot(spark, root)
+        assert(LakeTable.commit(spark, root, v + 1, e)) // the "winner"
+      }
+    val src = baseDf.where(col("k") < 10).withColumn("v", col("v") + 7)
+    val stats = LakeTable.mergeWithRetryImpl(spark, root, src, Seq("k"), "p", 3, steal)
+    assert(stole, "saboteur never ran — the race was not exercised")
+    assert(stats.version === 3, s"expected the retry to land v3, got v${stats.version}")
+    val got = LakeTable.read(spark, root)
+    assert(got.count() === 300)
+    assert(got.where(col("k") < 10).agg(sum("v")).head.getLong(0) ===
+      (0 until 10).map(_ * 10 + 7).sum)
+    // the losing attempt's batch is orphaned, never visible; vacuum eats it
+    assert(LakeTable.vacuum(spark, root) > 0)
+    assert(LakeTable.read(spark, root).count() === 300)
+  }
 }

@@ -759,6 +759,42 @@ class StreamSpec extends SparkSpec {
     } finally { q.stop(); qe.stop() }
   }
 
+  test("funnelStreamBuffered: buffered state (incl. the event tail) survives a checkpoint restart") {
+    import StreamOps.Event
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-funnel-ckpt").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft-funnel-out").toString
+    val ms = memStream[Event]
+    def start() = StreamOps.funnelStreamBuffered(ms.toDS(), lateness = "30 minutes")
+      .writeStream.format("parquet")
+      .option("path", dest).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    try {
+      // the LATER stages arrive before the restart; the view only after —
+      // the buffered tail (purchase, click) must cross the stop/start
+      ms.addData(Event(1L, ts("10:10"), 1L, "purchase", 0.0))
+      q1.processAllAvailable()
+      ms.addData(Event(2L, ts("10:05"), 1L, "click", 0.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      ms.addData(Event(3L, ts("10:00"), 1L, "view", 0.0))
+      q2.processAllAvailable()
+      ms.addData(Event(4L, ts("11:00"), 99L, "view", 0.0)) // watermark push
+      q2.processAllAvailable()
+      ms.addData(Event(5L, ts("11:05"), 99L, "click", 0.0)) // timer batch
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(dest)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      def us(hhmm: String) = ts(hhmm).getTime * 1000L
+      assert(rows.toSet === Set((1L, us("10:00"), us("10:05"), us("10:10"))),
+        s"buffered funnel state lost across restart: ${rows.toSeq}")
+    } finally q2.stop()
+  }
+
   test("state rescale: restart from checkpoint under a different shuffle-partition count") {
     // The local proxy for an executor rescale: stateful-operator state is
     // hash-partitioned by numShufflePartitions FIXED AT FIRST START (in
