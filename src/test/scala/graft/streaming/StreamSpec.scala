@@ -795,6 +795,72 @@ class StreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("funnelStreamBuffered over the events fixture == the batch q121 staged-min answer") {
+    import StreamOps.Event
+    // the real fixture through the real file-stream path: every per-user
+    // (t1, t2, t3) triple the stream emits must equal the batch staged-min
+    // formulation (q121's law) over the same events
+    val src = "/root/testdata/sf0.001/events.parquet"
+    val raw = spark.read.parquet(src)
+    val toMicros = expr("ts div 1000") // fixture ts is epoch-nanos long
+    // batch expected: staged mins in micros
+    val e = raw.select(col("user_id"), toMicros.as("tus"), col("event_type"))
+    val s1 = e.where(col("event_type") === "view").groupBy("user_id").agg(min("tus").as("t1"))
+    val s2 = e.join(s1, "user_id")
+      .where(col("event_type") === "click" && col("tus") > col("t1"))
+      .groupBy("user_id").agg(min("tus").as("t2"))
+    val s3 = e.join(s2, "user_id")
+      .where(col("event_type") === "purchase" && col("tus") > col("t2"))
+      .groupBy("user_id").agg(min("tus").as("t3"))
+    val expected = s1.join(s2, "user_id").join(s3, "user_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(expected.nonEmpty, "fixture has no completed funnels — test is vacuous")
+
+    // stream the fixture (one file), then two far-future dummy files: the
+    // first advances the watermark past every real event, the second runs
+    // the batch in which the event-time timers fire
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel-fixture").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(src), java.nio.file.Paths.get(dir, "part-0.parquet"))
+    val maxNanos = raw.agg(max("ts")).head.getLong(0)
+    def dummy(name: String, id: Long): Unit =
+      spark.range(1).select(
+          lit(900000000L + id).as("event_id"),
+          lit(maxNanos + 7200L * 1000000000L + id).as("ts"),
+          lit(999999L + id).as("user_id"),
+          lit("view").as("event_type"),
+          lit(0.0).as("value"))
+        .write.mode("overwrite").parquet(s"$dir/../${name}_stage")
+        // write to a staging dir then move the file in, so the stream
+        // never reads a half-written file
+    import spark.implicits._
+    val schema = raw.schema
+    val streamDs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val out = sinkName()
+    val q = StreamOps.funnelStreamBuffered(streamDs, lateness = "1 minute")
+      .writeStream.format("memory").queryName(out).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Seq("d1", "d2").zipWithIndex.foreach { case (name, i) =>
+        dummy(name, i)
+        val staged = java.nio.file.Files.list(
+            java.nio.file.Paths.get(s"$dir/../${name}_stage"))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.move(staged, java.nio.file.Paths.get(dir, s"dummy-$name.parquet"))
+        q.processAllAvailable()
+      }
+      val got = spark.table(out)
+        .where(col("user_id") < 999999L) // drop the dummy users
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got === expected,
+        s"stream vs batch mismatch: ${got.size} streamed vs ${expected.size} expected")
+    } finally q.stop()
+  }
+
   test("state rescale: restart from checkpoint under a different shuffle-partition count") {
     // The local proxy for an executor rescale: stateful-operator state is
     // hash-partitioned by numShufflePartitions FIXED AT FIRST START (in
