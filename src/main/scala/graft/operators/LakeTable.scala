@@ -157,6 +157,24 @@ object LakeTable {
     spark.read.parquet(entries.map(e => s"$root/${e._2}"): _*)
   }
 
+  /** Time travel: the table exactly as committed at `version`. Every
+    * manifest is immutable and every data file is immutable, so any
+    * version not yet vacuumed reads back bit-for-bit — the audit/debug
+    * face of snapshot isolation (NB: `vacuum` keeps only the CURRENT
+    * version's files; time travel is for the un-vacuumed window).
+    */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val dir = manifestDir(root)
+    val f = fs(spark, dir)
+    val mf = new Path(dir, s"v$version.manifest")
+    require(f.exists(mf), s"LakeTable.readVersion: no v$version at $root")
+    val in = f.open(mf)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val files = text.split("\n").iterator.filter(_.nonEmpty)
+      .map(_.split("\t", 2)(1)).toSeq
+    spark.read.parquet(files.map(rel => s"$root/$rel"): _*)
+  }
+
   /** MERGE INTO: rows of `source` matching target rows on `keyCols`
     * replace them (source wins); unmatched source rows are inserted.
     * Copy-on-write over the affected partitions only; atomic commit.

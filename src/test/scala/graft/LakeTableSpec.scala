@@ -117,6 +117,25 @@ class LakeTableSpec extends SparkSpec {
     assert(ex.getMessage.contains("already at version"))
   }
 
+  test("time travel: any un-vacuumed version reads back exactly as committed") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    val v1Sum = LakeTable.read(spark, root).agg(sum("v")).head.getLong(0)
+    val src = baseDf.where(col("k") < 50).withColumn("v", col("v") * 2)
+    LakeTable.merge(spark, root, src, Seq("k"), "p")
+    // current == v2, history == v1, both stable
+    assert(LakeTable.readVersion(spark, root, 1).agg(sum("v")).head.getLong(0) === v1Sum)
+    val v2Sum = LakeTable.read(spark, root).agg(sum("v")).head.getLong(0)
+    assert(LakeTable.readVersion(spark, root, 2).agg(sum("v")).head.getLong(0) === v2Sum)
+    assert(v2Sum === v1Sum + (0 until 50).map(_ * 10).sum)
+    // vacuum keeps only the current version's files: v1 gone, v2 intact
+    LakeTable.vacuum(spark, root)
+    assert(LakeTable.read(spark, root).agg(sum("v")).head.getLong(0) === v2Sum)
+    intercept[Exception] {
+      LakeTable.readVersion(spark, root, 1).agg(sum("v")).head.getLong(0)
+    }
+  }
+
   test("mergeWithRetry: the race loser recomputes on the winner's snapshot") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p")
