@@ -228,6 +228,40 @@ object ExtQueries {
         .orderBy("o_orderstatus")
     },
 
+    // Time travel across the MERGE: the same init + merge as q130, then
+    // BOTH committed versions read back via their immutable manifests and
+    // aggregated side by side — v1 must still be exactly the pre-merge
+    // table (an in-place mutation of any carried file would shift its
+    // hash), v2 exactly the merged one. Snapshot isolation's audit face,
+    // oracle-checked end to end.
+    "q131_lake_history" -> { (s, dir) =>
+      val root = s"/root/repo/target/staging/q131_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      graft.operators.LakeTable.init(s, root, orders, "o_orderstatus")
+      val updates = orders.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .withColumn("o_orderstatus", lit("F"))
+      val inserts = orders.where(col("o_orderkey") % 10 === 3)
+        .select(
+          (col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_custkey"),
+          lit("N").as("o_orderstatus"),
+          col("o_totalprice"))
+      graft.operators.LakeTable.merge(
+        s, root, updates.unionByName(inserts), Seq("o_orderkey"), "o_orderstatus")
+      def rollup(v: Int) = graft.operators.LakeTable.readVersion(s, root, v)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .select(lit(v).as("version"), col("o_orderstatus"), col("cnt"), col("cents"))
+      rollup(1).unionByName(rollup(2)).orderBy("version", "o_orderstatus")
+    },
+
     // Persisted-sketch distinct rollup (SketchOps): per-day HLL sketches
     // of the customer set — the table an ingest job would store — merged
     // to per-month distinct estimates WITHOUT touching the raw rows
@@ -1016,6 +1050,27 @@ object ExtQueries {
         |SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // v1 = the raw table's rollup, v2 = the merged derivation — both
+    // versions re-derived relationally and unioned.
+    "q131_lake_history" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey, 'F' AS o_orderstatus,
+        |         o_totalprice + 100.0 AS o_totalprice
+        |  FROM t WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice
+        |  FROM t WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT * FROM t WHERE o_orderkey % 10 <> 0)
+        |SELECT 1 AS version, o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM t GROUP BY 2
+        |UNION ALL
+        |SELECT 2, o_orderstatus, count(*),
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM merged GROUP BY 2
+        |ORDER BY version, o_orderstatus""".stripMargin,
     // Gaps-and-islands sessions (>= 30 min gap breaks, matching
     // session_window's exclusive end), then the same per-day rollup.
     "q129_session_conversion" ->

@@ -581,6 +581,47 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("bucket"), col("hb"), col("cnt"))
 
+  /** Streaming upsert into a [[graft.operators.LakeTable]]: each
+    * micro-batch MERGEs (source-wins on `keyCols`) into the committed
+    * table — the streaming face of the q130 transactional lake path, and
+    * the missing sink for CDC-style feeds where events UPDATE entities
+    * rather than append facts.
+    *
+    * Exactly-once effect without a two-phase sink: MERGE is IDEMPOTENT
+    * for a replayed batch (re-applying "source wins on key" with the
+    * same source rows rewrites the same rows to the same values), so the
+    * at-least-once delivery a restart produces converges to the same
+    * committed table — StreamSpec replays a batch through foreachBatch
+    * restart and asserts the table is byte-stable. Contention with other
+    * writers is handled by the optimistic-commit retry loop.
+    *
+    * Within one batch, rows sharing a key are pre-collapsed with
+    * `max_by` on `orderCol` (latest wins, id tie-break) — MERGE requires
+    * one row per key and micro-batches routinely carry several updates
+    * for a hot entity.
+    */
+  def lakeMergeSink(
+      df: DataFrame,
+      root: String,
+      keyCols: Seq[String],
+      partitionCol: String,
+      orderCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val valueCols = df.columns.filterNot(keyCols.contains)
+    df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val latest = batch
+          .groupBy(keyCols.map(col): _*)
+          .agg(
+            max_by(struct(valueCols.map(col): _*), struct(col(orderCol) +: keyCols.map(col): _*))
+              .as("__latest"))
+          .select(keyCols.map(col) ++ valueCols.map(c => col(s"__latest.$c")): _*)
+        graft.operators.LakeTable.mergeWithRetry(
+          batch.sparkSession, root, latest, keyCols, partitionCol)
+        ()
+      }
+    }
+  }
+
   /** Output-mode guidance: windowed aggs with watermark support Append
     * (emit once, on watermark close) and Update; mapGroupsWithState
     * requires Update.

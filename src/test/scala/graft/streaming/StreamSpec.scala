@@ -907,6 +907,50 @@ class StreamSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("lakeMergeSink: streaming upsert into a LakeTable; replay converges (idempotent merge)") {
+    import graft.operators.LakeTable
+    val root = java.nio.file.Files.createTempDirectory("graft-lake-sink").toString + "/t"
+    // entity table: latest value per user, partitioned by user bucket
+    val base = Seq((1L, "0", 10.0, 100L), (2L, "0", 20.0, 100L), (3L, "1", 30.0, 100L))
+      .toDF("user_id", "pt", "value", "uts")
+    LakeTable.init(spark, root, base, "pt")
+
+    val ms = memStream[(Long, String, Double, Long)]
+    def start() = StreamOps.lakeMergeSink(
+        ms.toDF.toDF("user_id", "pt", "value", "uts"),
+        root, Seq("user_id"), "pt", "uts")
+      .outputMode("update").start()
+
+    def table(): Set[(Long, String, Double, Long)] =
+      LakeTable.read(spark, root)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+
+    val q1 = start()
+    try {
+      // one batch carrying TWO updates for user 1 (latest-per-key collapse),
+      // one update for user 3, and a brand-new user 5 in a new partition
+      ms.addData((1L, "0", 11.0, 200L), (1L, "0", 12.0, 300L),
+        (3L, "1", 33.0, 250L), (5L, "2", 50.0, 200L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterBatch1 = table()
+    assert(afterBatch1 === Set(
+      (1L, "0", 12.0, 300L), (2L, "0", 20.0, 100L),
+      (3L, "1", 33.0, 250L), (5L, "2", 50.0, 200L)))
+
+    // restart WITHOUT a checkpoint: the memory stream replays everything —
+    // the at-least-once path. The merge must converge, not double-apply.
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(table() === afterBatch1, "replayed batch changed the table — merge not idempotent")
+      // and new data still lands after the replay
+      ms.addData((2L, "0", 22.0, 400L))
+      q2.processAllAvailable()
+      assert(table() === afterBatch1 - ((2L, "0", 20.0, 100L)) + ((2L, "0", 22.0, 400L)))
+    } finally q2.stop()
+  }
+
   test("the same tumbling transform runs in batch mode (unified API)") {
     val batch = Seq(
       (ts("10:01"), "a"), (ts("10:02"), "a"), (ts("10:30"), "b")).toDF("ts", "etype")
