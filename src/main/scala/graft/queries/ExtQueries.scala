@@ -262,6 +262,41 @@ object ExtQueries {
       rollup(1).unionByName(rollup(2)).orderBy("version", "o_orderstatus")
     },
 
+    // SCD Type-2 dimension maintenance: one change batch carrying a REAL
+    // attribute change (keys %10=0: price +100), an identical-attrs
+    // re-delivery that must be absorbed without an empty history row
+    // (%10=5), and brand-new keys (%10=3 re-keyed) — applied to a
+    // current-only history. The output pins the full law: closed rows
+    // keep the old price with valid_from 0 and lose currency, reopened
+    // rows carry the new price stamped at the change ts, no-ops leave
+    // nothing behind, inserts arrive current. sum(valid_from) rides
+    // along so the stamps themselves are hash-checked, not just counts.
+    "q132_scd2" -> { (s, dir) =>
+      import graft.operators.Scd2
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val history = orders
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+      val changes = orders.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .unionByName(orders.where(col("o_orderkey") % 10 === 5)) // no-op redelivery
+        .unionByName(orders.where(col("o_orderkey") % 10 === 3)
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+        .withColumn("change_ts", lit(1000L))
+      Scd2.applyChanges(history, changes,
+          keyCols = Seq("o_orderkey"),
+          attrCols = Seq("o_orderstatus", "o_totalprice"))
+        .groupBy(col("valid_to").isNull.as("is_current"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+          sum(col("valid_from")).as("sum_from"))
+        .orderBy("is_current", "o_orderstatus")
+    },
+
+
     // Persisted-sketch distinct rollup (SketchOps): per-day HLL sketches
     // of the customer set — the table an ingest job would store — merged
     // to per-month distinct estimates WITHOUT touching the raw rows
@@ -1050,6 +1085,27 @@ object ExtQueries {
         |SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // SCD2 law re-derived relationally: closed originals (not current,
+    // stamp 0) + reopened at 1000 + untouched current (incl. the no-op
+    // redelivery) + inserts at 1000.
+    "q132_scd2" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |hist AS (
+        |  SELECT o_orderstatus, o_totalprice, 0 AS vf, FALSE AS cur
+        |  FROM t WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice + 100.0, 1000, TRUE
+        |  FROM t WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice, 0, TRUE
+        |  FROM t WHERE o_orderkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice, 1000, TRUE
+        |  FROM t WHERE o_orderkey % 10 = 3)
+        |SELECT cur AS is_current, o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       CAST(sum(vf) AS BIGINT) AS sum_from
+        |FROM hist GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // v1 = the raw table's rollup, v2 = the merged derivation — both
     // versions re-derived relationally and unioned.
     "q131_lake_history" ->
