@@ -234,6 +234,40 @@ object LakeTable {
       rowsWritten = written.size)
   }
 
+  /** Transactional COW DELETE: remove every row where `predicate` is
+    * TRUE (SQL DELETE semantics — NULL-predicate rows are KEPT). The
+    * compliance face of the lake path: opt-out and contamination
+    * removals on a training corpus must actually rewrite the bytes, not
+    * just filter at read time. Same shape as [[merge]]: only files in
+    * partitions CONTAINING a match are rewritten (one probe pass),
+    * everything else carries by path; atomic manifest commit; a
+    * re-issued delete is a no-op commit (idempotent).
+    */
+  def delete(
+      spark: SparkSession,
+      root: String,
+      predicate: Column,
+      partitionCol: String): MergeStats = {
+    val (v, entries) = snapshot(spark, root)
+    require(v > 0, s"LakeTable.delete: no committed snapshot at $root")
+    val target = read(spark, root)
+    val affected = target.where(predicate)
+      .select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (rewrite, carry) = entries.partition(e => affected.contains(e._1))
+    val written =
+      if (rewrite.isEmpty) Nil
+      else writeBatch(
+        spark, root,
+        spark.read.parquet(rewrite.map(e => s"$root/${e._2}"): _*)
+          .where(!coalesce(predicate, lit(false))),
+        partitionCol)
+    require(
+      commit(spark, root, v + 1, carry ++ written),
+      s"LakeTable.delete: concurrent commit at $root (retry on a fresh snapshot)")
+    MergeStats(v + 1, affected.size, rewrite.size, carry.size, written.size)
+  }
+
   /** [[merge]] with optimistic-concurrency retries: a writer that loses
     * the commit race recomputes against the WINNER's snapshot and tries
     * again (its orphaned copy-on-write batch is reclaimed by the next

@@ -262,6 +262,29 @@ object ExtQueries {
       rollup(1).unionByName(rollup(2)).orderBy("version", "o_orderstatus")
     },
 
+    // Transactional COW DELETE on the lake table: the compliance path
+    // (opt-out / contamination removal must rewrite bytes, not filter at
+    // read time). The predicate touches ONLY the 'F' partition, so the
+    // other partitions' files carry by path; the committed snapshot's
+    // rollup is hash-checked against the relational complement.
+    "q133_lake_delete" -> { (s, dir) =>
+      val root = s"/root/repo/target/staging/q133_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      graft.operators.LakeTable.init(s, root, orders, "o_orderstatus")
+      graft.operators.LakeTable.delete(s, root,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 0, "o_orderstatus")
+      graft.operators.LakeTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("o_orderstatus")
+    },
+
     // SCD Type-2 dimension maintenance: one change batch carrying a REAL
     // attribute change (keys %10=0: price +100), an identical-attrs
     // re-delivery that must be absorbed without an empty history row
@@ -1085,6 +1108,13 @@ object ExtQueries {
         |SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DELETE complement: everything except the deleted predicate set.
+    "q133_lake_delete" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // SCD2 law re-derived relationally: closed originals (not current,
     // stamp 0) + reopened at 1000 + untouched current (incl. the no-op
     // redelivery) + inserts at 1000.

@@ -136,6 +136,35 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("delete: COW locality, NULL-predicate rows kept, idempotent re-issue") {
+    val root = freshRoot()
+    import spark.implicits._
+    // partition "0" carries rows with a NULL v to pin the NULL semantics
+    val base = spark.range(300).select(
+      col("id").as("k"), (col("id") % 3).cast("string").as("p"),
+      when(col("id") % 50 === 0, lit(null).cast("long")).otherwise(col("id") * 10).as("v"))
+    LakeTable.init(spark, root, base, "p")
+    val (_, before) = LakeTable.snapshot(spark, root)
+    // predicate TRUE only in partition "0"; NULL for the null-v rows there
+    val stats = LakeTable.delete(spark, root, col("p") === "0" && col("v") < 1000, "p")
+    // only partition "0" rewritten; others carried by path
+    val (_, after) = LakeTable.snapshot(spark, root)
+    val afterPaths = after.map(_._2).toSet
+    before.filter(_._1 != "0").foreach(e => assert(afterPaths.contains(e._2)))
+    assert(stats.matchedPartitions === 1)
+    val got = LakeTable.read(spark, root)
+    // deleted: p=0 AND v<1000 AND v NOT NULL -> k in {3,6,...,99} minus nulls
+    val expected = base.where(!(col("p") === "0" && coalesce(col("v") < 1000, lit(false))))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // NULL-v rows in partition 0 survived (SQL DELETE keeps NULL predicate)
+    assert(got.where(col("p") === "0" && col("v").isNull).count() ===
+      base.where(col("p") === "0" && col("v").isNull).count())
+    // re-issuing the delete is a no-op commit
+    val n1 = got.count()
+    LakeTable.delete(spark, root, col("p") === "0" && col("v") < 1000, "p")
+    assert(LakeTable.read(spark, root).count() === n1)
+  }
+
   test("mergeWithRetry: the race loser recomputes on the winner's snapshot") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p")
