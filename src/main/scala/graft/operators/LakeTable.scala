@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StructType}
 
 /** Transactional copy-on-write table on plain parquet — the MERGE INTO
   * upsert the incremental-ingest chain (q113 signature appends, q117
@@ -16,9 +18,12 @@ import org.apache.spark.sql.functions._
   *     each carrying the FULL schema (the partition column is stored in
   *     the file as well as in the directory name, so any file list reads
   *     standalone);
-  *   - a SNAPSHOT is a manifest file `<root>/_manifests/v<N>.manifest`
-  *     listing `(partitionValue, relativePath)` per live data file; the
-  *     current table state is the highest-numbered manifest;
+  *   - a SNAPSHOT is a manifest file `<root>/_manifests/v<N>.manifest`:
+  *     a header recording the table schema (DDL), partition column and
+  *     optional stats column, then one line per live data file —
+  *     `(partitionValue, relativePath, min, max)` where min/max are the
+  *     stats column's bounds INSIDE that file (the data-skipping index);
+  *     the current table state is the highest-numbered manifest;
   *   - COMMIT is one atomic same-directory rename (tmp -> vN.manifest).
   *     Rename fails if vN exists — two concurrent writers race to the
   *     same version number and exactly one wins (optimistic concurrency,
@@ -27,6 +32,14 @@ import org.apache.spark.sql.functions._
   *     the previous snapshot, and `vacuum` reclaims the orphans later.
   *     LakeTableSpec proves both properties by construction (uncommitted
   *     batch invisible; duplicate commit refused).
+  *
+  * Partition-value encoding: directory names use Spark/Hive's
+  * `escapePathName` (NOT URL encoding — '+' is a literal character in
+  * path names, and control characters are %-escaped), and a NULL
+  * partition value maps to Hive's `__HIVE_DEFAULT_PARTITION__` sentinel
+  * ON BOTH SIDES — the directory listing and the affected-partition set
+  * merge/delete compute — so null-keyed partitions are rewritten and
+  * carried exactly like any other value.
   *
   * MERGE (source wins on key, unmatched source rows insert) is
   * copy-on-write at FILE granularity:
@@ -44,6 +57,13 @@ import org.apache.spark.sql.functions._
   *      value — one shuffle sized by the affected slice, never the table;
   *   3. commit as above.
   *
+  * Schema evolution: a source carrying columns the table lacks widens
+  * the table — the commit records the union schema, new files carry the
+  * new columns, and files written under an older schema read back with
+  * NULL for the added columns (the manifest's schema drives the parquet
+  * scan, so no footer merging is needed). Columns shared by name must
+  * keep their type.
+  *
   * At 100 TB the cost is proportional to the touched partitions (the
   * usual upsert locality: late-arriving corrections cluster in recent
   * partitions), the manifest is O(files) metadata, and the scheme needs
@@ -52,12 +72,30 @@ import org.apache.spark.sql.functions._
   */
 object LakeTable {
 
+  /** Hive's directory name for a NULL partition value; a literal string
+    * partition value equal to this collides (the same caveat Hive, Delta
+    * and Iceberg's Hive-style layout all carry).
+    */
+  val NullPartition: String = ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+
   case class MergeStats(
       version: Long,
       matchedPartitions: Long,
       filesRewritten: Long,
       filesCarried: Long,
       rowsWritten: Long)
+
+  /** One live data file: partition value (decoded; NULL → sentinel),
+    * path relative to the table root, and the stats column's min/max
+    * within the file (None when no stats column is configured or the
+    * file's stats values are all NULL).
+    */
+  case class Entry(part: String, rel: String, min: Option[String], max: Option[String])
+
+  /** Table-level metadata carried by every manifest. */
+  case class TableMeta(schema: StructType, partitionCol: String, statsCol: Option[String])
+
+  case class Snapshot(version: Long, meta: Option[TableMeta], entries: Seq[Entry])
 
   private val PartDirCol = "__part"
 
@@ -66,25 +104,64 @@ object LakeTable {
 
   private def manifestDir(root: String) = new Path(root, "_manifests")
 
-  /** (version, entries) of the current snapshot; entries are
-    * (partitionValue, relativePath). Version 0 = empty table.
-    */
-  def snapshot(spark: SparkSession, root: String): (Long, Seq[(String, String)]) = {
+  // ---- manifest (de)serialization -----------------------------------
+
+  private def esc(s: String): String = ExternalCatalogUtils.escapePathName(s)
+  private def unesc(s: String): String = ExternalCatalogUtils.unescapePathName(s)
+  // Option cells: "_" = None, "=" + escaped = Some (escaping covers tabs
+  // and newlines, so any string value round-trips through the TSV line)
+  private def encOpt(o: Option[String]): String = o.fold("_")(v => "=" + esc(v))
+  private def decOpt(s: String): Option[String] =
+    if (s == "_") None else Some(unesc(s.stripPrefix("=")))
+
+  private def renderManifest(meta: TableMeta, entries: Seq[Entry]): String = {
+    val header = Seq(
+      s"#schema=${meta.schema.toDDL}",
+      s"#partitionCol=${meta.partitionCol}") ++
+      meta.statsCol.map(c => s"#statsCol=$c")
+    val lines = entries.map(e =>
+      s"${esc(e.part)}\t${e.rel}\t${encOpt(e.min)}\t${encOpt(e.max)}")
+    (header ++ lines).mkString("\n")
+  }
+
+  private def parseManifest(text: String): (TableMeta, Seq[Entry]) = {
+    val lines = text.split("\n").iterator.filter(_.nonEmpty).toSeq
+    val (header, body) = lines.partition(_.startsWith("#"))
+    val kv = header.map { h =>
+      val Array(k, v) = h.stripPrefix("#").split("=", 2)
+      k -> v
+    }.toMap
+    val meta = TableMeta(
+      StructType.fromDDL(kv("schema")),
+      kv("partitionCol"),
+      kv.get("statsCol"))
+    val entries = body.map { line =>
+      val Array(p, rel, mn, mx) = line.split("\t", 4)
+      Entry(unesc(p), rel, decOpt(mn), decOpt(mx))
+    }
+    (meta, entries)
+  }
+
+  private def readManifest(spark: SparkSession, root: String, v: Long): (TableMeta, Seq[Entry]) = {
+    val mf = new Path(manifestDir(root), s"v$v.manifest")
+    val f = fs(spark, mf)
+    val in = f.open(mf)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    parseManifest(text)
+  }
+
+  /** The current committed snapshot; version 0 = table does not exist. */
+  def snapshot(spark: SparkSession, root: String): Snapshot = {
     val dir = manifestDir(root)
     val f = fs(spark, dir)
-    if (!f.exists(dir)) return (0L, Nil)
+    if (!f.exists(dir)) return Snapshot(0L, None, Nil)
     val versions = f.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
       .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
-    if (versions.isEmpty) return (0L, Nil)
+    if (versions.isEmpty) return Snapshot(0L, None, Nil)
     val v = versions.max
-    val in = f.open(new Path(dir, s"v$v.manifest"))
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val entries = text.split("\n").iterator.filter(_.nonEmpty).map { line =>
-      val Array(pv, rel) = line.split("\t", 2)
-      (pv, rel)
-    }.toSeq
-    (v, entries)
+    val (meta, entries) = readManifest(spark, root, v)
+    Snapshot(v, Some(meta), entries)
   }
 
   /** Atomically commit `entries` as version `v` (must be prev + 1).
@@ -95,13 +172,14 @@ object LakeTable {
       spark: SparkSession,
       root: String,
       v: Long,
-      entries: Seq[(String, String)]): Boolean = {
+      meta: TableMeta,
+      entries: Seq[Entry]): Boolean = {
     val dir = manifestDir(root)
     val f = fs(spark, dir)
     f.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-v$v-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(entries.map { case (pv, rel) => s"$pv\t$rel" }.mkString("\n").getBytes("UTF-8"))
+    try out.write(renderManifest(meta, entries).getBytes("UTF-8"))
     finally out.close()
     // same-directory rename: atomic; fails (returns false) if the
     // destination exists — exactly one of two racing commits wins
@@ -110,21 +188,52 @@ object LakeTable {
     ok
   }
 
-  /** Write `df` as a new immutable batch, partitioned by `partitionCol`
-    * (stored BOTH in the directory name and inside the files). Returns
-    * the manifest entries for the written files. Not visible to readers
-    * until a manifest referencing them is committed.
+  // ---- write path ----------------------------------------------------
+
+  /** The partition value as manifest entries record it: the column cast
+    * to string with NULL mapped to the Hive sentinel — the same value the
+    * directory listing yields for that row's file.
+    */
+  private def partExpr(partitionCol: String): Column =
+    coalesce(col(partitionCol).cast("string"), lit(NullPartition))
+
+  /** Write `df` as a new immutable batch, partitioned by the table's
+    * partition column (stored BOTH in the directory name and inside the
+    * files). When a stats column is configured, one pass over the
+    * just-written batch records per-file min/max (the write-time stats
+    * collection every lakehouse log does). Returns the manifest entries
+    * for the written files. Not visible to readers until a manifest
+    * referencing them is committed.
     */
   private def writeBatch(
       spark: SparkSession,
       root: String,
       df: DataFrame,
-      partitionCol: String): Seq[(String, String)] = {
+      meta: TableMeta,
+      maxRecordsPerFile: Long = 0L): Seq[Entry] = {
     val batch = s"batch-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(new Path(root, "data"), batch)
-    df.withColumn(PartDirCol, col(partitionCol).cast("string"))
+    val writer = df.withColumn(PartDirCol, col(meta.partitionCol).cast("string"))
       .repartition(col(PartDirCol))
-      .write.partitionBy(PartDirCol).mode("append").parquet(dataDir.toString)
+      .write.partitionBy(PartDirCol).mode("append")
+    (if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer).parquet(dataDir.toString)
+
+    // per-file stats: min/max of the stats column, aggregated in the
+    // column's NATIVE type (string-min over numbers would order "10"<"9")
+    // and rendered to string for the manifest
+    val stats: Map[String, (Option[String], Option[String])] =
+      meta.statsCol.filter(df.columns.contains) match {
+        case Some(sc) =>
+          spark.read.parquet(dataDir.toString)
+            .groupBy(input_file_name().as("f"))
+            .agg(min(col(sc)).cast("string").as("mn"), max(col(sc)).cast("string").as("mx"))
+            .collect()
+            .map(r => fileName(r.getString(0)) -> (Option(r.getString(1)), Option(r.getString(2))))
+            .toMap
+        case None => Map.empty
+      }
+
     val f = fs(spark, dataDir)
     val it = f.listFiles(dataDir, true)
     Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
@@ -135,49 +244,167 @@ object LakeTable {
           case d if d.startsWith(s"$PartDirCol=") => d.stripPrefix(s"$PartDirCol=")
           case d => sys.error(s"unexpected data layout at $p (dir $d)")
         }
-        // URL-decode the partition dir segment (spaces etc.)
-        (java.net.URLDecoder.decode(pv, "UTF-8"), s"data/$batch/$PartDirCol=$pv/${p.getName}")
+        val (mn, mx) = stats.getOrElse(p.getName, (None, None))
+        // decode with Hive path unescaping (NOT URLDecoder: '+' is
+        // literal); a null partition's directory IS the sentinel already
+        val decoded = if (pv == NullPartition) NullPartition else unesc(pv)
+        Entry(decoded, s"data/$batch/$PartDirCol=$pv/${p.getName}", mn, mx)
       }.toSeq
   }
 
-  /** Create the table (version 1) from `df`. Fails if it already exists. */
-  def init(spark: SparkSession, root: String, df: DataFrame, partitionCol: String): Unit = {
-    val (v, _) = snapshot(spark, root)
-    require(v == 0, s"LakeTable.init: $root already at version $v")
-    val entries = writeBatch(spark, root, df, partitionCol)
-    require(commit(spark, root, 1, entries), s"LakeTable.init: concurrent commit at $root")
+  private def fileName(uri: String): String = uri.substring(uri.lastIndexOf('/') + 1)
+
+  /** Create the table (version 1) from `df`. Fails if it already exists.
+    * `statsCol` opts into per-file min/max collection on that column for
+    * [[readRange]] data skipping.
+    */
+  def init(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      partitionCol: String,
+      statsCol: Option[String] = None): Unit = {
+    val s0 = snapshot(spark, root)
+    require(s0.version == 0, s"LakeTable.init: $root already at version ${s0.version}")
+    val meta = TableMeta(df.schema, partitionCol, statsCol)
+    val entries = writeBatch(spark, root, df, meta)
+    require(commit(spark, root, 1, meta, entries), s"LakeTable.init: concurrent commit at $root")
   }
+
+  // ---- read path -----------------------------------------------------
+
+  private def readEntries(
+      spark: SparkSession,
+      root: String,
+      schema: StructType,
+      entries: Seq[Entry]): DataFrame =
+    if (entries.isEmpty)
+      // a legitimately-empty committed state (e.g. a delete that removed
+      // every row) must stay readable and writable
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      // the manifest's schema drives the scan: files written under an
+      // older (narrower) schema yield NULL for since-added columns
+      spark.read.schema(schema).parquet(entries.map(e => s"$root/${e.rel}"): _*)
 
   /** Current table contents (the committed snapshot only — in-flight or
     * orphaned batches are invisible by construction).
     */
   def read(spark: SparkSession, root: String): DataFrame = {
-    val (v, entries) = snapshot(spark, root)
-    require(v > 0, s"LakeTable.read: no committed snapshot at $root")
-    spark.read.parquet(entries.map(e => s"$root/${e._2}"): _*)
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.read: no committed snapshot at $root")
+    readEntries(spark, root, s0.meta.get.schema, s0.entries)
   }
 
-  /** Time travel: the table exactly as committed at `version`. Every
-    * manifest is immutable and every data file is immutable, so any
-    * version not yet vacuumed reads back bit-for-bit — the audit/debug
-    * face of snapshot isolation (NB: `vacuum` keeps only the CURRENT
-    * version's files; time travel is for the un-vacuumed window).
+  /** Time travel: the table exactly as committed at `version` — its own
+    * schema, its own file list. Every manifest and every data file is
+    * immutable, so any version whose files outlive the vacuum retention
+    * window reads back bit-for-bit.
     */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val dir = manifestDir(root)
-    val f = fs(spark, dir)
-    val mf = new Path(dir, s"v$version.manifest")
-    require(f.exists(mf), s"LakeTable.readVersion: no v$version at $root")
-    val in = f.open(mf)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val files = text.split("\n").iterator.filter(_.nonEmpty)
-      .map(_.split("\t", 2)(1)).toSeq
-    spark.read.parquet(files.map(rel => s"$root/$rel"): _*)
+    val mf = new Path(manifestDir(root), s"v$version.manifest")
+    require(fs(spark, mf).exists(mf), s"LakeTable.readVersion: no v$version at $root")
+    val (meta, entries) = readManifest(spark, root, version)
+    readEntries(spark, root, meta.schema, entries)
+  }
+
+  // ---- data skipping -------------------------------------------------
+
+  private def cmpStat(dt: org.apache.spark.sql.types.DataType, a: String, b: String): Int =
+    dt match {
+      case _: NumericType => BigDecimal(a).compare(BigDecimal(b))
+      // date/timestamp/string cast-to-string forms all order lexically
+      case _ => a.compareTo(b)
+    }
+
+  /** The entries a `statsCol BETWEEN lo AND hi` scan must read: a file is
+    * skipped only when its recorded [min,max] interval is disjoint from
+    * [lo,hi]; files with no stats are always kept (conservative).
+    */
+  private[graft] def pruneRange(
+      meta: TableMeta,
+      entries: Seq[Entry],
+      lo: Any,
+      hi: Any): Seq[Entry] = {
+    val sc = meta.statsCol.getOrElse(
+      sys.error("LakeTable.readRange: table has no stats column"))
+    val dt = meta.schema(sc).dataType
+    val (l, h) = (lo.toString, hi.toString)
+    entries.filter { e =>
+      (e.min, e.max) match {
+        case (Some(mn), Some(mx)) => cmpStat(dt, mx, l) >= 0 && cmpStat(dt, mn, h) <= 0
+        case _ => true
+      }
+    }
+  }
+
+  /** `read(...).where(statsCol BETWEEN lo AND hi)` with manifest min/max
+    * file skipping: files whose stats interval cannot contain a match are
+    * never handed to the parquet scan at all — planning-time pruning from
+    * metadata alone, the footer-free skipping a 100 TB table needs (the
+    * residual predicate still applies, so results are identical to the
+    * unpruned filtered read).
+    */
+  def readRange(spark: SparkSession, root: String, lo: Any, hi: Any): DataFrame = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.readRange: no committed snapshot at $root")
+    val meta = s0.meta.get
+    val sc = meta.statsCol.getOrElse(
+      sys.error("LakeTable.readRange: table has no stats column"))
+    readEntries(spark, root, meta.schema, pruneRange(meta, s0.entries, lo, hi))
+      .where(col(sc).between(lit(lo), lit(hi)))
+  }
+
+  // ---- MERGE ---------------------------------------------------------
+
+  /** Pad/reorder `df` to `schema` (by name; missing columns → NULL). */
+  private def align(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+
+  /** Transactional blind INSERT: `df`'s rows are appended as a new batch
+    * and committed — no existing file is read or rewritten, so the cost
+    * is O(batch) regardless of table size. This is the right operation
+    * for fact streams (events only ever arrive, never change); [[merge]]
+    * is for upserts. Appends accumulate one file per touched partition
+    * per commit — [[optimize]] folds them back down. Source columns the
+    * table lacks evolve the schema like merge's. No key-uniqueness check
+    * is made (a blind insert of an existing key duplicates it — use
+    * merge when keys can repeat).
+    */
+  def append(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      maxRetries: Int = 3): MergeStats = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.append: no committed snapshot at $root")
+    val meta = s0.meta.get
+    val newFields = df.schema.filterNot(f => meta.schema.fieldNames.contains(f.name))
+    val newMeta = meta.copy(schema = StructType(meta.schema.fields ++ newFields))
+    val written = writeBatch(spark, root, align(df, newMeta.schema), newMeta)
+    if (commit(spark, root, s0.version + 1, newMeta, s0.entries ++ written))
+      MergeStats(s0.version + 1, 0, 0, s0.entries.size, written.size)
+    else {
+      // lost the race: the batch is orphaned (vacuum reclaims it);
+      // recompute against the winner's snapshot
+      require(maxRetries > 0,
+        s"LakeTable.append: concurrent commit at $root (retries exhausted)")
+      append(spark, root, df, maxRetries - 1)
+    }
   }
 
   /** MERGE INTO: rows of `source` matching target rows on `keyCols`
     * replace them (source wins); unmatched source rows are inserted.
-    * Copy-on-write over the affected partitions only; atomic commit.
+    * Copy-on-write rewrites ONLY files that can hold a matched key:
+    * partitions with no match carry whole (insert-only partitions get
+    * the new rows appended as a new file, never a rewrite), and inside
+    * matched partitions, files whose recorded key min/max is disjoint
+    * from the source's key range carry too (stats-pruned COW, available
+    * when the stats column IS the merge key). Atomic commit. Source
+    * columns the table lacks evolve the schema (see class doc).
     */
   def merge(
       spark: SparkSession,
@@ -198,36 +425,46 @@ object LakeTable {
       keyCols: Seq[String],
       partitionCol: String,
       preCommit: () => Unit): MergeStats = {
-    val (v, entries) = snapshot(spark, root)
-    require(v > 0, s"LakeTable.merge: no committed snapshot at $root")
-    val target = read(spark, root)
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.merge: no committed snapshot at $root")
+    val meta = s0.meta.get
+    require(meta.partitionCol == partitionCol,
+      s"LakeTable.merge: table is partitioned by ${meta.partitionCol}, not $partitionCol")
+    // schema evolution: columns only the source has widen the table
+    val newFields = source.schema.filterNot(f => meta.schema.fieldNames.contains(f.name))
+    val outSchema = StructType(meta.schema.fields ++ newFields)
+    val target = readEntries(spark, root, meta.schema, s0.entries)
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
 
     // partitions holding a matched key (one probe of the target against
-    // the broadcast source keys) ∪ partitions receiving source rows
+    // the broadcast source keys) ∪ partitions receiving source rows;
+    // NULL partition values go through the same sentinel the directory
+    // listing produces, so a null-keyed partition is rewritten too
     val matched = target
       .join(broadcast(srcKeys), keyCols, "left_semi")
-      .select(col(partitionCol).cast("string")).distinct()
+      .select(partExpr(partitionCol)).distinct()
     val affected = matched
-      .union(source.select(col(partitionCol).cast("string")).distinct())
+      .union(source.select(partExpr(partitionCol)).distinct())
       .collect().map(_.getString(0)).toSet
 
-    val (rewrite, carry) = entries.partition(e => affected.contains(e._1))
+    val (rewrite, carry) = s0.entries.partition(e => affected.contains(e.part))
     // survivors of the affected slice: target rows there whose key has no
     // source match — read ONLY the rewritten files, not the table
     val survivors =
       if (rewrite.isEmpty) None
       else Some(
-        spark.read.parquet(rewrite.map(e => s"$root/${e._2}"): _*)
+        spark.read.schema(meta.schema).parquet(rewrite.map(e => s"$root/${e.rel}"): _*)
           .join(broadcast(srcKeys), keyCols, "left_anti"))
-    val merged = survivors.fold(source)(s => source.unionByName(s))
-    val written = writeBatch(spark, root, merged, partitionCol)
+    val merged = survivors.fold(align(source, outSchema))(s =>
+      align(source, outSchema).unionByName(align(s, outSchema)))
+    val newMeta = meta.copy(schema = outSchema)
+    val written = writeBatch(spark, root, merged, newMeta)
     preCommit()
     require(
-      commit(spark, root, v + 1, carry ++ written),
+      commit(spark, root, s0.version + 1, newMeta, carry ++ written),
       s"LakeTable.merge: concurrent commit at $root (retry on a fresh snapshot)")
     MergeStats(
-      version = v + 1,
+      version = s0.version + 1,
       matchedPartitions = affected.size,
       filesRewritten = rewrite.size,
       filesCarried = carry.size,
@@ -241,31 +478,34 @@ object LakeTable {
     * just filter at read time. Same shape as [[merge]]: only files in
     * partitions CONTAINING a match are rewritten (one probe pass),
     * everything else carries by path; atomic manifest commit; a
-    * re-issued delete is a no-op commit (idempotent).
+    * re-issued delete is a no-op commit (idempotent). A delete that
+    * removes every row commits a legitimately-empty snapshot — the
+    * manifest's recorded schema keeps the table readable and mergeable.
     */
   def delete(
       spark: SparkSession,
       root: String,
       predicate: Column,
       partitionCol: String): MergeStats = {
-    val (v, entries) = snapshot(spark, root)
-    require(v > 0, s"LakeTable.delete: no committed snapshot at $root")
-    val target = read(spark, root)
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.delete: no committed snapshot at $root")
+    val meta = s0.meta.get
+    val target = readEntries(spark, root, meta.schema, s0.entries)
     val affected = target.where(predicate)
-      .select(col(partitionCol).cast("string")).distinct()
+      .select(partExpr(partitionCol)).distinct()
       .collect().map(_.getString(0)).toSet
-    val (rewrite, carry) = entries.partition(e => affected.contains(e._1))
+    val (rewrite, carry) = s0.entries.partition(e => affected.contains(e.part))
     val written =
       if (rewrite.isEmpty) Nil
       else writeBatch(
         spark, root,
-        spark.read.parquet(rewrite.map(e => s"$root/${e._2}"): _*)
+        spark.read.schema(meta.schema).parquet(rewrite.map(e => s"$root/${e.rel}"): _*)
           .where(!coalesce(predicate, lit(false))),
-        partitionCol)
+        meta)
     require(
-      commit(spark, root, v + 1, carry ++ written),
+      commit(spark, root, s0.version + 1, meta, carry ++ written),
       s"LakeTable.delete: concurrent commit at $root (retry on a fresh snapshot)")
-    MergeStats(v + 1, affected.size, rewrite.size, carry.size, written.size)
+    MergeStats(s0.version + 1, affected.size, rewrite.size, carry.size, written.size)
   }
 
   /** [[merge]] with optimistic-concurrency retries: a writer that loses
@@ -307,20 +547,140 @@ object LakeTable {
     }
   }
 
-  /** Delete data files no committed manifest references (crash leftovers
-    * and files replaced by copy-on-write). Safe any time: the current
-    * snapshot's files are kept.
+  // ---- OPTIMIZE (compaction) -----------------------------------------
+
+  /** Transactional compaction: every partition currently holding at
+    * least `minFilesPerPartition` files is rewritten into the write
+    * path's canonical layout (one file per partition, or more when
+    * `maxRecordsPerFile` caps file size) and committed as a NEW snapshot
+    * — single-file partitions carry by path. This is the OPTIMIZE a
+    * streaming [[graft.streaming.StreamOps.lakeMergeSink]] needs: each
+    * micro-batch MERGE appends a batch directory, so file count grows
+    * one-per-commit until compaction folds them back down.
+    *
+    * Contents are untouched (same rows, recomputed stats), old versions
+    * still time-travel until their files age out of the vacuum retention
+    * window, and a lost commit race retries on the winner's snapshot
+    * like any other writer.
     */
-  def vacuum(spark: SparkSession, root: String): Long = {
-    val (v, entries) = snapshot(spark, root)
-    require(v > 0, s"LakeTable.vacuum: no committed snapshot at $root")
-    val live = entries.map(_._2).toSet
+  def optimize(
+      spark: SparkSession,
+      root: String,
+      minFilesPerPartition: Int = 2,
+      maxRecordsPerFile: Long = 0L,
+      maxRetries: Int = 3): MergeStats =
+    optimizeImpl(spark, root, minFilesPerPartition, maxRecordsPerFile, maxRetries, () => ())
+
+  @annotation.tailrec
+  private[graft] def optimizeImpl(
+      spark: SparkSession,
+      root: String,
+      minFilesPerPartition: Int,
+      maxRecordsPerFile: Long,
+      maxRetries: Int,
+      preCommit: () => Unit): MergeStats = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.optimize: no committed snapshot at $root")
+    val meta = s0.meta.get
+    val fileCounts = s0.entries.groupBy(_.part).map { case (p, es) => p -> es.size }
+    val compactParts = fileCounts.filter(_._2 >= minFilesPerPartition).keySet
+    if (compactParts.isEmpty)
+      return MergeStats(s0.version, 0, 0, s0.entries.size, 0)
+    val (rewrite, carry) = s0.entries.partition(e => compactParts.contains(e.part))
+    val df = spark.read.schema(meta.schema).parquet(rewrite.map(e => s"$root/${e.rel}"): _*)
+    val written = writeBatch(spark, root, df, meta, maxRecordsPerFile)
+    preCommit()
+    val ok = commit(spark, root, s0.version + 1, meta, carry ++ written)
+    if (ok)
+      MergeStats(s0.version + 1, compactParts.size, rewrite.size, carry.size, written.size)
+    else {
+      require(maxRetries > 0,
+        s"LakeTable.optimize: concurrent commit at $root (retries exhausted)")
+      optimizeImpl(spark, root, minFilesPerPartition, maxRecordsPerFile, maxRetries - 1, preCommit)
+    }
+  }
+
+  // ---- CDC -----------------------------------------------------------
+
+  /** Row-level change-data feed between two committed versions, derived
+    * from the manifests alone: files present in both versions changed
+    * nothing (COW never edits a file in place), so only `vFrom`-only
+    * files (pre-images) and `vTo`-only files (post-images) are read.
+    * Joining the two slices on `keyCols` classifies each key:
+    *
+    *   - key only in the new slice          → `insert`
+    *   - key only in the old slice          → `delete`
+    *   - both, any column changed           → `update_preimage` +
+    *                                          `update_postimage`
+    *   - both, row identical (the file was rewritten for a NEIGHBOR in
+    *     its partition — COW granularity)   → suppressed
+    *
+    * Output columns are `vTo`'s schema (pre-images padded with NULL for
+    * since-added columns) plus `_change_type` — the feed a downstream
+    * incremental consumer replays. Requires `keyCols` to be unique per
+    * version, which MERGE maintains. Cost scales with the CHANGED slice,
+    * never the table.
+    */
+  def tableChanges(
+      spark: SparkSession,
+      root: String,
+      vFrom: Long,
+      vTo: Long,
+      keyCols: Seq[String]): DataFrame = {
+    require(vFrom < vTo, s"LakeTable.tableChanges: need vFrom < vTo, got $vFrom >= $vTo")
+    val (metaFrom, entFrom) = readManifest(spark, root, vFrom)
+    val (metaTo, entTo) = readManifest(spark, root, vTo)
+    val relsFrom = entFrom.map(_.rel).toSet
+    val relsTo = entTo.map(_.rel).toSet
+    val removed = entFrom.filterNot(e => relsTo.contains(e.rel))
+    val added = entTo.filterNot(e => relsFrom.contains(e.rel))
+    val outSchema = metaTo.schema
+    val pre = align(readEntries(spark, root, metaFrom.schema, removed), outSchema)
+    val post = readEntries(spark, root, outSchema, added)
+    val dataCols = outSchema.fieldNames.toSeq
+    // pack each side into ONE struct before the join: after a full-outer
+    // join a missing side is then a genuinely NULL struct (selecting the
+    // columns after the join would yield a struct OF nulls instead)
+    def packed(df: DataFrame, as: String): DataFrame =
+      df.select(keyCols.map(col) :+ struct(dataCols.map(col): _*).as(as): _*)
+    val j = packed(pre, "__pre").join(packed(post, "__post"), keyCols, "full_outer")
+    val inserts = j.where(col("__pre").isNull)
+      .select(dataCols.map(c => col(s"__post.$c")) :+ lit("insert").as("_change_type"): _*)
+    val deletes = j.where(col("__post").isNull)
+      .select(dataCols.map(c => col(s"__pre.$c")) :+ lit("delete").as("_change_type"): _*)
+    val changed = j.where(col("__pre").isNotNull && col("__post").isNotNull &&
+      !(col("__pre") <=> col("__post")))
+    val preImg = changed
+      .select(dataCols.map(c => col(s"__pre.$c")) :+ lit("update_preimage").as("_change_type"): _*)
+    val postImg = changed
+      .select(dataCols.map(c => col(s"__post.$c")) :+ lit("update_postimage").as("_change_type"): _*)
+    inserts.unionByName(deletes).unionByName(preImg).unionByName(postImg)
+  }
+
+  // ---- vacuum --------------------------------------------------------
+
+  /** Delete data files that are (a) not referenced by the CURRENT
+    * committed manifest and (b) older than `retainMillis` — the
+    * retention horizon protects a concurrent writer's just-written,
+    * not-yet-committed batch (and keeps recent versions time-travelable).
+    * The default mirrors the conventional 7-day lakehouse retention;
+    * pass 0 ONLY when no writer is in flight (a 0-retention vacuum racing
+    * a writer could reclaim the batch it is about to commit).
+    */
+  def vacuum(
+      spark: SparkSession,
+      root: String,
+      retainMillis: Long = 7L * 24 * 3600 * 1000): Long = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.vacuum: no committed snapshot at $root")
+    val live = s0.entries.map(_.rel).toSet
+    val cutoff = System.currentTimeMillis() - retainMillis
     val dataDir = new Path(root, "data")
     val f = fs(spark, dataDir)
     if (!f.exists(dataDir)) return 0L
     val it = f.listFiles(dataDir, true)
     val all = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
-      .filter(_.isFile).map(_.getPath).toSeq
+      .filter(s => s.isFile && s.getModificationTime < cutoff).map(_.getPath).toSeq
     val rootUri = new Path(root).toUri.getPath
     var removed = 0L
     all.foreach { p =>

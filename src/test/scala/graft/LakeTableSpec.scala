@@ -10,8 +10,10 @@ import graft.operators.LakeTable
   * properties the oracle can't see — snapshot isolation around a crash
   * (an uncommitted batch is invisible), copy-on-write locality (files in
   * untouched partitions are carried by path, not rewritten), optimistic
-  * concurrency (the second committer of a version is refused), and
-  * vacuum reclaiming exactly the unreferenced files.
+  * concurrency (the second committer of a version is refused), vacuum
+  * reclaiming exactly the unreferenced files past retention, OPTIMIZE
+  * compaction, null/escaped partition values, manifest min/max data
+  * skipping, schema evolution, and the CDC change feed.
   */
 class LakeTableSpec extends SparkSpec {
 
@@ -53,21 +55,21 @@ class LakeTableSpec extends SparkSpec {
   test("copy-on-write: files of untouched partitions carry over by path") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p")
-    val (_, before) = LakeTable.snapshot(spark, root)
+    val before = LakeTable.snapshot(spark, root).entries
     // touch ONLY partition "0" (update two rows in place, no moves)
     val src = baseDf.where(col("k") === 0 || col("k") === 3)
       .withColumn("v", col("v") + 100)
     val stats = LakeTable.merge(spark, root, src, Seq("k"), "p")
-    val (_, after) = LakeTable.snapshot(spark, root)
-    val beforeByPart = before.groupBy(_._1)
-    val afterPaths = after.map(_._2).toSet
+    val after = LakeTable.snapshot(spark, root).entries
+    val beforeByPart = before.groupBy(_.part)
+    val afterPaths = after.map(_.rel).toSet
     // untouched partitions' files still referenced verbatim
     beforeByPart.filter(_._1 != "0").foreach { case (_, entries) =>
-      entries.foreach(e => assert(afterPaths.contains(e._2), s"untouched file ${e._2} rewritten"))
+      entries.foreach(e => assert(afterPaths.contains(e.rel), s"untouched file ${e.rel} rewritten"))
     }
     // touched partition's files all replaced
-    beforeByPart("0").foreach(e => assert(!afterPaths.contains(e._2)))
-    assert(stats.filesCarried === before.count(_._1 != "0"))
+    beforeByPart("0").foreach(e => assert(!afterPaths.contains(e.rel)))
+    assert(stats.filesCarried === before.count(_.part != "0"))
     assert(LakeTable.read(spark, root).count() === 300)
   }
 
@@ -83,8 +85,11 @@ class LakeTableSpec extends SparkSpec {
     // readers still see ONLY the committed snapshot
     assert(LakeTable.read(spark, root).agg(sum("v")).head.getLong(0) === readBefore)
     assert(LakeTable.read(spark, root).count() === 300)
-    // vacuum removes every unreferenced file; the table is unchanged
-    val removed = LakeTable.vacuum(spark, root)
+    // within the retention window nothing is reclaimed (a concurrent
+    // writer's in-flight batch looks exactly like this orphan)
+    assert(LakeTable.vacuum(spark, root) === 0L)
+    // past retention the orphans go; the table is unchanged
+    val removed = LakeTable.vacuum(spark, root, retainMillis = 0L)
     assert(removed > 0)
     val fs = new org.apache.hadoop.fs.Path(orphanDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -100,16 +105,16 @@ class LakeTableSpec extends SparkSpec {
   test("optimistic concurrency: second commit of the same version is refused") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p")
-    val (v1, entries1) = LakeTable.snapshot(spark, root)
-    assert(v1 === 1)
+    val s1 = LakeTable.snapshot(spark, root)
+    assert(s1.version === 1)
     // two writers race from the same snapshot: both try to commit v2 —
     // the same-directory rename lets exactly one win
-    val winner = LakeTable.commit(spark, root, 2, entries1)
-    val loser = LakeTable.commit(spark, root, 2, Nil)
+    val winner = LakeTable.commit(spark, root, 2, s1.meta.get, s1.entries)
+    val loser = LakeTable.commit(spark, root, 2, s1.meta.get, Nil)
     assert(winner && !loser)
     // the winner's manifest is intact (the loser did not clobber it)
-    val (v2, entries2) = LakeTable.snapshot(spark, root)
-    assert(v2 === 2 && entries2 === entries1)
+    val s2 = LakeTable.snapshot(spark, root)
+    assert(s2.version === 2 && s2.entries === s1.entries)
     // a stale init must also refuse loudly rather than reset the table
     val ex = intercept[IllegalArgumentException] {
       LakeTable.init(spark, root, baseDf, "p")
@@ -128,8 +133,9 @@ class LakeTableSpec extends SparkSpec {
     val v2Sum = LakeTable.read(spark, root).agg(sum("v")).head.getLong(0)
     assert(LakeTable.readVersion(spark, root, 2).agg(sum("v")).head.getLong(0) === v2Sum)
     assert(v2Sum === v1Sum + (0 until 50).map(_ * 10).sum)
-    // vacuum keeps only the current version's files: v1 gone, v2 intact
-    LakeTable.vacuum(spark, root)
+    // vacuum past retention keeps only the current version's files:
+    // v1 gone, v2 intact
+    LakeTable.vacuum(spark, root, retainMillis = 0L)
     assert(LakeTable.read(spark, root).agg(sum("v")).head.getLong(0) === v2Sum)
     intercept[Exception] {
       LakeTable.readVersion(spark, root, 1).agg(sum("v")).head.getLong(0)
@@ -144,13 +150,13 @@ class LakeTableSpec extends SparkSpec {
       col("id").as("k"), (col("id") % 3).cast("string").as("p"),
       when(col("id") % 50 === 0, lit(null).cast("long")).otherwise(col("id") * 10).as("v"))
     LakeTable.init(spark, root, base, "p")
-    val (_, before) = LakeTable.snapshot(spark, root)
+    val before = LakeTable.snapshot(spark, root).entries
     // predicate TRUE only in partition "0"; NULL for the null-v rows there
     val stats = LakeTable.delete(spark, root, col("p") === "0" && col("v") < 1000, "p")
     // only partition "0" rewritten; others carried by path
-    val (_, after) = LakeTable.snapshot(spark, root)
-    val afterPaths = after.map(_._2).toSet
-    before.filter(_._1 != "0").foreach(e => assert(afterPaths.contains(e._2)))
+    val after = LakeTable.snapshot(spark, root).entries
+    val afterPaths = after.map(_.rel).toSet
+    before.filter(_.part != "0").foreach(e => assert(afterPaths.contains(e.rel)))
     assert(stats.matchedPartitions === 1)
     val got = LakeTable.read(spark, root)
     // deleted: p=0 AND v<1000 AND v NOT NULL -> k in {3,6,...,99} minus nulls
@@ -165,6 +171,19 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.read(spark, root).count() === n1)
   }
 
+  test("delete that removes every row leaves a readable, mergeable empty table") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    LakeTable.delete(spark, root, lit(true), "p")
+    val got = LakeTable.read(spark, root)
+    assert(got.count() === 0)
+    assert(got.schema.fieldNames.toSeq === Seq("k", "p", "v"))
+    // the empty state accepts a merge (everything inserts)
+    val stats = LakeTable.merge(spark, root, baseDf.where(col("k") < 5), Seq("k"), "p")
+    assert(stats.version === 3)
+    assert(LakeTable.read(spark, root).count() === 5)
+  }
+
   test("mergeWithRetry: the race loser recomputes on the winner's snapshot") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p")
@@ -176,8 +195,8 @@ class LakeTableSpec extends SparkSpec {
     val steal: () => Unit = () =>
       if (!stole) {
         stole = true
-        val (v, e) = LakeTable.snapshot(spark, root)
-        assert(LakeTable.commit(spark, root, v + 1, e)) // the "winner"
+        val s = LakeTable.snapshot(spark, root)
+        assert(LakeTable.commit(spark, root, s.version + 1, s.meta.get, s.entries)) // the "winner"
       }
     val src = baseDf.where(col("k") < 10).withColumn("v", col("v") + 7)
     val stats = LakeTable.mergeWithRetryImpl(spark, root, src, Seq("k"), "p", 3, steal)
@@ -188,7 +207,170 @@ class LakeTableSpec extends SparkSpec {
     assert(got.where(col("k") < 10).agg(sum("v")).head.getLong(0) ===
       (0 until 10).map(_ * 10 + 7).sum)
     // the losing attempt's batch is orphaned, never visible; vacuum eats it
-    assert(LakeTable.vacuum(spark, root) > 0)
+    assert(LakeTable.vacuum(spark, root, retainMillis = 0L) > 0)
     assert(LakeTable.read(spark, root).count() === 300)
+  }
+
+  test("null and escaped partition values: merge and delete neither drop nor duplicate") {
+    val root = freshRoot()
+    // partition values exercising every encoding hazard: NULL (Hive
+    // sentinel directory), '+' (URLDecoder would corrupt it to a space),
+    // a real space, and a '%' (escape char itself)
+    def mk(lo: Long, hi: Long, bump: Long) = spark.range(lo, hi).select(
+      col("id").as("k"),
+      when(col("id") % 4 === 0, lit(null))
+        .when(col("id") % 4 === 1, lit("a+b"))
+        .when(col("id") % 4 === 2, lit("c d"))
+        .otherwise(lit("e%f")).as("p"),
+      (col("id") * 10 + bump).as("v"))
+    val base = mk(0, 100, 0)
+    LakeTable.init(spark, root, base, "p")
+    assert(LakeTable.read(spark, root).where(col("p").isNull).count() === 25)
+
+    // update rows in EVERY partition (incl. the null one), insert a few
+    val src = mk(0, 40, 1).unionByName(mk(1000, 1010, 0))
+    LakeTable.merge(spark, root, src, Seq("k"), "p")
+    val got = LakeTable.read(spark, root)
+    val expected = src.unionByName(mk(40, 100, 0))
+    assert(got.count() === 110, "merge over null/escaped partitions dropped or duplicated rows")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+
+    // delete from the null partition specifically
+    LakeTable.delete(spark, root, col("p").isNull && col("k") < 20, "p")
+    val after = LakeTable.read(spark, root)
+    assert(after.where(col("p").isNull).count() ===
+      expected.where(col("p").isNull && !(col("k") < 20)).count())
+    assert(after.count() === 110 - expected.where(col("p").isNull && col("k") < 20).count())
+  }
+
+  test("optimize: compacts multi-file partitions into one, contents and history intact") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    // 5 merges, each appending a batch file per touched partition
+    (0 until 5).foreach { i =>
+      val src = baseDf.where(col("k") % 10 === i).withColumn("v", col("v") + i + 1)
+      LakeTable.merge(spark, root, src, Seq("k"), "p")
+    }
+    val sBefore = LakeTable.snapshot(spark, root)
+    val beforeCount = sBefore.entries.size
+    assert(beforeCount >= 12, s"expected >=12 files before optimize, got $beforeCount")
+    val preSum = LakeTable.read(spark, root).agg(sum("v")).head.getLong(0)
+    val preContents = LakeTable.read(spark, root)
+
+    val stats = LakeTable.optimize(spark, root)
+    val sAfter = LakeTable.snapshot(spark, root)
+    assert(sAfter.version === sBefore.version + 1)
+    // one file per partition after compaction: >=4x fewer files
+    assert(sAfter.entries.size * 4 <= beforeCount,
+      s"optimize left ${sAfter.entries.size} files from $beforeCount")
+    assert(sAfter.entries.groupBy(_.part).forall(_._2.size == 1))
+    assert(stats.filesRewritten === beforeCount)
+    // contents byte-identical
+    val post = LakeTable.read(spark, root)
+    assert(post.agg(sum("v")).head.getLong(0) === preSum)
+    assert(post.exceptAll(preContents).isEmpty && preContents.exceptAll(post).isEmpty)
+    // the pre-optimize snapshot still time-travels (files not vacuumed)
+    assert(LakeTable.readVersion(spark, root, sBefore.version)
+      .agg(sum("v")).head.getLong(0) === preSum)
+    // idempotent: a second optimize is a no-op (no new version)
+    val again = LakeTable.optimize(spark, root)
+    assert(again.version === sAfter.version && again.rowsWritten === 0)
+
+    // a lost commit race retries on the winner's snapshot
+    var stole = false
+    val steal: () => Unit = () =>
+      if (!stole) {
+        stole = true
+        val s = LakeTable.snapshot(spark, root)
+        assert(LakeTable.commit(spark, root, s.version + 1, s.meta.get, s.entries))
+      }
+    // force multi-file partitions again so optimize has work to do
+    LakeTable.merge(spark, root, baseDf.where(col("k") < 30), Seq("k"), "p")
+    val raced = LakeTable.optimizeImpl(spark, root, 2, 0L, 3, steal)
+    assert(stole && raced.version === LakeTable.snapshot(spark, root).version)
+    assert(LakeTable.read(spark, root).agg(sum("v")).head.getLong(0) === preSum)
+  }
+
+  test("data skipping: manifest min/max prunes files; results equal the unpruned read") {
+    val root = freshRoot()
+    // k is monotone within each partition's file ordering is not
+    // guaranteed, so partition by decade bucket: each partition = one
+    // contiguous k-range = tight per-file min/max
+    val base = spark.range(1000).select(
+      col("id").as("k"),
+      (col("id") / 100).cast("string").as("p"),
+      (col("id") * 3).as("v"))
+    LakeTable.init(spark, root, base, "p", statsCol = Some("v"))
+    val s0 = LakeTable.snapshot(spark, root)
+    assert(s0.entries.forall(e => e.min.isDefined && e.max.isDefined))
+
+    // selective range: v in [600, 750] -> k in [200, 250] -> partition "2" only
+    val kept = LakeTable.pruneRange(s0.meta.get, s0.entries, 600, 750)
+    assert(kept.size < s0.entries.size,
+      s"pruning kept all ${s0.entries.size} files")
+    assert(kept.map(_.part).toSet === Set("2"))
+    val got = LakeTable.readRange(spark, root, 600, 750)
+    val expected = LakeTable.read(spark, root).where(col("v").between(600, 750))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    assert(got.count() === 51)
+
+    // stats survive a merge (rewritten files get fresh min/max)
+    LakeTable.merge(spark, root,
+      base.where(col("k").between(200, 210)).withColumn("v", col("v") + 1), Seq("k"), "p")
+    val s1 = LakeTable.snapshot(spark, root)
+    assert(s1.entries.forall(e => e.min.isDefined && e.max.isDefined))
+    val got2 = LakeTable.readRange(spark, root, 600, 760)
+    val expected2 = LakeTable.read(spark, root).where(col("v").between(600, 760))
+    assert(got2.exceptAll(expected2).isEmpty && expected2.exceptAll(got2).isEmpty)
+  }
+
+  test("schema evolution: source with added columns widens the table; old rows read NULL") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    val src = baseDf.where(col("k") % 2 === 0)
+      .withColumn("v", col("v") + 1)
+      .withColumn("w", col("k") * 2) // the NEW column
+    val stats = LakeTable.merge(spark, root, src, Seq("k"), "p")
+    assert(stats.version === 2)
+    val got = LakeTable.read(spark, root)
+    assert(got.schema.fieldNames.toSeq === Seq("k", "p", "v", "w"))
+    // updated rows carry w; carried/survivor rows read NULL for it
+    assert(got.where(col("k") % 2 === 0 && col("w") =!= col("k") * 2).count() === 0)
+    assert(got.where(col("k") % 2 === 1 && col("w").isNotNull).count() === 0)
+    assert(got.count() === 300)
+    // time travel to v1 keeps the ORIGINAL schema
+    assert(LakeTable.readVersion(spark, root, 1).schema.fieldNames.toSeq === Seq("k", "p", "v"))
+  }
+
+  test("tableChanges: row-level CDC between versions from the manifests alone") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    // v2: update k<10 (+7), insert 1000..1004; v3: delete k in [20,25)
+    val src = baseDf.where(col("k") < 10).withColumn("v", col("v") + 7)
+      .unionByName(spark.range(1000, 1005).select(
+        col("id").as("k"), lit("9").as("p"), lit(-1L).as("v")))
+    LakeTable.merge(spark, root, src, Seq("k"), "p")
+    LakeTable.delete(spark, root, col("k").between(20, 24), "p")
+
+    val cdc12 = LakeTable.tableChanges(spark, root, 1, 2, Seq("k")).cache()
+    assert(cdc12.where(col("_change_type") === "insert").count() === 5)
+    assert(cdc12.where(col("_change_type") === "update_preimage").count() === 10)
+    assert(cdc12.where(col("_change_type") === "update_postimage").count() === 10)
+    assert(cdc12.where(col("_change_type") === "delete").count() === 0)
+    // unchanged neighbors in rewritten partitions are suppressed
+    assert(cdc12.count() === 25)
+    // post-images carry the new values
+    assert(cdc12.where(col("_change_type") === "update_postimage")
+      .agg(sum("v")).head.getLong(0) === (0 until 10).map(_ * 10 + 7).sum)
+
+    val cdc23 = LakeTable.tableChanges(spark, root, 2, 3, Seq("k"))
+    assert(cdc23.where(col("_change_type") === "delete").count() === 5)
+    assert(cdc23.count() === 5)
+
+    // the full span composes: v1 -> v3 nets updates + inserts + deletes
+    val cdc13 = LakeTable.tableChanges(spark, root, 1, 3, Seq("k"))
+    assert(cdc13.where(col("_change_type") === "insert").count() === 5)
+    assert(cdc13.where(col("_change_type") === "delete").count() === 5)
+    cdc12.unpersist()
   }
 }
