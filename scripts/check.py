@@ -21,7 +21,15 @@ def main():
         ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
         cwd="/root/repo", capture_output=True, text=True)
     if r.returncode != 0:
-        print(r.stdout[-4000:]); print(r.stderr[-4000:]); sys.exit(1)
+        print(r.stdout[-4000:]); print(r.stderr[-4000:])
+        # Verify exits nonzero when any query throws (round-12 regression:
+        # crashed queries silently vanished from the report) — surface the
+        # per-query errors it recorded before bailing
+        errp = f"{OUT}/errors.json"
+        if os.path.exists(errp):
+            for k, v in json.load(open(errp)).items():
+                print(f"ERROR {k}: {v[:300]}")
+        sys.exit(1)
     for line in r.stderr.splitlines():
         if "[verify]" in line:
             print(line)

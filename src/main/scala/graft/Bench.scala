@@ -48,8 +48,14 @@ object Bench {
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // `failed` is load-bearing: a -1.0 sentinel contributes nothing to the
+    // total, so without this field a run with crashed queries looks FASTER
+    // than a clean one (round-12 lesson). Nonzero exit below for the same
+    // reason — automation must not record a partial bench as a baseline.
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // Stdout passes through the driver's tail capture, which has truncated
     // per-query timings before (BENCH_r09 lost q05/q73) — persist the full
@@ -60,5 +66,9 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }

@@ -12,11 +12,13 @@ object Verify {
     val spark = graft.engine.SparkEngine.session(
       master = s"local[$cpus]", appName = "graft-verify", shufflePartitions = cpus)
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
       // don't let operator-internal caches accumulate across ~40 queries
       graft.engine.ManagedCache.unpersistAll()
@@ -36,6 +38,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that throws must NOT vanish into a silently-smaller report
+    // (round 12: 10 crashed queries were simply absent and the remaining
+    // 114 read as a full pass). Dump the failures where the driver and the
+    // judge can see them, and exit nonzero so automation can't mistake a
+    // partial run for a clean one.
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    System.err.println(
+      s"[verify] ${SparkEntry.queries.size - failures.size}/${SparkEntry.queries.size} queries dumped" +
+        (if (failures.nonEmpty) s"; FAILED: ${failures.keys.mkString(",")}" else ""))
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

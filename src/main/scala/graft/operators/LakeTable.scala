@@ -210,18 +210,36 @@ object LakeTable {
       root: String,
       df: DataFrame,
       meta: TableMeta,
-      maxRecordsPerFile: Long = 0L): Seq[Entry] = {
+      maxRecordsPerFile: Long = 0L,
+      sortCols: Seq[String] = Nil): Seq[Entry] = {
     val batch = s"batch-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(new Path(root, "data"), batch)
-    val writer = df.withColumn(PartDirCol, col(meta.partitionCol).cast("string"))
-      .repartition(col(PartDirCol))
-      .write.partitionBy(PartDirCol).mode("append")
+    val keyed = df.withColumn(PartDirCol, col(meta.partitionCol).cast("string"))
+    // clustered layout: range-partition + in-partition sort on
+    // (partition, sortCols) — each output file then covers one tight,
+    // non-overlapping slice of the sort key, so the manifest min/max
+    // entries (and parquet footer stats) prune range scans again. Range
+    // partitioning also spreads a big lake partition over many tasks,
+    // where the default hash-by-partition path writes it from one.
+    val arranged =
+      if (sortCols.isEmpty) keyed.repartition(col(PartDirCol))
+      else keyed
+        .repartitionByRange((PartDirCol +: sortCols).map(col): _*)
+        .sortWithinPartitions((PartDirCol +: sortCols).map(col): _*)
+    val writer = arranged.write.partitionBy(PartDirCol).mode("append")
     (if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile)
      else writer).parquet(dataDir.toString)
 
     // per-file stats: min/max of the stats column, aggregated in the
     // column's NATIVE type (string-min over numbers would order "10"<"9")
-    // and rendered to string for the manifest
+    // and rendered to string for the manifest. Keyed by the file's path
+    // RELATIVE to the batch dir (`__part=<v>/<name>`), NOT the bare file
+    // name: one write task covering several partition values emits the
+    // SAME part-<task>-<uuid> file name into each partition dir, so a
+    // name-only map silently collapses those entries and every collided
+    // file inherits some other file's bounds — wrong skipping. A key that
+    // fails to match (e.g. URI-encoding of an exotic escaped partition
+    // value) degrades to no stats for that file = never skipped (safe).
     val stats: Map[String, (Option[String], Option[String])] =
       meta.statsCol.filter(df.columns.contains) match {
         case Some(sc) =>
@@ -229,7 +247,7 @@ object LakeTable {
             .groupBy(input_file_name().as("f"))
             .agg(min(col(sc)).cast("string").as("mn"), max(col(sc)).cast("string").as("mx"))
             .collect()
-            .map(r => fileName(r.getString(0)) -> (Option(r.getString(1)), Option(r.getString(2))))
+            .map(r => partAndName(r.getString(0)) -> (Option(r.getString(1)), Option(r.getString(2))))
             .toMap
         case None => Map.empty
       }
@@ -244,7 +262,7 @@ object LakeTable {
           case d if d.startsWith(s"$PartDirCol=") => d.stripPrefix(s"$PartDirCol=")
           case d => sys.error(s"unexpected data layout at $p (dir $d)")
         }
-        val (mn, mx) = stats.getOrElse(p.getName, (None, None))
+        val (mn, mx) = stats.getOrElse(s"$PartDirCol=$pv/${p.getName}", (None, None))
         // decode with Hive path unescaping (NOT URLDecoder: '+' is
         // literal); a null partition's directory IS the sentinel already
         val decoded = if (pv == NullPartition) NullPartition else unesc(pv)
@@ -252,7 +270,14 @@ object LakeTable {
       }.toSeq
   }
 
-  private def fileName(uri: String): String = uri.substring(uri.lastIndexOf('/') + 1)
+  /** Last two path components of a file URI: `__part=<v>/<fileName>` —
+    * the stats-map key that stays unique when one task writes the same
+    * file name into several partition dirs.
+    */
+  private def partAndName(uri: String): String = {
+    val parts = uri.split('/')
+    parts.takeRight(2).mkString("/")
+  }
 
   /** Create the table (version 1) from `df`. Fails if it already exists.
     * `statsCol` opts into per-file min/max collection on that column for
@@ -562,14 +587,23 @@ object LakeTable {
     * still time-travel until their files age out of the vacuum retention
     * window, and a lost commit race retries on the winner's snapshot
     * like any other writer.
+    *
+    * `sortCols` opts into CLUSTERED compaction (the OPTIMIZE ... ZORDER
+    * BY shape): the rewrite range-partitions and sorts each lake
+    * partition on those columns, so every output file covers one tight,
+    * non-overlapping slice of the sort key — restoring the manifest
+    * min/max skipping (and parquet footer pruning) that per-commit
+    * appends of interleaved key ranges destroy. Range partitioning also
+    * spreads a big partition's rewrite over many tasks instead of one.
     */
   def optimize(
       spark: SparkSession,
       root: String,
       minFilesPerPartition: Int = 2,
       maxRecordsPerFile: Long = 0L,
-      maxRetries: Int = 3): MergeStats =
-    optimizeImpl(spark, root, minFilesPerPartition, maxRecordsPerFile, maxRetries, () => ())
+      maxRetries: Int = 3,
+      sortCols: Seq[String] = Nil): MergeStats =
+    optimizeImpl(spark, root, minFilesPerPartition, maxRecordsPerFile, maxRetries, () => (), sortCols)
 
   @annotation.tailrec
   private[graft] def optimizeImpl(
@@ -578,17 +612,20 @@ object LakeTable {
       minFilesPerPartition: Int,
       maxRecordsPerFile: Long,
       maxRetries: Int,
-      preCommit: () => Unit): MergeStats = {
+      preCommit: () => Unit,
+      sortCols: Seq[String] = Nil): MergeStats = {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.optimize: no committed snapshot at $root")
     val meta = s0.meta.get
+    sortCols.foreach(c => require(meta.schema.fieldNames.contains(c),
+      s"LakeTable.optimize: sort column $c not in table schema"))
     val fileCounts = s0.entries.groupBy(_.part).map { case (p, es) => p -> es.size }
     val compactParts = fileCounts.filter(_._2 >= minFilesPerPartition).keySet
     if (compactParts.isEmpty)
       return MergeStats(s0.version, 0, 0, s0.entries.size, 0)
     val (rewrite, carry) = s0.entries.partition(e => compactParts.contains(e.part))
     val df = spark.read.schema(meta.schema).parquet(rewrite.map(e => s"$root/${e.rel}"): _*)
-    val written = writeBatch(spark, root, df, meta, maxRecordsPerFile)
+    val written = writeBatch(spark, root, df, meta, maxRecordsPerFile, sortCols)
     preCommit()
     val ok = commit(spark, root, s0.version + 1, meta, carry ++ written)
     if (ok)
@@ -596,7 +633,8 @@ object LakeTable {
     else {
       require(maxRetries > 0,
         s"LakeTable.optimize: concurrent commit at $root (retries exhausted)")
-      optimizeImpl(spark, root, minFilesPerPartition, maxRecordsPerFile, maxRetries - 1, preCommit)
+      optimizeImpl(spark, root, minFilesPerPartition, maxRecordsPerFile, maxRetries - 1, preCommit,
+        sortCols)
     }
   }
 

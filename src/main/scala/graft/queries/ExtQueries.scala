@@ -285,6 +285,110 @@ object ExtQueries {
         .orderBy("o_orderstatus")
     },
 
+    // Transactional OPTIMIZE (small-file compaction): init from one
+    // quarter-slice of orders, append the other three quarters as three
+    // blind-insert commits — the streaming-sink accumulation pattern,
+    // one file per touched partition PER COMMIT — then compact. The
+    // result joins the post-OPTIMIZE rollup with the REAL per-partition
+    // file count from the committed manifest; the oracle pins n_files to
+    // literal 1, so both contracts are hash-checked at once: compaction
+    // must not change a single row (cnt/cents re-derived relationally
+    // over the union of the four slices) and must actually fold each
+    // partition's accumulated files into one.
+    "q134_lake_optimize" -> { (s, dir) =>
+      import graft.operators.LakeTable
+      val root = s"/root/repo/target/staging/q134_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      LakeTable.init(s, root, orders.where(col("o_orderkey") % 4 === 0), "o_orderstatus")
+      (1 to 3).foreach(k =>
+        LakeTable.append(s, root, orders.where(col("o_orderkey") % 4 === k)))
+      LakeTable.optimize(s, root, minFilesPerPartition = 2)
+      val snap = LakeTable.snapshot(s, root)
+      val counts = snap.entries.groupBy(_.part).toSeq
+        .map { case (part, es) => (part, es.size) }
+      val filesDf = s.createDataFrame(counts).toDF("o_orderstatus", "n_files")
+      LakeTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .join(filesDf, "o_orderstatus")
+        .orderBy("o_orderstatus")
+    },
+
+    // Change-data feed derived from the manifests alone: the q130 merge
+    // (updates %10=0 price+100 forced to 'F' — partition-moving — plus
+    // inserts %10=3 re-keyed into 'N'), then tableChanges(v1, v2) rolled
+    // up by change type. The oracle re-derives each class relationally:
+    // every %10=0 key yields exactly one preimage (original price) and
+    // one postimage (+100), every %10=3 key one insert, and NOTHING
+    // else — a carried-but-rewritten neighbor leaking through as a
+    // phantom update, a missed partition-mover, or a double-counted
+    // insert all shift cnt or cents.
+    "q135_lake_cdc" -> { (s, dir) =>
+      import graft.operators.LakeTable
+      val root = s"/root/repo/target/staging/q135_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      LakeTable.init(s, root, orders, "o_orderstatus")
+      val updates = orders.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .withColumn("o_orderstatus", lit("F"))
+      val inserts = orders.where(col("o_orderkey") % 10 === 3)
+        .select(
+          (col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_custkey"),
+          lit("N").as("o_orderstatus"),
+          col("o_totalprice"))
+      LakeTable.merge(s, root, updates.unionByName(inserts), Seq("o_orderkey"), "o_orderstatus")
+      LakeTable.tableChanges(s, root, 1L, 2L, Seq("o_orderkey"))
+        .groupBy("_change_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("_change_type")
+    },
+
+    // Manifest min/max data skipping: the table is partitioned by a key
+    // bucket (floor(key/500)) with per-file o_orderkey stats recorded at
+    // write time, so a key-range read can prune files from METADATA
+    // alone — no parquet footer is opened for a skipped file. The result
+    // row carries the rollup of readRange(100, 399) (hash-checked
+    // against the plain filtered aggregate) plus the REAL pruning
+    // outcome — files_skipped = (pruned entry list is strictly smaller)
+    // — which the oracle pins to literal true: if the stats pipeline
+    // broke (no stats recorded, pruneRange keeping everything), the
+    // boolean flips and the hash fails even though the VALUES would
+    // still be right via the residual predicate.
+    "q136_lake_skipping" -> { (s, dir) =>
+      import graft.operators.LakeTable
+      val root = s"/root/repo/target/staging/q136_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("key_bucket", floor(col("o_orderkey") / 500))
+      LakeTable.init(s, root, orders, "key_bucket", statsCol = Some("o_orderkey"))
+      val snap = LakeTable.snapshot(s, root)
+      val pruned = LakeTable.pruneRange(snap.meta.get, snap.entries, 100, 399)
+      val skipped = pruned.size < snap.entries.size
+      LakeTable.readRange(s, root, 100, 399)
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("files_skipped", lit(skipped))
+    },
+
     // SCD Type-2 dimension maintenance: one change batch carrying a REAL
     // attribute change (keys %10=0: price +100), an identical-attrs
     // re-delivery that must be absorbed without an empty history row
@@ -1108,6 +1212,41 @@ object ExtQueries {
         |SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // OPTIMIZE must be a pure layout change: the union of the four
+    // appended slices IS the whole table, and each partition ends at
+    // exactly one file (pinned literal).
+    "q134_lake_optimize" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       1 AS n_files
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // CDC classes re-derived relationally: one preimage (original price)
+    // and one postimage (+100) per %10=0 key, one insert per %10=3 key,
+    // no deletes, and no phantom rows from carried-but-rewritten
+    // neighbors.
+    "q135_lake_cdc" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |feed AS (
+        |  SELECT 'insert' AS _change_type, o_totalprice
+        |  FROM t WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT 'update_preimage', o_totalprice
+        |  FROM t WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', o_totalprice + 100.0
+        |  FROM t WHERE o_orderkey % 10 = 0)
+        |SELECT _change_type, count(*) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The skipped-files boolean is pinned to literal TRUE: stats-based
+    // pruning must actually drop files for this range, and the residual
+    // rollup must equal the plain filtered aggregate.
+    "q136_lake_skipping" ->
+      """SELECT count(*) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |       TRUE AS files_skipped
+        |FROM orders WHERE o_orderkey BETWEEN 100 AND 399""".stripMargin,
     // DELETE complement: everything except the deleted predicate set.
     "q133_lake_delete" ->
       """SELECT o_orderstatus, count(*) AS cnt,

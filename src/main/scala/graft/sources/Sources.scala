@@ -21,8 +21,31 @@ import org.apache.spark.sql.types._
 object Sources {
 
   /** Parquet fixture table, e.g. table(spark, sfDir, "lineitem"). */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Canonicalize the events fixture's `ts` to epoch-NANOS LongType.
+    *
+    * The fixture has shipped with two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which the engine surfaces as
+    * an epoch-nanos long via `spark.sql.legacy.parquet.nanosAsLong` — and
+    * plain timestamp[us], which arrives as a (NTZ) timestamp column. Every
+    * downstream operator is written against the widest representation
+    * (epoch-nanos long, converted with integer `ts div 1000` where micros
+    * are needed), so branch on the observed dtype here: a timestamp-typed
+    * `ts` becomes `unix_micros(ts) * 1000` (lossless — a micros-precision
+    * fixture has no sub-microsecond digits to drop), a long passes through.
+    * The cast to TimestampType is an identity shift under the engine's UTC
+    * session time zone, matching the tz-naive DuckDB oracle's epoch_us.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
 
   /** Line-delimited JSON with explicit schema (no inference — mirrors the
     * engine's fixed-schema philosophy; missing fields are null).

@@ -246,10 +246,14 @@ class LakeTableSpec extends SparkSpec {
   test("optimize: compacts multi-file partitions into one, contents and history intact") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p")
-    // 5 merges, each appending a batch file per touched partition
+    // 5 blind-insert commits (the streaming-sink accumulation shape: a
+    // MERGE rewrites affected partitions, so only append grows the file
+    // count) — disjoint re-keyed slices keep keys unique for the merge
+    // at the end of this test
     (0 until 5).foreach { i =>
-      val src = baseDf.where(col("k") % 10 === i).withColumn("v", col("v") + i + 1)
-      LakeTable.merge(spark, root, src, Seq("k"), "p")
+      val src = baseDf.where(col("k") % 10 === i)
+        .select((col("k") + 1000L * (i + 1)).as("k"), col("p"), (col("v") + i + 1).as("v"))
+      LakeTable.append(spark, root, src)
     }
     val sBefore = LakeTable.snapshot(spark, root)
     val beforeCount = sBefore.entries.size
@@ -285,20 +289,25 @@ class LakeTableSpec extends SparkSpec {
         assert(LakeTable.commit(spark, root, s.version + 1, s.meta.get, s.entries))
       }
     // force multi-file partitions again so optimize has work to do
-    LakeTable.merge(spark, root, baseDf.where(col("k") < 30), Seq("k"), "p")
+    // (append, not merge: a merge REWRITES each affected partition back
+    // to one file and the raced optimize would no-op before the steal)
+    val extra = baseDf.where(col("k") < 30)
+      .select((col("k") + 10000L).as("k"), col("p"), col("v"))
+    val extraSum = extra.agg(sum("v")).head.getLong(0)
+    LakeTable.append(spark, root, extra)
     val raced = LakeTable.optimizeImpl(spark, root, 2, 0L, 3, steal)
     assert(stole && raced.version === LakeTable.snapshot(spark, root).version)
-    assert(LakeTable.read(spark, root).agg(sum("v")).head.getLong(0) === preSum)
+    assert(LakeTable.read(spark, root).agg(sum("v")).head.getLong(0) === preSum + extraSum)
   }
 
   test("data skipping: manifest min/max prunes files; results equal the unpruned read") {
     val root = freshRoot()
-    // k is monotone within each partition's file ordering is not
-    // guaranteed, so partition by decade bucket: each partition = one
+    // partition by century bucket (INTEGER division — `/` would be double
+    // and make every id its own partition): each partition = one
     // contiguous k-range = tight per-file min/max
     val base = spark.range(1000).select(
       col("id").as("k"),
-      (col("id") / 100).cast("string").as("p"),
+      expr("id div 100").cast("string").as("p"),
       (col("id") * 3).as("v"))
     LakeTable.init(spark, root, base, "p", statsCol = Some("v"))
     val s0 = LakeTable.snapshot(spark, root)
@@ -322,6 +331,61 @@ class LakeTableSpec extends SparkSpec {
     val got2 = LakeTable.readRange(spark, root, 600, 760)
     val expected2 = LakeTable.read(spark, root).where(col("v").between(600, 760))
     assert(got2.exceptAll(expected2).isEmpty && expected2.exceptAll(got2).isEmpty)
+  }
+
+  test("per-file stats stay correct when one task writes many partition dirs") {
+    // regression: 64 partition values over far fewer write tasks means a
+    // task emits the SAME part-<task>-<uuid> file name into several
+    // partition dirs; stats keyed by bare file name collided and every
+    // file inherited some other file's bounds. Each partition here is one
+    // contiguous k-range, so the recorded bounds are predictable per file.
+    val root = freshRoot()
+    val base = spark.range(6400).select(
+      col("id").as("k"),
+      expr("id div 100").cast("string").as("p"),
+      col("id").as("v"))
+    LakeTable.init(spark, root, base, "p", statsCol = Some("v"))
+    val s0 = LakeTable.snapshot(spark, root)
+    assert(s0.entries.size === 64)
+    // every entry's recorded min/max must equal ITS OWN file's bounds
+    s0.entries.foreach { e =>
+      val lo = e.part.toLong * 100
+      assert(e.min.contains(lo.toString) && e.max.contains((lo + 99).toString),
+        s"partition ${e.part} recorded [${e.min},${e.max}], expected [$lo,${lo + 99}]")
+    }
+    // and a narrow range read must keep exactly one file
+    val kept = LakeTable.pruneRange(s0.meta.get, s0.entries, 1234, 1299)
+    assert(kept.map(_.part).toSet === Set("12"))
+  }
+
+  test("clustered optimize: sort-on-rewrite restores manifest min/max skipping") {
+    // one lake partition, four appends of INTERLEAVED key slices (k%4):
+    // every file spans ~the full key range, so range pruning keeps all of
+    // them. optimize(sortCols=k) range-partitions + sorts the rewrite —
+    // each output file then covers one tight slice and pruning bites.
+    val root = freshRoot()
+    def slice(i: Int) = spark.range(1000).where(col("id") % 4 === i)
+      .select(col("id").as("k"), lit("all").as("p"), (col("id") * 2).as("v"))
+    LakeTable.init(spark, root, slice(0), "p", statsCol = Some("k"))
+    (1 to 3).foreach(i => LakeTable.append(spark, root, slice(i)))
+    val s0 = LakeTable.snapshot(spark, root)
+    assert(s0.entries.size === 4)
+    // interleaved slices: no file can be skipped for a mid-range probe
+    assert(LakeTable.pruneRange(s0.meta.get, s0.entries, 100, 149).size === 4)
+    val preSum = LakeTable.read(spark, root).agg(sum("v")).head.getLong(0)
+
+    LakeTable.optimize(spark, root, minFilesPerPartition = 2,
+      maxRecordsPerFile = 250L, sortCols = Seq("k"))
+    val s1 = LakeTable.snapshot(spark, root)
+    assert(s1.entries.size >= 2, "maxRecordsPerFile should split the partition")
+    // clustered files: disjoint k-ranges -> a 50-wide probe keeps few
+    val kept = LakeTable.pruneRange(s1.meta.get, s1.entries, 100, 149)
+    assert(kept.size < s1.entries.size,
+      s"clustered optimize did not restore skipping: kept ${kept.size}/${s1.entries.size}")
+    // contents untouched; the pruned read equals the plain filtered read
+    assert(LakeTable.read(spark, root).agg(sum("v")).head.getLong(0) === preSum)
+    val got = LakeTable.readRange(spark, root, 100, 149)
+    assert(got.count() === 50 && got.agg(sum("v")).head.getLong(0) === (100L to 149L).map(_ * 2).sum)
   }
 
   test("schema evolution: source with added columns widens the table; old rows read NULL") {

@@ -376,16 +376,17 @@ class StreamSpec extends SparkSpec {
     // the production source shape: a directory of parquet files consumed
     // incrementally (maxFilesPerTrigger) — results must equal the batch
     // run of the SAME transform over the same data
-    // stream sources read DIRECTORIES; stage the fixture file into one
-    val src = "/root/testdata/sf0.001/events.parquet"
+    // stream sources read DIRECTORIES; stage the fixture into one via
+    // Sources.table so ts is the canonical epoch-nanos long regardless of
+    // the fixture generation's physical parquet type
+    val norm = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "events")
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(src),
-      java.nio.file.Paths.get(dir, "part-0.parquet"))
-    val schema = spark.read.parquet(src).schema
+    norm.coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = norm.schema
     val streamDf = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
       .parquet(dir)
       .select(timestamp_micros(expr("ts div 1000")).as("tsc"), col("event_type"))
     val out = sinkName()
@@ -397,7 +398,7 @@ class StreamSpec extends SparkSpec {
         .select(col("window.start"), col("event_type"), col("cnt"))
         .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
       val batch = StreamOps.tumblingCounts(
-        spark.read.parquet(src)
+        norm
           .select(timestamp_micros(expr("ts div 1000")).as("tsc"), col("event_type")),
         "tsc", "1 day", Seq(col("event_type")))
         .select(col("window.start"), col("event_type"), col("cnt"))
@@ -800,9 +801,8 @@ class StreamSpec extends SparkSpec {
     // the real fixture through the real file-stream path: every per-user
     // (t1, t2, t3) triple the stream emits must equal the batch staged-min
     // formulation (q121's law) over the same events
-    val src = "/root/testdata/sf0.001/events.parquet"
-    val raw = spark.read.parquet(src)
-    val toMicros = expr("ts div 1000") // fixture ts is epoch-nanos long
+    val raw = graft.sources.Sources.table(spark, "/root/testdata/sf0.001", "events")
+    val toMicros = expr("ts div 1000") // Sources.table canonicalizes ts to epoch-nanos long
     // batch expected: staged mins in micros
     val e = raw.select(col("user_id"), toMicros.as("tus"), col("event_type"))
     val s1 = e.where(col("event_type") === "view").groupBy("user_id").agg(min("tus").as("t1"))
@@ -820,8 +820,9 @@ class StreamSpec extends SparkSpec {
     // first advances the watermark past every real event, the second runs
     // the batch in which the event-time timers fire
     val dir = java.nio.file.Files.createTempDirectory("graft-funnel-fixture").toString
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(src), java.nio.file.Paths.get(dir, "part-0.parquet"))
+    // stage the canonicalized (long-ts) fixture so the dummy files below —
+    // written with long ts — share one physical schema with the real data
+    raw.coalesce(1).write.mode("overwrite").parquet(dir)
     val maxNanos = raw.agg(max("ts")).head.getLong(0)
     def dummy(name: String, id: Long): Unit =
       spark.range(1).select(
