@@ -373,9 +373,16 @@ object ExtQueries {
       val p = new org.apache.hadoop.fs.Path(root)
       val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (f.exists(p)) f.delete(p, true)
-      val orders = t(s, dir, "orders")
+      val base = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
-        .withColumn("key_bucket", floor(col("o_orderkey") / 500))
+      // bucket width scales with the key range so the partition count
+      // stays ~10 at any SF (a fixed width made 300 tiny partitions at
+      // sf0.1 — partition-count explosion, the classic over-partitioning
+      // trap). Any width >= 500 keeps the probed [100,399] range inside
+      // bucket 0, and the oracle pins only the aggregate + the skip flag.
+      val maxKey = base.agg(max("o_orderkey")).head.getLong(0)
+      val width = math.max(500L, (maxKey + 1L) / 10L)
+      val orders = base.withColumn("key_bucket", floor(col("o_orderkey") / width))
       LakeTable.init(s, root, orders, "key_bucket", statsCol = Some("o_orderkey"))
       val snap = LakeTable.snapshot(s, root)
       val pruned = LakeTable.pruneRange(snap.meta.get, snap.entries, 100, 399)
@@ -387,6 +394,42 @@ object ExtQueries {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
         .withColumn("files_skipped", lit(skipped))
+    },
+
+    // Versioned changelog (changesSince): three commits — init, the q135
+    // merge, then a COW DELETE of the odd-keyed rows in the inserted 'N'
+    // partition — replayed as a per-commit feed with _commit_version
+    // stamps. Unlike q135's pairwise net diff, this pins the WALK: the
+    // same key can appear at v2 (insert) and v3 (delete) and must show
+    // BOTH events; survivors of the v3 partition rewrite are suppressed
+    // as before. The oracle re-derives every (version, class) cell.
+    "q137_lake_changelog" -> { (s, dir) =>
+      import graft.operators.LakeTable
+      val root = s"/root/repo/target/staging/q137_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      LakeTable.init(s, root, orders, "o_orderstatus")
+      val updates = orders.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .withColumn("o_orderstatus", lit("F"))
+      val inserts = orders.where(col("o_orderkey") % 10 === 3)
+        .select(
+          (col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_custkey"),
+          lit("N").as("o_orderstatus"),
+          col("o_totalprice"))
+      LakeTable.merge(s, root, updates.unionByName(inserts), Seq("o_orderkey"), "o_orderstatus")
+      LakeTable.delete(s, root,
+        col("o_orderstatus") === "N" && col("o_orderkey") % 2 === 1, "o_orderstatus")
+      LakeTable.changesSince(s, root, 1L, keyCols = Seq("o_orderkey"))
+        .groupBy("_commit_version", "_change_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("_commit_version", "_change_type")
     },
 
     // SCD Type-2 dimension maintenance: one change batch carrying a REAL
@@ -1238,6 +1281,27 @@ object ExtQueries {
         |SELECT _change_type, count(*) AS cnt,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Per-commit changelog cells: v2 = the merge's three classes, v3 =
+    // deletes of the odd re-keyed 'N' rows (re-keying by +1e9 preserves
+    // key parity). A key appearing at BOTH v2 and v3 must show both
+    // events — the walk must not net them out.
+    "q137_lake_changelog" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |feed AS (
+        |  SELECT 2 AS _commit_version, 'insert' AS _change_type, o_totalprice
+        |  FROM t WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT 2, 'update_preimage', o_totalprice
+        |  FROM t WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 2, 'update_postimage', o_totalprice + 100.0
+        |  FROM t WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 3, 'delete', o_totalprice
+        |  FROM t WHERE o_orderkey % 10 = 3 AND o_orderkey % 2 = 1)
+        |SELECT _commit_version, _change_type, count(*) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The skipped-files boolean is pinned to literal TRUE: stats-based
     // pruning must actually drop files for this range, and the residual
     // rollup must equal the plain filtered aggregate.

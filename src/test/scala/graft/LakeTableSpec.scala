@@ -437,4 +437,64 @@ class LakeTableSpec extends SparkSpec {
     assert(cdc13.where(col("_change_type") === "delete").count() === 5)
     cdc12.unpersist()
   }
+
+  test("changesSince: per-commit walk keeps events the net diff cancels") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    // v2 inserts keys 1000..1004; v3 deletes two of them again
+    LakeTable.merge(spark, root,
+      spark.range(1000, 1005).select(col("id").as("k"), lit("9").as("p"), lit(-1L).as("v")),
+      Seq("k"), "p")
+    LakeTable.delete(spark, root, col("k").isin(1000L, 1001L), "p")
+
+    val walk = LakeTable.changesSince(spark, root, 1L, keyCols = Seq("k")).cache()
+    assert(walk.columns.toSeq === Seq("k", "p", "v", "_change_type", "_commit_version"))
+    // insert-then-delete of the same key shows BOTH events...
+    assert(walk.where(col("k") === 1000L && col("_change_type") === "insert"
+      && col("_commit_version") === 2).count() === 1)
+    assert(walk.where(col("k") === 1000L && col("_change_type") === "delete"
+      && col("_commit_version") === 3).count() === 1)
+    // ...where the net v1->v3 diff cancels it entirely
+    val net = LakeTable.tableChanges(spark, root, 1, 3, Seq("k"))
+    assert(net.where(col("k") === 1000L).count() === 0)
+    assert(walk.where(col("_commit_version") === 2).count() === 5)
+    assert(walk.where(col("_commit_version") === 3).count() === 2)
+    walk.unpersist()
+  }
+
+  test("processChanges: initial snapshot, incremental drains, crash replay") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    LakeTable.init(spark, root, baseDf, "p")
+    var seen = Vector.empty[(String, Long)] // (_change_type, count) per drain
+
+    def drain() = LakeTable.processChanges(spark, root, ckpt, Seq("k")) { df =>
+      df.groupBy("_change_type").count().collect()
+        .foreach(r => seen :+= (r.getString(0), r.getLong(1)))
+    }
+
+    // first call: the whole current snapshot arrives as inserts
+    assert(drain() === Some((0L, 1L)))
+    assert(seen === Vector(("insert", 300L)))
+    // nothing new -> the callback is not invoked at all
+    seen = Vector.empty
+    assert(drain() === None && seen.isEmpty)
+    // two commits, one drain: both versions arrive in one feed
+    LakeTable.merge(spark, root,
+      baseDf.where(col("k") < 10).withColumn("v", col("v") + 1), Seq("k"), "p")
+    LakeTable.delete(spark, root, col("k") === 5L, "p")
+    assert(drain() === Some((1L, 3L)))
+    assert(seen.toMap === Map("update_preimage" -> 10L, "update_postimage" -> 10L,
+      "delete" -> 1L))
+    // crash inside f: the offset must NOT advance -> same slice replays
+    LakeTable.merge(spark, root,
+      spark.range(2000, 2003).select(col("id").as("k"), lit("0").as("p"), lit(0L).as("v")),
+      Seq("k"), "p")
+    intercept[RuntimeException] {
+      LakeTable.processChanges(spark, root, ckpt, Seq("k"))(_ => sys.error("consumer crash"))
+    }
+    seen = Vector.empty
+    assert(drain() === Some((3L, 4L)))
+    assert(seen === Vector(("insert", 3L)))
+  }
 }
