@@ -432,6 +432,36 @@ object ExtQueries {
         .orderBy("_commit_version", "_change_type")
     },
 
+    // Schema evolution through MERGE: the source carries a column the
+    // table lacks (priority_flag), which widens the committed schema —
+    // files written under the old schema read back NULL for it. The
+    // rollup folds the flag through coalesce(-1) so all three contracts
+    // hash-check: updated rows carry their computed flag, carried/
+    // survivor rows read NULL (-1 per row), and the data columns match
+    // the relational merge derivation.
+    "q138_lake_evolution" -> { (s, dir) =>
+      import graft.operators.LakeTable
+      val root = s"/root/repo/target/staging/q138_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      LakeTable.init(s, root, orders, "o_orderstatus")
+      val updates = orders.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .withColumn("o_orderstatus", lit("F"))
+        .withColumn("priority_flag", col("o_orderkey") % 3)
+      LakeTable.merge(s, root, updates, Seq("o_orderkey"), "o_orderstatus")
+      LakeTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+          sum(coalesce(col("priority_flag"), lit(-1L))).as("flags"))
+        .orderBy("o_orderstatus")
+    },
+
     // SCD Type-2 dimension maintenance: one change batch carrying a REAL
     // attribute change (keys %10=0: price +100), an identical-attrs
     // re-delivery that must be absorbed without an empty history row
@@ -1302,6 +1332,22 @@ object ExtQueries {
         |SELECT _commit_version, _change_type, count(*) AS cnt,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Schema evolution: the merged relation with the NEW column NULL
+    // everywhere the source didn't write it, folded through coalesce(-1).
+    "q138_lake_evolution" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, 'F' AS o_orderstatus,
+        |         o_totalprice + 100.0 AS o_totalprice,
+        |         o_orderkey % 3 AS priority_flag
+        |  FROM t WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, NULL
+        |  FROM t WHERE o_orderkey % 10 <> 0)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       CAST(sum(coalesce(priority_flag, -1)) AS BIGINT) AS flags
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // The skipped-files boolean is pinned to literal TRUE: stats-based
     // pruning must actually drop files for this range, and the residual
     // rollup must equal the plain filtered aggregate.
