@@ -438,6 +438,32 @@ class LakeTableSpec extends SparkSpec {
     cdc12.unpersist()
   }
 
+  test("CDC reads only the files that changed, never the table") {
+    // the scale contract pinned at PLAN level: tableChanges' input scan
+    // must list exactly the files present in ONE version (removed +
+    // added), not the carried majority — on a 100 TB table the feed cost
+    // is the changed slice's bytes
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    // touch ONE partition: all of partition "1" (k % 3 == 1) carries
+    LakeTable.merge(spark, root,
+      baseDf.where(col("k") === 0L).withColumn("v", col("v") + 1), Seq("k"), "p")
+    val e1 = LakeTable.snapshot(spark, root).entries.map(_.rel).toSet
+    val feed = LakeTable.tableChanges(spark, root, 1, 2, Seq("k"))
+    val scanned = feed.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.toSeq
+    }.flatten.map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    val rootPath = new org.apache.hadoop.fs.Path(root).toUri.getPath
+    val scannedRel = scanned.map(_.stripPrefix(rootPath).stripPrefix("/"))
+    // changed slice = the one rewritten partition's old file + its
+    // replacement; the two carried partitions' files must NOT be scanned
+    val carried = e1.filter(r => scannedRel.forall(_ != r))
+    assert(scannedRel.size === 2, s"CDC scanned ${scannedRel.size} files: $scannedRel")
+    assert(carried.size === 2, s"expected 2 carried files unscanned, got ${carried.size}")
+  }
+
   test("changesSince: per-commit walk keeps events the net diff cancels") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p")
