@@ -86,14 +86,28 @@ object LakeTable {
       rowsWritten: Long)
 
   /** One live data file: partition value (decoded; NULL → sentinel),
-    * path relative to the table root, and the stats column's min/max
-    * within the file (None when no stats column is configured or the
-    * file's stats values are all NULL).
+    * path relative to the table root, and per-stats-column (min, max)
+    * bounds within the file, aligned with the table's `statsCols` order
+    * ((None, None) when the column's values in the file are all NULL).
+    * `min`/`max` are the first stats column's bounds — the single-column
+    * face most call sites use.
     */
-  case class Entry(part: String, rel: String, min: Option[String], max: Option[String])
+  case class Entry(
+      part: String,
+      rel: String,
+      stats: Seq[(Option[String], Option[String])]) {
+    def min: Option[String] = stats.headOption.flatMap(_._1)
+    def max: Option[String] = stats.headOption.flatMap(_._2)
+  }
 
-  /** Table-level metadata carried by every manifest. */
-  case class TableMeta(schema: StructType, partitionCol: String, statsCol: Option[String])
+  /** Table-level metadata carried by every manifest. Multiple stats
+    * columns record independent per-file min/max dimensions — with
+    * clustered [[optimize]] on the same columns, a range read can skip
+    * files on ANY of them from the manifest alone.
+    */
+  case class TableMeta(schema: StructType, partitionCol: String, statsCols: Seq[String]) {
+    def statsCol: Option[String] = statsCols.headOption
+  }
 
   case class Snapshot(version: Long, meta: Option[TableMeta], entries: Seq[Entry])
 
@@ -118,9 +132,13 @@ object LakeTable {
     val header = Seq(
       s"#schema=${meta.schema.toDDL}",
       s"#partitionCol=${meta.partitionCol}") ++
-      meta.statsCol.map(c => s"#statsCol=$c")
-    val lines = entries.map(e =>
-      s"${esc(e.part)}\t${e.rel}\t${encOpt(e.min)}\t${encOpt(e.max)}")
+      (if (meta.statsCols.nonEmpty)
+         Seq(s"#statsCols=${meta.statsCols.map(esc).mkString(",")}")
+       else Nil)
+    val lines = entries.map { e =>
+      val cells = e.stats.flatMap { case (mn, mx) => Seq(encOpt(mn), encOpt(mx)) }
+      (Seq(esc(e.part), e.rel) ++ cells).mkString("\t")
+    }
     (header ++ lines).mkString("\n")
   }
 
@@ -131,13 +149,21 @@ object LakeTable {
       val Array(k, v) = h.stripPrefix("#").split("=", 2)
       k -> v
     }.toMap
+    // `#statsCol=` (singular) accepted for manifests written before the
+    // multi-column format
+    val statsCols = kv.get("statsCols").map(_.split(",").toSeq.map(unesc))
+      .orElse(kv.get("statsCol").map(Seq(_)))
+      .getOrElse(Nil)
     val meta = TableMeta(
       StructType.fromDDL(kv("schema")),
       kv("partitionCol"),
-      kv.get("statsCol"))
+      statsCols)
     val entries = body.map { line =>
-      val Array(p, rel, mn, mx) = line.split("\t", 4)
-      Entry(unesc(p), rel, decOpt(mn), decOpt(mx))
+      val cells = line.split("\t", -1)
+      val stats = cells.drop(2).grouped(2).collect {
+        case Array(mn, mx) => (decOpt(mn), decOpt(mx))
+      }.toSeq
+      Entry(unesc(cells(0)), cells(1), stats)
     }
     (meta, entries)
   }
@@ -240,17 +266,30 @@ object LakeTable {
     // file inherits some other file's bounds — wrong skipping. A key that
     // fails to match (e.g. URI-encoding of an exotic escaped partition
     // value) degrades to no stats for that file = never skipped (safe).
-    val stats: Map[String, (Option[String], Option[String])] =
-      meta.statsCol.filter(df.columns.contains) match {
-        case Some(sc) =>
-          spark.read.parquet(dataDir.toString)
-            .groupBy(input_file_name().as("f"))
-            .agg(min(col(sc)).cast("string").as("mn"), max(col(sc)).cast("string").as("mx"))
-            .collect()
-            .map(r => partAndName(r.getString(0)) -> (Option(r.getString(1)), Option(r.getString(2))))
-            .toMap
-        case None => Map.empty
+    val stats: Map[String, Seq[(Option[String], Option[String])]] = {
+      val present = meta.statsCols.filter(df.columns.contains)
+      if (present.isEmpty) Map.empty
+      else {
+        val aggs = present.zipWithIndex.flatMap { case (sc, i) =>
+          Seq(min(col(sc)).cast("string").as(s"mn$i"), max(col(sc)).cast("string").as(s"mx$i"))
+        }
+        val perFile = spark.read.parquet(dataDir.toString)
+          .groupBy(input_file_name().as("f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val bounds = present.indices
+              .map(i => (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i))))
+            partAndName(r.getString(0)) -> bounds
+          }.toMap
+        // a stats column absent from this batch's frame (should not
+        // happen post-align, but stay conservative) records no bounds
+        perFile.map { case (k, bounds) =>
+          k -> meta.statsCols.map(sc =>
+            if (present.contains(sc)) bounds(present.indexOf(sc)) else (None, None))
+        }
       }
+    }
 
     val f = fs(spark, dataDir)
     val it = f.listFiles(dataDir, true)
@@ -262,11 +301,12 @@ object LakeTable {
           case d if d.startsWith(s"$PartDirCol=") => d.stripPrefix(s"$PartDirCol=")
           case d => sys.error(s"unexpected data layout at $p (dir $d)")
         }
-        val (mn, mx) = stats.getOrElse(s"$PartDirCol=$pv/${p.getName}", (None, None))
+        val bounds = stats.getOrElse(s"$PartDirCol=$pv/${p.getName}",
+          meta.statsCols.map(_ => (None, None)))
         // decode with Hive path unescaping (NOT URLDecoder: '+' is
         // literal); a null partition's directory IS the sentinel already
         val decoded = if (pv == NullPartition) NullPartition else unesc(pv)
-        Entry(decoded, s"data/$batch/$PartDirCol=$pv/${p.getName}", mn, mx)
+        Entry(decoded, s"data/$batch/$PartDirCol=$pv/${p.getName}", bounds)
       }.toSeq
   }
 
@@ -280,18 +320,24 @@ object LakeTable {
   }
 
   /** Create the table (version 1) from `df`. Fails if it already exists.
-    * `statsCol` opts into per-file min/max collection on that column for
-    * [[readRange]] data skipping.
+    * `statsCol`/`statsCols` opt into per-file min/max collection on those
+    * columns for [[readRange]]/[[readRangeOn]] data skipping (the two
+    * parameters concatenate; the singular form is the common one-column
+    * case).
     */
   def init(
       spark: SparkSession,
       root: String,
       df: DataFrame,
       partitionCol: String,
-      statsCol: Option[String] = None): Unit = {
+      statsCol: Option[String] = None,
+      statsCols: Seq[String] = Nil): Unit = {
     val s0 = snapshot(spark, root)
     require(s0.version == 0, s"LakeTable.init: $root already at version ${s0.version}")
-    val meta = TableMeta(df.schema, partitionCol, statsCol)
+    val allStats = statsCol.toSeq ++ statsCols
+    allStats.foreach(c => require(df.columns.contains(c),
+      s"LakeTable.init: stats column $c not in the frame"))
+    val meta = TableMeta(df.schema, partitionCol, allStats)
     val entries = writeBatch(spark, root, df, meta)
     require(commit(spark, root, 1, meta, entries), s"LakeTable.init: concurrent commit at $root")
   }
@@ -321,6 +367,19 @@ object LakeTable {
     readEntries(spark, root, s0.meta.get.schema, s0.entries)
   }
 
+  /** Partition-pruned read: only files whose manifest partition value is
+    * in `values` reach the scan — planning-time pruning from metadata
+    * alone, zero file listing or footer I/O for every other partition
+    * (the manifest IS the file index; on a 100 TB table this is the
+    * first and cheapest cut, before [[readRange]]'s min/max skipping).
+    * Pass [[NullPartition]] to select the null-keyed partition.
+    */
+  def readPartitions(spark: SparkSession, root: String, values: Set[String]): DataFrame = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.readPartitions: no committed snapshot at $root")
+    readEntries(spark, root, s0.meta.get.schema, s0.entries.filter(e => values.contains(e.part)))
+  }
+
   /** Time travel: the table exactly as committed at `version` — its own
     * schema, its own file list. Every manifest and every data file is
     * immutable, so any version whose files outlive the vacuum retention
@@ -344,20 +403,33 @@ object LakeTable {
 
   /** The entries a `statsCol BETWEEN lo AND hi` scan must read: a file is
     * skipped only when its recorded [min,max] interval is disjoint from
-    * [lo,hi]; files with no stats are always kept (conservative).
+    * [lo,hi]; files with no stats are always kept (conservative). The
+    * 4-arg form prunes on the FIRST stats column; [[pruneRangeOn]] picks
+    * any recorded dimension.
     */
   private[graft] def pruneRange(
       meta: TableMeta,
       entries: Seq[Entry],
       lo: Any,
+      hi: Any): Seq[Entry] =
+    pruneRangeOn(meta, entries,
+      meta.statsCol.getOrElse(sys.error("LakeTable.readRange: table has no stats column")),
+      lo, hi)
+
+  private[graft] def pruneRangeOn(
+      meta: TableMeta,
+      entries: Seq[Entry],
+      statsCol: String,
+      lo: Any,
       hi: Any): Seq[Entry] = {
-    val sc = meta.statsCol.getOrElse(
-      sys.error("LakeTable.readRange: table has no stats column"))
-    val dt = meta.schema(sc).dataType
+    val idx = meta.statsCols.indexOf(statsCol)
+    require(idx >= 0,
+      s"LakeTable.pruneRangeOn: $statsCol is not a stats column (have ${meta.statsCols})")
+    val dt = meta.schema(statsCol).dataType
     val (l, h) = (lo.toString, hi.toString)
     entries.filter { e =>
-      (e.min, e.max) match {
-        case (Some(mn), Some(mx)) => cmpStat(dt, mx, l) >= 0 && cmpStat(dt, mn, h) <= 0
+      e.stats.lift(idx) match {
+        case Some((Some(mn), Some(mx))) => cmpStat(dt, mx, l) >= 0 && cmpStat(dt, mn, h) <= 0
         case _ => true
       }
     }
@@ -373,11 +445,22 @@ object LakeTable {
   def readRange(spark: SparkSession, root: String, lo: Any, hi: Any): DataFrame = {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.readRange: no committed snapshot at $root")
+    readRangeOn(spark, root,
+      s0.meta.get.statsCol.getOrElse(
+        sys.error("LakeTable.readRange: table has no stats column")),
+      lo, hi)
+  }
+
+  /** [[readRange]] on a NAMED stats column — with several recorded stats
+    * dimensions (and a clustered [[optimize]] layout on them), range
+    * reads skip files on whichever dimension the predicate hits.
+    */
+  def readRangeOn(spark: SparkSession, root: String, statsCol: String, lo: Any, hi: Any): DataFrame = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.readRangeOn: no committed snapshot at $root")
     val meta = s0.meta.get
-    val sc = meta.statsCol.getOrElse(
-      sys.error("LakeTable.readRange: table has no stats column"))
-    readEntries(spark, root, meta.schema, pruneRange(meta, s0.entries, lo, hi))
-      .where(col(sc).between(lit(lo), lit(hi)))
+    readEntries(spark, root, meta.schema, pruneRangeOn(meta, s0.entries, statsCol, lo, hi))
+      .where(col(statsCol).between(lit(lo), lit(hi)))
   }
 
   // ---- MERGE ---------------------------------------------------------

@@ -333,6 +333,35 @@ class LakeTableSpec extends SparkSpec {
     assert(got2.exceptAll(expected2).isEmpty && expected2.exceptAll(got2).isEmpty)
   }
 
+  test("multi-column stats: range reads skip files on either dimension") {
+    val root = freshRoot()
+    // each partition is one contiguous century of k, so BOTH k and v=3k
+    // have tight per-file bounds
+    val base = spark.range(1000).select(
+      col("id").as("k"),
+      expr("id div 100").cast("string").as("p"),
+      (col("id") * 3).as("v"))
+    LakeTable.init(spark, root, base, "p", statsCols = Seq("v", "k"))
+    val s0 = LakeTable.snapshot(spark, root)
+    assert(s0.meta.get.statsCols === Seq("v", "k"))
+    assert(s0.entries.forall(_.stats.size === 2))
+    // first-column face unchanged: v in [600, 750] -> partition "2"
+    assert(LakeTable.pruneRange(s0.meta.get, s0.entries, 600, 750).map(_.part).toSet === Set("2"))
+    // second dimension prunes independently: k in [250, 260] -> "2" too,
+    // but k in [850, 930] -> partitions "8" and "9"
+    assert(LakeTable.pruneRangeOn(s0.meta.get, s0.entries, "k", 850, 930)
+      .map(_.part).toSet === Set("8", "9"))
+    val got = LakeTable.readRangeOn(spark, root, "k", 850, 930)
+    assert(got.count() === 81)
+    assert(got.agg(sum("v")).head.getLong(0) === (850L to 930L).map(_ * 3).sum)
+    // bounds survive the manifest round trip after a merge commit
+    LakeTable.merge(spark, root,
+      base.where(col("k").between(200, 205)).withColumn("v", col("v") + 1), Seq("k"), "p")
+    val s1 = LakeTable.snapshot(spark, root)
+    assert(s1.entries.forall(_.stats.size === 2))
+    assert(LakeTable.readRangeOn(spark, root, "k", 200, 205).count() === 6)
+  }
+
   test("per-file stats stay correct when one task writes many partition dirs") {
     // regression: 64 partition values over far fewer write tasks means a
     // task emits the SAME part-<task>-<uuid> file name into several
@@ -462,6 +491,30 @@ class LakeTableSpec extends SparkSpec {
     val carried = e1.filter(r => scannedRel.forall(_ != r))
     assert(scannedRel.size === 2, s"CDC scanned ${scannedRel.size} files: $scannedRel")
     assert(carried.size === 2, s"expected 2 carried files unscanned, got ${carried.size}")
+  }
+
+  test("readPartitions: manifest-level partition pruning, null partition addressable") {
+    val root = freshRoot()
+    // baseDf plus a null-keyed partition
+    val withNull = baseDf.unionByName(
+      spark.range(900, 910).select(col("id").as("k"), lit(null).cast("string").as("p"),
+        lit(-5L).as("v")))
+    LakeTable.init(spark, root, withNull, "p")
+    val one = LakeTable.readPartitions(spark, root, Set("1"))
+    assert(one.count() === 100 && one.where(col("p") =!= "1").count() === 0)
+    // plan-level: only partition "1"'s file is listed
+    val scanned = one.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.toSeq
+    }.flatten
+    assert(scanned.size === 1 && scanned.head.contains("__part=1"),
+      s"expected one __part=1 file, scanned $scanned")
+    // the null partition is addressable via the sentinel
+    val nulls = LakeTable.readPartitions(spark, root, Set(LakeTable.NullPartition))
+    assert(nulls.count() === 10 && nulls.where(col("p").isNotNull).count() === 0)
+    // empty selection = empty (schema-preserving) frame
+    assert(LakeTable.readPartitions(spark, root, Set("no-such")).count() === 0)
   }
 
   test("changesSince: per-commit walk keeps events the net diff cancels") {
