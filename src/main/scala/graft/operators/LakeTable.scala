@@ -105,7 +105,11 @@ object LakeTable {
     * clustered [[optimize]] on the same columns, a range read can skip
     * files on ANY of them from the manifest alone.
     */
-  case class TableMeta(schema: StructType, partitionCol: String, statsCols: Seq[String]) {
+  case class TableMeta(
+      schema: StructType,
+      partitionCol: String,
+      statsCols: Seq[String],
+      txns: Map[String, Long] = Map.empty) {
     def statsCol: Option[String] = statsCols.headOption
   }
 
@@ -134,7 +138,10 @@ object LakeTable {
       s"#partitionCol=${meta.partitionCol}") ++
       (if (meta.statsCols.nonEmpty)
          Seq(s"#statsCols=${meta.statsCols.map(esc).mkString(",")}")
-       else Nil)
+       else Nil) ++
+      // transactional-writer watermarks (idempotent appends): the highest
+      // txnVersion committed per appId, carried forward by every commit
+      meta.txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn=${esc(app)}:$v" }
     val lines = entries.map { e =>
       val cells = e.stats.flatMap { case (mn, mx) => Seq(encOpt(mn), encOpt(mx)) }
       (Seq(esc(e.part), e.rel) ++ cells).mkString("\t")
@@ -145,9 +152,16 @@ object LakeTable {
   private def parseManifest(text: String): (TableMeta, Seq[Entry]) = {
     val lines = text.split("\n").iterator.filter(_.nonEmpty).toSeq
     val (header, body) = lines.partition(_.startsWith("#"))
-    val kv = header.map { h =>
+    // #txn= repeats (one line per appId) — keep it out of the unique-key map
+    val (txnLines, kvLines) = header.partition(_.startsWith("#txn="))
+    val kv = kvLines.map { h =>
       val Array(k, v) = h.stripPrefix("#").split("=", 2)
       k -> v
+    }.toMap
+    val txns = txnLines.map { l =>
+      val s = l.stripPrefix("#txn=")
+      val i = s.lastIndexOf(':')
+      unesc(s.take(i)) -> s.drop(i + 1).toLong
     }.toMap
     // `#statsCol=` (singular) accepted for manifests written before the
     // multi-column format
@@ -157,7 +171,8 @@ object LakeTable {
     val meta = TableMeta(
       StructType.fromDDL(kv("schema")),
       kv("partitionCol"),
-      statsCols)
+      statsCols,
+      txns)
     val entries = body.map { line =>
       val cells = line.split("\t", -1)
       val stats = cells.drop(2).grouped(2).collect {
@@ -482,25 +497,44 @@ object LakeTable {
     * is made (a blind insert of an existing key duplicates it — use
     * merge when keys can repeat).
     */
+  /** `txnAppId`/`txnVersion` make the append IDEMPOTENT (the
+    * transactional-writer pattern): the manifest records the highest
+    * txnVersion committed per appId, and an append whose (appId, version)
+    * is already at-or-below that watermark is a no-op — so a replayed
+    * streaming micro-batch or a retried scheduled job cannot
+    * double-insert. Versions must be monotonically increasing per appId
+    * (foreachBatch's batchId is exactly that).
+    */
   def append(
       spark: SparkSession,
       root: String,
       df: DataFrame,
-      maxRetries: Int = 3): MergeStats = {
+      maxRetries: Int = 3,
+      txnAppId: Option[String] = None,
+      txnVersion: Long = -1L): MergeStats = {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.append: no committed snapshot at $root")
     val meta = s0.meta.get
+    txnAppId.foreach { app =>
+      require(txnVersion >= 0, "LakeTable.append: txnAppId requires txnVersion >= 0")
+      if (meta.txns.get(app).exists(_ >= txnVersion))
+        // this (appId, version) already committed — replay, not new data
+        return MergeStats(s0.version, 0, 0, s0.entries.size, 0)
+    }
     val newFields = df.schema.filterNot(f => meta.schema.fieldNames.contains(f.name))
-    val newMeta = meta.copy(schema = StructType(meta.schema.fields ++ newFields))
+    val newMeta = meta.copy(
+      schema = StructType(meta.schema.fields ++ newFields),
+      txns = txnAppId.fold(meta.txns)(app => meta.txns + (app -> txnVersion)))
     val written = writeBatch(spark, root, align(df, newMeta.schema), newMeta)
     if (commit(spark, root, s0.version + 1, newMeta, s0.entries ++ written))
       MergeStats(s0.version + 1, 0, 0, s0.entries.size, written.size)
     else {
       // lost the race: the batch is orphaned (vacuum reclaims it);
-      // recompute against the winner's snapshot
+      // recompute against the winner's snapshot (the txn watermark is
+      // re-checked there, so a racing replay still cannot double-commit)
       require(maxRetries > 0,
         s"LakeTable.append: concurrent commit at $root (retries exhausted)")
-      append(spark, root, df, maxRetries - 1)
+      append(spark, root, df, maxRetries - 1, txnAppId, txnVersion)
     }
   }
 

@@ -622,6 +622,27 @@ object StreamOps {
     }
   }
 
+  /** Streaming blind-append lake sink — the FACT-stream face of the lake
+    * (events only ever arrive; [[lakeMergeSink]] is for entity upserts):
+    * each micro-batch commits as one transactional `LakeTable.append`,
+    * O(batch) regardless of table size. Exactly-once comes from the
+    * transactional-writer id: `appId` + foreachBatch's monotone batchId
+    * are recorded in the manifest, so a replayed micro-batch (restart
+    * without/with a stale checkpoint, speculative re-run) is recognized
+    * and skipped instead of double-inserted.
+    */
+  def lakeAppendSink(
+      df: DataFrame,
+      root: String,
+      appId: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        graft.operators.LakeTable.append(
+          batch.sparkSession, root, batch, txnAppId = Some(appId), txnVersion = batchId)
+        ()
+      }
+    }
+
   /** Output-mode guidance: windowed aggs with watermark support Append
     * (emit once, on watermark close) and Update; mapGroupsWithState
     * requires Update.

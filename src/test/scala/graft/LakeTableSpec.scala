@@ -517,6 +517,29 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.readPartitions(spark, root, Set("no-such")).count() === 0)
   }
 
+  test("transactional append: (appId, version) replay is a no-op; watermark survives other commits") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    val batch = spark.range(1000, 1010).select(col("id").as("k"), lit("9").as("p"), lit(1L).as("v"))
+    val s1 = LakeTable.append(spark, root, batch, txnAppId = Some("job-a"), txnVersion = 0L)
+    assert(s1.rowsWritten > 0 && LakeTable.read(spark, root).count() === 310)
+    // exact replay: recognized, nothing written, version unchanged
+    val s2 = LakeTable.append(spark, root, batch, txnAppId = Some("job-a"), txnVersion = 0L)
+    assert(s2.version === s1.version && s2.rowsWritten === 0)
+    assert(LakeTable.read(spark, root).count() === 310)
+    // an unrelated commit (merge) carries the watermark forward
+    LakeTable.merge(spark, root,
+      baseDf.where(col("k") === 1L).withColumn("v", col("v") + 1), Seq("k"), "p")
+    val s3 = LakeTable.append(spark, root, batch, txnAppId = Some("job-a"), txnVersion = 0L)
+    assert(s3.rowsWritten === 0 && LakeTable.read(spark, root).count() === 310)
+    // a HIGHER version from the same app commits; another app's version 0 too
+    assert(LakeTable.append(spark, root, batch, txnAppId = Some("job-a"), txnVersion = 1L)
+      .rowsWritten > 0)
+    assert(LakeTable.append(spark, root, batch, txnAppId = Some("job-b"), txnVersion = 0L)
+      .rowsWritten > 0)
+    assert(LakeTable.read(spark, root).count() === 330)
+  }
+
   test("changesSince: per-commit walk keeps events the net diff cancels") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p")

@@ -952,6 +952,41 @@ class StreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("lakeAppendSink: fact-stream appends; replayed micro-batch skipped via txn id") {
+    import graft.operators.LakeTable
+    val root = java.nio.file.Files.createTempDirectory("graft-lake-append").toString + "/t"
+    val base = Seq((1L, "0", 10.0)).toDF("event_id", "pt", "value")
+    LakeTable.init(spark, root, base, "pt")
+
+    val ms = memStream[(Long, String, Double)]
+    def start() = StreamOps.lakeAppendSink(
+      ms.toDF.toDF("event_id", "pt", "value"), root, appId = "test-append").start()
+
+    def count(): Long = LakeTable.read(spark, root).count()
+
+    val q1 = start()
+    try {
+      ms.addData((2L, "0", 20.0), (3L, "1", 30.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(count() === 3)
+
+    // restart WITHOUT a checkpoint: the memory stream replays batch 0
+    // under the SAME batchId — the txn watermark recognizes it and the
+    // blind insert must NOT double-apply
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(count() === 3, "replayed micro-batch double-inserted — txn id not honored")
+      // new data (a later batchId) still lands
+      ms.addData((4L, "1", 40.0))
+      q2.processAllAvailable()
+      assert(count() === 4)
+    } finally q2.stop()
+    // the sum pins content, not just cardinality
+    assert(LakeTable.read(spark, root).agg(sum("value")).head.getDouble(0) === 100.0)
+  }
+
   test("the same tumbling transform runs in batch mode (unified API)") {
     val batch = Seq(
       (ts("10:01"), "a"), (ts("10:02"), "a"), (ts("10:30"), "b")).toDF("ts", "etype")
