@@ -132,12 +132,16 @@ object LakeTable {
   private def decOpt(s: String): Option[String] =
     if (s == "_") None else Some(unesc(s.stripPrefix("=")))
 
-  private def renderManifest(meta: TableMeta, entries: Seq[Entry]): String = {
+  private[graft] def renderManifest(meta: TableMeta, entries: Seq[Entry]): String = {
     val header = Seq(
       s"#schema=${meta.schema.toDDL}",
       s"#partitionCol=${meta.partitionCol}") ++
+      // esc() covers tabs/newlines but NOT the ',' this list is joined
+      // on — percent-encode it explicitly ('%' itself is esc'd to %25,
+      // so "%2C" can only ever mean an encoded comma; unesc() decodes
+      // both in one pass, so the parse side needs no special case)
       (if (meta.statsCols.nonEmpty)
-         Seq(s"#statsCols=${meta.statsCols.map(esc).mkString(",")}")
+         Seq(s"#statsCols=${meta.statsCols.map(c => esc(c).replace(",", "%2C")).mkString(",")}")
        else Nil) ++
       // transactional-writer watermarks (idempotent appends): the highest
       // txnVersion committed per appId, carried forward by every commit
@@ -149,7 +153,7 @@ object LakeTable {
     (header ++ lines).mkString("\n")
   }
 
-  private def parseManifest(text: String): (TableMeta, Seq[Entry]) = {
+  private[graft] def parseManifest(text: String): (TableMeta, Seq[Entry]) = {
     val lines = text.split("\n").iterator.filter(_.nonEmpty).toSeq
     val (header, body) = lines.partition(_.startsWith("#"))
     // #txn= repeats (one line per appId) — keep it out of the unique-key map
@@ -515,26 +519,31 @@ object LakeTable {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.append: no committed snapshot at $root")
     val meta = s0.meta.get
-    txnAppId.foreach { app =>
+    txnAppId.foreach { _ =>
       require(txnVersion >= 0, "LakeTable.append: txnAppId requires txnVersion >= 0")
-      if (meta.txns.get(app).exists(_ >= txnVersion))
-        // this (appId, version) already committed — replay, not new data
-        return MergeStats(s0.version, 0, 0, s0.entries.size, 0)
     }
-    val newFields = df.schema.filterNot(f => meta.schema.fieldNames.contains(f.name))
-    val newMeta = meta.copy(
-      schema = StructType(meta.schema.fields ++ newFields),
-      txns = txnAppId.fold(meta.txns)(app => meta.txns + (app -> txnVersion)))
-    val written = writeBatch(spark, root, align(df, newMeta.schema), newMeta)
-    if (commit(spark, root, s0.version + 1, newMeta, s0.entries ++ written))
-      MergeStats(s0.version + 1, 0, 0, s0.entries.size, written.size)
+    // plain if/else, no early return: a non-local `return` here compiles
+    // to a thrown NonLocalReturnControl, which any catch-Throwable wrapper
+    // up-stack would swallow (and Scala 3 rejects outright)
+    if (txnAppId.exists(app => meta.txns.get(app).exists(_ >= txnVersion)))
+      // this (appId, version) already committed — replay, not new data
+      MergeStats(s0.version, 0, 0, s0.entries.size, 0)
     else {
-      // lost the race: the batch is orphaned (vacuum reclaims it);
-      // recompute against the winner's snapshot (the txn watermark is
-      // re-checked there, so a racing replay still cannot double-commit)
-      require(maxRetries > 0,
-        s"LakeTable.append: concurrent commit at $root (retries exhausted)")
-      append(spark, root, df, maxRetries - 1, txnAppId, txnVersion)
+      val newFields = df.schema.filterNot(f => meta.schema.fieldNames.contains(f.name))
+      val newMeta = meta.copy(
+        schema = StructType(meta.schema.fields ++ newFields),
+        txns = txnAppId.fold(meta.txns)(app => meta.txns + (app -> txnVersion)))
+      val written = writeBatch(spark, root, align(df, newMeta.schema), newMeta)
+      if (commit(spark, root, s0.version + 1, newMeta, s0.entries ++ written))
+        MergeStats(s0.version + 1, 0, 0, s0.entries.size, written.size)
+      else {
+        // lost the race: the batch is orphaned (vacuum reclaims it);
+        // recompute against the winner's snapshot (the txn watermark is
+        // re-checked there, so a racing replay still cannot double-commit)
+        require(maxRetries > 0,
+          s"LakeTable.append: concurrent commit at $root (retries exhausted)")
+        append(spark, root, df, maxRetries - 1, txnAppId, txnVersion)
+      }
     }
   }
 
@@ -860,10 +869,15 @@ object LakeTable {
     *     proportional to what changed, never the table;
     *   - no new commits → `f` is not invoked at all (work is
     *     proportional to new versions, the whole point);
-    *   - the offset is committed by atomic same-dir rename AFTER `f`
-    *     returns: a crash inside `f` replays the same slice next call,
-    *     so an idempotent/transactional `f` gets exactly-once EFFECT —
-    *     the standard incremental-consumer contract.
+    *   - the offset is committed AFTER `f` returns, as a VERSIONED file
+    *     (`offset-<to>`, atomic same-dir rename; the highest wins on
+    *     read): the previous offset is never deleted before the new one
+    *     is durable, so a crash at ANY point either replays the same
+    *     slice (crash inside `f` or before the rename) or resumes past
+    *     it (crash after) — it can never forget the checkpoint entirely
+    *     and re-deliver the whole table as an initial snapshot. An
+    *     idempotent/transactional `f` therefore gets exactly-once
+    *     EFFECT — the standard incremental-consumer contract.
     *
     * Returns the (fromVersion, toVersion] window processed, or None when
     * there was nothing new.
@@ -877,13 +891,24 @@ object LakeTable {
     require(s0.version > 0, s"LakeTable.processChanges: no committed snapshot at $root")
     val ckDir = new Path(checkpointDir)
     val fsys = fs(spark, ckDir)
-    val offsetFile = new Path(ckDir, "offset")
+    // committed offset = max over `offset-<v>` files (the version IS the
+    // file name, so no content read is needed); a legacy single `offset`
+    // file from the pre-versioned format is still honored
     val last: Option[Long] =
-      if (!fsys.exists(offsetFile)) None
+      if (!fsys.exists(ckDir)) None
       else {
-        val in = fsys.open(offsetFile)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-        Some(text.toLong)
+        val names = fsys.listStatus(ckDir).map(_.getPath.getName).toSeq
+        val versioned = names.filter(_.startsWith("offset-"))
+          .flatMap(n => scala.util.Try(n.stripPrefix("offset-").toLong).toOption)
+        val legacy =
+          if (!names.contains("offset")) None
+          else {
+            val in = fsys.open(new Path(ckDir, "offset"))
+            val text =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+            Some(text.toLong)
+          }
+        (versioned ++ legacy).maxOption
       }
     val window = last match {
       case Some(v) if v >= s0.version => None
@@ -899,14 +924,32 @@ object LakeTable {
         else changesSince(spark, root, from, to, keyCols)
       f(feed)
       // commit the offset only after f returned: crash inside f ->
-      // replay; same-dir rename keeps the offset file always-valid
+      // replay. The new offset lands under a VERSIONED name before any
+      // old one is touched — there is no window in which the checkpoint
+      // directory holds no offset (the delete-then-rename of a single
+      // `offset` file had one: a crash between the two re-bootstrapped
+      // the ENTIRE table as an initial snapshot on the next call).
       fsys.mkdirs(ckDir)
+      val dest = new Path(ckDir, s"offset-$to")
       val tmp = new Path(ckDir, s".tmp-offset-${java.util.UUID.randomUUID()}")
       val out = fsys.create(tmp, false)
       try out.write(to.toString.getBytes("UTF-8")) finally out.close()
-      fsys.delete(offsetFile, false)
-      require(fsys.rename(tmp, offsetFile),
-        s"LakeTable.processChanges: offset commit failed at $checkpointDir")
+      // a failed rename with the destination already present is a racing
+      // consumer committing the SAME offset — equivalent, not an error
+      if (!fsys.rename(tmp, dest)) {
+        fsys.delete(tmp, false)
+        require(fsys.exists(dest),
+          s"LakeTable.processChanges: offset commit failed at $checkpointDir")
+      }
+      // best-effort cleanup of superseded offsets (incl. the legacy
+      // `offset` file) — safe because the new one is already durable
+      fsys.listStatus(ckDir).map(_.getPath).foreach { p =>
+        val n = p.getName
+        val stale = n == "offset" ||
+          (n.startsWith("offset-") &&
+            scala.util.Try(n.stripPrefix("offset-").toLong).toOption.exists(_ < to))
+        if (stale) scala.util.Try(fsys.delete(p, false))
+      }
     }
     window
   }

@@ -628,8 +628,16 @@ object StreamOps {
     * O(batch) regardless of table size. Exactly-once comes from the
     * transactional-writer id: `appId` + foreachBatch's monotone batchId
     * are recorded in the manifest, so a replayed micro-batch (restart
-    * without/with a stale checkpoint, speculative re-run) is recognized
-    * and skipped instead of double-inserted.
+    * from a checkpoint, stale-checkpoint re-run, speculative retry) is
+    * recognized and skipped instead of double-inserted.
+    *
+    * The guarantee holds only while batchIds come from ONE checkpoint
+    * lineage. Restarting WITHOUT a checkpoint resets batchIds to 0, and
+    * for a real source batch 0 then re-reads from the source's current
+    * beginning — potentially different data than the batch 0 the
+    * manifest recorded, which the watermark would silently drop. A fresh
+    * checkpoint therefore requires a fresh `appId` (the same caveat
+    * Delta's txnAppId/txnVersion pattern documents).
     */
   def lakeAppendSink(
       df: DataFrame,

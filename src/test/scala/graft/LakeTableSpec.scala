@@ -599,4 +599,41 @@ class LakeTableSpec extends SparkSpec {
     assert(drain() === Some((3L, 4L)))
     assert(seen === Vector(("insert", 3L)))
   }
+
+  test("processChanges: versioned offset commit; legacy single-file offset honored") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    // a pre-versioned-format checkpoint: consumer already drained v1
+    val ckpt = Files.createTempDirectory("graft-cdc-legacy").toString
+    Files.write(java.nio.file.Paths.get(ckpt, "offset"), "1".getBytes("UTF-8"))
+    LakeTable.merge(spark, root,
+      baseDf.where(col("k") === 0L).withColumn("v", lit(99L)), Seq("k"), "p")
+    var types = Vector.empty[String]
+    val w = LakeTable.processChanges(spark, root, ckpt, Seq("k")) { df =>
+      types = df.select("_change_type").distinct().collect().map(_.getString(0)).toVector.sorted
+    }
+    // resumed PAST the legacy offset (an incremental window, not a
+    // re-bootstrapped initial snapshot of the whole table)
+    assert(w === Some((1L, 2L)))
+    assert(types === Vector("update_postimage", "update_preimage"))
+    // the commit landed under a versioned name and superseded the legacy
+    // file — at no point did the directory hold zero offsets, so a crash
+    // anywhere in the commit can only replay, never forget the checkpoint
+    val names = new java.io.File(ckpt).list().toSet
+    assert(names.contains("offset-2"), s"expected offset-2 in $names")
+    assert(!names.contains("offset"), s"legacy offset not cleaned: $names")
+  }
+
+  test("manifest header: stats column names containing the ',' delimiter round-trip") {
+    val meta = LakeTable.TableMeta(
+      org.apache.spark.sql.types.StructType.fromDDL("`a,b` INT, c INT"),
+      "c", Seq("a,b", "c"), txns = Map("app:1" -> 7L))
+    val entries = Seq(
+      LakeTable.Entry("1", "data/b/x.parquet", Seq((Some("1"), Some("2")), (None, None))))
+    val (m2, e2) = LakeTable.parseManifest(LakeTable.renderManifest(meta, entries))
+    assert(m2.statsCols === Seq("a,b", "c"))
+    assert(m2.txns === Map("app:1" -> 7L))
+    assert(m2.partitionCol === "c" && m2.schema === meta.schema)
+    assert(e2 === entries)
+  }
 }
