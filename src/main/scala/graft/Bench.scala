@@ -55,16 +55,64 @@ object Bench {
     // than a clean one (round-12 lesson). Nonzero exit below for the same
     // reason — automation must not record a partial bench as a baseline.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    println(line)
-    // Stdout passes through the driver's tail capture, which has truncated
-    // per-query timings before (BENCH_r09 lost q05/q73) — persist the full
-    // line to a file too so every entry survives regardless of capture.
+
+    // Host-factor calibration (two rounds of multi-tenant noise made
+    // round-over-round comparison archaeology): a fixed, single-threaded,
+    // CPU-bound microbenchmark whose time depends only on how fast this
+    // machine currently executes a JVM — divide any headline total by
+    // `host_factor` before comparing across rounds. REF_SEC is this
+    // box measured quiet (round 14); host_factor ≈ 1.0 there, >1.0 when
+    // the host is degraded/contended.
+    def spin(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      val n = 400000000L
+      val t0 = System.nanoTime()
+      while (i < n) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x += 0x9E3779B97F4A7C15L; i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (x == 42L) System.err.println("") // keep the loop live
+      dt
+    }
+    spin() // JIT warm-up
+    val hostSec = math.min(spin(), spin())
+    // multi-threaded variant: the SAME loop on one thread per CPU. On an
+    // idle host the wall time equals the single-thread time (registers
+    // only, no memory traffic — perfect scaling); a wall > single-thread
+    // means the box is NOT delivering `cpus` cores right now (neighbor
+    // tenancy, cgroup quota), which slows every 32-thread query while the
+    // single-thread probe still reads ~1.0 — exactly the r14 signature.
+    def spinMt(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until cpus).map(_ => new Thread { override def run(): Unit = spin() })
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val hostSecMt = math.min(spinMt(), spinMt())
+    val refSec = sys.env.getOrElse("SPARK_GRAFT_HOST_REF_SEC", "0.93").toDouble
+    val hostFactor = hostSec / refSec
+    val hostFactorMt = hostSecMt / refSec
+
+    def line(queries: String) =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queries,""" +
+        s""""failed":$failedJson,"n":${results.size},"host_factor":${f"$hostFactor%.3f"},""" +
+        s""""host_factor_mt":${f"$hostFactorMt%.3f"},"host_sec":${f"$hostSec%.3f"},""" +
+        s""""host_sec_mt":${f"$hostSecMt%.3f"},"sf":"$sfDir"}"""
+    // The driver keeps only a ~2 KB TAIL of stdout; a full 129-entry map
+    // (~5 KB) truncates into unparseable JSON (BENCH_r09/r13 lesson). So
+    // stdout carries a line that FITS — totals + the slowest queries in
+    // milliseconds — and the complete per-query map (full precision) goes
+    // to BENCH_FULL.json, which is the authoritative artifact.
+    val top = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+      .mkString("{", ",", "}")
+    println(line(top))
     // SPARK_GRAFT_ONLY runs skip the write: a one-query iteration must not
     // clobber the full-suite artifact.
     if (only.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-        (line + "\n").getBytes("UTF-8"))
+        (line(qs) + "\n").getBytes("UTF-8"))
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(",")}")

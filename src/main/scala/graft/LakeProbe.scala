@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.SparkEngine
+import graft.operators.LakeTable
+
+/** Manual lake-layer scale probes (not part of the driver contract).
+  *
+  * 1. N-WRITER CONTENTION: N concurrent `mergeWithRetry` writers upsert
+  *    disjoint key ranges of one table. Prints wall time, the landed
+  *    version range, and verifies (a) versions are dense (every writer's
+  *    commit landed exactly once), (b) the final state equals the
+  *    sequential application of all N batches. This is the optimistic-
+  *    concurrency loop under real contention, not an injected single race.
+  *
+  * 2. MANIFEST SCALE: synthesizes manifests of 10k/100k/1M entries
+  *    (multi-column stats, the 100 TB-table shape: ~100k files at 1 GB
+  *    each) and times render / commit / snapshot-parse / prune — the
+  *    planning-path costs that are O(files). Numbers feed SURVEY §7b's
+  *    posture statement.
+  *
+  * Usage: runMain graft.LakeProbe [nWriters]
+  */
+object LakeProbe {
+  def main(args: Array[String]): Unit = {
+    val nWriters = args.headOption.map(_.toInt).getOrElse(8)
+    val spark = SparkEngine.session(master = "local[32]", appName = "graft-lake-probe",
+      shufflePartitions = 32)
+
+    // ---- 1. N-writer contention ------------------------------------
+    val root = s"${Files.createTempDirectory("graft-lake-probe")}/tbl"
+    val base = spark.range(100000).select(
+      col("id").as("k"),
+      (col("id") % 16).cast("string").as("p"),
+      (col("id") * 10).as("v"))
+    LakeTable.init(spark, root, base, "p", statsCol = Some("k"))
+
+    val span = 100000L / nWriters
+    def batch(i: Int) = base
+      .where(col("k") >= i * span && col("k") < i * span + 1000)
+      .withColumn("v", col("v") + 1000000L + i)
+
+    val t0 = System.nanoTime()
+    val results = (0 until nWriters).map { i =>
+      val th = new Thread { // one JVM thread per writer, shared session
+        var stats: LakeTable.MergeStats = null
+        override def run(): Unit =
+          stats = LakeTable.mergeWithRetry(spark, root, batch(i), Seq("k"), "p",
+            maxRetries = nWriters * 2)
+      }
+      th.start(); th
+    }.map { th => th.join(); th }
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    val s1 = LakeTable.snapshot(spark, root)
+    require(s1.version == 1L + nWriters,
+      s"expected dense versions 2..${1 + nWriters}, got head ${s1.version}")
+    val expected = (0 until nWriters).map(batch).reduce(_ unionByName _)
+      .unionByName(base.where((0 until nWriters)
+        .map(i => col("k") >= i * span && col("k") < i * span + 1000)
+        .reduce(_ || _).unary_!))
+    val got = LakeTable.read(spark, root)
+    require(got.count() == 100000L, s"row count drifted: ${got.count()}")
+    require(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "final state != sequential application")
+    val probed = LakeTable.snapshot(spark, root).entries.size
+    println(f"[lake] $nWriters concurrent mergeWithRetry writers: $wall%.1f s wall, " +
+      s"versions 2..${s1.version} dense, state == sequential application, $probed files live")
+
+    // ---- 2. manifest scale -----------------------------------------
+    def synthEntries(n: Int): Seq[LakeTable.Entry] =
+      (0 until n).map { i =>
+        LakeTable.Entry(
+          part = (i % 512).toString,
+          rel = f"data/batch-$i%08x/__part=${i % 512}/part-00000-$i%08x.parquet",
+          stats = Seq(
+            (Some((i * 1000L).toString), Some((i * 1000L + 999).toString)),
+            (Some(s"u${i % 100000}"), Some(s"u${i % 100000 + 887}"))))
+      }
+    val meta = LakeTable.TableMeta(
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, u STRING, p STRING, v BIGINT"),
+      "p", Seq("k", "u"))
+
+    Seq(10000, 100000, 1000000).foreach { n =>
+      val entries = synthEntries(n)
+      def time[A](f: => A): (A, Double) = {
+        val t = System.nanoTime(); val a = f; (a, (System.nanoTime() - t) / 1e9)
+      }
+      val (text, tRender) = time(LakeTable.renderManifest(meta, entries))
+      val mroot = s"${Files.createTempDirectory("graft-manifest-probe")}/tbl"
+      val (_, tCommit) = time {
+        require(LakeTable.commit(spark, mroot, 1, meta, entries), "commit refused")
+      }
+      val (snap, tParse) = time(LakeTable.snapshot(spark, mroot))
+      require(snap.entries.size == n, s"parse dropped entries: ${snap.entries.size}")
+      // metadata-only planning: partition prune + range prune over n files
+      val (kept, tPrune) = time(
+        LakeTable.pruneRangeOn(meta, snap.entries, "k", n * 500L, n * 500L + 5000L))
+      println(f"[lake] manifest n=$n%7d: render $tRender%6.3f s, commit $tCommit%6.3f s, " +
+        f"parse $tParse%6.3f s, prune $tPrune%6.3f s (kept ${kept.size}), " +
+        f"${text.length / 1048576.0}%5.1f MiB")
+    }
+    spark.stop()
+  }
+}

@@ -46,12 +46,16 @@ import org.apache.spark.sql.types.{NumericType, StructType}
   *
   *   1. matched-partition discovery: one semi-join of the target against
   *      the (broadcast) source keys, aggregated to the distinct partition
-  *      values containing a match — metadata-sized result. Files in
-  *      partitions with no match and no insert are NOT rewritten; their
-  *      manifest entries carry over verbatim (the spec pins unchanged
-  *      paths). This handles partition-moving updates correctly: a row
-  *      whose new partition value differs still has its OLD file's
-  *      partition rewritten, because the match lives there;
+  *      values containing a match — metadata-sized result. The probe
+  *      itself is manifest-pruned: when per-file min/max stats cover the
+  *      key columns, files whose bounds cannot intersect the source keys'
+  *      bounds are never opened (a narrow batch probes O(batch-range)
+  *      files, not the table). Files in partitions with no match and no
+  *      insert are NOT rewritten; their manifest entries carry over
+  *      verbatim (the spec pins unchanged paths). This handles
+  *      partition-moving updates correctly: a row whose new partition
+  *      value differs still has its OLD file's partition rewritten,
+  *      because the match lives there;
   *   2. rewrite = source rows ∪ (affected-partition target rows
   *      anti-joined on key) written once, hash-partitioned by partition
   *      value — one shuffle sized by the affected slice, never the table;
@@ -78,12 +82,18 @@ object LakeTable {
     */
   val NullPartition: String = ExternalCatalogUtils.DEFAULT_PARTITION_NAME
 
+  /** `filesProbed` = manifest entries the affected-partition probe
+    * actually scanned after stats pruning (-1 when the operation has no
+    * probe, e.g. append/optimize) — the number a scale test pins to
+    * prove a narrow merge/delete did NOT read the whole table.
+    */
   case class MergeStats(
       version: Long,
       matchedPartitions: Long,
       filesRewritten: Long,
       filesCarried: Long,
-      rowsWritten: Long)
+      rowsWritten: Long,
+      filesProbed: Long = -1L)
 
   /** One live data file: partition value (decoded; NULL → sentinel),
     * path relative to the table root, and per-stats-column (min, max)
@@ -275,6 +285,17 @@ object LakeTable {
     (if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile)
      else writer).parquet(dataDir.toString)
 
+    // an EMPTY batch (e.g. a merge whose source has no rows) writes no
+    // part files — there is nothing to list or collect stats over, and
+    // reading the empty directory back would fail schema inference
+    val f = fs(spark, dataDir)
+    val wrote = f.exists(dataDir) && {
+      val probe = f.listFiles(dataDir, true)
+      Iterator.continually(probe).takeWhile(_.hasNext).map(_.next())
+        .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    if (!wrote) return Nil
+
     // per-file stats: min/max of the stats column, aggregated in the
     // column's NATIVE type (string-min over numbers would order "10"<"9")
     // and rendered to string for the manifest. Keyed by the file's path
@@ -310,7 +331,6 @@ object LakeTable {
       }
     }
 
-    val f = fs(spark, dataDir)
     val it = f.listFiles(dataDir, true)
     Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -408,6 +428,17 @@ object LakeTable {
     val mf = new Path(manifestDir(root), s"v$version.manifest")
     require(fs(spark, mf).exists(mf), s"LakeTable.readVersion: no v$version at $root")
     val (meta, entries) = readManifest(spark, root, version)
+    // a snapshot whose files [[vacuum]] already reclaimed must fail
+    // CRISPLY at plan time — a partial read (or a mid-scan
+    // FileNotFoundException) silently misrepresents the version. One
+    // exists() per entry is planning-path metadata cost, the same order
+    // as the scan's own file listing.
+    val fsys = fs(spark, new Path(root))
+    val missing = entries.filterNot(e => fsys.exists(new Path(root, e.rel)))
+    require(missing.isEmpty,
+      s"LakeTable.readVersion: v$version at $root has been vacuumed — " +
+        s"${missing.size}/${entries.size} data files reclaimed (time travel is " +
+        s"limited to the vacuum retention window); first missing: ${missing.head.rel}")
     readEntries(spark, root, meta.schema, entries)
   }
 
@@ -415,7 +446,13 @@ object LakeTable {
 
   private def cmpStat(dt: org.apache.spark.sql.types.DataType, a: String, b: String): Int =
     dt match {
-      case _: NumericType => BigDecimal(a).compare(BigDecimal(b))
+      case _: NumericType =>
+        // integral fast path: pruning runs per manifest entry on the
+        // planning path (two comparisons x a million files adds seconds
+        // as BigDecimal; as Long.parseLong it is noise); any non-integral
+        // rendering falls back to exact decimal comparison
+        try java.lang.Long.compare(a.toLong, b.toLong)
+        catch { case _: NumberFormatException => BigDecimal(a).compare(BigDecimal(b)) }
       // date/timestamp/string cast-to-string forms all order lexically
       case _ => a.compareTo(b)
     }
@@ -452,6 +489,127 @@ object LakeTable {
         case _ => true
       }
     }
+  }
+
+  /** True when `e`'s recorded [min,max] on stats dimension `statsCol`
+    * can intersect [lo,hi] (an absent bound is unbounded on that side;
+    * missing file stats → true, conservative).
+    */
+  private def entryIntersects(
+      meta: TableMeta,
+      e: Entry,
+      statsCol: String,
+      lo: Option[String],
+      hi: Option[String]): Boolean = {
+    val idx = meta.statsCols.indexOf(statsCol)
+    val dt = meta.schema(statsCol).dataType
+    e.stats.lift(idx) match {
+      case Some((Some(mn), Some(mx))) =>
+        lo.forall(l => cmpStat(dt, mx, l) >= 0) && hi.forall(h => cmpStat(dt, mn, h) <= 0)
+      case _ => true
+    }
+  }
+
+  /** The probe-side file filter for [[merge]]: a file whose recorded
+    * min/max on some stats-covered key column cannot intersect the
+    * source keys' [min,max] cannot contain a matched row, so neither the
+    * affected-partition probe nor the COW rewrite needs to read it. One
+    * metadata-sized agg over the (already-distinct) source keys computes
+    * the bounds; a composite equi-key matches only when EVERY column
+    * matches, so ONE disjoint dimension rules a file out.
+    *
+    * Conservative edges: a key column with no recorded stats, a file
+    * without stats, or a source/table type mismatch on the column (the
+    * rendered stats would not compare) keeps the file in; with no
+    * stats-covered key column at all everything stays (the pre-stats
+    * behavior). A key column whose source side is entirely NULL — or an
+    * empty source — can never equi-match anything, so the filter then
+    * excludes every file.
+    */
+  private def keyProbeFilter(
+      meta: TableMeta,
+      keyCols: Seq[String],
+      srcKeys: DataFrame): Entry => Boolean = {
+    val covered = keyCols.filter(k =>
+      meta.statsCols.contains(k) &&
+        srcKeys.schema.fields.find(_.name == k)
+          .exists(_.dataType == meta.schema(k).dataType))
+    if (covered.isEmpty) _ => true
+    else {
+      val aggs = covered.zipWithIndex.flatMap { case (k, i) =>
+        Seq(min(col(k)).cast("string").as(s"__mn$i"), max(col(k)).cast("string").as(s"__mx$i"))
+      }
+      val r = srcKeys.agg(aggs.head, aggs.tail: _*).head()
+      val bounds = covered.zipWithIndex.map { case (k, i) =>
+        k -> ((Option(r.getString(2 * i)), Option(r.getString(2 * i + 1))))
+      }
+      if (bounds.exists { case (_, (mn, mx)) => mn.isEmpty || mx.isEmpty }) _ => false
+      else
+        e => bounds.forall { case (k, (mn, mx)) => entryIntersects(meta, e, k, mn, mx) }
+    }
+  }
+
+  /** Per-column [lo,hi] bounds IMPLIED by a predicate, for manifest-level
+    * file pruning in [[delete]]: walks the top-level conjuncts for
+    * attr-vs-literal comparisons (`=`, `<`, `<=`, `>`, `>=`; `between`
+    * desugars to two of them) and intersects constraints per column.
+    * Strictly conservative: anything else — OR, IN, function calls,
+    * casts, columns absent from the schema, and non-numeric/string
+    * literal types (date/timestamp literals carry internal encodings
+    * that do not compare against the manifest's rendered stats) —
+    * contributes no constraint, so an unrecognized predicate disables
+    * skipping rather than corrupting it. Strict bounds are widened to
+    * inclusive (never narrower than the predicate).
+    */
+  private[graft] def predicateBounds(
+      schema: StructType,
+      predicate: Column): Map[String, (Option[String], Option[String])] = {
+    type Arg = Option[Either[String, Any]]
+    def attrName(x: Arg): Option[String] = x.collect { case Left(n) => n }
+    // a literal usable against column `name`'s rendered stats: same type
+    // family only (numeric-vs-numeric, string-vs-string)
+    def litFor(name: String, x: Arg): Option[String] = x.collect {
+      case Right(v) if v != null => v
+    }.flatMap { v =>
+      schema.fields.find(_.name == name).map(_.dataType).flatMap {
+        case _: NumericType if v.isInstanceOf[java.lang.Number] => Some(v.toString)
+        case org.apache.spark.sql.types.StringType if v.isInstanceOf[String] => Some(v.toString)
+        case _ => None
+      }
+    }
+    // (column, lower, upper) triples; attr-on-left and attr-on-right forms
+    def c(fn: String, args: Seq[Arg]): Seq[(String, Option[String], Option[String])] =
+      if (args.size != 2) Nil
+      else {
+        val (a, b) = (args(0), args(1))
+        def side(
+            x: Arg,
+            y: Arg,
+            mk: (String, String) => (String, Option[String], Option[String])) =
+          (for (nm <- attrName(x); v <- litFor(nm, y)) yield mk(nm, v)).toSeq
+        fn match {
+          case "=" =>
+            side(a, b, (n, v) => (n, Some(v), Some(v))) ++
+              side(b, a, (n, v) => (n, Some(v), Some(v)))
+          // strict bounds widened to inclusive — never narrower than the
+          // predicate, so pruning stays conservative
+          case ">" | ">=" =>
+            side(a, b, (n, v) => (n, Some(v), None)) ++
+              side(b, a, (n, v) => (n, None, Some(v)))
+          case "<" | "<=" =>
+            side(a, b, (n, v) => (n, None, Some(v))) ++
+              side(b, a, (n, v) => (n, Some(v), None))
+          case _ => Nil
+        }
+      }
+    org.apache.spark.sql.GraftColumnBridge.conjunctComparisons(predicate)
+      .flatMap { case (fn, args) => c(fn, args) }
+      .groupBy(_._1).map { case (n, xs) =>
+        val dt = schema(n).dataType
+        val lo = xs.flatMap(_._2).reduceOption((a, b) => if (cmpStat(dt, a, b) >= 0) a else b)
+        val hi = xs.flatMap(_._3).reduceOption((a, b) => if (cmpStat(dt, a, b) <= 0) a else b)
+        n -> ((lo, hi))
+      }
   }
 
   /** `read(...).where(statsCol BETWEEN lo AND hi)` with manifest min/max
@@ -584,21 +742,34 @@ object LakeTable {
     // schema evolution: columns only the source has widen the table
     val newFields = source.schema.filterNot(f => meta.schema.fieldNames.contains(f.name))
     val outSchema = StructType(meta.schema.fields ++ newFields)
-    val target = readEntries(spark, root, meta.schema, s0.entries)
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
 
-    // partitions holding a matched key (one probe of the target against
-    // the broadcast source keys) ∪ partitions receiving source rows;
-    // NULL partition values go through the same sentinel the directory
-    // listing produces, so a null-keyed partition is rewritten too
-    val matched = target
-      .join(broadcast(srcKeys), keyCols, "left_semi")
-      .select(partExpr(partitionCol)).distinct()
-    val affected = matched
-      .union(source.select(partExpr(partitionCol)).distinct())
-      .collect().map(_.getString(0)).toSet
+    // stats-informed probe: when the manifest records min/max on the key
+    // columns, files whose bounds cannot intersect the source keys are
+    // pruned from the probe scan BEFORE any data file is opened — a
+    // narrow upsert batch against a 100 TB table probes the few files
+    // that can hold its keys, not the corpus
+    val mayMatch = keyProbeFilter(meta, keyCols, srcKeys)
+    val probeEntries = s0.entries.filter(mayMatch)
 
-    val (rewrite, carry) = s0.entries.partition(e => affected.contains(e.part))
+    // partitions holding a matched key (one probe of the surviving files
+    // against the broadcast source keys) ∪ partitions receiving source
+    // rows; NULL partition values go through the same sentinel the
+    // directory listing produces, so a null-keyed partition is rewritten
+    val matched =
+      if (probeEntries.isEmpty) Nil
+      else readEntries(spark, root, meta.schema, probeEntries)
+        .join(broadcast(srcKeys), keyCols, "left_semi")
+        .select(partExpr(partitionCol)).distinct()
+        .collect().map(_.getString(0)).toSeq
+    val affected = (matched ++
+      source.select(partExpr(partitionCol)).distinct().collect().map(_.getString(0))).toSet
+
+    // file-level COW: inside affected partitions, files whose key stats
+    // are disjoint from the source bounds cannot hold a matched row —
+    // they carry by path (their rows would pass the survivor anti-join
+    // unchanged, so skipping the rewrite is result-identical)
+    val (rewrite, carry) = s0.entries.partition(e => affected.contains(e.part) && mayMatch(e))
     // survivors of the affected slice: target rows there whose key has no
     // source match — read ONLY the rewritten files, not the table
     val survivors =
@@ -619,7 +790,8 @@ object LakeTable {
       matchedPartitions = affected.size,
       filesRewritten = rewrite.size,
       filesCarried = carry.size,
-      rowsWritten = written.size)
+      rowsWritten = written.size,
+      filesProbed = probeEntries.size)
   }
 
   /** Transactional COW DELETE: remove every row where `predicate` is
@@ -627,8 +799,12 @@ object LakeTable {
     * compliance face of the lake path: opt-out and contamination
     * removals on a training corpus must actually rewrite the bytes, not
     * just filter at read time. Same shape as [[merge]]: only files in
-    * partitions CONTAINING a match are rewritten (one probe pass),
-    * everything else carries by path; atomic manifest commit; a
+    * partitions CONTAINING a match are rewritten (one probe pass, itself
+    * manifest-pruned — bounds implied by the predicate's conjunctive
+    * attr-vs-literal comparisons skip files whose recorded min/max
+    * provably hold no match, and those files also carry by path inside
+    * affected partitions), everything else carries by path; atomic
+    * manifest commit; a
     * re-issued delete is a no-op commit (idempotent). A delete that
     * removes every row commits a legitimately-empty snapshot — the
     * manifest's recorded schema keeps the table readable and mergeable.
@@ -641,11 +817,24 @@ object LakeTable {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.delete: no committed snapshot at $root")
     val meta = s0.meta.get
-    val target = readEntries(spark, root, meta.schema, s0.entries)
-    val affected = target.where(predicate)
-      .select(partExpr(partitionCol)).distinct()
-      .collect().map(_.getString(0)).toSet
-    val (rewrite, carry) = s0.entries.partition(e => affected.contains(e.part))
+    // stats-informed probe: conjunctive attr-vs-literal bounds implied by
+    // the predicate prune files that provably hold no matching row (rows
+    // whose stats column is NULL are never deleted by a range/equality
+    // predicate — NULL comparisons are not TRUE — so pruning on non-null
+    // min/max is sound). Unrecognized predicate shapes scan everything.
+    val bounds = predicateBounds(meta.schema, predicate)
+      .filter { case (c, _) => meta.statsCols.contains(c) }
+    val mayDelete: Entry => Boolean =
+      e => bounds.forall { case (c, (lo, hi)) => entryIntersects(meta, e, c, lo, hi) }
+    val probeEntries = s0.entries.filter(mayDelete)
+    val affected =
+      if (probeEntries.isEmpty) Set.empty[String]
+      else readEntries(spark, root, meta.schema, probeEntries).where(predicate)
+        .select(partExpr(partitionCol)).distinct()
+        .collect().map(_.getString(0)).toSet
+    // file-level COW: stats-disjoint files in affected partitions hold no
+    // row the predicate deletes — carry them by path
+    val (rewrite, carry) = s0.entries.partition(e => affected.contains(e.part) && mayDelete(e))
     val written =
       if (rewrite.isEmpty) Nil
       else writeBatch(
@@ -656,7 +845,8 @@ object LakeTable {
     require(
       commit(spark, root, s0.version + 1, meta, carry ++ written),
       s"LakeTable.delete: concurrent commit at $root (retry on a fresh snapshot)")
-    MergeStats(s0.version + 1, affected.size, rewrite.size, carry.size, written.size)
+    MergeStats(s0.version + 1, affected.size, rewrite.size, carry.size, written.size,
+      filesProbed = probeEntries.size)
   }
 
   /** [[merge]] with optimistic-concurrency retries: a writer that loses
@@ -963,6 +1153,14 @@ object LakeTable {
     * The default mirrors the conventional 7-day lakehouse retention;
     * pass 0 ONLY when no writer is in flight (a 0-retention vacuum racing
     * a writer could reclaim the batch it is about to commit).
+    *
+    * Reader contract: the CURRENT snapshot is never affected (its files
+    * are live by definition). A concurrent [[readVersion]] time-travel of
+    * an OLDER snapshot whose files age out mid-read can fail — and a
+    * [[readVersion]] issued after the vacuum fails crisply at plan time
+    * with a "has been vacuumed" error rather than returning a partial
+    * table (spec-pinned). Retention is the knob that makes this window
+    * practically empty: no read outlives 7 days.
     */
   def vacuum(
       spark: SparkSession,

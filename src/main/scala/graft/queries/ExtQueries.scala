@@ -462,6 +462,54 @@ object ExtQueries {
         .orderBy("o_orderstatus")
     },
 
+    // Streaming-driven correctness: the events fixture flows through a
+    // REAL writeStream — file source -> normalize -> lakeAppendSink
+    // (foreachBatch + transactional exactly-once append) — under
+    // Trigger.AvailableNow, and the MATERIALIZED lake table is what the
+    // oracle checks. This closes the batch-vs-streaming verification
+    // asymmetry: every other streaming op is spec-verified (StreamSpec);
+    // here the hourly rollup of what the stream actually committed is
+    // hash-compared against DuckDB over the raw fixture. A dropped,
+    // duplicated, or double-committed micro-batch shifts cnt/users/cents.
+    "q139_stream_lake_hourly" -> { (s, dir) =>
+      import graft.operators.LakeTable
+      import org.apache.spark.sql.streaming.Trigger
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/root/repo/target/staging/q139_$tag"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      // stage the fixture into an arrival directory (the file-stream
+      // contract: a directory files land in, not a single-file glob)
+      val inDir = new org.apache.hadoop.fs.Path(base, "in")
+      fs.mkdirs(inDir)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"$dir/events.parquet"),
+        fs, new org.apache.hadoop.fs.Path(inDir, "events.parquet"),
+        false, s.sparkContext.hadoopConfiguration)
+      val root = s"$base/lake"
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      // lake table starts empty at the NORMALIZED schema (epoch-nanos ts)
+      LakeTable.init(s, root,
+        Sources.table(s, dir, "events").limit(0), "event_type")
+      val stream = Sources.normalizeEventTs(
+        s.readStream.schema(batchSchema).parquet(inDir.toString))
+      val q = graft.streaming.StreamOps.lakeAppendSink(stream, root, appId = s"q139_$tag")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      LakeTable.read(s, root)
+        .groupBy(
+          col("event_type"),
+          date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH").as("hr"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          countDistinct(col("user_id")).as("users"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .orderBy("event_type", "hr")
+    },
+
     // SCD Type-2 dimension maintenance: one change batch carrying a REAL
     // attribute change (keys %10=0: price +100), an identical-attrs
     // re-delivery that must be absorbed without an empty history row
@@ -1332,6 +1380,13 @@ object ExtQueries {
         |SELECT _commit_version, _change_type, count(*) AS cnt,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // The stream committed exactly the fixture, no more and no less —
+    // the oracle is a plain batch rollup of the raw events table.
+    "q139_stream_lake_hourly" ->
+      """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
+        |       count(*) AS cnt, count(DISTINCT user_id) AS users,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY event_type, hr ORDER BY event_type, hr""".stripMargin,
     // Schema evolution: the merged relation with the NEW column NULL
     // everywhere the source didn't write it, folded through coalesce(-1).
     "q138_lake_evolution" ->

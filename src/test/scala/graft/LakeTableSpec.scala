@@ -624,6 +624,124 @@ class LakeTableSpec extends SparkSpec {
     assert(!names.contains("offset"), s"legacy offset not cleaned: $names")
   }
 
+  test("stats-informed MERGE: narrow batch probes and rewrites a stats-pruned file subset") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"))
+    // split every partition into many small files, clustered on k so each
+    // file covers a tight non-overlapping key slice (the layout a 100 TB
+    // fact table converges to under clustered OPTIMIZE)
+    LakeTable.optimize(spark, root, minFilesPerPartition = 1, maxRecordsPerFile = 20,
+      sortCols = Seq("k"))
+    val s1 = LakeTable.snapshot(spark, root)
+    val total = s1.entries.size
+    assert(total >= 9, s"fixture needs many files, got $total")
+
+    // narrow upsert: keys 0..4 — bounds [0,4] intersect only the lowest
+    // key slice of each touched partition
+    val src = baseDf.where(col("k") < 5).withColumn("v", col("v") + 1000L)
+    val stats = LakeTable.merge(spark, root, src, Seq("k"), "p")
+    assert(stats.filesProbed < total,
+      s"probe must be stats-pruned: probed ${stats.filesProbed} of $total files")
+    assert(stats.filesRewritten <= stats.filesProbed,
+      "only probed (stats-intersecting) files may rewrite")
+    // stats-disjoint files inside the affected partitions carry by path
+    val affectedParts = Set("0", "1", "2")
+    val affectedFiles = s1.entries.count(e => affectedParts.contains(e.part))
+    assert(stats.filesRewritten < affectedFiles,
+      s"expected file-level COW inside partitions: rewrote ${stats.filesRewritten} of $affectedFiles")
+
+    // results identical to the semantic (unpruned) merge
+    val expected = src.unionByName(baseDf.where(col("k") >= 5))
+    val got = LakeTable.read(spark, root).select("k", "p", "v")
+    assert(got.count() === 300)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+
+    // an empty source probes NOTHING (no key can equi-match) and commits
+    // a carry-everything no-op version
+    val empty = LakeTable.merge(spark, root, baseDf.where(lit(false)), Seq("k"), "p")
+    assert(empty.filesProbed === 0 && empty.filesRewritten === 0 && empty.rowsWritten === 0)
+    assert(LakeTable.read(spark, root).count() === 300)
+  }
+
+  test("stats-informed DELETE: predicate bounds prune the probe and the rewrite set") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"))
+    LakeTable.optimize(spark, root, minFilesPerPartition = 1, maxRecordsPerFile = 20,
+      sortCols = Seq("k"))
+    val total = LakeTable.snapshot(spark, root).entries.size
+    val stats = LakeTable.delete(spark, root, col("k").between(10L, 14L), "p")
+    assert(stats.filesProbed < total,
+      s"probe must be predicate-pruned: probed ${stats.filesProbed} of $total files")
+    assert(stats.filesRewritten <= stats.filesProbed)
+    val got = LakeTable.read(spark, root)
+    assert(got.count() === 295)
+    assert(got.where(col("k").between(10L, 14L)).count() === 0)
+
+    // a predicate shape the extractor does not recognize scans everything
+    // (conservative) and still deletes correctly
+    val s2 = LakeTable.snapshot(spark, root).entries.size
+    val odd = LakeTable.delete(spark, root, col("k") % 100 === 99L, "p")
+    assert(odd.filesProbed === s2, "unrecognized predicate must disable pruning, not break it")
+    assert(LakeTable.read(spark, root).where(col("k") % 100 === 99L).count() === 0)
+  }
+
+  test("predicateBounds: conjuncts intersect; unrecognized shapes contribute nothing") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, s STRING, d DATE")
+    def b(c: org.apache.spark.sql.Column) = LakeTable.predicateBounds(schema, c)
+    assert(b(col("k") === 5L) === Map("k" -> ((Some("5"), Some("5")))))
+    assert(b(col("k") >= 3L && col("k") < 9L) === Map("k" -> ((Some("3"), Some("9")))))
+    assert(b(col("k").between(2L, 7L) && col("s") === "x") ===
+      Map("k" -> ((Some("2"), Some("7"))), "s" -> ((Some("x"), Some("x")))))
+    assert(b(lit(4L) < col("k")) === Map("k" -> ((Some("4"), None))))
+    // OR, functions, unknown columns, date literals: no constraint
+    assert(b(col("k") === 1L || col("k") === 2L) === Map.empty)
+    assert(b(abs(col("k")) === 1L) === Map.empty)
+    assert(b(col("zz") === 1L) === Map.empty)
+    assert(b(col("d") === java.sql.Date.valueOf("2024-01-01")) === Map.empty)
+    // tighter conjunct wins on each side
+    assert(b(col("k") >= 1L && col("k") >= 6L && col("k") <= 9L && col("k") <= 7L) ===
+      Map("k" -> ((Some("6"), Some("7")))))
+  }
+
+  test("N concurrent writers: all land, versions dense, state equals sequential application") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    val n = 4
+    // disjoint key slices (k % n == i) — every row updated by exactly one
+    // writer, so the expected final state is order-independent
+    def batch(i: Int) = baseDf.where(col("k") % n === i).withColumn("v", col("v") + 1000L + i)
+    val errors = java.util.Collections.synchronizedList(new java.util.ArrayList[Throwable]())
+    val threads = (0 until n).map { i =>
+      new Thread {
+        override def run(): Unit =
+          try LakeTable.mergeWithRetry(spark, root, batch(i), Seq("k"), "p", maxRetries = n * 2)
+          catch { case t: Throwable => errors.add(t) }
+      }
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errors.isEmpty, s"writer failed: ${if (errors.isEmpty) "" else errors.get(0)}")
+    // dense versions: each of the n commits landed exactly once
+    assert(LakeTable.snapshot(spark, root).version === 1L + n)
+    val expected = (0 until n).map(batch).reduce(_ unionByName _)
+    val got = LakeTable.read(spark, root)
+    assert(got.count() === 300)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("vacuum-vs-reader: time travel to a vacuumed snapshot fails crisply, current read unaffected") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    // rewrite every partition so ALL v1 files become unreferenced
+    LakeTable.merge(spark, root, baseDf.withColumn("v", col("v") + 1), Seq("k"), "p")
+    assert(LakeTable.readVersion(spark, root, 1).count() === 300) // pre-vacuum: time travel works
+    LakeTable.vacuum(spark, root, retainMillis = 0)
+    val e = intercept[IllegalArgumentException](LakeTable.readVersion(spark, root, 1))
+    assert(e.getMessage.contains("has been vacuumed"), s"got: ${e.getMessage}")
+    // the current snapshot is never affected by vacuum
+    assert(LakeTable.read(spark, root).count() === 300)
+  }
+
   test("manifest header: stats column names containing the ',' delimiter round-trip") {
     val meta = LakeTable.TableMeta(
       org.apache.spark.sql.types.StructType.fromDDL("`a,b` INT, c INT"),
