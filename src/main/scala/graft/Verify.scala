@@ -13,7 +13,10 @@ object Verify {
       master = s"local[$cpus]", appName = "graft-verify", shufflePartitions = cpus)
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional subset for local iteration (mirrors Bench): SPARK_GRAFT_ONLY=q140,q141
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -46,7 +49,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/errors.json"),
       failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     System.err.println(
-      s"[verify] ${SparkEntry.queries.size - failures.size}/${SparkEntry.queries.size} queries dumped" +
+      s"[verify] ${selected.size - failures.size}/${selected.size} queries dumped" +
         (if (failures.nonEmpty) s"; FAILED: ${failures.keys.mkString(",")}" else ""))
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)

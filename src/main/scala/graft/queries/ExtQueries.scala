@@ -510,6 +510,116 @@ object ExtQueries {
         .orderBy("event_type", "hr")
     },
 
+    // Streaming STATE-STORE correctness: where q139 drives the stateless
+    // foreachBatch append path, this drives the watermark + windowed-agg
+    // path — tumbling counts in APPEND output mode through a real
+    // writeStream to the parquet file sink under Trigger.AvailableNow.
+    // Append mode only releases a window once the watermark passes its
+    // end, so the materialized table is exactly the CLOSED windows:
+    // window_end <= max(ts) - lateness (the final open 23:00 window of
+    // Jan 30 must be withheld). The oracle re-derives that set
+    // relationally; a window emitted early, emitted twice (state not
+    // evicted), dropped (no-data flush batch missing), or mis-bucketed
+    // shifts rows or cnt.
+    "q140_stream_window_counts" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/root/repo/target/staging/q140_$tag"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val inDir = new org.apache.hadoop.fs.Path(base, "in")
+      fs.mkdirs(inDir)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"$dir/events.parquet"),
+        fs, new org.apache.hadoop.fs.Path(inDir, "events.parquet"),
+        false, s.sparkContext.hadoopConfiguration)
+      val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = Sources.normalizeEventTs(
+          s.readStream.schema(batchSchema).parquet(inDir.toString))
+        .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      val counts = graft.streaming.StreamOps.tumblingCounts(
+        stream, "event_ts", "1 hour", Seq(col("event_type")), lateness = "30 minutes")
+      val outDir = s"$base/out"
+      val q = counts
+        .select(col("window.start").as("w_start"), col("event_type"), col("cnt"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .select(date_format(col("w_start"), "yyyy-MM-dd HH").as("w_start"),
+          col("event_type"), col("cnt"))
+        .orderBy("w_start", "event_type")
+    },
+
+    // Avro STREAMING ingest correctness: events staged as avro container
+    // files in a landing dir, consumed through the graft-avro
+    // MICRO-BATCH source (readStream → real writeStream, parquet sink,
+    // Trigger.AvailableNow with the pinned-end discovery), then the
+    // materialized sink is rolled up against DuckDB over the raw
+    // fixture. Stateless pass-through, so the oracle is a plain batch
+    // rollup — a file admitted twice (offset/log drift), a dropped
+    // discovery batch, or a mis-decoded avro value shifts cnt/cents.
+    "q142_avro_stream_ingest" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/root/repo/target/staging/q142_$tag"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      // land the fixture as avro (normalized ts = epoch-nanos long, the
+      // engine's canonical events shape)
+      val inDir = s"$base/landing"
+      Sources.table(s, dir, "events")
+        .write.format("graft-avro").mode("overwrite").save(inDir)
+      val outDir = s"$base/out"
+      val q = s.readStream.format("graft-avro").load(inDir)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .groupBy(
+          col("event_type"),
+          date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH").as("hr"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          countDistinct(col("user_id")).as("users"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .orderBy("event_type", "hr")
+    },
+
+    // Avro connector round-trip (`graft-avro`, sources/avro — DSv2 on the
+    // core avro library; closes the Avro half of the SURVEY §2b
+    // "Kafka/Avro connectors" row, Kafka remains jar-blocked): orders
+    // flows through write → container files → split/pruned DSv2 read, and
+    // the rollup of what came BACK is checked against DuckDB over the
+    // original parquet. A dropped split, doubled sync block, mis-decoded
+    // union, or timestamp precision slip shifts cnt/cents/days.
+    "q141_avro_roundtrip" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"/root/repo/target/staging/q141_$tag"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      t(s, dir, "orders")
+        .write.format("graft-avro").mode("overwrite").save(base)
+      s.read.format("graft-avro").load(base)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          countDistinct(col("o_custkey")).as("custs"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+          // NTZ-or-not tolerant: UTC session makes the cast an identity
+          sum(expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000")).as("secs"))
+        .orderBy("o_orderstatus")
+    },
+
     // SCD Type-2 dimension maintenance: one change batch carrying a REAL
     // attribute change (keys %10=0: price +100), an identical-attrs
     // re-delivery that must be absorbed without an empty history row
@@ -1387,6 +1497,33 @@ object ExtQueries {
         |       count(*) AS cnt, count(DISTINCT user_id) AS users,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY event_type, hr ORDER BY event_type, hr""".stripMargin,
+    // Append mode releases exactly the windows the final watermark
+    // (max ts - lateness) has passed — re-derived relationally here.
+    "q140_stream_window_counts" ->
+      """WITH g AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT strftime(h, '%Y-%m-%d %H') AS w_start, event_type, cnt
+        |FROM g
+        |WHERE h + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM events)
+        |ORDER BY w_start, event_type""".stripMargin,
+    // Stateless pass-through: everything the stream admitted must equal
+    // the raw fixture, so the oracle is the plain batch rollup (the same
+    // shape as q139's).
+    "q142_avro_stream_ingest" ->
+      """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
+        |       count(*) AS cnt, count(DISTINCT user_id) AS users,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY event_type, hr ORDER BY event_type, hr""".stripMargin,
+    // The avro write+read is transparent: the oracle is the same rollup
+    // over the ORIGINAL parquet table.
+    "q141_avro_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       count(DISTINCT o_custkey) AS custs,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       CAST(sum(epoch_us(o_orderdate) // 1000000) AS BIGINT) AS secs
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // Schema evolution: the merged relation with the NEW column NULL
     // everywhere the source didn't write it, folded through coalesce(-1).
     "q138_lake_evolution" ->
