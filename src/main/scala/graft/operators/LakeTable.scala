@@ -197,7 +197,7 @@ object LakeTable {
     (meta, entries)
   }
 
-  private def readManifest(spark: SparkSession, root: String, v: Long): (TableMeta, Seq[Entry]) = {
+  private[graft] def readManifest(spark: SparkSession, root: String, v: Long): (TableMeta, Seq[Entry]) = {
     val mf = new Path(manifestDir(root), s"v$v.manifest")
     val f = fs(spark, mf)
     val in = f.open(mf)
@@ -425,26 +425,34 @@ object LakeTable {
     * window reads back bit-for-bit.
     */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val s = snapshotAt(spark, root, version)
+    readEntries(spark, root, s.meta.get.schema, s.entries)
+  }
+
+  /** The committed snapshot AT `version` (time-travel planning face; the
+    * `graft-lake` connector's `versionAsOf` resolves through this), with
+    * the same crisp vacuumed-snapshot refusal as [[readVersion]]: a
+    * snapshot whose files [[vacuum]] already reclaimed must fail at plan
+    * time — a partial read (or a mid-scan FileNotFoundException) silently
+    * misrepresents the version. One exists() per entry is planning-path
+    * metadata cost, the same order as the scan's own file listing.
+    */
+  def snapshotAt(spark: SparkSession, root: String, version: Long): Snapshot = {
     val mf = new Path(manifestDir(root), s"v$version.manifest")
     require(fs(spark, mf).exists(mf), s"LakeTable.readVersion: no v$version at $root")
     val (meta, entries) = readManifest(spark, root, version)
-    // a snapshot whose files [[vacuum]] already reclaimed must fail
-    // CRISPLY at plan time — a partial read (or a mid-scan
-    // FileNotFoundException) silently misrepresents the version. One
-    // exists() per entry is planning-path metadata cost, the same order
-    // as the scan's own file listing.
     val fsys = fs(spark, new Path(root))
     val missing = entries.filterNot(e => fsys.exists(new Path(root, e.rel)))
     require(missing.isEmpty,
       s"LakeTable.readVersion: v$version at $root has been vacuumed — " +
         s"${missing.size}/${entries.size} data files reclaimed (time travel is " +
         s"limited to the vacuum retention window); first missing: ${missing.head.rel}")
-    readEntries(spark, root, meta.schema, entries)
+    Snapshot(version, Some(meta), entries)
   }
 
   // ---- data skipping -------------------------------------------------
 
-  private def cmpStat(dt: org.apache.spark.sql.types.DataType, a: String, b: String): Int =
+  private[graft] def cmpStat(dt: org.apache.spark.sql.types.DataType, a: String, b: String): Int =
     dt match {
       case _: NumericType =>
         // integral fast path: pruning runs per manifest entry on the
@@ -495,7 +503,7 @@ object LakeTable {
     * can intersect [lo,hi] (an absent bound is unbounded on that side;
     * missing file stats → true, conservative).
     */
-  private def entryIntersects(
+  private[graft] def entryIntersects(
       meta: TableMeta,
       e: Entry,
       statsCol: String,
@@ -702,6 +710,33 @@ object LakeTable {
           s"LakeTable.append: concurrent commit at $root (retries exhausted)")
         append(spark, root, df, maxRetries - 1, txnAppId, txnVersion)
       }
+    }
+  }
+
+  /** Transactional full-replace (INSERT OVERWRITE): commit a snapshot
+    * whose live-file set is exactly `df`'s new batch — every previous
+    * entry is dropped from the manifest (the files themselves stay until
+    * [[vacuum]], so older versions still time-travel). Schema widens like
+    * [[append]]'s; the partition column and stats columns carry over.
+    * O(batch) like append — no existing file is read.
+    */
+  def overwrite(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      maxRetries: Int = 3): MergeStats = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.overwrite: no committed snapshot at $root")
+    val meta = s0.meta.get
+    val newFields = df.schema.filterNot(f => meta.schema.fieldNames.contains(f.name))
+    val newMeta = meta.copy(schema = StructType(meta.schema.fields ++ newFields))
+    val written = writeBatch(spark, root, align(df, newMeta.schema), newMeta)
+    if (commit(spark, root, s0.version + 1, newMeta, written))
+      MergeStats(s0.version + 1, 0, 0, 0, written.size)
+    else {
+      require(maxRetries > 0,
+        s"LakeTable.overwrite: concurrent commit at $root (retries exhausted)")
+      overwrite(spark, root, df, maxRetries - 1)
     }
   }
 

@@ -1,0 +1,277 @@
+package graft.sources.lake
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.connector.read.streaming.{
+  Offset => ConnectorOffset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{
+  BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider,
+  StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.LakeTable
+
+/** `graft-lake` — the DataSource face of [[graft.operators.LakeTable]]:
+  *
+  * {{{
+  *   // batch read: manifest-pruned scan; versionAsOf = time travel
+  *   spark.read.format("graft-lake").load(root)
+  *   spark.read.format("graft-lake").option("versionAsOf", 3).load(root)
+  *
+  *   // SQL catalog face
+  *   CREATE TABLE lake_orders USING `graft-lake` OPTIONS (path '<root>')
+  *
+  *   // batch write: create (partitionCol/statsCols options), append,
+  *   // INSERT OVERWRITE — all transactional manifest commits
+  *   df.write.format("graft-lake")
+  *     .option("partitionCol", "o_orderstatus")
+  *     .option("statsCols", "o_orderkey").save(root)
+  *
+  *   // streaming tail: manifest versions are the offsets
+  *   spark.readStream.format("graft-lake").load(root)
+  * }}}
+  *
+  * The batch relation is a [[HadoopFsRelation]] over [[LakeFileIndex]]
+  * — Spark's own vectorized parquet reader does the scanning, the
+  * manifest does the listing and the pruning (see the index's doc), and
+  * `sizeInBytes` comes from the snapshot so join planning can broadcast
+  * a small lake table. Writes map SaveMode onto the transactional ops:
+  * Append → [[LakeTable.append]], Overwrite → [[LakeTable.overwrite]]
+  * (full replace, old versions still time-travel), ErrorIfExists /
+  * Ignore → create-or-refuse. Creation requires `partitionCol`
+  * (`statsCols` opts into per-file min/max collection).
+  *
+  * The STREAMING source treats the manifest version sequence as the
+  * offset line: micro-batch (a, b] reads exactly the files ADDED by
+  * pure-append commits in that range — manifests and data files are
+  * immutable, so any replayed range reproduces the same rows
+  * (exactly-once admission without a source-side log; restart resumes
+  * from the checkpointed version). A commit that REMOVES files (merge,
+  * delete, optimize) is not expressible as an append-only stream:
+  * by default the source fails crisply on it; `skipChangeCommits=true`
+  * skips such commits wholly (the Delta semantics — rows added by a
+  * change commit are NOT re-delivered, their original append already
+  * streamed them; an OPTIMIZE's rewrite is likewise invisible).
+  * `startingVersion=N` begins after version N instead of streaming the
+  * initial snapshot.
+  */
+class GraftLake
+  extends DataSourceRegister
+  with RelationProvider
+  with CreatableRelationProvider
+  with StreamSourceProvider {
+
+  import GraftLake._
+
+  override def shortName(): String = "graft-lake"
+
+  // ---- batch read ----------------------------------------------------
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    relation(spark, rootOf(parameters), opt(parameters, "versionAsOf").map(_.toLong))
+  }
+
+  // ---- batch write ---------------------------------------------------
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val exists = LakeTable.snapshot(spark, root).version > 0
+
+    def create(): Unit = {
+      val partitionCol = opt(parameters, "partitionCol").getOrElse(
+        sys.error("graft-lake: creating a table requires the partitionCol option"))
+      val statsCols = opt(parameters, "statsCols")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+      LakeTable.init(spark, root, data, partitionCol, statsCols = statsCols)
+    }
+
+    mode match {
+      case SaveMode.Append => if (exists) LakeTable.append(spark, root, data) else create()
+      case SaveMode.Overwrite => if (exists) LakeTable.overwrite(spark, root, data) else create()
+      case SaveMode.ErrorIfExists =>
+        require(!exists, s"graft-lake: $root already exists (mode=ErrorIfExists)")
+        create()
+      case SaveMode.Ignore => if (!exists) create()
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  // ---- streaming read ------------------------------------------------
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val snap = LakeTable.snapshot(spark, rootOf(parameters))
+    require(snap.version > 0,
+      s"graft-lake: no committed snapshot at ${rootOf(parameters)} (streaming " +
+        "requires an existing table)")
+    // nullable face: files from older schemas legitimately read NULL for
+    // since-added columns, and the engine compares batch output against
+    // this declared schema
+    (shortName(), GraftLake.nullable(snap.meta.get.schema))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    new GraftLakeSource(
+      spark,
+      rootOf(parameters),
+      startingVersion = opt(parameters, "startingVersion").map(_.toLong).getOrElse(0L),
+      skipChangeCommits = opt(parameters, "skipChangeCommits").exists(_.toBoolean))
+  }
+}
+
+object GraftLake {
+
+  /** Top-level nullable face of the table schema (StructType.asNullable
+    * is spark-private): files from older schemas legitimately read NULL
+    * for since-added columns, so the declared read/stream schema must not
+    * promise NOT NULL.
+    */
+  private[lake] def nullable(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** Option lookup tolerant of the case-normalization DataFrameReader
+    * applies (options may arrive lower-cased).
+    */
+  private def opt(parameters: Map[String, String], key: String): Option[String] =
+    parameters.get(key).orElse(parameters.get(key.toLowerCase(java.util.Locale.ROOT)))
+
+  private def rootOf(parameters: Map[String, String]): String =
+    opt(parameters, "path").getOrElse(sys.error("graft-lake: path is required"))
+
+  /** The pruned-scan batch relation (shared by the provider and the
+    * streaming source's per-batch frames).
+    */
+  private[lake] def relationFor(
+      spark: SparkSession,
+      root: String,
+      index: LakeFileIndex): HadoopFsRelation =
+    HadoopFsRelation(
+      location = index,
+      partitionSchema = new StructType(),
+      dataSchema = nullable(index.meta.schema),
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+
+  def relation(spark: SparkSession, root: String, versionAsOf: Option[Long]): BaseRelation =
+    relationFor(spark, root, LakeFileIndex(spark, root, versionAsOf))
+}
+
+/** v1 streaming [[Source]] over the manifest version line (see
+  * [[GraftLake]]'s doc for semantics). Manifest immutability is what
+  * carries the exactly-once contract: getBatch(a, b] is a pure function
+  * of the two version's entry lists, so engine-driven replay after a
+  * crash re-reads byte-identical input. Offsets are committed by the
+  * engine's checkpoint, not here — `commit` is a no-op (versions stay
+  * re-readable until their files age out of the vacuum window; a
+  * restart from BEFORE that window fails crisply on the missing files
+  * rather than silently skipping).
+  */
+class GraftLakeSource(
+    spark: SparkSession,
+    root: String,
+    startingVersion: Long,
+    skipChangeCommits: Boolean)
+  extends Source
+  with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  private val tableSchema: StructType = {
+    val snap = LakeTable.snapshot(spark, root)
+    require(snap.version > 0, s"graft-lake: no committed snapshot at $root")
+    GraftLake.nullable(snap.meta.get.schema)
+  }
+
+  // manifests are immutable — cache each version's entry list for the
+  // life of the query (entries only; metadata-sized)
+  private val entryCache = mutable.Map.empty[Long, Seq[LakeTable.Entry]]
+
+  private def entriesAt(v: Long): Seq[LakeTable.Entry] =
+    if (v <= 0) Nil
+    else entryCache.getOrElseUpdate(v, LakeTable.readManifest(spark, root, v)._2)
+
+  private def ver(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset from a restart
+  }
+
+  override def schema: StructType = tableSchema
+
+  override def getOffset: Option[OffsetV1] = {
+    val v = LakeTable.snapshot(spark, root).version
+    if (v > startingVersion) Some(LongOffset(v)) else None
+  }
+
+  // ---- admission control / Trigger.AvailableNow ----------------------
+  // The FileStreamSource pattern: a v1 Source opts into the v2 admission
+  // path, so Trigger.AvailableNow pins the END VERSION once at prepare
+  // time and drains exactly up to it (no single-batch fallback, no race
+  // with writers committing during the drain).
+
+  @volatile private var pinnedVersion: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedVersion = Some(LakeTable.snapshot(spark, root).version)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
+    val v = pinnedVersion.getOrElse(LakeTable.snapshot(spark, root).version)
+    if (v > startingVersion) LongOffset(v) else null
+  }
+
+  override def reportLatestOffset(): ConnectorOffset = {
+    val v = LakeTable.snapshot(spark, root).version
+    if (v > startingVersion) LongOffset(v) else null
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = start.map(ver).getOrElse(startingVersion)
+    val to = ver(end)
+    val added = ((from + 1) to to).flatMap { v =>
+      val prev = entriesAt(v - 1).map(_.rel).toSet
+      val cur = entriesAt(v)
+      val removed = prev -- cur.map(_.rel).toSet
+      if (removed.isEmpty) cur.filterNot(e => prev.contains(e.rel))
+      else if (skipChangeCommits) Nil
+      else throw new IllegalStateException(
+        s"graft-lake streaming: version $v of $root removed ${removed.size} file(s) " +
+          "(merge/delete/optimize) — an append-only stream cannot represent it. " +
+          "Set skipChangeCommits=true to skip change commits, or consume " +
+          "LakeTable.changesSince for full CDC.")
+    }
+    // the batch is a REAL pruned file scan (isStreaming wrapped): later
+    // query filters still push into listFiles and the parquet reader
+    val meta = LakeTable.snapshot(spark, root).meta.get.copy(schema = tableSchema)
+    val index = new LakeFileIndex(spark, root, meta, added)
+    GraftColumnBridge.streamingRelationFrame(
+      spark, GraftLake.relationFor(spark, root, index))
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+
+  override def stop(): Unit = ()
+}

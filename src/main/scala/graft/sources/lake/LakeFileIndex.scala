@@ -1,0 +1,243 @@
+package graft.sources.lake
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.{DataType, NumericType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.LakeTable
+import graft.operators.LakeTable.{Entry, TableMeta}
+
+/** The lake table's [[FileIndex]] — the planning half of the
+  * `graft-lake` connector. This is the Delta-OSS idiom (a log-backed
+  * FileIndex plugged into Spark's own parquet `FileFormat` through
+  * `HadoopFsRelation`): the MANIFEST is the file listing, so
+  *
+  *   - `listFiles` answers from metadata alone — no directory walk ever
+  *     happens (on a 100 TB table the data tree is millions of files;
+  *     the snapshot's entry list already names the live ones), and
+  *   - the `dataFilters` Spark pushes down prune that list BEFORE the
+  *     scan: partition-column predicates select manifest partitions
+  *     exactly, and stats-column predicates skip files whose recorded
+  *     [min,max] cannot intersect — the `readPartitions`/`readRangeOn`
+  *     skipping, but applied AUTOMATICALLY to any `.where()` the user
+  *     writes instead of through dedicated entry points, and composable
+  *     with everything else Catalyst pushes (column pruning and residual
+  *     parquet footer/page skipping still happen downstream in the
+  *     vectorized reader).
+  *
+  * The table is declared UNPARTITIONED to Spark (`partitionSchema`
+  * empty): the partition column is stored inside every data file as
+  * well as in the manifest, so all predicates arrive as `dataFilters`
+  * and partition pruning is just the min=max=value special case of
+  * stats pruning. That keeps evolution/row-shape concerns out of the
+  * partition-value decoding path entirely.
+  *
+  * Pruning is strictly conservative: only bare attr-vs-literal
+  * comparisons, IN/INSET, and null tests on the partition column
+  * contribute; casts, functions, ORs, disjunct literal types, and files
+  * without recorded stats all keep the file in. Correctness never
+  * depends on pruning — the full predicate still evaluates on the scan.
+  *
+  * `sizeInBytes` reports the snapshot's actual byte count (one listing
+  * of the live batch directories, cached), so Catalyst's broadcast
+  * decision sees the table's true size instead of defaulting to "huge".
+  */
+class LakeFileIndex(
+    spark: SparkSession,
+    root: String,
+    val meta: TableMeta,
+    val entries: Seq[Entry])
+  extends FileIndex {
+
+  /** Entries surviving pruning on the LAST listFiles call — the test
+    * hook a skipping pin reads (scan metrics expose the same number).
+    */
+  @volatile var lastListedFiles: Int = -1
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root))
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def refresh(): Unit = ()  // a snapshot is immutable
+
+  // one recursive listing of the live batch dirs resolves every entry's
+  // FileStatus (length for sizeInBytes + the scan's split planning);
+  // an entry absent from the listing (vacuumed mid-plan) fails crisply
+  private lazy val statusByRel: Map[String, FileStatus] = {
+    val dataDir = new Path(root, "data")
+    val f = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(dataDir)) Map.empty
+    else {
+      val rootUri = f.makeQualified(new Path(root)).toUri
+      val it = f.listFiles(dataDir, true)
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => rootUri.relativize(s.getPath.toUri).getPath -> (s: FileStatus))
+        .toMap
+    }
+  }
+
+  private def status(e: Entry): FileStatus =
+    statusByRel.getOrElse(e.rel, {
+      val p = new Path(root, e.rel)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+    })
+
+  override lazy val sizeInBytes: Long = entries.map(status(_).getLen).sum
+
+  override def inputFiles: Array[String] =
+    entries.map(e => new Path(root, e.rel).toString).toArray
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val preds = (partitionFilters ++ dataFilters).flatMap(entryPredicate)
+    val kept = entries.filter(e => preds.forall(_(e)))
+    lastListedFiles = kept.size
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(status).toArray))
+  }
+
+  // ---- manifest pruning from pushed-down catalyst predicates ---------
+
+  private type EPred = Entry => Boolean
+
+  private def fieldType(nm: String): Option[DataType] =
+    meta.schema.fields.find(_.name.equalsIgnoreCase(nm)).map(_.dataType)
+
+  private def isPart(nm: String): Boolean = nm.equalsIgnoreCase(meta.partitionCol)
+
+  private def statsName(nm: String): Option[String] =
+    meta.statsCols.find(_.equalsIgnoreCase(nm))
+
+  /** The entry's partition value in comparison space: None = NULL. */
+  private def partVal(e: Entry): Option[String] =
+    if (e.part == LakeTable.NullPartition) None else Some(e.part)
+
+  /** Render a literal/internal value into the manifest's string space
+    * (stats are `cast("string")` renderings; partition values likewise).
+    * Only same-family numeric/string pairs compare soundly — dates,
+    * timestamps, binaries, and cross-family literals return None (no
+    * pruning), mirroring LakeTable.predicateBounds' conservatism.
+    */
+  private def render(colDt: DataType, v: Any): Option[String] = (colDt, v) match {
+    case (_, null) => None
+    case (_: NumericType, n: java.lang.Number) => Some(n.toString)
+    case (_: NumericType, d: org.apache.spark.sql.types.Decimal) => Some(d.toString)
+    case (StringType, s: UTF8String) => Some(s.toString)
+    case (StringType, s: String) => Some(s)
+    case _ => None
+  }
+
+  /** Keep entries whose partition value can lie in [lo,hi] (NULL never
+    * satisfies a comparison).
+    */
+  private def partRange(lo: Option[String], hi: Option[String]): EPred = {
+    val dt = meta.schema.fields.find(_.name.equalsIgnoreCase(meta.partitionCol))
+      .map(_.dataType).getOrElse(StringType)
+    e => partVal(e).exists(v =>
+      lo.forall(l => LakeTable.cmpStat(dt, v, l) >= 0) &&
+        hi.forall(h => LakeTable.cmpStat(dt, v, h) <= 0))
+  }
+
+  /** Keep entries whose recorded stats on `sc` can intersect [lo,hi]
+    * (missing stats keep the file, conservative).
+    */
+  private def statsRange(sc: String, lo: Option[String], hi: Option[String]): EPred =
+    e => LakeTable.entryIntersects(meta, e, sc, lo, hi)
+
+  private def bound(nm: String, lo: Option[String], hi: Option[String]): Option[EPred] =
+    if (lo.isEmpty && hi.isEmpty) None
+    else if (isPart(nm)) Some(partRange(lo, hi))
+    else statsName(nm).map(sc => statsRange(sc, lo, hi))
+
+  private def attrOf(x: Expression): Option[String] = x match {
+    case a: AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  private def renderedFor(nm: String, v: Any): Option[String] =
+    fieldType(nm).flatMap(dt => render(dt, v))
+
+  /** One pushed conjunct → an entry predicate, or None (no pruning). */
+  private def entryPredicate(f: Expression): Option[EPred] = f match {
+    case EqualTo(a, Literal(v, _)) =>
+      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, Some(s), Some(s))) yield p
+    case EqualTo(Literal(v, _), a) =>
+      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, Some(s), Some(s))) yield p
+    case EqualNullSafe(a, Literal(null, _)) =>
+      attrOf(a).filter(isPart).map(_ => (e: Entry) => e.part == LakeTable.NullPartition)
+    case EqualNullSafe(Literal(null, _), a) =>
+      attrOf(a).filter(isPart).map(_ => (e: Entry) => e.part == LakeTable.NullPartition)
+    case EqualNullSafe(a, Literal(v, _)) =>
+      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, Some(s), Some(s))) yield p
+    case EqualNullSafe(Literal(v, _), a) =>
+      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, Some(s), Some(s))) yield p
+    case GreaterThan(a, Literal(v, _)) =>       // attr > v  (widened to >=)
+      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, Some(s), None)) yield p
+    case GreaterThanOrEqual(a, Literal(v, _)) =>
+      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, Some(s), None)) yield p
+    case LessThan(a, Literal(v, _)) =>
+      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, None, Some(s))) yield p
+    case LessThanOrEqual(a, Literal(v, _)) =>
+      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, None, Some(s))) yield p
+    case GreaterThan(Literal(v, _), a) =>       // v > attr  ⇔  attr < v
+      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, None, Some(s))) yield p
+    case GreaterThanOrEqual(Literal(v, _), a) =>
+      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, None, Some(s))) yield p
+    case LessThan(Literal(v, _), a) =>
+      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, Some(s), None)) yield p
+    case LessThanOrEqual(Literal(v, _), a) =>
+      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, Some(s), None)) yield p
+    case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+      inPredicate(a, list.map(_.asInstanceOf[Literal].value))
+    case InSet(a, hset) =>
+      inPredicate(a, hset.toSeq)
+    case IsNull(a) =>
+      attrOf(a).filter(isPart).map(_ => (e: Entry) => e.part == LakeTable.NullPartition)
+    case IsNotNull(a) =>
+      attrOf(a).filter(isPart).map(_ => (e: Entry) => e.part != LakeTable.NullPartition)
+    case _ => None
+  }
+
+  /** IN: exact membership on the partition column; [min,max] envelope of
+    * the value set on a stats column. Any unrenderable value disables
+    * pruning for the whole conjunct (a match could hide there).
+    */
+  private def inPredicate(a: Expression, values: Seq[Any]): Option[EPred] =
+    attrOf(a).flatMap { nm =>
+      val rendered = values.map(renderedFor(nm, _))
+      if (rendered.isEmpty || rendered.exists(_.isEmpty)) None
+      else {
+        val set = rendered.flatten.toSet
+        if (isPart(nm)) Some((e: Entry) => partVal(e).exists(set.contains))
+        else statsName(nm).map { sc =>
+          val dt = meta.schema.fields.find(_.name.equalsIgnoreCase(sc))
+            .map(_.dataType).getOrElse(StringType)
+          val lo = set.reduce((x, y) => if (LakeTable.cmpStat(dt, x, y) <= 0) x else y)
+          val hi = set.reduce((x, y) => if (LakeTable.cmpStat(dt, x, y) >= 0) x else y)
+          statsRange(sc, Some(lo), Some(hi))
+        }
+      }
+    }
+}
+
+object LakeFileIndex {
+
+  /** The index over the CURRENT snapshot, or a time-travel version
+    * (`versionAsOf`), with readVersion's vacuumed-snapshot refusal.
+    */
+  def apply(spark: SparkSession, root: String, versionAsOf: Option[Long]): LakeFileIndex = {
+    val snap = versionAsOf match {
+      case Some(v) => LakeTable.snapshotAt(spark, root, v)
+      case None =>
+        val s = LakeTable.snapshot(spark, root)
+        require(s.version > 0, s"graft-lake: no committed snapshot at $root")
+        s
+    }
+    new LakeFileIndex(spark, root, snap.meta.get, snap.entries)
+  }
+}

@@ -41,4 +41,16 @@ object GraftColumnBridge {
       spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A BaseRelation wrapped as a STREAMING frame — what a v1
+    * `Source.getBatch` must return (the engine asserts isStreaming on the
+    * batch plan). Routing through LogicalRelation keeps the relation's
+    * full file-scan planning (pushdown, pruning) instead of freezing the
+    * plan behind an RDD boundary; `LogicalRelation.apply` is sql-private,
+    * hence this bridge.
+    */
+  def streamingRelationFrame(spark: SparkSession, relation: sources.BaseRelation): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession],
+      execution.datasources.LogicalRelation(relation, isStreaming = true))
 }

@@ -1,0 +1,250 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+import graft.operators.LakeTable
+
+/** The `graft-lake` DataSource face: manifest-pruned batch scans (files
+  * skipped at PLANNING time from the manifest, pinned via the executed
+  * scan's numFiles metric), snapshot-derived statistics driving
+  * broadcast planning, SaveMode write mapping, the SQL DDL face, and
+  * the version-offset streaming source (append tailing, restart
+  * resume, change-commit refusal / skipChangeCommits).
+  */
+class GraftLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-lake-$name").toFile
+    d.deleteOnExit()
+    s"${d.getAbsolutePath}/t"
+  }
+
+  /** numFiles actually scanned by the executed plan (post-pruning). */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "no FileSourceScanExec in executed plan")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  /** A 3-partition, stats-tracked table with one file per key bucket:
+    * 300 rows, k in [0,300), partition p = k/100, stats on k.
+    */
+  private def mkTable(root: String): Unit = {
+    val df = spark.range(300).select(
+      col("id").as("k"),
+      (col("id") / 100).cast("int").as("p"),
+      concat(lit("v"), col("id")).as("v"))
+    df.write.format("graft-lake")
+      .option("partitionCol", "p").option("statsCols", "k")
+      .save(root)
+  }
+
+  test("batch round trip, append, overwrite, versionAsOf, ErrorIfExists") {
+    val root = tmp("modes")
+    mkTable(root)
+    val r1 = spark.read.format("graft-lake").load(root)
+    assert(r1.count() === 300)
+    assert(r1.columns.toSeq === Seq("k", "p", "v"))
+
+    // append (v2): 10 more rows in partition 9
+    spark.range(10).select(
+      (col("id") + 1000).as("k"), lit(9).as("p"), lit("x").as("v"))
+      .write.format("graft-lake").mode("append").save(root)
+    assert(spark.read.format("graft-lake").load(root).count() === 310)
+
+    // overwrite (v3): full replace
+    Seq((1L, 0, "only")).toDF("k", "p", "v")
+      .write.format("graft-lake").mode("overwrite").save(root)
+    assert(spark.read.format("graft-lake").load(root).count() === 1)
+
+    // time travel through the reader option
+    assert(spark.read.format("graft-lake").option("versionAsOf", 1).load(root).count() === 300)
+    assert(spark.read.format("graft-lake").option("versionAsOf", 2).load(root).count() === 310)
+
+    intercept[Exception] {
+      Seq((1L, 0, "z")).toDF("k", "p", "v")
+        .write.format("graft-lake").mode("errorifexists").save(root)
+    }
+    // Ignore on an existing table: no-op
+    Seq((1L, 0, "z")).toDF("k", "p", "v")
+      .write.format("graft-lake").mode("ignore").save(root)
+    assert(spark.read.format("graft-lake").load(root).count() === 1)
+  }
+
+  test("partition and stats predicates prune files at planning; results stay exact") {
+    val root = tmp("prune")
+    mkTable(root)
+    val total = LakeTable.snapshot(spark, root).entries.size.toLong
+    assert(total >= 3, s"expected >=3 files, got $total")
+    val lake = spark.read.format("graft-lake").load(root)
+
+    // partition equality: only partition 1's files scanned
+    val byPart = lake.where(col("p") === 1)
+    assert(scannedFiles(byPart) < total)
+    assert(byPart.count() === 100)
+
+    // stats range on k: files whose [min,max] misses [0,49] skipped
+    val byRange = lake.where(col("k") < 50)
+    assert(scannedFiles(byRange) < total)
+    assert(byRange.count() === 50)
+
+    // IN on the partition column
+    val byIn = lake.where(col("p").isin(0, 2))
+    assert(scannedFiles(byIn) < total)
+    assert(byIn.count() === 200)
+
+    // a predicate on a non-stats column prunes nothing (conservative)
+    val noPrune = lake.where(col("v") === "v7")
+    assert(scannedFiles(noPrune) === total)
+    assert(noPrune.count() === 1)
+
+    // result identical to the unpruned path
+    val expect = LakeTable.read(spark, root).where(col("k") < 50)
+      .orderBy("k").collect().toSeq
+    assert(byRange.orderBy("k").collect().toSeq === expect)
+  }
+
+  test("null partition: IS NULL selects only the sentinel files, IS NOT NULL skips them") {
+    val root = tmp("nulls")
+    val df = Seq[(Long, Option[Int], String)](
+      (1L, Some(0), "a"), (2L, Some(1), "b"), (3L, None, "c"), (4L, None, "d"))
+      .toDF("k", "p", "v")
+    df.write.format("graft-lake").option("partitionCol", "p").save(root)
+    val total = LakeTable.snapshot(spark, root).entries.size.toLong
+    val lake = spark.read.format("graft-lake").load(root)
+
+    val nulls = lake.where(col("p").isNull)
+    assert(scannedFiles(nulls) < total)
+    assert(nulls.count() === 2)
+
+    val notNulls = lake.where(col("p").isNotNull)
+    assert(scannedFiles(notNulls) < total)
+    assert(notNulls.count() === 2)
+
+    val eq = lake.where(col("p") === 1)
+    assert(scannedFiles(eq) < total) // sentinel + partition-0 files skipped
+    assert(eq.count() === 1)
+  }
+
+  test("manifest statistics make a small lake table broadcastable without a hint") {
+    val root = tmp("stats")
+    mkTable(root)
+    val lake = spark.read.format("graft-lake").load(root)
+    val big = spark.range(100000).select(pmod(col("id"), lit(300)).as("k"))
+    val j = big.join(lake, "k")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected snapshot-size statistics to drive a broadcast join:\n$plan")
+    assert(j.count() === 100000)
+  }
+
+  test("SQL DDL face: CREATE TABLE USING graft-lake, SELECT with pruning") {
+    val root = tmp("ddl")
+    mkTable(root)
+    spark.sql("DROP TABLE IF EXISTS lake_ddl")
+    spark.sql(s"CREATE TABLE lake_ddl USING `graft-lake` OPTIONS (path '$root')")
+    try {
+      val out = spark.sql("SELECT p, count(*) AS n FROM lake_ddl WHERE k < 150 GROUP BY p ORDER BY p")
+      assert(out.collect().toSeq === Seq(Row(0, 100L), Row(1, 50L)))
+    } finally spark.sql("DROP TABLE IF EXISTS lake_ddl")
+  }
+
+  test("streaming source tails appends with version offsets; restart resumes, replay-free") {
+    val root = tmp("stream")
+    val base = root.stripSuffix("/t")
+    mkTable(root) // v1: 300 rows
+    spark.range(5).select((col("id") + 500).as("k"), lit(1).as("p"), lit("s1").as("v"))
+      .write.format("graft-lake").mode("append").save(root) // v2
+
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-lake").load(root)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() === 305) // initial snapshot + append
+
+    // nothing new: a re-run delivers nothing (offset already at v2)
+    drain()
+    assert(spark.read.parquet(out).count() === 305)
+
+    // two more appends land exactly once after restart from checkpoint
+    spark.range(7).select((col("id") + 600).as("k"), lit(2).as("p"), lit("s2").as("v"))
+      .write.format("graft-lake").mode("append").save(root) // v3
+    spark.range(3).select((col("id") + 700).as("k"), lit(0).as("p"), lit("s3").as("v"))
+      .write.format("graft-lake").mode("append").save(root) // v4
+    drain()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() === 315)
+    assert(rows.select(countDistinct("k")).head.getLong(0) === 315) // no replays
+  }
+
+  test("streaming: a change commit fails crisply; skipChangeCommits skips it wholly") {
+    val root = tmp("cdc")
+    val base = root.stripSuffix("/t")
+    mkTable(root) // v1
+    // v2: a MERGE rewrites files (update k=5's value)
+    LakeTable.merge(spark, root,
+      Seq((5L, 0, "updated")).toDF("k", "p", "v"), Seq("k"), "p")
+    // v3: a clean append after the change commit
+    spark.range(4).select((col("id") + 800).as("k"), lit(2).as("p"), lit("post").as("v"))
+      .write.format("graft-lake").mode("append").save(root)
+
+    val strict = intercept[StreamingQueryException] {
+      val q = spark.readStream.format("graft-lake").load(root)
+        .writeStream.format("parquet")
+        .option("path", s"$base/strict-out")
+        .option("checkpointLocation", s"$base/strict-ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    assert(strict.getMessage.contains("skipChangeCommits") ||
+      Option(strict.getCause).exists(_.getMessage.contains("skipChangeCommits")))
+
+    val q = spark.readStream.format("graft-lake")
+      .option("skipChangeCommits", "true").load(root)
+      .writeStream.format("parquet")
+      .option("path", s"$base/skip-out")
+      .option("checkpointLocation", s"$base/skip-ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$base/skip-out")
+    // v1's 300 original rows + v3's 4; v2's rewrite invisible (its rows
+    // streamed at v1 with their ORIGINAL values)
+    assert(got.count() === 304)
+    assert(got.where(col("v") === "updated").count() === 0)
+    assert(got.where(col("v") === "post").count() === 4)
+  }
+
+  test("startingVersion skips the initial snapshot") {
+    val root = tmp("startv")
+    val base = root.stripSuffix("/t")
+    mkTable(root) // v1
+    spark.range(2).select((col("id") + 900).as("k"), lit(1).as("p"), lit("tail").as("v"))
+      .write.format("graft-lake").mode("append").save(root) // v2
+    val q = spark.readStream.format("graft-lake")
+      .option("startingVersion", "1").load(root)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$base/out")
+    assert(got.count() === 2)
+    assert(got.select("v").distinct().head.getString(0) === "tail")
+  }
+}
