@@ -594,6 +594,105 @@ object ExtQueries {
         .orderBy("event_type", "hr")
     },
 
+    // The graft-lake CONNECTOR face end-to-end (LakeFileIndex +
+    // HadoopFsRelation, sources/lake): the table is CREATED through
+    // df.write.format("graft-lake") (init via partitionCol/statsCols
+    // options), grown through mode("append"), and read back through
+    // spark.read.format("graft-lake") — where the scan is manifest-pruned
+    // AUTOMATICALLY from a plain .where() predicate (no readRange/
+    // readPartitions entry point): the executed plan's numFiles metric is
+    // pinned strictly below the snapshot's file count and folded into the
+    // hash as files_skipped (if pruning silently broke, the flag flips
+    // and the hash fails even though the residual predicate keeps the
+    // VALUES right). versionAsOf rides along: v1/v2 row counts prove time
+    // travel through the reader option. Appended keys sit above every v1
+    // bucket AND the probed range, so they change v2_rows but not the
+    // rollup — and their files are among the skipped.
+    "q143_lake_connector" -> { (s, dir) =>
+      import graft.operators.LakeTable
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val root = s"/root/repo/target/staging/q143_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val base = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      // bucket width scales with the key range (the q136 sizing argument:
+      // ~10 partitions at any SF, probed range inside bucket 0)
+      val maxKey = base.agg(max("o_orderkey")).head.getLong(0)
+      val width = math.max(500L, (maxKey + 1L) / 10L)
+      val orders = base.withColumn("key_bucket", floor(col("o_orderkey") / width))
+      orders.write.format("graft-lake")
+        .option("partitionCol", "key_bucket").option("statsCols", "o_orderkey")
+        .save(root)                                                        // v1
+      orders.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(20L) * width)
+        .withColumn("key_bucket", floor(col("o_orderkey") / width))
+        .write.format("graft-lake").mode("append").save(root)              // v2
+      val lake = s.read.format("graft-lake").load(root)
+      val filtered = lake.where(col("o_orderkey").between(100, 399))
+      filtered.collect()
+      val scanned = filtered.queryExecution.executedPlan
+        .collect { case sc: FileSourceScanExec => sc.metrics("numFiles").value }.sum
+      val total = LakeTable.snapshot(s, root).entries.size.toLong
+      val v1Rows = s.read.format("graft-lake").option("versionAsOf", 1).load(root).count()
+      val v2Rows = lake.count()
+      filtered
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .withColumn("files_skipped", lit(scanned < total))
+        .withColumn("v1_rows", lit(v1Rows))
+        .withColumn("v2_rows", lit(v2Rows))
+    },
+
+    // The graft-lake STREAMING source end-to-end: the events fixture
+    // lands in a lake table across four append commits with a COW DELETE
+    // (a change commit) in the middle, and a real readStream tails the
+    // manifest version line under Trigger.AvailableNow into a parquet
+    // sink. skipChangeCommits=true makes the delete INVISIBLE to the
+    // stream — its rewrite adds no stream rows and removes none already
+    // delivered — so the materialized sink must equal the raw fixture
+    // exactly: the oracle is the plain batch rollup. A replayed version
+    // (duplicate rows), a skipped append, or a leak of the delete's
+    // rewrite shifts cnt/users/cents.
+    "q144_lake_stream_tail" -> { (s, dir) =>
+      import graft.operators.LakeTable
+      import org.apache.spark.sql.streaming.Trigger
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q144_$tag"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val root = s"$stage/lake"
+      val events = Sources.table(s, dir, "events")
+      def slice(i: Int) = events.where(pmod(col("user_id"), lit(4)) === i)
+      slice(0).write.format("graft-lake").option("partitionCol", "event_type").save(root) // v1
+      slice(1).write.format("graft-lake").mode("append").save(root)                       // v2
+      LakeTable.delete(s, root, col("event_type") === "click", "event_type")              // v3: change commit
+      slice(2).write.format("graft-lake").mode("append").save(root)                       // v4
+      slice(3).write.format("graft-lake").mode("append").save(root)                       // v5
+      val outDir = s"$stage/out"
+      val q = s.readStream.format("graft-lake")
+        .option("skipChangeCommits", "true").load(root)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .groupBy(
+          col("event_type"),
+          date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH").as("hr"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          countDistinct(col("user_id")).as("users"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .orderBy("event_type", "hr")
+    },
+
     // Avro connector round-trip (`graft-avro`, sources/avro — DSv2 on the
     // core avro library; closes the Avro half of the SURVEY §2b
     // "Kafka/Avro connectors" row, Kafka remains jar-blocked): orders
@@ -1512,6 +1611,27 @@ object ExtQueries {
     // the raw fixture, so the oracle is the plain batch rollup (the same
     // shape as q139's).
     "q142_avro_stream_ingest" ->
+      """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
+        |       count(*) AS cnt, count(DISTINCT user_id) AS users,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY event_type, hr ORDER BY event_type, hr""".stripMargin,
+    // The connector's pruned scan must agree with the plain relational
+    // range rollup (appended keys sit above the range), the skip flag is
+    // pinned literally true, and both version row counts re-derive.
+    "q143_lake_connector" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |r AS (SELECT count(*) AS cnt,
+        |             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |      FROM t WHERE o_orderkey BETWEEN 100 AND 399)
+        |SELECT cnt, cents, min_key, max_key, true AS files_skipped,
+        |       (SELECT count(*) FROM t) AS v1_rows,
+        |       (SELECT count(*) FROM t)
+        |         + (SELECT count(*) FROM t WHERE o_orderkey % 10 = 0) AS v2_rows
+        |FROM r""".stripMargin,
+    // The tail of four appends with the delete skipped == the raw
+    // fixture, so the oracle is the plain batch rollup (q139's shape).
+    "q144_lake_stream_tail" ->
       """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
         |       count(*) AS cnt, count(DISTINCT user_id) AS users,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -58,7 +58,8 @@ import graft.operators.LakeTable
   * change commit are NOT re-delivered, their original append already
   * streamed them; an OPTIMIZE's rewrite is likewise invisible).
   * `startingVersion=N` begins after version N instead of streaming the
-  * initial snapshot.
+  * initial snapshot; `maxVersionsPerTrigger=M` caps each micro-batch's
+  * version span so a backlog drains in bounded batches.
   */
 class GraftLake
   extends DataSourceRegister
@@ -138,7 +139,8 @@ class GraftLake
       spark,
       rootOf(parameters),
       startingVersion = opt(parameters, "startingVersion").map(_.toLong).getOrElse(0L),
-      skipChangeCommits = opt(parameters, "skipChangeCommits").exists(_.toBoolean))
+      skipChangeCommits = opt(parameters, "skipChangeCommits").exists(_.toBoolean),
+      maxVersionsPerTrigger = opt(parameters, "maxVersionsPerTrigger").map(_.toLong))
   }
 }
 
@@ -194,7 +196,8 @@ class GraftLakeSource(
     spark: SparkSession,
     root: String,
     startingVersion: Long,
-    skipChangeCommits: Boolean)
+    skipChangeCommits: Boolean,
+    maxVersionsPerTrigger: Option[Long] = None)
   extends Source
   with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
@@ -218,6 +221,11 @@ class GraftLakeSource(
     case other => other.json.trim.toLong // SerializedOffset from a restart
   }
 
+  private def verC(o: ConnectorOffset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
   override def schema: StructType = tableSchema
 
   override def getOffset: Option[OffsetV1] = {
@@ -229,7 +237,12 @@ class GraftLakeSource(
   // The FileStreamSource pattern: a v1 Source opts into the v2 admission
   // path, so Trigger.AvailableNow pins the END VERSION once at prepare
   // time and drains exactly up to it (no single-batch fallback, no race
-  // with writers committing during the drain).
+  // with writers committing during the drain). `maxVersionsPerTrigger`
+  // caps each micro-batch's version span — a consumer starting against a
+  // long-lived table drains the backlog in bounded batches instead of
+  // one giant initial batch (the engine keeps triggering until the
+  // reported offset stops advancing, so the cap composes with
+  // AvailableNow exactly like graft-avro's maxFilesPerTrigger).
 
   @volatile private var pinnedVersion: Option[Long] = None
 
@@ -239,8 +252,10 @@ class GraftLakeSource(
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def latestOffset(start: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
-    val v = pinnedVersion.getOrElse(LakeTable.snapshot(spark, root).version)
-    if (v > startingVersion) LongOffset(v) else null
+    val from = Option(start).map(verC).getOrElse(startingVersion)
+    val avail = pinnedVersion.getOrElse(LakeTable.snapshot(spark, root).version)
+    val capped = maxVersionsPerTrigger.fold(avail)(m => math.min(avail, from + math.max(1L, m)))
+    if (capped > from) LongOffset(capped) else null
   }
 
   override def reportLatestOffset(): ConnectorOffset = {

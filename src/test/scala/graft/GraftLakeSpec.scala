@@ -230,6 +230,52 @@ class GraftLakeSpec extends SparkSpec {
     assert(got.where(col("v") === "post").count() === 4)
   }
 
+  test("pruned connector reads equal unpruned filtered reads across predicate shapes") {
+    val root = tmp("equiv")
+    mkTable(root)
+    val lake = spark.read.format("graft-lake").load(root)
+    val plain = LakeTable.read(spark, root)
+    val predicates: Seq[DataFrame => DataFrame] = Seq(
+      _.where(col("k") < 50),
+      _.where(col("k").between(120, 130)),
+      _.where(col("p") === 2),
+      _.where(col("p").isin(1)),
+      _.where(col("k") === 250),
+      _.where(col("v") === "v7"),
+      _.where(col("k") >= 250 && col("p") === 2),
+      _.where(col("k") > 1000)) // empty result, every file skippable
+    predicates.zipWithIndex.foreach { case (f, i) =>
+      val got = f(lake).orderBy("k").collect().toSeq
+      val want = f(plain).orderBy("k").collect().toSeq
+      assert(got === want, s"predicate #$i diverged under pruning")
+    }
+  }
+
+  test("maxVersionsPerTrigger drains a version backlog in capped micro-batches") {
+    val root = tmp("capped")
+    val base = root.stripSuffix("/t")
+    mkTable(root) // v1
+    (1 to 3).foreach { i =>
+      spark.range(2).select((col("id") + i * 100 + 2000).as("k"), lit(i % 3).as("p"),
+        lit(s"b$i").as("v"))
+        .write.format("graft-lake").mode("append").save(root) // v2..v4
+    }
+    val q = spark.readStream.format("graft-lake")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$base/out")
+    assert(got.count() === 306)
+    assert(got.select(countDistinct("k")).head.getLong(0) === 306)
+    // one offset commit per version: the backlog drained in >= 4 batches
+    val offsets = new java.io.File(s"$base/ckpt/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(offsets >= 4, s"expected >=4 capped micro-batches, saw $offsets offset files")
+  }
+
   test("startingVersion skips the initial snapshot") {
     val root = tmp("startv")
     val base = root.stripSuffix("/t")
