@@ -113,13 +113,17 @@ object LakeTable {
   /** Table-level metadata carried by every manifest. Multiple stats
     * columns record independent per-file min/max dimensions — with
     * clustered [[optimize]] on the same columns, a range read can skip
-    * files on ANY of them from the manifest alone.
+    * files on ANY of them from the manifest alone. `bloomCols` opt into
+    * per-file Bloom-filter sidecars (`index/<batch>/`) for POINT-lookup
+    * file skipping on dimensions min/max cannot prune (unclustered /
+    * high-cardinality columns — the Delta/Iceberg bloom-index shape).
     */
   case class TableMeta(
       schema: StructType,
       partitionCol: String,
       statsCols: Seq[String],
-      txns: Map[String, Long] = Map.empty) {
+      txns: Map[String, Long] = Map.empty,
+      bloomCols: Seq[String] = Nil) {
     def statsCol: Option[String] = statsCols.headOption
   }
 
@@ -152,6 +156,9 @@ object LakeTable {
       // both in one pass, so the parse side needs no special case)
       (if (meta.statsCols.nonEmpty)
          Seq(s"#statsCols=${meta.statsCols.map(c => esc(c).replace(",", "%2C")).mkString(",")}")
+       else Nil) ++
+      (if (meta.bloomCols.nonEmpty)
+         Seq(s"#bloomCols=${meta.bloomCols.map(c => esc(c).replace(",", "%2C")).mkString(",")}")
        else Nil) ++
       // transactional-writer watermarks (idempotent appends): the highest
       // txnVersion committed per appId, carried forward by every commit
@@ -186,7 +193,8 @@ object LakeTable {
       StructType.fromDDL(kv("schema")),
       kv("partitionCol"),
       statsCols,
-      txns)
+      txns,
+      kv.get("bloomCols").map(_.split(",").toSeq.map(unesc)).getOrElse(Nil))
     val entries = body.map { line =>
       val cells = line.split("\t", -1)
       val stats = cells.drop(2).grouped(2).collect {
@@ -331,6 +339,42 @@ object LakeTable {
       }
     }
 
+    // per-file Bloom sidecars (POINT-lookup skipping where min/max can't
+    // prune): one aggregate over the just-written batch builds a bloom of
+    // xxhash64(col) per (file, bloom column), written DISTRIBUTED as a
+    // batch-scoped parquet under index/<batch>/ — never collected to the
+    // driver, so sidecar volume scales with the batch like the data
+    // itself. Bits sized for the batch's largest file at 1% fpp (smaller
+    // files just get a lower fpp). NULLs hash to the seed constant and
+    // sit in the filter harmlessly — an equality lookup never matches
+    // NULL anyway. Readers that find no sidecar row for a file keep it
+    // (conservative), so pre-bloom batches and evolution stay correct.
+    {
+      val present = meta.bloomCols.filter(df.columns.contains)
+      if (present.nonEmpty) {
+        val batchDf = spark.read.parquet(dataDir.toString)
+        val maxRows = batchDf.groupBy(input_file_name().as("f")).count()
+          .agg(max("count")).head.getLong(0)
+        val items = math.max(64L, maxRows)
+        val bits = graft.operators.llm.BloomGate.optimalNumBits(items, 0.01)
+        val bridge = org.apache.spark.sql.GraftColumnBridge
+        val aggs = present.zipWithIndex.map { case (c, i) =>
+          val agg = new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            bridge.expression(xxhash64(col(c))),
+            org.apache.spark.sql.catalyst.expressions.Literal(items),
+            org.apache.spark.sql.catalyst.expressions.Literal(bits))
+          bridge.column(agg.toAggregateExpression()).as(s"bf_$i")
+        }
+        val perFile = batchDf.groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
+        val rel = concat(lit(s"data/$batch/"), regexp_extract(col("f"), "([^/]+/[^/]+)$", 1))
+        present.zipWithIndex.map { case (c, i) =>
+          perFile.select(rel.as("rel"), lit(c).as("col"), col(s"bf_$i").as("bits"))
+        }.reduce(_.unionByName(_))
+          .write.mode("overwrite")
+          .parquet(new Path(new Path(root, "index"), batch).toString)
+      }
+    }
+
     val it = f.listFiles(dataDir, true)
     Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -370,13 +414,14 @@ object LakeTable {
       df: DataFrame,
       partitionCol: String,
       statsCol: Option[String] = None,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Unit = {
     val s0 = snapshot(spark, root)
     require(s0.version == 0, s"LakeTable.init: $root already at version ${s0.version}")
     val allStats = statsCol.toSeq ++ statsCols
-    allStats.foreach(c => require(df.columns.contains(c),
-      s"LakeTable.init: stats column $c not in the frame"))
-    val meta = TableMeta(df.schema, partitionCol, allStats)
+    (allStats ++ bloomCols).foreach(c => require(df.columns.contains(c),
+      s"LakeTable.init: stats/bloom column $c not in the frame"))
+    val meta = TableMeta(df.schema, partitionCol, allStats, bloomCols = bloomCols)
     val entries = writeBatch(spark, root, df, meta)
     require(commit(spark, root, 1, meta, entries), s"LakeTable.init: concurrent commit at $root")
   }
@@ -618,6 +663,95 @@ object LakeTable {
         val hi = xs.flatMap(_._3).reduceOption((a, b) => if (cmpStat(dt, a, b) <= 0) a else b)
         n -> ((lo, hi))
       }
+  }
+
+  // ---- Bloom point-lookup skipping -----------------------------------
+
+  /** xxhash64 (seed 42, the `xxhash64()` function's) of an INTERNAL
+    * (catalyst) value at `dt` — the exact hash the write-side
+    * BloomFilterAggregate inserted, so a probe compares like for like.
+    */
+  private[graft] def bloomHashInternal(dt: org.apache.spark.sql.types.DataType, v: Any): Long =
+    new org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(v, dt))).eval(null)
+      .asInstanceOf[Long]
+
+  /** [[bloomHashInternal]] for an EXTERNAL (Scala) value: converted and
+    * cast to the column's type first, so `readPoint(..., 5)` probes an
+    * Int value against a LongType column correctly.
+    */
+  private[graft] def bloomHashExternal(dt: org.apache.spark.sql.types.DataType, v: Any): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal => CLit}
+    val l = CLit.create(v)
+    val internal = if (l.dataType == dt) l.value else Cast(l, dt, Some("UTC")).eval(null)
+    bloomHashInternal(dt, internal)
+  }
+
+  /** The per-file Bloom filters recorded for `column`: rel path → filter.
+    * One parquet read over the batch sidecars (`index/<batch>/`),
+    * column-filtered; a table without sidecars (or written before blooms
+    * were configured) yields an empty map — every file then reads
+    * (conservative). Consult AFTER partition/stats pruning: the loaded
+    * set is then bounded by the already-narrowed candidate files.
+    */
+  private[graft] def loadBlooms(
+      spark: SparkSession,
+      root: String,
+      column: String): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    val idx = new Path(root, "index")
+    val f = fs(spark, idx)
+    if (!f.exists(idx)) Map.empty
+    else {
+      val batches = f.listStatus(idx).filter(_.isDirectory).map(_.getPath.toString).toSeq
+      if (batches.isEmpty) Map.empty
+      else
+        spark.read.parquet(batches: _*)
+          .where(col("col") === column)
+          .select("rel", "bits")
+          .collect()
+          .map { r =>
+            r.getString(0) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          }.toMap
+    }
+  }
+
+  /** The entries a point lookup `column = value` must read: files whose
+    * Bloom filter EXCLUDES the value's hash are skipped; files without a
+    * recorded filter are kept. False positives only cost a read (the
+    * residual predicate removes them); false negatives cannot happen
+    * (Bloom property), so the result equals the unpruned filtered read.
+    */
+  private[graft] def pruneBloom(
+      spark: SparkSession,
+      root: String,
+      meta: TableMeta,
+      entries: Seq[Entry],
+      column: String,
+      value: Any): Seq[Entry] = {
+    val h = bloomHashExternal(meta.schema(column).dataType, value)
+    val blooms = loadBlooms(spark, root, column)
+    entries.filter(e => blooms.get(e.rel).forall(_.mightContainLong(h)))
+  }
+
+  /** `read(...).where(column === value)` with per-file Bloom skipping —
+    * the POINT-lookup complement of [[readRange]]: min/max stats cannot
+    * prune an equality probe on an unclustered high-cardinality column
+    * (every file's [min,max] spans the domain), but a per-file Bloom
+    * filter excludes all but ~fpp of the non-containing files from
+    * metadata sidecars alone. `column` must be in the table's
+    * `bloomCols`. NULL lookups are rejected (`= NULL` is never TRUE —
+    * use a partition/IS NULL read).
+    */
+  def readPoint(spark: SparkSession, root: String, column: String, value: Any): DataFrame = {
+    require(value != null, "LakeTable.readPoint: NULL equality never matches")
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.readPoint: no committed snapshot at $root")
+    val meta = s0.meta.get
+    require(meta.bloomCols.contains(column),
+      s"LakeTable.readPoint: $column is not a bloom column (have ${meta.bloomCols})")
+    readEntries(spark, root, meta.schema, pruneBloom(spark, root, meta, s0.entries, column, value))
+      .where(col(column) === lit(value))
   }
 
   /** `read(...).where(statsCol BETWEEN lo AND hi)` with manifest min/max

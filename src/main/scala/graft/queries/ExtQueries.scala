@@ -647,6 +647,44 @@ object ExtQueries {
         .withColumn("v2_rows", lit(v2Rows))
     },
 
+    // Per-file BLOOM-index point lookup (the Delta/Iceberg bloom-index
+    // shape): the table is laid out ADVERSARIALLY for min/max stats —
+    // partition = o_orderkey % 8, so every file's key range spans the
+    // whole domain and range pruning can skip NOTHING (pinned literally
+    // as stats_useless) — yet the per-file Bloom sidecars exclude all
+    // but ~fpp of the non-containing files from metadata alone
+    // (bloom_skipped pinned TRUE). The probed key is derived (min key >=
+    // 100) so the entry works at any SF; the oracle re-derives the
+    // looked-up row relationally and pins both flags: if blooms stopped
+    // being written or consulted, bloom_skipped flips and the hash
+    // fails even though the residual predicate keeps the VALUES right.
+    "q145_lake_bloom_lookup" -> { (s, dir) =>
+      import graft.operators.LakeTable
+      val root = s"/root/repo/target/staging/q145_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("key_mod", (col("o_orderkey") % 8).cast("int"))
+      LakeTable.init(s, root, orders, "key_mod",
+        statsCol = Some("o_orderkey"), bloomCols = Seq("o_orderkey"))
+      val probeKey = orders.where(col("o_orderkey") >= 100)
+        .agg(min("o_orderkey")).head.getLong(0)
+      val snap = LakeTable.snapshot(s, root)
+      val statsUseless = LakeTable.pruneRange(
+        snap.meta.get, snap.entries, probeKey, probeKey).size == snap.entries.size
+      val bloomKept = LakeTable.pruneBloom(
+        s, root, snap.meta.get, snap.entries, "o_orderkey", probeKey).size
+      LakeTable.readPoint(s, root, "o_orderkey", probeKey)
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("stats_useless", lit(statsUseless))
+        .withColumn("bloom_skipped", lit(bloomKept < snap.entries.size))
+    },
+
     // The graft-lake STREAMING source end-to-end: the events fixture
     // lands in a lake table across four append commits with a COW DELETE
     // (a change commit) in the middle, and a real readStream tails the
@@ -1629,6 +1667,15 @@ object ExtQueries {
         |       (SELECT count(*) FROM t)
         |         + (SELECT count(*) FROM t WHERE o_orderkey % 10 = 0) AS v2_rows
         |FROM r""".stripMargin,
+    // The looked-up row re-derived relationally; both pruning flags
+    // pinned literally (the scatter layout defeats min/max by
+    // construction, the bloom must not).
+    "q145_lake_bloom_lookup" ->
+      """WITH kk AS (SELECT min(o_orderkey) AS k FROM orders WHERE o_orderkey >= 100)
+        |SELECT o.o_orderkey, o.o_custkey,
+        |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+        |       true AS stats_useless, true AS bloom_skipped
+        |FROM orders o, kk WHERE o.o_orderkey = kk.k""".stripMargin,
     // The tail of four appends with the delete skipped == the raw
     // fixture, so the oracle is the plain batch rollup (q139's shape).
     "q144_lake_stream_tail" ->

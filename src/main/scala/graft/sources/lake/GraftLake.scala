@@ -94,9 +94,10 @@ class GraftLake
     def create(): Unit = {
       val partitionCol = opt(parameters, "partitionCol").getOrElse(
         sys.error("graft-lake: creating a table requires the partitionCol option"))
-      val statsCols = opt(parameters, "statsCols")
+      def cols(key: String) = opt(parameters, key)
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
-      LakeTable.init(spark, root, data, partitionCol, statsCols = statsCols)
+      LakeTable.init(spark, root, data, partitionCol,
+        statsCols = cols("statsCols"), bloomCols = cols("bloomCols"))
     }
 
     mode match {

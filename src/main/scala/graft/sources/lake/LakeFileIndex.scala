@@ -162,20 +162,72 @@ class LakeFileIndex(
   private def renderedFor(nm: String, v: Any): Option[String] =
     fieldType(nm).flatMap(dt => render(dt, v))
 
+  // Bloom sidecars, loaded once per column per index instance (plan-time
+  // metadata read, bounded by the snapshot's sidecar volume)
+  private val bloomCache =
+    scala.collection.mutable.Map.empty[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
+
+  private def bloomsFor(bc: String): Map[String, org.apache.spark.util.sketch.BloomFilter] =
+    synchronized { bloomCache.getOrElseUpdate(bc, LakeTable.loadBlooms(spark, root, bc)) }
+
+  private def bloomName(nm: String): Option[String] =
+    meta.bloomCols.find(_.equalsIgnoreCase(nm))
+
+  /** Bloom consult for an equality/IN probe: a file is kept if ANY probed
+    * value might be present (or it has no recorded filter). Hashes use
+    * the attribute's own type, so this also prunes types the rendered
+    * min/max comparison conservatively skips (dates, timestamps).
+    */
+  private def bloomPred(nm: String, dt: DataType, raws: Seq[Any]): Option[EPred] =
+    bloomName(nm).flatMap { bc =>
+      if (raws.isEmpty || raws.contains(null)) None
+      else {
+        val hashes = raws.map(v => LakeTable.bloomHashInternal(dt, v))
+        val map = bloomsFor(bc)
+        if (map.isEmpty) None
+        else Some((e: Entry) => map.get(e.rel).forall(bf => hashes.exists(bf.mightContainLong)))
+      }
+    }
+
+  /** Equality/IN probe on attribute `a` over literal values `raws`:
+    * exact partition membership, stats [min,max] envelope, and Bloom
+    * exclusion, ANDed when several apply. Any unrenderable value
+    * disables the rendered paths (a match could hide there); the Bloom
+    * path is type-agnostic and survives.
+    */
+  private def eqPred(a: Expression, raws: Seq[Any]): Option[EPred] =
+    attrOf(a).flatMap { nm =>
+      val rendered = raws.map(renderedFor(nm, _))
+      val rangey: Option[EPred] =
+        if (rendered.isEmpty || rendered.exists(_.isEmpty)) None
+        else {
+          val set = rendered.flatten.toSet
+          if (isPart(nm)) Some((e: Entry) => partVal(e).exists(set.contains))
+          else statsName(nm).map { sc =>
+            val dt = meta.schema.fields.find(_.name.equalsIgnoreCase(sc))
+              .map(_.dataType).getOrElse(StringType)
+            val lo = set.reduce((x, y) => if (LakeTable.cmpStat(dt, x, y) <= 0) x else y)
+            val hi = set.reduce((x, y) => if (LakeTable.cmpStat(dt, x, y) >= 0) x else y)
+            statsRange(sc, Some(lo), Some(hi))
+          }
+        }
+      val bloomy = bloomPred(nm, a.dataType, raws)
+      (rangey, bloomy) match {
+        case (Some(x), Some(y)) => Some((e: Entry) => x(e) && y(e))
+        case (x, y) => x.orElse(y)
+      }
+    }
+
   /** One pushed conjunct → an entry predicate, or None (no pruning). */
   private def entryPredicate(f: Expression): Option[EPred] = f match {
-    case EqualTo(a, Literal(v, _)) =>
-      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, Some(s), Some(s))) yield p
-    case EqualTo(Literal(v, _), a) =>
-      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, Some(s), Some(s))) yield p
+    case EqualTo(a, Literal(v, _)) if v != null => eqPred(a, Seq(v))
+    case EqualTo(Literal(v, _), a) if v != null => eqPred(a, Seq(v))
     case EqualNullSafe(a, Literal(null, _)) =>
       attrOf(a).filter(isPart).map(_ => (e: Entry) => e.part == LakeTable.NullPartition)
     case EqualNullSafe(Literal(null, _), a) =>
       attrOf(a).filter(isPart).map(_ => (e: Entry) => e.part == LakeTable.NullPartition)
-    case EqualNullSafe(a, Literal(v, _)) =>
-      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, Some(s), Some(s))) yield p
-    case EqualNullSafe(Literal(v, _), a) =>
-      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, Some(s), Some(s))) yield p
+    case EqualNullSafe(a, Literal(v, _)) => eqPred(a, Seq(v))
+    case EqualNullSafe(Literal(v, _), a) => eqPred(a, Seq(v))
     case GreaterThan(a, Literal(v, _)) =>       // attr > v  (widened to >=)
       for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, Some(s), None)) yield p
     case GreaterThanOrEqual(a, Literal(v, _)) =>
@@ -193,36 +245,15 @@ class LakeFileIndex(
     case LessThanOrEqual(Literal(v, _), a) =>
       for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, Some(s), None)) yield p
     case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
-      inPredicate(a, list.map(_.asInstanceOf[Literal].value))
+      eqPred(a, list.map(_.asInstanceOf[Literal].value))
     case InSet(a, hset) =>
-      inPredicate(a, hset.toSeq)
+      eqPred(a, hset.toSeq)
     case IsNull(a) =>
       attrOf(a).filter(isPart).map(_ => (e: Entry) => e.part == LakeTable.NullPartition)
     case IsNotNull(a) =>
       attrOf(a).filter(isPart).map(_ => (e: Entry) => e.part != LakeTable.NullPartition)
     case _ => None
   }
-
-  /** IN: exact membership on the partition column; [min,max] envelope of
-    * the value set on a stats column. Any unrenderable value disables
-    * pruning for the whole conjunct (a match could hide there).
-    */
-  private def inPredicate(a: Expression, values: Seq[Any]): Option[EPred] =
-    attrOf(a).flatMap { nm =>
-      val rendered = values.map(renderedFor(nm, _))
-      if (rendered.isEmpty || rendered.exists(_.isEmpty)) None
-      else {
-        val set = rendered.flatten.toSet
-        if (isPart(nm)) Some((e: Entry) => partVal(e).exists(set.contains))
-        else statsName(nm).map { sc =>
-          val dt = meta.schema.fields.find(_.name.equalsIgnoreCase(sc))
-            .map(_.dataType).getOrElse(StringType)
-          val lo = set.reduce((x, y) => if (LakeTable.cmpStat(dt, x, y) <= 0) x else y)
-          val hi = set.reduce((x, y) => if (LakeTable.cmpStat(dt, x, y) >= 0) x else y)
-          statsRange(sc, Some(lo), Some(hi))
-        }
-      }
-    }
 }
 
 object LakeFileIndex {

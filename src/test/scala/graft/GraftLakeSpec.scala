@@ -230,6 +230,54 @@ class GraftLakeSpec extends SparkSpec {
     assert(got.where(col("v") === "post").count() === 4)
   }
 
+  test("bloom sidecars skip files on point lookups where min/max cannot prune") {
+    val root = tmp("bloom")
+    // scatter layout: p = id % 8, so EVERY file's k range spans the whole
+    // domain — min/max stats are useless for a point probe, blooms are not
+    val df = spark.range(4000).select(
+      col("id").as("k"),
+      pmod(col("id"), lit(8)).cast("int").as("p"),
+      concat(lit("u"), col("id")).as("u"))
+    LakeTable.init(spark, root, df, "p", statsCol = Some("k"), bloomCols = Seq("k", "u"))
+    val snap = LakeTable.snapshot(spark, root)
+    val total = snap.entries.size
+    assert(total >= 8)
+
+    // stats pruning really is useless here (control)
+    assert(LakeTable.pruneRange(snap.meta.get, snap.entries, 1234, 1234).size === total)
+
+    // bloom pruning on the long key and the string id
+    val keptK = LakeTable.pruneBloom(spark, root, snap.meta.get, snap.entries, "k", 1234L)
+    assert(keptK.size < total, s"bloom should skip files: kept ${keptK.size} of $total")
+    val keptU = LakeTable.pruneBloom(spark, root, snap.meta.get, snap.entries, "u", "u1234")
+    assert(keptU.size < total)
+
+    // exactness: present and absent keys
+    val hit = LakeTable.readPoint(spark, root, "u", "u1234").collect()
+    assert(hit.length === 1 && hit.head.getLong(0) === 1234L)
+    assert(LakeTable.readPoint(spark, root, "k", 999999L).count() === 0)
+    // external Int value probes a LongType bloom correctly (cast path)
+    assert(LakeTable.readPoint(spark, root, "k", 1234).count() === 1)
+
+    // appended batches get their own sidecars
+    spark.range(5).select((col("id") + 10000).as("k"),
+      pmod(col("id"), lit(8)).cast("int").as("p"), concat(lit("u"), col("id") + 10000).as("u"))
+      .write.format("graft-lake").mode("append").save(root)
+    assert(LakeTable.readPoint(spark, root, "k", 10003L).count() === 1)
+
+    // the connector consults blooms for pushed-down equality/IN
+    val lake = spark.read.format("graft-lake").load(root)
+    val eq = lake.where(col("u") === "u1234")
+    assert(scannedFiles(eq) < total + 8)
+    assert(eq.count() === 1)
+    val in = lake.where(col("k").isin(1234L, 10003L))
+    assert(scannedFiles(in) < total + 8)
+    assert(in.count() === 2)
+    // connector equality result equals the plain filtered read
+    assert(lake.where(col("k") === 1234L).collect().toSeq ===
+      LakeTable.read(spark, root).where(col("k") === 1234L).collect().toSeq)
+  }
+
   test("pruned connector reads equal unpruned filtered reads across predicate shapes") {
     val root = tmp("equiv")
     mkTable(root)
