@@ -579,7 +579,15 @@ object LakeTable {
     * empty source — can never equi-match anything, so the filter then
     * excludes every file.
     */
+  /** Largest distinct-key-tuple count a merge batch may have and still
+    * get per-key Bloom probing (the keys are collected to the driver to
+    * hash; a wider batch falls back to min/max bounds alone).
+    */
+  private val MaxBloomProbeKeys = 1000
+
   private def keyProbeFilter(
+      spark: SparkSession,
+      root: String,
       meta: TableMeta,
       keyCols: Seq[String],
       srcKeys: DataFrame): Entry => Boolean = {
@@ -587,19 +595,52 @@ object LakeTable {
       meta.statsCols.contains(k) &&
         srcKeys.schema.fields.find(_.name == k)
           .exists(_.dataType == meta.schema(k).dataType))
-    if (covered.isEmpty) _ => true
-    else {
-      val aggs = covered.zipWithIndex.flatMap { case (k, i) =>
-        Seq(min(col(k)).cast("string").as(s"__mn$i"), max(col(k)).cast("string").as(s"__mx$i"))
+    val statsPred: Entry => Boolean =
+      if (covered.isEmpty) _ => true
+      else {
+        val aggs = covered.zipWithIndex.flatMap { case (k, i) =>
+          Seq(min(col(k)).cast("string").as(s"__mn$i"), max(col(k)).cast("string").as(s"__mx$i"))
+        }
+        val r = srcKeys.agg(aggs.head, aggs.tail: _*).head()
+        val bounds = covered.zipWithIndex.map { case (k, i) =>
+          k -> ((Option(r.getString(2 * i)), Option(r.getString(2 * i + 1))))
+        }
+        if (bounds.exists { case (_, (mn, mx)) => mn.isEmpty || mx.isEmpty }) _ => false
+        else
+          e => bounds.forall { case (k, (mn, mx)) => entryIntersects(meta, e, k, mn, mx) }
       }
-      val r = srcKeys.agg(aggs.head, aggs.tail: _*).head()
-      val bounds = covered.zipWithIndex.map { case (k, i) =>
-        k -> ((Option(r.getString(2 * i)), Option(r.getString(2 * i + 1))))
+
+    // Bloom probe: where min/max bounds need a CLUSTERED key layout to
+    // bite, per-file blooms prune an UNCLUSTERED one — for a narrow
+    // batch (≤ MaxBloomProbeKeys distinct tuples) a file is ruled out
+    // when, on some bloom-indexed key column, NONE of the batch's values
+    // might be present. A source column that is entirely NULL can never
+    // equi-match, so it excludes every file (same as the stats path).
+    val bloomCovered = keyCols.filter(k =>
+      meta.bloomCols.contains(k) &&
+        srcKeys.schema.fields.find(_.name == k)
+          .exists(_.dataType == meta.schema(k).dataType))
+    val bloomPred: Entry => Boolean =
+      if (bloomCovered.isEmpty) _ => true
+      else {
+        val rows = srcKeys.select(bloomCovered.map(col): _*)
+          .limit(MaxBloomProbeKeys + 1).collect()
+        if (rows.length > MaxBloomProbeKeys) _ => true
+        else {
+          val perCol = bloomCovered.zipWithIndex.map { case (k, i) =>
+            val dt = meta.schema(k).dataType
+            val hashes = rows.map(_.get(i)).filter(_ != null).distinct
+              .map(v => bloomHashExternal(dt, v))
+            (hashes, loadBlooms(spark, root, k))
+          }
+          e => perCol.forall { case (hashes, blooms) =>
+            hashes.nonEmpty &&
+              blooms.get(e.rel).forall(bf => hashes.exists(bf.mightContainLong))
+          }
+        }
       }
-      if (bounds.exists { case (_, (mn, mx)) => mn.isEmpty || mx.isEmpty }) _ => false
-      else
-        e => bounds.forall { case (k, (mn, mx)) => entryIntersects(meta, e, k, mn, mx) }
-    }
+
+    e => statsPred(e) && bloomPred(e)
   }
 
   /** Per-column [lo,hi] bounds IMPLIED by a predicate, for manifest-level
@@ -913,12 +954,13 @@ object LakeTable {
     val outSchema = StructType(meta.schema.fields ++ newFields)
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
 
-    // stats-informed probe: when the manifest records min/max on the key
-    // columns, files whose bounds cannot intersect the source keys are
-    // pruned from the probe scan BEFORE any data file is opened — a
-    // narrow upsert batch against a 100 TB table probes the few files
-    // that can hold its keys, not the corpus
-    val mayMatch = keyProbeFilter(meta, keyCols, srcKeys)
+    // stats/bloom-informed probe: when the manifest records min/max (or
+    // Bloom sidecars) on the key columns, files whose bounds cannot
+    // intersect — or whose blooms exclude every batch key — are pruned
+    // from the probe scan BEFORE any data file is opened: a narrow
+    // upsert batch against a 100 TB table probes the few files that can
+    // hold its keys, not the corpus, even on an unclustered key layout
+    val mayMatch = keyProbeFilter(spark, root, meta, keyCols, srcKeys)
     val probeEntries = s0.entries.filter(mayMatch)
 
     // partitions holding a matched key (one probe of the surviving files
@@ -991,10 +1033,19 @@ object LakeTable {
     // whose stats column is NULL are never deleted by a range/equality
     // predicate — NULL comparisons are not TRUE — so pruning on non-null
     // min/max is sound). Unrecognized predicate shapes scan everything.
-    val bounds = predicateBounds(meta.schema, predicate)
-      .filter { case (c, _) => meta.statsCols.contains(c) }
-    val mayDelete: Entry => Boolean =
-      e => bounds.forall { case (c, (lo, hi)) => entryIntersects(meta, e, c, lo, hi) }
+    val allBounds = predicateBounds(meta.schema, predicate)
+    val bounds = allBounds.filter { case (c, _) => meta.statsCols.contains(c) }
+    // point-equality conjuncts on bloom-indexed columns prune by sidecar
+    // too (a file whose bloom excludes the value provably holds no row
+    // the predicate deletes); rendered bounds re-enter through the same
+    // cast path external probes use
+    val bloomPts = allBounds.toSeq.collect {
+      case (c, (Some(lo), Some(hi))) if lo == hi && meta.bloomCols.contains(c) =>
+        (bloomHashExternal(meta.schema(c).dataType, lo), loadBlooms(spark, root, c))
+    }
+    val mayDelete: Entry => Boolean = e =>
+      bounds.forall { case (c, (lo, hi)) => entryIntersects(meta, e, c, lo, hi) } &&
+        bloomPts.forall { case (h, blooms) => blooms.get(e.rel).forall(_.mightContainLong(h)) }
     val probeEntries = s0.entries.filter(mayDelete)
     val affected =
       if (probeEntries.isEmpty) Set.empty[String]

@@ -278,6 +278,38 @@ class GraftLakeSpec extends SparkSpec {
       LakeTable.read(spark, root).where(col("k") === 1234L).collect().toSeq)
   }
 
+  test("merge and delete probes are bloom-pruned on an unclustered key layout") {
+    val root = tmp("bloomprobe")
+    // scatter layout again: min/max on k is useless, only blooms can
+    // narrow the probe
+    val df = spark.range(4000).select(
+      col("id").as("k"),
+      pmod(col("id"), lit(8)).cast("int").as("p"),
+      concat(lit("v"), col("id")).as("v"))
+    LakeTable.init(spark, root, df, "p", statsCol = Some("k"), bloomCols = Seq("k"))
+    val total = LakeTable.snapshot(spark, root).entries.size
+
+    // narrow merge: 2 keys -> the probe must not read all files
+    val src = Seq((77L, 1, "upd77"), (1234L, 2, "upd1234")).toDF("k", "p", "v")
+    val stats = LakeTable.merge(spark, root, src, Seq("k"), "p")
+    assert(stats.filesProbed < total,
+      s"bloom probe should prune: probed ${stats.filesProbed} of $total")
+    val after = LakeTable.read(spark, root)
+    assert(after.count() === 4000)
+    assert(after.where(col("k") === 77L).select("v").head.getString(0) === "upd77")
+    assert(after.where(col("k") === 1234L).select("v").head.getString(0) === "upd1234")
+    assert(after.where(col("v").startsWith("upd")).count() === 2)
+
+    // point delete on the bloom column: probe pruned, row gone, rest intact
+    val total2 = LakeTable.snapshot(spark, root).entries.size
+    val del = LakeTable.delete(spark, root, col("k") === 2222L, "p")
+    assert(del.filesProbed < total2,
+      s"bloom delete probe should prune: probed ${del.filesProbed} of $total2")
+    val fin = LakeTable.read(spark, root)
+    assert(fin.count() === 3999)
+    assert(fin.where(col("k") === 2222L).count() === 0)
+  }
+
   test("pruned connector reads equal unpruned filtered reads across predicate shapes") {
     val root = tmp("equiv")
     mkTable(root)
