@@ -103,6 +103,47 @@ object LakeProbe {
         f"parse $tParse%6.3f s, prune $tPrune%6.3f s (kept ${kept.size}), " +
         f"${text.length / 1048576.0}%5.1f MiB")
     }
+
+    // ---- 3. bloom point-lookup scale -------------------------------
+    // A 1M-row table scattered over 64 partition files (every file's key
+    // range spans the domain — min/max CANNOT prune a point probe).
+    // Times: init with sidecar build vs without (the write-time premium),
+    // loadBlooms (the per-query sidecar read), and readPoint vs the
+    // full filtered read, plus the kept-file count.
+    def time[A](f: => A): (A, Double) = {
+      val t = System.nanoTime(); val a = f; (a, (System.nanoTime() - t) / 1e9)
+    }
+    val bdf = spark.range(1000000L).select(
+      col("id").as("k"),
+      (col("id") % 64).cast("string").as("p"),
+      (col("id") * 7).as("v"))
+    val plainRoot = s"${Files.createTempDirectory("graft-bloom-probe")}/plain"
+    val (_, tPlainInit) = time(LakeTable.init(spark, plainRoot, bdf, "p"))
+    val bloomRoot = s"${Files.createTempDirectory("graft-bloom-probe")}/bloom"
+    val (_, tBloomInit) = time(
+      LakeTable.init(spark, bloomRoot, bdf, "p", bloomCols = Seq("k")))
+    val snapB = LakeTable.snapshot(spark, bloomRoot)
+    val (blooms, tLoad) = time(LakeTable.loadBlooms(spark, bloomRoot, "k"))
+    val probeKey = 777777L
+    val (keptB, tPruneB) = time(
+      LakeTable.pruneBloom(spark, bloomRoot, snapB.meta.get, snapB.entries, "k", probeKey))
+    val (hitCnt, tPoint) = time(
+      LakeTable.readPoint(spark, bloomRoot, "k", probeKey).count())
+    val (fullCnt, tFull) = time(
+      LakeTable.read(spark, plainRoot).where(col("k") === probeKey).count())
+    require(hitCnt == 1L && fullCnt == 1L, s"point lookup drifted: $hitCnt/$fullCnt")
+    val sidecarBytes = {
+      val p = new org.apache.hadoop.fs.Path(bloomRoot, "index")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = f.listFiles(p, true)
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .filter(_.isFile).map(_.getLen).sum
+    }
+    println(f"[lake] bloom 1M rows/${snapB.entries.size} files: init " +
+      f"$tBloomInit%5.1f s (plain $tPlainInit%5.1f s), sidecar " +
+      f"${sidecarBytes / 1048576.0}%5.2f MiB, load $tLoad%6.3f s " +
+      f"(${blooms.size} filters), prune $tPruneB%6.3f s kept ${keptB.size}, " +
+      f"readPoint $tPoint%6.3f s vs full filtered read $tFull%6.3f s")
     spark.stop()
   }
 }

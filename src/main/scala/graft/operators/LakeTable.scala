@@ -1402,6 +1402,23 @@ object LakeTable {
       val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
       if (!live.contains(rel)) { f.delete(p, false); removed += 1 }
     }
+    // Bloom sidecar dirs of DEAD batches (no live entry references any
+    // of the batch's files) age out with their data: without this,
+    // orphaned index dirs accumulate forever and every loadBlooms pays
+    // for batches no reader can reach
+    val liveBatches = live.collect {
+      case rel if rel.startsWith("data/") => rel.split('/')(1)
+    }
+    val idxDir = new Path(root, "index")
+    if (f.exists(idxDir)) {
+      f.listStatus(idxDir).foreach { s =>
+        if (s.isDirectory && s.getModificationTime < cutoff &&
+          !liveBatches.contains(s.getPath.getName)) {
+          f.delete(s.getPath, true)
+          removed += 1
+        }
+      }
+    }
     removed
   }
 }

@@ -92,11 +92,19 @@ class LakeFileIndex(
   override def inputFiles: Array[String] =
     entries.map(e => new Path(root, e.rel).toString).toArray
 
+  /** The manifest entries surviving predicate pruning — the metadata
+    * half of [[listFiles]], separable so soundness properties can probe
+    * it without touching the filesystem.
+    */
+  private[lake] def pruneEntries(filters: Seq[Expression]): Seq[Entry] = {
+    val preds = filters.flatMap(entryPredicate)
+    entries.filter(e => preds.forall(_(e)))
+  }
+
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val preds = (partitionFilters ++ dataFilters).flatMap(entryPredicate)
-    val kept = entries.filter(e => preds.forall(_(e)))
+    val kept = pruneEntries(partitionFilters ++ dataFilters)
     lastListedFiles = kept.size
     Seq(PartitionDirectory(InternalRow.empty, kept.map(status).toArray))
   }

@@ -310,6 +310,49 @@ class GraftLakeSpec extends SparkSpec {
     assert(fin.where(col("k") === 2222L).count() === 0)
   }
 
+  test("optimize rebuilds bloom sidecars; point lookups keep pruning after compaction") {
+    val root = tmp("bloomopt")
+    val mk = (off: Long) => spark.range(500).select(
+      (col("id") + off).as("k"), pmod(col("id"), lit(4)).cast("int").as("p"),
+      concat(lit("x"), col("id") + off).as("v"))
+    LakeTable.init(spark, root, mk(0), "p", bloomCols = Seq("k"))
+    LakeTable.append(spark, root, mk(1000))
+    LakeTable.append(spark, root, mk(2000))
+    LakeTable.optimize(spark, root, minFilesPerPartition = 2)
+    val snap = LakeTable.snapshot(spark, root)
+    assert(snap.entries.size === 4) // compacted to one file per partition
+    val kept = LakeTable.pruneBloom(spark, root, snap.meta.get, snap.entries, "k", 123L)
+    assert(kept.size < snap.entries.size,
+      s"post-optimize blooms must still prune: kept ${kept.size} of ${snap.entries.size}")
+    assert(LakeTable.readPoint(spark, root, "k", 123L)
+      .select("v").head.getString(0) === "x123")
+    assert(LakeTable.readPoint(spark, root, "k", 2123L)
+      .select("v").head.getString(0) === "x2123")
+  }
+
+  test("vacuum reclaims dead batches' bloom sidecar dirs; live blooms keep working") {
+    val root = tmp("bloomvac")
+    val mk = (tag: String) => spark.range(100).select(
+      col("id").as("k"), pmod(col("id"), lit(4)).cast("int").as("p"),
+      concat(lit(tag), col("id")).as("v"))
+    LakeTable.init(spark, root, mk("a"), "p", bloomCols = Seq("k"))
+    LakeTable.overwrite(spark, root, mk("b")) // v2 replaces every v1 file
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def indexDirs = fs.listStatus(new org.apache.hadoop.fs.Path(root, "index"))
+      .count(_.isDirectory)
+    assert(indexDirs === 2) // both batches' sidecars present pre-vacuum
+    LakeTable.vacuum(spark, root, retainMillis = 0L)
+    assert(indexDirs === 1, "dead batch's sidecar dir must be reclaimed")
+    // live blooms unaffected
+    val kept = {
+      val snap = LakeTable.snapshot(spark, root)
+      LakeTable.pruneBloom(spark, root, snap.meta.get, snap.entries, "k", 42L)
+    }
+    assert(kept.nonEmpty)
+    assert(LakeTable.readPoint(spark, root, "k", 42L).select("v").head.getString(0) === "b42")
+  }
+
   test("pruned connector reads equal unpruned filtered reads across predicate shapes") {
     val root = tmp("equiv")
     mkTable(root)
