@@ -96,16 +96,19 @@ object LakeTable {
       filesProbed: Long = -1L)
 
   /** One live data file: partition value (decoded; NULL → sentinel),
-    * path relative to the table root, and per-stats-column (min, max)
+    * path relative to the table root, per-stats-column (min, max)
     * bounds within the file, aligned with the table's `statsCols` order
-    * ((None, None) when the column's values in the file are all NULL).
+    * ((None, None) when the column's values in the file are all NULL),
+    * and the file's row count (None for entries written before counts
+    * were recorded — metadata-only COUNT(*) then falls back to a scan).
     * `min`/`max` are the first stats column's bounds — the single-column
     * face most call sites use.
     */
   case class Entry(
       part: String,
       rel: String,
-      stats: Seq[(Option[String], Option[String])]) {
+      stats: Seq[(Option[String], Option[String])],
+      rows: Option[Long] = None) {
     def min: Option[String] = stats.headOption.flatMap(_._1)
     def max: Option[String] = stats.headOption.flatMap(_._2)
   }
@@ -164,7 +167,12 @@ object LakeTable {
       // txnVersion committed per appId, carried forward by every commit
       meta.txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn=${esc(app)}:$v" }
     val lines = entries.map { e =>
-      val cells = e.stats.flatMap { case (mn, mx) => Seq(encOpt(mn), encOpt(mx)) }
+      // stats cells always come in (min, max) PAIRS, so the optional
+      // trailing row-count cell is identified by parity alone — a parser
+      // that predates counts drops the odd singleton harmlessly, and
+      // this parser reads pre-count lines (even cell count) as rows=None
+      val cells = e.stats.flatMap { case (mn, mx) => Seq(encOpt(mn), encOpt(mx)) } ++
+        e.rows.map(_.toString).toSeq
       (Seq(esc(e.part), e.rel) ++ cells).mkString("\t")
     }
     (header ++ lines).mkString("\n")
@@ -197,10 +205,12 @@ object LakeTable {
       kv.get("bloomCols").map(_.split(",").toSeq.map(unesc)).getOrElse(Nil))
     val entries = body.map { line =>
       val cells = line.split("\t", -1)
-      val stats = cells.drop(2).grouped(2).collect {
+      val tail = cells.drop(2)
+      val rows = if (tail.length % 2 == 1) Some(tail.last.toLong) else None
+      val stats = tail.take(tail.length - (tail.length % 2)).grouped(2).collect {
         case Array(mn, mx) => (decOpt(mn), decOpt(mx))
       }.toSeq
-      Entry(unesc(cells(0)), cells(1), stats)
+      Entry(unesc(cells(0)), cells(1), stats, rows)
     }
     (meta, entries)
   }
@@ -304,32 +314,40 @@ object LakeTable {
     }
     if (!wrote) return Nil
 
-    // per-file stats: min/max of the stats column, aggregated in the
-    // column's NATIVE type (string-min over numbers would order "10"<"9")
-    // and rendered to string for the manifest. Keyed by the file's path
-    // RELATIVE to the batch dir (`__part=<v>/<name>`), NOT the bare file
-    // name: one write task covering several partition values emits the
-    // SAME part-<task>-<uuid> file name into each partition dir, so a
-    // name-only map silently collapses those entries and every collided
-    // file inherits some other file's bounds — wrong skipping. A key that
-    // fails to match (e.g. URI-encoding of an exotic escaped partition
-    // value) degrades to no stats for that file = never skipped (safe).
-    val stats: Map[String, Seq[(Option[String], Option[String])]] = {
-      val present = meta.statsCols.filter(df.columns.contains)
+    // per-file stats + row counts in ONE pass: min/max of each stats
+    // column aggregated in the column's NATIVE type (string-min over
+    // numbers would order "10"<"9") and rendered to string for the
+    // manifest, plus count(*) per file (the Delta-numRecords pattern —
+    // metadata-only COUNT(*) and per-partition counts downstream). Keyed
+    // by the file's path RELATIVE to the batch dir (`__part=<v>/<name>`),
+    // NOT the bare file name: one write task covering several partition
+    // values emits the SAME part-<task>-<uuid> file name into each
+    // partition dir, so a name-only map silently collapses those entries
+    // and every collided file inherits some other file's bounds — wrong
+    // skipping. A key that fails to match (e.g. URI-encoding of an
+    // exotic escaped partition value) degrades to no stats/count for
+    // that file = never skipped, counted by scan (safe).
+    val present = meta.statsCols.filter(df.columns.contains)
+    val perFileRows = {
+      val statAggs = present.zipWithIndex.flatMap { case (sc, i) =>
+        Seq(min(col(sc)).cast("string").as(s"mn$i"), max(col(sc)).cast("string").as(s"mx$i"))
+      }
+      val aggs = count(lit(1)).as("cnt") +: statAggs
+      spark.read.parquet(dataDir.toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+    }
+    val counts: Map[String, Long] =
+      perFileRows.map(r => partAndName(r.getString(0)) -> r.getLong(1)).toMap
+    val stats: Map[String, Seq[(Option[String], Option[String])]] =
       if (present.isEmpty) Map.empty
       else {
-        val aggs = present.zipWithIndex.flatMap { case (sc, i) =>
-          Seq(min(col(sc)).cast("string").as(s"mn$i"), max(col(sc)).cast("string").as(s"mx$i"))
-        }
-        val perFile = spark.read.parquet(dataDir.toString)
-          .groupBy(input_file_name().as("f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map { r =>
-            val bounds = present.indices
-              .map(i => (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i))))
-            partAndName(r.getString(0)) -> bounds
-          }.toMap
+        val perFile = perFileRows.map { r =>
+          val bounds = present.indices
+            .map(i => (Option(r.getString(2 + 2 * i)), Option(r.getString(3 + 2 * i))))
+          partAndName(r.getString(0)) -> bounds
+        }.toMap
         // a stats column absent from this batch's frame (should not
         // happen post-align, but stay conservative) records no bounds
         perFile.map { case (k, bounds) =>
@@ -337,7 +355,6 @@ object LakeTable {
             if (present.contains(sc)) bounds(present.indexOf(sc)) else (None, None))
         }
       }
-    }
 
     // per-file Bloom sidecars (POINT-lookup skipping where min/max can't
     // prune): one aggregate over the just-written batch builds a bloom of
@@ -350,15 +367,15 @@ object LakeTable {
     // NULL anyway. Readers that find no sidecar row for a file keep it
     // (conservative), so pre-bloom batches and evolution stay correct.
     {
-      val present = meta.bloomCols.filter(df.columns.contains)
-      if (present.nonEmpty) {
+      val bloomPresent = meta.bloomCols.filter(df.columns.contains)
+      if (bloomPresent.nonEmpty) {
         val batchDf = spark.read.parquet(dataDir.toString)
-        val maxRows = batchDf.groupBy(input_file_name().as("f")).count()
-          .agg(max("count")).head.getLong(0)
-        val items = math.max(64L, maxRows)
+        // bits sized from the per-file counts the stats pass already
+        // collected — no extra scan
+        val items = math.max(64L, counts.values.foldLeft(0L)(math.max))
         val bits = graft.operators.llm.BloomGate.optimalNumBits(items, 0.01)
         val bridge = org.apache.spark.sql.GraftColumnBridge
-        val aggs = present.zipWithIndex.map { case (c, i) =>
+        val aggs = bloomPresent.zipWithIndex.map { case (c, i) =>
           val agg = new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
             bridge.expression(xxhash64(col(c))),
             org.apache.spark.sql.catalyst.expressions.Literal(items),
@@ -367,7 +384,7 @@ object LakeTable {
         }
         val perFile = batchDf.groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
         val rel = concat(lit(s"data/$batch/"), regexp_extract(col("f"), "([^/]+/[^/]+)$", 1))
-        present.zipWithIndex.map { case (c, i) =>
+        bloomPresent.zipWithIndex.map { case (c, i) =>
           perFile.select(rel.as("rel"), lit(c).as("col"), col(s"bf_$i").as("bits"))
         }.reduce(_.unionByName(_))
           .write.mode("overwrite")
@@ -384,12 +401,12 @@ object LakeTable {
           case d if d.startsWith(s"$PartDirCol=") => d.stripPrefix(s"$PartDirCol=")
           case d => sys.error(s"unexpected data layout at $p (dir $d)")
         }
-        val bounds = stats.getOrElse(s"$PartDirCol=$pv/${p.getName}",
-          meta.statsCols.map(_ => (None, None)))
+        val key = s"$PartDirCol=$pv/${p.getName}"
+        val bounds = stats.getOrElse(key, meta.statsCols.map(_ => (None, None)))
         // decode with Hive path unescaping (NOT URLDecoder: '+' is
         // literal); a null partition's directory IS the sentinel already
         val decoded = if (pv == NullPartition) NullPartition else unesc(pv)
-        Entry(decoded, s"data/$batch/$PartDirCol=$pv/${p.getName}", bounds)
+        Entry(decoded, s"data/$batch/$PartDirCol=$pv/${p.getName}", bounds, counts.get(key))
       }.toSeq
   }
 
@@ -462,6 +479,29 @@ object LakeTable {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.readPartitions: no committed snapshot at $root")
     readEntries(spark, root, s0.meta.get.schema, s0.entries.filter(e => values.contains(e.part)))
+  }
+
+  /** Metadata-only COUNT(*): the snapshot's per-file row counts summed —
+    * zero data I/O (the numRecords pattern every lakehouse log uses for
+    * count-star). None when some live entry predates count recording
+    * (the caller then falls back to `read(...).count()`); a merge/
+    * optimize rewrite refreshes counts as a side effect of rewriting.
+    */
+  def countRows(spark: SparkSession, root: String): Option[Long] = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.countRows: no committed snapshot at $root")
+    if (s0.entries.exists(_.rows.isEmpty)) None
+    else Some(s0.entries.flatMap(_.rows).sum)
+  }
+
+  /** Metadata-only per-partition row counts (NULL partition under the
+    * sentinel key); same all-entries-counted contract as [[countRows]].
+    */
+  def countByPartition(spark: SparkSession, root: String): Option[Map[String, Long]] = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.countByPartition: no committed snapshot at $root")
+    if (s0.entries.exists(_.rows.isEmpty)) None
+    else Some(s0.entries.groupBy(_.part).map { case (p, es) => p -> es.flatMap(_.rows).sum })
   }
 
   /** Time travel: the table exactly as committed at `version` — its own

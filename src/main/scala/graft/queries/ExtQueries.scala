@@ -685,6 +685,35 @@ object ExtQueries {
         .withColumn("bloom_skipped", lit(bloomKept < snap.entries.size))
     },
 
+    // Metadata-only COUNT(*) (the numRecords pattern): per-file row
+    // counts recorded at write time make total and per-partition counts
+    // a MANIFEST-FOLD — zero data I/O, the query a 100 TB table answers
+    // in milliseconds where a scan-count reads every footer. The table
+    // is built across two commits (init + append) so carried and fresh
+    // entries both contribute; the oracle re-derives every partition's
+    // count and the total relationally — a file written without its
+    // count, a carried entry losing it, or a double-counted batch shifts
+    // n_meta/total_meta, and from_metadata pins that the metadata path
+    // (not a fallback scan) produced the numbers.
+    "q146_lake_meta_count" -> { (s, dir) =>
+      import graft.operators.LakeTable
+      val root = s"/root/repo/target/staging/q146_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      LakeTable.init(s, root, orders.where(col("o_orderkey") % 2 === 0), "o_orderstatus")
+      LakeTable.append(s, root, orders.where(col("o_orderkey") % 2 === 1))
+      val byPart = LakeTable.countByPartition(s, root)
+      val total = LakeTable.countRows(s, root)
+      s.createDataFrame(byPart.getOrElse(Map.empty).toSeq)
+        .toDF("o_orderstatus", "n_meta")
+        .withColumn("total_meta", lit(total.getOrElse(-1L)))
+        .withColumn("from_metadata", lit(byPart.isDefined && total.isDefined))
+        .orderBy("o_orderstatus")
+    },
+
     // The graft-lake STREAMING source end-to-end: the events fixture
     // lands in a lake table across four append commits with a COW DELETE
     // (a change commit) in the middle, and a real readStream tails the
@@ -1676,6 +1705,12 @@ object ExtQueries {
         |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
         |       true AS stats_useless, true AS bloom_skipped
         |FROM orders o, kk WHERE o.o_orderkey = kk.k""".stripMargin,
+    // Every count re-derived relationally; from_metadata pinned TRUE.
+    "q146_lake_meta_count" ->
+      """SELECT o_orderstatus, count(*) AS n_meta,
+        |       (SELECT count(*) FROM orders) AS total_meta,
+        |       true AS from_metadata
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // The tail of four appends with the delete skipped == the raw
     // fixture, so the oracle is the plain batch rollup (q139's shape).
     "q144_lake_stream_tail" ->

@@ -310,6 +310,38 @@ class GraftLakeSpec extends SparkSpec {
     assert(fin.where(col("k") === 2222L).count() === 0)
   }
 
+  test("manifest row counts round-trip by cell parity; legacy lines read as None") {
+    import org.apache.spark.sql.types.StructType
+    val meta = LakeTable.TableMeta(
+      StructType.fromDDL("k BIGINT, p STRING"), "p", Seq("k"))
+    val withRows = LakeTable.Entry("a", "data/b1/f1.parquet", Seq((Some("1"), Some("9"))), Some(42L))
+    val noRows = LakeTable.Entry("b", "data/b1/f2.parquet", Seq((None, None)))
+    val (_, es) = LakeTable.parseManifest(LakeTable.renderManifest(meta, Seq(withRows, noRows)))
+    assert(es === Seq(withRows, noRows))
+    // no stats columns: the count cell stands alone after (part, rel)
+    val meta0 = LakeTable.TableMeta(StructType.fromDDL("k BIGINT, p STRING"), "p", Nil)
+    val e0 = LakeTable.Entry("c", "data/b2/f.parquet", Nil, Some(7L))
+    val (_, es0) = LakeTable.parseManifest(LakeTable.renderManifest(meta0, Seq(e0)))
+    assert(es0 === Seq(e0))
+  }
+
+  test("metadata-only counts: countRows and countByPartition without data I/O") {
+    val root = tmp("counts")
+    mkTable(root) // 300 rows, partitions 0/1/2
+    assert(LakeTable.countRows(spark, root) === Some(300L))
+    spark.range(10).select((col("id") + 1000).as("k"), lit(9).as("p"), lit("x").as("v"))
+      .write.format("graft-lake").mode("append").save(root)
+    assert(LakeTable.countRows(spark, root) === Some(310L))
+    assert(LakeTable.countByPartition(spark, root) ===
+      Some(Map("0" -> 100L, "1" -> 100L, "2" -> 100L, "9" -> 10L)))
+    // a merge (1 update + 1 insert) keeps counts metadata-accurate
+    LakeTable.merge(spark, root,
+      Seq((5L, 0, "upd"), (9999L, 2, "new")).toDF("k", "p", "v"), Seq("k"), "p")
+    assert(LakeTable.countRows(spark, root) === Some(311L))
+    assert(LakeTable.countRows(spark, root).get ===
+      LakeTable.read(spark, root).count())
+  }
+
   test("optimize rebuilds bloom sidecars; point lookups keep pruning after compaction") {
     val root = tmp("bloomopt")
     val mk = (off: Long) => spark.range(500).select(
