@@ -714,6 +714,60 @@ object ExtQueries {
         .orderBy("o_orderstatus")
     },
 
+    // The graft-lake streaming CHANGE FEED end-to-end (readChangeFeed —
+    // the Delta-CDF face): q137's exact table history (init, the
+    // partition-moving merge, the COW delete) consumed through a REAL
+    // readStream whose micro-batches are classified per-commit change
+    // slices, materialized by a real writeStream under
+    // Trigger.AvailableNow, then rolled up by (version, class). The
+    // oracle is q137's relational re-derivation verbatim — the stream
+    // must deliver exactly what the batch changelog walk computes: a
+    // replayed version doubles a cell, a dropped class empties one, a
+    // leaked carried-neighbor row shifts cnt/cents.
+    "q147_lake_stream_cdf" -> { (s, dir) =>
+      import graft.operators.LakeTable
+      import org.apache.spark.sql.streaming.Trigger
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q147_$tag"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val root = s"$stage/lake"
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      LakeTable.init(s, root, orders, "o_orderstatus")
+      val updates = orders.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .withColumn("o_orderstatus", lit("F"))
+      val inserts = orders.where(col("o_orderkey") % 10 === 3)
+        .select(
+          (col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_custkey"),
+          lit("N").as("o_orderstatus"),
+          col("o_totalprice"))
+      LakeTable.merge(s, root, updates.unionByName(inserts), Seq("o_orderkey"), "o_orderstatus")
+      LakeTable.delete(s, root,
+        col("o_orderstatus") === "N" && col("o_orderkey") % 2 === 1, "o_orderstatus")
+      val outDir = s"$stage/out"
+      val q = s.readStream.format("graft-lake")
+        .option("readChangeFeed", "true")
+        .option("keyCols", "o_orderkey")
+        .option("startingVersion", "1")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .groupBy("_commit_version", "_change_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("_commit_version", "_change_type")
+    },
+
     // The graft-lake STREAMING source end-to-end: the events fixture
     // lands in a lake table across four append commits with a COW DELETE
     // (a change commit) in the middle, and a real readStream tails the
@@ -1705,6 +1759,26 @@ object ExtQueries {
         |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
         |       true AS stats_useless, true AS bloom_skipped
         |FROM orders o, kk WHERE o.o_orderkey = kk.k""".stripMargin,
+    // The streamed change feed must equal the batch changelog walk —
+    // q137's oracle verbatim (the insert of the re-keyed 'N' rows, both
+    // update images for the %10=0 keys, the odd-key deletes).
+    "q147_lake_stream_cdf" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |feed AS (
+        |  SELECT 2 AS _commit_version, 'insert' AS _change_type, o_totalprice
+        |  FROM t WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT 2, 'update_preimage', o_totalprice
+        |  FROM t WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 2, 'update_postimage', o_totalprice + 100.0
+        |  FROM t WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 3, 'delete', o_totalprice
+        |  FROM t WHERE o_orderkey % 10 = 3 AND o_orderkey % 2 = 1)
+        |SELECT _commit_version, _change_type, count(*) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Every count re-derived relationally; from_metadata pinned TRUE.
     "q146_lake_meta_count" ->
       """SELECT o_orderstatus, count(*) AS n_meta,

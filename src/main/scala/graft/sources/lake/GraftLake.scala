@@ -126,7 +126,13 @@ class GraftLake
     // nullable face: files from older schemas legitimately read NULL for
     // since-added columns, and the engine compares batch output against
     // this declared schema
-    (shortName(), GraftLake.nullable(snap.meta.get.schema))
+    GraftLake.validateStreamOptions(parameters)
+    val base = GraftLake.nullable(snap.meta.get.schema)
+    val out =
+      if (opt(parameters, "readChangeFeed").exists(_.toBoolean))
+        GraftLake.cdfSchema(base)
+      else base
+    (shortName(), out)
   }
 
   override def createSource(
@@ -136,12 +142,18 @@ class GraftLake
       providerName: String,
       parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
+    GraftLake.validateStreamOptions(parameters)
+    val cdf = opt(parameters, "readChangeFeed").exists(_.toBoolean)
+    val keyCols = opt(parameters, "keyCols")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
     new GraftLakeSource(
       spark,
       rootOf(parameters),
       startingVersion = opt(parameters, "startingVersion").map(_.toLong).getOrElse(0L),
       skipChangeCommits = opt(parameters, "skipChangeCommits").exists(_.toBoolean),
-      maxVersionsPerTrigger = opt(parameters, "maxVersionsPerTrigger").map(_.toLong))
+      maxVersionsPerTrigger = opt(parameters, "maxVersionsPerTrigger").map(_.toLong),
+      readChangeFeed = cdf,
+      keyCols = keyCols)
   }
 }
 
@@ -155,6 +167,16 @@ object GraftLake {
   private[lake] def nullable(s: StructType): StructType =
     StructType(s.fields.map(_.copy(nullable = true)))
 
+  /** Change-feed face: the table schema plus the two CDC meta columns
+    * `changesSince` stamps.
+    */
+  private[lake] def cdfSchema(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType)))
+
   /** Option lookup tolerant of the case-normalization DataFrameReader
     * applies (options may arrive lower-cased).
     */
@@ -163,6 +185,21 @@ object GraftLake {
 
   private def rootOf(parameters: Map[String, String]): String =
     opt(parameters, "path").getOrElse(sys.error("graft-lake: path is required"))
+
+  /** Streaming-option validation shared by sourceSchema (so a bad
+    * combination fails at `load`, not at query start) and createSource.
+    */
+  private[lake] def validateStreamOptions(parameters: Map[String, String]): Unit = {
+    val cdf = opt(parameters, "readChangeFeed").exists(_.toBoolean)
+    val keyCols = opt(parameters, "keyCols")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    require(!cdf || keyCols.nonEmpty,
+      "graft-lake: readChangeFeed=true requires the keyCols option (change " +
+        "classification joins pre/post images on the key)")
+    require(!(cdf && opt(parameters, "skipChangeCommits").exists(_.toBoolean)),
+      "graft-lake: readChangeFeed and skipChangeCommits are mutually exclusive " +
+        "(the change feed exists to DELIVER change commits)")
+  }
 
   /** The pruned-scan batch relation (shared by the provider and the
     * streaming source's per-batch frames).
@@ -193,12 +230,25 @@ object GraftLake {
   * restart from BEFORE that window fails crisply on the missing files
   * rather than silently skipping).
   */
+/** CHANGE-FEED mode (`readChangeFeed=true` + `keyCols`, the Delta CDF
+  * shape): instead of appended rows, each micro-batch delivers the
+  * table's classified changes — `_change_type` ∈ insert / delete /
+  * update_preimage / update_postimage plus `_commit_version` — derived
+  * per version by [[LakeTable.changesSince]] from the immutable
+  * manifests (same replay determinism as the append mode). The first
+  * batch from version 0 delivers the CURRENT snapshot as inserts
+  * stamped with its version (per-commit replay of pre-subscription
+  * history is available via `startingVersion`); every later batch is
+  * the exact (from, to] changelog walk.
+  */
 class GraftLakeSource(
     spark: SparkSession,
     root: String,
     startingVersion: Long,
     skipChangeCommits: Boolean,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    readChangeFeed: Boolean = false,
+    keyCols: Seq[String] = Nil)
   extends Source
   with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
@@ -206,7 +256,8 @@ class GraftLakeSource(
   private val tableSchema: StructType = {
     val snap = LakeTable.snapshot(spark, root)
     require(snap.version > 0, s"graft-lake: no committed snapshot at $root")
-    GraftLake.nullable(snap.meta.get.schema)
+    val base = GraftLake.nullable(snap.meta.get.schema)
+    if (readChangeFeed) GraftLake.cdfSchema(base) else base
   }
 
   // manifests are immutable — cache each version's entry list for the
@@ -267,24 +318,46 @@ class GraftLakeSource(
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(ver).getOrElse(startingVersion)
     val to = ver(end)
-    val added = ((from + 1) to to).flatMap { v =>
-      val prev = entriesAt(v - 1).map(_.rel).toSet
-      val cur = entriesAt(v)
-      val removed = prev -- cur.map(_.rel).toSet
-      if (removed.isEmpty) cur.filterNot(e => prev.contains(e.rel))
-      else if (skipChangeCommits) Nil
-      else throw new IllegalStateException(
-        s"graft-lake streaming: version $v of $root removed ${removed.size} file(s) " +
-          "(merge/delete/optimize) — an append-only stream cannot represent it. " +
-          "Set skipChangeCommits=true to skip change commits, or consume " +
-          "LakeTable.changesSince for full CDC.")
+    if (readChangeFeed) changeFeedBatch(from, to)
+    else {
+      val added = ((from + 1) to to).flatMap { v =>
+        val prev = entriesAt(v - 1).map(_.rel).toSet
+        val cur = entriesAt(v)
+        val removed = prev -- cur.map(_.rel).toSet
+        if (removed.isEmpty) cur.filterNot(e => prev.contains(e.rel))
+        else if (skipChangeCommits) Nil
+        else throw new IllegalStateException(
+          s"graft-lake streaming: version $v of $root removed ${removed.size} file(s) " +
+            "(merge/delete/optimize) — an append-only stream cannot represent it. " +
+            "Set skipChangeCommits=true to skip change commits, or " +
+            "readChangeFeed=true for full CDC.")
+      }
+      // the batch is a REAL pruned file scan (isStreaming wrapped): later
+      // query filters still push into listFiles and the parquet reader
+      val meta = LakeTable.snapshot(spark, root).meta.get.copy(schema = tableSchema)
+      val index = new LakeFileIndex(spark, root, meta, added)
+      GraftColumnBridge.streamingRelationFrame(
+        spark, GraftLake.relationFor(spark, root, index))
     }
-    // the batch is a REAL pruned file scan (isStreaming wrapped): later
-    // query filters still push into listFiles and the parquet reader
-    val meta = LakeTable.snapshot(spark, root).meta.get.copy(schema = tableSchema)
-    val index = new LakeFileIndex(spark, root, meta, added)
-    GraftColumnBridge.streamingRelationFrame(
-      spark, GraftLake.relationFor(spark, root, index))
+  }
+
+  /** The (from, to] change slice, aligned to the declared CDF schema and
+    * re-issued as a streaming frame. `from == 0` bootstraps with the
+    * snapshot-as-inserts shape (the processChanges contract).
+    */
+  private def changeFeedBatch(from: Long, to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val batch =
+      if (from <= 0)
+        LakeTable.readVersion(spark, root, to)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(to))
+      else LakeTable.changesSince(spark, root, from, to, keyCols)
+    val aligned = batch.select(tableSchema.map { f =>
+      (if (batch.columns.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    GraftColumnBridge.streamingFrameFromBatch(spark, aligned)
   }
 
   override def commit(end: OffsetV1): Unit = ()

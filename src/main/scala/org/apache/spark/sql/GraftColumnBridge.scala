@@ -53,4 +53,16 @@ object GraftColumnBridge {
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession],
       execution.datasources.LogicalRelation(relation, isStreaming = true))
+
+  /** An arbitrary BATCH frame re-issued as a streaming one (the
+    * change-feed batches are derived plans — unions of classified file
+    * diffs — not relations, so the LogicalRelation route above doesn't
+    * apply; the plan freezes behind an RDD boundary, which is fine for
+    * an already-computed CDC slice).
+    */
+  def streamingFrameFromBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val s = spark.asInstanceOf[classic.SparkSession]
+    val d = df.asInstanceOf[classic.Dataset[Row]]
+    s.internalCreateDataFrame(d.queryExecution.toRdd, d.schema, isStreaming = true)
+  }
 }

@@ -431,6 +431,66 @@ class GraftLakeSpec extends SparkSpec {
     assert(offsets >= 4, s"expected >=4 capped micro-batches, saw $offsets offset files")
   }
 
+  test("readChangeFeed streams classified per-commit changes; bootstrap delivers snapshot-as-inserts") {
+    val root = tmp("cdf")
+    val base = root.stripSuffix("/t")
+    Seq.tabulate(6)(i => (i.toLong, i % 2, s"a$i")).toDF("k", "p", "v")
+      .write.format("graft-lake").option("partitionCol", "p").save(root) // v1
+    LakeTable.merge(spark, root,
+      Seq((2L, 0, "upd"), (10L, 0, "new")).toDF("k", "p", "v"), Seq("k"), "p") // v2
+    LakeTable.delete(spark, root, col("k") === 3L, "p") // v3
+
+    def drain(name: String, extra: Map[String, String]): DataFrame = {
+      var r = spark.readStream.format("graft-lake")
+        .option("readChangeFeed", "true").option("keyCols", "k")
+      extra.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(root)
+        .writeStream.format("parquet")
+        .option("path", s"$base/$name-out")
+        .option("checkpointLocation", s"$base/$name-ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$base/$name-out")
+    }
+
+    // per-commit replay from v1: v2's merge and v3's delete, classified
+    val hist = drain("hist", Map("startingVersion" -> "1"))
+    val cells = hist.groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cells === Map(
+      (2L, "update_preimage") -> 1L, (2L, "update_postimage") -> 1L,
+      (2L, "insert") -> 1L, (3L, "delete") -> 1L))
+    assert(hist.where(col("_change_type") === "update_postimage")
+      .select("v").head.getString(0) === "upd")
+    assert(hist.where(col("_change_type") === "delete").select("k").head.getLong(0) === 3L)
+
+    // restart the same checkpoint after an append: exactly the v4 insert
+    spark.range(1).select(lit(20L).as("k"), lit(0).as("p"), lit("tail").as("v"))
+      .write.format("graft-lake").mode("append").save(root) // v4
+    val hist2 = drain("hist", Map("startingVersion" -> "1"))
+    assert(hist2.count() === hist.count() + 1)
+    assert(hist2.where(col("_commit_version") === 4L).select("k", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((20L, "insert")))
+
+    // default bootstrap: current snapshot as inserts at the head version
+    val boot = drain("boot", Map.empty)
+    assert(boot.count() === 7) // 6 init - k=3 + k=10 + k=20
+    assert(boot.select("_change_type").distinct().head.getString(0) === "insert")
+    assert(boot.select("_commit_version").distinct().head.getLong(0) === 4L)
+
+    // guard rails
+    intercept[Exception] {
+      spark.readStream.format("graft-lake")
+        .option("readChangeFeed", "true").load(root)
+    }
+    intercept[Exception] {
+      spark.readStream.format("graft-lake")
+        .option("readChangeFeed", "true").option("keyCols", "k")
+        .option("skipChangeCommits", "true").load(root)
+    }
+  }
+
   test("startingVersion skips the initial snapshot") {
     val root = tmp("startv")
     val base = root.stripSuffix("/t")
