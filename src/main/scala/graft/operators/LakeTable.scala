@@ -504,6 +504,35 @@ object LakeTable {
     else Some(s0.entries.groupBy(_.part).map { case (p, es) => p -> es.flatMap(_.rows).sum })
   }
 
+  /** RESTORE: roll the table BACK to `version`'s contents as a NEW
+    * commit (the Delta RESTORE verb) — the bad-deploy undo that keeps
+    * history linear: nothing is deleted, the head simply becomes a
+    * manifest carrying the old version's entries (and its schema —
+    * restoring to before an evolution narrows back), so the mistake AND
+    * the restore both stay auditable/time-travelable, CDC consumers see
+    * the restore as ordinary changes, and a concurrent writer races on
+    * the commit like any other. Fails crisply if `version`'s files were
+    * already vacuumed (same contract as [[readVersion]]). Restoring to
+    * the current head is a no-op commit of the same contents.
+    * Transactional-writer watermarks carry from the CURRENT head, not
+    * the restored version — replay protection must survive the
+    * rollback, or a replayed post-restore micro-batch would
+    * double-insert.
+    */
+  def restore(spark: SparkSession, root: String, version: Long, maxRetries: Int = 3): Long = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.restore: no committed snapshot at $root")
+    require(version <= s0.version,
+      s"LakeTable.restore: v$version is not in history (head is v${s0.version})")
+    val target = snapshotAt(spark, root, version) // incl. the vacuumed-files refusal
+    val meta = target.meta.get.copy(txns = s0.meta.get.txns)
+    if (commit(spark, root, s0.version + 1, meta, target.entries)) s0.version + 1
+    else {
+      require(maxRetries > 0, s"LakeTable.restore: concurrent commit at $root (retries exhausted)")
+      restore(spark, root, version, maxRetries - 1)
+    }
+  }
+
   /** Time travel: the table exactly as committed at `version` — its own
     * schema, its own file list. Every manifest and every data file is
     * immutable, so any version whose files outlive the vacuum retention

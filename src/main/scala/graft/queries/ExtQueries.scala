@@ -714,6 +714,41 @@ object ExtQueries {
         .orderBy("o_orderstatus")
     },
 
+    // RESTORE (the bad-deploy undo): a corrupting merge (v2) is rolled
+    // back by restoring v1 as a NEW commit (v3) — nothing deleted, the
+    // mistake still time-travels, history stays linear. The result pins
+    // all three contracts at once: the restored rollup must equal the
+    // UNTOUCHED orders rollup (a restore that leaked any v2 row shifts
+    // cnt/cents), v2_cents re-derives the corrupted version's total
+    // (time travel THROUGH the restore still reads the mistake), and
+    // head_version pins that the rollback was a forward commit, not a
+    // manifest deletion.
+    "q148_lake_restore" -> { (s, dir) =>
+      import graft.operators.LakeTable
+      val root = s"/root/repo/target/staging/q148_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      LakeTable.init(s, root, orders, "o_orderstatus")
+      val corruption = orders.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .withColumn("o_orderstatus", lit("F"))
+      LakeTable.merge(s, root, corruption, Seq("o_orderkey"), "o_orderstatus")
+      val headV = LakeTable.restore(s, root, 1L)
+      val v2Cents = LakeTable.readVersion(s, root, 2L)
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))).head.getLong(0)
+      LakeTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("v2_cents", lit(v2Cents))
+        .withColumn("head_version", lit(headV))
+        .orderBy("o_orderstatus")
+    },
+
     // The graft-lake streaming CHANGE FEED end-to-end (readChangeFeed —
     // the Delta-CDF face): q137's exact table history (init, the
     // partition-moving merge, the COW delete) consumed through a REAL
@@ -1759,6 +1794,19 @@ object ExtQueries {
         |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
         |       true AS stats_useless, true AS bloom_skipped
         |FROM orders o, kk WHERE o.o_orderkey = kk.k""".stripMargin,
+    // The restored table == untouched orders; the corrupted version's
+    // total re-derived; the head literal pins the forward commit.
+    "q148_lake_restore" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |v2 AS (SELECT CAST(sum(CAST(round(
+        |         (CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0
+        |               ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) AS c
+        |       FROM t)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       (SELECT c FROM v2) AS v2_cents,
+        |       CAST(3 AS BIGINT) AS head_version
+        |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // The streamed change feed must equal the batch changelog walk —
     // q137's oracle verbatim (the insert of the re-keyed 'N' rows, both
     // update images for the %10=0 keys, the odd-key deletes).

@@ -362,6 +362,46 @@ class GraftLakeSpec extends SparkSpec {
       .select("v").head.getString(0) === "x2123")
   }
 
+  test("restore rolls back to an old version as a new commit; history stays linear") {
+    val root = tmp("restore")
+    mkTable(root) // v1: 300 rows
+    LakeTable.merge(spark, root,
+      Seq((5L, 0, "bad"), (8888L, 1, "bad")).toDF("k", "p", "v"), Seq("k"), "p") // v2
+    LakeTable.delete(spark, root, col("k") < 10L, "p") // v3
+    assert(LakeTable.read(spark, root).count() === 291)
+
+    val newV = LakeTable.restore(spark, root, 1L)
+    assert(newV === 4L)
+    val restored = LakeTable.read(spark, root)
+    assert(restored.count() === 300)
+    assert(restored.where(col("v") === "bad").count() === 0)
+    // bit-identical to v1 and the mistake still time-travels
+    assert(restored.orderBy("k").collect().toSeq ===
+      LakeTable.readVersion(spark, root, 1L).orderBy("k").collect().toSeq)
+    assert(LakeTable.readVersion(spark, root, 3L).count() === 291)
+    // the restore is an ordinary commit: CDC walk classifies it
+    val cdc = LakeTable.changesSince(spark, root, 3L, keyCols = Seq("k"))
+    assert(cdc.where(col("_change_type") === "insert").count() === 10) // k<10 back
+    // restoring to a version that never existed fails crisply
+    intercept[IllegalArgumentException] { LakeTable.restore(spark, root, 99L) }
+  }
+
+  test("restore carries txn watermarks so replayed appends stay no-ops after rollback") {
+    val root = tmp("restoretxn")
+    mkTable(root) // v1
+    val batch = spark.range(3).select((col("id") + 5000).as("k"), lit(1).as("p"), lit("t").as("v"))
+    LakeTable.append(spark, root, batch, txnAppId = Some("app1"), txnVersion = 7L) // v2
+    LakeTable.restore(spark, root, 1L) // v3: rollback removes the appended rows
+    assert(LakeTable.read(spark, root).count() === 300)
+    // the replayed (appId, version) must STILL be a no-op post-restore
+    val s = LakeTable.append(spark, root, batch, txnAppId = Some("app1"), txnVersion = 7L)
+    assert(s.rowsWritten === 0)
+    assert(LakeTable.read(spark, root).count() === 300)
+    // a genuinely newer txn version lands
+    LakeTable.append(spark, root, batch, txnAppId = Some("app1"), txnVersion = 8L)
+    assert(LakeTable.read(spark, root).count() === 303)
+  }
+
   test("vacuum reclaims dead batches' bloom sidecar dirs; live blooms keep working") {
     val root = tmp("bloomvac")
     val mk = (tag: String) => spark.range(100).select(
