@@ -481,6 +481,35 @@ object LakeTable {
     readEntries(spark, root, s0.meta.get.schema, s0.entries.filter(e => values.contains(e.part)))
   }
 
+  /** Table history from the manifests alone (the DESCRIBE HISTORY
+    * shape): one row per committed version with its file count, its
+    * metadata row count (null for versions predating count recording),
+    * and the per-commit deltas (files/rows added and removed vs the
+    * previous version — an append shows only adds, a merge/delete/
+    * optimize shows both, a restore shows the swing back). Pure
+    * manifest metadata: O(versions × files) driver-side, zero data I/O.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.history: no committed snapshot at $root")
+    val perV = (1L to s0.version).map(v => v -> readManifest(spark, root, v)._2)
+    val rows = perV.map { case (v, entries) =>
+      val prev = if (v == 1) Nil else perV(v.toInt - 2)._2
+      val prevByRel = prev.map(e => e.rel -> e).toMap
+      val curRels = entries.map(_.rel).toSet
+      val added = entries.filterNot(e => prevByRel.contains(e.rel))
+      val removed = prev.filterNot(e => curRels.contains(e.rel))
+      def rowSum(es: Seq[Entry]): Option[Long] =
+        if (es.exists(_.rows.isEmpty)) None else Some(es.flatMap(_.rows).sum)
+      (v, entries.size.toLong, rowSum(entries),
+        added.size.toLong, rowSum(added),
+        removed.size.toLong, rowSum(removed))
+    }
+    rows.toDF("version", "files", "rows",
+      "files_added", "rows_added", "files_removed", "rows_removed")
+  }
+
   /** Metadata-only COUNT(*): the snapshot's per-file row counts summed —
     * zero data I/O (the numRecords pattern every lakehouse log uses for
     * count-star). None when some live entry predates count recording

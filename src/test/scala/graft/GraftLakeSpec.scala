@@ -362,6 +362,24 @@ class GraftLakeSpec extends SparkSpec {
       .select("v").head.getString(0) === "x2123")
   }
 
+  test("history folds the manifests: per-version files/rows and commit deltas") {
+    val root = tmp("history")
+    mkTable(root) // v1: 300 rows
+    spark.range(10).select((col("id") + 1000).as("k"), lit(0).as("p"), lit("x").as("v"))
+      .write.format("graft-lake").mode("append").save(root) // v2: +10
+    LakeTable.delete(spark, root, col("k") >= 1000L, "p") // v3: -10 (rewrites p=0)
+    val h = LakeTable.history(spark, root).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(h.map(_.getLong(2)).toSeq === Seq(300L, 310L, 300L)) // rows per version
+    assert(h(1).getLong(4) === 10L) // v2 rows_added
+    assert(h(1).getLong(5) === 0L)  // v2 removed nothing
+    assert(h(2).getLong(5) > 0L)    // v3 removed files (the rewrite)
+    // rows delta reconciles: rows(v) = rows(v-1) + added - removed
+    (1 until 3).foreach { i =>
+      assert(h(i).getLong(2) === h(i - 1).getLong(2) + h(i).getLong(4) - h(i).getLong(6))
+    }
+  }
+
   test("restore rolls back to an old version as a new commit; history stays linear") {
     val root = tmp("restore")
     mkTable(root) // v1: 300 rows
