@@ -603,7 +603,22 @@ object LakeTable {
         // as BigDecimal; as Long.parseLong it is noise); any non-integral
         // rendering falls back to exact decimal comparison
         try java.lang.Long.compare(a.toLong, b.toLong)
-        catch { case _: NumberFormatException => BigDecimal(a).compare(BigDecimal(b)) }
+        catch {
+          case _: NumberFormatException =>
+            try BigDecimal(a).compare(BigDecimal(b))
+            catch {
+              case _: NumberFormatException =>
+                // non-finite float/double renderings ("NaN", "Infinity",
+                // "-Infinity") are valid stats values BigDecimal rejects:
+                // compare as doubles (Double.compare orders NaN greatest,
+                // matching Spark's sort order); a pair that still fails to
+                // parse claims equality, which every caller treats
+                // conservatively (the file stays in)
+                try java.lang.Double.compare(
+                  java.lang.Double.parseDouble(a), java.lang.Double.parseDouble(b))
+                catch { case _: NumberFormatException => 0 }
+            }
+        }
       // date/timestamp/string cast-to-string forms all order lexically
       case _ => a.compareTo(b)
     }
@@ -758,14 +773,35 @@ object LakeTable {
       predicate: Column): Map[String, (Option[String], Option[String])] = {
     type Arg = Option[Either[String, Any]]
     def attrName(x: Arg): Option[String] = x.collect { case Left(n) => n }
-    // a literal usable against column `name`'s rendered stats: same type
-    // family only (numeric-vs-numeric, string-vs-string)
+    // a literal usable against column `name`'s rendered stats. The guard
+    // is EXACT-type (or integral-vs-integral, where widening is exact):
+    // a cross-width float literal does NOT round-trip — `doubleCol ===
+    // lit(0.1f)` compares the float-widened 0.10000000149…, but renders
+    // "0.1", so string-space pruning would skip files that hold matching
+    // rows (silent wrong results on delete). For accepted literals the
+    // rendering is exact both ways: integral strings parse back exactly,
+    // and same-type float/double shortest-repr round-trips — which also
+    // makes the rendered value safe to re-cast for the Bloom probe in
+    // [[delete]]. Non-finite values never contribute (NULL semantics of
+    // NaN comparisons don't match stats-interval logic).
     def litFor(name: String, x: Arg): Option[String] = x.collect {
       case Right(v) if v != null => v
     }.flatMap { v =>
+      import org.apache.spark.sql.types._
+      val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+      def nonFinite = v match {
+        case d: java.lang.Double => d.isNaN || d.isInfinite
+        case f: java.lang.Float => f.isNaN || f.isInfinite
+        case _ => false
+      }
       schema.fields.find(_.name == name).map(_.dataType).flatMap {
-        case _: NumericType if v.isInstanceOf[java.lang.Number] => Some(v.toString)
-        case org.apache.spark.sql.types.StringType if v.isInstanceOf[String] => Some(v.toString)
+        case dt: NumericType if v.isInstanceOf[java.lang.Number] && !nonFinite =>
+          val lt = scala.util.Try(
+            org.apache.spark.sql.catalyst.expressions.Literal.create(v).dataType)
+            .getOrElse(NullType)
+          if (lt == dt || (integral.contains(lt) && integral.contains(dt))) Some(v.toString)
+          else None
+        case StringType if v.isInstanceOf[String] => Some(v.toString)
         case _ => None
       }
     }
@@ -1135,8 +1171,11 @@ object LakeTable {
     val bounds = allBounds.filter { case (c, _) => meta.statsCols.contains(c) }
     // point-equality conjuncts on bloom-indexed columns prune by sidecar
     // too (a file whose bloom excludes the value provably holds no row
-    // the predicate deletes); rendered bounds re-enter through the same
-    // cast path external probes use
+    // the predicate deletes). Re-casting the rendered bound is exact
+    // BECAUSE predicateBounds' literal guard only admits exact-type or
+    // integral literals (a float-vs-double literal that would round-trip
+    // to a different runtime value never reaches here — it yields no
+    // bound, disabling both stats and bloom pruning conservatively)
     val bloomPts = allBounds.toSeq.collect {
       case (c, (Some(lo), Some(hi))) if lo == hi && meta.bloomCols.contains(c) =>
         (bloomHashExternal(meta.schema(c).dataType, lo), loadBlooms(spark, root, c))
@@ -1512,8 +1551,14 @@ object LakeTable {
       f.listStatus(idxDir).foreach { s =>
         if (s.isDirectory && s.getModificationTime < cutoff &&
           !liveBatches.contains(s.getPath.getName)) {
+          // count the FILES inside the reclaimed sidecar dir, not the dir:
+          // the returned total keeps a single unit (files removed) that
+          // callers can assert on
+          val inner = f.listFiles(s.getPath, true)
+          val n = Iterator.continually(inner).takeWhile(_.hasNext).map(_.next())
+            .count(_.isFile)
           f.delete(s.getPath, true)
-          removed += 1
+          removed += n
         }
       }
     }

@@ -210,7 +210,17 @@ class LakeFileIndex(
         if (rendered.isEmpty || rendered.exists(_.isEmpty)) None
         else {
           val set = rendered.flatten.toSet
-          if (isPart(nm)) Some((e: Entry) => partVal(e).exists(set.contains))
+          if (isPart(nm)) {
+            // value-space equality via cmpStat, NOT rendered-string
+            // equality: a pushed -0.0 literal renders "-0.0" while the
+            // stored cast-to-string partition value is "0.0", yet Spark
+            // equality holds (-0.0 == 0.0) — string membership would
+            // wrongly skip the file. cmpStat's decimal path treats the
+            // two renderings as equal; for strings it IS string equality.
+            val dt = fieldType(meta.partitionCol).getOrElse(StringType)
+            Some((e: Entry) =>
+              partVal(e).exists(v => set.exists(s => LakeTable.cmpStat(dt, v, s) == 0)))
+          }
           else statsName(nm).map { sc =>
             val dt = meta.schema.fields.find(_.name.equalsIgnoreCase(sc))
               .map(_.dataType).getOrElse(StringType)

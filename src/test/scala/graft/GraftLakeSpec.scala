@@ -111,6 +111,22 @@ class GraftLakeSpec extends SparkSpec {
     assert(byRange.orderBy("k").collect().toSeq === expect)
   }
 
+  test("float partition equality: p === -0.0 matches the 0.0 partition (value-space pruning)") {
+    // regression (round-15 advice): the stored partition value renders
+    // "0.0" while a pushed -0.0 literal renders "-0.0"; rendered-string
+    // set membership would skip the file even though Spark equality holds
+    // (-0.0 == 0.0). eqPred must compare in value space.
+    val root = tmp("negzero")
+    Seq((1L, 0.0d, "a"), (2L, 1.5d, "b")).toDF("k", "p", "v")
+      .write.format("graft-lake").option("partitionCol", "p").save(root)
+    val lake = spark.read.format("graft-lake").load(root)
+    val got = lake.where(col("p") === lit(-0.0d))
+    assert(got.select("k").as[Long].collect().toSet === Set(1L),
+      "-0.0 equality must not prune the 0.0 partition's file")
+    // and the pruning itself still works in value space
+    assert(scannedFiles(lake.where(col("p") === lit(1.5d))) === 1L)
+  }
+
   test("null partition: IS NULL selects only the sentinel files, IS NOT NULL skips them") {
     val root = tmp("nulls")
     val df = Seq[(Long, Option[Int], String)](

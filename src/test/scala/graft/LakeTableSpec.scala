@@ -703,6 +703,88 @@ class LakeTableSpec extends SparkSpec {
       Map("k" -> ((Some("6"), Some("7")))))
   }
 
+  test("predicateBounds: cross-width float literals and non-finite values contribute nothing") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("x DOUBLE, f FLOAT, k BIGINT")
+    def b(c: org.apache.spark.sql.Column) = LakeTable.predicateBounds(schema, c)
+    // a Float literal vs a DOUBLE column renders "0.1" but the runtime
+    // predicate compares the float-widened 0.10000000149… — pruning on
+    // the rendering would silently skip matching files
+    assert(b(col("x") === 0.1f) === Map.empty)
+    assert(b(col("f") === 0.1) === Map.empty) // Double literal vs FLOAT column: same hazard
+    // exact-type and integral-widening literals still bound
+    assert(b(col("x") === 0.5) === Map("x" -> ((Some("0.5"), Some("0.5")))))
+    assert(b(col("f") >= 1.5f) === Map("f" -> ((Some("1.5"), None))))
+    assert(b(col("k") === 5) === Map("k" -> ((Some("5"), Some("5"))))) // Int vs BIGINT: exact
+    // non-finite literals never constrain (stats intervals can't reason about NaN)
+    assert(b(col("x") === Double.NaN) === Map.empty)
+    assert(b(col("x") <= Double.PositiveInfinity) === Map.empty)
+  }
+
+  test("delete with a cross-width float literal still rewrites the matching file") {
+    // regression (round-15 advice): x is DOUBLE holding the float-widened
+    // 0.1f (0.10000000149…). `delete(x === lit(0.1f))` matches that row at
+    // runtime, but its rendered bound "0.1" hashes/compares to double 0.1
+    // — both the bloom probe and the stats interval would wrongly prune
+    // the file and the delete would silently miss. The literal guard must
+    // disable pruning instead.
+    import spark.implicits._
+    val rows = Seq((1L, "a", 0.1f.toDouble), (2L, "a", 2.5), (3L, "b", 3.5))
+    val df = rows.toDF("k", "p", "x")
+    val root = freshRoot()
+    LakeTable.init(spark, root, df, "p", statsCol = Some("x"), bloomCols = Seq("x"))
+    val stats = LakeTable.delete(spark, root, col("x") === lit(0.1f), "p")
+    assert(stats.filesRewritten >= 1, s"pruning must not skip the matching file: $stats")
+    val got = LakeTable.read(spark, root)
+    assert(got.count() === 2, "the float-widened row must actually be deleted")
+    assert(got.where(col("k") === 1L).count() === 0)
+  }
+
+  test("cmpStat: non-finite stat renderings compare in double order instead of throwing") {
+    import org.apache.spark.sql.types.DoubleType
+    assert(LakeTable.cmpStat(DoubleType, "Infinity", "3.5") > 0)
+    assert(LakeTable.cmpStat(DoubleType, "-Infinity", "3.5") < 0)
+    assert(LakeTable.cmpStat(DoubleType, "NaN", "Infinity") > 0) // NaN greatest (Spark sort order)
+    assert(LakeTable.cmpStat(DoubleType, "-0.0", "0.0") === 0)
+    // end-to-end: a file whose stats include Infinity prunes without error
+    import spark.implicits._
+    val root = freshRoot()
+    val df = Seq((1L, "a", 1.5), (2L, "a", Double.PositiveInfinity), (3L, "b", 7.5))
+      .toDF("k", "p", "x")
+    LakeTable.init(spark, root, df, "p", statsCol = Some("x"))
+    val got = LakeTable.readRange(spark, root, 1.0, 2.0)
+    assert(got.select("k").as[Long].collect().toSet === Set(1L))
+  }
+
+  test("vacuum returns a file count: reclaimed data files plus sidecar files, single unit") {
+    val root = freshRoot()
+    val df = baseDf
+    LakeTable.init(spark, root, df, "p", statsCol = Some("k"), bloomCols = Seq("k"))
+    // rewrite everything so the whole v1 batch (data + its sidecar dir) dies
+    LakeTable.merge(spark, root, df.withColumn("v", col("v") + 1), Seq("k"), "p")
+    val live = LakeTable.snapshot(spark, root).entries.map(_.rel).toSet
+    // expected = dead data files + files inside dead sidecar dirs
+    val rootDir = new java.io.File(new java.net.URI(s"file:$root"))
+    // non-hidden files only: the Hadoop local FS hides its .crc shadows,
+    // so vacuum never lists (or counts) them
+    def filesUnder(d: java.io.File): Seq[java.io.File] =
+      if (!d.exists) Nil
+      else d.listFiles.toSeq.filterNot(_.getName.startsWith("."))
+        .flatMap(f => if (f.isDirectory) filesUnder(f) else Seq(f))
+    val deadData = filesUnder(new java.io.File(rootDir, "data"))
+      .count { f =>
+        val rel = rootDir.toPath.relativize(f.toPath).toString
+        !live.contains(rel)
+      }
+    val liveBatches = live.map(_.split('/')(1))
+    val deadSidecar = new java.io.File(rootDir, "index").listFiles.toSeq
+      .filter(d => d.isDirectory && !liveBatches.contains(d.getName))
+      .map(d => filesUnder(d).size).sum
+    assert(deadSidecar > 0, "fixture must orphan at least one sidecar dir")
+    val removed = LakeTable.vacuum(spark, root, retainMillis = 0)
+    assert(removed === deadData + deadSidecar,
+      s"vacuum counted $removed, expected $deadData data + $deadSidecar sidecar files")
+  }
+
   test("N concurrent writers: all land, versions dense, state equals sequential application") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p")
