@@ -99,8 +99,14 @@ object LakeTable {
     * path relative to the table root, per-stats-column (min, max)
     * bounds within the file, aligned with the table's `statsCols` order
     * ((None, None) when the column's values in the file are all NULL),
-    * and the file's row count (None for entries written before counts
-    * were recorded — metadata-only COUNT(*) then falls back to a scan).
+    * the file's row count, and its LENGTH in bytes (both None for
+    * entries written before they were recorded — metadata-only COUNT(*)
+    * then falls back to a scan, and the connector's FileStatus synthesis
+    * falls back to a per-entry getFileStatus). Recording the length is
+    * what lets scan planning run with ZERO filesystem calls — the
+    * Delta/Iceberg log records size for exactly this reason (on an
+    * object store at millions of files, listing — not manifest parsing —
+    * is the planning bottleneck).
     * `min`/`max` are the first stats column's bounds — the single-column
     * face most call sites use.
     */
@@ -108,7 +114,8 @@ object LakeTable {
       part: String,
       rel: String,
       stats: Seq[(Option[String], Option[String])],
-      rows: Option[Long] = None) {
+      rows: Option[Long] = None,
+      bytes: Option[Long] = None) {
     def min: Option[String] = stats.headOption.flatMap(_._1)
     def max: Option[String] = stats.headOption.flatMap(_._2)
   }
@@ -168,11 +175,15 @@ object LakeTable {
       meta.txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn=${esc(app)}:$v" }
     val lines = entries.map { e =>
       // stats cells always come in (min, max) PAIRS, so the optional
-      // trailing row-count cell is identified by parity alone — a parser
-      // that predates counts drops the odd singleton harmlessly, and
-      // this parser reads pre-count lines (even cell count) as rows=None
+      // trailing cell is identified by parity alone — a parser that
+      // predates counts drops the odd singleton harmlessly, and this
+      // parser reads pre-count lines (even cell count) as rows=None.
+      // The trailing cell is `<rows>` or `<rows>:<bytes>` — the length
+      // rides inside the same cell (':' cannot appear in a long), so the
+      // parity trick keeps working and pre-bytes manifests parse as
+      // bytes=None
       val cells = e.stats.flatMap { case (mn, mx) => Seq(encOpt(mn), encOpt(mx)) } ++
-        e.rows.map(_.toString).toSeq
+        e.rows.map(r => r.toString + e.bytes.fold("")(b => s":$b")).toSeq
       (Seq(esc(e.part), e.rel) ++ cells).mkString("\t")
     }
     (header ++ lines).mkString("\n")
@@ -206,11 +217,15 @@ object LakeTable {
     val entries = body.map { line =>
       val cells = line.split("\t", -1)
       val tail = cells.drop(2)
-      val rows = if (tail.length % 2 == 1) Some(tail.last.toLong) else None
+      val (rows, bytes) =
+        if (tail.length % 2 == 1) {
+          val parts = tail.last.split(":", 2)
+          (Some(parts(0).toLong), if (parts.length == 2) Some(parts(1).toLong) else None)
+        } else (None, None)
       val stats = tail.take(tail.length - (tail.length % 2)).grouped(2).collect {
         case Array(mn, mx) => (decOpt(mn), decOpt(mx))
       }.toSeq
-      Entry(unesc(cells(0)), cells(1), stats, rows)
+      Entry(unesc(cells(0)), cells(1), stats, rows, bytes)
     }
     (meta, entries)
   }
@@ -303,111 +318,123 @@ object LakeTable {
     (if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile)
      else writer).parquet(dataDir.toString)
 
-    // an EMPTY batch (e.g. a merge whose source has no rows) writes no
-    // part files — there is nothing to list or collect stats over, and
-    // reading the empty directory back would fail schema inference
+    // ONE listing of the just-written batch serves everything below:
+    // empty-batch detection, per-file lengths for the manifest, and the
+    // footer row-count reads. An EMPTY batch (e.g. a merge whose source
+    // has no rows) writes no part files — nothing to record, and reading
+    // the empty directory back would fail schema inference.
     val f = fs(spark, dataDir)
-    val wrote = f.exists(dataDir) && {
-      val probe = f.listFiles(dataDir, true)
-      Iterator.continually(probe).takeWhile(_.hasNext).map(_.next())
-        .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    }
-    if (!wrote) return Nil
-
-    // per-file stats + row counts in ONE pass: min/max of each stats
-    // column aggregated in the column's NATIVE type (string-min over
-    // numbers would order "10"<"9") and rendered to string for the
-    // manifest, plus count(*) per file (the Delta-numRecords pattern —
-    // metadata-only COUNT(*) and per-partition counts downstream). Keyed
-    // by the file's path RELATIVE to the batch dir (`__part=<v>/<name>`),
-    // NOT the bare file name: one write task covering several partition
-    // values emits the SAME part-<task>-<uuid> file name into each
-    // partition dir, so a name-only map silently collapses those entries
-    // and every collided file inherits some other file's bounds — wrong
-    // skipping. A key that fails to match (e.g. URI-encoding of an
-    // exotic escaped partition value) degrades to no stats/count for
-    // that file = never skipped, counted by scan (safe).
-    val present = meta.statsCols.filter(df.columns.contains)
-    val perFileRows = {
-      val statAggs = present.zipWithIndex.flatMap { case (sc, i) =>
-        Seq(min(col(sc)).cast("string").as(s"mn$i"), max(col(sc)).cast("string").as(s"mx$i"))
-      }
-      val aggs = count(lit(1)).as("cnt") +: statAggs
-      spark.read.parquet(dataDir.toString)
-        .groupBy(input_file_name().as("f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-    }
-    val counts: Map[String, Long] =
-      perFileRows.map(r => partAndName(r.getString(0)) -> r.getLong(1)).toMap
-    val stats: Map[String, Seq[(Option[String], Option[String])]] =
-      if (present.isEmpty) Map.empty
+    val files: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!f.exists(dataDir)) Nil
       else {
-        val perFile = perFileRows.map { r =>
-          val bounds = present.indices
-            .map(i => (Option(r.getString(2 + 2 * i)), Option(r.getString(3 + 2 * i))))
-          partAndName(r.getString(0)) -> bounds
-        }.toMap
-        // a stats column absent from this batch's frame (should not
-        // happen post-align, but stay conservative) records no bounds
-        perFile.map { case (k, bounds) =>
-          k -> meta.statsCols.map(sc =>
-            if (present.contains(sc)) bounds(present.indexOf(sc)) else (None, None))
-        }
+        val it = f.listFiles(dataDir, true)
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(s => s: org.apache.hadoop.fs.FileStatus).toSeq
       }
+    if (files.isEmpty) return Nil
 
-    // per-file Bloom sidecars (POINT-lookup skipping where min/max can't
-    // prune): one aggregate over the just-written batch builds a bloom of
-    // xxhash64(col) per (file, bloom column), written DISTRIBUTED as a
-    // batch-scoped parquet under index/<batch>/ — never collected to the
-    // driver, so sidecar volume scales with the batch like the data
-    // itself. Bits sized for the batch's largest file at 1% fpp (smaller
-    // files just get a lower fpp). NULLs hash to the seed constant and
+    // exact per-file ROW COUNTS from the parquet footers, read driver-
+    // side — O(files) metadata I/O, zero Spark jobs, zero row scans (the
+    // Delta-numRecords idiom: counts belong to the write, not to a
+    // re-scan). They fill the manifest's count cells (metadata-only
+    // COUNT(*) downstream) and size the Bloom sidecars BEFORE the single
+    // stats pass below. Keyed by the path RELATIVE to the batch dir
+    // (`__part=<v>/<name>`), NOT the bare file name: one write task
+    // covering several partition values emits the SAME part-<task>-<uuid>
+    // name into each partition dir, so a name-only map would collapse
+    // those entries.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val counts: Map[String, Long] = files.map { st =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf))
+      val n = try rdr.getRecordCount finally rdr.close()
+      partAndName(st.getPath.toString) -> n
+    }.toMap
+
+    // per-file stats AND Bloom sidecars in ONE fused pass over the batch
+    // (previously two aggregates = two batch scans — the measured init
+    // premium): min/max of each stats column aggregated in the column's
+    // NATIVE type (string-min over numbers would order "10"<"9") and
+    // rendered to string for the manifest, plus a Bloom of xxhash64(col)
+    // per (file, bloom column). The grouped result is #files rows —
+    // persisted only when BOTH consumers need it (driver collect for
+    // stats, distributed sidecar write), so the batch itself is scanned
+    // exactly once. Bloom bits are sized for the batch's largest file at
+    // 1% fpp from the footer counts (smaller files just get a lower
+    // fpp); sidecars are written DISTRIBUTED under index/<batch>/ —
+    // never collected to the driver. NULLs hash to the seed constant and
     // sit in the filter harmlessly — an equality lookup never matches
     // NULL anyway. Readers that find no sidecar row for a file keep it
     // (conservative), so pre-bloom batches and evolution stay correct.
-    {
-      val bloomPresent = meta.bloomCols.filter(df.columns.contains)
-      if (bloomPresent.nonEmpty) {
-        val batchDf = spark.read.parquet(dataDir.toString)
-        // bits sized from the per-file counts the stats pass already
-        // collected — no extra scan
+    // A stats/bloom column absent from this batch's frame (should not
+    // happen post-align, but stay conservative) records nothing for it.
+    val present = meta.statsCols.filter(df.columns.contains)
+    val bloomPresent = meta.bloomCols.filter(df.columns.contains)
+    val stats: Map[String, Seq[(Option[String], Option[String])]] =
+      if (present.isEmpty && bloomPresent.isEmpty) Map.empty
+      else {
+        val statAggs = present.zipWithIndex.flatMap { case (sc, i) =>
+          Seq(min(col(sc)).cast("string").as(s"mn$i"), max(col(sc)).cast("string").as(s"mx$i"))
+        }
+        val bridge = org.apache.spark.sql.GraftColumnBridge
         val items = math.max(64L, counts.values.foldLeft(0L)(math.max))
         val bits = graft.operators.llm.BloomGate.optimalNumBits(items, 0.01)
-        val bridge = org.apache.spark.sql.GraftColumnBridge
-        val aggs = bloomPresent.zipWithIndex.map { case (c, i) =>
+        val bloomAggs = bloomPresent.zipWithIndex.map { case (c, i) =>
           val agg = new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
             bridge.expression(xxhash64(col(c))),
             org.apache.spark.sql.catalyst.expressions.Literal(items),
             org.apache.spark.sql.catalyst.expressions.Literal(bits))
           bridge.column(agg.toAggregateExpression()).as(s"bf_$i")
         }
-        val perFile = batchDf.groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
-        val rel = concat(lit(s"data/$batch/"), regexp_extract(col("f"), "([^/]+/[^/]+)$", 1))
-        bloomPresent.zipWithIndex.map { case (c, i) =>
-          perFile.select(rel.as("rel"), lit(c).as("col"), col(s"bf_$i").as("bits"))
-        }.reduce(_.unionByName(_))
-          .write.mode("overwrite")
-          .parquet(new Path(new Path(root, "index"), batch).toString)
+        val aggs = statAggs ++ bloomAggs
+        val perFile = spark.read.parquet(dataDir.toString)
+          .groupBy(input_file_name().as("f"))
+          .agg(aggs.head, aggs.tail: _*)
+        val bothConsumers = present.nonEmpty && bloomPresent.nonEmpty
+        if (bothConsumers)
+          perFile.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (bloomPresent.nonEmpty) {
+            val rel = concat(lit(s"data/$batch/"), regexp_extract(col("f"), "([^/]+/[^/]+)$", 1))
+            bloomPresent.zipWithIndex.map { case (c, i) =>
+              perFile.select(rel.as("rel"), lit(c).as("col"), col(s"bf_$i").as("bits"))
+            }.reduce(_.unionByName(_))
+              .write.mode("overwrite")
+              .parquet(new Path(new Path(root, "index"), batch).toString)
+          }
+          if (present.isEmpty) Map.empty
+          else {
+            val rows = perFile
+              .select(col("f") +: present.indices.flatMap(i =>
+                Seq(col(s"mn$i"), col(s"mx$i"))): _*)
+              .collect()
+            rows.map { r =>
+              val bounds = present.indices
+                .map(i => (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i))))
+              partAndName(r.getString(0)) ->
+                meta.statsCols.map(sc =>
+                  if (present.contains(sc)) bounds(present.indexOf(sc))
+                  else (None: Option[String], None: Option[String]))
+            }.toMap
+          }
+        } finally if (bothConsumers) perFile.unpersist()
       }
-    }
 
-    val it = f.listFiles(dataDir, true)
-    Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map { s =>
-        val p = s.getPath
-        val pv = p.getParent.getName match {
-          case d if d.startsWith(s"$PartDirCol=") => d.stripPrefix(s"$PartDirCol=")
-          case d => sys.error(s"unexpected data layout at $p (dir $d)")
-        }
-        val key = s"$PartDirCol=$pv/${p.getName}"
-        val bounds = stats.getOrElse(key, meta.statsCols.map(_ => (None, None)))
-        // decode with Hive path unescaping (NOT URLDecoder: '+' is
-        // literal); a null partition's directory IS the sentinel already
-        val decoded = if (pv == NullPartition) NullPartition else unesc(pv)
-        Entry(decoded, s"data/$batch/$PartDirCol=$pv/${p.getName}", bounds, counts.get(key))
-      }.toSeq
+    files.map { s =>
+      val p = s.getPath
+      val pv = p.getParent.getName match {
+        case d if d.startsWith(s"$PartDirCol=") => d.stripPrefix(s"$PartDirCol=")
+        case d => sys.error(s"unexpected data layout at $p (dir $d)")
+      }
+      val key = s"$PartDirCol=$pv/${p.getName}"
+      val bounds = stats.getOrElse(key, meta.statsCols.map(_ => (None, None)))
+      // decode with Hive path unescaping (NOT URLDecoder: '+' is
+      // literal); a null partition's directory IS the sentinel already
+      val decoded = if (pv == NullPartition) NullPartition else unesc(pv)
+      Entry(decoded, s"data/$batch/$PartDirCol=$pv/${p.getName}", bounds,
+        counts.get(key), bytes = Some(s.getLen))
+    }
   }
 
   /** Last two path components of a file URI: `__part=<v>/<fileName>` —
@@ -1503,29 +1530,42 @@ object LakeTable {
 
   // ---- vacuum --------------------------------------------------------
 
-  /** Delete data files that are (a) not referenced by the CURRENT
-    * committed manifest and (b) older than `retainMillis` — the
-    * retention horizon protects a concurrent writer's just-written,
-    * not-yet-committed batch (and keeps recent versions time-travelable).
-    * The default mirrors the conventional 7-day lakehouse retention;
-    * pass 0 ONLY when no writer is in flight (a 0-retention vacuum racing
-    * a writer could reclaim the batch it is about to commit).
+  /** Delete data files that are (a) not referenced by any of the newest
+    * `keepVersions` committed manifests and (b) older than
+    * `retainMillis` — two independent retention guards. The time horizon
+    * protects a concurrent writer's just-written, not-yet-committed
+    * batch (and anything recent); the VERSION horizon guarantees the
+    * last N snapshots stay time-travelable and a streaming source /
+    * incremental consumer restarting inside that window can still replay
+    * them, REGARDLESS of wall-clock age — the knob Delta expresses as a
+    * retention duration and Iceberg as retain-last-N. The defaults
+    * mirror the conventional 7-day lakehouse retention with only the
+    * head version pinned; pass retainMillis=0 ONLY when no writer is in
+    * flight (a 0-retention vacuum racing a writer could reclaim the
+    * batch it is about to commit).
     *
     * Reader contract: the CURRENT snapshot is never affected (its files
-    * are live by definition). A concurrent [[readVersion]] time-travel of
-    * an OLDER snapshot whose files age out mid-read can fail — and a
-    * [[readVersion]] issued after the vacuum fails crisply at plan time
-    * with a "has been vacuumed" error rather than returning a partial
-    * table (spec-pinned). Retention is the knob that makes this window
-    * practically empty: no read outlives 7 days.
+    * are live by definition), and neither is any of the `keepVersions`
+    * newest. A [[readVersion]] of an OLDER snapshot issued after the
+    * vacuum fails crisply at plan time with a "has been vacuumed" error
+    * rather than returning a partial table (spec-pinned). Retention is
+    * what makes the concurrent-reader window practically empty: no read
+    * outlives 7 days or N versions.
+    *
+    * Returns the number of FILES removed (data files plus files inside
+    * reclaimed bloom-sidecar directories — a single unit).
     */
   def vacuum(
       spark: SparkSession,
       root: String,
-      retainMillis: Long = 7L * 24 * 3600 * 1000): Long = {
+      retainMillis: Long = 7L * 24 * 3600 * 1000,
+      keepVersions: Int = 1): Long = {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.vacuum: no committed snapshot at $root")
-    val live = s0.entries.map(_.rel).toSet
+    require(keepVersions >= 1, "LakeTable.vacuum: keepVersions must be >= 1 (the head is always kept)")
+    val floor = math.max(1L, s0.version - keepVersions + 1)
+    val live = (floor to s0.version)
+      .flatMap(v => readManifest(spark, root, v)._2.map(_.rel)).toSet
     val cutoff = System.currentTimeMillis() - retainMillis
     val dataDir = new Path(root, "data")
     val f = fs(spark, dataDir)

@@ -42,9 +42,11 @@ import graft.operators.LakeTable.{Entry, TableMeta}
   * without recorded stats all keep the file in. Correctness never
   * depends on pruning — the full predicate still evaluates on the scan.
   *
-  * `sizeInBytes` reports the snapshot's actual byte count (one listing
-  * of the live batch directories, cached), so Catalyst's broadcast
-  * decision sees the table's true size instead of defaulting to "huge".
+  * `sizeInBytes` reports the snapshot's actual byte count from the
+  * manifest's recorded per-file lengths — like `listFiles`, METADATA
+  * ONLY (zero filesystem calls; pre-length entries fall back to one
+  * getFileStatus each) — so Catalyst's broadcast decision sees the
+  * table's true size instead of defaulting to "huge".
   */
 class LakeFileIndex(
     spark: SparkSession,
@@ -64,30 +66,41 @@ class LakeFileIndex(
 
   override def refresh(): Unit = ()  // a snapshot is immutable
 
-  // one recursive listing of the live batch dirs resolves every entry's
-  // FileStatus (length for sizeInBytes + the scan's split planning);
-  // an entry absent from the listing (vacuumed mid-plan) fails crisply
-  private lazy val statusByRel: Map[String, FileStatus] = {
-    val dataDir = new Path(root, "data")
-    val f = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(dataDir)) Map.empty
-    else {
-      val rootUri = f.makeQualified(new Path(root)).toUri
-      val it = f.listFiles(dataDir, true)
-      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(s => rootUri.relativize(s.getPath.toUri).getPath -> (s: FileStatus))
-        .toMap
-    }
+  /** Filesystem round-trips made to resolve FileStatus — the test hook
+    * pinning that planning over a post-length manifest touches the
+    * filesystem ZERO times (only legacy pre-length entries fall back).
+    */
+  @volatile var fsStatusLookups: Int = 0
+
+  // the table root qualified once (makeQualified is local — no RPC), so
+  // synthesized statuses carry full URIs like a real listing would
+  private lazy val qualifiedRoot: Path = {
+    val p = new Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
   }
 
-  private def status(e: Entry): FileStatus =
-    statusByRel.getOrElse(e.rel, {
+  /** FileStatus from manifest METADATA alone: the recorded byte length is
+    * exact (captured from the write's own listing), which is all split
+    * planning and `sizeInBytes` consume — so planning never lists or
+    * stats the data tree, no matter how many dead batches history has
+    * accumulated (the previous recursive listing scaled with files ON
+    * DISK, not the live set). Modification time is synthesized as 0
+    * (immutable files; nothing downstream reads it in a batch scan).
+    * Entries from pre-length manifests fall back to one getFileStatus
+    * each. A vacuumed-mid-plan entry now fails at SCAN time (missing
+    * file) instead of plan time — same crispness, later surface;
+    * `snapshotAt` still refuses vacuumed time-travel versions up front.
+    */
+  private def status(e: Entry): FileStatus = e.bytes match {
+    case Some(len) =>
+      new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, new Path(qualifiedRoot, e.rel))
+    case None =>
+      fsStatusLookups += 1
       val p = new Path(root, e.rel)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
-    })
+  }
 
-  override lazy val sizeInBytes: Long = entries.map(status(_).getLen).sum
+  override lazy val sizeInBytes: Long = entries.map(e => e.bytes.getOrElse(status(e).getLen)).sum
 
   override def inputFiles: Array[String] =
     entries.map(e => new Path(root, e.rel).toString).toArray

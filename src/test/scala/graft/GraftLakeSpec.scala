@@ -339,6 +339,44 @@ class GraftLakeSpec extends SparkSpec {
     val e0 = LakeTable.Entry("c", "data/b2/f.parquet", Nil, Some(7L))
     val (_, es0) = LakeTable.parseManifest(LakeTable.renderManifest(meta0, Seq(e0)))
     assert(es0 === Seq(e0))
+    // the byte length rides inside the count cell (`rows:bytes`); a
+    // rows-only cell (pre-length manifest) parses as bytes=None
+    val full = LakeTable.Entry("d", "data/b3/f.parquet", Seq((Some("1"), Some("9"))),
+      Some(42L), Some(123456L))
+    val (_, esF) = LakeTable.parseManifest(LakeTable.renderManifest(meta, Seq(full)))
+    assert(esF === Seq(full))
+  }
+
+  test("planning is metadata-only: zero filesystem status calls on a length-recorded manifest") {
+    val root = tmp("metaplan")
+    mkTable(root)
+    val idx = graft.sources.lake.LakeFileIndex(spark, root, None)
+    val dirs = idx.listFiles(Nil, Nil)
+    val size = idx.sizeInBytes
+    assert(idx.fsStatusLookups === 0,
+      s"plan-time FileStatus must come from the manifest alone, made ${idx.fsStatusLookups} fs calls")
+    // synthesized statuses carry the TRUE lengths (split planning depends on it)
+    def walk(d: java.io.File): Seq[java.io.File] =
+      if (d.isFile) Seq(d)
+      else Option(d.listFiles).toSeq.flatten.flatMap(walk)
+    // key by partitionDir/name — one task writes the SAME part file name
+    // into several partition dirs
+    val realByName = walk(new java.io.File(new java.io.File(new java.net.URI(s"file:$root")), "data"))
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(f => s"${f.getParentFile.getName}/${f.getName}" -> f.length).toMap
+    dirs.flatMap(_.files).foreach { st =>
+      val key = s"${st.getPath.getParent.getName}/${st.getPath.getName}"
+      assert(st.getLen === realByName(key), s"synthesized length drifted for $key")
+    }
+    assert(size === realByName.values.sum)
+    // a LEGACY (pre-length) manifest still plans — one getFileStatus per
+    // entry, no recursive listing — and scans correctly
+    val snap = LakeTable.snapshot(spark, root)
+    val legacy = new graft.sources.lake.LakeFileIndex(
+      spark, root, snap.meta.get, snap.entries.map(_.copy(bytes = None)))
+    val legacyDirs = legacy.listFiles(Nil, Nil)
+    assert(legacy.fsStatusLookups === snap.entries.size)
+    assert(legacyDirs.flatMap(_.files).map(_.getLen).sum === size)
   }
 
   test("metadata-only counts: countRows and countByPartition without data I/O") {
