@@ -824,6 +824,27 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.read(spark, root).count() === 300)
   }
 
+  test("vacuum keepVersions: the last N snapshots survive, older ones reclaim crisply") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")                                   // v1
+    LakeTable.merge(spark, root, baseDf.withColumn("v", col("v") + 1), Seq("k"), "p")  // v2
+    LakeTable.merge(spark, root, baseDf.withColumn("v", col("v") + 2), Seq("k"), "p")  // v3
+    // keepVersions=2 pins v2 and v3: v2 still time-travels after a
+    // 0-retention vacuum; v1 is reclaimed and refuses crisply
+    val removed = LakeTable.vacuum(spark, root, retainMillis = 0, keepVersions = 2)
+    assert(removed > 0, "v1's files must be reclaimed")
+    assert(LakeTable.readVersion(spark, root, 2).count() === 300)
+    assert(LakeTable.readVersion(spark, root, 3).count() === 300)
+    val e = intercept[IllegalArgumentException](LakeTable.readVersion(spark, root, 1))
+    assert(e.getMessage.contains("has been vacuumed"), s"got: ${e.getMessage}")
+    // default (head-only) vacuum then reclaims v2's files too
+    LakeTable.vacuum(spark, root, retainMillis = 0)
+    intercept[IllegalArgumentException](LakeTable.readVersion(spark, root, 2))
+    assert(LakeTable.read(spark, root).count() === 300)
+    intercept[IllegalArgumentException](
+      LakeTable.vacuum(spark, root, retainMillis = 0, keepVersions = 0))
+  }
+
   test("manifest header: stats column names containing the ',' delimiter round-trip") {
     val meta = LakeTable.TableMeta(
       org.apache.spark.sql.types.StructType.fromDDL("`a,b` INT, c INT"),
