@@ -90,15 +90,38 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val hostSecMt = math.min(spinMt(), spinMt())
+    // memory-bandwidth arm (r14 lesson): the register spin read ~1.0 while
+    // real queries ran 1.4x — Spark's hot loops are memory-bound, so the
+    // tenancy mode that bites is BANDWIDTH, which only a working set far
+    // past LLC can see. STREAM-triad over 3 x 128 MiB arrays,
+    // single-threaded, min of 2 timed sweeps after a warm-up.
+    val triadN = 16 * 1024 * 1024 // longs per array; 3 arrays = 384 MiB
+    val ta = new Array[Long](triadN); val tb = new Array[Long](triadN)
+    val tc = new Array[Long](triadN)
+    var ti = 0
+    while (ti < triadN) { tb(ti) = ti; tc(ti) = 2L * ti; ti += 1 } // touch pages
+    def triad(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < triadN) { ta(i) = tb(i) + 3L * tc(i); i += 1 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    triad() // warm-up
+    val hostSecMem = math.min(triad(), triad())
+    if (ta(triadN - 1) == 42L) System.err.println("") // keep the sweep live
     val refSec = sys.env.getOrElse("SPARK_GRAFT_HOST_REF_SEC", "0.93").toDouble
+    // quiet-host reference for the triad, measured round 15 on this box
+    val refMemSec = sys.env.getOrElse("SPARK_GRAFT_HOST_REF_MEM_SEC", "0.032").toDouble
     val hostFactor = hostSec / refSec
     val hostFactorMt = hostSecMt / refSec
+    val hostFactorMem = hostSecMem / refMemSec
 
     def line(queries: String) =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$queries,""" +
         s""""failed":$failedJson,"n":${results.size},"host_factor":${f"$hostFactor%.3f"},""" +
-        s""""host_factor_mt":${f"$hostFactorMt%.3f"},"host_sec":${f"$hostSec%.3f"},""" +
-        s""""host_sec_mt":${f"$hostSecMt%.3f"},"sf":"$sfDir"}"""
+        s""""host_factor_mt":${f"$hostFactorMt%.3f"},"host_factor_mem":${f"$hostFactorMem%.3f"},""" +
+        s""""host_sec":${f"$hostSec%.3f"},""" +
+        s""""host_sec_mt":${f"$hostSecMt%.3f"},"host_sec_mem":${f"$hostSecMem%.3f"},"sf":"$sfDir"}"""
     // The driver keeps only a ~2 KB TAIL of stdout; a full 129-entry map
     // (~5 KB) truncates into unparseable JSON (BENCH_r09/r13 lesson). So
     // stdout carries a line that FITS — totals + the slowest queries in
