@@ -38,7 +38,21 @@ object SparkEngine {
     // the row_number-filter -> TopKPerKey optimizer rewrite
     graft.functions.GraftExtensions.register(spark)
     graft.plans.TopK.register(spark)
+    registerLakeCatalog(spark)
     spark
+  }
+
+  /** The `graft` SQL catalog (CREATE TABLE graft.db.t / DELETE FROM /
+    * VERSION AS OF / MERGE INTO against lake tables). Catalog configs are
+    * resolved lazily at first lookup, so setting them on a live session
+    * works; an explicitly-configured warehouse is left alone.
+    */
+  private def registerLakeCatalog(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.lake.GraftLakeCatalog")
+    if (!spark.conf.getOption("spark.sql.catalog.graft.warehouse").exists(_.nonEmpty))
+      spark.conf.set("spark.sql.catalog.graft.warehouse",
+        s"${System.getProperty("java.io.tmpdir")}/graft-lake-warehouse")
+    graft.plans.LakeMerge.register(spark)
   }
 
   /** Tune an externally-created session (e.g. the driver's) with the same
@@ -49,6 +63,7 @@ object SparkEngine {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.functions.GraftExtensions.register(spark)
     graft.plans.TopK.register(spark)
+    registerLakeCatalog(spark)
     spark
   }
 }

@@ -1181,6 +1181,38 @@ object LakeTable {
     * removes every row commits a legitimately-empty snapshot — the
     * manifest's recorded schema keeps the table readable and mergeable.
     */
+  /** File-level pruner for a row predicate (shared by [[delete]] and
+    * [[update]]): TRUE = the file may hold a matching row.
+    *
+    * Stats arm: conjunctive attr-vs-literal bounds implied by the
+    * predicate prune files that provably hold no matching row (rows
+    * whose stats column is NULL are never matched by a range/equality
+    * predicate — NULL comparisons are not TRUE — so pruning on non-null
+    * min/max is sound). Unrecognized predicate shapes scan everything.
+    *
+    * Bloom arm: point-equality conjuncts on bloom-indexed columns prune
+    * by sidecar too. Re-casting the rendered bound is exact BECAUSE
+    * predicateBounds' literal guard only admits exact-type or integral
+    * literals (a float-vs-double literal that would round-trip to a
+    * different runtime value never reaches here — it yields no bound,
+    * disabling both stats and bloom pruning conservatively).
+    */
+  private def predicateFilePruner(
+      spark: SparkSession,
+      root: String,
+      meta: TableMeta,
+      predicate: Column): Entry => Boolean = {
+    val allBounds = predicateBounds(meta.schema, predicate)
+    val bounds = allBounds.filter { case (c, _) => meta.statsCols.contains(c) }
+    val bloomPts = allBounds.toSeq.collect {
+      case (c, (Some(lo), Some(hi))) if lo == hi && meta.bloomCols.contains(c) =>
+        (bloomHashExternal(meta.schema(c).dataType, lo), loadBlooms(spark, root, c))
+    }
+    e =>
+      bounds.forall { case (c, (lo, hi)) => entryIntersects(meta, e, c, lo, hi) } &&
+        bloomPts.forall { case (h, blooms) => blooms.get(e.rel).forall(_.mightContainLong(h)) }
+  }
+
   def delete(
       spark: SparkSession,
       root: String,
@@ -1189,27 +1221,7 @@ object LakeTable {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.delete: no committed snapshot at $root")
     val meta = s0.meta.get
-    // stats-informed probe: conjunctive attr-vs-literal bounds implied by
-    // the predicate prune files that provably hold no matching row (rows
-    // whose stats column is NULL are never deleted by a range/equality
-    // predicate — NULL comparisons are not TRUE — so pruning on non-null
-    // min/max is sound). Unrecognized predicate shapes scan everything.
-    val allBounds = predicateBounds(meta.schema, predicate)
-    val bounds = allBounds.filter { case (c, _) => meta.statsCols.contains(c) }
-    // point-equality conjuncts on bloom-indexed columns prune by sidecar
-    // too (a file whose bloom excludes the value provably holds no row
-    // the predicate deletes). Re-casting the rendered bound is exact
-    // BECAUSE predicateBounds' literal guard only admits exact-type or
-    // integral literals (a float-vs-double literal that would round-trip
-    // to a different runtime value never reaches here — it yields no
-    // bound, disabling both stats and bloom pruning conservatively)
-    val bloomPts = allBounds.toSeq.collect {
-      case (c, (Some(lo), Some(hi))) if lo == hi && meta.bloomCols.contains(c) =>
-        (bloomHashExternal(meta.schema(c).dataType, lo), loadBlooms(spark, root, c))
-    }
-    val mayDelete: Entry => Boolean = e =>
-      bounds.forall { case (c, (lo, hi)) => entryIntersects(meta, e, c, lo, hi) } &&
-        bloomPts.forall { case (h, blooms) => blooms.get(e.rel).forall(_.mightContainLong(h)) }
+    val mayDelete = predicateFilePruner(spark, root, meta, predicate)
     val probeEntries = s0.entries.filter(mayDelete)
     val affected =
       if (probeEntries.isEmpty) Set.empty[String]
@@ -1229,6 +1241,60 @@ object LakeTable {
     require(
       commit(spark, root, s0.version + 1, meta, carry ++ written),
       s"LakeTable.delete: concurrent commit at $root (retry on a fresh snapshot)")
+    MergeStats(s0.version + 1, affected.size, rewrite.size, carry.size, written.size,
+      filesProbed = probeEntries.size)
+  }
+
+  /** Transactional COW UPDATE: rows where `predicate` is TRUE get the
+    * `set` assignments applied (SQL UPDATE semantics — NULL-predicate
+    * rows keep their values; all assignments evaluate against the
+    * PRE-update row, so `SET a = b, b = a` swaps). Same shape and
+    * pruning as [[delete]]: the probe and the rewrite set are
+    * stats/bloom-pruned by the predicate's implied bounds, files that
+    * provably hold no match carry by path, and the rewrite commits
+    * atomically — one commit, unlike a delete+append emulation, so a
+    * crash can never lose the updated rows. Assigning the partition
+    * column moves rows between partitions correctly (affected files are
+    * rewritten wholesale and the write path re-partitions them).
+    * Assignment values are cast to the column's declared type.
+    */
+  def update(
+      spark: SparkSession,
+      root: String,
+      predicate: Column,
+      set: Map[String, Column],
+      partitionCol: String): MergeStats = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.update: no committed snapshot at $root")
+    val meta = s0.meta.get
+    require(meta.partitionCol == partitionCol,
+      s"LakeTable.update: table is partitioned by ${meta.partitionCol}, not $partitionCol")
+    set.keys.foreach(c => require(meta.schema.fieldNames.contains(c),
+      s"LakeTable.update: SET column $c not in table schema"))
+    val mayMatch = predicateFilePruner(spark, root, meta, predicate)
+    val probeEntries = s0.entries.filter(mayMatch)
+    val affected =
+      if (probeEntries.isEmpty) Set.empty[String]
+      else readEntries(spark, root, meta.schema, probeEntries).where(predicate)
+        .select(partExpr(partitionCol)).distinct()
+        .collect().map(_.getString(0)).toSet
+    val (rewrite, carry) = s0.entries.partition(e => affected.contains(e.part) && mayMatch(e))
+    val written =
+      if (rewrite.isEmpty) Nil
+      else {
+        val hit = coalesce(predicate, lit(false))
+        val updated = spark.read.schema(meta.schema)
+          .parquet(rewrite.map(e => s"$root/${e.rel}"): _*)
+          .select(meta.schema.map { fld =>
+            set.get(fld.name)
+              .map(v => when(hit, v.cast(fld.dataType)).otherwise(col(fld.name)).as(fld.name))
+              .getOrElse(col(fld.name))
+          }.toSeq: _*)
+        writeBatch(spark, root, updated, meta)
+      }
+    require(
+      commit(spark, root, s0.version + 1, meta, carry ++ written),
+      s"LakeTable.update: concurrent commit at $root (retry on a fresh snapshot)")
     MergeStats(s0.version + 1, affected.size, rewrite.size, carry.size, written.size,
       filesProbed = probeEntries.size)
   }

@@ -1,0 +1,225 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Assignment, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, Project, UpdateAction,
+  UpdateTable}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.operators.LakeTable
+import graft.sources.lake.GraftLakeV2Table
+
+/** SQL DML for `graft` catalog tables — MERGE INTO / UPDATE / DELETE
+  * planned directly onto the transactional copy-on-write ops.
+  *
+  * Spark's own route for these verbs is the row-level-operation rewrite
+  * (SupportsRowLevelOperations), whose group-based COPY_ON_WRITE plan
+  * re-implements exactly what [[LakeTable.merge]]/[[LakeTable.update]]/
+  * [[LakeTable.delete]] already do — affected-file discovery, carry-by-
+  * path, atomic commit — but through a generic scan+replace protocol
+  * that, without connector-side runtime group filtering, rewrites the
+  * WHOLE table. Planning the logical command straight onto the native
+  * ops keeps the stats/Bloom-pruned probe, file-level COW and
+  * single-commit atomicity (and their spec pins) on the SQL path too.
+  * The strategy is injected via `experimental.extraStrategies` (consulted
+  * BEFORE the built-ins, which would otherwise throw TABLE_OPERATION
+  * unsupported at this exact spot), so it also attaches to an
+  * externally-created session through `SparkEngine.align`.
+  *
+  * Supported MERGE shape (the canonical source-wins upsert,
+  * [[LakeTable.merge]]'s contract):
+  *
+  * {{{
+  *   MERGE INTO graft.db.t t USING src s ON t.k1 = s.a [AND t.k2 = s.b ...]
+  *   WHEN MATCHED THEN UPDATE SET *            -- or explicit source-only exprs
+  *   WHEN NOT MATCHED THEN INSERT *            -- same values as the update
+  * }}}
+  *
+  * i.e. one unconditional matched UPDATE whose assignments read only the
+  * SOURCE side, one unconditional NOT MATCHED INSERT assigning the same
+  * values, no NOT-MATCHED-BY-SOURCE clauses, and an ON condition that is
+  * a conjunction of target-column = source-expression equalities whose
+  * target columns are assigned exactly their ON expression (all true for
+  * `SET * / INSERT *`). Anything else throws a crisp
+  * UnsupportedOperationException naming the unsupported piece rather
+  * than silently changing semantics. UPDATE and DELETE take ARBITRARY
+  * predicates/assignments (evaluated by the rewrite scan itself).
+  */
+object LakeMerge {
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(LakeDmlStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ LakeDmlStrategy
+}
+
+object LakeDmlStrategy extends SparkStrategy {
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case m @ MergeIntoTable(LakeTarget(t), source, cond, matched, notMatched, bySource, _)
+        if !m.schemaEvolutionEnabled =>
+      planMerge(t, source, cond, matched, notMatched, bySource) :: Nil
+    case UpdateTable(LakeTarget(t), assignments, condition) =>
+      planUpdate(t, assignments, condition) :: Nil
+    case DeleteFromTable(LakeTarget(t), condition) =>
+      // DeleteFromTable normally routes through SupportsDelete, which
+      // refuses non-Filter-translatable predicates; planning it here
+      // lifts that restriction — LakeTable.delete evaluates ANY predicate
+      LakeDmlExec("delete", () => {
+        LakeTable.delete(SparkSession.active, t.root, byNameColumn(condition),
+          t.meta.partitionCol)
+      }) :: Nil
+    case _ => Nil
+  }
+
+  /** The target side of a DML command when (possibly under a projection
+    * the analyzer adds) it is a graft-lake catalog table.
+    */
+  private object LakeTarget {
+    def unapply(plan: LogicalPlan): Option[GraftLakeV2Table] = plan match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftLakeV2Table => Some(t)
+        case _ => None
+      }
+      // V2ScanRelationPushdown may already have planned the target's scan
+      case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        unapply(s.relation)
+      case p: Project => unapply(p.child)
+      case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(_, child) => unapply(child)
+      case _ => None
+    }
+  }
+
+  /** A resolved expression re-anchored by NAME (attribute references
+    * replaced with unresolved ones) and wrapped as a Column — usable
+    * against a frame read fresh from the table, whose attribute ids
+    * differ from the command plan's.
+    */
+  private def byNameColumn(e: Expression): org.apache.spark.sql.Column =
+    GraftColumnBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+
+  private def fail(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft-lake MERGE INTO supports the source-wins upsert shape only " +
+        s"(one unconditional WHEN MATCHED THEN UPDATE with source-side values, one " +
+        s"unconditional WHEN NOT MATCHED THEN INSERT of the same values, ON = key " +
+        s"equalities); not supported here: $what")
+
+  private def planMerge(
+      t: GraftLakeV2Table,
+      source: LogicalPlan,
+      cond: Expression,
+      matched: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+      notMatched: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+      bySource: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction]): SparkPlan = {
+    if (bySource.nonEmpty) fail("WHEN NOT MATCHED BY SOURCE clauses")
+    val updateAssigns = matched match {
+      case Seq(u: UpdateAction) if u.condition.isEmpty => u.assignments
+      case other => fail(s"matched actions ${other.mkString(", ")}")
+    }
+    val insertAssigns = notMatched match {
+      case Seq(i: InsertAction) if i.condition.isEmpty => i.assignments
+      case other => fail(s"not-matched actions ${other.mkString(", ")}")
+    }
+    val sourceOut = source.outputSet
+
+    // assignment per target column; values must be source-side only
+    def byTarget(assigns: Seq[Assignment], what: String): Map[String, Expression] =
+      assigns.map { a =>
+        val name = a.key match {
+          case ar: AttributeReference => ar.name
+          case other => fail(s"$what assignment to non-column $other")
+        }
+        if (!a.value.references.subsetOf(sourceOut))
+          fail(s"$what assignment $name = ${a.value.sql} references the target row")
+        name -> a.value
+      }.toMap
+    val upd = byTarget(updateAssigns, "UPDATE")
+    val ins = byTarget(insertAssigns, "INSERT")
+    val targetCols = t.meta.schema.fieldNames.toSeq
+    targetCols.foreach { c =>
+      val (u, i) = (upd.get(c), ins.get(c))
+      if (u.isEmpty || i.isEmpty) fail(s"column $c is not assigned by both branches")
+      if (!u.get.semanticEquals(i.get))
+        fail(s"UPDATE and INSERT assign different values to $c (source-wins needs one value)")
+    }
+
+    // ON: conjunction of targetCol = sourceExpr; each key's assignment
+    // must BE its ON expression (otherwise matched rows could change key)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    val keyCols = conjuncts(cond).map {
+      case EqualTo(l, r) =>
+        val (tAttr, sExpr) =
+          if (l.references.subsetOf(sourceOut) && !r.references.subsetOf(sourceOut)) (r, l)
+          else (l, r)
+        val name = tAttr match {
+          case ar: AttributeReference if !sourceOut.contains(ar) => ar.name
+          case other => fail(s"ON conjunct side $other is not a target column")
+        }
+        if (!sExpr.references.subsetOf(sourceOut)) fail(s"ON conjunct for $name mixes both sides")
+        if (!upd(name).semanticEquals(sExpr))
+          fail(s"key column $name is reassigned away from its ON expression")
+        name
+      case other => fail(s"non-equality ON conjunct ${other.sql}")
+    }
+    if (keyCols.isEmpty) fail("an ON condition with no key equality")
+
+    // the effective source: one row per source row, projected to the
+    // target's column names through the (source-side) assignments — the
+    // exact frame LakeTable.merge upserts
+    val projected = Project(
+      t.meta.schema.map(f => Alias(upd(f.name), f.name)()).toSeq, source)
+    LakeDmlExec("merge", () => {
+      val spark = SparkSession.active
+      val src = GraftColumnBridge.ofRows(spark, projected)
+      LakeTable.mergeWithRetry(spark, t.root, src, keyCols, t.meta.partitionCol)
+    })
+  }
+
+  private def planUpdate(
+      t: GraftLakeV2Table,
+      assignments: Seq[Assignment],
+      condition: Option[Expression]): SparkPlan = {
+    val set = assignments.flatMap { a =>
+      val name = a.key match {
+        case ar: AttributeReference => ar.name
+        case other => throw new UnsupportedOperationException(
+          s"graft-lake UPDATE: assignment to non-column $other")
+      }
+      // analysis aligns assignments to ALL columns; identity assignments
+      // (c = c) need no rewrite expression
+      a.value match {
+        case v: AttributeReference if v.name == name => None
+        case v => Some(name -> byNameColumn(v))
+      }
+    }.toMap
+    val cond = condition.map(byNameColumn)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    LakeDmlExec("update", () => {
+      LakeTable.update(SparkSession.active, t.root, cond, set, t.meta.partitionCol)
+    })
+  }
+}
+
+/** Driver-side command exec for the lake DML verbs: the op (already a
+  * full Spark job pipeline internally — probe scan, COW rewrite, commit)
+  * runs exactly once, at eager-command execution time.
+  */
+case class LakeDmlExec(verb: String, run: () => Unit) extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  private lazy val once: Unit = run()
+  override def executeCollect(): Array[InternalRow] = { once; Array.empty }
+  override protected def doExecute(): RDD[InternalRow] = {
+    once
+    session.sparkContext.emptyRDD[InternalRow]
+  }
+}

@@ -803,6 +803,75 @@ object ExtQueries {
         .orderBy("_commit_version", "_change_type")
     },
 
+    // The SQL-catalog DML face end-to-end, every statement pure
+    // `spark.sql` against the `graft` TableCatalog: CREATE TABLE (DSv2
+    // DDL, stats opt-in via TBLPROPERTIES), transactional INSERT INTO,
+    // the q130 partition-moving MERGE INTO (planned by LakeDmlStrategy
+    // onto LakeTable.merge — stats-pruned probe, file-level COW, atomic
+    // commit), an UPDATE with an arithmetic assignment and a modulo
+    // predicate, and a DELETE whose predicate is NOT Filter-translatable
+    // (exercising the strategy path, not SupportsDelete). The oracle
+    // re-derives the final table relationally — a verb applied twice,
+    // not at all, or against the wrong snapshot shifts cnt/cents.
+    "q149_sql_catalog_dml" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"/root/repo/target/staging/q149_$tag/t"
+      val p = new org.apache.hadoop.fs.Path(s"/root/repo/target/staging/q149_$tag")
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q149_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q149_orders")
+      s.sql(s"""MERGE INTO $lt t USING (
+        SELECT o_orderkey, o_custkey, 'F' AS o_orderstatus,
+               CAST(o_totalprice + 100.0 AS DOUBLE) AS o_totalprice
+        FROM q149_orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey, 'N', CAST(o_totalprice AS DOUBLE)
+        FROM q149_orders WHERE o_orderkey % 10 = 3
+      ) s ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+      s.sql(s"UPDATE $lt SET o_totalprice = o_totalprice + 7.0 WHERE o_custkey % 100 = 1")
+      s.sql(s"DELETE FROM $lt WHERE o_orderkey % 10 = 6")
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    },
+
+    // SQL time travel through the catalog: `VERSION AS OF` resolves a
+    // pinned snapshot (v2 = the initial insert) side by side with the
+    // head after a COW delete — the old version must read back exactly
+    // as committed (a carried file mutated in place, or version
+    // resolution off by one, shifts the v2 row), and the head must show
+    // the delete applied.
+    "q150_sql_time_travel" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"/root/repo/target/staging/q150_$tag/t"
+      val p = new org.apache.hadoop.fs.Path(s"/root/repo/target/staging/q150_$tag")
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q150_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q150_orders")
+      s.sql(s"DELETE FROM $lt WHERE o_orderkey % 3 = 0")
+      s.sql(
+        s"""SELECT 'v2_preimage' AS snap, count(*) AS cnt,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM $lt VERSION AS OF 2
+           UNION ALL
+           SELECT 'head_after_delete', count(*),
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           FROM $lt
+           ORDER BY snap""")
+    },
+
     // The graft-lake STREAMING source end-to-end: the events fixture
     // lands in a lake table across four append commits with a COW DELETE
     // (a change commit) in the middle, and a real readStream tails the
@@ -1698,6 +1767,44 @@ object ExtQueries {
         |SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The SQL DML chain re-derived relationally: MERGE = source wins on
+    // key ∪ untouched target rows, UPDATE = conditional price bump,
+    // DELETE = modulo filter — applied in order to the base table.
+    "q149_sql_catalog_dml" ->
+      """WITH t0 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |                   CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, o_custkey, 'F' AS o_orderstatus,
+        |         o_totalprice + 100.0 AS o_totalprice
+        |  FROM t0 WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice
+        |  FROM t0 WHERE o_orderkey % 10 = 3),
+        |merged AS (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT * FROM t0 WHERE o_orderkey % 10 <> 0),
+        |updated AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_custkey % 100 = 1 THEN o_totalprice + 7.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM merged),
+        |final AS (SELECT * FROM updated WHERE o_orderkey % 10 <> 6)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    // v2 = the untouched initial insert; head = after the delete.
+    "q150_sql_time_travel" ->
+      """WITH t0 AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |            FROM orders)
+        |SELECT 'v2_preimage' AS snap, count(*) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM t0
+        |UNION ALL
+        |SELECT 'head_after_delete', count(*),
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM t0 WHERE o_orderkey % 3 <> 0
+        |ORDER BY snap""".stripMargin,
     // OPTIMIZE must be a pure layout change: the union of the four
     // appended slices IS the whole table, and each partition ends at
     // exactly one file (pinned literal).

@@ -1,0 +1,357 @@
+package graft.sources.lake
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{
+  NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{
+  LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.LakeTable
+
+/** `spark.sql.catalog.graft` — the SQL-catalog face of the lake layer,
+  * so a SQL-first user reaches every transactional verb without touching
+  * the programmatic API:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.sources.lake.GraftLakeCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/lake")
+  *
+  *   CREATE TABLE graft.db.orders (k BIGINT, p STRING, v BIGINT)
+  *     PARTITIONED BY (p) TBLPROPERTIES (statsCols 'k', bloomCols 'v')
+  *   INSERT INTO graft.db.orders SELECT ...         -- transactional append
+  *   INSERT OVERWRITE graft.db.orders SELECT ...    -- transactional replace
+  *   SELECT * FROM graft.db.orders WHERE k < 10     -- manifest-pruned DSv2 scan
+  *   SELECT * FROM graft.db.orders VERSION AS OF 3  -- time travel
+  *   DELETE FROM graft.db.orders WHERE k = 7        -- copy-on-write delete
+  *   MERGE INTO graft.db.orders t USING src s ON t.k = s.k
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * Identifiers map to `<warehouse>/<namespace...>/<table>`; a name that
+  * is itself an absolute path (``graft.`/tmp/x/tbl` ``) addresses an
+  * existing table root directly — the Delta `delta.`path`` idiom.
+  *
+  * READS go through Spark's own DSv2 parquet stack ([[ParquetScanBuilder]]
+  * over [[LakeFileIndex]]): the manifest is the listing, pushed filters
+  * prune files at plan time (partition + min/max stats + Bloom), and the
+  * scan itself is the vectorized reader inside whole-stage codegen —
+  * identical physical shape to the `graft-lake` DataFrame face. WRITES
+  * map onto the transactional ops through [[V1Write]] (append →
+  * [[LakeTable.append]], truncate/overwrite-all → [[LakeTable.overwrite]]),
+  * so INSERT INTO from SQL gets the same atomic manifest commit. DELETE
+  * FROM routes predicate-translatable conditions to the COW
+  * [[LakeTable.delete]] (actual file rewrites, not read-time filtering);
+  * MERGE INTO is rewritten by [[graft.plans.LakeMerge]] onto
+  * [[LakeTable.merge]].
+  *
+  * Time travel: `VERSION AS OF n` resolves through [[LakeTable.snapshotAt]]
+  * (with its vacuumed-version refusal); `TIMESTAMP AS OF t` picks the
+  * highest version whose manifest commit time is at or before `t`
+  * (commit time = the manifest file's modification time — the same
+  * convention Delta uses).
+  */
+class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft-lake-warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** Table root for an identifier: absolute-path names address a table
+    * root directly; everything else lives under the warehouse.
+    */
+  private def rootOf(ident: Identifier): String =
+    if (ident.namespace.isEmpty && ident.name.startsWith("/")) ident.name
+    else (ident.namespace :+ ident.name).mkString(s"$warehouse/", "/", "")
+
+  private def exists(root: String): Boolean =
+    LakeTable.snapshot(spark, root).version > 0
+
+  override def tableExists(ident: Identifier): Boolean = exists(rootOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    val snap = LakeTable.snapshot(spark, root)
+    if (snap.version == 0) throw new NoSuchTableException(ident)
+    new GraftLakeV2Table(ident.toString, root, snap)
+  }
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    if (!exists(root)) throw new NoSuchTableException(ident)
+    new GraftLakeV2Table(s"$ident@v$version", root,
+      LakeTable.snapshotAt(spark, root, version.toLong), timeTravel = true)
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    // timestamp arrives in MICROseconds; commit time = manifest mtime
+    val root = rootOf(ident)
+    if (!exists(root)) throw new NoSuchTableException(ident)
+    val dir = new Path(root, "_manifests")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = timestamp / 1000L
+    val versions = fs.listStatus(dir)
+      .filter(s => s.getPath.getName.startsWith("v") && s.getPath.getName.endsWith(".manifest"))
+      .filter(_.getModificationTime <= cutoff)
+      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".manifest").toLong)
+    require(versions.nonEmpty,
+      s"graft-lake: no version of $ident committed at or before timestamp ${timestamp}us")
+    loadTable(ident, versions.max.toString)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val root = rootOf(ident)
+    if (exists(root)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala
+    def prop(key: String): Option[String] =
+      props.get(key).orElse(props.get(s"${TableCatalog.OPTION_PREFIX}$key"))
+    val partitionCol = partitions.toSeq match {
+      case Seq() => prop("partitionCol").getOrElse(throw new UnsupportedOperationException(
+        "graft-lake: CREATE TABLE needs PARTITIONED BY (col) or TBLPROPERTIES (partitionCol '...')")
+      )
+      case Seq(t) if t.name == "identity" && t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case other => throw new UnsupportedOperationException(
+        s"graft-lake: only a single identity PARTITIONED BY column is supported, got " +
+          other.mkString(", "))
+    }
+    def cols(key: String): Seq[String] =
+      prop(key).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    LakeTable.init(spark, root, empty, partitionCol,
+      statsCols = cols("statsCols"), bloomCols = cols("bloomCols"))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-lake: ALTER TABLE is not supported (schema evolves through merge/append)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    exists(root) && fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val (from, to) = (new Path(rootOf(oldIdent)), new Path(rootOf(newIdent)))
+    val fs = from.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!exists(rootOf(oldIdent))) throw new NoSuchTableException(oldIdent)
+    if (exists(rootOf(newIdent))) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(to.getParent)
+    require(fs.rename(from, to), s"graft-lake: rename $from -> $to failed")
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((s"$warehouse" +: namespace).mkString("/"))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).filter(_.isDirectory)
+      .filter(s => fs.exists(new Path(s.getPath, "_manifests")))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+  }
+
+  // ---- namespaces (directory-backed, metadata-free) -------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val dir = new Path(warehouse)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).filter(_.isDirectory)
+      .filterNot(s => fs.exists(new Path(s.getPath, "_manifests")))
+      .map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val dir = new Path((s"$warehouse" +: namespace).mkString("/"))
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dir)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) new util.HashMap[String, String]()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = {
+    val dir = new Path((s"$warehouse" +: namespace).mkString("/"))
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dir)
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft-lake: namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = new Path((s"$warehouse" +: namespace).mkString("/"))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) false
+    else {
+      require(cascade || fs.listStatus(dir).isEmpty,
+        s"graft-lake: namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(dir, true)
+    }
+  }
+}
+
+/** The DSv2 table handle: a PINNED snapshot (reads are query-consistent;
+  * a concurrent commit is invisible to an already-planned scan), with
+  * scans on Spark's vectorized parquet stack over the manifest index and
+  * writes/deletes routed to the transactional ops against the CURRENT
+  * table state at execution time.
+  */
+class GraftLakeV2Table(
+    tableName: String,
+    val root: String,
+    snap: LakeTable.Snapshot,
+    timeTravel: Boolean = false)
+  extends Table
+  with SupportsRead
+  with SupportsWrite
+  with SupportsDelete {
+
+  val meta: LakeTable.TableMeta = snap.meta.get
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = GraftLake.nullable(meta.schema)
+
+  override def partitioning(): Array[Transform] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.identity(meta.partitionCol))
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("partitionCol", meta.partitionCol)
+    if (meta.statsCols.nonEmpty) m.put("statsCols", meta.statsCols.mkString(","))
+    if (meta.bloomCols.nonEmpty) m.put("bloomCols", meta.bloomCols.mkString(","))
+    m.put("version", snap.version.toString)
+    m
+  }
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+    caps
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    ParquetScanBuilder(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      new LakeFileIndex(spark, root, meta, snap.entries),
+      schema(), schema(), options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!timeTravel, s"graft-lake: cannot write to a time-travel snapshot of $tableName")
+    new LakeWriteBuilder(root)
+  }
+
+  // ---- DELETE FROM ----------------------------------------------------
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftLakeCatalog.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(!timeTravel, s"graft-lake: cannot delete from a time-travel snapshot of $tableName")
+    val cond = filters.flatMap(GraftLakeCatalog.filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    LakeTable.delete(spark, root, cond, meta.partitionCol)
+  }
+}
+
+/** INSERT INTO / INSERT OVERWRITE as transactional manifest commits via
+  * the V1 write bridge (the data still flows through Spark's normal
+  * parquet write path inside [[LakeTable.writeBatch]]; V1Write only
+  * carries the DataFrame across the DSv2 boundary).
+  */
+class LakeWriteBuilder(root: String) extends WriteBuilder
+  with SupportsTruncate with SupportsOverwrite {
+
+  private var replaceAll = false
+
+  override def truncate(): WriteBuilder = { replaceAll = true; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    val allRows = filters.isEmpty || filters.forall(_.isInstanceOf[sources.AlwaysTrue])
+    if (!allRows) throw new UnsupportedOperationException(
+      "graft-lake: INSERT OVERWRITE supports full-table overwrite only " +
+        s"(got filters ${filters.mkString(", ")})")
+    truncate()
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+          val spark = data.sparkSession
+          if (replaceAll || overwrite) LakeTable.overwrite(spark, root, data)
+          else LakeTable.append(spark, root, data)
+        }
+      }
+  }
+}
+
+object GraftLakeCatalog {
+
+  /** A DSv1 pushed [[Filter]] as a Column predicate (for the COW
+    * [[LakeTable.delete]]); None = not translatable, which fails
+    * `canDeleteWhere` crisply instead of deleting the wrong rows.
+    */
+  private[lake] def filterToColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+    case sources.Not(c) => filterToColumn(c).map(!_)
+    case _: sources.AlwaysTrue => Some(lit(true))
+    case _: sources.AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
+}

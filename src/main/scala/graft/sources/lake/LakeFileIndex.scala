@@ -4,7 +4,8 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.{
+  PartitionDirectory, PartitioningAwareFileIndex, PartitionSpec}
 import org.apache.spark.sql.types.{DataType, NumericType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -53,7 +54,13 @@ class LakeFileIndex(
     root: String,
     val meta: TableMeta,
     val entries: Seq[Entry])
-  extends FileIndex {
+  extends PartitioningAwareFileIndex(spark, Map.empty, None) {
+  // ^ the PartitioningAwareFileIndex parent (rather than bare FileIndex)
+  //   is what lets Spark's own ParquetScanBuilder/ParquetScan — the DSv2
+  //   vectorized read stack the TableCatalog face plugs into — plan over
+  //   this index directly; its three abstract members are served from
+  //   the manifest below, and listFiles/sizeInBytes stay overridden with
+  //   the pruning/metadata versions.
 
   /** Entries surviving pruning on the LAST listFiles call — the test
     * hook a skipping pin reads (scan metrics expose the same number).
@@ -63,6 +70,17 @@ class LakeFileIndex(
   override def rootPaths: Seq[Path] = Seq(new Path(root))
 
   override def partitionSchema: StructType = new StructType()
+
+  override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+
+  override def leafFiles: scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
+    entries.foreach { e => val s = status(e); m.put(s.getPath, s) }
+    m
+  }
+
+  override def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+    entries.map(status).groupBy(_.getPath.getParent).map { case (d, ss) => d -> ss.toArray }
 
   override def refresh(): Unit = ()  // a snapshot is immutable
 

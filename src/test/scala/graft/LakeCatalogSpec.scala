@@ -1,0 +1,233 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.functions._
+
+import graft.operators.LakeTable
+
+/** The `graft` SQL catalog (GraftLakeCatalog): every transactional verb
+  * reachable from pure `spark.sql` — DDL, INSERT INTO/OVERWRITE,
+  * manifest-pruned DSv2 scans, VERSION/TIMESTAMP AS OF, COW DELETE /
+  * UPDATE / MERGE INTO — plus the crisp refusals for shapes the engine
+  * does not support (so nothing silently changes semantics).
+  */
+class LakeCatalogSpec extends SparkSpec {
+
+  private lazy val wh: String = {
+    val d = Files.createTempDirectory("graft-catalog").toString
+    spark.conf.set("spark.sql.catalog.graft.warehouse", d)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    d
+  }
+
+  private var n = 0
+  /** A fresh three-partition table graft.db.<name> with stats on k. */
+  private def mkTable(): String = {
+    n += 1
+    val t = s"graft.db.t$n"
+    val _ = wh
+    spark.sql(s"CREATE TABLE $t (k BIGINT, p STRING, v BIGINT) PARTITIONED BY (p) " +
+      "TBLPROPERTIES (statsCols 'k')")
+    spark.sql(s"INSERT INTO $t SELECT id, cast(id % 3 as string), id * 10 FROM range(30)")
+    t
+  }
+
+  /** Distinct data files the executed DSv2 scan actually read. */
+  private def v2ScannedFiles(df: DataFrame): Int = {
+    df.collect()
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(unwrap)
+    }
+    val scans = unwrap(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no BatchScanExec in executed plan")
+    scans.flatMap(_.inputRDD.partitions.toSeq.collect {
+      case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+        p.inputPartitions.collect { case f: FilePartition => f.files.map(_.urlEncodedPath).toSeq }
+    }.flatten.flatten).distinct.size
+  }
+
+  test("DDL + INSERT + SELECT: transactional appends, manifest-pruned DSv2 scans") {
+    val t = mkTable()
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 30)
+    // three partitions, one file each (single insert)
+    val total = v2ScannedFiles(spark.sql(s"SELECT * FROM $t"))
+    assert(total === 3)
+    // partition predicate prunes to one file at PLANNING time
+    val one = spark.sql(s"SELECT sum(v) s FROM $t WHERE p = '1'")
+    assert(one.head.getLong(0) === (0 until 30).filter(_ % 3 == 1).map(_ * 10).sum)
+    assert(v2ScannedFiles(spark.sql(s"SELECT * FROM $t WHERE p = '1'")) === 1)
+    // stats predicate on k prunes too (k < 3 lives in every partition's
+    // low file — here one file per partition so no skip; re-slice by k)
+    spark.sql(s"INSERT INTO $t SELECT id, cast(id % 3 as string), id * 10 " +
+      s"FROM range(100, 130)")
+    val pruned = v2ScannedFiles(spark.sql(s"SELECT * FROM $t WHERE k >= 100"))
+    assert(pruned === 3, s"stats pruning must skip the first batch's files, scanned $pruned")
+    // INSERT chooses append: both batches visible
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 60)
+  }
+
+  test("INSERT OVERWRITE replaces contents transactionally; old version still time-travels") {
+    val t = mkTable()
+    spark.sql(s"INSERT OVERWRITE $t SELECT id, 'z', id FROM range(5)")
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 5)
+    // v2 was the 30-row insert; still readable
+    assert(spark.sql(s"SELECT count(*) c FROM $t VERSION AS OF 2").head.getLong(0) === 30)
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF resolve through the manifest line") {
+    val t = mkTable()
+    spark.sql(s"INSERT INTO $t VALUES (1000, '9', 0)")
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 31)
+    // v1 = empty CREATE, v2 = first insert, v3 = second insert
+    assert(spark.sql(s"SELECT count(*) c FROM $t VERSION AS OF 1").head.getLong(0) === 0)
+    assert(spark.sql(s"SELECT count(*) c FROM $t VERSION AS OF 2").head.getLong(0) === 30)
+    // a timestamp far in the future resolves to the head version
+    assert(spark.sql(s"SELECT count(*) c FROM $t TIMESTAMP AS OF '2999-01-01'")
+      .head.getLong(0) === 31)
+    // writing to a time-travel snapshot is refused
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO $t VERSION AS OF 2 VALUES (1, '1', 1)"))
+  }
+
+  test("DELETE FROM: filter-translatable and arbitrary predicates both rewrite files") {
+    val t = mkTable()
+    spark.sql(s"DELETE FROM $t WHERE k >= 27")
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 27)
+    // non-Filter-translatable predicate (modulo) goes through the DML
+    // strategy instead of SupportsDelete and still works
+    spark.sql(s"DELETE FROM $t WHERE k % 10 = 3")
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 24)
+    assert(spark.sql(s"SELECT count(*) c FROM $t WHERE k % 10 = 3").head.getLong(0) === 0)
+    // the delete physically rewrote files: reading the raw parquet of the
+    // current snapshot finds no deleted row either
+    val root = s"$wh/db/${t.split('.').last}"
+    assert(LakeTable.read(spark, root).where(col("k") >= 27).count() === 0)
+  }
+
+  test("UPDATE: arbitrary assignments, pre-update semantics, partition moves, atomic commit") {
+    val t = mkTable()
+    val root = s"$wh/db/${t.split('.').last}"
+    val v0 = LakeTable.snapshot(spark, root).version
+    spark.sql(s"UPDATE $t SET v = v + k WHERE k < 5")
+    assert(spark.sql(s"SELECT sum(v) s FROM $t WHERE k < 5").head.getLong(0) ===
+      (0 until 5).map(k => k * 10 + k).sum)
+    // exactly ONE commit per UPDATE (atomic; not delete+append)
+    assert(LakeTable.snapshot(spark, root).version === v0 + 1)
+    // updating the partition column moves rows
+    spark.sql(s"UPDATE $t SET p = '9' WHERE k = 7")
+    assert(spark.sql(s"SELECT p FROM $t WHERE k = 7").head.getString(0) === "9")
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 30)
+  }
+
+  test("MERGE INTO: source-wins upsert lands on LakeTable.merge; results match semantics") {
+    val t = mkTable()
+    spark.sql("CREATE OR REPLACE TEMP VIEW msrc AS " +
+      "SELECT id AS k, cast('9' as string) AS p, id * 100 AS v FROM range(25, 35)")
+    spark.sql(s"MERGE INTO $t t USING msrc s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    // 30 target rows, keys 25..29 updated in place, 30..34 inserted
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 35)
+    assert(spark.sql(s"SELECT count(*) c FROM $t WHERE v >= 2500 AND p = '9'")
+      .head.getLong(0) === 10)
+    assert(spark.sql(s"SELECT sum(v) s FROM $t WHERE k < 25").head.getLong(0) ===
+      (0 until 25).map(_ * 10).sum)
+    // explicit source-side assignments work too
+    spark.sql("CREATE OR REPLACE TEMP VIEW msrc2 AS SELECT id AS kk, id + 1 AS w FROM range(2)")
+    spark.sql(s"MERGE INTO $t t USING msrc2 s ON t.k = s.kk " +
+      "WHEN MATCHED THEN UPDATE SET k = s.kk, p = 'w', v = s.w " +
+      "WHEN NOT MATCHED THEN INSERT (k, p, v) VALUES (s.kk, 'w', s.w)")
+    assert(spark.sql(s"SELECT sum(v) s FROM $t WHERE p = 'w'").head.getLong(0) === 3)
+  }
+
+  test("MERGE INTO: unsupported shapes fail crisply, nothing half-commits") {
+    val t = mkTable()
+    val root = s"$wh/db/${t.split('.').last}"
+    val v0 = LakeTable.snapshot(spark, root).version
+    spark.sql("CREATE OR REPLACE TEMP VIEW bsrc AS " +
+      "SELECT id AS k, 'x' AS p, id AS v FROM range(3)")
+    def unsupported(sql: String, fragment: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(c =>
+        c.isInstanceOf[UnsupportedOperationException] &&
+          c.getMessage.contains("graft-lake MERGE INTO")), s"got: $e")
+    }
+    // target-side reference in the UPDATE
+    unsupported(s"MERGE INTO $t t USING bsrc s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = t.v + s.v WHEN NOT MATCHED THEN INSERT *",
+      "references the target row")
+    // conditional matched clause
+    unsupported(s"MERGE INTO $t t USING bsrc s ON t.k = s.k " +
+      "WHEN MATCHED AND s.v > 1 THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+      "matched actions")
+    // matched DELETE
+    unsupported(s"MERGE INTO $t t USING bsrc s ON t.k = s.k " +
+      "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *",
+      "matched actions")
+    // NOT MATCHED BY SOURCE
+    unsupported(s"MERGE INTO $t t USING bsrc s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+      "BY SOURCE")
+    // non-equality ON
+    unsupported(s"MERGE INTO $t t USING bsrc s ON t.k > s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+      "non-equality")
+    assert(LakeTable.snapshot(spark, root).version === v0, "failed MERGE must not commit")
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 30)
+  }
+
+  test("catalog management: SHOW TABLES, DROP, RENAME, path identifiers") {
+    val t = mkTable()
+    val short = t.split('.').last
+    val listed = spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1))
+    assert(listed.contains(short))
+    // the TO identifier resolves inside the same catalog (no catalog prefix)
+    spark.sql(s"ALTER TABLE $t RENAME TO db.renamed_$short")
+    assert(spark.sql(s"SELECT count(*) c FROM graft.db.renamed_$short").head.getLong(0) === 30)
+    spark.sql(s"DROP TABLE graft.db.renamed_$short")
+    assert(!spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).contains(s"renamed_$short"))
+    // absolute-path identifier addresses an existing root directly
+    val root = s"${Files.createTempDirectory("graft-cat-path")}/t"
+    LakeTable.init(spark,
+      root,
+      spark.range(7).select(col("id").as("k"), lit("a").as("p")),
+      "p")
+    assert(spark.sql(s"SELECT count(*) c FROM graft.`$root`").head.getLong(0) === 7)
+    spark.sql(s"DELETE FROM graft.`$root` WHERE k = 0")
+    assert(spark.sql(s"SELECT count(*) c FROM graft.`$root`").head.getLong(0) === 6)
+  }
+
+  test("LakeTable.update: COW locality — probe and rewrite set are stats-pruned") {
+    val root = s"${Files.createTempDirectory("graft-upd")}/t"
+    val df = spark.range(300).select(
+      col("id").as("k"), (col("id") % 3).cast("string").as("p"), (col("id") * 10).as("v"))
+    LakeTable.init(spark, root, df, "p", statsCol = Some("k"))
+    LakeTable.optimize(spark, root, minFilesPerPartition = 1, maxRecordsPerFile = 20,
+      sortCols = Seq("k"))
+    val total = LakeTable.snapshot(spark, root).entries.size
+    val stats = LakeTable.update(spark, root, col("k").between(10L, 14L),
+      Map("v" -> (col("v") + 1L)), "p")
+    assert(stats.filesProbed < total,
+      s"update probe must be stats-pruned: probed ${stats.filesProbed} of $total")
+    assert(stats.filesRewritten <= stats.filesProbed)
+    val got = LakeTable.read(spark, root)
+    assert(got.where(col("k").between(10L, 14L)).agg(sum("v")).head.getLong(0) ===
+      (10 to 14).map(_ * 10 + 1).sum)
+    assert(got.count() === 300)
+    // NULL-predicate rows keep their values (SQL semantics)
+    val r2 = LakeTable.update(spark, root,
+      when(col("k") < 5, lit(null).cast("boolean")).otherwise(col("k") === 5L),
+      Map("v" -> lit(-1L)), "p")
+    assert(LakeTable.read(spark, root).where(col("v") === -1L).count() === 1)
+  }
+}
