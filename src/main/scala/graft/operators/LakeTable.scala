@@ -470,6 +470,55 @@ object LakeTable {
     require(commit(spark, root, 1, meta, entries), s"LakeTable.init: concurrent commit at $root")
   }
 
+  /** Metadata-only ALTER: commit a new version whose schema gains
+    * `addColumns` (appended; must be nullable — files written before the
+    * change legitimately read NULL for them) and/or whose stats/bloom
+    * column sets are replaced. Data files carry verbatim — this is one
+    * manifest commit, zero data I/O. Existing entries' stats cells are
+    * REMAPPED to the new statsCols order (a column kept keeps its
+    * recorded bounds; a column added records none, so old files are
+    * conservatively never pruned on it — stats/blooms take effect for
+    * batches written AFTER the change, exactly Delta's add-a-bloom
+    * semantics). Returns the committed version.
+    */
+  def alterTable(
+      spark: SparkSession,
+      root: String,
+      addColumns: Seq[org.apache.spark.sql.types.StructField] = Nil,
+      statsCols: Option[Seq[String]] = None,
+      bloomCols: Option[Seq[String]] = None,
+      maxRetries: Int = 3): Long = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.alterTable: no committed snapshot at $root")
+    val meta = s0.meta.get
+    addColumns.foreach { f =>
+      require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"LakeTable.alterTable: column ${f.name} already exists")
+      require(f.nullable,
+        s"LakeTable.alterTable: added column ${f.name} must be nullable " +
+          "(existing files read NULL for it)")
+    }
+    val newSchema = StructType(meta.schema.fields ++ addColumns)
+    val newStats = statsCols.getOrElse(meta.statsCols)
+    val newBlooms = bloomCols.getOrElse(meta.bloomCols)
+    (newStats ++ newBlooms).foreach(c => require(newSchema.fieldNames.contains(c),
+      s"LakeTable.alterTable: stats/bloom column $c not in the schema"))
+    val newMeta = meta.copy(schema = newSchema, statsCols = newStats, bloomCols = newBlooms)
+    val entries = s0.entries.map { e =>
+      e.copy(stats = newStats.map { c =>
+        val i = meta.statsCols.indexOf(c)
+        if (i >= 0) e.stats.lift(i).getOrElse((None, None))
+        else (None: Option[String], None: Option[String])
+      })
+    }
+    if (commit(spark, root, s0.version + 1, newMeta, entries)) s0.version + 1
+    else {
+      require(maxRetries > 0,
+        s"LakeTable.alterTable: concurrent commit at $root (retries exhausted)")
+      alterTable(spark, root, addColumns, statsCols, bloomCols, maxRetries - 1)
+    }
+  }
+
   // ---- read path -----------------------------------------------------
 
   private def readEntries(

@@ -151,9 +151,42 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-lake: ALTER TABLE is not supported (schema evolves through merge/append)")
+  /** ALTER TABLE ADD COLUMNS (appended, nullable — a metadata-only
+    * commit; old files read NULL) and SET TBLPROPERTIES for
+    * `statsCols`/`bloomCols` (take effect for batches written after the
+    * change; old files are conservatively never pruned on new columns).
+    * Everything else — renames, drops, type changes, repartitioning —
+    * is refused: data files are immutable and the manifest's schema is
+    * positional-by-name, so those verbs would need a full rewrite.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!exists(root)) throw new NoSuchTableException(ident)
+    var addCols = Seq.empty[org.apache.spark.sql.types.StructField]
+    var statsCols: Option[Seq[String]] = None
+    var bloomCols: Option[Seq[String]] = None
+    def split(v: String) = v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft-lake: ALTER TABLE ADD COLUMNS supports top-level columns only")
+        require(a.position == null,
+          "graft-lake: ADD COLUMNS appends at the end (FIRST/AFTER unsupported)")
+        require(a.defaultValue == null,
+          "graft-lake: ADD COLUMNS with DEFAULT is unsupported (old files read NULL)")
+        addCols :+= org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType, nullable = true)
+      case s: TableChange.SetProperty if s.property == "statsCols" =>
+        statsCols = Some(split(s.value))
+      case s: TableChange.SetProperty if s.property == "bloomCols" =>
+        bloomCols = Some(split(s.value))
+      case other => throw new UnsupportedOperationException(
+        s"graft-lake: unsupported ALTER TABLE change $other (immutable data files; " +
+          "only ADD COLUMNS and SET TBLPROPERTIES statsCols/bloomCols are metadata-only)")
+    }
+    LakeTable.alterTable(spark, root, addCols, statsCols, bloomCols)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootOf(ident)

@@ -207,6 +207,49 @@ class LakeCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) c FROM graft.`$root`").head.getLong(0) === 6)
   }
 
+  test("ALTER TABLE: ADD COLUMNS and stats/bloom property changes are metadata-only commits") {
+    val t = mkTable()
+    val root = s"$wh/db/${t.split('.').last}"
+    val filesBefore = LakeTable.snapshot(spark, root).entries.map(_.rel).toSet
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (note STRING, score DOUBLE)")
+    // zero data I/O: same files, one new version, old rows read NULL
+    val s1 = LakeTable.snapshot(spark, root)
+    assert(s1.entries.map(_.rel).toSet === filesBefore)
+    assert(spark.sql(s"SELECT count(*) c FROM $t WHERE note IS NULL").head.getLong(0) === 30)
+    // new columns are insertable and stats can be extended to them
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES (statsCols 'k,score')")
+    spark.sql(s"INSERT INTO $t SELECT id, '1', 0, 'x', cast(id as double) FROM range(500, 510)")
+    val s2 = LakeTable.snapshot(spark, root)
+    assert(s2.meta.get.statsCols === Seq("k", "score"))
+    // the pre-change files keep their k bounds (remapped, still pruning)
+    // and record nothing for score (conservatively kept)
+    val old = s2.entries.filter(e => filesBefore.contains(e.rel))
+    assert(old.forall(e => e.stats.length == 2 && e.stats(0)._1.isDefined &&
+      e.stats(1) == ((None, None))))
+    // the post-change batch records BOTH dimensions
+    val fresh = s2.entries.filterNot(e => filesBefore.contains(e.rel))
+    assert(fresh.nonEmpty && fresh.forall(_.stats.forall(s => s._1.isDefined)))
+    // score pruning bites on the NEW batch only: a score predicate that
+    // excludes the fresh file's [500,509] range skips it, while the three
+    // pre-change files (no recorded score stats) are conservatively kept
+    assert(v2ScannedFiles(spark.sql(s"SELECT * FROM $t WHERE score < 0.0")) === 3)
+    // immutability-breaking changes are refused
+    intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN note"))
+    intercept[Exception](spark.sql(s"ALTER TABLE $t RENAME COLUMN note TO n2"))
+  }
+
+  test("catalog scans report manifest statistics: small lake table broadcasts without a hint") {
+    val t = mkTable()
+    val big = spark.range(50000).select(col("id").as("k"), (col("id") * 2).as("w"))
+    big.createOrReplaceTempView("cat_big")
+    val joined = spark.sql(s"SELECT sum(b.w) s FROM $t l JOIN cat_big b ON l.k = b.k")
+    joined.collect()
+    val hasBroadcast = joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin")
+    assert(hasBroadcast, "manifest sizeInBytes must drive the broadcast decision:\n" +
+      joined.queryExecution.executedPlan)
+  }
+
   test("LakeTable.update: COW locality — probe and rewrite set are stats-pruned") {
     val root = s"${Files.createTempDirectory("graft-upd")}/t"
     val df = spark.range(300).select(
