@@ -178,12 +178,16 @@ object LakeTable {
       // trailing cell is identified by parity alone — a parser that
       // predates counts drops the odd singleton harmlessly, and this
       // parser reads pre-count lines (even cell count) as rows=None.
-      // The trailing cell is `<rows>` or `<rows>:<bytes>` — the length
-      // rides inside the same cell (':' cannot appear in a long), so the
-      // parity trick keeps working and pre-bytes manifests parse as
-      // bytes=None
-      val cells = e.stats.flatMap { case (mn, mx) => Seq(encOpt(mn), encOpt(mx)) } ++
-        e.rows.map(r => r.toString + e.bytes.fold("")(b => s":$b")).toSeq
+      // The trailing cell is `<rows>`, `<rows>:<bytes>`, or `_:<bytes>`
+      // (rows unknown, length known — the length must not be dropped, or
+      // a re-rendered manifest would silently lose the zero-fs-call
+      // planning guarantee for that entry); ':' and '_' cannot appear in
+      // a long, so the parity trick keeps working and pre-bytes
+      // manifests parse as bytes=None
+      val cell =
+        if (e.rows.isEmpty && e.bytes.isEmpty) Nil
+        else Seq(e.rows.fold("_")(_.toString) + e.bytes.fold("")(b => s":$b"))
+      val cells = e.stats.flatMap { case (mn, mx) => Seq(encOpt(mn), encOpt(mx)) } ++ cell
       (Seq(esc(e.part), e.rel) ++ cells).mkString("\t")
     }
     (header ++ lines).mkString("\n")
@@ -220,7 +224,8 @@ object LakeTable {
       val (rows, bytes) =
         if (tail.length % 2 == 1) {
           val parts = tail.last.split(":", 2)
-          (Some(parts(0).toLong), if (parts.length == 2) Some(parts(1).toLong) else None)
+          (if (parts(0) == "_") None else Some(parts(0).toLong),
+            if (parts.length == 2) Some(parts(1).toLong) else None)
         } else (None, None)
       val stats = tail.take(tail.length - (tail.length % 2)).grouped(2).collect {
         case Array(mn, mx) => (decOpt(mn), decOpt(mx))
@@ -1347,6 +1352,50 @@ object LakeTable {
     MergeStats(s0.version + 1, affected.size, rewrite.size, carry.size, written.size,
       filesProbed = probeEntries.size)
   }
+
+  /** [[update]]/[[delete]] with the same optimistic-concurrency retry
+    * loop as [[mergeWithRetry]]: the SQL DML path routes through these,
+    * so a statement that loses a commit race recomputes against the
+    * winner's snapshot instead of surfacing a "concurrent commit" error
+    * to the user. The recompute is REQUIRED for correctness, not just
+    * convenience: the predicate re-evaluates against the winner's rows,
+    * so sequential-equivalence holds whichever writer lands first.
+    */
+  def updateWithRetry(
+      spark: SparkSession,
+      root: String,
+      predicate: Column,
+      set: Map[String, Column],
+      partitionCol: String,
+      maxRetries: Int = 3): MergeStats =
+    withCommitRetry(maxRetries)(retriesLeft =>
+      try Some(update(spark, root, predicate, set, partitionCol))
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("concurrent commit") &&
+              retriesLeft > 0 => None
+      })
+
+  def deleteWithRetry(
+      spark: SparkSession,
+      root: String,
+      predicate: Column,
+      partitionCol: String,
+      maxRetries: Int = 3): MergeStats =
+    withCommitRetry(maxRetries)(retriesLeft =>
+      try Some(delete(spark, root, predicate, partitionCol))
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("concurrent commit") &&
+              retriesLeft > 0 => None
+      })
+
+  @annotation.tailrec
+  private def withCommitRetry(retries: Int)(attempt: Int => Option[MergeStats]): MergeStats =
+    attempt(retries) match {
+      case Some(stats) => stats
+      case None => withCommitRetry(retries - 1)(attempt)
+    }
 
   /** [[merge]] with optimistic-concurrency retries: a writer that loses
     * the commit race recomputes against the WINNER's snapshot and tries

@@ -49,7 +49,16 @@ import graft.sources.lake.GraftLakeV2Table
   * `SET * / INSERT *`). Anything else throws a crisp
   * UnsupportedOperationException naming the unsupported piece rather
   * than silently changing semantics. UPDATE and DELETE take ARBITRARY
-  * predicates/assignments (evaluated by the rewrite scan itself).
+  * predicates/assignments (evaluated by the rewrite scan itself),
+  * except subqueries (refused crisply — see [[byNameColumn]]).
+  *
+  * Cardinality: duplicate SOURCE keys are a MERGE cardinality violation
+  * (checked with one batch-sized aggregate before the merge — the
+  * Delta/Iceberg contract; silently inserting duplicates is worse than
+  * failing). The TARGET side is assumed key-unique — the invariant
+  * merge itself maintains; a table made non-unique by blind appends
+  * collapses those duplicates to the source row on their next matched
+  * merge, which is the upsert reading of "source wins on key".
   */
 object LakeMerge {
   def register(spark: SparkSession): Unit =
@@ -70,7 +79,7 @@ object LakeDmlStrategy extends SparkStrategy {
       // refuses non-Filter-translatable predicates; planning it here
       // lifts that restriction — LakeTable.delete evaluates ANY predicate
       LakeDmlExec("delete", () => {
-        LakeTable.delete(SparkSession.active, t.root, byNameColumn(condition),
+        LakeTable.deleteWithRetry(SparkSession.active, t.root, byNameColumn(condition),
           t.meta.partitionCol)
       }) :: Nil
     case _ => Nil
@@ -97,12 +106,21 @@ object LakeDmlStrategy extends SparkStrategy {
   /** A resolved expression re-anchored by NAME (attribute references
     * replaced with unresolved ones) and wrapped as a Column — usable
     * against a frame read fresh from the table, whose attribute ids
-    * differ from the command plan's.
+    * differ from the command plan's. Subquery expressions are refused
+    * crisply: their INNER plans keep the command's attribute ids, which
+    * cannot be re-anchored by name, so letting one through would die at
+    * execution with a confusing missing-attribute error.
     */
-  private def byNameColumn(e: Expression): org.apache.spark.sql.Column =
+  private def byNameColumn(e: Expression): org.apache.spark.sql.Column = {
+    if (e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+      throw new UnsupportedOperationException(
+        "graft-lake UPDATE/DELETE: subqueries in the predicate or assignments are not " +
+          "supported — materialize the subquery (e.g. into a temp view joined ahead of " +
+          "time, or a MERGE INTO source) instead")
     GraftColumnBridge.column(e.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
+  }
 
   private def fail(what: String): Nothing =
     throw new UnsupportedOperationException(
@@ -181,6 +199,20 @@ object LakeDmlStrategy extends SparkStrategy {
     LakeDmlExec("merge", () => {
       val spark = SparkSession.active
       val src = GraftColumnBridge.ofRows(spark, projected)
+      // ANSI MERGE cardinality: a target row matched by MULTIPLE source
+      // rows is an error (Delta/Iceberg raise MERGE_CARDINALITY_VIOLATION)
+      // — with equality keys that is exactly a duplicate source key, and
+      // letting it through would SILENTLY insert duplicate keys instead.
+      // One aggregate over the batch-sized source, not the table.
+      val dup = src.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
+        .count().where(org.apache.spark.sql.functions.col("count") > 1)
+        .limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalStateException(
+          "graft-lake MERGE INTO: the source has duplicate rows for key " +
+            dup.head.toSeq.init.mkString("(", ", ", ")") +
+            " — a target row cannot be updated by multiple source rows " +
+            "(MERGE cardinality violation); de-duplicate the source first")
       LakeTable.mergeWithRetry(spark, t.root, src, keyCols, t.meta.partitionCol)
     })
   }
@@ -205,7 +237,7 @@ object LakeDmlStrategy extends SparkStrategy {
     val cond = condition.map(byNameColumn)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     LakeDmlExec("update", () => {
-      LakeTable.update(SparkSession.active, t.root, cond, set, t.meta.partitionCol)
+      LakeTable.updateWithRetry(SparkSession.active, t.root, cond, set, t.meta.partitionCol)
     })
   }
 }

@@ -174,6 +174,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
           "graft-lake: ADD COLUMNS appends at the end (FIRST/AFTER unsupported)")
         require(a.defaultValue == null,
           "graft-lake: ADD COLUMNS with DEFAULT is unsupported (old files read NULL)")
+        require(a.isNullable,
+          s"graft-lake: added column ${a.fieldNames()(0)} must be nullable — every " +
+            "pre-existing row reads NULL for it (a NOT NULL constraint would be " +
+            "silently violated)")
         addCols :+= org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType, nullable = true)
       case s: TableChange.SetProperty if s.property == "statsCols" =>
@@ -291,6 +295,14 @@ class GraftLakeV2Table(
     if (meta.statsCols.nonEmpty) m.put("statsCols", meta.statsCols.mkString(","))
     if (meta.bloomCols.nonEmpty) m.put("bloomCols", meta.bloomCols.mkString(","))
     m.put("version", snap.version.toString)
+    // DESCRIBE TABLE EXTENDED surfaces the snapshot's metadata story:
+    // file count and (when every entry records counts) the exact row
+    // count, both manifest folds with zero data I/O
+    m.put("numFiles", snap.entries.size.toString)
+    if (snap.entries.forall(_.rows.isDefined))
+      m.put("numRows", snap.entries.flatMap(_.rows).sum.toString)
+    if (snap.entries.forall(_.bytes.isDefined))
+      m.put("sizeInBytes", snap.entries.flatMap(_.bytes).sum.toString)
     m
   }
 
@@ -323,7 +335,7 @@ class GraftLakeV2Table(
     require(!timeTravel, s"graft-lake: cannot delete from a time-travel snapshot of $tableName")
     val cond = filters.flatMap(GraftLakeCatalog.filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    LakeTable.delete(spark, root, cond, meta.partitionCol)
+    LakeTable.deleteWithRetry(spark, root, cond, meta.partitionCol)
   }
 }
 

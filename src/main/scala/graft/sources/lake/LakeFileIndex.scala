@@ -73,13 +73,13 @@ class LakeFileIndex(
 
   override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
 
-  override def leafFiles: scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
+  override lazy val leafFiles: scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
     val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
     entries.foreach { e => val s = status(e); m.put(s.getPath, s) }
     m
   }
 
-  override def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+  override lazy val leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
     entries.map(status).groupBy(_.getPath.getParent).map { case (d, ss) => d -> ss.toArray }
 
   override def refresh(): Unit = ()  // a snapshot is immutable
@@ -109,13 +109,21 @@ class LakeFileIndex(
     * file) instead of plan time — same crispness, later surface;
     * `snapshotAt` still refuses vacuumed time-travel versions up front.
     */
+  // legacy-entry FileStatus fallback, resolved AT MOST ONCE per entry per
+  // index instance (listFiles / sizeInBytes / leafFiles would otherwise
+  // each re-issue one RPC per pre-length entry)
+  private val fallbackStatus =
+    new java.util.concurrent.ConcurrentHashMap[String, FileStatus]()
+
   private def status(e: Entry): FileStatus = e.bytes match {
     case Some(len) =>
       new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, new Path(qualifiedRoot, e.rel))
     case None =>
-      fsStatusLookups += 1
-      val p = new Path(root, e.rel)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+      fallbackStatus.computeIfAbsent(e.rel, { rel =>
+        fsStatusLookups += 1
+        val p = new Path(root, rel)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+      })
   }
 
   override lazy val sizeInBytes: Long = entries.map(e => e.bytes.getOrElse(status(e).getLen)).sum
@@ -228,6 +236,20 @@ class LakeFileIndex(
       }
     }
 
+  /** Canonical form of a numeric rendering: decimal-normal ("-0.0",
+    * "0.00" and "0" all map to "0"), so two renderings are canonically
+    * equal iff cmpStat orders them equal. Non-finite renderings
+    * canonicalize through Double.toString ("NaN"/"Infinity" are already
+    * canonical); anything unparseable keeps its raw form.
+    */
+  private def canonNum(s: String): String =
+    try BigDecimal(s).bigDecimal.stripTrailingZeros.toPlainString
+    catch {
+      case _: NumberFormatException =>
+        try java.lang.Double.toString(java.lang.Double.parseDouble(s))
+        catch { case _: NumberFormatException => s }
+    }
+
   /** Equality/IN probe on attribute `a` over literal values `raws`:
     * exact partition membership, stats [min,max] envelope, and Bloom
     * exclusion, ANDed when several apply. Any unrenderable value
@@ -240,19 +262,26 @@ class LakeFileIndex(
       val rangey: Option[EPred] =
         if (rendered.isEmpty || rendered.exists(_.isEmpty)) None
         else {
-          val set = rendered.flatten.toSet
           if (isPart(nm)) {
-            // value-space equality via cmpStat, NOT rendered-string
-            // equality: a pushed -0.0 literal renders "-0.0" while the
-            // stored cast-to-string partition value is "0.0", yet Spark
-            // equality holds (-0.0 == 0.0) — string membership would
-            // wrongly skip the file. cmpStat's decimal path treats the
-            // two renderings as equal; for strings it IS string equality.
+            // value-space equality, NOT rendered-string equality: a
+            // pushed -0.0 literal renders "-0.0" while the stored
+            // cast-to-string partition value is "0.0", yet Spark equality
+            // holds (-0.0 == 0.0). For numeric partitions both sides are
+            // canonicalized ONCE (decimal-normal form; equal under
+            // cmpStat iff canonically equal), so membership stays an
+            // O(1) hash probe per entry instead of |IN-set| x entries
+            // comparisons on the planning path; strings keep the plain
+            // string set.
             val dt = fieldType(meta.partitionCol).getOrElse(StringType)
+            val numeric = dt.isInstanceOf[NumericType]
+            val set =
+              if (numeric) rendered.flatten.map(canonNum).toSet
+              else rendered.flatten.toSet
             Some((e: Entry) =>
-              partVal(e).exists(v => set.exists(s => LakeTable.cmpStat(dt, v, s) == 0)))
+              partVal(e).exists(v => set.contains(if (numeric) canonNum(v) else v)))
           }
           else statsName(nm).map { sc =>
+            val set = rendered.flatten.toSet
             val dt = meta.schema.fields.find(_.name.equalsIgnoreCase(sc))
               .map(_.dataType).getOrElse(StringType)
             val lo = set.reduce((x, y) => if (LakeTable.cmpStat(dt, x, y) <= 0) x else y)

@@ -345,6 +345,13 @@ class GraftLakeSpec extends SparkSpec {
       Some(42L), Some(123456L))
     val (_, esF) = LakeTable.parseManifest(LakeTable.renderManifest(meta, Seq(full)))
     assert(esF === Seq(full))
+    // rows unknown but length known (`_:bytes`): the length must survive
+    // a render/parse round-trip, or re-rendered manifests would silently
+    // lose the zero-fs-call planning guarantee for that entry
+    val lenOnly = LakeTable.Entry("e", "data/b3/g.parquet", Seq((None, None)),
+      None, Some(777L))
+    val (_, esL) = LakeTable.parseManifest(LakeTable.renderManifest(meta, Seq(lenOnly)))
+    assert(esL === Seq(lenOnly))
   }
 
   test("planning is metadata-only: zero filesystem status calls on a length-recorded manifest") {

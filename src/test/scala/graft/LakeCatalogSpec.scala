@@ -190,6 +190,13 @@ class LakeCatalogSpec extends SparkSpec {
     val short = t.split('.').last
     val listed = spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1))
     assert(listed.contains(short))
+    // DESCRIBE EXTENDED surfaces the manifest's metadata story: version,
+    // file count, and exact row/byte totals (zero data I/O)
+    val props = spark.sql(s"DESCRIBE TABLE EXTENDED $t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val tblProps = props.getOrElse("Table Properties", "")
+    assert(tblProps.contains("numRows=30") && tblProps.contains("numFiles=3"),
+      s"expected manifest counts in table properties, got: $tblProps")
     // the TO identifier resolves inside the same catalog (no catalog prefix)
     spark.sql(s"ALTER TABLE $t RENAME TO db.renamed_$short")
     assert(spark.sql(s"SELECT count(*) c FROM graft.db.renamed_$short").head.getLong(0) === 30)
@@ -236,6 +243,35 @@ class LakeCatalogSpec extends SparkSpec {
     // immutability-breaking changes are refused
     intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN note"))
     intercept[Exception](spark.sql(s"ALTER TABLE $t RENAME COLUMN note TO n2"))
+  }
+
+  test("review fixes: MERGE cardinality, NOT NULL add-column, subquery predicates refused") {
+    val t = mkTable()
+    val root = s"$wh/db/${t.split('.').last}"
+    val v0 = LakeTable.snapshot(spark, root).version
+    // duplicate source keys = MERGE cardinality violation (one target row
+    // would be updated by two source rows) — refused BEFORE any commit
+    spark.sql("CREATE OR REPLACE TEMP VIEW dupsrc AS " +
+      "SELECT 1L AS k, 'a' AS p, 10L AS v UNION ALL SELECT 1L, 'a', 20L")
+    val e1 = intercept[Exception](
+      spark.sql(s"MERGE INTO $t t USING dupsrc s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+    def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(e1).exists(c => c.getMessage != null &&
+      c.getMessage.contains("cardinality")), s"got: $e1")
+    assert(LakeTable.snapshot(spark, root).version === v0, "violation must not commit")
+    // NOT NULL added column would be silently violated by old rows — refused
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (c BIGINT NOT NULL)"))
+    assert(chain(e2).exists(c => c.getMessage != null && c.getMessage.contains("nullable")),
+      s"got: $e2")
+    // subquery in a DML predicate: crisp refusal, not a stale-attribute crash
+    val e3 = intercept[Exception](
+      spark.sql(s"DELETE FROM $t WHERE k % 2 = 0 AND " +
+        s"EXISTS (SELECT 1 FROM dupsrc d WHERE d.k = k)"))
+    assert(chain(e3).exists(c => c.isInstanceOf[UnsupportedOperationException] &&
+      c.getMessage.contains("subqueries")), s"got: $e3")
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 30)
   }
 
   test("catalog scans report manifest statistics: small lake table broadcasts without a hint") {
