@@ -13,7 +13,6 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{
   LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
@@ -309,6 +308,7 @@ class GraftLakeV2Table(
   override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
@@ -316,10 +316,7 @@ class GraftLakeV2Table(
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    ParquetScanBuilder(
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      new LakeFileIndex(spark, root, meta, snap.entries),
-      schema(), schema(), options)
+    new LakeScanBuilder(spark, root, meta, snap.entries, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!timeTravel, s"graft-lake: cannot write to a time-travel snapshot of $tableName")

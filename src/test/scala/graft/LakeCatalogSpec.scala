@@ -286,6 +286,42 @@ class LakeCatalogSpec extends SparkSpec {
       joined.queryExecution.executedPlan)
   }
 
+  test("readStream.table: version-offset tail, checkpoint restart, skipChangeCommits") {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = mkTable()
+    val stage = Files.createTempDirectory("graft-cat-stream").toString
+    def drain(opts: Map[String, String] = Map.empty): Unit = {
+      val r = spark.readStream.options(opts).table(t)
+      val q = r.writeStream.format("parquet")
+        .option("path", s"$stage/out")
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(s"$stage/out").count() === 30)
+    // restart from the checkpoint: ONLY the new commit's rows arrive
+    spark.sql(s"INSERT INTO $t SELECT id, '9', id FROM range(700, 705)")
+    drain()
+    val out = spark.read.parquet(s"$stage/out")
+    assert(out.count() === 35)
+    assert(out.select("k").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().count(_ >= 700) === 5, "replay-free: exactly the appended rows")
+    // a change commit fails crisply without skipChangeCommits...
+    spark.sql(s"DELETE FROM $t WHERE k = 700")
+    spark.sql(s"INSERT INTO $t VALUES (800, '9', 0)")
+    val e = intercept[Exception](drain())
+    def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("append-only stream cannot represent")), s"got: $e")
+    // ...and is skipped wholly under the option (the insert still lands)
+    drain(Map("skipChangeCommits" -> "true"))
+    val fin = spark.read.parquet(s"$stage/out")
+    assert(fin.count() === 36)
+    assert(fin.where(col("k") === 800).count() === 1)
+  }
+
   test("LakeTable.update: COW locality — probe and rewrite set are stats-pruned") {
     val root = s"${Files.createTempDirectory("graft-upd")}/t"
     val df = spark.range(300).select(
