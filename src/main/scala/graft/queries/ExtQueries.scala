@@ -872,6 +872,43 @@ object ExtQueries {
            ORDER BY snap""")
     },
 
+    // The CATALOG streaming face end-to-end: a lake table created and
+    // fed through pure SQL (three INSERT commits), then tailed by
+    // `spark.readStream.table` — the DSv2 MicroBatchStream whose offsets
+    // are manifest versions and whose per-batch partitions come from a
+    // real ParquetScan over just the added files — drained by a real
+    // writeStream under Trigger.AvailableNow. The oracle is the plain
+    // batch rollup: a replayed version doubles a cell, a dropped commit
+    // empties one.
+    "q151_catalog_stream_table" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q151_$tag"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q151_orders")
+      val lt = s"graft.`$stage/t`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)")
+      (0 to 2).foreach(i =>
+        s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+          s"CAST(o_totalprice AS DOUBLE) FROM q151_orders WHERE o_orderkey % 3 = $i"))
+      val q = s.readStream.table(lt)
+        .writeStream.format("parquet")
+        .option("path", s"$stage/out")
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$stage/out")
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("o_orderstatus")
+    },
+
     // The graft-lake STREAMING source end-to-end: the events fixture
     // lands in a lake table across four append commits with a COW DELETE
     // (a change commit) in the middle, and a real readStream tails the
@@ -1793,6 +1830,13 @@ object ExtQueries {
         |SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the stream must deliver exactly the three inserted slices = the
+    // whole orders table, once each.
+    "q151_catalog_stream_table" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // v2 = the untouched initial insert; head = after the delete.
     "q150_sql_time_travel" ->
       """WITH t0 AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
