@@ -78,7 +78,9 @@ object LakeProbe {
           rel = f"data/batch-$i%08x/__part=${i % 512}/part-00000-$i%08x.parquet",
           stats = Seq(
             (Some((i * 1000L).toString), Some((i * 1000L + 999).toString)),
-            (Some(s"u${i % 100000}"), Some(s"u${i % 100000 + 887}"))))
+            (Some(s"u${i % 100000}"), Some(s"u${i % 100000 + 887}"))),
+          rows = Some(1000L),
+          bytes = Some(128L * 1024 * 1024))
       }
     val meta = LakeTable.TableMeta(
       org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, u STRING, p STRING, v BIGINT"),
@@ -102,6 +104,28 @@ object LakeProbe {
       println(f"[lake] manifest n=$n%7d: render $tRender%6.3f s, commit $tCommit%6.3f s, " +
         f"parse $tParse%6.3f s, prune $tPrune%6.3f s (kept ${kept.size}), " +
         f"${text.length / 1048576.0}%5.1f MiB")
+
+      // r15: the CONNECTOR planning face over the same entries. The data
+      // files deliberately do not exist anywhere — FileStatus is
+      // synthesized from the manifest's recorded lengths, so listFiles /
+      // sizeInBytes complete with ZERO filesystem calls (require-pinned),
+      // which is the whole point of recording lengths: plan-time cost is
+      // the live entry list, never the file tree.
+      import org.apache.spark.sql.catalyst.expressions.{
+        AttributeReference, EqualTo, In, Literal => CLit}
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val idx = new graft.sources.lake.LakeFileIndex(spark, mroot, meta, snap.entries)
+      val pAttr = AttributeReference("p", StringType)()
+      val kAttr = AttributeReference("k", LongType)()
+      val (sz, tSize) = time(idx.sizeInBytes)
+      val inSet = In(pAttr, (0 until 1000).map(i => CLit.create((i % 512).toString)))
+      val kEq = EqualTo(kAttr, CLit.create(n * 500L))
+      val (dirs, tList) = time(idx.listFiles(Nil, Seq(inSet, kEq)))
+      require(idx.fsStatusLookups == 0, "planning must touch the manifest only")
+      val keptFiles = dirs.map(_.files.length).sum
+      println(f"[lake] connector n=$n%7d: sizeInBytes $tSize%6.3f s " +
+        f"(${sz / (1L << 40)} TiB), listFiles(IN-1000 x k=point) $tList%6.3f s " +
+        f"(kept $keptFiles), fs calls 0")
     }
 
     // ---- 3. bloom point-lookup scale -------------------------------
