@@ -185,6 +185,22 @@ class LakeCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 30)
   }
 
+  test("CTAS and RTAS: CREATE/REPLACE TABLE AS SELECT through the catalog") {
+    val _ = wh
+    spark.sql("CREATE TABLE graft.db.ctas PARTITIONED BY (p) " +
+      "TBLPROPERTIES (statsCols 'k') AS " +
+      "SELECT id AS k, cast(id % 2 as string) AS p, id * 3 AS v FROM range(20)")
+    assert(spark.sql("SELECT count(*) c FROM graft.db.ctas").head.getLong(0) === 20)
+    assert(spark.sql("SELECT sum(v) s FROM graft.db.ctas WHERE p = '1'").head.getLong(0) ===
+      (0 until 20).filter(_ % 2 == 1).map(_ * 3).sum)
+    // stats recorded for the CTAS batch: a k-range predicate prunes
+    assert(v2ScannedFiles(spark.sql("SELECT * FROM graft.db.ctas WHERE k < 0")) <= 2)
+    spark.sql("REPLACE TABLE graft.db.ctas PARTITIONED BY (p) AS " +
+      "SELECT id AS k, 'z' AS p, id AS v FROM range(5)")
+    assert(spark.sql("SELECT count(*) c FROM graft.db.ctas").head.getLong(0) === 5)
+    spark.sql("DROP TABLE graft.db.ctas")
+  }
+
   test("catalog management: SHOW TABLES, DROP, RENAME, path identifiers") {
     val t = mkTable()
     val short = t.split('.').last
