@@ -236,19 +236,7 @@ class LakeFileIndex(
       }
     }
 
-  /** Canonical form of a numeric rendering: decimal-normal ("-0.0",
-    * "0.00" and "0" all map to "0"), so two renderings are canonically
-    * equal iff cmpStat orders them equal. Non-finite renderings
-    * canonicalize through Double.toString ("NaN"/"Infinity" are already
-    * canonical); anything unparseable keeps its raw form.
-    */
-  private def canonNum(s: String): String =
-    try BigDecimal(s).bigDecimal.stripTrailingZeros.toPlainString
-    catch {
-      case _: NumberFormatException =>
-        try java.lang.Double.toString(java.lang.Double.parseDouble(s))
-        catch { case _: NumberFormatException => s }
-    }
+  private def canonNum(s: String): String = LakeFileIndex.canonNum(s)
 
   /** Equality/IN probe on attribute `a` over literal values `raws`:
     * exact partition membership, stats [min,max] envelope, and Bloom
@@ -335,6 +323,22 @@ class LakeFileIndex(
 }
 
 object LakeFileIndex {
+
+  /** Canonical form of a numeric rendering: decimal-normal ("-0.0",
+    * "0.00" and "0" all map to "0"), so two renderings are canonically
+    * equal iff [[LakeTable.cmpStat]] orders them equal — the law the
+    * O(1) partition-IN membership depends on (LakeIndexProps pins it
+    * over randomized renderings). Non-finite renderings canonicalize
+    * through Double.toString ("NaN"/"Infinity" are already canonical);
+    * anything unparseable keeps its raw form.
+    */
+  private[lake] def canonNum(s: String): String =
+    try BigDecimal(s).bigDecimal.stripTrailingZeros.toPlainString
+    catch {
+      case _: NumberFormatException =>
+        try java.lang.Double.toString(java.lang.Double.parseDouble(s))
+        catch { case _: NumberFormatException => s }
+    }
 
   /** The index over the CURRENT snapshot, or a time-travel version
     * (`versionAsOf`), with readVersion's vacuumed-snapshot refusal.

@@ -58,6 +58,30 @@ class LakeIndexProps extends SparkSpec {
     assert(prunedSomething > 30, s"pruning engaged in only $prunedSomething trials — vacuous run")
   }
 
+  test("canonical numeric equality law: canonNum equal iff cmpStat orders equal") {
+    // the O(1) partition-IN membership replaces per-pair cmpStat calls
+    // with canonical-form hashing — sound only if canonical equality and
+    // cmpStat-equality coincide on every rendering pair the cast-to-string
+    // space can produce (incl. -0.0, exponent forms, non-finites)
+    val rnd = new Random(42L)
+    val specials = Vector("-0.0", "0.0", "0", "0.00", "NaN", "Infinity", "-Infinity",
+      "1e3", "1000", "1000.0", "007", "7", "9223372036854775808", "9223372036854775808.0")
+    def rendering(): String = rnd.nextInt(4) match {
+      case 0 => specials(rnd.nextInt(specials.size))
+      case 1 => rnd.nextLong().toString
+      case 2 => ((rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(7))).toString
+      case _ => s"${rnd.nextInt(100)}.${rnd.nextInt(1000)}"
+    }
+    (1 to 5000).foreach { _ =>
+      val (a, b) = (rendering(), rendering())
+      val canonEq = LakeFileIndex.canonNum(a) == LakeFileIndex.canonNum(b)
+      val statEq = LakeTable.cmpStat(DoubleType, a, b) == 0
+      assert(canonEq === statEq,
+        s"law broken for a=$a b=$b: canon(${LakeFileIndex.canonNum(a)}, " +
+          s"${LakeFileIndex.canonNum(b)}) vs cmpStat=${LakeTable.cmpStat(DoubleType, a, b)}")
+    }
+  }
+
   /** Manifest entry with stats derived from the rows, writer-style:
     * native-typed min/max rendered to string, (None, None) when the
     * column is all-NULL in the file.
