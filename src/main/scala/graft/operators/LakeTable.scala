@@ -175,9 +175,11 @@ object LakeTable {
       meta.txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn=${esc(app)}:$v" }
     val lines = entries.map { e =>
       // stats cells always come in (min, max) PAIRS, so the optional
-      // trailing cell is identified by parity alone — a parser that
-      // predates counts drops the odd singleton harmlessly, and this
-      // parser reads pre-count lines (even cell count) as rows=None.
+      // trailing cell is identified by parity alone. Compatibility is
+      // ONE-directional: THIS parser reads every older manifest form
+      // (no cell, bare `<rows>`) — an older parser reading a NEW
+      // manifest is not supported (a rows-aware r14 reader would choke
+      // on the ':'), which only matters to mixed-version deployments.
       // The trailing cell is `<rows>`, `<rows>:<bytes>`, or `_:<bytes>`
       // (rows unknown, length known — the length must not be dropped, or
       // a re-rendered manifest would silently lose the zero-fs-call
@@ -349,13 +351,25 @@ object LakeTable {
     // covering several partition values emits the SAME part-<task>-<uuid>
     // name into each partition dir, so a name-only map would collapse
     // those entries.
+    // the reads are independent metadata round-trips — run them on a
+    // bounded pool (an object-store footer read is ~50-100 ms; a
+    // thousand-file batch must not serialize that on the driver)
     val hconf = spark.sparkContext.hadoopConfiguration
-    val counts: Map[String, Long] = files.map { st =>
-      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf))
-      val n = try rdr.getRecordCount finally rdr.close()
-      partAndName(st.getPath.toString) -> n
-    }.toMap
+    val counts: Map[String, Long] = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(16, files.size)))
+      try {
+        files.map { st =>
+          st -> pool.submit(new java.util.concurrent.Callable[Long] {
+            override def call(): Long = {
+              val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf))
+              try rdr.getRecordCount finally rdr.close()
+            }
+          })
+        }.map { case (st, fut) => partAndName(st.getPath.toString) -> fut.get() }.toMap
+      } finally pool.shutdown()
+    }
 
     // per-file stats AND Bloom sidecars in ONE fused pass over the batch
     // (previously two aggregates = two batch scans — the measured init

@@ -1,6 +1,5 @@
 package graft.sources.lake
 
-import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
@@ -260,13 +259,10 @@ class GraftLakeSource(
     if (readChangeFeed) GraftLake.cdfSchema(base) else base
   }
 
-  // manifests are immutable — cache each version's entry list for the
-  // life of the query (entries only; metadata-sized)
-  private val entryCache = mutable.Map.empty[Long, Seq[LakeTable.Entry]]
-
-  private def entriesAt(v: Long): Seq[LakeTable.Entry] =
-    if (v <= 0) Nil
-    else entryCache.getOrElseUpdate(v, LakeTable.readManifest(spark, root, v)._2)
+  // the shared version-offset core (entry caching + pure-append window +
+  // admission decision) — one implementation for this face and the
+  // catalog's MicroBatchStream, so semantics cannot drift
+  private val window = new VersionWindow(spark, root)
 
   private def ver(o: OffsetV1): Long = o match {
     case l: LongOffset => l.offset
@@ -305,9 +301,8 @@ class GraftLakeSource(
 
   override def latestOffset(start: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
     val from = Option(start).map(verC).getOrElse(startingVersion)
-    val avail = pinnedVersion.getOrElse(LakeTable.snapshot(spark, root).version)
-    val capped = maxVersionsPerTrigger.fold(avail)(m => math.min(avail, from + math.max(1L, m)))
-    if (capped > from) LongOffset(capped) else null
+    val end = window.nextEndVersion(from, pinnedVersion, maxVersionsPerTrigger)
+    if (end > 0) LongOffset(end) else null
   }
 
   override def reportLatestOffset(): ConnectorOffset = {
@@ -320,18 +315,7 @@ class GraftLakeSource(
     val to = ver(end)
     if (readChangeFeed) changeFeedBatch(from, to)
     else {
-      val added = ((from + 1) to to).flatMap { v =>
-        val prev = entriesAt(v - 1).map(_.rel).toSet
-        val cur = entriesAt(v)
-        val removed = prev -- cur.map(_.rel).toSet
-        if (removed.isEmpty) cur.filterNot(e => prev.contains(e.rel))
-        else if (skipChangeCommits) Nil
-        else throw new IllegalStateException(
-          s"graft-lake streaming: version $v of $root removed ${removed.size} file(s) " +
-            "(merge/delete/optimize) — an append-only stream cannot represent it. " +
-            "Set skipChangeCommits=true to skip change commits, or " +
-            "readChangeFeed=true for full CDC.")
-      }
+      val added = window.addedEntries(from, to, skipChangeCommits)
       // the batch is a REAL pruned file scan (isStreaming wrapped): later
       // query filters still push into listFiles and the parquet reader
       val meta = LakeTable.snapshot(spark, root).meta.get.copy(schema = tableSchema)

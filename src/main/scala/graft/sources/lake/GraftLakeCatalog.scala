@@ -100,8 +100,12 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
     if (!exists(root)) throw new NoSuchTableException(ident)
+    val v = scala.util.Try(version.trim.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-lake: VERSION AS OF takes a numeric manifest version, got '$version' " +
+          "(named tags/branches are not supported)"))
     new GraftLakeV2Table(s"$ident@v$version", root,
-      LakeTable.snapshotAt(spark, root, version.toLong), timeTravel = true)
+      LakeTable.snapshotAt(spark, root, v), timeTravel = true)
   }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
@@ -218,19 +222,23 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
 
   // ---- namespaces (directory-backed, metadata-free) -------------------
 
-  override def listNamespaces(): Array[Array[String]] = {
-    val dir = new Path(warehouse)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) Array.empty
-    else fs.listStatus(dir).filter(_.isDirectory)
-      .filterNot(s => fs.exists(new Path(s.getPath, "_manifests")))
-      .map(s => Array(s.getPath.getName))
-  }
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
 
-  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
-    if (namespace.isEmpty) listNamespaces()
-    else if (namespaceExists(namespace)) Array.empty
-    else throw new NoSuchNamespaceException(namespace)
+  /** Child namespaces of `namespace` = its subdirectories that are not
+    * tables — so nested namespaces (graft.a.b) are listable at every
+    * level, matching createNamespace/createTable's multi-level support.
+    */
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = new Path((s"$warehouse" +: namespace).mkString("/"))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) {
+      if (namespace.isEmpty) Array.empty
+      else throw new NoSuchNamespaceException(namespace)
+    } else
+      fs.listStatus(dir).filter(_.isDirectory)
+        .filterNot(s => fs.exists(new Path(s.getPath, "_manifests")))
+        .map(s => namespace :+ s.getPath.getName)
+  }
 
   override def namespaceExists(namespace: Array[String]): Boolean = {
     val dir = new Path((s"$warehouse" +: namespace).mkString("/"))

@@ -87,8 +87,11 @@ class LakeFileIndex(
   /** Filesystem round-trips made to resolve FileStatus — the test hook
     * pinning that planning over a post-length manifest touches the
     * filesystem ZERO times (only legacy pre-length entries fall back).
+    * Atomic: concurrent planning threads may resolve entries in
+    * parallel and the exact count is what probes pin.
     */
-  @volatile var fsStatusLookups: Int = 0
+  private val fsStatusLookupCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  def fsStatusLookups: Int = fsStatusLookupCount.get
 
   // the table root qualified once (makeQualified is local — no RPC), so
   // synthesized statuses carry full URIs like a real listing would
@@ -120,7 +123,7 @@ class LakeFileIndex(
       new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, new Path(qualifiedRoot, e.rel))
     case None =>
       fallbackStatus.computeIfAbsent(e.rel, { rel =>
-        fsStatusLookups += 1
+        fsStatusLookupCount.incrementAndGet()
         val p = new Path(root, rel)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
       })

@@ -1,6 +1,5 @@
 package graft.sources.lake
 
-import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -98,12 +97,7 @@ class LakeMicroBatchStream(
   with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
-  // manifests are immutable — cache each version's entry list
-  private val entryCache = mutable.Map.empty[Long, Seq[LakeTable.Entry]]
-
-  private def entriesAt(v: Long): Seq[LakeTable.Entry] =
-    if (v <= 0) Nil
-    else entryCache.getOrElseUpdate(v, LakeTable.readManifest(spark, root, v)._2)
+  private val window = new VersionWindow(spark, root)
 
   private def ver(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -125,9 +119,8 @@ class LakeMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = Option(start).map(ver).getOrElse(startingVersion)
-    val avail = pinnedVersion.getOrElse(LakeTable.snapshot(spark, root).version)
-    val capped = maxVersionsPerTrigger.fold(avail)(m => math.min(avail, from + math.max(1L, m)))
-    if (capped > from) LongOffset(capped) else null
+    val end = window.nextEndVersion(from, pinnedVersion, maxVersionsPerTrigger)
+    if (end > 0) LongOffset(end) else null
   }
 
   override def reportLatestOffset(): Offset = {
@@ -136,23 +129,6 @@ class LakeMicroBatchStream(
   }
 
   override def deserializeOffset(json: String): Offset = LongOffset(json.trim.toLong)
-
-  /** Files added by pure-append commits in (from, to] — the exact
-    * semantics (and error contract) of the DSv1 source's getBatch.
-    */
-  private def addedEntries(from: Long, to: Long): Seq[LakeTable.Entry] =
-    ((from + 1) to to).flatMap { v =>
-      val prev = entriesAt(v - 1).map(_.rel).toSet
-      val cur = entriesAt(v)
-      val removed = prev -- cur.map(_.rel).toSet
-      if (removed.isEmpty) cur.filterNot(e => prev.contains(e.rel))
-      else if (skipChangeCommits) Nil
-      else throw new IllegalStateException(
-        s"graft-lake streaming: version $v of $root removed ${removed.size} file(s) " +
-          "(merge/delete/optimize) — an append-only stream cannot represent it. " +
-          "Set skipChangeCommits=true to skip change commits, or use the DSv1 " +
-          "readChangeFeed source for full CDC.")
-    }
 
   /** A ParquetScan over exactly `entries` (the per-batch or template
     * planning unit — same vectorized read stack as the batch face).
@@ -166,7 +142,8 @@ class LakeMicroBatchStream(
       .build().asInstanceOf[ParquetScan]
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    scanOf(addedEntries(ver(start), ver(end))).toBatch.planInputPartitions()
+    scanOf(window.addedEntries(ver(start), ver(end), skipChangeCommits))
+      .toBatch.planInputPartitions()
 
   // the factory captures schema + conf only — partitions carry the files,
   // so one factory serves every micro-batch

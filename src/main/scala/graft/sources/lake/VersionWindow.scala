@@ -1,0 +1,76 @@
+package graft.sources.lake
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.LakeTable
+
+/** The version-offset streaming core SHARED by the two streaming faces —
+  * the DSv1 [[GraftLakeSource]] and the catalog's [[LakeMicroBatchStream]]
+  * — so admission semantics cannot drift between them: a micro-batch
+  * (from, to] delivers exactly the files ADDED by pure-append commits in
+  * that version range; a commit that REMOVES files (merge / delete /
+  * optimize / restore) either fails crisply or is skipped wholly under
+  * `skipChangeCommits` (the Delta semantics — rows added by a change
+  * commit are NOT re-delivered, their original append already streamed
+  * them).
+  *
+  * Entry lists are cached per version (manifests are immutable) in a
+  * small LRU — bounded memory on a long-lived stream over a
+  * frequently-committed table, while still serving the sequential
+  * access pattern (batch N+1 starts at batch N's end version, so the
+  * previous boundary manifest is a guaranteed hit).
+  */
+private[lake] class VersionWindow(spark: SparkSession, root: String) {
+
+  private val MaxCached = 8
+
+  private val cache =
+    new java.util.LinkedHashMap[Long, Seq[LakeTable.Entry]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Seq[LakeTable.Entry]]): Boolean =
+        size() > MaxCached
+    }
+
+  def entriesAt(v: Long): Seq[LakeTable.Entry] = synchronized {
+    if (v <= 0) Nil
+    else {
+      val hit = cache.get(v)
+      if (hit != null) hit
+      else {
+        val es = LakeTable.readManifest(spark, root, v)._2
+        cache.put(v, es)
+        es
+      }
+    }
+  }
+
+  /** Files added by pure-append commits in (from, to] — or the crisp
+    * change-commit refusal.
+    */
+  def addedEntries(from: Long, to: Long, skipChangeCommits: Boolean): Seq[LakeTable.Entry] =
+    ((from + 1) to to).flatMap { v =>
+      val prev = entriesAt(v - 1).map(_.rel).toSet
+      val cur = entriesAt(v)
+      val removed = prev -- cur.map(_.rel).toSet
+      if (removed.isEmpty) cur.filterNot(e => prev.contains(e.rel))
+      else if (skipChangeCommits) Nil
+      else throw new IllegalStateException(
+        s"graft-lake streaming: version $v of $root removed ${removed.size} file(s) " +
+          "(merge/delete/optimize) — an append-only stream cannot represent it. " +
+          "Set skipChangeCommits=true to skip change commits, or " +
+          "readChangeFeed=true for full CDC.")
+    }
+
+  /** The admission decision shared by both faces: the next end version
+    * given the last delivered one, an optional AvailableNow pin, and the
+    * per-trigger version-span cap; -1 = nothing new.
+    */
+  def nextEndVersion(
+      from: Long,
+      pinnedVersion: Option[Long],
+      maxVersionsPerTrigger: Option[Long]): Long = {
+    val avail = pinnedVersion.getOrElse(LakeTable.snapshot(spark, root).version)
+    val capped = maxVersionsPerTrigger.fold(avail)(m => math.min(avail, from + math.max(1L, m)))
+    if (capped > from) capped else -1L
+  }
+}

@@ -219,6 +219,22 @@ class LakeCatalogSpec extends SparkSpec {
     spark.sql(s"DROP TABLE graft.db.renamed_$short")
     assert(!spark.sql("SHOW TABLES IN graft.db").collect()
       .map(_.getString(1)).contains(s"renamed_$short"))
+    // nested namespaces are listable at every level
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.outer.inner")
+    assert(spark.sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0))
+      .contains("outer"))
+    assert(spark.sql("SHOW NAMESPACES IN graft.outer").collect().map(_.getString(0))
+      .contains("outer.inner"))
+    spark.sql("CREATE TABLE graft.outer.inner.nt (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.outer.inner.nt VALUES (1, 'a')")
+    assert(spark.sql("SELECT count(*) c FROM graft.outer.inner.nt").head.getLong(0) === 1)
+    // VERSION AS OF with a non-numeric version fails crisply (on a table
+    // that exists — here the nested one)
+    val ev = intercept[Exception](
+      spark.sql("SELECT * FROM graft.outer.inner.nt VERSION AS OF 'latest'").collect())
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(ev).exists(_.contains("numeric manifest version")), s"got: $ev")
     // absolute-path identifier addresses an existing root directly
     val root = s"${Files.createTempDirectory("graft-cat-path")}/t"
     LakeTable.init(spark,
