@@ -259,6 +259,51 @@ object LakeTable {
     Snapshot(v, Some(meta), entries)
   }
 
+  /** Atomic same-directory PUBLISH of `tmp` as `dst`: succeeds iff the
+    * destination did not exist — exactly one of N racing publishers
+    * wins, which is the whole optimistic-concurrency contract.
+    *
+    * On HDFS (and stores emulating its contract) `rename` provides this
+    * natively: it is atomic server-side and fails when the destination
+    * exists. The LOCAL filesystem does NOT — its no-overwrite check is
+    * check-then-act above POSIX rename(2), so two writers racing the
+    * same version can BOTH "succeed" and the second silently OVERWRITES
+    * the first's manifest: a lost commit with no error anywhere (caught
+    * live as the round-15 spec flake — 4 concurrent writers, zero
+    * errors, 3 surviving versions). On `file:` schemes we therefore
+    * publish via hard LINK: link(2) fails atomically with EEXIST when
+    * the destination exists, closing the race at the syscall level. The
+    * local checksum shadow (`.name.crc`) is linked best-effort too so
+    * reads keep verification.
+    */
+  private def publishAtomic(
+      f: FileSystem,
+      tmp: Path,
+      dst: Path): Boolean = {
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      import java.nio.file.{Files, Paths}
+      val t = Paths.get(f.makeQualified(tmp).toUri)
+      val d = Paths.get(f.makeQualified(dst).toUri)
+      val won =
+        try { Files.createLink(d, t); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (won) {
+        val tCrc = t.resolveSibling(s".${t.getFileName}.crc")
+        val dCrc = d.resolveSibling(s".${d.getFileName}.crc")
+        if (Files.exists(tCrc))
+          try Files.createLink(dCrc, tCrc)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+      f.delete(tmp, false) // removes the crc shadow as well
+      won
+    } else {
+      val ok = f.rename(tmp, dst)
+      if (!ok) f.delete(tmp, false)
+      ok
+    }
+  }
+
   /** Atomically commit `entries` as version `v` (must be prev + 1).
     * Returns false if some other writer committed `v` first.
     * (`private[graft]` so LakeTableSpec can race two commits directly.)
@@ -276,11 +321,7 @@ object LakeTable {
     val out = f.create(tmp, false)
     try out.write(renderManifest(meta, entries).getBytes("UTF-8"))
     finally out.close()
-    // same-directory rename: atomic; fails (returns false) if the
-    // destination exists — exactly one of two racing commits wins
-    val ok = f.rename(tmp, new Path(dir, s"v$v.manifest"))
-    if (!ok) f.delete(tmp, false)
-    ok
+    publishAtomic(f, tmp, new Path(dir, s"v$v.manifest"))
   }
 
   // ---- write path ----------------------------------------------------
@@ -1686,10 +1727,11 @@ object LakeTable {
       val tmp = new Path(ckDir, s".tmp-offset-${java.util.UUID.randomUUID()}")
       val out = fsys.create(tmp, false)
       try out.write(to.toString.getBytes("UTF-8")) finally out.close()
-      // a failed rename with the destination already present is a racing
+      // a failed publish with the destination already present is a racing
       // consumer committing the SAME offset — equivalent, not an error
-      if (!fsys.rename(tmp, dest)) {
-        fsys.delete(tmp, false)
+      // (publishAtomic gives the exactly-one-winner contract on local
+      // filesystems too; see its doc)
+      if (!publishAtomic(fsys, tmp, dest)) {
         require(fsys.exists(dest),
           s"LakeTable.processChanges: offset commit failed at $checkpointDir")
       }

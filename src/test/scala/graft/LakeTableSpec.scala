@@ -811,6 +811,38 @@ class LakeTableSpec extends SparkSpec {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("commit is atomic create-if-absent: N racing publishers of one version, exactly one wins") {
+    // the round-15 flake, root-caused: the LOCAL filesystem's rename
+    // no-overwrite check is check-then-act, so two same-version commits
+    // racing through it could BOTH report success and the second
+    // silently overwrote the first — a lost commit with no error. The
+    // hard-link publish closes the race at the syscall level; this
+    // stress pins exactly-one-winner across 40 contested versions
+    // (16 threads on a start barrier each — the old path lost a commit
+    // every few hundred attempts under this load).
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf.limit(10), "p")
+    val meta = LakeTable.snapshot(spark, root).meta.get
+    (2L to 41L).foreach { v =>
+      val threads = 16
+      val barrier = new java.util.concurrent.CyclicBarrier(threads)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ts = (0 until threads).map { i =>
+        new Thread {
+          override def run(): Unit = {
+            barrier.await()
+            if (LakeTable.commit(spark, root, v, meta,
+                Seq(LakeTable.Entry(s"w$i", s"data/x/$i.parquet", Nil))))
+              wins.incrementAndGet()
+          }
+        }
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(wins.get === 1, s"version $v: ${wins.get} writers believed they committed")
+    }
+    assert(LakeTable.snapshot(spark, root).version === 41L)
+  }
+
   test("vacuum-vs-reader: time travel to a vacuumed snapshot fails crisply, current read unaffected") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p")
