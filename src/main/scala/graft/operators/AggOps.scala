@@ -211,6 +211,68 @@ object AggOps {
       computed.unionByName(missing)
     }
   }
+
+  /** Global rank + running sums over a total order, FULLY PARALLEL.
+    *
+    * The naive form — `row_number().over(Window.orderBy(...))` — is a
+    * SinglePartition window: Spark moves the whole input through one
+    * task, which at 100 TB funnels a data-proportional set (e.g. one row
+    * per part key) through a single sorter. This operator computes the
+    * identical result with the chunk-parallel machinery of
+    * [[exactPercentiles]]:
+    *
+    *   1. range-partition the input on the order key and stamp each row
+    *      with its chunk id — chunk order == global order;
+    *   2. per-chunk row counts and sums roll up to prefix offsets — a
+    *      window over at most `shuffle.partitions` rows, never the data;
+    *   3. global rank = chunk-local `row_number` + broadcast offset, and
+    *      each running sum = chunk-local running sum + its offset. Every
+    *      sort task is bounded by the range chunk size.
+    *
+    * `order` should be a TOTAL order (include a unique tie-break column)
+    * for deterministic output — same requirement as the builtin window.
+    * `rnName` gets the 1-based global rank as LONG (the builtin's
+    * `row_number` is int, which overflows past 2^31 rows — cast it down
+    * at the call site if hash-parity with an int oracle matters).
+    * Each `(valueCol, outName)` in `cumSums` yields the inclusive
+    * running sum of `valueCol` under the global order; value columns
+    * must be non-null (a null would make the chunk-local running sum
+    * null where the builtin carries the prior cumulative value).
+    */
+  def globalRank(
+      order: Seq[Column],
+      rnName: String,
+      cumSums: Seq[(String, String)] = Nil): DataFrame => DataFrame = { df =>
+    val nChunks = df.sparkSession.sessionState.conf.numShufflePartitions
+    // persisted: repartitionByRange executes its child twice (boundary
+    // sampling + exchange), and the offsets branch and the rank branch
+    // must read the SAME materialized chunking — __pid must mean one thing.
+    val ranged = graft.engine.ManagedCache.persist(
+      df.repartitionByRange(nChunks, order: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val wOff = Window.orderBy(col("__pid").asc) // bounded: <= nChunks rows
+    val perChunk = count(lit(1)).as("__rows") +:
+      cumSums.map { case (in, out) => sum(col(in)).as(s"__s_$out") }
+    val offsets = ranged
+      .groupBy(col("__pid"))
+      .agg(perChunk.head, perChunk.tail: _*)
+      .select(col("__pid") +:
+        (coalesce(sum(col("__rows")).over(wOff) - col("__rows"), lit(0L)))
+          .as("__rnoff") +:
+        cumSums.map { case (_, out) =>
+          coalesce(sum(col(s"__s_$out")).over(wOff) - col(s"__s_$out"), lit(0L))
+            .as(s"__off_$out")
+        }: _*)
+    val wLoc = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    val wRun = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = ranged
+      .join(broadcast(offsets), "__pid")
+      .withColumn(rnName, row_number().over(wLoc).cast("long") + col("__rnoff"))
+    val withSums = cumSums.foldLeft(joined) { case (acc, (in, out)) =>
+      acc.withColumn(out, sum(col(in)).over(wRun) + col(s"__off_$out"))
+    }
+    withSums.drop("__pid" +: "__rnoff" +: cumSums.map(c => s"__off_${c._2}"): _*)
+  }
 }
 
 /** Generalized COO sparse matrix multiply (lab5/MatrixMultiplication.sh).

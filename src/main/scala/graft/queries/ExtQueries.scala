@@ -1172,16 +1172,18 @@ object ExtQueries {
     // then cumulative share at each part-count decile. All membership
     // and cumulation in exact integers; the one division is the final
     // per-mille share, computed with integer arithmetic
-    // (cum*1000 div total).
+    // (cum*1000 div total). The rank/cumsum is AggOps.globalRank —
+    // chunk-parallel range-partition + prefix offsets — because the
+    // ranked set is PART-COUNT-SIZED (grows with the data): a plain
+    // Window.orderBy would funnel it through one task at scale.
     "q128_pareto" -> { (s, dir) =>
       val rev = t(s, dir, "lineitem")
         .groupBy("l_partkey")
         .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
-      val w = Window.orderBy(col("rev").desc, col("l_partkey"))
-      val ranked = rev
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cum", sum("rev").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ranked = AggOps.globalRank(
+          Seq(col("rev").desc, col("l_partkey").asc),
+          "rn", Seq("rev" -> "cum"))(rev)
+        .withColumn("rn", col("rn").cast("int")) // hash-parity with the int oracle
       val totals = ranked.agg(
         max("rn").as("n_parts"), max("cum").as("total_rev"))
       val d10 = s.range(1, 11).select(col("id").as("decile"))

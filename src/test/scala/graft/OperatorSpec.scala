@@ -243,4 +243,40 @@ class OperatorSpec extends SparkSpec {
     val ap = approx.queryExecution.executedPlan.toString
     assert(!ap.contains("Expand"), s"approx profile must not Expand:\n$ap")
   }
+
+  test("globalRank == naive SinglePartition window (rank + running sums)") {
+    // duplicate order values with a unique tie-break; negative sums;
+    // more rows than chunks so every chunk is non-trivial
+    val rows = (1 to 257).map(i => (i % 13, i, (i * 7 % 29).toLong - 5L, i.toLong % 11))
+    val df = rows.toDF("score", "id", "a", "b").repartition(7)
+    val order = Seq(col("score").desc, col("id").asc)
+    val got = AggOps.globalRank(order, "rn", Seq("a" -> "ca", "b" -> "cb"))(df)
+    assert(got.schema("rn").dataType.typeName == "long")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    val wr = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val exp = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("ca", sum("a").over(wr))
+      .withColumn("cb", sum("b").over(wr))
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "rn", "ca", "cb").collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(key(got) == key(exp))
+    // the point of the operator: NO SinglePartition window over the data
+    // (the offsets window runs over <= shuffle.partitions rows)
+    val winNodes = got.queryExecution.executedPlan.collect {
+      case ww: org.apache.spark.sql.execution.window.WindowExec
+          if ww.partitionSpec.isEmpty => ww
+    }
+    winNodes.foreach { ww =>
+      val agg = ww.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if a.groupingExpressions.exists(_.name == "__pid") => a
+      }
+      assert(agg.nonEmpty,
+        s"unpartitioned window not over the chunk-count-bounded offsets:\n$ww")
+    }
+  }
 }

@@ -563,4 +563,36 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("sweep: no unpartitioned window over data-proportional input, anywhere") {
+    // The structural guard that found q128: an empty-partition-spec
+    // Window funnels its whole input through ONE task — acceptable only
+    // over provably bounded inputs. Sweep EVERY SparkEntry query's
+    // optimized plan (construction only — no collect; side-effectful
+    // harnesses still run their setup) and require each unpartitioned
+    // window to be on the allowlist below, each entry with its
+    // boundedness argument. A new query that sneaks one in fails here.
+    val bounded: Map[String, String] = Map(
+      // histogram-bucket-count-sized CDF (fixed bucket grid, not rows)
+      "q123_pct_rank" -> "window over histogram buckets",
+      // same grid; the lit(1) partition key constant-folds to empty
+      "q126_gap_quantiles" -> "window over histogram buckets",
+      // month-count-sized lag (~84 rows over the calendar, not rows)
+      "q127_mom_growth" -> "window over months",
+      // globalRank's offsets: <= spark.sql.shuffle.partitions rows
+      "q128_pareto" -> "globalRank offsets over chunk count")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df =
+        try fn(spark, sf)
+        catch { case e: Throwable => fail(s"$name failed to construct: $e") }
+      val hits = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      if (hits.nonEmpty && !bounded.contains(name)) offenders += name
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows outside the bounded allowlist: ${offenders.mkString(", ")}")
+  }
 }
