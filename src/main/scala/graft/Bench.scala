@@ -95,26 +95,39 @@ object Bench {
     // tenancy mode that bites is BANDWIDTH, which only a working set far
     // past LLC can see. STREAM-triad over 3 x 128 MiB arrays,
     // single-threaded, min of 2 timed sweeps after a warm-up.
-    val triadN = 16 * 1024 * 1024 // longs per array; 3 arrays = 384 MiB
-    val ta = new Array[Long](triadN); val tb = new Array[Long](triadN)
-    val tc = new Array[Long](triadN)
-    var ti = 0
-    while (ti < triadN) { tb(ti) = ti; tc(ti) = 2L * ti; ti += 1 } // touch pages
-    def triad(): Double = {
-      val t0 = System.nanoTime()
-      var i = 0
-      while (i < triadN) { ta(i) = tb(i) + 3L * tc(i); i += 1 }
-      (System.nanoTime() - t0) / 1e9
-    }
-    triad() // warm-up
-    val hostSecMem = math.min(triad(), triad())
-    if (ta(triadN - 1) == 42L) System.err.println("") // keep the sweep live
+    // Size the arrays to the heap actually available (full size only
+    // past a 2 GiB budget; past-LLC still at 1/8 scale on small heaps)
+    // and guard the allocation: the probe must never OOM the benchmark
+    // it serves — on failure host_factor_mem reports -1 (unavailable).
+    val triadFull = 16 * 1024 * 1024 // longs per array; 3 arrays = 384 MiB
+    val triadN =
+      if (Runtime.getRuntime.maxMemory() >= (2L << 30)) triadFull else triadFull / 8
+    val hostSecMem =
+      try {
+        val ta = new Array[Long](triadN); val tb = new Array[Long](triadN)
+        val tc = new Array[Long](triadN)
+        var ti = 0
+        while (ti < triadN) { tb(ti) = ti; tc(ti) = 2L * ti; ti += 1 } // touch pages
+        def triad(): Double = {
+          val t0 = System.nanoTime()
+          var i = 0
+          while (i < triadN) { ta(i) = tb(i) + 3L * tc(i); i += 1 }
+          (System.nanoTime() - t0) / 1e9
+        }
+        triad() // warm-up
+        val best = math.min(triad(), triad())
+        if (ta(triadN - 1) == 42L) System.err.println("") // keep the sweep live
+        // scale a reduced sweep back to full-size units for the ref ratio
+        best * (triadFull.toDouble / triadN)
+      } catch {
+        case _: OutOfMemoryError => -1.0
+      }
     val refSec = sys.env.getOrElse("SPARK_GRAFT_HOST_REF_SEC", "0.93").toDouble
     // quiet-host reference for the triad, measured round 15 on this box
     val refMemSec = sys.env.getOrElse("SPARK_GRAFT_HOST_REF_MEM_SEC", "0.032").toDouble
     val hostFactor = hostSec / refSec
     val hostFactorMt = hostSecMt / refSec
-    val hostFactorMem = hostSecMem / refMemSec
+    val hostFactorMem = if (hostSecMem < 0) -1.0 else hostSecMem / refMemSec
 
     def line(queries: String) =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$queries,""" +

@@ -147,7 +147,7 @@ object LakeProbe {
     val (_, tBloomInit) = time(
       LakeTable.init(spark, bloomRoot, bdf, "p", bloomCols = Seq("k")))
     val snapB = LakeTable.snapshot(spark, bloomRoot)
-    val (blooms, tLoad) = time(LakeTable.loadBlooms(spark, bloomRoot, "k"))
+    val (blooms, tLoad) = time(LakeTable.loadBlooms(spark, bloomRoot, Seq("k")))
     val probeKey = 777777L
     val (keptB, tPruneB) = time(
       LakeTable.pruneBloom(spark, bloomRoot, snapB.meta.get, snapB.entries, "k", probeKey))

@@ -31,6 +31,9 @@ object SparkEngine {
       // otherwise an illegal type for the vectorized reader; surface it
       // as a LongType of epoch-nanos and convert explicitly.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // column mapping (lake RENAME COLUMN): lake files carry parquet
+      // field ids; match read columns by id so renames are metadata-only
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
       .config("spark.ui.enabled", "false")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -61,6 +64,7 @@ object SparkEngine {
   def align(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     graft.functions.GraftExtensions.register(spark)
     graft.plans.TopK.register(spark)
     registerLakeCatalog(spark)

@@ -133,8 +133,65 @@ object LakeTable {
       partitionCol: String,
       statsCols: Seq[String],
       txns: Map[String, Long] = Map.empty,
-      bloomCols: Seq[String] = Nil) {
+      bloomCols: Seq[String] = Nil,
+      // former names of renamed BLOOM columns (current -> older names,
+      // newest first): sidecar rows are keyed by the column name they
+      // were written under, so a lookup after RENAME COLUMN must also
+      // match rows written under the previous names
+      bloomAliases: Map[String, Seq[String]] = Map.empty) {
     def statsCol: Option[String] = statsCols.headOption
+    /** Every sidecar name a bloom lookup on `column` must match. */
+    def bloomNamesFor(column: String): Seq[String] =
+      column +: bloomAliases.getOrElse(column, Nil)
+  }
+
+  // ---- column mapping (RENAME COLUMN without rewriting data) ---------
+
+  /** Column identity lives in parquet FIELD IDS (the Delta/Iceberg
+    * column-mapping shape): every table field carries a stable id in its
+    * StructField metadata under this key — Spark's parquet writer stamps
+    * it into the files (`spark.sql.parquet.fieldId.write.enabled`, on by
+    * default) and the reader matches requested columns BY ID instead of
+    * by name when `spark.sql.parquet.fieldId.read.enabled` is set (done
+    * in SparkEngine). RENAME COLUMN is then a pure manifest commit: the
+    * logical name changes, the id does not, and every already-written
+    * file keeps reading. Tables created before ids existed have none —
+    * they read by name exactly as before, and RENAME is refused on them.
+    */
+  private[graft] val FieldIdKey = "parquet.field.id"
+
+  private[graft] def fieldIdsOf(schema: StructType): Map[String, Long] =
+    schema.fields.iterator
+      .filter(_.metadata.contains(FieldIdKey))
+      .map(f => f.name -> f.metadata.getLong(FieldIdKey))
+      .toMap
+
+  private[graft] def withFieldIds(schema: StructType, ids: Map[String, Long]): StructType =
+    StructType(schema.fields.map { f =>
+      ids.get(f.name).fold(f) { id =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(FieldIdKey, id).build())
+      }
+    })
+
+  /** Append `newFields` to the schema, assigning fresh field ids when
+    * the table uses column mapping (max + 1, the Delta convention) —
+    * the single evolution point shared by append/overwrite/merge
+    * widening and ALTER TABLE ADD COLUMNS.
+    */
+  private def extendSchema(
+      schema: StructType,
+      newFields: Seq[org.apache.spark.sql.types.StructField]): StructType = {
+    val ids = fieldIdsOf(schema)
+    if (ids.isEmpty || newFields.isEmpty) StructType(schema.fields ++ newFields)
+    else {
+      var next = ids.values.max
+      StructType(schema.fields ++ newFields.map { f =>
+        next += 1
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(FieldIdKey, next).build())
+      })
+    }
   }
 
   case class Snapshot(version: Long, meta: Option[TableMeta], entries: Seq[Entry])
@@ -156,10 +213,28 @@ object LakeTable {
   private def decOpt(s: String): Option[String] =
     if (s == "_") None else Some(unesc(s.stripPrefix("=")))
 
-  private[graft] def renderManifest(meta: TableMeta, entries: Seq[Entry]): String = {
+  /** The manifest FORMAT version this reader understands (the Delta
+    * minReaderVersion pattern): every manifest opens with `#format=N`,
+    * old parsers ignore unknown header keys, and a future incompatible
+    * change bumps N so an old reader fails with a NAMED version-gate
+    * error instead of an opaque parse crash (the r14→r15 rows:bytes
+    * cell change taught this lesson — an r14 parser threw
+    * NumberFormatException on the ':').
+    */
+  private[graft] val ManifestFormat = 1
+
+  private[graft] def renderManifest(
+      meta: TableMeta,
+      entries: Seq[Entry],
+      commitTimeMs: Option[Long] = None): String = {
     val header = Seq(
+      s"#format=$ManifestFormat",
       s"#schema=${meta.schema.toDDL}",
       s"#partitionCol=${meta.partitionCol}") ++
+      // recorded commit time (TIMESTAMP AS OF resolves against this, not
+      // the file mtime — mtimes do not survive copies/restores/object
+      // stores; legacy manifests without the line fall back to mtime)
+      commitTimeMs.map(t => s"#commitTime=$t").toSeq ++
       // esc() covers tabs/newlines but NOT the ',' this list is joined
       // on — percent-encode it explicitly ('%' itself is esc'd to %25,
       // so "%2C" can only ever mean an encoded comma; unesc() decodes
@@ -170,6 +245,17 @@ object LakeTable {
       (if (meta.bloomCols.nonEmpty)
          Seq(s"#bloomCols=${meta.bloomCols.map(c => esc(c).replace(",", "%2C")).mkString(",")}")
        else Nil) ++
+      // column-mapping ids (toDDL drops StructField metadata, so the ids
+      // are carried as their own header line and re-attached at parse)
+      (if (fieldIdsOf(meta.schema).nonEmpty)
+         Seq(s"#fieldIds=${fieldIdsOf(meta.schema).toSeq.sortBy(_._2)
+           .map { case (n, id) => s"${esc(n).replace(",", "%2C")}:$id" }.mkString(",")}")
+       else Nil) ++
+      // former sidecar names of renamed bloom columns (one line per
+      // current name, aliases newest-first)
+      meta.bloomAliases.toSeq.sortBy(_._1).map { case (cur, olds) =>
+        s"#bloomAlias=${(cur +: olds).map(n => esc(n).replace(",", "%2C")).mkString(",")}"
+      } ++
       // transactional-writer watermarks (idempotent appends): the highest
       // txnVersion committed per appId, carried forward by every commit
       meta.txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn=${esc(app)}:$v" }
@@ -198,12 +284,21 @@ object LakeTable {
   private[graft] def parseManifest(text: String): (TableMeta, Seq[Entry]) = {
     val lines = text.split("\n").iterator.filter(_.nonEmpty).toSeq
     val (header, body) = lines.partition(_.startsWith("#"))
-    // #txn= repeats (one line per appId) — keep it out of the unique-key map
-    val (txnLines, kvLines) = header.partition(_.startsWith("#txn="))
+    // #txn= / #bloomAlias= repeat (one line per key) — keep them out of
+    // the unique-key map
+    val (txnLines, rest) = header.partition(_.startsWith("#txn="))
+    val (aliasLines, kvLines) = rest.partition(_.startsWith("#bloomAlias="))
     val kv = kvLines.map { h =>
       val Array(k, v) = h.stripPrefix("#").split("=", 2)
       k -> v
     }.toMap
+    // version gate: a manifest written by a FUTURE incompatible format
+    // fails with a named error, not a parse crash (absent = format 1,
+    // covering every manifest written before the header existed)
+    val fmt = kv.get("format").map(_.toInt).getOrElse(1)
+    require(fmt <= ManifestFormat,
+      s"graft-lake: manifest format $fmt is newer than this reader " +
+        s"(supports <= $ManifestFormat) — upgrade the library to read this table")
     val txns = txnLines.map { l =>
       val s = l.stripPrefix("#txn=")
       val i = s.lastIndexOf(':')
@@ -214,12 +309,23 @@ object LakeTable {
     val statsCols = kv.get("statsCols").map(_.split(",").toSeq.map(unesc))
       .orElse(kv.get("statsCol").map(Seq(_)))
       .getOrElse(Nil)
+    val fieldIds: Map[String, Long] = kv.get("fieldIds")
+      .map(_.split(",").toSeq.map { cell =>
+        val i = cell.lastIndexOf(':')
+        unesc(cell.take(i)) -> cell.drop(i + 1).toLong
+      }.toMap)
+      .getOrElse(Map.empty)
+    val bloomAliases: Map[String, Seq[String]] = aliasLines.map { l =>
+      val names = l.stripPrefix("#bloomAlias=").split(",").toSeq.map(unesc)
+      names.head -> names.tail
+    }.toMap
     val meta = TableMeta(
-      StructType.fromDDL(kv("schema")),
+      withFieldIds(StructType.fromDDL(kv("schema")), fieldIds),
       kv("partitionCol"),
       statsCols,
       txns,
-      kv.get("bloomCols").map(_.split(",").toSeq.map(unesc)).getOrElse(Nil))
+      kv.get("bloomCols").map(_.split(",").toSeq.map(unesc)).getOrElse(Nil),
+      bloomAliases)
     val entries = body.map { line =>
       val cells = line.split("\t", -1)
       val tail = cells.drop(2)
@@ -243,6 +349,25 @@ object LakeTable {
     val in = f.open(mf)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     parseManifest(text)
+  }
+
+  /** Recorded commit time of version `v` (epoch millis), from the
+    * manifest's `#commitTime` header — None for manifests written
+    * before the header existed (callers fall back to file mtime).
+    * Reads only the header lines, not the entry body.
+    */
+  private[graft] def commitTimeOf(spark: SparkSession, root: String, v: Long): Option[Long] = {
+    val mf = new Path(manifestDir(root), s"v$v.manifest")
+    val f = fs(spark, mf)
+    val in = f.open(mf)
+    try {
+      val rd = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      Iterator.continually(rd.readLine())
+        .takeWhile(l => l != null && l.startsWith("#"))
+        .collectFirst { case l if l.startsWith("#commitTime=") =>
+          l.stripPrefix("#commitTime=").toLong
+        }
+    } finally in.close()
   }
 
   /** The current committed snapshot; version 0 = table does not exist. */
@@ -285,18 +410,33 @@ object LakeTable {
       import java.nio.file.{Files, Paths}
       val t = Paths.get(f.makeQualified(tmp).toUri)
       val d = Paths.get(f.makeQualified(dst).toUri)
-      val won =
-        try { Files.createLink(d, t); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      if (won) {
-        val tCrc = t.resolveSibling(s".${t.getFileName}.crc")
-        val dCrc = d.resolveSibling(s".${d.getFileName}.crc")
-        if (Files.exists(tCrc))
-          try Files.createLink(dCrc, tCrc)
-          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      // None = this filesystem cannot hard-link (FAT/exFAT, some
+      // overlay/network mounts) — fall back to the rename path below,
+      // accepting its weaker check-then-act no-overwrite check there
+      // rather than crashing every commit
+      val linked: Option[Boolean] =
+        try { Files.createLink(d, t); Some(true) }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => Some(false)
+          case _: UnsupportedOperationException => None
+          case _: java.nio.file.FileSystemException => None
+        }
+      linked match {
+        case Some(won) =>
+          if (won) {
+            val tCrc = t.resolveSibling(s".${t.getFileName}.crc")
+            val dCrc = d.resolveSibling(s".${d.getFileName}.crc")
+            if (Files.exists(tCrc))
+              try Files.createLink(dCrc, tCrc)
+              catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          }
+          f.delete(tmp, false) // removes the crc shadow as well
+          won
+        case None =>
+          val ok = !f.exists(dst) && f.rename(tmp, dst)
+          if (!ok) f.delete(tmp, false)
+          ok
       }
-      f.delete(tmp, false) // removes the crc shadow as well
-      won
     } else {
       val ok = f.rename(tmp, dst)
       if (!ok) f.delete(tmp, false)
@@ -319,7 +459,8 @@ object LakeTable {
     f.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-v$v-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(renderManifest(meta, entries).getBytes("UTF-8"))
+    try out.write(
+      renderManifest(meta, entries, Some(System.currentTimeMillis())).getBytes("UTF-8"))
     finally out.close()
     publishAtomic(f, tmp, new Path(dir, s"v$v.manifest"))
   }
@@ -350,7 +491,18 @@ object LakeTable {
       sortCols: Seq[String] = Nil): Seq[Entry] = {
     val batch = s"batch-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(new Path(root, "data"), batch)
-    val keyed = df.withColumn(PartDirCol, col(meta.partitionCol).cast("string"))
+    // column mapping: stamp each written column with its field id (the
+    // parquet writer embeds StructField metadata ids into the files, so
+    // post-RENAME readers keep matching them by id)
+    val stamped =
+      if (fieldIdsOf(meta.schema).isEmpty) df
+      else {
+        val fieldMeta = meta.schema.fields.map(f => f.name -> f.metadata).toMap
+        df.select(df.columns.toSeq.map(c =>
+          col(s"`$c`").as(c,
+            fieldMeta.getOrElse(c, org.apache.spark.sql.types.Metadata.empty))): _*)
+      }
+    val keyed = stamped.withColumn(PartDirCol, col(meta.partitionCol).cast("string"))
     // clustered layout: range-partition + in-partition sort on
     // (partition, sortCols) — each output file then covers one tight,
     // non-overlapping slice of the sort key, so the manifest min/max
@@ -525,7 +677,11 @@ object LakeTable {
     val allStats = statsCol.toSeq ++ statsCols
     (allStats ++ bloomCols).foreach(c => require(df.columns.contains(c),
       s"LakeTable.init: stats/bloom column $c not in the frame"))
-    val meta = TableMeta(df.schema, partitionCol, allStats, bloomCols = bloomCols)
+    // every new table gets column-mapping ids from birth (1..n), so
+    // RENAME COLUMN is metadata-only for its whole life
+    val mapped = withFieldIds(df.schema,
+      df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1).toLong }.toMap)
+    val meta = TableMeta(mapped, partitionCol, allStats, bloomCols = bloomCols)
     val entries = writeBatch(spark, root, df, meta)
     require(commit(spark, root, 1, meta, entries), s"LakeTable.init: concurrent commit at $root")
   }
@@ -547,6 +703,7 @@ object LakeTable {
       addColumns: Seq[org.apache.spark.sql.types.StructField] = Nil,
       statsCols: Option[Seq[String]] = None,
       bloomCols: Option[Seq[String]] = None,
+      renameColumns: Map[String, String] = Map.empty,
       maxRetries: Int = 3): Long = {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.alterTable: no committed snapshot at $root")
@@ -558,15 +715,41 @@ object LakeTable {
         s"LakeTable.alterTable: added column ${f.name} must be nullable " +
           "(existing files read NULL for it)")
     }
-    val newSchema = StructType(meta.schema.fields ++ addColumns)
-    val newStats = statsCols.getOrElse(meta.statsCols)
-    val newBlooms = bloomCols.getOrElse(meta.bloomCols)
+    // RENAME COLUMN: metadata-only under column mapping — the field id
+    // stays, the logical name changes, every already-written file keeps
+    // reading by id. Refused for tables whose files predate ids (a
+    // name-matched read after rename would silently return NULL).
+    renameColumns.foreach { case (from, to) =>
+      require(meta.schema.fieldNames.contains(from),
+        s"LakeTable.alterTable: RENAME source column $from does not exist")
+      require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"LakeTable.alterTable: RENAME target column $to already exists")
+      require(from != meta.partitionCol,
+        s"LakeTable.alterTable: cannot rename the partition column $from")
+      require(meta.schema(from).metadata.contains(FieldIdKey),
+        s"LakeTable.alterTable: column $from has no field id — the table was " +
+          "created before column mapping; RENAME would break reads of existing files")
+    }
+    def renamed(n: String): String = renameColumns.getOrElse(n, n)
+    val renamedSchema = StructType(meta.schema.fields.map(f => f.copy(name = renamed(f.name))))
+    val newSchema = StructType(renamedSchema.fields ++ addColumns)
+    val newStats = statsCols.getOrElse(meta.statsCols.map(renamed))
+    val newBlooms = bloomCols.getOrElse(meta.bloomCols.map(renamed))
     (newStats ++ newBlooms).foreach(c => require(newSchema.fieldNames.contains(c),
       s"LakeTable.alterTable: stats/bloom column $c not in the schema"))
-    val newMeta = meta.copy(schema = newSchema, statsCols = newStats, bloomCols = newBlooms)
+    // renamed bloom columns keep matching sidecar rows written under
+    // their former names (manifest-recorded aliases; zero sidecar I/O)
+    val newAliases = renameColumns.foldLeft(meta.bloomAliases) {
+      case (acc, (from, to)) if meta.bloomCols.contains(from) =>
+        (acc - from) + (to -> (from +: acc.getOrElse(from, Nil)))
+      case (acc, _) => acc
+    }
+    val newMeta = meta.copy(schema = newSchema, statsCols = newStats,
+      bloomCols = newBlooms, bloomAliases = newAliases)
+    val oldStatsRenamed = meta.statsCols.map(renamed)
     val entries = s0.entries.map { e =>
       e.copy(stats = newStats.map { c =>
-        val i = meta.statsCols.indexOf(c)
+        val i = oldStatsRenamed.indexOf(c)
         if (i >= 0) e.stats.lift(i).getOrElse((None, None))
         else (None: Option[String], None: Option[String])
       })
@@ -575,7 +758,7 @@ object LakeTable {
     else {
       require(maxRetries > 0,
         s"LakeTable.alterTable: concurrent commit at $root (retries exhausted)")
-      alterTable(spark, root, addColumns, statsCols, bloomCols, maxRetries - 1)
+      alterTable(spark, root, addColumns, statsCols, bloomCols, renameColumns, maxRetries - 1)
     }
   }
 
@@ -880,7 +1063,7 @@ object LakeTable {
             val dt = meta.schema(k).dataType
             val hashes = rows.map(_.get(i)).filter(_ != null).distinct
               .map(v => bloomHashExternal(dt, v))
-            (hashes, loadBlooms(spark, root, k))
+            (hashes, loadBlooms(spark, root, meta.bloomNamesFor(k)))
           }
           e => perCol.forall { case (hashes, blooms) =>
             hashes.nonEmpty &&
@@ -1008,7 +1191,7 @@ object LakeTable {
   private[graft] def loadBlooms(
       spark: SparkSession,
       root: String,
-      column: String): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+      names: Seq[String]): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
     val idx = new Path(root, "index")
     val f = fs(spark, idx)
     if (!f.exists(idx)) Map.empty
@@ -1017,7 +1200,7 @@ object LakeTable {
       if (batches.isEmpty) Map.empty
       else
         spark.read.parquet(batches: _*)
-          .where(col("col") === column)
+          .where(col("col").isin(names.map(x => x: Any): _*))
           .select("rel", "bits")
           .collect()
           .map { r =>
@@ -1041,7 +1224,7 @@ object LakeTable {
       column: String,
       value: Any): Seq[Entry] = {
     val h = bloomHashExternal(meta.schema(column).dataType, value)
-    val blooms = loadBlooms(spark, root, column)
+    val blooms = loadBlooms(spark, root, meta.bloomNamesFor(column))
     entries.filter(e => blooms.get(e.rel).forall(_.mightContainLong(h)))
   }
 
@@ -1142,7 +1325,7 @@ object LakeTable {
     else {
       val newFields = df.schema.filterNot(f => meta.schema.fieldNames.contains(f.name))
       val newMeta = meta.copy(
-        schema = StructType(meta.schema.fields ++ newFields),
+        schema = extendSchema(meta.schema, newFields.toSeq),
         txns = txnAppId.fold(meta.txns)(app => meta.txns + (app -> txnVersion)))
       val written = writeBatch(spark, root, align(df, newMeta.schema), newMeta)
       if (commit(spark, root, s0.version + 1, newMeta, s0.entries ++ written))
@@ -1174,7 +1357,7 @@ object LakeTable {
     require(s0.version > 0, s"LakeTable.overwrite: no committed snapshot at $root")
     val meta = s0.meta.get
     val newFields = df.schema.filterNot(f => meta.schema.fieldNames.contains(f.name))
-    val newMeta = meta.copy(schema = StructType(meta.schema.fields ++ newFields))
+    val newMeta = meta.copy(schema = extendSchema(meta.schema, newFields.toSeq))
     val written = writeBatch(spark, root, align(df, newMeta.schema), newMeta)
     if (commit(spark, root, s0.version + 1, newMeta, written))
       MergeStats(s0.version + 1, 0, 0, 0, written.size)
@@ -1221,7 +1404,7 @@ object LakeTable {
       s"LakeTable.merge: table is partitioned by ${meta.partitionCol}, not $partitionCol")
     // schema evolution: columns only the source has widen the table
     val newFields = source.schema.filterNot(f => meta.schema.fieldNames.contains(f.name))
-    val outSchema = StructType(meta.schema.fields ++ newFields)
+    val outSchema = extendSchema(meta.schema, newFields.toSeq)
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
 
     // stats/bloom-informed probe: when the manifest records min/max (or
@@ -1315,7 +1498,8 @@ object LakeTable {
     val bounds = allBounds.filter { case (c, _) => meta.statsCols.contains(c) }
     val bloomPts = allBounds.toSeq.collect {
       case (c, (Some(lo), Some(hi))) if lo == hi && meta.bloomCols.contains(c) =>
-        (bloomHashExternal(meta.schema(c).dataType, lo), loadBlooms(spark, root, c))
+        (bloomHashExternal(meta.schema(c).dataType, lo),
+          loadBlooms(spark, root, meta.bloomNamesFor(c)))
     }
     e =>
       bounds.forall { case (c, (lo, hi)) => entryIntersects(meta, e, c, lo, hi) } &&
@@ -1490,6 +1674,147 @@ object LakeTable {
         mergeWithRetryImpl(spark, root, source, keyCols, partitionCol, maxRetries - 1, preCommit)
     }
   }
+
+  /** One WHEN clause of a general MERGE: `condition` (None =
+    * unconditional) over the joined row — target columns under their
+    * plain names, source columns under `__s_<name>` — and `values`
+    * (None = DELETE / skip-insert; Some = UPDATE/INSERT assignments,
+    * possibly partial: unassigned columns keep the target value for
+    * matched / by-source clauses and become NULL for inserts).
+    */
+  case class MergeBranch(condition: Option[Column], values: Option[Map[String, Column]])
+
+  /** General MERGE with Delta-semantics clause lists (first matching
+    * clause wins; a row matching no clause of its family is kept
+    * unchanged if it is a target row and dropped if it is an unmatched
+    * source row). Supports conditional `WHEN MATCHED [AND cond] THEN
+    * UPDATE/DELETE`, conditional `WHEN NOT MATCHED THEN INSERT`, and
+    * `WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE`.
+    *
+    * `source` must carry every source column renamed `__s_<name>` plus,
+    * for each target key column `k`, a plain column `k` holding the ON
+    * expression's value (the join/probe key).
+    *
+    * Execution shape: the same stats/Bloom-pruned file-level COW as
+    * [[merge]] — files that provably hold no source key carry by path —
+    * with ONE full-outer join between the rewritten files' rows and the
+    * source deciding every row's fate in a single pass. With
+    * NOT-MATCHED-BY-SOURCE clauses present every target row's fate
+    * depends on the join, so the whole table is rewritten (the clause
+    * semantics require it; Delta does the same).
+    *
+    * SQL NULL semantics throughout: `=` join keys never match NULL, a
+    * NULL clause condition does not fire, and later clauses are then
+    * consulted.
+    */
+  def mergeClauses(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      matched: Seq[MergeBranch],
+      notMatched: Seq[MergeBranch],
+      notMatchedBySource: Seq[MergeBranch],
+      partitionCol: String): MergeStats = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.mergeClauses: no committed snapshot at $root")
+    val meta = s0.meta.get
+    require(meta.partitionCol == partitionCol,
+      s"LakeTable.mergeClauses: table is partitioned by ${meta.partitionCol}, not $partitionCol")
+    notMatched.foreach(b => require(b.values.isDefined,
+      "LakeTable.mergeClauses: NOT MATCHED clauses must INSERT"))
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+
+    // rewrite set: with by-source clauses every target row's fate depends
+    // on the join — no file can carry; otherwise identical to merge()
+    val (rewrite, carry, probed, affectedParts) =
+      if (notMatchedBySource.nonEmpty)
+        (s0.entries, Seq.empty[Entry], s0.entries.size,
+          s0.entries.map(_.part).distinct.size)
+      else {
+        val mayMatch = keyProbeFilter(spark, root, meta, keyCols, srcKeys)
+        val probeEntries = s0.entries.filter(mayMatch)
+        val matchedParts =
+          if (probeEntries.isEmpty) Set.empty[String]
+          else readEntries(spark, root, meta.schema, probeEntries)
+            .join(broadcast(srcKeys), keyCols, "left_semi")
+            .select(partExpr(partitionCol)).distinct()
+            .collect().map(_.getString(0)).toSet
+        val (rw, cy) =
+          s0.entries.partition(e => matchedParts.contains(e.part) && mayMatch(e))
+        (rw, cy, probeEntries.size, matchedParts.size)
+      }
+
+    val joined = readEntries(spark, root, meta.schema, rewrite)
+      .withColumn("__thit", lit(true)).as("t")
+      .join(
+        source.withColumn("__shit", lit(true)).as("s"),
+        keyCols.map(k => col(s"t.`$k`") === col(s"s.`$k`")).reduce(_ && _),
+        "full_outer")
+    val base = joined.select(
+      meta.schema.map(f => col(s"t.`${f.name}`").as(f.name)) ++
+        source.columns.filter(_.startsWith("__s_")).toSeq.map(c => col(s"s.`$c`")) ++
+        Seq(
+          coalesce(col("t.__thit"), lit(false)).as("__thit"),
+          coalesce(col("s.__shit"), lit(false)).as("__shit")): _*)
+
+    def fire(b: MergeBranch): Column = b.condition.getOrElse(lit(true))
+    def keepChain(branches: Seq[MergeBranch], default: Column): Column =
+      branches.foldRight(default)((b, acc) =>
+        when(fire(b), lit(b.values.isDefined)).otherwise(acc))
+    def valueChain(
+        branches: Seq[MergeBranch],
+        name: String,
+        unassigned: Column,
+        noneFired: Column): Column =
+      branches.foldRight(noneFired)((b, acc) =>
+        when(fire(b), b.values.flatMap(_.get(name)).getOrElse(unassigned)).otherwise(acc))
+
+    val isM = col("__thit") && col("__shit")
+    val isS = !col("__thit") && col("__shit")
+    val result = base
+      .withColumn("__keep",
+        when(isM, keepChain(matched, lit(true)))
+          .when(isS, keepChain(notMatched, lit(false)))
+          .otherwise(keepChain(notMatchedBySource, lit(true))))
+      .where(col("__keep"))
+      .select(meta.schema.map { f =>
+        val nul = lit(null).cast(f.dataType)
+        when(isM, valueChain(matched, f.name, col(f.name), col(f.name)))
+          .when(isS, valueChain(notMatched, f.name, nul, nul))
+          .otherwise(valueChain(notMatchedBySource, f.name, col(f.name), col(f.name)))
+          .cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+
+    val written = writeBatch(spark, root, result, meta)
+    require(
+      commit(spark, root, s0.version + 1, meta, carry ++ written),
+      s"LakeTable.mergeClauses: concurrent commit at $root (retry on a fresh snapshot)")
+    MergeStats(s0.version + 1, affectedParts, rewrite.size, carry.size, written.size,
+      filesProbed = probed)
+  }
+
+  /** [[mergeClauses]] with the standard optimistic-concurrency retry
+    * loop (see [[mergeWithRetry]]).
+    */
+  def mergeClausesWithRetry(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      matched: Seq[MergeBranch],
+      notMatched: Seq[MergeBranch],
+      notMatchedBySource: Seq[MergeBranch],
+      partitionCol: String,
+      maxRetries: Int = 3): MergeStats =
+    withCommitRetry(maxRetries)(retriesLeft =>
+      try Some(mergeClauses(spark, root, source, keyCols, matched, notMatched,
+        notMatchedBySource, partitionCol))
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("concurrent commit") &&
+              retriesLeft > 0 => None
+      })
 
   // ---- OPTIMIZE (compaction) -----------------------------------------
 

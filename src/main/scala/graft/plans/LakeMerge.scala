@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, Attribute, AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Assignment, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, Project, UpdateAction,
-  UpdateTable}
+  Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeAction,
+  MergeIntoTable, Project, UpdateAction, UpdateTable}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -32,23 +32,27 @@ import graft.sources.lake.GraftLakeV2Table
   * unsupported at this exact spot), so it also attaches to an
   * externally-created session through `SparkEngine.align`.
   *
-  * Supported MERGE shape (the canonical source-wins upsert,
-  * [[LakeTable.merge]]'s contract):
+  * Supported MERGE shapes: the ON condition must be a conjunction of
+  * target-column = source-expression equalities (that is what makes the
+  * merge an equi-join and the stats/Bloom file probe possible); the
+  * clause lists follow Delta semantics (first matching clause wins):
   *
   * {{{
   *   MERGE INTO graft.db.t t USING src s ON t.k1 = s.a [AND t.k2 = s.b ...]
-  *   WHEN MATCHED THEN UPDATE SET *            -- or explicit source-only exprs
-  *   WHEN NOT MATCHED THEN INSERT *            -- same values as the update
+  *   WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE      -- any number
+  *   WHEN NOT MATCHED [AND cond] THEN INSERT ...               -- any number
+  *   WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE | DELETE
   * }}}
   *
-  * i.e. one unconditional matched UPDATE whose assignments read only the
-  * SOURCE side, one unconditional NOT MATCHED INSERT assigning the same
-  * values, no NOT-MATCHED-BY-SOURCE clauses, and an ON condition that is
-  * a conjunction of target-column = source-expression equalities whose
-  * target columns are assigned exactly their ON expression (all true for
-  * `SET * / INSERT *`). Anything else throws a crisp
-  * UnsupportedOperationException naming the unsupported piece rather
-  * than silently changing semantics. UPDATE and DELETE take ARBITRARY
+  * The canonical source-wins upsert (one unconditional source-only
+  * UPDATE + one unconditional INSERT of the same values, keys assigned
+  * their ON expressions) plans onto [[LakeTable.merge]]'s specialized
+  * broadcast-anti-join path (with append-style schema evolution); every
+  * other clause shape plans onto [[LakeTable.mergeClauses]]'s general
+  * full-outer-join COW rewrite. Subqueries in clause conditions or
+  * assignments, and assignments to columns the table lacks, throw a
+  * crisp UnsupportedOperationException rather than silently changing
+  * semantics. UPDATE and DELETE statements take ARBITRARY
   * predicates/assignments (evaluated by the rewrite scan itself),
   * except subqueries (refused crisply — see [[byNameColumn]]).
   *
@@ -124,18 +128,69 @@ object LakeDmlStrategy extends SparkStrategy {
 
   private def fail(what: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft-lake MERGE INTO supports the source-wins upsert shape only " +
-        s"(one unconditional WHEN MATCHED THEN UPDATE with source-side values, one " +
-        s"unconditional WHEN NOT MATCHED THEN INSERT of the same values, ON = key " +
-        s"equalities); not supported here: $what")
+      s"graft-lake MERGE INTO: not supported here: $what (supported: an ON condition " +
+        s"that is a conjunction of target-column = source-expression equalities; " +
+        s"WHEN MATCHED [AND cond] THEN UPDATE/DELETE; WHEN NOT MATCHED [AND cond] " +
+        s"THEN INSERT; WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE; " +
+        s"no subqueries in clause conditions or assignments; assignments to " +
+        s"existing table columns only)")
+
+  /** ON must be a conjunction of targetCol = sourceExpr equalities —
+    * that is what makes the merge an equi-join (shuffle-/broadcast-
+    * plannable) and the stats/Bloom file probe possible. Returns each
+    * key's target column name and its source-side expression.
+    */
+  private def parseOn(
+      cond: Expression,
+      sourceOut: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      : Seq[(String, Expression)] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    val pairs = conjuncts(cond).map {
+      case EqualTo(l, r) =>
+        val (tAttr, sExpr) =
+          if (l.references.subsetOf(sourceOut) && !r.references.subsetOf(sourceOut)) (r, l)
+          else (l, r)
+        val name = tAttr match {
+          case ar: AttributeReference if !sourceOut.contains(ar) => ar.name
+          case other => fail(s"ON conjunct side $other is not a target column")
+        }
+        if (!sExpr.references.subsetOf(sourceOut)) fail(s"ON conjunct for $name mixes both sides")
+        name -> sExpr
+      case other => fail(s"non-equality ON conjunct ${other.sql}")
+    }
+    if (pairs.isEmpty) fail("an ON condition with no key equality")
+    pairs
+  }
 
   private def planMerge(
       t: GraftLakeV2Table,
       source: LogicalPlan,
       cond: Expression,
-      matched: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
-      notMatched: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
-      bySource: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction]): SparkPlan = {
+      matched: Seq[MergeAction],
+      notMatched: Seq[MergeAction],
+      bySource: Seq[MergeAction]): SparkPlan = {
+    val keyPairs = parseOn(cond, source.outputSet)
+    // the canonical source-wins upsert keeps its specialized path — a
+    // broadcast anti-join instead of the general full-outer join, plus
+    // append-style schema evolution; every other clause shape routes
+    // through the general clause merge
+    try planSourceWins(t, source, keyPairs, matched, notMatched, bySource)
+    catch {
+      case _: UnsupportedOperationException =>
+        planGeneralMerge(t, source, keyPairs, matched, notMatched, bySource)
+    }
+  }
+
+  private def planSourceWins(
+      t: GraftLakeV2Table,
+      source: LogicalPlan,
+      keyPairs: Seq[(String, Expression)],
+      matched: Seq[MergeAction],
+      notMatched: Seq[MergeAction],
+      bySource: Seq[MergeAction]): SparkPlan = {
     if (bySource.nonEmpty) fail("WHEN NOT MATCHED BY SOURCE clauses")
     val updateAssigns = matched match {
       case Seq(u: UpdateAction) if u.condition.isEmpty => u.assignments
@@ -167,29 +222,13 @@ object LakeDmlStrategy extends SparkStrategy {
       if (!u.get.semanticEquals(i.get))
         fail(s"UPDATE and INSERT assign different values to $c (source-wins needs one value)")
     }
-
-    // ON: conjunction of targetCol = sourceExpr; each key's assignment
-    // must BE its ON expression (otherwise matched rows could change key)
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case o => Seq(o)
+    // each key's assignment must BE its ON expression (otherwise matched
+    // rows could change key — that shape needs the general clause merge)
+    val keyCols = keyPairs.map { case (name, sExpr) =>
+      if (!upd(name).semanticEquals(sExpr))
+        fail(s"key column $name is reassigned away from its ON expression")
+      name
     }
-    val keyCols = conjuncts(cond).map {
-      case EqualTo(l, r) =>
-        val (tAttr, sExpr) =
-          if (l.references.subsetOf(sourceOut) && !r.references.subsetOf(sourceOut)) (r, l)
-          else (l, r)
-        val name = tAttr match {
-          case ar: AttributeReference if !sourceOut.contains(ar) => ar.name
-          case other => fail(s"ON conjunct side $other is not a target column")
-        }
-        if (!sExpr.references.subsetOf(sourceOut)) fail(s"ON conjunct for $name mixes both sides")
-        if (!upd(name).semanticEquals(sExpr))
-          fail(s"key column $name is reassigned away from its ON expression")
-        name
-      case other => fail(s"non-equality ON conjunct ${other.sql}")
-    }
-    if (keyCols.isEmpty) fail("an ON condition with no key equality")
 
     // the effective source: one row per source row, projected to the
     // target's column names through the (source-side) assignments — the
@@ -199,21 +238,95 @@ object LakeDmlStrategy extends SparkStrategy {
     LakeDmlExec("merge", () => {
       val spark = SparkSession.active
       val src = GraftColumnBridge.ofRows(spark, projected)
-      // ANSI MERGE cardinality: a target row matched by MULTIPLE source
-      // rows is an error (Delta/Iceberg raise MERGE_CARDINALITY_VIOLATION)
-      // — with equality keys that is exactly a duplicate source key, and
-      // letting it through would SILENTLY insert duplicate keys instead.
-      // One aggregate over the batch-sized source, not the table.
-      val dup = src.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
-        .count().where(org.apache.spark.sql.functions.col("count") > 1)
-        .limit(1).collect()
-      if (dup.nonEmpty)
-        throw new IllegalStateException(
-          "graft-lake MERGE INTO: the source has duplicate rows for key " +
-            dup.head.toSeq.init.mkString("(", ", ", ")") +
-            " — a target row cannot be updated by multiple source rows " +
-            "(MERGE cardinality violation); de-duplicate the source first")
+      cardinalityCheck(src, keyCols)
       LakeTable.mergeWithRetry(spark, t.root, src, keyCols, t.meta.partitionCol)
+    })
+  }
+
+  /** ANSI MERGE cardinality: a target row matched by MULTIPLE source
+    * rows is an error (Delta/Iceberg raise MERGE_CARDINALITY_VIOLATION)
+    * — with equality keys that is exactly a duplicate source key, and
+    * letting it through would SILENTLY insert duplicate keys instead.
+    * One aggregate over the batch-sized source, not the table.
+    */
+  private def cardinalityCheck(
+      src: org.apache.spark.sql.DataFrame, keyCols: Seq[String]): Unit = {
+    val dup = src.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .count().where(org.apache.spark.sql.functions.col("count") > 1)
+      .limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalStateException(
+        "graft-lake MERGE INTO: the source has duplicate rows for key " +
+          dup.head.toSeq.init.mkString("(", ", ", ")") +
+          " — a target row cannot be updated by multiple source rows " +
+          "(MERGE cardinality violation); de-duplicate the source first")
+  }
+
+  /** General clause shapes (Delta semantics, first matching clause
+    * wins): conditional matched UPDATE/DELETE, conditional NOT MATCHED
+    * INSERT, NOT MATCHED BY SOURCE UPDATE/DELETE. Clause conditions and
+    * assignment values may reference BOTH sides; they are re-anchored by
+    * name over the joined frame [[LakeTable.mergeClauses]] builds —
+    * target columns keep their names, source columns get the `__s_`
+    * prefix — so subqueries (whose inner plans cannot be re-anchored)
+    * are refused crisply, like [[byNameColumn]].
+    */
+  private def planGeneralMerge(
+      t: GraftLakeV2Table,
+      source: LogicalPlan,
+      keyPairs: Seq[(String, Expression)],
+      matched: Seq[MergeAction],
+      notMatched: Seq[MergeAction],
+      bySource: Seq[MergeAction]): SparkPlan = {
+    val sourceOut = source.outputSet
+    def anchored(e: Expression): org.apache.spark.sql.Column = {
+      if (e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+        fail(s"subquery in merge clause ${e.sql}")
+      GraftColumnBridge.column(e.transform {
+        case a: AttributeReference =>
+          if (sourceOut.contains(a)) UnresolvedAttribute.quoted("__s_" + a.name)
+          else UnresolvedAttribute.quoted(a.name)
+      })
+    }
+    val targetFields = t.meta.schema.fieldNames.toSet
+    def assignMap(assigns: Seq[Assignment], what: String): Map[String, org.apache.spark.sql.Column] =
+      assigns.map { a =>
+        val name = a.key match {
+          case ar: AttributeReference => ar.name
+          case other => fail(s"$what assignment to non-column $other")
+        }
+        if (!targetFields.contains(name))
+          fail(s"$what assigns $name, not a table column (clause merge does not evolve schema)")
+        name -> anchored(a.value)
+      }.toMap
+    def branch(a: MergeAction, what: String): LakeTable.MergeBranch = a match {
+      case u: UpdateAction =>
+        LakeTable.MergeBranch(u.condition.map(anchored), Some(assignMap(u.assignments, what)))
+      case d: DeleteAction =>
+        LakeTable.MergeBranch(d.condition.map(anchored), None)
+      case i: InsertAction =>
+        LakeTable.MergeBranch(i.condition.map(anchored), Some(assignMap(i.assignments, what)))
+      case other => fail(s"$what action $other")
+    }
+    val mBr = matched.map(branch(_, "MATCHED"))
+    val nBr = notMatched.map(branch(_, "NOT MATCHED"))
+    nBr.foreach(b => if (b.values.isEmpty) fail("a NOT MATCHED clause that does not INSERT"))
+    val sBr = bySource.map(branch(_, "NOT MATCHED BY SOURCE"))
+
+    // the prepared source frame mergeClauses expects: every source
+    // column under __s_<name>, plus each ON key expression under its
+    // target column name (the join/probe key)
+    val srcPlan = Project(
+      source.output.map(a => Alias(a, "__s_" + a.name)()).toSeq ++
+        keyPairs.map { case (k, e) => Alias(e, k)() },
+      source)
+    val keyCols = keyPairs.map(_._1)
+    LakeDmlExec("merge", () => {
+      val spark = SparkSession.active
+      val src = GraftColumnBridge.ofRows(spark, srcPlan)
+      if (mBr.nonEmpty) cardinalityCheck(src, keyCols)
+      LakeTable.mergeClausesWithRetry(
+        spark, t.root, src, keyCols, mBr, nBr, sBr, t.meta.partitionCol)
     })
   }
 

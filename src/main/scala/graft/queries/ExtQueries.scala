@@ -909,6 +909,105 @@ object ExtQueries {
         .orderBy("o_orderstatus")
     },
 
+    // The catalog CDF face end-to-end: a lake table built and mutated
+    // through pure SQL (CREATE v1, INSERT v2, MERGE v3, DELETE v4), then
+    // its per-commit change feed tailed through the DERIVED table
+    // `graft.<t>.__changes` — `spark.readStream.table` on manifest-
+    // version offsets, each (a, b] micro-batch one materialized
+    // changesSince slice — drained by a real writeStream under
+    // Trigger.AvailableNow. Same classification contract as q147's DSv1
+    // face; a replayed version doubles a cell, a missed change commit
+    // empties one, a mis-keyed join misclassifies updates as
+    // insert+delete pairs.
+    "q153_catalog_stream_changes" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q153_$tag"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q153_orders")
+      val root = s"$stage/t"
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q153_orders")
+      s.sql(s"""MERGE INTO $lt t USING (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice + 100.0 AS DOUBLE) AS o_totalprice
+        FROM q153_orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey, 'N', CAST(o_totalprice AS DOUBLE)
+        FROM q153_orders WHERE o_orderkey % 10 = 3
+      ) s ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+      s.sql(s"DELETE FROM $lt WHERE o_orderstatus = 'N' AND o_orderkey % 2 = 1")
+      val q = s.readStream
+        .option("keyCols", "o_orderkey")
+        .option("startingVersion", "2")
+        .table(s"$lt.__changes")
+        .writeStream.format("parquet")
+        .option("path", s"$stage/out")
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$stage/out")
+        .groupBy("_commit_version", "_change_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("_commit_version", "_change_type")
+    },
+
+    // CDC-apply in ONE MERGE: a change batch carrying upserts AND delete
+    // tombstones lands on the lake table through the general clause
+    // path (LakeTable.mergeClauses) — `WHEN MATCHED AND op='D' THEN
+    // DELETE` wins over the update clause (first-match semantics),
+    // unmatched tombstones are ignored, and the whole batch commits
+    // atomically as one version. This is the shape a Debezium/stream
+    // consumer applies every few minutes at 100 TB: the file probe is
+    // stats/Bloom-pruned by the batch's keys, so only files that can
+    // hold a changed key are rewritten.
+    "q152_sql_merge_cdc" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"/root/repo/target/staging/q152_$tag/t"
+      val p = new org.apache.hadoop.fs.Path(s"/root/repo/target/staging/q152_$tag")
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q152_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q152_orders")
+      s.sql(s"""MERGE INTO $lt t USING (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice + 50.0 AS DOUBLE) AS o_totalprice, 'U' AS op
+        FROM q152_orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE), 'D'
+        FROM q152_orders WHERE o_orderkey % 10 = 4
+        UNION ALL
+        SELECT o_orderkey + 2000000000, o_custkey, 'P',
+               CAST(o_totalprice AS DOUBLE), 'U'
+        FROM q152_orders WHERE o_orderkey % 10 = 7
+      ) s ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND s.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET o_orderkey = s.o_orderkey, o_custkey = s.o_custkey,
+        o_orderstatus = s.o_orderstatus, o_totalprice = s.o_totalprice
+      WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (o_orderkey, o_custkey,
+        o_orderstatus, o_totalprice) VALUES (s.o_orderkey, s.o_custkey,
+        s.o_orderstatus, s.o_totalprice)""")
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    },
+
     // The graft-lake STREAMING source end-to-end: the events fixture
     // lands in a lake table across four append commits with a COW DELETE
     // (a change commit) in the middle, and a real readStream tails the
@@ -1839,6 +1938,42 @@ object ExtQueries {
         |       CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
         |         AS cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the per-commit feed replayed relationally: v3 = the merge's
+    // updates (pre+post images) and inserts, v4 = the delete of the odd
+    // inserted 'N' rows (key+1e9 preserves parity; prices unchanged).
+    "q153_catalog_stream_changes" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |feed AS (
+        |  SELECT 3 AS _commit_version, 'insert' AS _change_type, o_totalprice
+        |  FROM t WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT 3, 'update_preimage', o_totalprice
+        |  FROM t WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 3, 'update_postimage', o_totalprice + 100.0
+        |  FROM t WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 4, 'delete', o_totalprice
+        |  FROM t WHERE o_orderkey % 10 = 3 AND o_orderkey % 2 = 1)
+        |SELECT _commit_version, _change_type, count(*) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the CDC batch replayed relationally: %10=4 keys deleted, %10=0
+    // keys repriced (+50), %10=7 keys re-inserted under new ids in 'P'.
+    "q152_sql_merge_cdc" ->
+      """WITH t0 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |                   CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM orders),
+        |final AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 50.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM t0 WHERE o_orderkey % 10 <> 4
+        |  UNION ALL
+        |  SELECT o_orderkey + 2000000000, o_custkey, 'P', o_totalprice
+        |  FROM t0 WHERE o_orderkey % 10 = 7)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     // v2 = the untouched initial insert; head = after the delete.
     "q150_sql_time_travel" ->
       """WITH t0 AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice

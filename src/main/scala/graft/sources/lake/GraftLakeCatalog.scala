@@ -91,6 +91,16 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean = exists(rootOf(ident))
 
   override def loadTable(ident: Identifier): Table = {
+    // `<table>.__changes` — the derived change-feed table (the Iceberg
+    // metadata-table pattern): `SELECT * FROM graft.db.t.__changes` /
+    // `spark.readStream.option("keyCols", ...).table("graft.db.t.__changes")`
+    if (ident.name == "__changes" && ident.namespace.nonEmpty) {
+      val base = Identifier.of(ident.namespace.init, ident.namespace.last)
+      val baseRoot = rootOf(base)
+      val snap = LakeTable.snapshot(spark, baseRoot)
+      if (snap.version > 0)
+        return new GraftLakeChangesTable(s"$base.__changes", baseRoot, snap)
+    }
     val root = rootOf(ident)
     val snap = LakeTable.snapshot(spark, root)
     if (snap.version == 0) throw new NoSuchTableException(ident)
@@ -109,7 +119,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    // timestamp arrives in MICROseconds; commit time = manifest mtime
+    // timestamp arrives in MICROseconds; commit time = the manifest's
+    // RECORDED #commitTime header (mtimes do not survive copies /
+    // restores / object-store round-trips), mtime only as the fallback
+    // for manifests written before the header existed
     val root = rootOf(ident)
     if (!exists(root)) throw new NoSuchTableException(ident)
     val dir = new Path(root, "_manifests")
@@ -117,8 +130,12 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     val cutoff = timestamp / 1000L
     val versions = fs.listStatus(dir)
       .filter(s => s.getPath.getName.startsWith("v") && s.getPath.getName.endsWith(".manifest"))
-      .filter(_.getModificationTime <= cutoff)
-      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".manifest").toLong)
+      .map { s =>
+        val v = s.getPath.getName.stripPrefix("v").stripSuffix(".manifest").toLong
+        v -> LakeTable.commitTimeOf(spark, root, v).getOrElse(s.getModificationTime)
+      }
+      .filter(_._2 <= cutoff)
+      .map(_._1)
     require(versions.nonEmpty,
       s"graft-lake: no version of $ident committed at or before timestamp ${timestamp}us")
     loadTable(ident, versions.max.toString)
@@ -155,12 +172,14 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** ALTER TABLE ADD COLUMNS (appended, nullable — a metadata-only
-    * commit; old files read NULL) and SET TBLPROPERTIES for
-    * `statsCols`/`bloomCols` (take effect for batches written after the
-    * change; old files are conservatively never pruned on new columns).
-    * Everything else — renames, drops, type changes, repartitioning —
-    * is refused: data files are immutable and the manifest's schema is
-    * positional-by-name, so those verbs would need a full rewrite.
+    * commit; old files read NULL), RENAME COLUMN (metadata-only under
+    * column mapping: the field id stays, existing files keep reading by
+    * id, stats cells and bloom sidecars keep pruning under the new
+    * name), and SET TBLPROPERTIES for `statsCols`/`bloomCols` (take
+    * effect for batches written after the change; old files are
+    * conservatively never pruned on new columns). Everything else —
+    * drops, type changes, repartitioning — is refused: data files are
+    * immutable, so those verbs would need a full rewrite.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
@@ -168,8 +187,13 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     var addCols = Seq.empty[org.apache.spark.sql.types.StructField]
     var statsCols: Option[Seq[String]] = None
     var bloomCols: Option[Seq[String]] = None
+    var renames = Map.empty[String, String]
     def split(v: String) = v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft-lake: RENAME COLUMN supports top-level columns only")
+        renames += r.fieldNames()(0) -> r.newName
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "graft-lake: ALTER TABLE ADD COLUMNS supports top-level columns only")
@@ -189,9 +213,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
         bloomCols = Some(split(s.value))
       case other => throw new UnsupportedOperationException(
         s"graft-lake: unsupported ALTER TABLE change $other (immutable data files; " +
-          "only ADD COLUMNS and SET TBLPROPERTIES statsCols/bloomCols are metadata-only)")
+          "only ADD COLUMNS, RENAME COLUMN and SET TBLPROPERTIES statsCols/bloomCols " +
+          "are metadata-only)")
     }
-    LakeTable.alterTable(spark, root, addCols, statsCols, bloomCols)
+    LakeTable.alterTable(spark, root, addCols, statsCols, bloomCols, renames)
     loadTable(ident)
   }
 
@@ -338,10 +363,43 @@ class GraftLakeV2Table(
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(!timeTravel, s"graft-lake: cannot delete from a time-travel snapshot of $tableName")
+    // Spark gates this behind canDeleteWhere, but enforce the contract
+    // here too: silently dropping an untranslatable filter would delete
+    // MORE rows than requested — fail crisply on a contract violation
+    require(filters.forall(f => GraftLakeCatalog.filterToColumn(f).isDefined),
+      s"graft-lake deleteWhere: untranslatable filter in ${filters.mkString(", ")} " +
+        "(canDeleteWhere must gate this call)")
     val cond = filters.flatMap(GraftLakeCatalog.filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
     LakeTable.deleteWithRetry(spark, root, cond, meta.partitionCol)
   }
+}
+
+/** The derived `<table>.__changes` table: READ-ONLY, schema = base
+  * schema + `_change_type` / `_commit_version`, scans served by
+  * [[LakeChangesScan]] (batch changelog + micro-batch CDF on manifest-
+  * version offsets). Snapshot-pinned like the base table handle.
+  */
+class GraftLakeChangesTable(
+    tableName: String,
+    val root: String,
+    snap: LakeTable.Snapshot)
+  extends Table
+  with SupportsRead {
+
+  val meta: LakeTable.TableMeta = snap.meta.get
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = tableName
+
+  override def schema(): StructType =
+    GraftLake.cdfSchema(GraftLake.nullable(meta.schema))
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeChangesScanBuilder(spark, root, meta, options)
 }
 
 /** INSERT INTO / INSERT OVERWRITE as transactional manifest commits via

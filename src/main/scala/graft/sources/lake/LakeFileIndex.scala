@@ -218,7 +218,10 @@ class LakeFileIndex(
     scala.collection.mutable.Map.empty[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]
 
   private def bloomsFor(bc: String): Map[String, org.apache.spark.util.sketch.BloomFilter] =
-    synchronized { bloomCache.getOrElseUpdate(bc, LakeTable.loadBlooms(spark, root, bc)) }
+    synchronized {
+      bloomCache.getOrElseUpdate(bc,
+        LakeTable.loadBlooms(spark, root, meta.bloomNamesFor(bc)))
+    }
 
   private def bloomName(nm: String): Option[String] =
     meta.bloomCols.find(_.equalsIgnoreCase(nm))

@@ -74,10 +74,20 @@ class LakeScan(
   override def description(): String = s"graft-lake $root ${delegate.description()}"
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // the per-batch scans below plan with the FULL table schema, so the
+    // declared read schema must be the full schema too — today Spark
+    // applies no column pruning to micro-batch scan builders, and this
+    // guard turns any future pruneColumns call into a crisp error
+    // instead of a silent declared-vs-produced schema misalignment
+    require(readSchema() == GraftLake.nullable(meta.schema),
+      s"graft-lake streaming: column-pruned streaming scans are not supported " +
+        s"(got ${readSchema().toDDL}, table ${meta.schema.toDDL})")
     require(!options.getBoolean("readChangeFeed", false),
-      "graft-lake: readChangeFeed streaming is served by the DSv1 source — " +
-        "use spark.readStream.format(\"graft-lake\").option(\"readChangeFeed\", true)" +
-        ".option(\"keyCols\", ...).load(root)")
+      "graft-lake: the change feed carries extra columns (_change_type, " +
+        "_commit_version), so it is its own table — read the derived table " +
+        "instead: spark.readStream.option(\"keyCols\", ...).table(\"<table>.__changes\"), " +
+        "or the DSv1 face spark.readStream.format(\"graft-lake\")" +
+        ".option(\"readChangeFeed\", true).option(\"keyCols\", ...).load(root)")
     new LakeMicroBatchStream(
       spark, root, meta,
       startingVersion = Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
@@ -149,6 +159,216 @@ class LakeMicroBatchStream(
   // so one factory serves every micro-batch
   private lazy val factory: PartitionReaderFactory =
     scanOf(Nil).toBatch.createReaderFactory()
+
+  override def createReaderFactory(): PartitionReaderFactory = factory
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+/** The catalog CDF face: `graft.db.t.__changes` is a derived READ-ONLY
+  * table whose schema is the base table's plus `_change_type` /
+  * `_commit_version` (the Iceberg metadata-table pattern — the change
+  * feed carries extra columns, so it must BE a table for
+  * `readStream.table` to type-check against).
+  *
+  * Both faces share [[LakeTable.changesSince]]'s classification (the
+  * same slices as the DSv1 `readChangeFeed` source, so the two cannot
+  * drift). A change slice is the result of a JOIN between each commit's
+  * removed and added rows — not a set of existing files — so the DSv2
+  * contract (InputPartitions) is met by MATERIALIZING each slice once
+  * to parquet and planning a real ParquetScan over it: the Delta
+  * write-time CDC-file idea applied at read time. Batch reads stage
+  * under a fresh temp dir; micro-batches stage under the stream's
+  * checkpoint keyed by version range, so a restart REUSES the slice it
+  * already materialized (byte-identical replay) instead of recomputing.
+  */
+class LakeChangesScanBuilder(
+    spark: SparkSession,
+    root: String,
+    meta: LakeTable.TableMeta,
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder {
+  override def build(): Scan = new LakeChangesScan(spark, root, meta, options)
+}
+
+class LakeChangesScan(
+    spark: SparkSession,
+    root: String,
+    meta: LakeTable.TableMeta,
+    options: CaseInsensitiveStringMap)
+  extends Scan {
+
+  private val cdf: StructType = GraftLake.cdfSchema(GraftLake.nullable(meta.schema))
+
+  /** keyCols is what classifies a commit's changes (removed rows join
+    * added rows on it: update vs insert+delete), so it is required
+    * exactly where a changelog WALK happens — always for streaming,
+    * and for batch only past the snapshot-as-inserts bootstrap (the
+    * no-options SQL face `SELECT * FROM t.__changes` stays readable).
+    */
+  private def keyCols: Seq[String] =
+    keyColsOpt.getOrElse(throw new IllegalArgumentException(
+      "graft-lake __changes: the keyCols option is required (each commit's " +
+        "removed rows join its added rows on these columns to classify " +
+        "insert/delete vs update): spark.read[Stream].option(\"keyCols\", \"id\")" +
+        ".table(\"graft.db.t.__changes\")"))
+
+  private def keyColsOpt: Option[Seq[String]] =
+    Option(options.get("keyCols")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+
+  private def startingVersion: Long =
+    Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
+
+  override def readSchema(): StructType = cdf
+
+  override def description(): String = s"graft-lake-changes $root"
+
+  /** Batch face: `startingVersion = 0` (default) delivers the CURRENT
+    * snapshot as inserts stamped with the head version (the DSv1
+    * source's bootstrap convention); `startingVersion = n > 0` delivers
+    * the exact `(n, head]` per-commit changelog.
+    */
+  override def toBatch: Batch = {
+    val head = LakeTable.snapshot(spark, root).version
+    val keys = if (startingVersion > 0) keyCols else keyColsOpt.getOrElse(Nil)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cdf-batch").toString
+    LakeCdf.materialize(spark, root, startingVersion, head, keys, cdf, dir)
+    LakeCdf.scanOver(spark, Seq(dir), cdf).toBatch
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LakeCdfMicroBatchStream(
+      spark, root, cdf, keyCols,
+      startingVersion = startingVersion,
+      maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+      stageDir = s"$checkpointLocation/__graft_cdf")
+}
+
+/** Shared slice materialization for the catalog CDF faces. */
+private[lake] object LakeCdf {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.{col, lit}
+
+  /** The `(from, to]` change slice aligned to `schema` (`from <= 0` =
+    * snapshot-as-inserts bootstrap at `to` — the processChanges
+    * contract).
+    */
+  def sliceFrame(
+      spark: SparkSession,
+      root: String,
+      from: Long,
+      to: Long,
+      keyCols: Seq[String],
+      schema: StructType): DataFrame = {
+    val batch =
+      if (from <= 0)
+        LakeTable.readVersion(spark, root, to)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(to))
+      else LakeTable.changesSince(spark, root, from, to, keyCols)
+    batch.select(schema.map { f =>
+      (if (batch.columns.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+  }
+
+  /** Write the slice to `dir` exactly once: a dir whose `_SUCCESS`
+    * marker exists is reused verbatim (restart replay), anything else —
+    * absent or half-written — is rewritten from the immutable manifests.
+    */
+  def materialize(
+      spark: SparkSession,
+      root: String,
+      from: Long,
+      to: Long,
+      keyCols: Seq[String],
+      schema: StructType,
+      dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      sliceFrame(spark, root, from, to, keyCols, schema)
+        .write.mode("overwrite").parquet(dir)
+  }
+
+  /** A ParquetScan over the materialized dirs (empty = factory
+    * template), on the same vectorized stack as every other lake read.
+    */
+  def scanOver(spark: SparkSession, dirs: Seq[String], schema: StructType): ParquetScan = {
+    val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      dirs.map(new org.apache.hadoop.fs.Path(_)),
+      Map.empty[String, String], Some(schema))
+    ParquetScanBuilder(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      index, schema, schema, CaseInsensitiveStringMap.empty())
+      .build().asInstanceOf[ParquetScan]
+  }
+}
+
+/** Micro-batch change feed on manifest-version offsets (same
+  * [[VersionWindow]] admission core as the append stream — pinned end
+  * under Trigger.AvailableNow, `maxVersionsPerTrigger` bounding, crash
+  * determinism from immutable manifests + staged slices).
+  */
+class LakeCdfMicroBatchStream(
+    spark: SparkSession,
+    root: String,
+    cdf: StructType,
+    keyCols: Seq[String],
+    startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long],
+    stageDir: String)
+  extends MicroBatchStream
+  with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  private val window = new VersionWindow(spark, root)
+
+  private def ver(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  @volatile private var pinnedVersion: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedVersion = Some(LakeTable.snapshot(spark, root).version)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def initialOffset(): Offset = LongOffset(startingVersion)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = Option(start).map(ver).getOrElse(startingVersion)
+    val end = window.nextEndVersion(from, pinnedVersion, maxVersionsPerTrigger)
+    if (end > 0) LongOffset(end) else null
+  }
+
+  override def reportLatestOffset(): Offset = {
+    val v = LakeTable.snapshot(spark, root).version
+    if (v > startingVersion) LongOffset(v) else null
+  }
+
+  override def deserializeOffset(json: String): Offset = LongOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (from, to) = (ver(start), ver(end))
+    val dir = s"$stageDir/v$from-$to"
+    LakeCdf.materialize(spark, root, from, to, keyCols, cdf, dir)
+    LakeCdf.scanOver(spark, Seq(dir), cdf).toBatch.planInputPartitions()
+  }
+
+  private lazy val factory: PartitionReaderFactory =
+    LakeCdf.scanOver(spark, Nil, cdf).toBatch.createReaderFactory()
 
   override def createReaderFactory(): PartitionReaderFactory = factory
 

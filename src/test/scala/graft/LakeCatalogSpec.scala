@@ -146,6 +146,53 @@ class LakeCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT sum(v) s FROM $t WHERE p = 'w'").head.getLong(0) === 3)
   }
 
+  test("MERGE INTO: conditional matched UPDATE/DELETE, first clause wins, target refs") {
+    val t = mkTable()
+    val root = s"$wh/db/${t.split('.').last}"
+    val v0 = LakeTable.snapshot(spark, root).version
+    // target rows k=0..29 with v = k*10; source keys 25..34 with v = k*100
+    spark.sql("CREATE OR REPLACE TEMP VIEW csrc AS " +
+      "SELECT id AS k, id * 100 AS v FROM range(25, 35)")
+    spark.sql(s"MERGE INTO $t t USING csrc s ON t.k = s.k " +
+      "WHEN MATCHED AND s.v >= 2700 THEN DELETE " +
+      "WHEN MATCHED AND t.v < 260 THEN UPDATE SET v = t.v + s.v " +
+      "WHEN NOT MATCHED AND s.k < 33 THEN INSERT (k, p, v) VALUES (s.k, '9', s.v)")
+    // k=27,28,29: first clause (DELETE) wins; k=25: second clause updates
+    // with a TARGET-side reference (250 + 2500); k=26: matched but no
+    // clause fires -> kept unchanged; k=30..32 inserted, 33..34 dropped
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 30 - 3 + 3)
+    assert(spark.sql(s"SELECT count(*) c FROM $t WHERE k IN (27, 28, 29)")
+      .head.getLong(0) === 0)
+    assert(spark.sql(s"SELECT v FROM $t WHERE k = 25").head.getLong(0) === 2750)
+    assert(spark.sql(s"SELECT v FROM $t WHERE k = 26").head.getLong(0) === 260)
+    assert(spark.sql(s"SELECT sum(v) s FROM $t WHERE p = '9'").head.getLong(0) ===
+      3000 + 3100 + 3200)
+    // ONE atomic commit for the whole clause set
+    assert(LakeTable.snapshot(spark, root).version === v0 + 1)
+  }
+
+  test("MERGE INTO: NOT MATCHED BY SOURCE UPDATE/DELETE (full-sync CDC shape)") {
+    val t = mkTable()
+    val root = s"$wh/db/${t.split('.').last}"
+    val v0 = LakeTable.snapshot(spark, root).version
+    spark.sql("CREATE OR REPLACE TEMP VIEW ssrc AS " +
+      "SELECT id AS k, '5' AS p, id AS v FROM range(10, 15)")
+    spark.sql(s"MERGE INTO $t t USING ssrc s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE AND t.k % 2 = 1 THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1")
+    // matched 10..14 take the source value; unmatched-by-source odd keys
+    // are deleted, even keys tombstoned with v = -1
+    assert(spark.sql(s"SELECT sum(v) s FROM $t WHERE k BETWEEN 10 AND 14")
+      .head.getLong(0) === (10 to 14).sum)
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 5 + 12)
+    assert(spark.sql(s"SELECT count(*) c FROM $t WHERE v = -1").head.getLong(0) === 12)
+    assert(spark.sql(s"SELECT count(*) c FROM $t WHERE k % 2 = 1 AND k NOT BETWEEN 10 AND 14")
+      .head.getLong(0) === 0)
+    assert(LakeTable.snapshot(spark, root).version === v0 + 1)
+  }
+
   test("MERGE INTO: unsupported shapes fail crisply, nothing half-commits") {
     val t = mkTable()
     val root = s"$wh/db/${t.split('.').last}"
@@ -160,27 +207,18 @@ class LakeCatalogSpec extends SparkSpec {
         c.isInstanceOf[UnsupportedOperationException] &&
           c.getMessage.contains("graft-lake MERGE INTO")), s"got: $e")
     }
-    // target-side reference in the UPDATE
-    unsupported(s"MERGE INTO $t t USING bsrc s ON t.k = s.k " +
-      "WHEN MATCHED THEN UPDATE SET v = t.v + s.v WHEN NOT MATCHED THEN INSERT *",
-      "references the target row")
-    // conditional matched clause
-    unsupported(s"MERGE INTO $t t USING bsrc s ON t.k = s.k " +
-      "WHEN MATCHED AND s.v > 1 THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
-      "matched actions")
-    // matched DELETE
-    unsupported(s"MERGE INTO $t t USING bsrc s ON t.k = s.k " +
-      "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *",
-      "matched actions")
-    // NOT MATCHED BY SOURCE
-    unsupported(s"MERGE INTO $t t USING bsrc s ON t.k = s.k " +
-      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
-      "WHEN NOT MATCHED BY SOURCE THEN DELETE",
-      "BY SOURCE")
-    // non-equality ON
+    // non-equality ON: no equi-join key, no file probe — refused, and the
+    // refusal must not be swallowed by the general-clause fallback
     unsupported(s"MERGE INTO $t t USING bsrc s ON t.k > s.k " +
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
       "non-equality")
+    // assignment to a column the table lacks via a conditional clause
+    // (the general path does not evolve schema)
+    val e = intercept[Exception](
+      spark.sql(s"MERGE INTO $t t USING bsrc s ON t.k = s.k " +
+        "WHEN MATCHED AND s.v > 1 THEN UPDATE SET w = s.v " +
+        "WHEN NOT MATCHED THEN INSERT *"))
+    assert(e != null)
     assert(LakeTable.snapshot(spark, root).version === v0, "failed MERGE must not commit")
     assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 30)
   }
@@ -352,6 +390,119 @@ class LakeCatalogSpec extends SparkSpec {
     val fin = spark.read.parquet(s"$stage/out")
     assert(fin.count() === 36)
     assert(fin.where(col("k") === 800).count() === 1)
+  }
+
+  test("RENAME COLUMN: metadata-only commit; old files read by field id; pruning survives") {
+    val _ = wh
+    spark.sql("CREATE TABLE graft.db.ren (k BIGINT, p STRING, v BIGINT) " +
+      "PARTITIONED BY (p) TBLPROPERTIES (statsCols 'k', bloomCols 'v')")
+    spark.sql("INSERT INTO graft.db.ren SELECT id, cast(id % 3 as string), id * 10 " +
+      "FROM range(30)")
+    val root = s"$wh/db/ren"
+    val filesBefore = LakeTable.snapshot(spark, root).entries.map(_.rel).toSet
+    val v0 = LakeTable.snapshot(spark, root).version
+    spark.sql("ALTER TABLE graft.db.ren RENAME COLUMN k TO kk")
+    // metadata-only: same data files, one new manifest version
+    val snap = LakeTable.snapshot(spark, root)
+    assert(snap.version === v0 + 1)
+    assert(snap.entries.map(_.rel).toSet === filesBefore)
+    // pre-rename files read under the NEW name (field-id matching)
+    assert(spark.sql("SELECT sum(kk) s FROM graft.db.ren").head.getLong(0) ===
+      (0 until 30).sum)
+    assert(spark.sql("SELECT v FROM graft.db.ren WHERE kk = 7").head.getLong(0) === 70)
+    // stats cells keep pruning under the new name
+    assert(v2ScannedFiles(spark.sql("SELECT * FROM graft.db.ren WHERE kk < 0")) <= 1)
+    // renamed BLOOM column: sidecars written under 'v' still prune a
+    // point lookup on 'w' (manifest-recorded alias)
+    spark.sql("ALTER TABLE graft.db.ren RENAME COLUMN v TO w")
+    val pointFiles = LakeTable.readPoint(spark, root, "w", 70L).inputFiles.length
+    assert(pointFiles <= 2 && pointFiles >= 1,
+      s"bloom pruning must survive the rename, scanned $pointFiles of 3")
+    assert(LakeTable.readPoint(spark, root, "w", 70L).count() === 1)
+    // a batch written AFTER the rename mixes with pre-rename files
+    spark.sql("INSERT INTO graft.db.ren SELECT id, '9', id FROM range(100, 105)")
+    assert(spark.sql("SELECT sum(kk) s FROM graft.db.ren").head.getLong(0) ===
+      (0 until 30).sum + (100 until 105).sum)
+    // time travel to the pre-rename snapshot reads the OLD names
+    assert(spark.sql(s"SELECT sum(k) s FROM graft.db.ren VERSION AS OF $v0")
+      .head.getLong(0) === (0 until 30).sum)
+    // DROP COLUMN stays refused; partition-column rename refused
+    intercept[Exception](spark.sql("ALTER TABLE graft.db.ren DROP COLUMN w"))
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.ren RENAME COLUMN p TO q"))
+    def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("cannot rename the partition column")), s"got: $e")
+  }
+
+  test("TIMESTAMP AS OF resolves from recorded commit time, surviving mtime churn") {
+    val t = mkTable() // v1 CREATE, v2 INSERT(30)
+    Thread.sleep(20)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(20)
+    spark.sql(s"INSERT INTO $t VALUES (900, '9', 0)") // v3
+    // clobber every manifest mtime far into the future — the shape a
+    // copy/restore/object-store round-trip produces; mtime-based
+    // resolution would now find NO version at or before `mid`
+    val dir = new java.io.File(s"$wh/db/${t.split('.').last}/_manifests")
+    dir.listFiles().foreach(f => assert(f.setLastModified(mid + 7200L * 1000)))
+    val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+    val lit = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(mid), zone)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(s"SELECT count(*) c FROM $t TIMESTAMP AS OF '$lit'")
+      .head.getLong(0) === 30, "recorded commit time must resolve v2 despite mtimes")
+  }
+
+  test("__changes derived table: batch changelog, streaming CDF, restart replay") {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = mkTable() // v1 CREATE (empty), v2 INSERT 30 rows (k, p, v=k*10)
+    val stage = Files.createTempDirectory("graft-cat-cdf").toString
+    spark.sql(s"UPDATE $t SET v = v + 1 WHERE k < 3")       // v3: 3 updates
+    spark.sql(s"DELETE FROM $t WHERE k IN (10, 11)")        // v4: 2 deletes
+    // batch face: default = current snapshot as inserts at head version
+    val boot = spark.read.option("keyCols", "k").table(s"$t.__changes")
+    assert(boot.where(col("_change_type") === "insert").count() === 28)
+    assert(boot.select(max(col("_commit_version"))).head.getLong(0) === 4)
+    // batch face: (2, head] per-commit changelog
+    val log = spark.read.option("keyCols", "k")
+      .option("startingVersion", "2").table(s"$t.__changes")
+    val byType = log.groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byType === Map(
+      (3L, "update_preimage") -> 3L, (3L, "update_postimage") -> 3L,
+      (4L, "delete") -> 2L))
+    // SQL face resolves the derived identifier too
+    assert(spark.sql(
+      s"SELECT count(*) c FROM $t.__changes WHERE _change_type = 'insert'")
+      .head.getLong(0) === 28)
+    // keyCols is required for a changelog walk — crisp refusal, not a
+    // misclassified feed (the bootstrap SQL face needs no options)
+    val e = intercept[Exception](
+      spark.read.option("startingVersion", "2").table(s"$t.__changes").collect())
+    def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("keyCols option is required")), s"got: $e")
+    // streaming face: drain (2, head], then restart delivers ONLY new commits
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("keyCols", "k").option("startingVersion", "2")
+        .table(s"$t.__changes")
+        .writeStream.format("parquet")
+        .option("path", s"$stage/out")
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(s"$stage/out").count() === 8)
+    spark.sql(s"DELETE FROM $t WHERE k = 12") // v5
+    drain()
+    val out = spark.read.parquet(s"$stage/out")
+    assert(out.count() === 9, "restart must deliver exactly the new commit")
+    assert(out.where(col("_commit_version") === 5).count() === 1)
+    assert(out.groupBy("_commit_version", "_change_type").count().count() === 4)
   }
 
   test("LakeTable.update: COW locality — probe and rewrite set are stats-pruned") {

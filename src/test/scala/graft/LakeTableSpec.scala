@@ -889,4 +889,25 @@ class LakeTableSpec extends SparkSpec {
     assert(m2.partitionCol === "c" && m2.schema === meta.schema)
     assert(e2 === entries)
   }
+
+  test("manifest format gate: a future format fails named; legacy headers still parse") {
+    val meta = LakeTable.TableMeta(
+      org.apache.spark.sql.types.StructType.fromDDL("a INT, p STRING"), "p", Nil)
+    val entries = Seq(LakeTable.Entry("1", "data/p=1/x.parquet", Nil))
+    val current = LakeTable.renderManifest(meta, entries, Some(1234L))
+    assert(current.startsWith(s"#format=${LakeTable.ManifestFormat}\n"))
+    assert(current.contains("#commitTime=1234"))
+    // a NEWER format is refused with a version-gate message, not a parse crash
+    val e = intercept[IllegalArgumentException](
+      LakeTable.parseManifest(current.replace(
+        s"#format=${LakeTable.ManifestFormat}", s"#format=${LakeTable.ManifestFormat + 1}")))
+    assert(e.getMessage.contains("newer than this reader"), s"got: ${e.getMessage}")
+    // manifests written before the header existed (no #format, no
+    // #commitTime) parse as format 1
+    val legacy = current.linesIterator
+      .filterNot(l => l.startsWith("#format") || l.startsWith("#commitTime"))
+      .mkString("\n")
+    val (m2, e2) = LakeTable.parseManifest(legacy)
+    assert(m2.partitionCol === "p" && e2 === entries)
+  }
 }
