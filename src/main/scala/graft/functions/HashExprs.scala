@@ -758,6 +758,26 @@ object exprs {
     GraftColumnBridge.column(ZOrder2Expr(
       GraftColumnBridge.expression(x.cast("long")),
       GraftColumnBridge.expression(y.cast("long"))))
+  def zorder3(x: Column, y: Column, z: Column): Column =
+    GraftColumnBridge.column(ZOrder3Expr(
+      GraftColumnBridge.expression(x.cast("long")),
+      GraftColumnBridge.expression(y.cast("long")),
+      GraftColumnBridge.expression(z.cast("long"))))
+  def zorder4(a: Column, b: Column, c: Column, d: Column): Column =
+    GraftColumnBridge.column(ZOrder4Expr(
+      GraftColumnBridge.expression(a.cast("long")),
+      GraftColumnBridge.expression(b.cast("long")),
+      GraftColumnBridge.expression(c.cast("long")),
+      GraftColumnBridge.expression(d.cast("long"))))
+  /** k-dimensional Morton key: fused intrinsics for 2-4 dims. */
+  def zorderN(cols: Seq[Column]): Column = cols match {
+    case Seq(x, y) => zorder2(x, y)
+    case Seq(x, y, z) => zorder3(x, y, z)
+    case Seq(a, b, c, d) => zorder4(a, b, c, d)
+    case other => throw new IllegalArgumentException(
+      s"zorderN supports 2-4 columns (got ${other.size}); beyond 4 axes the bits " +
+        "per dimension stop pruning anything — partition on the coarse axes instead")
+  }
 }
 
 /** SQL registration (`SELECT simhash64(text) ...`) via
@@ -842,6 +862,17 @@ object GraftExtensions {
       "zorder2" -> binary(
         "zorder2",
         (x, y) => ZOrder2Expr(Cast(x, LongType), Cast(y, LongType))) _,
+      "zorder3" -> { (args: Seq[Expression]) =>
+        if (args.length != 3)
+          throw new IllegalArgumentException(s"zorder3 expects 3 arguments, got ${args.length}")
+        ZOrder3Expr(Cast(args(0), LongType), Cast(args(1), LongType), Cast(args(2), LongType))
+      },
+      "zorder4" -> { (args: Seq[Expression]) =>
+        if (args.length != 4)
+          throw new IllegalArgumentException(s"zorder4 expects 4 arguments, got ${args.length}")
+        ZOrder4Expr(Cast(args(0), LongType), Cast(args(1), LongType),
+          Cast(args(2), LongType), Cast(args(3), LongType))
+      },
     ).map { case (name, builder) =>
       (new FunctionIdentifier(name),
         new ExpressionInfo(classOf[HashImpls.type].getName, name),

@@ -488,7 +488,8 @@ object LakeTable {
       df: DataFrame,
       meta: TableMeta,
       maxRecordsPerFile: Long = 0L,
-      sortCols: Seq[String] = Nil): Seq[Entry] = {
+      sortCols: Seq[String] = Nil,
+      zorderCols: Seq[String] = Nil): Seq[Entry] = {
     val batch = s"batch-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(new Path(root, "data"), batch)
     // column mapping: stamp each written column with its field id (the
@@ -510,7 +511,17 @@ object LakeTable {
     // partitioning also spreads a big lake partition over many tasks,
     // where the default hash-by-partition path writes it from one.
     val arranged =
-      if (sortCols.isEmpty) keyed.repartition(col(PartDirCol))
+      if (zorderCols.nonEmpty)
+        // multi-dimensional clustering: range-partition + sort on the
+        // Morton key of the z columns, so every output file is an
+        // axis-aligned tile and its manifest min/max is tight in EVERY
+        // z dimension (the transient key is dropped before writing)
+        keyed
+          .withColumn("__zclust", graft.functions.exprs.zorderN(zorderCols.map(col)))
+          .repartitionByRange(col(PartDirCol), col("__zclust"))
+          .sortWithinPartitions(col(PartDirCol), col("__zclust"))
+          .drop("__zclust")
+      else if (sortCols.isEmpty) keyed.repartition(col(PartDirCol))
       else keyed
         .repartitionByRange((PartDirCol +: sortCols).map(col): _*)
         .sortWithinPartitions((PartDirCol +: sortCols).map(col): _*)
@@ -1846,8 +1857,10 @@ object LakeTable {
       minFilesPerPartition: Int = 2,
       maxRecordsPerFile: Long = 0L,
       maxRetries: Int = 3,
-      sortCols: Seq[String] = Nil): MergeStats =
-    optimizeImpl(spark, root, minFilesPerPartition, maxRecordsPerFile, maxRetries, () => (), sortCols)
+      sortCols: Seq[String] = Nil,
+      zorderCols: Seq[String] = Nil): MergeStats =
+    optimizeImpl(spark, root, minFilesPerPartition, maxRecordsPerFile, maxRetries, () => (),
+      sortCols, zorderCols)
 
   @annotation.tailrec
   private[graft] def optimizeImpl(
@@ -1857,11 +1870,14 @@ object LakeTable {
       maxRecordsPerFile: Long,
       maxRetries: Int,
       preCommit: () => Unit,
-      sortCols: Seq[String] = Nil): MergeStats = {
+      sortCols: Seq[String] = Nil,
+      zorderCols: Seq[String] = Nil): MergeStats = {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.optimize: no committed snapshot at $root")
     val meta = s0.meta.get
-    sortCols.foreach(c => require(meta.schema.fieldNames.contains(c),
+    require(sortCols.isEmpty || zorderCols.isEmpty,
+      "LakeTable.optimize: pass sortCols (lexicographic) OR zorderCols (Morton), not both")
+    (sortCols ++ zorderCols).foreach(c => require(meta.schema.fieldNames.contains(c),
       s"LakeTable.optimize: sort column $c not in table schema"))
     val fileCounts = s0.entries.groupBy(_.part).map { case (p, es) => p -> es.size }
     val compactParts = fileCounts.filter(_._2 >= minFilesPerPartition).keySet
@@ -1869,7 +1885,7 @@ object LakeTable {
       return MergeStats(s0.version, 0, 0, s0.entries.size, 0)
     val (rewrite, carry) = s0.entries.partition(e => compactParts.contains(e.part))
     val df = spark.read.schema(meta.schema).parquet(rewrite.map(e => s"$root/${e.rel}"): _*)
-    val written = writeBatch(spark, root, df, meta, maxRecordsPerFile, sortCols)
+    val written = writeBatch(spark, root, df, meta, maxRecordsPerFile, sortCols, zorderCols)
     preCommit()
     val ok = commit(spark, root, s0.version + 1, meta, carry ++ written)
     if (ok)
@@ -1878,7 +1894,7 @@ object LakeTable {
       require(maxRetries > 0,
         s"LakeTable.optimize: concurrent commit at $root (retries exhausted)")
       optimizeImpl(spark, root, minFilesPerPartition, maxRecordsPerFile, maxRetries - 1, preCommit,
-        sortCols)
+        sortCols, zorderCols)
     }
   }
 

@@ -25,6 +25,25 @@ object Layout {
   /** Morton key of two columns, via the native codegen expression. */
   def zorderKey(x: Column, y: Column): Column = exprs.zorder2(x, y)
 
+  /** k-dimensional Morton key (2-4 columns, fused intrinsics). */
+  def zorderKey(cols: Seq[Column]): Column = exprs.zorderN(cols)
+
+  /** Bit-by-bit built-in composition of the k-dim interleave — the
+    * parity REFERENCE for EngineProps (an independent derivation of the
+    * same bit mapping: bit j of dim i lands at position j*k + i), not a
+    * production path.
+    */
+  def zorderKeyBuiltinN(cols: Seq[Column]): Column = {
+    val k = cols.size
+    val bits = 64 / k
+    val terms = for {
+      (c, i) <- cols.zipWithIndex
+      j <- 0 until bits
+    } yield shiftleft(
+      shiftright(c.cast("long"), j).bitwiseAND(lit(1L)), j * k + i)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
   /** Pure built-in composition of the same interleave (shiftleft /
     * bitwise ops, 5 magic-mask steps per dimension) — the parity
     * reference for EngineProps; the native form exists because one
@@ -53,7 +72,11 @@ object Layout {
     * row group), then drop the transient key before writing.
     */
   def zorderWrite(df: DataFrame, x: Column, y: Column, files: Int, path: String): Unit =
-    df.withColumn("__zkey", zorderKey(x, y))
+    zorderWrite(df, Seq(x, y), files, path)
+
+  /** [[zorderWrite]] over 2-4 clustering columns. */
+  def zorderWrite(df: DataFrame, cols: Seq[Column], files: Int, path: String): Unit =
+    df.withColumn("__zkey", zorderKey(cols))
       .repartitionByRange(files, col("__zkey"))
       .sortWithinPartitions("__zkey")
       .drop("__zkey")

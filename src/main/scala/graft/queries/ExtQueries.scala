@@ -189,6 +189,23 @@ object ExtQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // 3-dimensional Z-order key (zorder3 native expression — 21 bits
+    // per axis, the standard 3-D Morton magic-mask sequence): the
+    // clustering key behind Layout.zorderWrite(cols) and OPTIMIZE
+    // zorderCols. Hash-verified bit-for-bit against a DuckDB
+    // re-derivation of the same interleave, q110's contract extended to
+    // three axes.
+    "q154_zorder3" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 97 === 0)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          exprs.zorderN(Seq(
+            col("l_partkey"), col("l_suppkey"), col("l_linenumber"))).as("zkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // Transactional MERGE INTO (LakeTable): init a copy-on-write table
     // from orders partitioned by status, merge one deterministic source
     // batch — updates (keys % 10 = 0: price += 100, status forced to 'F',
@@ -1886,6 +1903,38 @@ object ExtQueries {
         |  (py | (py << 1)) & 6148914691236517205 AS py FROM z4)
         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |       px | (py << 1) AS zkey
+        |FROM z5 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // The same 3-D magic-mask sequence, re-derived in SQL (masks in
+    // decimal; each of the three coordinates walks the 5 spread steps,
+    // then interleaves at strides 0/1/2).
+    "q154_zorder3" ->
+      """WITH z0 AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(l_partkey AS BIGINT) & 2097151 AS px,
+        |  CAST(l_suppkey AS BIGINT) & 2097151 AS py,
+        |  CAST(l_linenumber AS BIGINT) & 2097151 AS pz
+        |  FROM lineitem WHERE l_orderkey % 97 = 0),
+        |z1 AS (SELECT l_orderkey, l_linenumber,
+        |  (px | (px << 32)) & 8725724278095871 AS px,
+        |  (py | (py << 32)) & 8725724278095871 AS py,
+        |  (pz | (pz << 32)) & 8725724278095871 AS pz FROM z0),
+        |z2 AS (SELECT l_orderkey, l_linenumber,
+        |  (px | (px << 16)) & 8725728556220671 AS px,
+        |  (py | (py << 16)) & 8725728556220671 AS py,
+        |  (pz | (pz << 16)) & 8725728556220671 AS pz FROM z1),
+        |z3 AS (SELECT l_orderkey, l_linenumber,
+        |  (px | (px << 8)) & 1157144660301377551 AS px,
+        |  (py | (py << 8)) & 1157144660301377551 AS py,
+        |  (pz | (pz << 8)) & 1157144660301377551 AS pz FROM z2),
+        |z4 AS (SELECT l_orderkey, l_linenumber,
+        |  (px | (px << 4)) & 1207822528635744451 AS px,
+        |  (py | (py << 4)) & 1207822528635744451 AS py,
+        |  (pz | (pz << 4)) & 1207822528635744451 AS pz FROM z3),
+        |z5 AS (SELECT l_orderkey, l_linenumber,
+        |  (px | (px << 2)) & 1317624576693539401 AS px,
+        |  (py | (py << 2)) & 1317624576693539401 AS py,
+        |  (pz | (pz << 2)) & 1317624576693539401 AS pz FROM z4)
+        |SELECT l_orderkey, l_linenumber,
+        |       px | (py << 1) | (pz << 2) AS zkey
         |FROM z5 ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // Relational re-derivation of the MERGE result: source wins on key
     // (updates repartitioned to 'F', inserts re-keyed into 'N'),

@@ -265,4 +265,37 @@ object EngineProps extends Properties("graft") {
       rows.zip(ref).forall { case (r, e) => r.getLong(0) == e && r.getLong(1) == e }
     }
   }
+
+  property("native zorder3/zorder4 == builtin reference (bit j of dim i -> j*k+i)") = {
+    val gen3 = Gen.oneOf(Gen.choose(0L, 1023L), Gen.choose(0L, 0x1fffffL))
+    val gen4 = Gen.oneOf(Gen.choose(0L, 1023L), Gen.choose(0L, 0xffffL))
+    forAll(
+      Gen.listOfN(6, Gen.zip(gen3, gen3, gen3)),
+      Gen.listOfN(6, Gen.zip(gen4, gen4, gen4, gen4))) { (p3, p4) =>
+      import spark.implicits._
+      def ref(vals: Seq[Long], bits: Int): Long = {
+        val k = vals.size
+        vals.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+          (0 until bits).foldLeft(acc)((a, j) => a | (((v >> j) & 1L) << (j * k + i)))
+        }
+      }
+      val c3 = Seq(col("x"), col("y"), col("z"))
+      val r3 = p3.toDF("x", "y", "z").select(
+        graft.functions.exprs.zorderN(c3),
+        graft.operators.Layout.zorderKeyBuiltinN(c3)).collect()
+      val ok3 = r3.zip(p3).forall { case (r, (x, y, z)) =>
+        val e = ref(Seq(x, y, z), 21)
+        r.getLong(0) == e && r.getLong(1) == e
+      }
+      val c4 = Seq(col("a"), col("b"), col("c"), col("d"))
+      val r4 = p4.toDF("a", "b", "c", "d").select(
+        graft.functions.exprs.zorderN(c4),
+        graft.operators.Layout.zorderKeyBuiltinN(c4)).collect()
+      val ok4 = r4.zip(p4).forall { case (r, (a, b, c, d)) =>
+        val e = ref(Seq(a, b, c, d), 16)
+        r.getLong(0) == e && r.getLong(1) == e
+      }
+      ok3 && ok4
+    }
+  }
 }

@@ -66,6 +66,70 @@ class LayoutSpec extends SparkSpec {
     info(s"y-only scan rows: linear=$linY zorder=$zodY (of $n)")
   }
 
+  test("3-dim z-order: a box filter on (x, y, z) prunes on every axis") {
+    val n = 1 << 19
+    val dir = Files.createTempDirectory("graft-layout3").toFile
+    dir.deleteOnExit()
+    val lin = s"${dir.getAbsolutePath}/linear"
+    val zod = s"${dir.getAbsolutePath}/zorder3"
+    // uniform 256^3 grid, independent axes
+    val df = spark.range(n).select(
+      pmod(xxhash64(col("id")), lit(256)).as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(256)).as("y"),
+      pmod(xxhash64(col("id"), lit(2)), lit(256)).as("z"),
+      col("id").as("payload"))
+    Layout.linearWrite(df, col("x"), 64, lin)
+    Layout.zorderWrite(df, Seq(col("x"), col("y"), col("z")), 64, zod)
+    def read(p: String) = spark.read.parquet(p)
+    val box = (d: DataFrame) =>
+      d.where(col("x") < 64 && col("y") < 64 && col("z") < 64)
+    val zOnly = (d: DataFrame) => d.where(col("z") < 64)
+    assert(box(read(zod)).count() === box(read(lin)).count())
+    // aligned 64^3 box = 1/64 of the space: the 3-dim tiles prune far
+    // below what the x-only linear sort can reach (~1/4 of rows)
+    val linBox = scanRows(box(read(lin)))
+    val zodBox = scanRows(box(read(zod)))
+    assert(zodBox * 2 <= linBox, s"zorder3 box scan $zodBox !<< linear $linBox")
+    // a z-only filter: linear-by-x reads everything, zorder3 still skips
+    val linZ = scanRows(zOnly(read(lin)))
+    val zodZ = scanRows(zOnly(read(zod)))
+    assert(linZ >= (n * 9L) / 10, s"linear layout unexpectedly pruned z-filter: $linZ")
+    assert(zodZ * 2 <= linZ, s"zorder3 z-only scan $zodZ !<< linear $linZ")
+    info(s"3d box scan rows: linear=$linBox zorder3=$zodBox (of $n)")
+  }
+
+  test("OPTIMIZE zorderCols: compaction re-clusters on the Morton key, pruning returns") {
+    val root = s"${Files.createTempDirectory("graft-zopt")}/t"
+    import graft.operators.LakeTable
+    val df = spark.range(1 << 16).select(
+      pmod(xxhash64(col("id")), lit(256)).as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(256)).as("y"),
+      lit("p").as("p"))
+    // four appends: each file spans the whole (x, y) domain — stats prune nothing
+    LakeTable.init(spark, root, df.where(col("id") % 4 === 0), "p", statsCols = Seq("x", "y"))
+    (1 to 3).foreach(i => LakeTable.append(spark, root,
+      df.where(col("id") % 4 === i)))
+    val before = LakeTable.snapshot(spark, root)
+    assert(before.entries.size === 4)
+    val stats = LakeTable.optimize(spark, root, minFilesPerPartition = 2,
+      maxRecordsPerFile = 4096, zorderCols = Seq("x", "y"))
+    assert(stats.filesRewritten === 4)
+    // same contents
+    assert(LakeTable.read(spark, root).count() === (1 << 16))
+    assert(LakeTable.read(spark, root).agg(sum(col("x"))).head.getLong(0) ===
+      df.agg(sum(col("x"))).head.getLong(0))
+    // manifest min/max now tight per file in BOTH dimensions: a corner
+    // box range-read prunes most files
+    val after = LakeTable.snapshot(spark, root)
+    assert(after.entries.size >= 4, "maxRecordsPerFile should split the partition")
+    val prunedX = LakeTable.readRangeOn(spark, root, "x", 0L, 31L).inputFiles.length
+    val prunedY = LakeTable.readRangeOn(spark, root, "y", 0L, 31L).inputFiles.length
+    assert(prunedX * 2 <= after.entries.size,
+      s"x-range read must skip most z-ordered files: $prunedX of ${after.entries.size}")
+    assert(prunedY * 2 <= after.entries.size,
+      s"y-range read must skip most z-ordered files: $prunedY of ${after.entries.size}")
+  }
+
   test("compact collapses a many-small-files layout and restores key pruning") {
     val n = 1 << 17 // 128k rows
     val dir = Files.createTempDirectory("graft-compact").toFile
