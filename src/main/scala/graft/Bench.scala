@@ -95,15 +95,17 @@ object Bench {
     // tenancy mode that bites is BANDWIDTH, which only a working set far
     // past LLC can see. STREAM-triad over 3 x 128 MiB arrays,
     // single-threaded, min of 2 timed sweeps after a warm-up.
-    // Size the arrays to the heap actually available (full size only
-    // past a 2 GiB budget; past-LLC still at 1/8 scale on small heaps)
-    // and guard the allocation: the probe must never OOM the benchmark
-    // it serves — on failure host_factor_mem reports -1 (unavailable).
+    // The probe must never OOM the benchmark it serves, and a REDUCED
+    // sweep must never masquerade as a full one (a 48 MiB working set
+    // fits inside big-server LLCs, so scaling cache bandwidth up 8x
+    // would report DRAM bandwidth the host does not have): under a
+    // 2 GiB heap, host_factor_mem is simply -1 (unavailable), as it is
+    // on allocation failure.
     val triadFull = 16 * 1024 * 1024 // longs per array; 3 arrays = 384 MiB
-    val triadN =
-      if (Runtime.getRuntime.maxMemory() >= (2L << 30)) triadFull else triadFull / 8
+    val triadN = triadFull
     val hostSecMem =
-      try {
+      if (Runtime.getRuntime.maxMemory() < (2L << 30)) -1.0
+      else try {
         val ta = new Array[Long](triadN); val tb = new Array[Long](triadN)
         val tc = new Array[Long](triadN)
         var ti = 0
@@ -117,8 +119,7 @@ object Bench {
         triad() // warm-up
         val best = math.min(triad(), triad())
         if (ta(triadN - 1) == 42L) System.err.println("") // keep the sweep live
-        // scale a reduced sweep back to full-size units for the ref ratio
-        best * (triadFull.toDouble / triadN)
+        best
       } catch {
         case _: OutOfMemoryError => -1.0
       }

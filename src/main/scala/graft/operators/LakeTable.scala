@@ -138,7 +138,13 @@ object LakeTable {
       // newest first): sidecar rows are keyed by the column name they
       // were written under, so a lookup after RENAME COLUMN must also
       // match rows written under the previous names
-      bloomAliases: Map[String, Seq[String]] = Map.empty) {
+      bloomAliases: Map[String, Seq[String]] = Map.empty,
+      // field-id high-water mark (Delta's maxColumnId): DROP COLUMN
+      // removes a field from the schema but its id must NEVER be reused —
+      // a later ADD at a recycled id would read the dropped column's
+      // physical data out of old files as the new column. 0 on tables
+      // that never dropped (the live schema's max id is then the floor)
+      maxFieldId: Long = 0) {
     def statsCol: Option[String] = statsCols.headOption
     /** Every sidecar name a bloom lookup on `column` must match. */
     def bloomNamesFor(column: String): Seq[String] =
@@ -174,18 +180,27 @@ object LakeTable {
       }
     })
 
+  /** The id floor new columns must be assigned above: the live schema's
+    * max id OR the recorded high-water mark, whichever is higher (they
+    * diverge only after a DROP COLUMN removed the then-highest id).
+    */
+  private def highWater(meta: TableMeta): Long =
+    fieldIdsOf(meta.schema).values.foldLeft(meta.maxFieldId)(math.max)
+
   /** Append `newFields` to the schema, assigning fresh field ids when
-    * the table uses column mapping (max + 1, the Delta convention) —
-    * the single evolution point shared by append/overwrite/merge
-    * widening and ALTER TABLE ADD COLUMNS.
+    * the table uses column mapping (max(live ids, `floor`) + 1, the
+    * Delta convention — `floor` is [[highWater]], so ids of DROPPED
+    * columns are never recycled) — the single evolution point shared by
+    * append/overwrite/merge widening and ALTER TABLE ADD COLUMNS.
     */
   private def extendSchema(
       schema: StructType,
-      newFields: Seq[org.apache.spark.sql.types.StructField]): StructType = {
+      newFields: Seq[org.apache.spark.sql.types.StructField],
+      floor: Long = 0): StructType = {
     val ids = fieldIdsOf(schema)
     if (ids.isEmpty || newFields.isEmpty) StructType(schema.fields ++ newFields)
     else {
-      var next = ids.values.max
+      var next = math.max(ids.values.max, floor)
       StructType(schema.fields ++ newFields.map { f =>
         next += 1
         f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
@@ -251,6 +266,9 @@ object LakeTable {
          Seq(s"#fieldIds=${fieldIdsOf(meta.schema).toSeq.sortBy(_._2)
            .map { case (n, id) => s"${esc(n).replace(",", "%2C")}:$id" }.mkString(",")}")
        else Nil) ++
+      // id high-water mark, recorded once it exceeds the live max (i.e.
+      // after a DROP COLUMN) so dropped ids stay retired forever
+      (if (meta.maxFieldId > 0) Seq(s"#maxFieldId=${meta.maxFieldId}") else Nil) ++
       // former sidecar names of renamed bloom columns (one line per
       // current name, aliases newest-first)
       meta.bloomAliases.toSeq.sortBy(_._1).map { case (cur, olds) =>
@@ -325,7 +343,8 @@ object LakeTable {
       statsCols,
       txns,
       kv.get("bloomCols").map(_.split(",").toSeq.map(unesc)).getOrElse(Nil),
-      bloomAliases)
+      bloomAliases,
+      kv.get("maxFieldId").map(_.toLong).getOrElse(0L))
     val entries = body.map { line =>
       val cells = line.split("\t", -1)
       val tail = cells.drop(2)
@@ -699,9 +718,12 @@ object LakeTable {
 
   /** Metadata-only ALTER: commit a new version whose schema gains
     * `addColumns` (appended; must be nullable — files written before the
-    * change legitimately read NULL for them) and/or whose stats/bloom
-    * column sets are replaced. Data files carry verbatim — this is one
-    * manifest commit, zero data I/O. Existing entries' stats cells are
+    * change legitimately read NULL for them), loses `dropColumns`
+    * (column-mapped tables only; the field id is retired via the
+    * [[TableMeta.maxFieldId]] high-water mark so old data can never leak
+    * into a later same-named column), renames via `renameColumns`,
+    * and/or replaces the stats/bloom column sets. Data files carry
+    * verbatim — this is one manifest commit, zero data I/O. Existing entries' stats cells are
     * REMAPPED to the new statsCols order (a column kept keeps its
     * recorded bounds; a column added records none, so old files are
     * conservatively never pruned on it — stats/blooms take effect for
@@ -715,17 +737,36 @@ object LakeTable {
       statsCols: Option[Seq[String]] = None,
       bloomCols: Option[Seq[String]] = None,
       renameColumns: Map[String, String] = Map.empty,
+      dropColumns: Seq[String] = Nil,
       maxRetries: Int = 3): Long = {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.alterTable: no committed snapshot at $root")
     val meta = s0.meta.get
     addColumns.foreach { f =>
-      require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+      require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)) ||
+        dropColumns.exists(_.equalsIgnoreCase(f.name)),
         s"LakeTable.alterTable: column ${f.name} already exists")
       require(f.nullable,
         s"LakeTable.alterTable: added column ${f.name} must be nullable " +
           "(existing files read NULL for it)")
     }
+    // DROP COLUMN: metadata-only under column mapping — the field leaves
+    // the schema, its data stays in old files but is never requested
+    // (reads match by id), and its id is retired via the high-water mark
+    // so a later ADD (even of the same name) can never resurrect it.
+    dropColumns.foreach { c =>
+      require(meta.schema.fieldNames.contains(c),
+        s"LakeTable.alterTable: DROP column $c does not exist")
+      require(c != meta.partitionCol,
+        s"LakeTable.alterTable: cannot drop the partition column $c")
+      require(meta.schema(c).metadata.contains(FieldIdKey),
+        s"LakeTable.alterTable: column $c has no field id — the table was " +
+          "created before column mapping; DROP would break reads of existing files")
+      require(!renameColumns.contains(c) && !renameColumns.valuesIterator.contains(c),
+        s"LakeTable.alterTable: column $c cannot be both dropped and renamed")
+    }
+    require(dropColumns.size < meta.schema.size,
+      "LakeTable.alterTable: cannot drop every column")
     // RENAME COLUMN: metadata-only under column mapping — the field id
     // stays, the logical name changes, every already-written file keeps
     // reading by id. Refused for tables whose files predate ids (a
@@ -742,21 +783,38 @@ object LakeTable {
           "created before column mapping; RENAME would break reads of existing files")
     }
     def renamed(n: String): String = renameColumns.getOrElse(n, n)
-    val renamedSchema = StructType(meta.schema.fields.map(f => f.copy(name = renamed(f.name))))
-    val newSchema = StructType(renamedSchema.fields ++ addColumns)
-    val newStats = statsCols.getOrElse(meta.statsCols.map(renamed))
-    val newBlooms = bloomCols.getOrElse(meta.bloomCols.map(renamed))
+    val dropped = dropColumns.toSet
+    val keptSchema = StructType(meta.schema.fields.filterNot(f => dropped(f.name)))
+    val renamedSchema = StructType(keptSchema.fields.map(f => f.copy(name = renamed(f.name))))
+    // extendSchema assigns fresh field ids on a column-mapped table —
+    // the SAME evolution point as append/merge widening, so a column
+    // added here stays renamable later; the highWater floor spans the
+    // PRE-drop schema, so a just-dropped id is already out of reach
+    val newSchema = extendSchema(renamedSchema, addColumns, highWater(meta))
+    require(newSchema.fieldNames.distinct.length == newSchema.fieldNames.length,
+      s"LakeTable.alterTable: duplicate column names after rename/add " +
+        s"(${newSchema.fieldNames.mkString(", ")})")
+    val newStats = statsCols.getOrElse(meta.statsCols.filterNot(dropped).map(renamed))
+    val newBlooms = bloomCols.getOrElse(meta.bloomCols.filterNot(dropped).map(renamed))
     (newStats ++ newBlooms).foreach(c => require(newSchema.fieldNames.contains(c),
       s"LakeTable.alterTable: stats/bloom column $c not in the schema"))
     // renamed bloom columns keep matching sidecar rows written under
-    // their former names (manifest-recorded aliases; zero sidecar I/O)
-    val newAliases = renameColumns.foldLeft(meta.bloomAliases) {
+    // their former names (manifest-recorded aliases; zero sidecar I/O).
+    // An alias that collides with a LIVE column name is dropped: new
+    // files write sidecar rows under that name for the OTHER column, and
+    // matching them would consult the wrong bloom (a false prune). The
+    // old column's pre-rename sidecars just stop pruning — conservative.
+    val newAliases = renameColumns.foldLeft(meta.bloomAliases -- dropped) {
       case (acc, (from, to)) if meta.bloomCols.contains(from) =>
         (acc - from) + (to -> (from +: acc.getOrElse(from, Nil)))
       case (acc, _) => acc
-    }
+    }.map { case (cur, olds) =>
+      cur -> olds.filterNot(newSchema.fieldNames.contains)
+    }.filter(_._2.nonEmpty)
     val newMeta = meta.copy(schema = newSchema, statsCols = newStats,
-      bloomCols = newBlooms, bloomAliases = newAliases)
+      bloomCols = newBlooms, bloomAliases = newAliases,
+      // retire dropped ids forever (highWater spans the pre-drop schema)
+      maxFieldId = if (dropColumns.nonEmpty) highWater(meta) else meta.maxFieldId)
     val oldStatsRenamed = meta.statsCols.map(renamed)
     val entries = s0.entries.map { e =>
       e.copy(stats = newStats.map { c =>
@@ -769,7 +827,8 @@ object LakeTable {
     else {
       require(maxRetries > 0,
         s"LakeTable.alterTable: concurrent commit at $root (retries exhausted)")
-      alterTable(spark, root, addColumns, statsCols, bloomCols, renameColumns, maxRetries - 1)
+      alterTable(spark, root, addColumns, statsCols, bloomCols, renameColumns,
+        dropColumns, maxRetries - 1)
     }
   }
 
@@ -1336,7 +1395,7 @@ object LakeTable {
     else {
       val newFields = df.schema.filterNot(f => meta.schema.fieldNames.contains(f.name))
       val newMeta = meta.copy(
-        schema = extendSchema(meta.schema, newFields.toSeq),
+        schema = extendSchema(meta.schema, newFields.toSeq, highWater(meta)),
         txns = txnAppId.fold(meta.txns)(app => meta.txns + (app -> txnVersion)))
       val written = writeBatch(spark, root, align(df, newMeta.schema), newMeta)
       if (commit(spark, root, s0.version + 1, newMeta, s0.entries ++ written))
@@ -1368,7 +1427,7 @@ object LakeTable {
     require(s0.version > 0, s"LakeTable.overwrite: no committed snapshot at $root")
     val meta = s0.meta.get
     val newFields = df.schema.filterNot(f => meta.schema.fieldNames.contains(f.name))
-    val newMeta = meta.copy(schema = extendSchema(meta.schema, newFields.toSeq))
+    val newMeta = meta.copy(schema = extendSchema(meta.schema, newFields.toSeq, highWater(meta)))
     val written = writeBatch(spark, root, align(df, newMeta.schema), newMeta)
     if (commit(spark, root, s0.version + 1, newMeta, written))
       MergeStats(s0.version + 1, 0, 0, 0, written.size)
@@ -1415,7 +1474,7 @@ object LakeTable {
       s"LakeTable.merge: table is partitioned by ${meta.partitionCol}, not $partitionCol")
     // schema evolution: columns only the source has widen the table
     val newFields = source.schema.filterNot(f => meta.schema.fieldNames.contains(f.name))
-    val outSchema = extendSchema(meta.schema, newFields.toSeq)
+    val outSchema = extendSchema(meta.schema, newFields.toSeq, highWater(meta))
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
 
     // stats/bloom-informed probe: when the manifest records min/max (or

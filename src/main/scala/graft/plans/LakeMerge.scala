@@ -324,7 +324,13 @@ object LakeDmlStrategy extends SparkStrategy {
     LakeDmlExec("merge", () => {
       val spark = SparkSession.active
       val src = GraftColumnBridge.ofRows(spark, srcPlan)
-      if (mBr.nonEmpty) cardinalityCheck(src, keyCols)
+      // ALWAYS required on the general path, even with no MATCHED
+      // clause: mergeClauses' full-outer join replicates a matched
+      // TARGET row once per duplicate source key, so an insert-only
+      // merge with a dup-keyed source would silently duplicate target
+      // rows (Delta permits dup UNMATCHED inserts; we trade that corner
+      // for a crisp refusal instead of corruption)
+      cardinalityCheck(src, keyCols)
       LakeTable.mergeClausesWithRetry(
         spark, t.root, src, keyCols, mBr, nBr, sBr, t.meta.partitionCol)
     })

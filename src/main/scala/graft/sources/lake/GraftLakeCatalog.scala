@@ -175,10 +175,13 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     * commit; old files read NULL), RENAME COLUMN (metadata-only under
     * column mapping: the field id stays, existing files keep reading by
     * id, stats cells and bloom sidecars keep pruning under the new
-    * name), and SET TBLPROPERTIES for `statsCols`/`bloomCols` (take
+    * name), DROP COLUMN (metadata-only under column mapping: the field
+    * leaves the schema and its id is retired via the manifest high-water
+    * mark, so old data can never resurface under a later same-named
+    * column), and SET TBLPROPERTIES for `statsCols`/`bloomCols` (take
     * effect for batches written after the change; old files are
     * conservatively never pruned on new columns). Everything else —
-    * drops, type changes, repartitioning — is refused: data files are
+    * type changes, repartitioning — is refused: data files are
     * immutable, so those verbs would need a full rewrite.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -188,8 +191,13 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     var statsCols: Option[Seq[String]] = None
     var bloomCols: Option[Seq[String]] = None
     var renames = Map.empty[String, String]
+    var drops = Seq.empty[String]
     def split(v: String) = v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     changes.foreach {
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graft-lake: DROP COLUMN supports top-level columns only")
+        drops :+= d.fieldNames()(0)
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "graft-lake: RENAME COLUMN supports top-level columns only")
@@ -213,10 +221,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
         bloomCols = Some(split(s.value))
       case other => throw new UnsupportedOperationException(
         s"graft-lake: unsupported ALTER TABLE change $other (immutable data files; " +
-          "only ADD COLUMNS, RENAME COLUMN and SET TBLPROPERTIES statsCols/bloomCols " +
+          "only ADD COLUMNS, RENAME/DROP COLUMN and SET TBLPROPERTIES statsCols/bloomCols " +
           "are metadata-only)")
     }
-    LakeTable.alterTable(spark, root, addCols, statsCols, bloomCols, renames)
+    LakeTable.alterTable(spark, root, addCols, statsCols, bloomCols, renames, drops)
     loadTable(ident)
   }
 

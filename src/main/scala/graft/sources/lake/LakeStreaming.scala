@@ -233,9 +233,15 @@ class LakeChangesScan(
     */
   override def toBatch: Batch = {
     val head = LakeTable.snapshot(spark, root).version
+    // caught-up poller (startingVersion == head): an empty feed, not a
+    // changesSince precondition crash — parity with the streaming face,
+    // where latestOffset returns null and no batch runs
+    if (startingVersion >= head) return LakeCdf.scanOver(spark, Nil, cdf).toBatch
     val keys = if (startingVersion > 0) keyCols else keyColsOpt.getOrElse(Nil)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-cdf-batch").toString
+    // staged under a shutdown-cleaned root, keyed by (table, window):
+    // a re-executed action (or a second read of the same window) REUSES
+    // the _SUCCESS-gated slice instead of leaking one temp dir per run
+    val dir = LakeCdf.batchStageDir(root, startingVersion, head)
     LakeCdf.materialize(spark, root, startingVersion, head, keys, cdf, dir)
     LakeCdf.scanOver(spark, Seq(dir), cdf).toBatch
   }
@@ -252,6 +258,28 @@ class LakeChangesScan(
 private[lake] object LakeCdf {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions.{col, lit}
+
+  /** One JVM-scoped staging root for BATCH reads, deleted on shutdown;
+    * inside it, slices are keyed by (table root, version window) so
+    * re-executed actions reuse the materialized slice (the `_SUCCESS`
+    * gate in [[materialize]]) instead of leaking one dir per run.
+    */
+  private lazy val batchStageRoot: java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdf-batch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir
+  }
+
+  def batchStageDir(root: String, from: Long, to: Long): String = {
+    val key = java.lang.Integer.toHexString(root.hashCode)
+    s"$batchStageRoot/$key/v$from-$to"
+  }
 
   /** The `(from, to]` change slice aligned to `schema` (`from <= 0` =
     * snapshot-as-inserts bootstrap at `to` — the processChanges
@@ -372,7 +400,23 @@ class LakeCdfMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory = factory
 
-  override def commit(end: Offset): Unit = ()
+  /** Committed slices are never replanned (restart replay only covers
+    * UNcommitted batches), so their staged dirs are reclaimed here —
+    * without this, staging grows with total change volume ever streamed.
+    */
+  override def commit(end: Offset): Unit = {
+    val committed = ver(end)
+    val p = new org.apache.hadoop.fs.Path(stageDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName // v<from>-<to>
+      if (n.startsWith("v")) n.drop(1).split("-", 2) match {
+        case Array(_, to) if scala.util.Try(to.toLong).toOption.exists(_ <= committed) =>
+          fs.delete(st.getPath, true): Unit
+        case _ => ()
+      }
+    }
+  }
 
   override def stop(): Unit = ()
 }

@@ -193,6 +193,25 @@ class LakeCatalogSpec extends SparkSpec {
     assert(LakeTable.snapshot(spark, root).version === v0 + 1)
   }
 
+  test("MERGE INTO: insert-only clause merge refuses duplicate source keys (no dup target rows)") {
+    // the general path's full-outer join would replicate a matched
+    // target row once per duplicate source key — the cardinality check
+    // must fire even with NO matched clause
+    val t = mkTable()
+    val root = s"$wh/db/${t.split('.').last}"
+    val v0 = LakeTable.snapshot(spark, root).version
+    spark.sql("CREATE OR REPLACE TEMP VIEW dupsrc AS " +
+      "SELECT k, 'x' AS p, k AS v FROM (SELECT id % 3 AS k FROM range(6))")
+    val e = intercept[Exception](
+      spark.sql(s"MERGE INTO $t t USING dupsrc s ON t.k = s.k " +
+        "WHEN NOT MATCHED AND s.v >= 0 THEN INSERT *"))
+    def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("cardinality violation")), s"got: $e")
+    assert(LakeTable.snapshot(spark, root).version === v0)
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 30)
+  }
+
   test("MERGE INTO: unsupported shapes fail crisply, nothing half-commits") {
     val t = mkTable()
     val root = s"$wh/db/${t.split('.').last}"
@@ -310,9 +329,11 @@ class LakeCatalogSpec extends SparkSpec {
     // excludes the fresh file's [500,509] range skips it, while the three
     // pre-change files (no recorded score stats) are conservatively kept
     assert(v2ScannedFiles(spark.sql(s"SELECT * FROM $t WHERE score < 0.0")) === 3)
-    // immutability-breaking changes are refused
-    intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN note"))
-    intercept[Exception](spark.sql(s"ALTER TABLE $t RENAME COLUMN note TO n2"))
+    // immutability-breaking changes are refused (RENAME/DROP are
+    // supported now — covered by their own column-mapping tests)
+    intercept[Exception](spark.sql(s"ALTER TABLE $t ALTER COLUMN note TYPE INT"))
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN note TO n2")
+    assert(spark.sql(s"SELECT count(*) c FROM $t WHERE n2 IS NULL").head.getLong(0) > 0)
   }
 
   test("review fixes: MERGE cardinality, NOT NULL add-column, subquery predicates refused") {
@@ -426,13 +447,81 @@ class LakeCatalogSpec extends SparkSpec {
     // time travel to the pre-rename snapshot reads the OLD names
     assert(spark.sql(s"SELECT sum(k) s FROM graft.db.ren VERSION AS OF $v0")
       .head.getLong(0) === (0 until 30).sum)
-    // DROP COLUMN stays refused; partition-column rename refused
-    intercept[Exception](spark.sql("ALTER TABLE graft.db.ren DROP COLUMN w"))
+    // type changes stay refused; partition-column rename refused
+    intercept[Exception](spark.sql("ALTER TABLE graft.db.ren ALTER COLUMN w TYPE INT"))
     val e = intercept[Exception](
       spark.sql("ALTER TABLE graft.db.ren RENAME COLUMN p TO q"))
     def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
     assert(chain(e).exists(c => c.getMessage != null &&
       c.getMessage.contains("cannot rename the partition column")), s"got: $e")
+    // a column added via ALTER TABLE gets a field id too — it must stay
+    // renamable (ADD then RENAME, both metadata-only)
+    spark.sql("ALTER TABLE graft.db.ren ADD COLUMNS (extra BIGINT)")
+    spark.sql("INSERT INTO graft.db.ren SELECT id, '8', id, id * 2 FROM range(200, 203)")
+    spark.sql("ALTER TABLE graft.db.ren RENAME COLUMN extra TO xtr")
+    assert(spark.sql("SELECT sum(xtr) s FROM graft.db.ren WHERE kk >= 200")
+      .head.getLong(0) === (200 until 203).map(_ * 2).sum)
+  }
+
+  test("DROP COLUMN: metadata-only commit; retired field id never resurrects old data") {
+    val _ = wh
+    spark.sql("CREATE TABLE graft.db.dropc (k BIGINT, p STRING, v BIGINT) " +
+      "PARTITIONED BY (p) TBLPROPERTIES (statsCols 'k,v')")
+    spark.sql("INSERT INTO graft.db.dropc SELECT id, cast(id % 2 as string), id * 10 " +
+      "FROM range(20)")
+    val root = s"$wh/db/dropc"
+    val filesBefore = LakeTable.snapshot(spark, root).entries.map(_.rel).toSet
+    val v0 = LakeTable.snapshot(spark, root).version
+    spark.sql("ALTER TABLE graft.db.dropc DROP COLUMN v")
+    // metadata-only: same data files, one new version, v gone from the
+    // schema AND auto-removed from statsCols (k's cells keep pruning)
+    val snap = LakeTable.snapshot(spark, root)
+    assert(snap.version === v0 + 1)
+    assert(snap.entries.map(_.rel).toSet === filesBefore)
+    assert(snap.meta.get.schema.fieldNames.toSeq === Seq("k", "p"))
+    assert(snap.meta.get.statsCols === Seq("k"))
+    intercept[Exception](spark.sql("SELECT v FROM graft.db.dropc"))
+    assert(spark.sql("SELECT sum(k) s FROM graft.db.dropc").head.getLong(0) ===
+      (0 until 20).sum)
+    // time travel to the pre-drop version still reads the column
+    assert(spark.sql(s"SELECT sum(v) s FROM graft.db.dropc VERSION AS OF $v0")
+      .head.getLong(0) === (0 until 20).map(_ * 10).sum)
+    // re-adding the NAME gets a fresh field id: the old files' physical v
+    // data must NOT resurface (v held the then-highest id — without the
+    // maxFieldId high-water mark, a recycled id would read id*10 back)
+    spark.sql("ALTER TABLE graft.db.dropc ADD COLUMNS (v BIGINT)")
+    assert(spark.sql("SELECT count(*) c FROM graft.db.dropc WHERE v IS NOT NULL")
+      .head.getLong(0) === 0, "dropped data leaked into the re-added column")
+    spark.sql("INSERT INTO graft.db.dropc SELECT id, '9', -id FROM range(100, 103)")
+    assert(spark.sql("SELECT sum(v) s FROM graft.db.dropc").head.getLong(0) ===
+      -(100 until 103).sum)
+    // refusals: the partition column; drop+rename of the same column
+    intercept[Exception](spark.sql("ALTER TABLE graft.db.dropc DROP COLUMN p"))
+    val e = intercept[IllegalArgumentException](LakeTable.alterTable(spark, root,
+      renameColumns = Map("v" -> "z"), dropColumns = Seq("v")))
+    assert(e.getMessage.contains("both dropped and renamed"), e.getMessage)
+  }
+
+  test("rename hygiene: duplicate targets refused; stale bloom aliases dropped on reuse") {
+    val root = s"${Files.createTempDirectory("graft-renh")}/t"
+    val df = spark.range(20).select(
+      col("id").as("a"), (col("id") % 2).cast("string").as("p"), col("id").as("v"))
+    LakeTable.init(spark, root, df, "p", bloomCols = Seq("v"))
+    // two renames to the same target would commit a duplicate-name schema
+    val e = intercept[IllegalArgumentException](
+      LakeTable.alterTable(spark, root, renameColumns = Map("a" -> "c", "v" -> "c")))
+    assert(e.getMessage.contains("duplicate column names"), e.getMessage)
+    // rename bloom column v -> w records the alias...
+    LakeTable.alterTable(spark, root, renameColumns = Map("v" -> "w"))
+    assert(LakeTable.snapshot(spark, root).meta.get.bloomAliases === Map("w" -> Seq("v")))
+    // ...but re-occupying the name 'v' with a NEW column must drop the
+    // alias: new files write col=v sidecar rows for the OTHER column,
+    // and matching them for w would consult the wrong bloom
+    LakeTable.alterTable(spark, root,
+      addColumns = Seq(org.apache.spark.sql.types.StructField(
+        "v", org.apache.spark.sql.types.LongType, nullable = true)),
+      bloomCols = Some(Seq("w", "v")))
+    assert(LakeTable.snapshot(spark, root).meta.get.bloomAliases === Map.empty)
   }
 
   test("TIMESTAMP AS OF resolves from recorded commit time, surviving mtime churn") {
@@ -503,6 +592,16 @@ class LakeCatalogSpec extends SparkSpec {
     assert(out.count() === 9, "restart must deliver exactly the new commit")
     assert(out.where(col("_commit_version") === 5).count() === 1)
     assert(out.groupBy("_commit_version", "_change_type").count().count() === 4)
+    // committed slices are reclaimed from the checkpoint staging area
+    val staged = new java.io.File(s"$stage/ckpt/__graft_cdf")
+    val leftover = Option(staged.listFiles()).map(_.map(_.getName).toSeq).getOrElse(Nil)
+    assert(leftover.isEmpty, s"committed CDF slices must be cleaned: $leftover")
+    // a caught-up BATCH poll (startingVersion == head) is an empty feed,
+    // not a crash
+    val head = LakeTable.snapshot(spark, s"$wh/db/${t.split('.').last}").version
+    assert(spark.read.option("keyCols", "k")
+      .option("startingVersion", head.toString)
+      .table(s"$t.__changes").count() === 0)
   }
 
   test("LakeTable.update: COW locality — probe and rewrite set are stats-pruned") {
