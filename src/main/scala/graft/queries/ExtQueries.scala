@@ -859,6 +859,43 @@ object ExtQueries {
         s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
     },
 
+    // The ALTER TABLE family end-to-end through pure SQL: ADD COLUMNS
+    // (older files read NULL), RENAME COLUMN (field-id column mapping —
+    // pre-rename files keep reading under the new name), and DROP
+    // COLUMN (the dropped id is retired via the manifest high-water
+    // mark) — each a metadata-only commit interleaved with real INSERTs
+    // so every file generation is read under the FINAL schema. The
+    // sharpest edge is baked into the oracle: o_note is written by
+    // generation 2, dropped, then RE-ADDED under the same name — rows
+    // from generations 1-2 must read NULL for it (a recycled field id
+    // would leak the dropped o_custkey values back and shift notes /
+    // note_sum), while generation 3 writes it fresh.
+    "q155_schema_evolution" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"/root/repo/target/staging/q155_$tag/t"
+      val p = new org.apache.hadoop.fs.Path(s"/root/repo/target/staging/q155_$tag")
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q155_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q155_orders WHERE o_orderkey % 3 = 0")
+      s.sql(s"ALTER TABLE $lt ADD COLUMNS (o_note BIGINT)")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE), o_custkey FROM q155_orders WHERE o_orderkey % 3 = 1")
+      s.sql(s"ALTER TABLE $lt RENAME COLUMN o_totalprice TO o_price")
+      s.sql(s"ALTER TABLE $lt DROP COLUMN o_note")
+      s.sql(s"ALTER TABLE $lt ADD COLUMNS (o_note BIGINT)")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE), o_custkey * 2 FROM q155_orders WHERE o_orderkey % 3 = 2")
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(o_price * 100) AS BIGINT)) AS BIGINT) AS cents, " +
+        "count(o_note) AS notes, CAST(sum(o_note) AS BIGINT) AS note_sum " +
+        s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    },
+
     // SQL time travel through the catalog: `VERSION AS OF` resolves a
     // pinned snapshot (v2 = the initial insert) side by side with the
     // head after a COW delete — the old version must read back exactly
@@ -2022,6 +2059,22 @@ object ExtQueries {
         |  FROM t0 WHERE o_orderkey % 10 = 7)
         |SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the schema-evolution chain re-derived relationally: generations
+    // 1-2 read NULL for the dropped-then-re-added o_note (a recycled
+    // field id would leak gen-2's o_custkey back), generation 3 writes
+    // it as o_custkey * 2; o_price is o_totalprice under its new name.
+    "q155_schema_evolution" ->
+      """WITH t0 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |                   CAST(o_totalprice AS DOUBLE) AS o_price FROM orders),
+        |final AS (
+        |  SELECT o_orderstatus, o_price, CAST(NULL AS BIGINT) AS o_note
+        |  FROM t0 WHERE o_orderkey % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_price, o_custkey * 2 FROM t0 WHERE o_orderkey % 3 = 2)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(o_price * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       count(o_note) AS notes, CAST(sum(o_note) AS BIGINT) AS note_sum
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     // v2 = the untouched initial insert; head = after the delete.
     "q150_sql_time_travel" ->
