@@ -126,6 +126,26 @@ object LakeProbe {
       println(f"[lake] connector n=$n%7d: sizeInBytes $tSize%6.3f s " +
         f"(${sz / (1L << 40)} TiB), listFiles(IN-1000 x k=point) $tList%6.3f s " +
         f"(kept $keptFiles), fs calls 0")
+
+      // r16: SEGMENTED incremental commit — v2 appends 100 entries to
+      // the n-entry table. Above the segment threshold v1's entries live
+      // in segment files that carry into v2 BY REFERENCE, so the commit
+      // writes one 100-entry segment plus a tiny manifest — O(batch),
+      // not an O(n) full-manifest rewrite (the property that keeps a
+      // 1M-file table's commit cost flat).
+      def mSize(v: Long) = new java.io.File(s"$mroot/_manifests/v$v.manifest").length()
+      val extra = synthEntries(100).map(e =>
+        e.copy(rel = "data/extra-" + e.rel.stripPrefix("data/")))
+      val (_, tInc) = time {
+        require(LakeTable.commit(spark, mroot, 2, meta, snap.entries ++ extra),
+          "incremental commit refused")
+      }
+      val (snap2, tParse2) = time(LakeTable.snapshot(spark, mroot))
+      require(snap2.entries.size == n + 100, s"v2 drifted: ${snap2.entries.size}")
+      println(f"[lake] manifest n=$n%7d incremental commit (+100 files): " +
+        f"$tInc%6.3f s (full commit was $tCommit%6.3f s), manifest " +
+        f"${mSize(2)} B vs inline ${text.length / 1048576.0}%5.1f MiB, " +
+        f"re-snapshot $tParse2%6.3f s (segments cached)")
     }
 
     // ---- 3. bloom point-lookup scale -------------------------------

@@ -235,15 +235,54 @@ object LakeTable {
     * error instead of an opaque parse crash (the r14→r15 rows:bytes
     * cell change taught this lesson — an r14 parser threw
     * NumberFormatException on the ':').
+    *
+    * Format 2 = SEGMENTED manifests (the Iceberg manifest-list shape):
+    * the body may carry `@seg=<rel>:<count>` references to immutable
+    * entry-segment files under `_manifests/segments/` instead of (or
+    * alongside) inline entry lines. Writers emit format 1 whenever the
+    * manifest is fully inline, so small tables stay readable by older
+    * parsers; only actually-segmented manifests claim 2.
     */
-  private[graft] val ManifestFormat = 1
+  private[graft] val ManifestFormat = 2
+
+  /** Entry count above which [[commit]] switches a table from one
+    * inline manifest to segment references. Below it, a commit rewrites
+    * the (small) full entry list — simple and single-file. Above it,
+    * a commit writes ONE new segment for the changed/new entries and
+    * carries every intact previous segment BY REFERENCE: commit I/O is
+    * O(batch + broken segments), not O(table files) — the property that
+    * keeps a 100 TB / 1M-file table's commit cost flat as it grows.
+    * `private[graft] var` so specs can exercise segmentation at toy
+    * sizes.
+    */
+  private[graft] var SegmentThreshold: Int = 4096
+
+  /** Segment-count ceiling: a commit that would carry this many refs
+    * folds everything into one fresh segment instead (the amortized
+    * manifest-compaction Iceberg runs as rewrite-manifests), bounding
+    * planning at O(MaxSegments) segment reads.
+    */
+  private[graft] var MaxSegments: Int = 64
+
+  /** A by-reference segment: `rel` under `_manifests/`, plus the entry
+    * count recorded at write time (a resolution-time integrity check —
+    * a truncated segment fails crisply, not as silent data loss).
+    */
+  private[graft] case class SegRef(rel: String, count: Long)
+
+  /** A parsed manifest BEFORE segment resolution. */
+  private[graft] case class ManifestDoc(
+      meta: TableMeta, inline: Seq[Entry], segRefs: Seq[SegRef])
 
   private[graft] def renderManifest(
       meta: TableMeta,
       entries: Seq[Entry],
-      commitTimeMs: Option[Long] = None): String = {
+      commitTimeMs: Option[Long] = None,
+      segRefs: Seq[SegRef] = Nil): String = {
     val header = Seq(
-      s"#format=$ManifestFormat",
+      // fully-inline manifests stay format 1 (readable by pre-segment
+      // parsers); only actually-segmented manifests claim format 2
+      s"#format=${if (segRefs.nonEmpty) 2 else 1}",
       s"#schema=${meta.schema.toDDL}",
       s"#partitionCol=${meta.partitionCol}") ++
       // recorded commit time (TIMESTAMP AS OF resolves against this, not
@@ -277,31 +316,66 @@ object LakeTable {
       // transactional-writer watermarks (idempotent appends): the highest
       // txnVersion committed per appId, carried forward by every commit
       meta.txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn=${esc(app)}:$v" }
-    val lines = entries.map { e =>
-      // stats cells always come in (min, max) PAIRS, so the optional
-      // trailing cell is identified by parity alone. Compatibility is
-      // ONE-directional: THIS parser reads every older manifest form
-      // (no cell, bare `<rows>`) — an older parser reading a NEW
-      // manifest is not supported (a rows-aware r14 reader would choke
-      // on the ':'), which only matters to mixed-version deployments.
-      // The trailing cell is `<rows>`, `<rows>:<bytes>`, or `_:<bytes>`
-      // (rows unknown, length known — the length must not be dropped, or
-      // a re-rendered manifest would silently lose the zero-fs-call
-      // planning guarantee for that entry); ':' and '_' cannot appear in
-      // a long, so the parity trick keeps working and pre-bytes
-      // manifests parse as bytes=None
-      val cell =
-        if (e.rows.isEmpty && e.bytes.isEmpty) Nil
-        else Seq(e.rows.fold("_")(_.toString) + e.bytes.fold("")(b => s":$b"))
-      val cells = e.stats.flatMap { case (mn, mx) => Seq(encOpt(mn), encOpt(mx)) } ++ cell
-      (Seq(esc(e.part), e.rel) ++ cells).mkString("\t")
-    }
-    (header ++ lines).mkString("\n")
+    val refLines = segRefs.map(r => s"@seg=${esc(r.rel)}:${r.count}")
+    (header ++ refLines ++ entries.map(renderEntryLine)).mkString("\n")
   }
 
+  // stats cells always come in (min, max) PAIRS, so the optional
+  // trailing cell is identified by parity alone. Compatibility is
+  // ONE-directional: THIS parser reads every older manifest form
+  // (no cell, bare `<rows>`) — an older parser reading a NEW
+  // manifest is not supported (a rows-aware r14 reader would choke
+  // on the ':'), which only matters to mixed-version deployments.
+  // The trailing cell is `<rows>`, `<rows>:<bytes>`, or `_:<bytes>`
+  // (rows unknown, length known — the length must not be dropped, or
+  // a re-rendered manifest would silently lose the zero-fs-call
+  // planning guarantee for that entry); ':' and '_' cannot appear in
+  // a long, so the parity trick keeps working and pre-bytes
+  // manifests parse as bytes=None.
+  // The part cell additionally percent-encodes a leading '@' ('%' is
+  // esc'd to %25, so "%40" can only mean an encoded '@'; unesc decodes
+  // it) — a partition value could otherwise render a line masquerading
+  // as an `@seg=` reference
+  private def renderEntryLine(e: Entry): String = {
+    val cell =
+      if (e.rows.isEmpty && e.bytes.isEmpty) Nil
+      else Seq(e.rows.fold("_")(_.toString) + e.bytes.fold("")(b => s":$b"))
+    val cells = e.stats.flatMap { case (mn, mx) => Seq(encOpt(mn), encOpt(mx)) } ++ cell
+    val part = esc(e.part)
+    val safePart = if (part.startsWith("@")) "%40" + part.tail else part
+    (Seq(safePart, e.rel) ++ cells).mkString("\t")
+  }
+
+  private def parseEntryLine(line: String): Entry = {
+    val cells = line.split("\t", -1)
+    val tail = cells.drop(2)
+    val (rows, bytes) =
+      if (tail.length % 2 == 1) {
+        val parts = tail.last.split(":", 2)
+        (if (parts(0) == "_") None else Some(parts(0).toLong),
+          if (parts.length == 2) Some(parts(1).toLong) else None)
+      } else (None, None)
+    val stats = tail.take(tail.length - (tail.length % 2)).grouped(2).collect {
+      case Array(mn, mx) => (decOpt(mn), decOpt(mx))
+    }.toSeq
+    Entry(unesc(cells(0)), cells(1), stats, rows, bytes)
+  }
+
+  /** Parse the pure-inline view of a manifest — refuses segmented
+    * manifests (those need [[readManifest]]'s filesystem access to
+    * resolve `@seg=` references).
+    */
   private[graft] def parseManifest(text: String): (TableMeta, Seq[Entry]) = {
+    val d = parseManifestDoc(text)
+    require(d.segRefs.isEmpty,
+      "parseManifest: segmented manifest — use readManifest to resolve @seg references")
+    (d.meta, d.inline)
+  }
+
+  private[graft] def parseManifestDoc(text: String): ManifestDoc = {
     val lines = text.split("\n").iterator.filter(_.nonEmpty).toSeq
-    val (header, body) = lines.partition(_.startsWith("#"))
+    val (header, rest0) = lines.partition(_.startsWith("#"))
+    val (segLines, body) = rest0.partition(_.startsWith("@seg="))
     // #txn= / #bloomAlias= repeat (one line per key) — keep them out of
     // the unique-key map
     val (txnLines, rest) = header.partition(_.startsWith("#txn="))
@@ -345,29 +419,77 @@ object LakeTable {
       kv.get("bloomCols").map(_.split(",").toSeq.map(unesc)).getOrElse(Nil),
       bloomAliases,
       kv.get("maxFieldId").map(_.toLong).getOrElse(0L))
-    val entries = body.map { line =>
-      val cells = line.split("\t", -1)
-      val tail = cells.drop(2)
-      val (rows, bytes) =
-        if (tail.length % 2 == 1) {
-          val parts = tail.last.split(":", 2)
-          (if (parts(0) == "_") None else Some(parts(0).toLong),
-            if (parts.length == 2) Some(parts(1).toLong) else None)
-        } else (None, None)
-      val stats = tail.take(tail.length - (tail.length % 2)).grouped(2).collect {
-        case Array(mn, mx) => (decOpt(mn), decOpt(mx))
-      }.toSeq
-      Entry(unesc(cells(0)), cells(1), stats, rows, bytes)
+    val segRefs = segLines.map { l =>
+      val s = l.stripPrefix("@seg=")
+      val i = s.lastIndexOf(':')
+      SegRef(unesc(s.take(i)), s.drop(i + 1).toLong)
     }
-    (meta, entries)
+    ManifestDoc(meta, body.map(parseEntryLine), segRefs)
   }
 
-  private[graft] def readManifest(spark: SparkSession, root: String, v: Long): (TableMeta, Seq[Entry]) = {
+  // ---- segment files (format 2: by-reference manifest bodies) --------
+
+  /** Resolved segments, cached JVM-wide by absolute path — segments are
+    * IMMUTABLE once referenced (a commit writes a fresh uuid-named file,
+    * never rewrites one), so a hit can never be stale. Bounded LRU: at
+    * the 4096-entry default threshold, 128 segments ≈ half a million
+    * entries resident at ~100 bytes each.
+    */
+  private val segmentCache: java.util.Map[String, Seq[Entry]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[Entry]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[Entry]]): Boolean = size > 128
+      })
+
+  private def loadSegment(spark: SparkSession, root: String, ref: SegRef): Seq[Entry] = {
+    val p = new Path(manifestDir(root), ref.rel)
+    val key = p.toString
+    val cached = segmentCache.get(key)
+    if (cached != null) cached
+    else {
+      val f = fs(spark, p)
+      val in =
+        try f.open(p)
+        catch {
+          case _: java.io.FileNotFoundException => throw new IllegalArgumentException(
+            s"graft-lake: manifest segment ${ref.rel} under $root is missing — the " +
+              "version referencing it has been vacuumed (time travel is limited to " +
+              "the vacuum retention window)")
+        }
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val es = text.split("\n").iterator.filter(_.nonEmpty).map(parseEntryLine).toSeq
+      require(es.size == ref.count,
+        s"graft-lake: segment ${ref.rel} resolves to ${es.size} entries but the " +
+          s"manifest recorded ${ref.count} — corrupt or truncated segment")
+      segmentCache.put(key, es)
+      es
+    }
+  }
+
+  private def writeSegment(spark: SparkSession, root: String, es: Seq[Entry]): SegRef = {
+    val rel = s"segments/seg-${java.util.UUID.randomUUID().toString.take(12)}.seg"
+    val p = new Path(manifestDir(root), rel)
+    val f = fs(spark, p)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, false)
+    try out.write(es.map(renderEntryLine).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    segmentCache.put(p.toString, es)
+    SegRef(rel, es.size)
+  }
+
+  private def readDoc(spark: SparkSession, root: String, v: Long): ManifestDoc = {
     val mf = new Path(manifestDir(root), s"v$v.manifest")
     val f = fs(spark, mf)
     val in = f.open(mf)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    parseManifest(text)
+    parseManifestDoc(text)
+  }
+
+  private[graft] def readManifest(spark: SparkSession, root: String, v: Long): (TableMeta, Seq[Entry]) = {
+    val doc = readDoc(spark, root, v)
+    (doc.meta, doc.segRefs.flatMap(loadSegment(spark, root, _)) ++ doc.inline)
   }
 
   /** Recorded commit time of version `v` (epoch millis), from the
@@ -466,6 +588,20 @@ object LakeTable {
   /** Atomically commit `entries` as version `v` (must be prev + 1).
     * Returns false if some other writer committed `v` first.
     * (`private[graft]` so LakeTableSpec can race two commits directly.)
+    *
+    * Past [[SegmentThreshold]] entries the manifest goes SEGMENTED:
+    * previous segments whose entry sets carry UNCHANGED into this
+    * commit are re-referenced verbatim (zero I/O for them), and only
+    * the changed/new entries are written — as one fresh immutable
+    * segment file — so commit I/O is O(batch + broken segments)
+    * instead of O(table files). A segment any of whose entries was
+    * removed or modified (COW delete/merge, OPTIMIZE, stats remap) is
+    * "broken": its survivors migrate into the new segment and the old
+    * file is left for vacuum. When refs would exceed [[MaxSegments]],
+    * the commit folds everything into one segment (amortized manifest
+    * compaction). Segments are written BEFORE the manifest publish —
+    * a losing racer's segment is an invisible orphan, reclaimed like
+    * an orphaned data batch.
     */
   private[graft] def commit(
       spark: SparkSession,
@@ -476,10 +612,43 @@ object LakeTable {
     val dir = manifestDir(root)
     val f = fs(spark, dir)
     f.mkdirs(dir)
+    val prevRefs: Seq[SegRef] =
+      if (v <= 1) Nil
+      else try readDoc(spark, root, v - 1).segRefs
+      catch { case _: Exception => Nil } // unreadable prev: self-contained fallback
+    val text =
+      if (prevRefs.isEmpty && entries.size <= SegmentThreshold)
+        renderManifest(meta, entries, Some(System.currentTimeMillis()))
+      else {
+        // the diff is one in-memory hash pass over the entry list —
+        // pre-sized java maps and an `eq` fast path (callers build
+        // `entries` from snapshot(), whose segment entries come out of
+        // the cache, so unchanged entries are usually the SAME object)
+        // keep it ~1 s at 1M entries; the I/O saved is the whole point:
+        // a 110 MiB manifest rewrite becomes one O(batch) segment file
+        val byRel = new java.util.HashMap[String, Entry](entries.size * 2)
+        entries.foreach(e => byRel.put(e.rel, e))
+        val intact = prevRefs.filter { r =>
+          val it = loadSegment(spark, root, r).iterator
+          var ok = true
+          while (ok && it.hasNext) {
+            val e = it.next(); val m = byRel.get(e.rel)
+            ok = (m != null) && ((m eq e) || m == e)
+          }
+          ok
+        }
+        val carried = if (intact.size >= MaxSegments) Nil else intact
+        val carriedRels = new java.util.HashSet[String](entries.size * 2)
+        carried.foreach(r => loadSegment(spark, root, r).foreach(e => carriedRels.add(e.rel)))
+        val rest = entries.filterNot(e => carriedRels.contains(e.rel))
+        val refs = carried ++
+          (if (rest.nonEmpty) Seq(writeSegment(spark, root, rest)) else Nil)
+        if (refs.isEmpty) renderManifest(meta, Nil, Some(System.currentTimeMillis()))
+        else renderManifest(meta, Nil, Some(System.currentTimeMillis()), refs)
+      }
     val tmp = new Path(dir, s".tmp-v$v-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(
-      renderManifest(meta, entries, Some(System.currentTimeMillis())).getBytes("UTF-8"))
+    try out.write(text.getBytes("UTF-8"))
     finally out.close()
     publishAtomic(f, tmp, new Path(dir, s"v$v.manifest"))
   }
@@ -2219,6 +2388,26 @@ object LakeTable {
             .count(_.isFile)
           f.delete(s.getPath, true)
           removed += n
+        }
+      }
+    }
+    // Manifest SEGMENTS referenced only by versions below the retention
+    // floor age out like data files (same cutoff grace protects a racing
+    // writer's just-written, not-yet-published segment). A readVersion
+    // of an older snapshot then fails crisply, exactly like vacuumed
+    // data.
+    val liveSegs = (floor to s0.version)
+      .flatMap(v => readDoc(spark, root, v).segRefs.map(_.rel)).toSet
+    val segDir = new Path(manifestDir(root), "segments")
+    if (f.exists(segDir)) {
+      f.listStatus(segDir).foreach { s =>
+        // seg- files only: the local-fs .crc shadows ride along with
+        // their segment via ChecksumFileSystem.delete
+        if (s.isFile && s.getPath.getName.startsWith("seg-") &&
+          s.getModificationTime < cutoff &&
+          !liveSegs.contains(s"segments/${s.getPath.getName}")) {
+          f.delete(s.getPath, false)
+          removed += 1
         }
       }
     }

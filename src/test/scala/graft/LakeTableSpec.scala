@@ -895,12 +895,14 @@ class LakeTableSpec extends SparkSpec {
       org.apache.spark.sql.types.StructType.fromDDL("a INT, p STRING"), "p", Nil)
     val entries = Seq(LakeTable.Entry("1", "data/p=1/x.parquet", Nil))
     val current = LakeTable.renderManifest(meta, entries, Some(1234L))
-    assert(current.startsWith(s"#format=${LakeTable.ManifestFormat}\n"))
+    // fully-inline manifests keep claiming format 1 — readable by
+    // pre-segment parsers — even though this reader supports 2
+    assert(current.startsWith("#format=1\n"))
     assert(current.contains("#commitTime=1234"))
     // a NEWER format is refused with a version-gate message, not a parse crash
     val e = intercept[IllegalArgumentException](
       LakeTable.parseManifest(current.replace(
-        s"#format=${LakeTable.ManifestFormat}", s"#format=${LakeTable.ManifestFormat + 1}")))
+        "#format=1", s"#format=${LakeTable.ManifestFormat + 1}")))
     assert(e.getMessage.contains("newer than this reader"), s"got: ${e.getMessage}")
     // manifests written before the header existed (no #format, no
     // #commitTime) parse as format 1
@@ -909,5 +911,110 @@ class LakeTableSpec extends SparkSpec {
       .mkString("\n")
     val (m2, e2) = LakeTable.parseManifest(legacy)
     assert(m2.partitionCol === "p" && e2 === entries)
+  }
+
+  test("segmented manifests: O(batch) commits carry intact segments by reference") {
+    val (thr, maxs) = (LakeTable.SegmentThreshold, LakeTable.MaxSegments)
+    LakeTable.SegmentThreshold = 4
+    try {
+      val root = freshRoot()
+      val base = spark.range(64).select(
+        col("id").as("k"), (col("id") % 8).cast("string").as("p"), (col("id") * 10).as("v"))
+      // v1: 8 partition files > threshold → segmented from birth
+      LakeTable.init(spark, root, base, "p", statsCols = Seq("k"))
+      def manifestText(v: Long): String = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, "_manifests", s"v$v.manifest")), "UTF-8")
+      def refsOf(v: Long): Seq[String] =
+        manifestText(v).linesIterator.filter(_.startsWith("@seg=")).toSeq
+      assert(manifestText(1).startsWith("#format=2\n"))
+      val v1refs = refsOf(1)
+      assert(v1refs.size === 1)
+      // v2 append into a DISJOINT partition: v1's segment is carried
+      // VERBATIM (same @seg line — zero I/O for it), the batch becomes
+      // one new segment
+      val extra = spark.range(100, 116).select(
+        col("id").as("k"), lit("9").as("p"), (col("id") * 10).as("v"))
+      LakeTable.append(spark, root, extra)
+      val v2refs = refsOf(2)
+      assert(v2refs.size === 2)
+      assert(v2refs.contains(v1refs.head), "intact segment must carry by reference")
+      // reads resolve references
+      assert(LakeTable.read(spark, root).count() === 80)
+      assert(LakeTable.read(spark, root).agg(sum("v")).head.getLong(0) ===
+        ((0 until 64) ++ (100 until 116)).map(_ * 10L).sum)
+      // a COW delete inside v1's partitions: ONLY that segment breaks —
+      // its survivors migrate, the untouched append segment still
+      // carries by reference
+      LakeTable.delete(spark, root, col("k") === 0, "p")
+      val v3refs = refsOf(3)
+      val appendSeg = v2refs.filterNot(_ == v1refs.head).head
+      assert(v3refs.contains(appendSeg), "untouched segment must keep carrying")
+      assert(!v3refs.contains(v1refs.head), "broken segment must be replaced")
+      assert(LakeTable.read(spark, root).count() === 79)
+      // time travel still resolves the replaced segment
+      assert(LakeTable.readVersion(spark, root, 1).count() === 64)
+      assert(LakeTable.readVersion(spark, root, 2).count() === 80)
+      // MaxSegments: commits fold the ref list instead of growing it
+      LakeTable.MaxSegments = 3
+      (0 until 4).foreach { i =>
+        LakeTable.append(spark, root, spark.range(200 + i * 10, 205 + i * 10)
+          .select(col("id").as("k"), lit(s"x$i").as("p"), col("id").as("v")))
+      }
+      val head = LakeTable.snapshot(spark, root)
+      assert(refsOf(head.version).size <= 3, s"refs must fold: ${refsOf(head.version)}")
+      assert(LakeTable.read(spark, root).count() === 79 + 20)
+      // a partition value shaped like a segment reference cannot
+      // masquerade as one (leading '@' percent-encoded at render)
+      val meta = LakeTable.TableMeta(
+        org.apache.spark.sql.types.StructType.fromDDL("a INT, p STRING"), "p", Nil)
+      val evil = Seq(LakeTable.Entry("@seg=evil:1", "data/b/x.parquet", Nil))
+      val (_, back) = LakeTable.parseManifest(LakeTable.renderManifest(meta, evil))
+      assert(back === evil)
+    } finally {
+      LakeTable.SegmentThreshold = thr
+      LakeTable.MaxSegments = maxs
+    }
+  }
+
+  test("segmented manifests: vacuum reclaims only segments no retained version references") {
+    val (thr, maxs) = (LakeTable.SegmentThreshold, LakeTable.MaxSegments)
+    LakeTable.SegmentThreshold = 2
+    try {
+      val root = freshRoot()
+      val base = spark.range(40).select(
+        col("id").as("k"), (col("id") % 4).cast("string").as("p"), col("id").as("v"))
+      LakeTable.init(spark, root, base, "p")                       // v1: seg A
+      LakeTable.append(spark, root, spark.range(100, 110).select(
+        col("id").as("k"), lit("9").as("p"), col("id").as("v")))   // v2: A + seg B
+      // v3 breaks A (delete inside its partitions), carries B
+      LakeTable.delete(spark, root, col("k") < 10, "p")
+      val segDir = java.nio.file.Paths.get(root, "_manifests", "segments")
+      def segFiles(): Set[String] = {
+        val s = java.nio.file.Files.list(segDir)
+        try {
+          val it = s.iterator(); val b = Set.newBuilder[String]
+          while (it.hasNext) { val n = it.next().getFileName.toString
+            if (n.startsWith("seg-")) b += n }
+          b.result()
+        } finally s.close()
+      }
+      val before = segFiles()
+      assert(before.size >= 3, s"A, B and A's replacement expected: $before")
+      val removed = LakeTable.vacuum(spark, root, retainMillis = 0, keepVersions = 1)
+      assert(removed > 0)
+      val after = segFiles()
+      // exactly the head's referenced segments survive
+      val headRefs = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        root, "_manifests", "v3.manifest")), "UTF-8")
+        .linesIterator.filter(_.startsWith("@seg=")).toSeq
+      assert(after.forall(n => headRefs.exists(_.contains(n))), s"dead segments must go: $after")
+      assert(LakeTable.read(spark, root).count() === 40)
+      // an older version whose segment was reclaimed refuses crisply
+      val e = intercept[IllegalArgumentException](LakeTable.readVersion(spark, root, 1))
+      assert(e.getMessage.contains("vacuumed"), s"got: ${e.getMessage}")
+    } finally {
+      LakeTable.SegmentThreshold = thr
+      LakeTable.MaxSegments = maxs
+    }
   }
 }
