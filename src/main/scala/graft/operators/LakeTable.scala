@@ -716,7 +716,25 @@ object LakeTable {
     val writer = arranged.write.partitionBy(PartDirCol).mode("append")
     (if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile)
      else writer).parquet(dataDir.toString)
+    collectBatchMetadata(spark, root, batch, meta, df.columns.toSeq)
+  }
 
+  /** The write-metadata pass over an already-written batch directory —
+    * shared by [[writeBatch]] and the streaming `toTable` epoch commit
+    * (whose files are written by executor-side [[DataWriter]]s, not a
+    * DataFrame write): one listing, footer row counts, and the single
+    * fused stats/Bloom aggregate, producing the batch's manifest
+    * entries. `writtenCols` = the columns actually present in the
+    * written files (stats/bloom columns not among them record nothing —
+    * conservative).
+    */
+  private[graft] def collectBatchMetadata(
+      spark: SparkSession,
+      root: String,
+      batch: String,
+      meta: TableMeta,
+      writtenCols: Seq[String]): Seq[Entry] = {
+    val dataDir = new Path(new Path(root, "data"), batch)
     // ONE listing of the just-written batch serves everything below:
     // empty-batch detection, per-file lengths for the manifest, and the
     // footer row-count reads. An EMPTY batch (e.g. a merge whose source
@@ -780,8 +798,8 @@ object LakeTable {
     // (conservative), so pre-bloom batches and evolution stay correct.
     // A stats/bloom column absent from this batch's frame (should not
     // happen post-align, but stay conservative) records nothing for it.
-    val present = meta.statsCols.filter(df.columns.contains)
-    val bloomPresent = meta.bloomCols.filter(df.columns.contains)
+    val present = meta.statsCols.filter(writtenCols.contains)
+    val bloomPresent = meta.bloomCols.filter(writtenCols.contains)
     val stats: Map[String, Seq[(Option[String], Option[String])]] =
       if (present.isEmpty && bloomPresent.isEmpty) Map.empty
       else {
@@ -1576,6 +1594,45 @@ object LakeTable {
         require(maxRetries > 0,
           s"LakeTable.append: concurrent commit at $root (retries exhausted)")
         append(spark, root, df, maxRetries - 1, txnAppId, txnVersion)
+      }
+    }
+  }
+
+  /** Commit one epoch of a streaming `writeStream.toTable` query. The
+    * epoch's files were already written by executor-side DataWriters
+    * under `data/<batch>/` (dot-temp names renamed on TASK commit, so
+    * speculative/failed attempts never surface); this runs the same
+    * fused write-metadata pass as [[writeBatch]] and commits with the
+    * TRANSACTIONAL-WRITER watermark (`appId -> epochId`): a REPLAYED
+    * epoch — streaming recovery re-running a batch whose sink commit
+    * already landed — is recognized and skipped, giving exactly-once
+    * effect (the [[append]] txn contract, driven by the engine's
+    * epoch ids instead of foreachBatch's batch ids). A skipped replay's
+    * freshly-written files are orphans vacuum reclaims.
+    */
+  private[graft] def appendStreamEpoch(
+      spark: SparkSession,
+      root: String,
+      batch: String,
+      appId: String,
+      epochId: Long,
+      maxRetries: Int = 5): Unit = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.appendStreamEpoch: no committed snapshot at $root")
+    if (s0.meta.get.txns.get(appId).exists(_ >= epochId)) return // replayed epoch
+    val entries = collectBatchMetadata(spark, root, batch, s0.meta.get,
+      s0.meta.get.schema.fieldNames.toSeq)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val s = if (attempt == 0) s0 else snapshot(spark, root)
+      val meta = s.meta.get
+      val newMeta = meta.copy(txns = meta.txns + (appId -> epochId))
+      done = commit(spark, root, s.version + 1, newMeta, s.entries ++ entries)
+      if (!done) {
+        attempt += 1
+        require(attempt <= maxRetries,
+          s"LakeTable.appendStreamEpoch: concurrent commit at $root (retries exhausted)")
       }
     }
   }

@@ -859,6 +859,75 @@ object ExtQueries {
         s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
     },
 
+    // The full streaming lake LOOP: a source table fed by three SQL
+    // INSERT commits, tailed by `readStream.table` (manifest-version
+    // offsets) and landed in a SECOND lake table by `writeStream
+    // .toTable` — a real DSv2 StreamingWrite whose executors write
+    // dot-temp task files renamed on task commit, and whose driver
+    // commits one atomic manifest version per epoch with the engine's
+    // epochId as a txn watermark (exactly-once). The TARGET's rollup
+    // must equal the plain orders rollup — a replayed epoch doubles
+    // cells, a surfaced speculative task file inflates them, a lost
+    // task empties some.
+    "q157_stream_to_table" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q157_$tag"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q157_orders")
+      val src = s"graft.`$stage/src`"
+      val tgt = s"graft.`$stage/tgt`"
+      Seq(src, tgt).foreach(n => s.sql(s"CREATE TABLE $n (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)"))
+      (0 to 2).foreach(i =>
+        s.sql(s"INSERT INTO $src SELECT o_orderkey, o_orderstatus, " +
+          s"CAST(o_totalprice AS DOUBLE) FROM q157_orders WHERE o_orderkey % 3 = $i"))
+      val q = s.readStream.table(src)
+        .writeStream
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .toTable(tgt)
+      q.awaitTermination()
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $tgt GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    },
+
+    // Lake maintenance through SQL stored procedures (Spark 4 DSv2
+    // ProcedureCatalog, the Iceberg `CALL catalog.system.proc` shape):
+    // three fragmenting INSERTs, then CALL optimize (transactional
+    // compaction), CALL restore back to the two-slice version (rollback
+    // as a forward commit), a RE-insert of the third slice, and CALL
+    // vacuum at zero retention. The final rollup must equal the plain
+    // orders rollup — an optimize that loses/duplicates rows, a restore
+    // off by one version, or a vacuum that reclaims a LIVE file all
+    // shift cnt/cents (the vacuum case via a failed scan).
+    "q156_sql_procedures" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"/root/repo/target/staging/q156_$tag/t"
+      val p = new org.apache.hadoop.fs.Path(s"/root/repo/target/staging/q156_$tag")
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q156_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)")
+      (0 to 2).foreach(i =>
+        s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+          s"CAST(o_totalprice AS DOUBLE) FROM q156_orders WHERE o_orderkey % 3 = $i"))
+      s.sql(s"CALL graft.system.optimize(table => '$root')") // v5: compaction
+      s.sql(s"CALL graft.system.restore(table => '$root', version => 3)") // v6: slices 0-1
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q156_orders WHERE o_orderkey % 3 = 2")
+      s.sql(s"CALL graft.system.vacuum(table => '$root', " +
+        "retain_hours => 0.0D, keep_versions => 1)")
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    },
+
     // The ALTER TABLE family end-to-end through pure SQL: ADD COLUMNS
     // (older files read NULL), RENAME COLUMN (field-id column mapping —
     // pre-rename files keep reading under the new name), and DROP
@@ -2060,6 +2129,20 @@ object ExtQueries {
         |SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the stream must land each source commit's rows exactly once =
+    // the whole orders table.
+    "q157_stream_to_table" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // maintenance verbs must be content-preserving: optimize+restore+
+    // re-insert+vacuum land back on exactly the full orders rollup.
+    "q156_sql_procedures" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the schema-evolution chain re-derived relationally: generations
     // 1-2 read NULL for the dropped-then-re-added o_note (a recycled
     // field id would leak gen-2's o_custkey back), generation 3 writes

@@ -63,7 +63,7 @@ import graft.operators.LakeTable
   * (commit time = the manifest file's modification time — the same
   * convention Delta uses).
   */
-class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
+class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: String = _
@@ -77,6 +77,33 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
   override def name(): String = catalogName
 
   private def spark: SparkSession = SparkSession.active
+
+  // ---- stored procedures (CALL graft.system.<proc>(...)) -------------
+
+  /** Table-name ARGUMENT resolution for procedures: 'db.t' →
+    * `<warehouse>/db/t`; an absolute '/path' is a root directly — the
+    * same mapping [[rootOf]] applies to identifiers.
+    */
+  private def rootOfName(n: String): String =
+    if (n.startsWith("/")) n else s"$warehouse/${n.split('.').mkString("/")}"
+
+  private lazy val procedures = GraftLakeProcedures.all(() => spark, rootOfName)
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"graft-lake: procedures live under the `system` namespace " +
+        s"(CALL graft.system.<name>(...)), got ${ident.namespace.mkString(".")}")
+    procedures.getOrElse(ident.name.toLowerCase(java.util.Locale.ROOT),
+      throw new UnsupportedOperationException(
+        s"graft-lake: unknown procedure ${ident.name}; available: " +
+          procedures.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      procedures.keys.toSeq.sorted.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   /** Table root for an identifier: absolute-path names address a table
     * root directly; everything else lives under the warehouse.
@@ -351,6 +378,7 @@ class GraftLakeV2Table(
       TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
     caps
@@ -361,7 +389,7 @@ class GraftLakeV2Table(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!timeTravel, s"graft-lake: cannot write to a time-travel snapshot of $tableName")
-    new LakeWriteBuilder(root)
+    new LakeWriteBuilder(root, info)
   }
 
   // ---- DELETE FROM ----------------------------------------------------
@@ -413,9 +441,12 @@ class GraftLakeChangesTable(
 /** INSERT INTO / INSERT OVERWRITE as transactional manifest commits via
   * the V1 write bridge (the data still flows through Spark's normal
   * parquet write path inside [[LakeTable.writeBatch]]; V1Write only
-  * carries the DataFrame across the DSv2 boundary).
+  * carries the DataFrame across the DSv2 boundary), plus the STREAMING
+  * face: `writeStream.toTable` routes to [[LakeStreamingWrite]]
+  * (append-mode only — a streaming truncate/complete would need a
+  * per-epoch overwrite contract the lake does not define).
   */
-class LakeWriteBuilder(root: String) extends WriteBuilder
+class LakeWriteBuilder(root: String, info: LogicalWriteInfo) extends WriteBuilder
   with SupportsTruncate with SupportsOverwrite {
 
   private var replaceAll = false
@@ -439,6 +470,14 @@ class LakeWriteBuilder(root: String) extends WriteBuilder
           else LakeTable.append(spark, root, data)
         }
       }
+
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      if (replaceAll) throw new UnsupportedOperationException(
+        "graft-lake: streaming writes are append-only (complete/update output " +
+          "modes would truncate per epoch)")
+      new LakeStreamingWrite(root, info.schema(), info.queryId())
+    }
   }
 }
 

@@ -1,0 +1,156 @@
+package graft.sources.lake
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+import graft.operators.LakeTable
+
+/** SQL stored procedures for lake maintenance (the Iceberg
+  * `CALL catalog.system.proc(...)` shape on Spark 4's DSv2
+  * ProcedureCatalog — reference: iceberg SparkProcedures /
+  * spark-sql-ref CALL):
+  *
+  * {{{
+  *   CALL graft.system.optimize(table => 'db.t', zorder_cols => 'a,b')
+  *   CALL graft.system.vacuum(table => 'db.t', retain_hours => 0.0, keep_versions => 2)
+  *   CALL graft.system.restore(table => 'db.t', version => 3)
+  *   CALL graft.system.history(table => 'db.t')
+  * }}}
+  *
+  * OPTIMIZE / VACUUM / RESTORE are maintenance verbs with no ANSI
+  * statement, so without procedures they were Scala-API-only — this is
+  * the SQL face that closes that gap. Each call runs the SAME
+  * transactional op the Scala API runs (atomic manifest commit,
+  * optimistic concurrency) and returns its result as rows.
+  */
+private[lake] object GraftLakeProcedures {
+
+  /** All procedures under the `system` namespace, keyed by lowercase
+    * name. `rootOf` resolves a table-name argument ('db.t' or an
+    * absolute '/path') to a table root the same way the catalog
+    * resolves identifiers.
+    */
+  def all(spark: () => SparkSession, rootOf: String => String): Map[String, UnboundProcedure] = {
+
+    def p(n: String, dt: DataType) = ProcedureParameter.in(n, dt).build()
+    def pd(n: String, dt: DataType, default: String) =
+      ProcedureParameter.in(n, dt).defaultValue(default).build()
+
+    Map(
+      "optimize" -> new LakeProc(
+        "optimize",
+        "transactional small-file compaction; optional sort/Z-order clustering",
+        Seq(p("table", StringType),
+          pd("min_files", IntegerType, "2"),
+          pd("max_records_per_file", LongType, "0"),
+          pd("sort_cols", StringType, "''"),
+          pd("zorder_cols", StringType, "''"))) {
+        override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          def cols(i: Int): Seq[String] =
+            args.getUTF8String(i).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val stats = LakeTable.optimize(spark(), rootOf(args.getUTF8String(0).toString),
+            minFilesPerPartition = args.getInt(1),
+            maxRecordsPerFile = args.getLong(2),
+            sortCols = cols(3), zorderCols = cols(4))
+          (StructType(Seq(
+            StructField("version", LongType), StructField("files_rewritten", LongType),
+            StructField("files_carried", LongType), StructField("rows_written", LongType))),
+            Seq(InternalRow(stats.version, stats.filesRewritten,
+              stats.filesCarried, stats.rowsWritten)))
+        }
+      },
+
+      "vacuum" -> new LakeProc(
+        "vacuum",
+        "reclaim unreferenced data files, bloom sidecars and manifest segments",
+        Seq(p("table", StringType),
+          pd("retain_hours", DoubleType, "168.0"),
+          pd("keep_versions", IntegerType, "1"))) {
+        override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          val removed = LakeTable.vacuum(spark(), rootOf(args.getUTF8String(0).toString),
+            retainMillis = (args.getDouble(1) * 3600 * 1000).toLong,
+            keepVersions = args.getInt(2))
+          (StructType(Seq(StructField("files_removed", LongType))),
+            Seq(InternalRow(removed)))
+        }
+      },
+
+      "restore" -> new LakeProc(
+        "restore",
+        "roll the table back to an older version as a new forward commit",
+        Seq(p("table", StringType), p("version", LongType))) {
+        override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          val head = LakeTable.restore(spark(),
+            rootOf(args.getUTF8String(0).toString), args.getLong(1))
+          (StructType(Seq(
+            StructField("restored_version", LongType), StructField("head_version", LongType))),
+            Seq(InternalRow(args.getLong(1), head)))
+        }
+      },
+
+      "history" -> new LakeProc(
+        "history",
+        "the per-version commit log (operation inferred from the file diff)",
+        Seq(p("table", StringType))) {
+        override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          val df = LakeTable.history(spark(), rootOf(args.getUTF8String(0).toString))
+          // executeCollect returns InternalRows directly — no
+          // row-encoder round-trip, and history is version-count-sized
+          (df.schema, df.queryExecution.executedPlan.executeCollect().toSeq)
+        }
+      },
+
+      "analyze" -> new LakeProc(
+        "analyze",
+        "metadata-only table profile from the manifest (no data I/O)",
+        Seq(p("table", StringType))) {
+        override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          val root = rootOf(args.getUTF8String(0).toString)
+          val s0 = LakeTable.snapshot(spark(), root)
+          require(s0.version > 0, s"graft-lake: no committed snapshot at $root")
+          val es = s0.entries
+          (StructType(Seq(
+            StructField("version", LongType), StructField("files", LongType),
+            StructField("partitions", LongType), StructField("rows", LongType),
+            StructField("bytes", LongType))),
+            Seq(InternalRow(s0.version, es.size.toLong,
+              es.map(_.part).distinct.size.toLong,
+              es.flatMap(_.rows).sum, es.flatMap(_.bytes).sum)))
+        }
+      }
+    ).map { case (k, v) => k -> (v: UnboundProcedure) }
+  }
+
+  /** One procedure = its own unbound AND bound form (parameters are
+    * static, so bind() is identity — the Iceberg BaseProcedure shape).
+    * Output schema is produced WITH the rows at call time, served
+    * through a driver-local [[LocalScan]] (results are version- or
+    * stats-sized, never data-sized).
+    */
+  private abstract class LakeProc(
+      procName: String,
+      procDescription: String,
+      params: Seq[ProcedureParameter])
+    extends UnboundProcedure with BoundProcedure {
+
+    override def name(): String = procName
+    override def description(): String = procDescription
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+
+    protected def run(args: InternalRow): (StructType, Seq[InternalRow])
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (schema, rows) = run(input)
+      val arr = rows.toArray
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = arr
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+  }
+}

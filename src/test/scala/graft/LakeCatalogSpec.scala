@@ -502,6 +502,85 @@ class LakeCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("both dropped and renamed"), e.getMessage)
   }
 
+  test("writeStream.toTable: exactly-once streaming lake writes with recorded stats") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = mkTable() // v1 CREATE, v2 INSERT(30)
+    val t = mkTable()
+    spark.sql(s"DELETE FROM $t WHERE true") // empty target, same schema
+    val root = s"$wh/db/${t.split('.').last}"
+    val stage = Files.createTempDirectory("graft-totable").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table(src)
+        .writeStream
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .toTable(t)
+      q.awaitTermination()
+    }
+    drain()
+    def cnt(): Long = spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0)
+    assert(cnt() === 30)
+    // checkpoint restart with no new data: nothing lands twice
+    drain()
+    assert(cnt() === 30)
+    // the streamed batch's entries record rows, bytes AND k stats bounds
+    // (the same fused metadata pass as the batch writer)
+    val streamed = LakeTable.snapshot(spark, root).entries
+      .filter(_.rel.contains("batch-stream-"))
+    assert(streamed.nonEmpty)
+    assert(streamed.forall(e => e.rows.isDefined && e.bytes.isDefined))
+    assert(streamed.forall(e => e.stats.nonEmpty && e.stats.head._1.isDefined))
+    // a new source commit delivers exactly the delta
+    spark.sql(s"INSERT INTO $src SELECT id, '7', id FROM range(900, 905)")
+    drain()
+    assert(cnt() === 35)
+    assert(spark.sql(s"SELECT count(*) c FROM $t WHERE k >= 900").head.getLong(0) === 5)
+    // NULL partition values land in the Hive sentinel partition
+    spark.sql(s"INSERT INTO $src VALUES (999, CAST(NULL AS STRING), 1)")
+    drain()
+    assert(cnt() === 36)
+    assert(LakeTable.snapshot(spark, root).entries.exists(e =>
+      e.part == LakeTable.NullPartition && e.rel.contains("batch-stream-")))
+    assert(spark.sql(s"SELECT v FROM $t WHERE p IS NULL").head.getLong(0) === 1)
+    // the txn watermark carries the engine's epoch ids
+    assert(LakeTable.snapshot(spark, root).meta.get.txns.keys.exists(_.startsWith("toTable-")))
+  }
+
+  test("stored procedures: CALL graft.system maintenance verbs") {
+    val t = mkTable() // v1 CREATE, v2 INSERT(30)
+    val short = t.stripPrefix("graft.")
+    val root = s"$wh/db/${t.split('.').last}"
+    // unknown procedure refuses with the available list
+    val e = intercept[Exception](spark.sql(s"CALL graft.system.nope(table => '$short')"))
+    def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("unknown procedure")), s"got: $e")
+    // fragment, then OPTIMIZE through SQL
+    spark.sql(s"INSERT INTO $t SELECT id, cast(id % 3 as string), id FROM range(500, 530)")
+    val filesBefore = LakeTable.snapshot(spark, root).entries.size
+    val opt = spark.sql(s"CALL graft.system.optimize(table => '$short')").head
+    assert(opt.getLong(opt.fieldIndex("files_rewritten")) > 0)
+    assert(LakeTable.snapshot(spark, root).entries.size < filesBefore)
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 60)
+    // analyze: metadata-only profile straight from the manifest
+    val an = spark.sql(s"CALL graft.system.analyze(table => '$short')").head
+    assert(an.getLong(an.fieldIndex("rows")) === 60)
+    assert(an.getLong(an.fieldIndex("partitions")) === 3)
+    // history: one row per committed version
+    val head0 = LakeTable.snapshot(spark, root).version
+    assert(spark.sql(s"CALL graft.system.history(table => '$short')").count() === head0)
+    // restore back to the 30-row v2 (a forward commit)
+    val res = spark.sql(
+      s"CALL graft.system.restore(table => '$short', version => 2)").head
+    assert(res.getLong(res.fieldIndex("head_version")) === head0 + 1)
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 30)
+    // vacuum with zero retention reclaims the restored-away files
+    val vac = spark.sql(s"CALL graft.system.vacuum(table => '$short', " +
+      "retain_hours => 0.0D, keep_versions => 1)").head
+    assert(vac.getLong(vac.fieldIndex("files_removed")) > 0)
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 30)
+  }
+
   test("rename hygiene: duplicate targets refused; stale bloom aliases dropped on reuse") {
     val root = s"${Files.createTempDirectory("graft-renh")}/t"
     val df = spark.range(20).select(
