@@ -144,7 +144,11 @@ object LakeTable {
       // a later ADD at a recycled id would read the dropped column's
       // physical data out of old files as the new column. 0 on tables
       // that never dropped (the live schema's max id is then the floor)
-      maxFieldId: Long = 0) {
+      maxFieldId: Long = 0,
+      // CHECK constraints (name -> predicate SQL): enforced on every
+      // write path (SQL NULL semantics — only FALSE violates); existing
+      // data validated when the constraint is added
+      checks: Seq[(String, String)] = Nil) {
     def statsCol: Option[String] = statsCols.headOption
     /** Every sidecar name a bloom lookup on `column` must match. */
     def bloomNamesFor(column: String): Seq[String] =
@@ -313,6 +317,11 @@ object LakeTable {
       meta.bloomAliases.toSeq.sortBy(_._1).map { case (cur, olds) =>
         s"#bloomAlias=${(cur +: olds).map(n => esc(n).replace(",", "%2C")).mkString(",")}"
       } ++
+      // CHECK constraints, one line per name (the ':' in the NAME cell
+      // is encoded, so the first ':' always splits name from SQL)
+      meta.checks.map { case (n, sql) =>
+        s"#check=${esc(n).replace(":", "%3A")}:${esc(sql)}"
+      } ++
       // transactional-writer watermarks (idempotent appends): the highest
       // txnVersion committed per appId, carried forward by every commit
       meta.txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn=${esc(app)}:$v" }
@@ -378,7 +387,8 @@ object LakeTable {
     val (segLines, body) = rest0.partition(_.startsWith("@seg="))
     // #txn= / #bloomAlias= repeat (one line per key) — keep them out of
     // the unique-key map
-    val (txnLines, rest) = header.partition(_.startsWith("#txn="))
+    val (txnLines, rest1) = header.partition(_.startsWith("#txn="))
+    val (checkLines, rest) = rest1.partition(_.startsWith("#check="))
     val (aliasLines, kvLines) = rest.partition(_.startsWith("#bloomAlias="))
     val kv = kvLines.map { h =>
       val Array(k, v) = h.stripPrefix("#").split("=", 2)
@@ -411,6 +421,11 @@ object LakeTable {
       val names = l.stripPrefix("#bloomAlias=").split(",").toSeq.map(unesc)
       names.head -> names.tail
     }.toMap
+    val checks = checkLines.map { l =>
+      val s = l.stripPrefix("#check=")
+      val i = s.indexOf(':')
+      unesc(s.take(i)) -> unesc(s.drop(i + 1))
+    }
     val meta = TableMeta(
       withFieldIds(StructType.fromDDL(kv("schema")), fieldIds),
       kv("partitionCol"),
@@ -418,7 +433,8 @@ object LakeTable {
       txns,
       kv.get("bloomCols").map(_.split(",").toSeq.map(unesc)).getOrElse(Nil),
       bloomAliases,
-      kv.get("maxFieldId").map(_.toLong).getOrElse(0L))
+      kv.get("maxFieldId").map(_.toLong).getOrElse(0L),
+      checks)
     val segRefs = segLines.map { l =>
       val s = l.stripPrefix("@seg=")
       val i = s.lastIndexOf(':')
@@ -662,13 +678,32 @@ object LakeTable {
   private def partExpr(partitionCol: String): Column =
     coalesce(col(partitionCol).cast("string"), lit(NullPartition))
 
+  /** Enforce the table's CHECK constraints on rows about to be written
+    * (SQL semantics: NULL passes, only FALSE violates). One short-
+    * circuiting existence probe per constraint, run only when
+    * constraints exist — a violation refuses the whole write BEFORE
+    * anything commits, the Delta invariant-enforcement contract.
+    */
+  private[graft] def requireChecks(
+      spark: SparkSession,
+      df: DataFrame,
+      meta: TableMeta,
+      op: String): Unit =
+    meta.checks.foreach { case (n, sql) =>
+      val violated = !df.where(
+        !coalesce(org.apache.spark.sql.functions.expr(sql), lit(true))).isEmpty
+      if (violated) throw new IllegalArgumentException(
+        s"graft-lake $op: rows violate CHECK constraint $n ($sql) — nothing committed")
+    }
+
   /** Write `df` as a new immutable batch, partitioned by the table's
     * partition column (stored BOTH in the directory name and inside the
     * files). When a stats column is configured, one pass over the
     * just-written batch records per-file min/max (the write-time stats
     * collection every lakehouse log does). Returns the manifest entries
     * for the written files. Not visible to readers until a manifest
-    * referencing them is committed.
+    * referencing them is committed. `enforceChecks = false` only for
+    * rewrites of already-validated rows (OPTIMIZE).
     */
   private def writeBatch(
       spark: SparkSession,
@@ -677,7 +712,9 @@ object LakeTable {
       meta: TableMeta,
       maxRecordsPerFile: Long = 0L,
       sortCols: Seq[String] = Nil,
-      zorderCols: Seq[String] = Nil): Seq[Entry] = {
+      zorderCols: Seq[String] = Nil,
+      enforceChecks: Boolean = true): Seq[Entry] = {
+    if (enforceChecks) requireChecks(spark, df, meta, "write")
     val batch = s"batch-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(new Path(root, "data"), batch)
     // column mapping: stamp each written column with its field id (the
@@ -925,10 +962,37 @@ object LakeTable {
       bloomCols: Option[Seq[String]] = None,
       renameColumns: Map[String, String] = Map.empty,
       dropColumns: Seq[String] = Nil,
+      addChecks: Seq[(String, String)] = Nil,
+      dropChecks: Seq[String] = Nil,
       maxRetries: Int = 3): Long = {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.alterTable: no committed snapshot at $root")
     val meta = s0.meta.get
+    // CHECK constraints: names unique; EXISTING data must already
+    // satisfy a new constraint (the Delta ADD CONSTRAINT validation
+    // scan — the one alterTable verb that reads data); a column a
+    // constraint references cannot be renamed or dropped while the
+    // constraint stands
+    addChecks.foreach { case (n, sql) =>
+      require(!meta.checks.exists(_._1 == n) && !dropChecks.contains(n),
+        s"LakeTable.alterTable: CHECK constraint $n already exists")
+      if (s0.entries.nonEmpty)
+        requireChecks(spark, readEntries(spark, root, meta.schema, s0.entries),
+          meta.copy(checks = Seq(n -> sql)), "ADD CONSTRAINT (existing rows)")
+    }
+    dropChecks.foreach(n => require(meta.checks.exists(_._1 == n),
+      s"LakeTable.alterTable: CHECK constraint $n does not exist"))
+    val standingChecks = meta.checks.filterNot(c => dropChecks.contains(c._1))
+    (renameColumns.keys ++ dropColumns).foreach { c =>
+      standingChecks.foreach { case (n, sql) =>
+        val refs = spark.sessionState.sqlParser.parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+        }
+        require(!refs.exists(_.equalsIgnoreCase(c)),
+          s"LakeTable.alterTable: column $c is referenced by CHECK constraint $n " +
+            s"($sql) — drop the constraint first")
+      }
+    }
     addColumns.foreach { f =>
       require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)) ||
         dropColumns.exists(_.equalsIgnoreCase(f.name)),
@@ -1001,7 +1065,8 @@ object LakeTable {
     val newMeta = meta.copy(schema = newSchema, statsCols = newStats,
       bloomCols = newBlooms, bloomAliases = newAliases,
       // retire dropped ids forever (highWater spans the pre-drop schema)
-      maxFieldId = if (dropColumns.nonEmpty) highWater(meta) else meta.maxFieldId)
+      maxFieldId = if (dropColumns.nonEmpty) highWater(meta) else meta.maxFieldId,
+      checks = standingChecks ++ addChecks)
     val oldStatsRenamed = meta.statsCols.map(renamed)
     val entries = s0.entries.map { e =>
       e.copy(stats = newStats.map { c =>
@@ -1015,7 +1080,7 @@ object LakeTable {
       require(maxRetries > 0,
         s"LakeTable.alterTable: concurrent commit at $root (retries exhausted)")
       alterTable(spark, root, addColumns, statsCols, bloomCols, renameColumns,
-        dropColumns, maxRetries - 1)
+        dropColumns, addChecks, dropChecks, maxRetries - 1)
     }
   }
 
@@ -1622,6 +1687,12 @@ object LakeTable {
     if (s0.meta.get.txns.get(appId).exists(_ >= epochId)) return // replayed epoch
     val entries = collectBatchMetadata(spark, root, batch, s0.meta.get,
       s0.meta.get.schema.fieldNames.toSeq)
+    // executor-written files bypass writeBatch — enforce CHECK
+    // constraints on the landed epoch BEFORE it becomes visible (a
+    // violation fails the epoch; its files stay invisible orphans)
+    if (s0.meta.get.checks.nonEmpty && entries.nonEmpty)
+      requireChecks(spark, readEntries(spark, root, s0.meta.get.schema, entries),
+        s0.meta.get, "toTable epoch")
     var attempt = 0
     var done = false
     while (!done) {
@@ -2170,7 +2241,9 @@ object LakeTable {
       return MergeStats(s0.version, 0, 0, s0.entries.size, 0)
     val (rewrite, carry) = s0.entries.partition(e => compactParts.contains(e.part))
     val df = spark.read.schema(meta.schema).parquet(rewrite.map(e => s"$root/${e.rel}"): _*)
-    val written = writeBatch(spark, root, df, meta, maxRecordsPerFile, sortCols, zorderCols)
+    // already-validated rows being compacted — no CHECK re-validation
+    val written = writeBatch(spark, root, df, meta, maxRecordsPerFile, sortCols, zorderCols,
+      enforceChecks = false)
     preCommit()
     val ok = commit(spark, root, s0.version + 1, meta, carry ++ written)
     if (ok)

@@ -859,6 +859,38 @@ object ExtQueries {
         s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
     },
 
+    // CHECK constraints end-to-end: ADD CONSTRAINT through SQL (catalog
+    // capability + validation scan), a VIOLATING insert refused with
+    // nothing committed, valid inserts (including NULL prices — SQL
+    // CHECK semantics pass NULL) landing normally. Enforcement is
+    // hash-checked, not just exception-checked: if the violating batch
+    // were admitted, its negated prices would shift cents; if the
+    // refusal half-committed, cnt would drift.
+    "q158_check_constraints" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"/root/repo/target/staging/q158_$tag/t"
+      val p = new org.apache.hadoop.fs.Path(s"/root/repo/target/staging/q158_$tag")
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q158_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)")
+      s.sql(s"ALTER TABLE $lt ADD CONSTRAINT price_pos CHECK (o_totalprice >= 0)")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q158_orders")
+      val refused =
+        try {
+          s.sql(s"INSERT INTO $lt SELECT o_orderkey + 1000000000, o_orderstatus, " +
+            "CAST(-o_totalprice AS DOUBLE) FROM q158_orders WHERE o_orderkey % 7 = 0")
+          false
+        } catch { case _: Exception => true }
+      require(refused, "q158: the violating insert must be refused")
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    },
+
     // The full streaming lake LOOP: a source table fed by three SQL
     // INSERT commits, tailed by `readStream.table` (manifest-version
     // offsets) and landed in a SECOND lake table by `writeStream
@@ -2129,6 +2161,12 @@ object ExtQueries {
         |SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    // only the valid insert lands: the plain orders rollup.
+    "q158_check_constraints" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the stream must land each source commit's rows exactly once =
     // the whole orders table.
     "q157_stream_to_table" ->

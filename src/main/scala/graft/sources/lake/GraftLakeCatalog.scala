@@ -76,6 +76,11 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
 
   override def name(): String = catalogName
 
+  // ALTER TABLE ... ADD/DROP CONSTRAINT reaches alterTable only when the
+  // catalog declares it (CHECK constraints; see the TableChange cases)
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def spark: SparkSession = SparkSession.active
 
   // ---- stored procedures (CALL graft.system.<proc>(...)) -------------
@@ -220,7 +225,23 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
     var renames = Map.empty[String, String]
     var drops = Seq.empty[String]
     def split(v: String) = v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    var addChecks = Seq.empty[(String, String)]
+    var dropChecks = Seq.empty[String]
     changes.foreach {
+      case a: TableChange.AddConstraint =>
+        a.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            require(c.enforced(),
+              "graft-lake: NOT ENFORCED check constraints are unsupported " +
+                "(every write validates)")
+            addChecks :+= c.name() -> c.predicateSql()
+          case other => throw new UnsupportedOperationException(
+            s"graft-lake: only CHECK constraints are supported, got ${other.toDDL}")
+        }
+      case d: TableChange.DropConstraint =>
+        val known = LakeTable.snapshot(spark, root).meta
+          .exists(_.checks.exists(_._1 == d.name()))
+        if (known || !d.ifExists()) dropChecks :+= d.name()
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           "graft-lake: DROP COLUMN supports top-level columns only")
@@ -251,7 +272,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
           "only ADD COLUMNS, RENAME/DROP COLUMN and SET TBLPROPERTIES statsCols/bloomCols " +
           "are metadata-only)")
     }
-    LakeTable.alterTable(spark, root, addCols, statsCols, bloomCols, renames, drops)
+    LakeTable.alterTable(spark, root, addCols, statsCols, bloomCols, renames, drops,
+      addChecks, dropChecks)
     loadTable(ident)
   }
 
@@ -382,6 +404,21 @@ class GraftLakeV2Table(
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
     caps
+  }
+
+  /** The table's CHECK constraints, declared to Spark (DESCRIBE shows
+    * them; the analyzer may add its own write-side validation on top of
+    * the engine's own enforcement in every LakeTable write path).
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    meta.checks.map { case (n, sql) =>
+      Constraint.check(n).predicateSql(sql)
+        .enforced(true)
+        .validationStatus(Constraint.ValidationStatus.VALID)
+        .build(): Constraint
+    }.toArray
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

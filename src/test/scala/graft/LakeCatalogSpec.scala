@@ -502,6 +502,51 @@ class LakeCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("both dropped and renamed"), e.getMessage)
   }
 
+  test("CHECK constraints: ADD validates existing rows; every write path enforces; DROP reopens") {
+    val t = mkTable() // 30 rows, v = id * 10 >= 0
+    val root = s"$wh/db/${t.split('.').last}"
+    def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
+    def version: Long = LakeTable.snapshot(spark, root).version
+    // a constraint EXISTING rows violate is refused (validation scan —
+    // Spark's analyzer runs it first on capable catalogs; the engine's
+    // own alterTable scan backstops the programmatic path)
+    val e0 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ADD CONSTRAINT neg CHECK (v < 0)"))
+    assert(chain(e0).exists(c => c.getMessage != null &&
+      (c.getMessage.contains("violated by existing data") ||
+        c.getMessage.contains("violate CHECK"))), s"got: $e0")
+    // a satisfied constraint lands as a metadata commit
+    spark.sql(s"ALTER TABLE $t ADD CONSTRAINT nonneg CHECK (v >= 0)")
+    assert(LakeTable.snapshot(spark, root).meta.get.checks === Seq("nonneg" -> "v >= 0"))
+    // INSERT violating → refused before anything commits
+    val v0 = version
+    val e1 = intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (900, '1', -5)"))
+    assert(chain(e1).exists(c => c.getMessage != null && c.getMessage.contains("nonneg")),
+      s"got: $e1")
+    assert(version === v0)
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 30)
+    // NULL passes (SQL CHECK semantics: only FALSE violates)
+    spark.sql(s"INSERT INTO $t VALUES (901, '1', NULL)")
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 31)
+    // UPDATE and MERGE violating → refused on the COW rewrite path
+    val e2 = intercept[Exception](spark.sql(s"UPDATE $t SET v = -1 WHERE k = 0"))
+    assert(chain(e2).exists(c => c.getMessage != null && c.getMessage.contains("nonneg")))
+    spark.sql("CREATE OR REPLACE TEMP VIEW ck_src AS SELECT 0L AS k, '0' AS p, -7L AS v")
+    val e3 = intercept[Exception](spark.sql(s"MERGE INTO $t t USING ck_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+    assert(chain(e3).exists(c => c.getMessage != null && c.getMessage.contains("nonneg")))
+    assert(spark.sql(s"SELECT count(*) c FROM $t WHERE v < 0").head.getLong(0) === 0)
+    // the constrained column cannot be renamed or dropped
+    val e4 = intercept[Exception](spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO w"))
+    assert(chain(e4).exists(c => c.getMessage != null &&
+      c.getMessage.contains("referenced by CHECK")), s"got: $e4")
+    intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN v"))
+    // DROP CONSTRAINT reopens the gate
+    spark.sql(s"ALTER TABLE $t DROP CONSTRAINT nonneg")
+    spark.sql(s"INSERT INTO $t VALUES (902, '1', -5)")
+    assert(spark.sql(s"SELECT count(*) c FROM $t WHERE v < 0").head.getLong(0) === 1)
+  }
+
   test("writeStream.toTable: exactly-once streaming lake writes with recorded stats") {
     import org.apache.spark.sql.streaming.Trigger
     val src = mkTable() // v1 CREATE, v2 INSERT(30)

@@ -976,6 +976,47 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("segmented manifests: writer contention keeps versions dense, entries unique") {
+    val (thr, maxs) = (LakeTable.SegmentThreshold, LakeTable.MaxSegments)
+    LakeTable.SegmentThreshold = 4
+    LakeTable.MaxSegments = 6
+    try {
+      val root = freshRoot()
+      val wide = spark.range(64).select(
+        col("id").as("k"), (col("id") % 8).cast("string").as("p"), col("id").as("v"))
+      LakeTable.init(spark, root, wide, "p", statsCols = Seq("k")) // 8 entries → segmented
+      val n = 6
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until n).map { i =>
+        val th = new Thread {
+          override def run(): Unit =
+            try LakeTable.append(spark, root,
+              spark.range(1000 + i * 10, 1005 + i * 10).select(
+                col("id").as("k"), lit(s"w$i").as("p"), col("id").as("v")),
+              maxRetries = n * 3)
+            catch { case t: Throwable => errs.add(t) }
+        }
+        th.start(); th
+      }
+      threads.foreach(_.join())
+      assert(errs.isEmpty, s"writers must all land: ${errs.peek()}")
+      val s = LakeTable.snapshot(spark, root)
+      // dense versions: every writer's commit landed exactly once, and
+      // the race-retried segment diffs neither lost nor duplicated files
+      assert(s.version === 1L + n)
+      assert(s.entries.map(_.rel).distinct.size === s.entries.size)
+      assert(LakeTable.read(spark, root).count() === 64 + n * 5)
+      // fold ceiling respected under the racing commits too
+      val refs = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        root, "_manifests", s"v${s.version}.manifest")), "UTF-8")
+        .linesIterator.count(_.startsWith("@seg="))
+      assert(refs <= 6, s"got $refs refs")
+    } finally {
+      LakeTable.SegmentThreshold = thr
+      LakeTable.MaxSegments = maxs
+    }
+  }
+
   test("segmented manifests: vacuum reclaims only segments no retained version references") {
     val (thr, maxs) = (LakeTable.SegmentThreshold, LakeTable.MaxSegments)
     LakeTable.SegmentThreshold = 2
