@@ -170,6 +170,44 @@ object LakeTable {
     */
   private[graft] val FieldIdKey = "parquet.field.id"
 
+  // column DEFAULT metadata (Spark's own keys): CURRENT_DEFAULT fills
+  // omitted INSERT columns (analyzer-side, via Table.columns()), and
+  // EXISTS_DEFAULT is what files written BEFORE the column existed read
+  // for it (frozen at ADD time — the Delta add-column-with-default
+  // semantics; Spark's parquet readers apply it to requested-but-absent
+  // columns). toDDL drops metadata, so both ride `#default=` manifest
+  // header lines and are re-attached at parse.
+  private[graft] val CurrentDefaultKey =
+    org.apache.spark.sql.catalyst.util.ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY
+  private[graft] val ExistsDefaultKey =
+    org.apache.spark.sql.catalyst.util.ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY
+
+  /** Defaults removed from field metadata — toDDL renders a `DEFAULT`
+    * clause for them that fromDDL cannot parse back, so the `#schema`
+    * manifest cell must stay clause-free (the `#default=` lines are the
+    * single source of truth).
+    */
+  private def stripDefaults(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (!f.metadata.contains(CurrentDefaultKey) && !f.metadata.contains(ExistsDefaultKey)) f
+      else {
+        val b = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+        b.remove(CurrentDefaultKey).remove(ExistsDefaultKey)
+        f.copy(metadata = b.build())
+      }
+    })
+
+  private[graft] def withDefaults(
+      schema: StructType, defs: Map[String, (String, String)]): StructType =
+    StructType(schema.fields.map { f =>
+      defs.get(f.name).fold(f) { case (cur, ex) =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(CurrentDefaultKey, cur)
+          .putString(ExistsDefaultKey, ex).build())
+      }
+    })
+
   private[graft] def fieldIdsOf(schema: StructType): Map[String, Long] =
     schema.fields.iterator
       .filter(_.metadata.contains(FieldIdKey))
@@ -287,7 +325,7 @@ object LakeTable {
       // fully-inline manifests stay format 1 (readable by pre-segment
       // parsers); only actually-segmented manifests claim format 2
       s"#format=${if (segRefs.nonEmpty) 2 else 1}",
-      s"#schema=${meta.schema.toDDL}",
+      s"#schema=${stripDefaults(meta.schema).toDDL}",
       s"#partitionCol=${meta.partitionCol}") ++
       // recorded commit time (TIMESTAMP AS OF resolves against this, not
       // the file mtime — mtimes do not survive copies/restores/object
@@ -312,6 +350,17 @@ object LakeTable {
       // id high-water mark, recorded once it exceeds the live max (i.e.
       // after a DROP COLUMN) so dropped ids stay retired forever
       (if (meta.maxFieldId > 0) Seq(s"#maxFieldId=${meta.maxFieldId}") else Nil) ++
+      // column defaults, one line per defaulted column: name, INSERT-time
+      // default SQL, exists-default SQL (all cells ':'-encoded so the
+      // 3-way split is unambiguous)
+      meta.schema.fields.filter(_.metadata.contains(CurrentDefaultKey)).toSeq.map { f =>
+        def cell(v: String) = esc(v).replace(":", "%3A")
+        val cur = f.metadata.getString(CurrentDefaultKey)
+        val ex =
+          if (f.metadata.contains(ExistsDefaultKey)) f.metadata.getString(ExistsDefaultKey)
+          else cur
+        s"#default=${cell(f.name)}:${cell(cur)}:${cell(ex)}"
+      } ++
       // former sidecar names of renamed bloom columns (one line per
       // current name, aliases newest-first)
       meta.bloomAliases.toSeq.sortBy(_._1).map { case (cur, olds) =>
@@ -388,7 +437,8 @@ object LakeTable {
     // #txn= / #bloomAlias= repeat (one line per key) — keep them out of
     // the unique-key map
     val (txnLines, rest1) = header.partition(_.startsWith("#txn="))
-    val (checkLines, rest) = rest1.partition(_.startsWith("#check="))
+    val (checkLines, rest2) = rest1.partition(_.startsWith("#check="))
+    val (defaultLines, rest) = rest2.partition(_.startsWith("#default="))
     val (aliasLines, kvLines) = rest.partition(_.startsWith("#bloomAlias="))
     val kv = kvLines.map { h =>
       val Array(k, v) = h.stripPrefix("#").split("=", 2)
@@ -426,8 +476,12 @@ object LakeTable {
       val i = s.indexOf(':')
       unesc(s.take(i)) -> unesc(s.drop(i + 1))
     }
+    val defaults: Map[String, (String, String)] = defaultLines.map { l =>
+      val Array(n, cur, ex) = l.stripPrefix("#default=").split(":", 3)
+      unesc(n) -> (unesc(cur), unesc(ex))
+    }.toMap
     val meta = TableMeta(
-      withFieldIds(StructType.fromDDL(kv("schema")), fieldIds),
+      withDefaults(withFieldIds(StructType.fromDDL(kv("schema")), fieldIds), defaults),
       kv("partitionCol"),
       statsCols,
       txns,

@@ -859,6 +859,38 @@ object ExtQueries {
         s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
     },
 
+    // Column DEFAULT values end-to-end: a CREATE-time default fills
+    // INSERTs that omit the column; ALTER TABLE ADD COLUMNS ... DEFAULT
+    // gives files written BEFORE the column existed the frozen
+    // exists-default on read (NOT NULL — the Delta add-column-default
+    // semantics), while post-add inserts write explicit values. The
+    // oracle models all three generations relationally — an
+    // exists-default read as NULL zeroes bonus for two thirds of the
+    // rows, a current-default miss nulls cnt cells.
+    "q159_column_defaults" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"/root/repo/target/staging/q159_$tag/t"
+      val p = new org.apache.hadoop.fs.Path(s"/root/repo/target/staging/q159_$tag")
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q159_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE DEFAULT 0.0) PARTITIONED BY (o_orderstatus)")
+      s.sql(s"INSERT INTO $lt (o_orderkey, o_orderstatus) " +
+        "SELECT o_orderkey, o_orderstatus FROM q159_orders WHERE o_orderkey % 3 = 0")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q159_orders WHERE o_orderkey % 3 = 1")
+      s.sql(s"ALTER TABLE $lt ADD COLUMNS (o_bonus BIGINT DEFAULT 5)")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE), o_orderkey % 10 " +
+        "FROM q159_orders WHERE o_orderkey % 3 = 2")
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents, " +
+        "CAST(sum(o_bonus) AS BIGINT) AS bonus " +
+        s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    },
+
     // CHECK constraints end-to-end: ADD CONSTRAINT through SQL (catalog
     // capability + validation scan), a VIOLATING insert refused with
     // nothing committed, valid inserts (including NULL prices — SQL
@@ -2160,6 +2192,22 @@ object ExtQueries {
         |  FROM t0 WHERE o_orderkey % 10 = 7)
         |SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    // three generations re-derived: %3=0 wrote the 0.0 price default
+    // and reads the frozen bonus exists-default 5; %3=1 wrote real
+    // prices pre-add (bonus 5 on read); %3=2 wrote explicit bonuses.
+    "q159_column_defaults" ->
+      """WITH t0 AS (SELECT o_orderkey, o_orderstatus,
+        |                   CAST(o_totalprice AS DOUBLE) AS pr FROM orders),
+        |final AS (
+        |  SELECT o_orderstatus, 0.0 AS pr, 5 AS bonus FROM t0 WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, pr, 5 FROM t0 WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT o_orderstatus, pr, o_orderkey % 10 FROM t0 WHERE o_orderkey % 3 = 2)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(pr * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       CAST(sum(bonus) AS BIGINT) AS bonus
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     // only the valid insert lands: the plain orders rollup.
     "q158_check_constraints" ->

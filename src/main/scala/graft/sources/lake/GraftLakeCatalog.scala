@@ -76,10 +76,14 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
 
   override def name(): String = catalogName
 
-  // ALTER TABLE ... ADD/DROP CONSTRAINT reaches alterTable only when the
-  // catalog declares it (CHECK constraints; see the TableChange cases)
+  // ALTER TABLE ... ADD/DROP CONSTRAINT and column DEFAULT values reach
+  // the catalog only when declared (see the TableChange cases; defaults
+  // arrive as CURRENT_DEFAULT/EXISTS_DEFAULT StructField metadata on
+  // CREATE and as AddColumn.defaultValue on ALTER)
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -255,14 +259,23 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
           "graft-lake: ALTER TABLE ADD COLUMNS supports top-level columns only")
         require(a.position == null,
           "graft-lake: ADD COLUMNS appends at the end (FIRST/AFTER unsupported)")
-        require(a.defaultValue == null,
-          "graft-lake: ADD COLUMNS with DEFAULT is unsupported (old files read NULL)")
         require(a.isNullable,
           s"graft-lake: added column ${a.fieldNames()(0)} must be nullable — every " +
-            "pre-existing row reads NULL for it (a NOT NULL constraint would be " +
-            "silently violated)")
-        addCols :+= org.apache.spark.sql.types.StructField(
+            "pre-existing row reads NULL (or the DEFAULT) for it (a NOT NULL " +
+            "constraint would be silently violated)")
+        val plain = org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType, nullable = true)
+        addCols :+= Option(a.defaultValue()).fold(plain) { dv =>
+          // INSERT-time default = the user's SQL; exists-default (what
+          // PRE-ADD files read for the column) = the folded literal,
+          // frozen now — the Delta add-column-with-default semantics
+          val existsSql = org.apache.spark.sql.catalyst.expressions
+            .Literal(dv.getValue.value(), a.dataType).sql
+          val curSql = Option(dv.getSql).getOrElse(existsSql)
+          plain.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(LakeTable.CurrentDefaultKey, curSql)
+            .putString(LakeTable.ExistsDefaultKey, existsSql).build())
+        }
       case s: TableChange.SetProperty if s.property == "statsCols" =>
         statsCols = Some(split(s.value))
       case s: TableChange.SetProperty if s.property == "bloomCols" =>

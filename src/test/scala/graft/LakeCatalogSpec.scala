@@ -502,6 +502,33 @@ class LakeCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("both dropped and renamed"), e.getMessage)
   }
 
+  test("column DEFAULT values: INSERT filling; pre-add files read the exists-default") {
+    val _ = wh
+    spark.sql("CREATE TABLE graft.db.dft (k BIGINT, p STRING, v BIGINT DEFAULT 7) " +
+      "PARTITIONED BY (p)")
+    val root = s"$wh/db/dft"
+    // CREATE-time default fills omitted INSERT columns (and DEFAULT kw)
+    spark.sql("INSERT INTO graft.db.dft (k, p) VALUES (1, 'a')")
+    spark.sql("INSERT INTO graft.db.dft VALUES (2, 'b', 9), (3, 'b', DEFAULT)")
+    assert(spark.sql("SELECT sum(v) s FROM graft.db.dft").head.getLong(0) === 7 + 9 + 7)
+    // ADD COLUMNS with DEFAULT: files written BEFORE the column existed
+    // read the frozen exists-default, NOT NULL
+    spark.sql("ALTER TABLE graft.db.dft ADD COLUMNS (w BIGINT DEFAULT 42)")
+    assert(spark.sql("SELECT count(*) c FROM graft.db.dft WHERE w = 42")
+      .head.getLong(0) === 3, "pre-add rows must read the exists-default")
+    // post-add inserts: omitted column gets the current default;
+    // explicit values and explicit NULLs are preserved
+    spark.sql("INSERT INTO graft.db.dft (k, p) VALUES (4, 'c')")
+    spark.sql("INSERT INTO graft.db.dft VALUES (5, 'c', 1, 100), (6, 'c', 1, NULL)")
+    assert(spark.sql("SELECT sum(w) s FROM graft.db.dft").head.getLong(0) === 42L * 4 + 100)
+    assert(spark.sql("SELECT count(*) c FROM graft.db.dft WHERE w IS NULL")
+      .head.getLong(0) === 1)
+    // defaults survive the manifest round trip (parse re-attaches them)
+    val m = LakeTable.snapshot(spark, root).meta.get
+    assert(m.schema("w").metadata.contains(LakeTable.CurrentDefaultKey))
+    assert(m.schema("w").metadata.getString(LakeTable.ExistsDefaultKey).contains("42"))
+  }
+
   test("CHECK constraints: ADD validates existing rows; every write path enforces; DROP reopens") {
     val t = mkTable() // 30 rows, v = id * 10 >= 0
     val root = s"$wh/db/${t.split('.').last}"
