@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, Row, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{NumericType, StructType}
@@ -115,10 +115,25 @@ object LakeTable {
       rel: String,
       stats: Seq[(Option[String], Option[String])],
       rows: Option[Long] = None,
-      bytes: Option[Long] = None) {
+      bytes: Option[Long] = None,
+      // deletion vector: positions in THIS file whose rows are deleted
+      // (merge-on-read — the file itself is untouched; see [[Dv]]).
+      // None = every row is live. Min/max stats and Bloom sidecars stay
+      // valid over a DV'd file (conservative supersets).
+      dv: Option[DvRef] = None) {
     def min: Option[String] = stats.headOption.flatMap(_._1)
     def max: Option[String] = stats.headOption.flatMap(_._2)
+    /** Rows a reader actually sees: recorded count minus DV'd positions
+      * (the count metadata-only COUNT(*) and history must report).
+      */
+    def liveRows: Option[Long] = rows.map(_ - dv.fold(0L)(_.card))
   }
+
+  /** Reference to a deletion-vector sidecar: its rel path under the
+    * table root plus the bitmap's cardinality (recorded so metadata-only
+    * counts never open the sidecar).
+    */
+  case class DvRef(rel: String, card: Long)
 
   /** Table-level metadata carried by every manifest. Multiple stats
     * columns record independent per-file min/max dimensions — with
@@ -148,7 +163,12 @@ object LakeTable {
       // CHECK constraints (name -> predicate SQL): enforced on every
       // write path (SQL NULL semantics — only FALSE violates); existing
       // data validated when the constraint is added
-      checks: Seq[(String, String)] = Nil) {
+      checks: Seq[(String, String)] = Nil,
+      // row-level delete strategy: "cow" rewrites affected files in
+      // place (read-optimized); "mor" records deletion vectors and
+      // leaves data files untouched (write-optimized — the Delta DV
+      // switch; OPTIMIZE materializes either way)
+      deleteMode: String = "cow") {
     def statsCol: Option[String] = statsCols.headOption
     /** Every sidecar name a bloom lookup on `column` must match. */
     def bloomNamesFor(column: String): Seq[String] =
@@ -284,8 +304,15 @@ object LakeTable {
     * alongside) inline entry lines. Writers emit format 1 whenever the
     * manifest is fully inline, so small tables stay readable by older
     * parsers; only actually-segmented manifests claim 2.
+    *
+    * Format 3 = DELETION VECTORS: entry lines may carry a 4-cell
+    * trailing cell `rows:bytes:dvCard:dvRel` referencing a [[Dv]]
+    * sidecar (a format-2 parser would toLong-crash on the extra cells,
+    * so any manifest with a DV'd entry claims 3). Writers claim the
+    * LOWEST format the manifest actually needs, so tables that never
+    * MOR-delete stay readable by older parsers.
     */
-  private[graft] val ManifestFormat = 2
+  private[graft] val ManifestFormat = 3
 
   /** Entry count above which [[commit]] switches a table from one
     * inline manifest to segment references. Below it, a commit rewrites
@@ -320,11 +347,18 @@ object LakeTable {
       meta: TableMeta,
       entries: Seq[Entry],
       commitTimeMs: Option[Long] = None,
-      segRefs: Seq[SegRef] = Nil): String = {
+      segRefs: Seq[SegRef] = Nil,
+      // a referenced SEGMENT may hold DV'd entries this render cannot
+      // see — the committer passes what it knows about the full list
+      segsHaveDv: Boolean = false): String = {
+    val fmt =
+      if (segsHaveDv || entries.exists(_.dv.isDefined)) 3
+      else if (segRefs.nonEmpty) 2
+      else 1
     val header = Seq(
-      // fully-inline manifests stay format 1 (readable by pre-segment
-      // parsers); only actually-segmented manifests claim format 2
-      s"#format=${if (segRefs.nonEmpty) 2 else 1}",
+      // claim the LOWEST format the manifest needs: fully-inline,
+      // DV-free manifests stay readable by pre-segment parsers
+      s"#format=$fmt",
       s"#schema=${stripDefaults(meta.schema).toDDL}",
       s"#partitionCol=${meta.partitionCol}") ++
       // recorded commit time (TIMESTAMP AS OF resolves against this, not
@@ -350,6 +384,10 @@ object LakeTable {
       // id high-water mark, recorded once it exceeds the live max (i.e.
       // after a DROP COLUMN) so dropped ids stay retired forever
       (if (meta.maxFieldId > 0) Seq(s"#maxFieldId=${meta.maxFieldId}") else Nil) ++
+      // non-default delete strategy only (absent = cow, the format-1
+      // reading); an old reader ignores the unknown key and still reads
+      // the table correctly — the mode only steers WRITERS
+      (if (meta.deleteMode != "cow") Seq(s"#deleteMode=${meta.deleteMode}") else Nil) ++
       // column defaults, one line per defaulted column: name, INSERT-time
       // default SQL, exists-default SQL (all cells ':'-encoded so the
       // 3-way split is unambiguous)
@@ -395,9 +433,18 @@ object LakeTable {
   // it) — a partition value could otherwise render a line masquerading
   // as an `@seg=` reference
   private def renderEntryLine(e: Entry): String = {
-    val cell =
-      if (e.rows.isEmpty && e.bytes.isEmpty) Nil
-      else Seq(e.rows.fold("_")(_.toString) + e.bytes.fold("")(b => s":$b"))
+    val cell = e.dv match {
+      case Some(d) =>
+        // 4-cell form (format 3): rows and bytes render explicitly ("_"
+        // when unknown) so the dv cells always sit at fixed positions;
+        // ':' in the dv rel percent-encodes so the 4-way split is
+        // unambiguous (unesc decodes %3A back)
+        Seq(e.rows.fold("_")(_.toString) + ":" + e.bytes.fold("_")(_.toString) +
+          s":${d.card}:${esc(d.rel).replace(":", "%3A")}")
+      case None =>
+        if (e.rows.isEmpty && e.bytes.isEmpty) Nil
+        else Seq(e.rows.fold("_")(_.toString) + e.bytes.fold("")(b => s":$b"))
+    }
     val cells = e.stats.flatMap { case (mn, mx) => Seq(encOpt(mn), encOpt(mx)) } ++ cell
     val part = esc(e.part)
     val safePart = if (part.startsWith("@")) "%40" + part.tail else part
@@ -407,16 +454,22 @@ object LakeTable {
   private def parseEntryLine(line: String): Entry = {
     val cells = line.split("\t", -1)
     val tail = cells.drop(2)
-    val (rows, bytes) =
+    val (rows, bytes, dv) =
       if (tail.length % 2 == 1) {
-        val parts = tail.last.split(":", 2)
-        (if (parts(0) == "_") None else Some(parts(0).toLong),
-          if (parts.length == 2) Some(parts(1).toLong) else None)
-      } else (None, None)
+        val parts = tail.last.split(":", 4)
+        val r = if (parts(0) == "_") None else Some(parts(0).toLong)
+        val b =
+          if (parts.length < 2 || parts(1) == "_" || parts(1).isEmpty) None
+          else Some(parts(1).toLong)
+        val d =
+          if (parts.length == 4) Some(DvRef(unesc(parts(3)), parts(2).toLong))
+          else None
+        (r, b, d)
+      } else (None, None, None)
     val stats = tail.take(tail.length - (tail.length % 2)).grouped(2).collect {
       case Array(mn, mx) => (decOpt(mn), decOpt(mx))
     }.toSeq
-    Entry(unesc(cells(0)), cells(1), stats, rows, bytes)
+    Entry(unesc(cells(0)), cells(1), stats, rows, bytes, dv)
   }
 
   /** Parse the pure-inline view of a manifest — refuses segmented
@@ -488,7 +541,8 @@ object LakeTable {
       kv.get("bloomCols").map(_.split(",").toSeq.map(unesc)).getOrElse(Nil),
       bloomAliases,
       kv.get("maxFieldId").map(_.toLong).getOrElse(0L),
-      checks)
+      checks,
+      kv.getOrElse("deleteMode", "cow"))
     val segRefs = segLines.map { l =>
       val s = l.stripPrefix("@seg=")
       val i = s.lastIndexOf(':')
@@ -713,8 +767,9 @@ object LakeTable {
         val rest = entries.filterNot(e => carriedRels.contains(e.rel))
         val refs = carried ++
           (if (rest.nonEmpty) Seq(writeSegment(spark, root, rest)) else Nil)
+        val anyDv = entries.exists(_.dv.isDefined)
         if (refs.isEmpty) renderManifest(meta, Nil, Some(System.currentTimeMillis()))
-        else renderManifest(meta, Nil, Some(System.currentTimeMillis()), refs)
+        else renderManifest(meta, Nil, Some(System.currentTimeMillis()), refs, segsHaveDv = anyDv)
       }
     val tmp = new Path(dir, s".tmp-v$v-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
@@ -979,9 +1034,12 @@ object LakeTable {
       partitionCol: String,
       statsCol: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Unit = {
+      bloomCols: Seq[String] = Nil,
+      deleteMode: String = "cow"): Unit = {
     val s0 = snapshot(spark, root)
     require(s0.version == 0, s"LakeTable.init: $root already at version ${s0.version}")
+    require(deleteMode == "cow" || deleteMode == "mor",
+      s"LakeTable.init: deleteMode must be cow or mor, got $deleteMode")
     val allStats = statsCol.toSeq ++ statsCols
     (allStats ++ bloomCols).foreach(c => require(df.columns.contains(c),
       s"LakeTable.init: stats/bloom column $c not in the frame"))
@@ -989,7 +1047,8 @@ object LakeTable {
     // RENAME COLUMN is metadata-only for its whole life
     val mapped = withFieldIds(df.schema,
       df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1).toLong }.toMap)
-    val meta = TableMeta(mapped, partitionCol, allStats, bloomCols = bloomCols)
+    val meta = TableMeta(mapped, partitionCol, allStats, bloomCols = bloomCols,
+      deleteMode = deleteMode)
     val entries = writeBatch(spark, root, df, meta)
     require(commit(spark, root, 1, meta, entries), s"LakeTable.init: concurrent commit at $root")
   }
@@ -1018,7 +1077,10 @@ object LakeTable {
       dropColumns: Seq[String] = Nil,
       addChecks: Seq[(String, String)] = Nil,
       dropChecks: Seq[String] = Nil,
-      maxRetries: Int = 3): Long = {
+      maxRetries: Int = 3,
+      deleteMode: Option[String] = None): Long = {
+    deleteMode.foreach(m => require(m == "cow" || m == "mor",
+      s"LakeTable.alterTable: deleteMode must be cow or mor, got $m"))
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.alterTable: no committed snapshot at $root")
     val meta = s0.meta.get
@@ -1120,7 +1182,8 @@ object LakeTable {
       bloomCols = newBlooms, bloomAliases = newAliases,
       // retire dropped ids forever (highWater spans the pre-drop schema)
       maxFieldId = if (dropColumns.nonEmpty) highWater(meta) else meta.maxFieldId,
-      checks = standingChecks ++ addChecks)
+      checks = standingChecks ++ addChecks,
+      deleteMode = deleteMode.getOrElse(meta.deleteMode))
     val oldStatsRenamed = meta.statsCols.map(renamed)
     val entries = s0.entries.map { e =>
       e.copy(stats = newStats.map { c =>
@@ -1134,25 +1197,83 @@ object LakeTable {
       require(maxRetries > 0,
         s"LakeTable.alterTable: concurrent commit at $root (retries exhausted)")
       alterTable(spark, root, addColumns, statsCols, bloomCols, renameColumns,
-        dropColumns, addChecks, dropChecks, maxRetries - 1)
+        dropColumns, addChecks, dropChecks, maxRetries - 1, deleteMode)
     }
   }
 
   // ---- read path -----------------------------------------------------
 
+  /** The scan-side DV filter: keep rows whose `_metadata.row_index` is
+    * NOT in the file's deletion vector. The driver ships only sidecar
+    * PATH strings — executors load bitmaps lazily through the JVM-wide
+    * cache, so a broad scan over many DV'd files never materializes the
+    * vectors on the driver.
+    */
+  private[graft] def dvKeepColumn(
+      spark: SparkSession,
+      root: String,
+      dvd: Seq[Entry]): Column = {
+    val paths = dvd.map(e => Dv.suffixKey(e.rel) -> s"$root/${e.dv.get.rel}").toMap
+    org.apache.spark.sql.GraftColumnBridge.column(DvKeepExpr(
+      exprOf(col("_metadata.file_path")), exprOf(col("_metadata.row_index")),
+      paths, Map.empty, keepMembers = false,
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())))
+  }
+
+  private def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+
   private def readEntries(
       spark: SparkSession,
       root: String,
       schema: StructType,
-      entries: Seq[Entry]): DataFrame =
+      entries: Seq[Entry]): DataFrame = {
+    def scan(es: Seq[Entry]): DataFrame =
+      // the manifest's schema drives the scan: files written under an
+      // older (narrower) schema yield NULL for since-added columns
+      spark.read.schema(schema).parquet(es.map(e => s"$root/${e.rel}"): _*)
+    val (dvd, clean) = entries.partition(_.dv.isDefined)
     if (entries.isEmpty)
       // a legitimately-empty committed state (e.g. a delete that removed
       // every row) must stay readable and writable
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else
-      // the manifest's schema drives the scan: files written under an
-      // older (narrower) schema yield NULL for since-added columns
+    else if (dvd.isEmpty) scan(clean)
+    else {
+      // merge-on-read: DV'd files scan with their dead positions
+      // filtered out (vectorized parquet fills `_metadata.row_index`
+      // correctly even under predicate/page skipping); DV-free files
+      // keep the plain scan — two branches of one union, each pruned
+      // and pushed down independently
+      val dvSide = scan(dvd)
+        .where(dvKeepColumn(spark, root, dvd))
+        .select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+      if (clean.isEmpty) dvSide else scan(clean).unionByName(dvSide)
+    }
+  }
+
+  /** Rows of `entries` AT the given DV'd positions (the CDC face: read
+    * back exactly what a MOR delete removed). `bitmaps` maps file NAME
+    * to a serialized position bitmap — small derived diffs ship inline.
+    */
+  private def readAtPositions(
+      spark: SparkSession,
+      root: String,
+      schema: StructType,
+      entries: Seq[Entry],
+      bitmaps: Map[String, Array[Byte]]): DataFrame =
+    if (entries.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else {
+      val keep = org.apache.spark.sql.GraftColumnBridge.column(DvKeepExpr(
+        exprOf(col("_metadata.file_path")), exprOf(col("_metadata.row_index")),
+        Map.empty, bitmaps, keepMembers = true,
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())))
       spark.read.schema(schema).parquet(entries.map(e => s"$root/${e.rel}"): _*)
+        .where(keep)
+        .select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
+    }
 
   /** Current table contents (the committed snapshot only — in-flight or
     * orphaned batches are invisible by construction).
@@ -1196,7 +1317,7 @@ object LakeTable {
       val added = entries.filterNot(e => prevByRel.contains(e.rel))
       val removed = prev.filterNot(e => curRels.contains(e.rel))
       def rowSum(es: Seq[Entry]): Option[Long] =
-        if (es.exists(_.rows.isEmpty)) None else Some(es.flatMap(_.rows).sum)
+        if (es.exists(_.rows.isEmpty)) None else Some(es.flatMap(_.liveRows).sum)
       (v, entries.size.toLong, rowSum(entries),
         added.size.toLong, rowSum(added),
         removed.size.toLong, rowSum(removed))
@@ -1215,7 +1336,7 @@ object LakeTable {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.countRows: no committed snapshot at $root")
     if (s0.entries.exists(_.rows.isEmpty)) None
-    else Some(s0.entries.flatMap(_.rows).sum)
+    else Some(s0.entries.flatMap(_.liveRows).sum)
   }
 
   /** Metadata-only per-partition row counts (NULL partition under the
@@ -1225,7 +1346,7 @@ object LakeTable {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.countByPartition: no committed snapshot at $root")
     if (s0.entries.exists(_.rows.isEmpty)) None
-    else Some(s0.entries.groupBy(_.part).map { case (p, es) => p -> es.flatMap(_.rows).sum })
+    else Some(s0.entries.groupBy(_.part).map { case (p, es) => p -> es.flatMap(_.liveRows).sum })
   }
 
   /** RESTORE: roll the table BACK to `version`'s contents as a NEW
@@ -1280,7 +1401,9 @@ object LakeTable {
     require(fs(spark, mf).exists(mf), s"LakeTable.readVersion: no v$version at $root")
     val (meta, entries) = readManifest(spark, root, version)
     val fsys = fs(spark, new Path(root))
-    val missing = entries.filterNot(e => fsys.exists(new Path(root, e.rel)))
+    val missing = entries.filterNot(e =>
+      fsys.exists(new Path(root, e.rel)) &&
+        e.dv.forall(d => fsys.exists(new Path(root, d.rel))))
     require(missing.isEmpty,
       s"LakeTable.readVersion: v$version at $root has been vacuumed — " +
         s"${missing.size}/${entries.size} data files reclaimed (time travel is " +
@@ -1860,7 +1983,7 @@ object LakeTable {
     val survivors =
       if (rewrite.isEmpty) None
       else Some(
-        spark.read.schema(meta.schema).parquet(rewrite.map(e => s"$root/${e.rel}"): _*)
+        readEntries(spark, root, meta.schema, rewrite)
           .join(broadcast(srcKeys), keyCols, "left_anti"))
     val merged = survivors.fold(align(source, outSchema))(s =>
       align(source, outSchema).unionByName(align(s, outSchema)))
@@ -1949,7 +2072,10 @@ object LakeTable {
       if (rewrite.isEmpty) Nil
       else writeBatch(
         spark, root,
-        spark.read.schema(meta.schema).parquet(rewrite.map(e => s"$root/${e.rel}"): _*)
+        // DV-aware read: a COW rewrite of a MOR-deleted file also
+        // MATERIALIZES its deletion vector (the rewritten entry is
+        // dv-free)
+        readEntries(spark, root, meta.schema, rewrite)
           .where(!coalesce(predicate, lit(false))),
         meta)
     require(
@@ -1958,6 +2084,210 @@ object LakeTable {
     MergeStats(s0.version + 1, affected.size, rewrite.size, carry.size, written.size,
       filesProbed = probeEntries.size)
   }
+
+  /** MERGE-ON-READ DELETE via deletion vectors: rows matching
+    * `predicate` are recorded as dead POSITIONS in per-file [[Dv]]
+    * bitmap sidecars — no data file is read-rewritten-rewritten, so a
+    * sparse delete over a 100 TB table commits in O(matched rows)
+    * instead of O(touched gigabytes). The position bitmaps build
+    * DISTRIBUTEDLY ([[PosBitmapAgg]]: partial bitmaps per scan task,
+    * bitmap-OR merge, one compressed row per touched file crosses the
+    * shuffle); the driver only unions each file's new bitmap with its
+    * existing vector and commits the manifest swap. A file whose every
+    * row is dead drops from the manifest entirely (no tombstone chains);
+    * stats/Bloom pruning still gates which files are probed at all.
+    * Same optimistic-concurrency contract as [[delete]].
+    */
+  def deleteMor(
+      spark: SparkSession,
+      root: String,
+      predicate: Column,
+      partitionCol: String): MergeStats = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.deleteMor: no committed snapshot at $root")
+    val meta = s0.meta.get
+    require(meta.partitionCol == partitionCol,
+      s"LakeTable.deleteMor: table is partitioned by ${meta.partitionCol}, not $partitionCol")
+    val mayDelete = predicateFilePruner(spark, root, meta, predicate)
+    val probeEntries = s0.entries.filter(mayDelete)
+    val byKey = probeEntries.map(e => Dv.suffixKey(e.rel) -> e).toMap
+    // one distributed pass over the PRUNED files: matched LIVE rows
+    // (already-dead positions are filtered by the scan's own DV
+    // application, so re-deleting is naturally idempotent) aggregate to
+    // one position bitmap per file
+    val hits: Array[(String, Array[Byte])] =
+      if (probeEntries.isEmpty) Array.empty
+      else {
+        val posAgg = GraftColumnBridge.column(
+          PosBitmapAgg(exprOf(col("__pos"))).toAggregateExpression())
+        // probe files directly (not via readEntries — the position
+        // metadata must be requested on the scan itself), applying
+        // existing DVs through the same keep filter
+        val (dvd, clean) = probeEntries.partition(_.dv.isDefined)
+        def withPos(es: Seq[Entry], applyDv: Boolean): Option[DataFrame] =
+          if (es.isEmpty) None
+          else {
+            val df = spark.read.schema(meta.schema)
+              .parquet(es.map(e => s"$root/${e.rel}"): _*)
+            val kept = if (applyDv) df.where(dvKeepColumn(spark, root, es)) else df
+            // group on the RAW url-encoded path; the driver decodes it
+            // to the manifest's suffix key after the collect
+            Some(kept
+              .withColumn("__file", col("_metadata.file_path"))
+              .withColumn("__pos", col("_metadata.row_index")))
+          }
+        val probed = (withPos(clean, applyDv = false).toSeq ++
+          withPos(dvd, applyDv = true).toSeq).reduce(_.unionByName(_))
+        probed.where(predicate)
+          .groupBy(col("__file"))
+          .agg(posAgg.as("__bm"))
+          .collect()
+          .map(r => Dv.suffixKey(Dv.decodeUrlPath(r.getString(0))) -> r.getAs[Array[Byte]](1))
+      }
+    if (hits.isEmpty)
+      return MergeStats(s0.version, 0, 0, s0.entries.size, 0, filesProbed = probeEntries.size)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val updated: Map[String, Entry] = hits.iterator.map { case (name, bytes) =>
+      val e = byKey(name)
+      val fresh = Dv.deserialize(bytes)
+      e.dv.foreach(d => fresh.or(Dv.read(conf, s"$root/${d.rel}")))
+      val card = fresh.getLongCardinality
+      val entry =
+        if (e.rows.contains(card)) None // every row dead -> drop the file
+        else Some(e.copy(dv = Some(DvRef(Dv.write(spark, root, fresh), card))))
+      e.rel -> entry
+    }.collect { case (rel, e) => rel -> e.orNull }.toMap
+    val newEntries = s0.entries.flatMap { e =>
+      if (!updated.contains(e.rel)) Some(e) else Option(updated(e.rel))
+    }
+    require(
+      commit(spark, root, s0.version + 1, meta, newEntries),
+      s"LakeTable.deleteMor: concurrent commit at $root (retry on a fresh snapshot)")
+    MergeStats(s0.version + 1,
+      matchedPartitions = hits.map(h => byKey(h._1).part).distinct.length,
+      // "rewritten" here = files that gained/extended a DV (metadata
+      // only — zero data bytes moved); fully-dead files simply drop
+      filesRewritten = updated.size,
+      filesCarried = s0.entries.size - updated.size,
+      rowsWritten = 0,
+      filesProbed = probeEntries.size)
+  }
+
+  /** MERGE-ON-READ UPDATE: matched LIVE rows are tombstoned by position
+    * ([[Dv]] sidecars, exactly [[deleteMor]]'s shape) and their updated
+    * copies append as a NEW batch — one commit swaps both in, so the
+    * write cost is O(matched rows), not O(touched files). Unmatched
+    * rows of a touched file are never rewritten (the Delta DV-update
+    * shape); semantics match [[update]] bit-for-bit: pre-update
+    * assignment evaluation (`SET a = b, b = a` swaps), NULL predicates
+    * update nothing, assignments cast to declared types, partition-
+    * column assignment moves rows (the appended batch re-partitions),
+    * and CHECK constraints validate the updated rows before anything
+    * commits.
+    */
+  def updateMor(
+      spark: SparkSession,
+      root: String,
+      predicate: Column,
+      set: Map[String, Column],
+      partitionCol: String): MergeStats = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.updateMor: no committed snapshot at $root")
+    val meta = s0.meta.get
+    require(meta.partitionCol == partitionCol,
+      s"LakeTable.updateMor: table is partitioned by ${meta.partitionCol}, not $partitionCol")
+    set.keys.foreach(c => require(meta.schema.fieldNames.contains(c),
+      s"LakeTable.updateMor: SET column $c not in table schema"))
+    val mayMatch = predicateFilePruner(spark, root, meta, predicate)
+    val probeEntries = s0.entries.filter(mayMatch)
+    val byKey = probeEntries.map(e => Dv.suffixKey(e.rel) -> e).toMap
+    if (probeEntries.isEmpty)
+      return MergeStats(s0.version, 0, 0, s0.entries.size, 0, filesProbed = 0)
+    val (dvd, clean) = probeEntries.partition(_.dv.isDefined)
+    def withPos(es: Seq[Entry], applyDv: Boolean): Option[DataFrame] =
+      if (es.isEmpty) None
+      else {
+        val df = spark.read.schema(meta.schema)
+          .parquet(es.map(e => s"$root/${e.rel}"): _*)
+        val kept = if (applyDv) df.where(dvKeepColumn(spark, root, es)) else df
+        Some(kept
+          .withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index")))
+      }
+    val matched = (withPos(clean, applyDv = false).toSeq ++
+      withPos(dvd, applyDv = true).toSeq).reduce(_.unionByName(_))
+      .where(coalesce(predicate, lit(false)))
+      .persist()
+    try {
+      val posAgg = GraftColumnBridge.column(
+        PosBitmapAgg(exprOf(col("__pos"))).toAggregateExpression())
+      val hits = matched.groupBy(col("__file")).agg(posAgg.as("__bm")).collect()
+        .map(r => Dv.suffixKey(Dv.decodeUrlPath(r.getString(0))) -> r.getAs[Array[Byte]](1))
+      if (hits.isEmpty)
+        return MergeStats(s0.version, 0, 0, s0.entries.size, 0,
+          filesProbed = probeEntries.size)
+      // updated copies: assignments evaluate against the PRE-update row
+      val updatedRows = matched.select(meta.schema.map { fld =>
+        set.get(fld.name).map(_.cast(fld.dataType).as(fld.name))
+          .getOrElse(col(s"`${fld.name}`"))
+      }.toSeq: _*)
+      val written = writeBatch(spark, root, updatedRows, meta)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val tombstoned: Map[String, Entry] = hits.iterator.map { case (key, bytes) =>
+        val e = byKey(key)
+        val fresh = Dv.deserialize(bytes)
+        e.dv.foreach(d => fresh.or(Dv.read(conf, s"$root/${d.rel}")))
+        val card = fresh.getLongCardinality
+        val entry =
+          if (e.rows.contains(card)) None // every row moved out -> drop
+          else Some(e.copy(dv = Some(DvRef(Dv.write(spark, root, fresh), card))))
+        e.rel -> entry.orNull
+      }.toMap
+      val newEntries = s0.entries.flatMap { e =>
+        if (!tombstoned.contains(e.rel)) Some(e) else Option(tombstoned(e.rel))
+      } ++ written
+      require(
+        commit(spark, root, s0.version + 1, meta, newEntries),
+        s"LakeTable.updateMor: concurrent commit at $root (retry on a fresh snapshot)")
+      MergeStats(s0.version + 1,
+        matchedPartitions = hits.map(h => byKey(h._1).part).distinct.length,
+        filesRewritten = tombstoned.size,
+        filesCarried = s0.entries.size - tombstoned.size,
+        rowsWritten = written.size,
+        filesProbed = probeEntries.size)
+    } finally matched.unpersist()
+  }
+
+  /** [[updateMor]] with the optimistic-retry loop of [[updateWithRetry]]. */
+  def updateMorWithRetry(
+      spark: SparkSession,
+      root: String,
+      predicate: Column,
+      set: Map[String, Column],
+      partitionCol: String,
+      maxRetries: Int = 3): MergeStats =
+    withCommitRetry(maxRetries)(retriesLeft =>
+      try Some(updateMor(spark, root, predicate, set, partitionCol))
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("concurrent commit") &&
+              retriesLeft > 0 => None
+      })
+
+  /** [[deleteMor]] with the optimistic-retry loop of [[deleteWithRetry]]. */
+  def deleteMorWithRetry(
+      spark: SparkSession,
+      root: String,
+      predicate: Column,
+      partitionCol: String,
+      maxRetries: Int = 3): MergeStats =
+    withCommitRetry(maxRetries)(retriesLeft =>
+      try Some(deleteMor(spark, root, predicate, partitionCol))
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("concurrent commit") &&
+              retriesLeft > 0 => None
+      })
 
   /** Transactional COW UPDATE: rows where `predicate` is TRUE get the
     * `set` assignments applied (SQL UPDATE semantics — NULL-predicate
@@ -1997,8 +2327,7 @@ object LakeTable {
       if (rewrite.isEmpty) Nil
       else {
         val hit = coalesce(predicate, lit(false))
-        val updated = spark.read.schema(meta.schema)
-          .parquet(rewrite.map(e => s"$root/${e.rel}"): _*)
+        val updated = readEntries(spark, root, meta.schema, rewrite)
           .select(meta.schema.map { fld =>
             set.get(fld.name)
               .map(v => when(hit, v.cast(fld.dataType)).otherwise(col(fld.name)).as(fld.name))
@@ -2290,11 +2619,16 @@ object LakeTable {
     (sortCols ++ zorderCols).foreach(c => require(meta.schema.fieldNames.contains(c),
       s"LakeTable.optimize: sort column $c not in table schema"))
     val fileCounts = s0.entries.groupBy(_.part).map { case (p, es) => p -> es.size }
-    val compactParts = fileCounts.filter(_._2 >= minFilesPerPartition).keySet
+    // partitions with enough small files to pack, plus any partition
+    // holding a DV'd file: OPTIMIZE is also the DV MATERIALIZATION verb
+    // (rewrite minus dead rows, drop the vector) that restores
+    // pure-columnar scans after merge-on-read deletes
+    val compactParts = fileCounts.filter(_._2 >= minFilesPerPartition).keySet ++
+      s0.entries.filter(_.dv.isDefined).map(_.part)
     if (compactParts.isEmpty)
       return MergeStats(s0.version, 0, 0, s0.entries.size, 0)
     val (rewrite, carry) = s0.entries.partition(e => compactParts.contains(e.part))
-    val df = spark.read.schema(meta.schema).parquet(rewrite.map(e => s"$root/${e.rel}"): _*)
+    val df = readEntries(spark, root, meta.schema, rewrite)
     // already-validated rows being compacted — no CHECK re-validation
     val written = writeBatch(spark, root, df, meta, maxRecordsPerFile, sortCols, zorderCols,
       enforceChecks = false)
@@ -2345,8 +2679,33 @@ object LakeTable {
     val removed = entFrom.filterNot(e => relsTo.contains(e.rel))
     val added = entTo.filterNot(e => relsFrom.contains(e.rel))
     val outSchema = metaTo.schema
+    // deletion-vector diffs: a file present in BOTH versions whose DV
+    // changed DID change rows in place (the one exception to "COW never
+    // edits a file") — positions newly dead left the table (pre side);
+    // positions live again (a RESTORE to a pre-delete version) re-enter
+    // it (post side). The diffs are tiny derived bitmaps, shipped inline.
+    val byRelFrom = entFrom.map(e => e.rel -> e).toMap
+    val dvPairs = entTo.flatMap(to =>
+      byRelFrom.get(to.rel).filter(_.dv != to.dv).map(f => (f, to)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    def bmOf(e: Entry): org.roaringbitmap.longlong.Roaring64Bitmap =
+      e.dv.fold(new org.roaringbitmap.longlong.Roaring64Bitmap())(d =>
+        Dv.read(conf, s"$root/${d.rel}"))
+    def diffs(sel: ((Entry, Entry)) => (Entry, Entry)): (Seq[Entry], Map[String, Array[Byte]]) = {
+      val picked = dvPairs.flatMap { p =>
+        val (a, b) = sel(p)
+        val d = org.roaringbitmap.longlong.Roaring64Bitmap.andNot(bmOf(b), bmOf(a))
+        if (d.isEmpty) None else Some((p._2, Dv.suffixKey(p._2.rel) -> Dv.serialize(d)))
+      }
+      (picked.map(_._1), picked.map(_._2).toMap)
+    }
+    val (deadEntries, deadBms) = diffs { case (f, t) => (f, t) } // in to, not in from
+    val (resEntries, resBms) = diffs { case (f, t) => (t, f) }   // in from, not in to
+    val preDv = readAtPositions(spark, root, metaFrom.schema, deadEntries, deadBms)
+    val postDv = readAtPositions(spark, root, outSchema, resEntries, resBms)
     val pre = align(readEntries(spark, root, metaFrom.schema, removed), outSchema)
-    val post = readEntries(spark, root, outSchema, added)
+      .unionByName(align(preDv, outSchema))
+    val post = readEntries(spark, root, outSchema, added).unionByName(postDv)
     val dataCols = outSchema.fieldNames.toSeq
     // pack each side into ONE struct before the join: after a full-outer
     // join a missing side is then a genuinely NULL struct (selecting the
@@ -2572,6 +2931,24 @@ object LakeTable {
             .count(_.isFile)
           f.delete(s.getPath, true)
           removed += n
+        }
+      }
+    }
+    // Deletion-vector sidecars referenced by no retained manifest age
+    // out like data files (the cutoff grace protects a racing MOR
+    // delete's just-written, not-yet-committed vector; a superseded
+    // vector — its file re-deleted-from or rewritten — becomes
+    // unreferenced and is reclaimed here)
+    val liveDvs = (floor to s0.version)
+      .flatMap(v => readManifest(spark, root, v)._2.flatMap(_.dv.map(_.rel))).toSet
+    val dvDir = new Path(root, Dv.Dir)
+    if (f.exists(dvDir)) {
+      f.listStatus(dvDir).foreach { s =>
+        if (s.isFile && s.getPath.getName.endsWith(".dv") &&
+          s.getModificationTime < cutoff &&
+          !liveDvs.contains(s"${Dv.Dir}/${s.getPath.getName}")) {
+          f.delete(s.getPath, false)
+          removed += 1
         }
       }
     }

@@ -83,8 +83,15 @@ object LakeDmlStrategy extends SparkStrategy {
       // refuses non-Filter-translatable predicates; planning it here
       // lifts that restriction — LakeTable.delete evaluates ANY predicate
       LakeDmlExec("delete", () => {
-        LakeTable.deleteWithRetry(SparkSession.active, t.root, byNameColumn(condition),
-          t.meta.partitionCol)
+        // deleteMode=mor records deletion vectors instead of rewriting
+        // files (same result, O(matched) commit) — the table property
+        // picks the strategy, the SQL face is identical
+        if (t.meta.deleteMode == "mor")
+          LakeTable.deleteMorWithRetry(SparkSession.active, t.root, byNameColumn(condition),
+            t.meta.partitionCol)
+        else
+          LakeTable.deleteWithRetry(SparkSession.active, t.root, byNameColumn(condition),
+            t.meta.partitionCol)
       }) :: Nil
     case _ => Nil
   }
@@ -356,7 +363,11 @@ object LakeDmlStrategy extends SparkStrategy {
     val cond = condition.map(byNameColumn)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     LakeDmlExec("update", () => {
-      LakeTable.updateWithRetry(SparkSession.active, t.root, cond, set, t.meta.partitionCol)
+      if (t.meta.deleteMode == "mor")
+        LakeTable.updateMorWithRetry(SparkSession.active, t.root, cond, set,
+          t.meta.partitionCol)
+      else
+        LakeTable.updateWithRetry(SparkSession.active, t.root, cond, set, t.meta.partitionCol)
     })
   }
 }

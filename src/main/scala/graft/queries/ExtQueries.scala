@@ -891,6 +891,84 @@ object ExtQueries {
         s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
     },
 
+    // Deletion vectors end-to-end (deleteMode=mor): two overlapping SQL
+    // DELETEs record per-file position bitmaps instead of rewriting
+    // data — the engine asserts inline that the file set is BYTE-FOR-
+    // BYTE untouched and that vectors exist, then that CALL optimize
+    // materializes them away; the rollup + metadata-derived live count
+    // must equal the oracle's relational model of both deletes at every
+    // stage (a scan that leaks a dead row, a count that misses a
+    // vector, or a materialization that loses a live row all shift it).
+    "q160_deletion_vectors" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q160_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q160_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey', deleteMode 'mor')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q160_orders")
+      import graft.operators.LakeTable
+      val before = LakeTable.snapshot(s, root).entries.map(_.rel).toSet
+      s.sql(s"DELETE FROM $lt WHERE o_orderkey % 7 = 3")
+      s.sql(s"DELETE FROM $lt WHERE o_orderkey % 10 < 2") // overlaps -> vector union
+      val snap = LakeTable.snapshot(s, root)
+      require(snap.entries.map(_.rel).toSet == before,
+        "q160: a MOR delete must not touch any data file")
+      require(snap.entries.exists(_.dv.isDefined), "q160: no deletion vector recorded")
+      // metadata-only live count (manifest rows minus vector cardinality)
+      val metaCount = LakeTable.countRows(s, root)
+        .getOrElse(sys.error("q160: manifest lost its row counts"))
+      s.sql(s"CALL graft.system.optimize(table => '$root')")
+      val after = LakeTable.snapshot(s, root)
+      require(after.entries.forall(_.dv.isEmpty),
+        "q160: OPTIMIZE must materialize deletion vectors")
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        s"CAST($metaCount AS BIGINT) AS meta_live, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    },
+
+    // Merge-on-read UPDATE (deleteMode=mor): the SQL UPDATE tombstones
+    // matched positions and appends updated copies in ONE commit — the
+    // engine asserts inline that every original file is still present
+    // and that the live count is unchanged; the rollup then hash-checks
+    // the update itself (a lost tombstone double-counts a row, a lost
+    // append drops one, a mis-evaluated assignment shifts cents).
+    "q161_mor_update" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q161_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q161_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey', deleteMode 'mor')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q161_orders")
+      import graft.operators.LakeTable
+      val before = LakeTable.snapshot(s, root).entries.map(_.rel).toSet
+      s.sql(s"UPDATE $lt SET o_totalprice = o_totalprice * 2 WHERE o_orderkey % 11 = 5")
+      val snap = LakeTable.snapshot(s, root)
+      require(before.subsetOf(snap.entries.map(_.rel).toSet),
+        "q161: a MOR update must keep every original file (tombstone + append)")
+      require(snap.entries.exists(_.dv.isDefined), "q161: no tombstone vector recorded")
+      require(LakeTable.countRows(s, root).contains(
+        s.sql(s"SELECT count(*) FROM q161_orders").head.getLong(0)),
+        "q161: live metadata count must be unchanged by an update")
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    },
+
     // CHECK constraints end-to-end: ADD CONSTRAINT through SQL (catalog
     // capability + validation scan), a VIOLATING insert refused with
     // nothing committed, valid inserts (including NULL prices — SQL
@@ -2193,6 +2271,29 @@ object ExtQueries {
         |SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the update re-derived relationally (doubled price for matched keys).
+    "q161_mor_update" ->
+      """WITH t0 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 11 = 5
+        |              THEN CAST(o_totalprice AS DOUBLE) * 2
+        |              ELSE CAST(o_totalprice AS DOUBLE) END AS pr
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(pr * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM t0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // both deletes re-derived relationally; meta_live is the same scalar
+    // on every row (the metadata-only count taken BEFORE materialization
+    // must already equal the relational live count).
+    "q160_deletion_vectors" ->
+      """WITH live AS (
+        |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS pr
+        |  FROM orders
+        |  WHERE o_orderkey % 7 <> 3 AND o_orderkey % 10 >= 2)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM live) AS meta_live,
+        |       CAST(sum(CAST(round(pr * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
     // three generations re-derived: %3=0 wrote the 0.0 price default
     // and reads the frozen bonus exists-default 5; %3=1 wrote real
     // prices pre-add (bonus 5 on read); %3=2 wrote explicit bonuses.

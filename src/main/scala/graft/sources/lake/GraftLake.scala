@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.read.streaming.{
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{
-  BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider,
+  BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, RelationProvider,
   StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
@@ -96,7 +96,8 @@ class GraftLake
       def cols(key: String) = opt(parameters, key)
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
       LakeTable.init(spark, root, data, partitionCol,
-        statsCols = cols("statsCols"), bloomCols = cols("bloomCols"))
+        statsCols = cols("statsCols"), bloomCols = cols("bloomCols"),
+        deleteMode = opt(parameters, "deleteMode").getOrElse("cow"))
     }
 
     mode match {
@@ -215,8 +216,46 @@ object GraftLake {
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
 
-  def relation(spark: SparkSession, root: String, versionAsOf: Option[Long]): BaseRelation =
-    relationFor(spark, root, LakeFileIndex(spark, root, versionAsOf))
+  def relation(spark: SparkSession, root: String, versionAsOf: Option[Long]): BaseRelation = {
+    val index = LakeFileIndex(spark, root, versionAsOf)
+    if (index.entries.forall(_.dv.isEmpty)) relationFor(spark, root, index)
+    else
+      // merge-on-read snapshot on the v1 format face: the HadoopFsRelation
+      // fast path cannot filter positions, so serve the DV-aware operator
+      // read through a PrunedFilteredScan (projection + advisory filters
+      // still reach the underlying pruned parquet scan via Catalyst;
+      // unhandledFilters keeps Spark re-applying everything)
+      new DvV1Relation(spark, root, versionAsOf)
+  }
+}
+
+private[lake] class DvV1Relation(
+    spark: SparkSession,
+    root: String,
+    versionAsOf: Option[Long])
+  extends BaseRelation
+  with org.apache.spark.sql.sources.PrunedFilteredScan {
+
+  override val sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  override val schema: StructType = {
+    val snap = versionAsOf.fold(LakeTable.snapshot(spark, root))(v =>
+      LakeTable.snapshotAt(spark, root, v))
+    require(snap.version > 0, s"graft-lake: no committed snapshot at $root")
+    GraftLake.nullable(snap.meta.get.schema)
+  }
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(
+      requiredColumns: Array[String],
+      filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val df0 = versionAsOf.fold(LakeTable.read(spark, root))(v =>
+      LakeTable.readVersion(spark, root, v))
+    val filtered = filters.flatMap(GraftLakeCatalog.filterToColumn).foldLeft(df0)(_ where _)
+    filtered.select(requiredColumns.toSeq.map(c =>
+      org.apache.spark.sql.functions.col(s"`$c`")): _*).rdd
+  }
 }
 
 /** v1 streaming [[Source]] over the manifest version line (see

@@ -203,7 +203,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     LakeTable.init(spark, root, empty, partitionCol,
-      statsCols = cols("statsCols"), bloomCols = cols("bloomCols"))
+      statsCols = cols("statsCols"), bloomCols = cols("bloomCols"),
+      deleteMode = prop("deleteMode").getOrElse("cow"))
     loadTable(ident)
   }
 
@@ -226,6 +227,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
     var addCols = Seq.empty[org.apache.spark.sql.types.StructField]
     var statsCols: Option[Seq[String]] = None
     var bloomCols: Option[Seq[String]] = None
+    var deleteMode: Option[String] = None
     var renames = Map.empty[String, String]
     var drops = Seq.empty[String]
     def split(v: String) = v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
@@ -280,13 +282,15 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
         statsCols = Some(split(s.value))
       case s: TableChange.SetProperty if s.property == "bloomCols" =>
         bloomCols = Some(split(s.value))
+      case s: TableChange.SetProperty if s.property == "deleteMode" =>
+        deleteMode = Some(s.value)
       case other => throw new UnsupportedOperationException(
         s"graft-lake: unsupported ALTER TABLE change $other (immutable data files; " +
           "only ADD COLUMNS, RENAME/DROP COLUMN and SET TBLPROPERTIES statsCols/bloomCols " +
           "are metadata-only)")
     }
     LakeTable.alterTable(spark, root, addCols, statsCols, bloomCols, renames, drops,
-      addChecks, dropChecks)
+      addChecks, dropChecks, deleteMode = deleteMode)
     loadTable(ident)
   }
 
@@ -396,13 +400,14 @@ class GraftLakeV2Table(
     m.put("partitionCol", meta.partitionCol)
     if (meta.statsCols.nonEmpty) m.put("statsCols", meta.statsCols.mkString(","))
     if (meta.bloomCols.nonEmpty) m.put("bloomCols", meta.bloomCols.mkString(","))
+    if (meta.deleteMode != "cow") m.put("deleteMode", meta.deleteMode)
     m.put("version", snap.version.toString)
     // DESCRIBE TABLE EXTENDED surfaces the snapshot's metadata story:
     // file count and (when every entry records counts) the exact row
     // count, both manifest folds with zero data I/O
     m.put("numFiles", snap.entries.size.toString)
     if (snap.entries.forall(_.rows.isDefined))
-      m.put("numRows", snap.entries.flatMap(_.rows).sum.toString)
+      m.put("numRows", snap.entries.flatMap(_.liveRows).sum.toString)
     if (snap.entries.forall(_.bytes.isDefined))
       m.put("sizeInBytes", snap.entries.flatMap(_.bytes).sum.toString)
     m
@@ -457,7 +462,10 @@ class GraftLakeV2Table(
         "(canDeleteWhere must gate this call)")
     val cond = filters.flatMap(GraftLakeCatalog.filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    LakeTable.deleteWithRetry(spark, root, cond, meta.partitionCol)
+    if (meta.deleteMode == "mor")
+      LakeTable.deleteMorWithRetry(spark, root, cond, meta.partitionCol)
+    else
+      LakeTable.deleteWithRetry(spark, root, cond, meta.partitionCol)
   }
 }
 

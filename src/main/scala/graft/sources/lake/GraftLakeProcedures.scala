@@ -118,7 +118,7 @@ private[lake] object GraftLakeProcedures {
             StructField("bytes", LongType))),
             Seq(InternalRow(s0.version, es.size.toLong,
               es.map(_.part).distinct.size.toLong,
-              es.flatMap(_.rows).sum, es.flatMap(_.bytes).sum)))
+              es.flatMap(_.liveRows).sum, es.flatMap(_.bytes).sum)))
         }
       }
     ).map { case (k, v) => k -> (v: UnboundProcedure) }

@@ -12,6 +12,7 @@ import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.operators.LakeTable
 
@@ -41,22 +42,39 @@ class LakeScanBuilder(
   with SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
+  // merge-on-read split: DV-free entries plan through the delegate
+  // (vectorized + pushdown); DV'd entries get their own scan with NO
+  // pushed filters (DvBatch's dense-position contract) — Spark
+  // re-applies every filter above the scan, so results are identical
+  private val (dvEntries, cleanEntries) = entries.partition(_.dv.isDefined)
+
   private val delegate = ParquetScanBuilder(
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-    new LakeFileIndex(spark, root, meta, entries),
+    new LakeFileIndex(spark, root, meta, cleanEntries),
     GraftLake.nullable(meta.schema), GraftLake.nullable(meta.schema), options)
 
+  private val dvDelegate =
+    if (dvEntries.isEmpty) None
+    else Some(ParquetScanBuilder(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      new LakeFileIndex(spark, root, meta, dvEntries),
+      GraftLake.nullable(meta.schema), GraftLake.nullable(meta.schema),
+      CaseInsensitiveStringMap.empty()))
+
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
-    delegate.pushFilters(filters)
+    delegate.pushFilters(filters) // parquet keeps every data filter post-scan
 
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     delegate.pushedFilters
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
     delegate.pruneColumns(requiredSchema)
+    dvDelegate.foreach(_.pruneColumns(requiredSchema))
+  }
 
   override def build(): Scan =
-    new LakeScan(spark, root, meta, delegate.build().asInstanceOf[ParquetScan], options)
+    new LakeScan(spark, root, meta, delegate.build().asInstanceOf[ParquetScan], options,
+      dvDelegate.map(b => (b.build().asInstanceOf[ParquetScan], dvEntries)))
 }
 
 class LakeScan(
@@ -64,12 +82,18 @@ class LakeScan(
     root: String,
     meta: LakeTable.TableMeta,
     delegate: ParquetScan,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    dvSide: Option[(ParquetScan, Seq[LakeTable.Entry])] = None)
   extends Scan {
 
   override def readSchema(): StructType = delegate.readSchema()
 
-  override def toBatch: Batch = delegate.toBatch
+  override def toBatch: Batch = dvSide match {
+    case None => delegate.toBatch
+    case Some((dvScan, dvEntries)) =>
+      new DvBatch(delegate.toBatch, dvScan, dvEntries, root,
+        new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+  }
 
   override def description(): String = s"graft-lake $root ${delegate.description()}"
 

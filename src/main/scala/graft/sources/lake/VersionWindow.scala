@@ -49,13 +49,20 @@ private[lake] class VersionWindow(spark: SparkSession, root: String) {
     */
   def addedEntries(from: Long, to: Long, skipChangeCommits: Boolean): Seq[LakeTable.Entry] =
     ((from + 1) to to).flatMap { v =>
-      val prev = entriesAt(v - 1).map(_.rel).toSet
+      val prevEntries = entriesAt(v - 1)
+      val prev = prevEntries.map(_.rel).toSet
+      val prevDv = prevEntries.map(e => e.rel -> e.dv).toMap
       val cur = entriesAt(v)
       val removed = prev -- cur.map(_.rel).toSet
-      if (removed.isEmpty) cur.filterNot(e => prev.contains(e.rel))
+      // a deletion-vector change edits rows of a file present in BOTH
+      // versions — the one in-place mutation the format allows, and as
+      // much a change commit as a COW rewrite
+      val dvChanged = cur.exists(e => prevDv.get(e.rel).exists(_ != e.dv))
+      if (removed.isEmpty && !dvChanged) cur.filterNot(e => prev.contains(e.rel))
       else if (skipChangeCommits) Nil
       else throw new IllegalStateException(
         s"graft-lake streaming: version $v of $root removed ${removed.size} file(s) " +
+          (if (dvChanged) "and/or deletion-vector'd rows " else "") +
           "(merge/delete/optimize) — an append-only stream cannot represent it. " +
           "Set skipChangeCommits=true to skip change commits, or " +
           "readChangeFeed=true for full CDC.")

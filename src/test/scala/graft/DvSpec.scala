@@ -1,0 +1,208 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dv, LakeTable}
+
+/** Deletion vectors (merge-on-read deletes): the write-fast delete path.
+  * Pins the properties the oracle can't see — data files UNTOUCHED by a
+  * MOR delete (same rels before/after), metadata-only live counts,
+  * vector union on overlapping deletes, full-file drop, idempotent
+  * re-delete without a commit, time travel across DV commits, COW/
+  * OPTIMIZE materialization (dv-free entries afterwards), the CDC feed
+  * classifying DV diffs as deletes (and a RESTORE as resurrection
+  * inserts), vacuum reclaiming superseded vectors, and the manifest
+  * format-3 claim gating old readers only when a DV actually exists.
+  */
+class DvSpec extends SparkSpec {
+
+  private def freshRoot(): String = {
+    val d = Files.createTempDirectory("graft-dv").toFile
+    d.deleteOnExit()
+    s"${d.getAbsolutePath}/tbl"
+  }
+
+  private def baseDf = {
+    import spark.implicits._
+    spark.range(300).select(
+      col("id").as("k"),
+      (col("id") % 3).cast("string").as("p"),
+      (col("id") * 10).as("v"))
+  }
+
+  test("MOR delete: rows vanish from reads while data files stay untouched") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    val relsBefore = LakeTable.snapshot(spark, root).entries.map(_.rel).toSet
+
+    val stats = LakeTable.deleteMor(spark, root, col("k") % 10 === 7, "p")
+    assert(stats.version === 2)
+    assert(stats.rowsWritten === 0, "a MOR delete writes no data rows")
+
+    val snap = LakeTable.snapshot(spark, root)
+    assert(snap.entries.map(_.rel).toSet === relsBefore,
+      "the delete must not add, drop, or rewrite any data file")
+    assert(snap.entries.exists(_.dv.isDefined), "at least one file gained a vector")
+    assert(snap.entries.flatMap(_.dv).map(_.card).sum === 30)
+
+    val got = LakeTable.read(spark, root)
+    assert(got.count() === 270)
+    assert(got.where(col("k") % 10 === 7).isEmpty)
+    // metadata-only count reports LIVE rows
+    assert(LakeTable.countRows(spark, root) === Some(270L))
+    assert(LakeTable.countByPartition(spark, root).get.values.sum === 270L)
+  }
+
+  test("overlapping second delete unions vectors; re-delete of dead rows commits nothing") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    LakeTable.deleteMor(spark, root, col("k") < 50, "p")
+    val s2 = LakeTable.deleteMor(spark, root, col("k") < 80, "p") // overlaps [0,50)
+    assert(s2.version === 3)
+    assert(LakeTable.read(spark, root).count() === 220)
+    assert(LakeTable.snapshot(spark, root).entries.flatMap(_.dv).map(_.card).sum === 80)
+    // every matching row is already dead -> no live hit, NO new commit
+    val s3 = LakeTable.deleteMor(spark, root, col("k") < 80, "p")
+    assert(s3.version === 3, "an all-dead re-delete must not commit a version")
+  }
+
+  test("a file whose every row dies drops from the manifest entirely") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    val filesBefore = LakeTable.snapshot(spark, root).entries.size
+    // partition "1" holds exactly the k % 3 == 1 rows: kill them all
+    LakeTable.deleteMor(spark, root, col("p") === "1", "p")
+    val snap = LakeTable.snapshot(spark, root)
+    assert(!snap.entries.exists(_.part == "1"), "fully-dead files drop, no tombstones")
+    assert(snap.entries.size < filesBefore)
+    assert(snap.entries.forall(_.dv.isEmpty), "surviving files gained no vector")
+    assert(LakeTable.read(spark, root).count() === 200)
+  }
+
+  test("time travel reads across a DV commit; RESTORE resurrects") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    LakeTable.deleteMor(spark, root, col("k") >= 200, "p")
+    assert(LakeTable.readVersion(spark, root, 1).count() === 300,
+      "the pre-delete snapshot must still read every row")
+    assert(LakeTable.readVersion(spark, root, 2).count() === 200)
+    val v3 = LakeTable.restore(spark, root, 1)
+    assert(v3 === 3 && LakeTable.read(spark, root).count() === 300)
+    // the CDC walk sees the restore as resurrection INSERTS of the
+    // exact rows the DV killed
+    val feed = LakeTable.tableChanges(spark, root, 2, 3, Seq("k"))
+    assert(feed.where(col("_change_type") === "insert").count() === 100)
+    assert(feed.where(col("_change_type") =!= "insert").isEmpty)
+  }
+
+  test("CDC classifies a DV delete; COW update and OPTIMIZE materialize vectors") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    LakeTable.deleteMor(spark, root, col("k") % 10 === 3, "p")
+    val feed = LakeTable.tableChanges(spark, root, 1, 2, Seq("k"))
+    assert(feed.where(col("_change_type") === "delete").count() === 30)
+    assert(feed.where(col("_change_type") =!= "delete").isEmpty)
+    assert(feed.where(col("k") % 10 =!= 3).isEmpty, "only the killed rows appear")
+
+    // a COW UPDATE over DV'd files applies the vector and materializes it
+    LakeTable.update(spark, root, col("k") % 10 === 4, Map("v" -> lit(-1L)), "p")
+    val afterUpdate = LakeTable.snapshot(spark, root)
+    assert(afterUpdate.entries.forall(_.dv.isEmpty),
+      "the rewrite clears vectors (its files are dv-free)")
+    val got = LakeTable.read(spark, root)
+    assert(got.count() === 270, "dead rows must not resurrect through the rewrite")
+    assert(got.where(col("v") === -1L).count() === 30)
+
+    // OPTIMIZE materializes remaining vectors even in 1-file partitions
+    LakeTable.deleteMor(spark, root, col("k") % 10 === 5, "p")
+    LakeTable.optimize(spark, root, minFilesPerPartition = 1000000)
+    val afterOpt = LakeTable.snapshot(spark, root)
+    assert(afterOpt.entries.forall(_.dv.isEmpty))
+    assert(LakeTable.read(spark, root).count() === 240)
+    assert(LakeTable.countRows(spark, root) === Some(240L))
+  }
+
+  test("vacuum reclaims superseded vectors, keeps live ones; manifest claims format 3 only with a DV") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    val v1Text = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_manifests", "v1.manifest")), "UTF-8")
+    assert(v1Text.startsWith("#format=1"), "a DV-free table stays format 1")
+
+    LakeTable.deleteMor(spark, root, col("k") % 2 === 0, "p")
+    val v2Text = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_manifests", "v2.manifest")), "UTF-8")
+    assert(v2Text.startsWith("#format=3"), "a DV'd manifest must gate old readers")
+    val liveDv = LakeTable.snapshot(spark, root).entries.flatMap(_.dv).map(_.rel).toSet
+    assert(liveDv.nonEmpty)
+
+    // supersede every vector (optimize materializes), then vacuum hard
+    LakeTable.optimize(spark, root, minFilesPerPartition = 1000000)
+    LakeTable.vacuum(spark, root, retainMillis = 0L, keepVersions = 1)
+    val dvDir = new java.io.File(s"$root/${Dv.Dir}")
+    val left =
+      if (!dvDir.exists()) Array.empty[String]
+      else dvDir.list().filter(_.endsWith(".dv"))
+    assert(left.isEmpty, s"superseded vectors must be reclaimed, found ${left.toSeq}")
+
+    // and a LIVE vector survives a vacuum
+    LakeTable.deleteMor(spark, root, col("k") === 1, "p")
+    LakeTable.vacuum(spark, root, retainMillis = 0L, keepVersions = 1)
+    val liveNow = LakeTable.snapshot(spark, root).entries.flatMap(_.dv).map(_.rel)
+    assert(liveNow.size === 1)
+    assert(new java.io.File(s"$root/${liveNow.head}").exists())
+    assert(LakeTable.read(spark, root).count() === 149)
+  }
+
+  test("MOR update: tombstone + append in one commit; COW semantics preserved") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    val relsBefore = LakeTable.snapshot(spark, root).entries.map(_.rel).toSet
+
+    val stats = LakeTable.updateMor(spark, root, col("k") % 10 === 7,
+      Map("v" -> (col("v") + 1L)), "p")
+    assert(stats.version === 2)
+    assert(stats.rowsWritten > 0, "updated copies append as a new batch")
+    val snap = LakeTable.snapshot(spark, root)
+    assert(relsBefore.subsetOf(snap.entries.map(_.rel).toSet),
+      "original files stay in place (tombstoned, not rewritten)")
+    assert(snap.entries.flatMap(_.dv).map(_.card).sum === 30)
+
+    val got = LakeTable.read(spark, root)
+    assert(got.count() === 300, "update must not change the row count")
+    assert(got.where(col("k") % 10 === 7).agg(sum("v")).head.getLong(0) ===
+      (0 until 300).filter(_ % 10 == 7).map(_ * 10 + 1).sum)
+    assert(LakeTable.countRows(spark, root) === Some(300L))
+
+    // swap semantics: assignments read the PRE-update row
+    LakeTable.updateMor(spark, root, col("k") === 0,
+      Map("v" -> col("k"), "k" -> col("v")), "p")
+    assert(LakeTable.read(spark, root).where(col("v") === 0L).select("k").head.getLong(0) === 0L)
+
+    // partition-moving assignment: the appended copy lands in the new
+    // partition, the tombstoned original stays put
+    LakeTable.updateMor(spark, root, col("k") === 5, Map("p" -> lit("9")), "p")
+    val moved = LakeTable.read(spark, root).where(col("k") === 5)
+    assert(moved.count() === 1 && moved.select("p").head.getString(0) === "9")
+    assert(LakeTable.countByPartition(spark, root).get("9") === 1L)
+
+    // CDC across a MOR update: preimage + postimage, keyed on k
+    val feed = LakeTable.tableChanges(spark, root, 3, 4, Seq("k"))
+    assert(feed.where(col("_change_type") === "update_preimage").count() === 1)
+    assert(feed.where(col("_change_type") === "update_postimage").count() === 1)
+  }
+
+  test("deletes under MOR keep stats/bloom pruning: untouched files are never probed") {
+    val root = freshRoot()
+    // RANGED partitions (p = k / 100) so per-file k stats are tight
+    // non-overlapping intervals the pruner can act on
+    val ranged = baseDf.withColumn("p", (col("k") / 100).cast("long").cast("string"))
+    LakeTable.init(spark, root, ranged, "p", statsCols = Seq("k"))
+    val total = LakeTable.snapshot(spark, root).entries.size
+    val stats = LakeTable.deleteMor(spark, root, col("k") === 5, "p")
+    assert(stats.filesProbed < total,
+      s"point delete must probe a pruned subset (probed ${stats.filesProbed} of $total)")
+    assert(LakeTable.read(spark, root).count() === 299)
+  }
+}

@@ -778,4 +778,92 @@ class LakeCatalogSpec extends SparkSpec {
       Map("v" -> lit(-1L)), "p")
     assert(LakeTable.read(spark, root).where(col("v") === -1L).count() === 1)
   }
+
+  test("deleteMode=mor: SQL DELETE records deletion vectors; DSv2 scans filter them") {
+    val _ = wh
+    spark.sql("CREATE TABLE graft.db.mor (k BIGINT, p STRING, v BIGINT) PARTITIONED BY (p) " +
+      "TBLPROPERTIES (statsCols 'k', deleteMode 'mor')")
+    spark.sql("INSERT INTO graft.db.mor SELECT id, cast(id % 3 as string), id * 10 FROM range(30)")
+    val root = s"$wh/db/mor"
+    val relsBefore = LakeTable.snapshot(spark, root).entries.map(_.rel).toSet
+
+    // simple-filter DELETE (SupportsDelete path) and expression DELETE
+    // (planner path) both route MOR
+    spark.sql("DELETE FROM graft.db.mor WHERE k = 7")
+    spark.sql("DELETE FROM graft.db.mor WHERE k % 10 = 3")
+    val snap = LakeTable.snapshot(spark, root)
+    assert(snap.entries.map(_.rel).toSet === relsBefore,
+      "MOR deletes must leave every data file in place")
+    assert(snap.entries.flatMap(_.dv).map(_.card).sum === 4) // k=7,3,13,23
+
+    // the DSv2 catalog scan filters the dead positions (mixed clean +
+    // DV'd partitions in one query)
+    assert(spark.sql("SELECT count(*) c FROM graft.db.mor").head.getLong(0) === 26)
+    assert(spark.sql("SELECT sum(v) s FROM graft.db.mor").head.getLong(0) ===
+      (0 until 30).filterNot(Set(7, 3, 13, 23)).map(_ * 10).sum)
+    assert(spark.sql("SELECT count(*) c FROM graft.db.mor WHERE k IN (3, 7, 13, 23)")
+      .head.getLong(0) === 0)
+    // filters still push down on the clean side; results stay exact
+    assert(spark.sql("SELECT count(*) c FROM graft.db.mor WHERE k >= 20").head.getLong(0) === 9)
+
+    // DESCRIBE surfaces the mode and the LIVE row count
+    val props = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "mor")).properties()
+    assert(props.get("deleteMode") === "mor")
+    assert(props.get("numRows") === "26")
+
+    // VERSION AS OF reads across the DV commits (v1 = empty CREATE,
+    // v2 = the insert, v3 = first DV delete)
+    assert(spark.sql("SELECT count(*) c FROM graft.db.mor VERSION AS OF 2")
+      .head.getLong(0) === 30)
+    assert(spark.sql("SELECT count(*) c FROM graft.db.mor VERSION AS OF 3")
+      .head.getLong(0) === 29)
+
+    // CALL optimize materializes the vectors; scans return to pure
+    // vectorized and results are unchanged
+    spark.sql("CALL graft.system.optimize('db.mor')")
+    val after = LakeTable.snapshot(spark, root)
+    assert(after.entries.forall(_.dv.isEmpty), "OPTIMIZE must materialize vectors")
+    assert(spark.sql("SELECT count(*) c FROM graft.db.mor").head.getLong(0) === 26)
+
+    // flipping the mode back routes the next DELETE through COW
+    spark.sql("ALTER TABLE graft.db.mor SET TBLPROPERTIES (deleteMode 'cow')")
+    val rels2 = LakeTable.snapshot(spark, root).entries.map(_.rel).toSet
+    spark.sql("DELETE FROM graft.db.mor WHERE k = 8")
+    val s2 = LakeTable.snapshot(spark, root)
+    assert(s2.entries.forall(_.dv.isEmpty))
+    assert(s2.entries.map(_.rel).toSet !== rels2, "COW delete rewrites files")
+    assert(spark.sql("SELECT count(*) c FROM graft.db.mor").head.getLong(0) === 25)
+  }
+
+  test("mor table: streaming append face treats a DV commit as a change commit") {
+    val _ = wh
+    spark.sql("CREATE TABLE graft.db.morst (k BIGINT, p STRING) PARTITIONED BY (p) " +
+      "TBLPROPERTIES (deleteMode 'mor')")
+    spark.sql("INSERT INTO graft.db.morst SELECT id, cast(id % 2 as string) FROM range(10)")
+    spark.sql("DELETE FROM graft.db.morst WHERE k = 4")
+    val root = s"$wh/db/morst"
+    // without skipChangeCommits the stream refuses the DV commit crisply
+    val ck1 = Files.createTempDirectory("morst-ck1").toString
+    val out1 = Files.createTempDirectory("morst-out1").toString
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      spark.readStream.format("graft-lake").load(root)
+        .writeStream.format("parquet").option("checkpointLocation", ck1)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out1).awaitTermination()
+    }
+    assert(e.getMessage.contains("deletion-vector") || (e.getCause != null &&
+      e.getCause.getMessage.contains("deletion-vector")), e.getMessage)
+    // with skipChangeCommits the appends stream and the delete commit skips
+    val ck2 = Files.createTempDirectory("morst-ck2").toString
+    val out2 = Files.createTempDirectory("morst-out2").toString
+    spark.readStream.format("graft-lake").option("skipChangeCommits", "true").load(root)
+      .writeStream.format("parquet").option("checkpointLocation", ck2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(out2).awaitTermination()
+    assert(spark.read.parquet(out2).count() === 10,
+      "the original append streams; the skipped DV commit is not re-delivered")
+  }
 }
