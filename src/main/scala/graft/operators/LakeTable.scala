@@ -168,7 +168,13 @@ object LakeTable {
       // place (read-optimized); "mor" records deletion vectors and
       // leaves data files untouched (write-optimized — the Delta DV
       // switch; OPTIMIZE materializes either way)
-      deleteMode: String = "cow") {
+      deleteMode: String = "cow",
+      // HIDDEN PARTITIONING: the partition value is partitionFn applied
+      // to partitionCol — "identity" (the value itself), or a transform
+      // ("days"/"months"/"hours"/"bucket:N"/"truncate:N", see
+      // [[PartitionFn]]). Queries filter the SOURCE column; pruning
+      // maps their bounds into transform space.
+      partitionFn: String = PartitionFn.Identity) {
     def statsCol: Option[String] = statsCols.headOption
     /** Every sidecar name a bloom lookup on `column` must match. */
     def bloomNamesFor(column: String): Seq[String] =
@@ -352,7 +358,8 @@ object LakeTable {
       // see — the committer passes what it knows about the full list
       segsHaveDv: Boolean = false): String = {
     val fmt =
-      if (segsHaveDv || entries.exists(_.dv.isDefined)) 3
+      if (segsHaveDv || entries.exists(_.dv.isDefined) ||
+        meta.partitionFn != PartitionFn.Identity) 3
       else if (segRefs.nonEmpty) 2
       else 1
     val header = Seq(
@@ -388,6 +395,13 @@ object LakeTable {
       // reading); an old reader ignores the unknown key and still reads
       // the table correctly — the mode only steers WRITERS
       (if (meta.deleteMode != "cow") Seq(s"#deleteMode=${meta.deleteMode}") else Nil) ++
+      // non-identity partition transform (absent = identity). A writer
+      // that ignored this key would file rows under identity values and
+      // silently break transform-space pruning — so transform tables
+      // claim format 3 (above): an older library refuses them crisply
+      // instead of corrupting partition space.
+      (if (meta.partitionFn != PartitionFn.Identity)
+         Seq(s"#partitionFn=${meta.partitionFn}") else Nil) ++
       // column defaults, one line per defaulted column: name, INSERT-time
       // default SQL, exists-default SQL (all cells ':'-encoded so the
       // 3-way split is unambiguous)
@@ -542,7 +556,8 @@ object LakeTable {
       bloomAliases,
       kv.get("maxFieldId").map(_.toLong).getOrElse(0L),
       checks,
-      kv.getOrElse("deleteMode", "cow"))
+      kv.getOrElse("deleteMode", "cow"),
+      kv.getOrElse("partitionFn", PartitionFn.Identity))
     val segRefs = segLines.map { l =>
       val s = l.stripPrefix("@seg=")
       val i = s.lastIndexOf(':')
@@ -784,8 +799,11 @@ object LakeTable {
     * to string with NULL mapped to the Hive sentinel — the same value the
     * directory listing yields for that row's file.
     */
-  private def partExpr(partitionCol: String): Column =
-    coalesce(col(partitionCol).cast("string"), lit(NullPartition))
+  private def partExpr(meta: TableMeta): Column =
+    coalesce(
+      PartitionFn.column(meta.partitionFn, col(meta.partitionCol),
+        meta.schema(meta.partitionCol).dataType),
+      lit(NullPartition))
 
   /** Enforce the table's CHECK constraints on rows about to be written
     * (SQL semantics: NULL passes, only FALSE violates). One short-
@@ -837,7 +855,9 @@ object LakeTable {
           col(s"`$c`").as(c,
             fieldMeta.getOrElse(c, org.apache.spark.sql.types.Metadata.empty))): _*)
       }
-    val keyed = stamped.withColumn(PartDirCol, col(meta.partitionCol).cast("string"))
+    val keyed = stamped.withColumn(PartDirCol,
+      PartitionFn.column(meta.partitionFn, col(meta.partitionCol),
+        meta.schema(meta.partitionCol).dataType))
     // clustered layout: range-partition + in-partition sort on
     // (partition, sortCols) — each output file then covers one tight,
     // non-overlapping slice of the sort key, so the manifest min/max
@@ -1035,20 +1055,22 @@ object LakeTable {
       statsCol: Option[String] = None,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      deleteMode: String = "cow"): Unit = {
+      deleteMode: String = "cow",
+      partitionFn: String = PartitionFn.Identity): Unit = {
     val s0 = snapshot(spark, root)
     require(s0.version == 0, s"LakeTable.init: $root already at version ${s0.version}")
     require(deleteMode == "cow" || deleteMode == "mor",
       s"LakeTable.init: deleteMode must be cow or mor, got $deleteMode")
     val allStats = statsCol.toSeq ++ statsCols
-    (allStats ++ bloomCols).foreach(c => require(df.columns.contains(c),
-      s"LakeTable.init: stats/bloom column $c not in the frame"))
+    (allStats ++ bloomCols :+ partitionCol).foreach(c => require(df.columns.contains(c),
+      s"LakeTable.init: stats/bloom/partition column $c not in the frame"))
+    PartitionFn.validate(partitionFn, df.schema(partitionCol).dataType)
     // every new table gets column-mapping ids from birth (1..n), so
     // RENAME COLUMN is metadata-only for its whole life
     val mapped = withFieldIds(df.schema,
       df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1).toLong }.toMap)
     val meta = TableMeta(mapped, partitionCol, allStats, bloomCols = bloomCols,
-      deleteMode = deleteMode)
+      deleteMode = deleteMode, partitionFn = partitionFn)
     val entries = writeBatch(spark, root, df, meta)
     require(commit(spark, root, 1, meta, entries), s"LakeTable.init: concurrent commit at $root")
   }
@@ -1968,10 +1990,10 @@ object LakeTable {
       if (probeEntries.isEmpty) Nil
       else readEntries(spark, root, meta.schema, probeEntries)
         .join(broadcast(srcKeys), keyCols, "left_semi")
-        .select(partExpr(partitionCol)).distinct()
+        .select(partExpr(meta)).distinct()
         .collect().map(_.getString(0)).toSeq
     val affected = (matched ++
-      source.select(partExpr(partitionCol)).distinct().collect().map(_.getString(0))).toSet
+      source.select(partExpr(meta)).distinct().collect().map(_.getString(0))).toSet
 
     // file-level COW: inside affected partitions, files whose key stats
     // are disjoint from the source bounds cannot hold a matched row —
@@ -2063,7 +2085,7 @@ object LakeTable {
     val affected =
       if (probeEntries.isEmpty) Set.empty[String]
       else readEntries(spark, root, meta.schema, probeEntries).where(predicate)
-        .select(partExpr(partitionCol)).distinct()
+        .select(partExpr(meta)).distinct()
         .collect().map(_.getString(0)).toSet
     // file-level COW: stats-disjoint files in affected partitions hold no
     // row the predicate deletes — carry them by path
@@ -2320,7 +2342,7 @@ object LakeTable {
     val affected =
       if (probeEntries.isEmpty) Set.empty[String]
       else readEntries(spark, root, meta.schema, probeEntries).where(predicate)
-        .select(partExpr(partitionCol)).distinct()
+        .select(partExpr(meta)).distinct()
         .collect().map(_.getString(0)).toSet
     val (rewrite, carry) = s0.entries.partition(e => affected.contains(e.part) && mayMatch(e))
     val written =
@@ -2488,7 +2510,7 @@ object LakeTable {
           if (probeEntries.isEmpty) Set.empty[String]
           else readEntries(spark, root, meta.schema, probeEntries)
             .join(broadcast(srcKeys), keyCols, "left_semi")
-            .select(partExpr(partitionCol)).distinct()
+            .select(partExpr(meta)).distinct()
             .collect().map(_.getString(0)).toSet
         val (rw, cy) =
           s0.entries.partition(e => matchedParts.contains(e.part) && mayMatch(e))
@@ -2860,6 +2882,66 @@ object LakeTable {
     window
   }
 
+  // ---- snapshot tags -------------------------------------------------
+
+  /** Named snapshot references (the Iceberg TAG shape): a tag pins a
+    * committed version under a stable name — `VERSION AS OF 'name'`
+    * resolves it, and [[vacuum]] treats every tagged version's files as
+    * LIVE regardless of age or the keepVersions window, so an audit /
+    * reproducibility snapshot ("the exact table the model trained on")
+    * survives routine retention. Tags are stored as one tiny file per
+    * name under `_manifests/refs/` (atomic publish; a losing racer
+    * fails crisply), independent of the version line — dropping one
+    * never touches data, the next vacuum just reclaims what only the
+    * tag kept alive.
+    */
+  def tag(
+      spark: SparkSession,
+      root: String,
+      name: String,
+      version: Long,
+      replace: Boolean = false): Unit = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9_.-]*"),
+      s"LakeTable.tag: tag name must be alphanumeric/_/./-, got '$name'")
+    require(scala.util.Try(name.toLong).isFailure,
+      s"LakeTable.tag: a purely numeric tag name ('$name') would shadow " +
+        "version-number time travel")
+    val s0 = snapshot(spark, root)
+    require(version >= 1 && version <= s0.version,
+      s"LakeTable.tag: v$version is not a committed version (head is v${s0.version})")
+    val dir = new Path(manifestDir(root), "refs")
+    val f = fs(spark, dir)
+    f.mkdirs(dir)
+    val dest = new Path(dir, name)
+    if (replace) f.delete(dest, false)
+    val tmp = new Path(dir, s".tmp-$name-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    require(publishAtomic(f, tmp, dest),
+      s"LakeTable.tag: tag '$name' already exists at $root (use replace)")
+  }
+
+  def dropTag(spark: SparkSession, root: String, name: String): Boolean =
+    fs(spark, new Path(root)).delete(new Path(new Path(manifestDir(root), "refs"), name), false)
+
+  /** All tags as name -> version (empty when none). */
+  def tags(spark: SparkSession, root: String): Map[String, Long] = {
+    val dir = new Path(manifestDir(root), "refs")
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).iterator
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .flatMap { s =>
+        val in = f.open(s.getPath)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+        scala.util.Try(text.toLong).toOption.map(s.getPath.getName -> _)
+      }.toMap
+  }
+
+  def resolveTag(spark: SparkSession, root: String, name: String): Option[Long] =
+    tags(spark, root).get(name)
+
   // ---- vacuum --------------------------------------------------------
 
   /** Delete data files that are (a) not referenced by any of the newest
@@ -2896,7 +2978,12 @@ object LakeTable {
     require(s0.version > 0, s"LakeTable.vacuum: no committed snapshot at $root")
     require(keepVersions >= 1, "LakeTable.vacuum: keepVersions must be >= 1 (the head is always kept)")
     val floor = math.max(1L, s0.version - keepVersions + 1)
-    val live = (floor to s0.version)
+    // tagged versions are pinned LIVE regardless of age or the version
+    // window — a tag is exactly a promise that its snapshot stays
+    // readable (drop the tag to let retention reclaim it)
+    val pinned = tags(spark, root).values.toSet.filter(_ < floor)
+    val liveVersions = (floor to s0.version) ++ pinned
+    val live = liveVersions
       .flatMap(v => readManifest(spark, root, v)._2.map(_.rel)).toSet
     val cutoff = System.currentTimeMillis() - retainMillis
     val dataDir = new Path(root, "data")
@@ -2939,7 +3026,7 @@ object LakeTable {
     // delete's just-written, not-yet-committed vector; a superseded
     // vector — its file re-deleted-from or rewritten — becomes
     // unreferenced and is reclaimed here)
-    val liveDvs = (floor to s0.version)
+    val liveDvs = liveVersions
       .flatMap(v => readManifest(spark, root, v)._2.flatMap(_.dv.map(_.rel))).toSet
     val dvDir = new Path(root, Dv.Dir)
     if (f.exists(dvDir)) {
@@ -2957,7 +3044,7 @@ object LakeTable {
     // writer's just-written, not-yet-published segment). A readVersion
     // of an older snapshot then fails crisply, exactly like vacuumed
     // data.
-    val liveSegs = (floor to s0.version)
+    val liveSegs = liveVersions
       .flatMap(v => readDoc(spark, root, v).segRefs.map(_.rel)).toSet
     val segDir = new Path(manifestDir(root), "segments")
     if (f.exists(segDir)) {

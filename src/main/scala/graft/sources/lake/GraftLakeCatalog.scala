@@ -66,13 +66,25 @@ import graft.operators.LakeTable
 class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = "graft"
-  private var warehouse: String = _
+  private var initWarehouse: Option[String] = None
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    warehouse = Option(options.get("warehouse")).getOrElse(
-      s"${System.getProperty("java.io.tmpdir")}/graft-lake-warehouse")
+    initWarehouse = Option(options.get("warehouse")).filter(_.nonEmpty)
   }
+
+  /** The warehouse root, resolved from the LIVE session conf on every
+    * use (CatalogManager instantiates a catalog once per session and
+    * caches it, so an initialize-time snapshot would silently pin the
+    * warehouse to whatever the conf held at FIRST catalog lookup —
+    * `spark.conf.set("spark.sql.catalog.graft.warehouse", ...)` on a
+    * running session must redirect subsequent name resolution).
+    */
+  private def warehouse: String =
+    spark.conf.getOption(s"spark.sql.catalog.$catalogName.warehouse")
+      .filter(_.nonEmpty)
+      .orElse(initWarehouse)
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft-lake-warehouse")
 
   override def name(): String = catalogName
 
@@ -146,10 +158,13 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
     if (!exists(root)) throw new NoSuchTableException(ident)
+    // numeric = a manifest version; otherwise a NAMED TAG (a pinned
+    // snapshot vacuum keeps alive — VERSION AS OF 'training_v1')
     val v = scala.util.Try(version.trim.toLong).getOrElse(
-      throw new IllegalArgumentException(
-        s"graft-lake: VERSION AS OF takes a numeric manifest version, got '$version' " +
-          "(named tags/branches are not supported)"))
+      LakeTable.resolveTag(spark, root, version.trim).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-lake: VERSION AS OF '$version' is neither a manifest version nor " +
+            s"a tag (tags: ${LakeTable.tags(spark, root).keys.toSeq.sorted.mkString(", ")})")))
     new GraftLakeV2Table(s"$ident@v$version", root,
       LakeTable.snapshotAt(spark, root, v), timeTravel = true)
   }
@@ -187,16 +202,35 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
     val props = properties.asScala
     def prop(key: String): Option[String] =
       props.get(key).orElse(props.get(s"${TableCatalog.OPTION_PREFIX}$key"))
-    val partitionCol = partitions.toSeq match {
-      case Seq() => prop("partitionCol").getOrElse(throw new UnsupportedOperationException(
-        "graft-lake: CREATE TABLE needs PARTITIONED BY (col) or TBLPROPERTIES (partitionCol '...')")
-      )
-      case Seq(t) if t.name == "identity" && t.references.length == 1 &&
+    val (partitionCol, partitionFn) = partitions.toSeq match {
+      case Seq() =>
+        (prop("partitionCol").getOrElse(throw new UnsupportedOperationException(
+          "graft-lake: CREATE TABLE needs PARTITIONED BY (col) or TBLPROPERTIES " +
+            "(partitionCol '...')")),
+          prop("partitionFn").getOrElse(graft.operators.PartitionFn.Identity))
+      case Seq(t) if t.references.length == 1 &&
           t.references()(0).fieldNames.length == 1 =>
-        t.references()(0).fieldNames()(0)
+        val col = t.references()(0).fieldNames()(0)
+        t.name match {
+          case "identity" => (col, graft.operators.PartitionFn.Identity)
+          // hidden partitioning: days(ts) / months(ts) / hours(ts) /
+          // bucket(N, col) / truncate(W, col) — the Iceberg transforms
+          case "days" | "months" | "hours" => (col, t.name)
+          case "bucket" | "truncate" =>
+            val width = t.arguments.collectFirst {
+              case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                  if l.value != null =>
+                l.value.toString.toInt
+            }.getOrElse(throw new UnsupportedOperationException(
+              s"graft-lake: ${t.name} needs an integer width, got $t"))
+            (col, s"${t.name}:$width")
+          case other => throw new UnsupportedOperationException(
+            s"graft-lake: unsupported partition transform $other (have identity, " +
+              "days, months, hours, bucket, truncate)")
+        }
       case other => throw new UnsupportedOperationException(
-        s"graft-lake: only a single identity PARTITIONED BY column is supported, got " +
-          other.mkString(", "))
+        s"graft-lake: exactly one PARTITIONED BY transform over one column is " +
+          s"supported, got ${other.mkString(", ")}")
     }
     def cols(key: String): Seq[String] =
       prop(key).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
@@ -204,7 +238,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     LakeTable.init(spark, root, empty, partitionCol,
       statsCols = cols("statsCols"), bloomCols = cols("bloomCols"),
-      deleteMode = prop("deleteMode").getOrElse("cow"))
+      deleteMode = prop("deleteMode").getOrElse("cow"),
+      partitionFn = partitionFn)
     loadTable(ident)
   }
 
@@ -392,8 +427,19 @@ class GraftLakeV2Table(
 
   override def schema(): StructType = GraftLake.nullable(meta.schema)
 
-  override def partitioning(): Array[Transform] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.identity(meta.partitionCol))
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val t = graft.operators.PartitionFn.parse(meta.partitionFn) match {
+      case ("identity", _) => Expressions.identity(meta.partitionCol)
+      case ("days", _) => Expressions.days(meta.partitionCol)
+      case ("months", _) => Expressions.months(meta.partitionCol)
+      case ("hours", _) => Expressions.hours(meta.partitionCol)
+      case ("bucket", n) => Expressions.bucket(n, meta.partitionCol)
+      case ("truncate", n) => Expressions.apply("truncate",
+        Expressions.literal(n), Expressions.column(meta.partitionCol))
+    }
+    Array(t)
+  }
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()

@@ -91,6 +91,52 @@ private[lake] object GraftLakeProcedures {
         }
       },
 
+      "tag" -> new LakeProc(
+        "tag",
+        "pin a committed version under a stable name (vacuum keeps it live; " +
+          "VERSION AS OF 'name' resolves it)",
+        Seq(p("table", StringType), p("name", StringType),
+          pd("version", LongType, "-1"), // -1 = the current head
+          pd("replace", BooleanType, "false"))) {
+        override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          val root = rootOf(args.getUTF8String(0).toString)
+          val v =
+            if (args.getLong(2) >= 0) args.getLong(2)
+            else LakeTable.snapshot(spark(), root).version
+          LakeTable.tag(spark(), root, args.getUTF8String(1).toString, v,
+            replace = args.getBoolean(3))
+          (StructType(Seq(
+            StructField("name", StringType), StructField("version", LongType))),
+            Seq(InternalRow(args.getUTF8String(1).copy(), v)))
+        }
+      },
+
+      "drop_tag" -> new LakeProc(
+        "drop_tag",
+        "remove a tag (the next vacuum may reclaim what only the tag kept alive)",
+        Seq(p("table", StringType), p("name", StringType))) {
+        override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          val dropped = LakeTable.dropTag(spark(),
+            rootOf(args.getUTF8String(0).toString), args.getUTF8String(1).toString)
+          (StructType(Seq(StructField("dropped", BooleanType))),
+            Seq(InternalRow(dropped)))
+        }
+      },
+
+      "tags" -> new LakeProc(
+        "tags",
+        "list snapshot tags as (name, version)",
+        Seq(p("table", StringType))) {
+        override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          val ts = LakeTable.tags(spark(), rootOf(args.getUTF8String(0).toString))
+          (StructType(Seq(
+            StructField("name", StringType), StructField("version", LongType))),
+            ts.toSeq.sortBy(_._1).map { case (n, v) =>
+              InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(n), v)
+            })
+        }
+      },
+
       "history" -> new LakeProc(
         "history",
         "the per-version commit log (operation inferred from the file diff)",

@@ -199,10 +199,61 @@ class LakeFileIndex(
   private def statsRange(sc: String, lo: Option[String], hi: Option[String]): EPred =
     e => LakeTable.entryIntersects(meta, e, sc, lo, hi)
 
+  private def identityPart: Boolean =
+    meta.partitionFn == graft.operators.PartitionFn.Identity
+
   private def bound(nm: String, lo: Option[String], hi: Option[String]): Option[EPred] =
     if (lo.isEmpty && hi.isEmpty) None
-    else if (isPart(nm)) Some(partRange(lo, hi))
+    // the partition branch compares partition strings against rendered
+    // SOURCE values — only sound under identity partitioning (transform
+    // space is handled by fnRangePred/fnEqPred on the raw values)
+    else if (isPart(nm) && identityPart) Some(partRange(lo, hi))
     else statsName(nm).map(sc => statsRange(sc, lo, hi))
+
+  // ---- hidden-partitioning pruning (transform space) -----------------
+
+  /** Compare two PARTITION-SPACE strings under the table's transform:
+    * temporal formats and string prefixes order lexicographically;
+    * integral truncate renders integers, compared numerically.
+    */
+  private def fnSpaceCmp(x: String, y: String): Int = {
+    val numeric = graft.operators.PartitionFn.parse(meta.partitionFn)._1 == "truncate" &&
+      fieldType(meta.partitionCol).exists(_.isInstanceOf[NumericType])
+    if (numeric) LakeTable.cmpStat(org.apache.spark.sql.types.LongType, x, y)
+    else x.compareTo(y)
+  }
+
+  /** Source-column range [rawLo, rawHi] mapped into partition space —
+    * valid only for MONOTONIC transforms (fn(lo) <= part <= fn(hi)).
+    */
+  private def fnRangePred(nm: String, rawLo: Option[Any], rawHi: Option[Any]): Option[EPred] =
+    if (!isPart(nm) || identityPart ||
+      !graft.operators.PartitionFn.monotonic(meta.partitionFn)) None
+    else fieldType(nm).flatMap { dt =>
+      try {
+        val lo = rawLo.map(v => graft.operators.PartitionFn(meta.partitionFn, dt, v))
+        val hi = rawHi.map(v => graft.operators.PartitionFn(meta.partitionFn, dt, v))
+        if ((lo.isEmpty && hi.isEmpty) || lo.contains(null) || hi.contains(null)) None
+        else Some((e: Entry) => partVal(e).exists(v =>
+          lo.forall(l => fnSpaceCmp(v, l) >= 0) && hi.forall(h => fnSpaceCmp(v, h) <= 0)))
+      } catch { case _: Exception => None } // unmappable literal: no pruning
+    }
+
+  /** Source-column equality/IN mapped into partition space — valid for
+    * EVERY transform (membership of fn(v)), including bucket.
+    */
+  private def fnEqPred(nm: String, raws: Seq[Any]): Option[EPred] =
+    if (!isPart(nm) || identityPart) None
+    else fieldType(nm).flatMap { dt =>
+      try {
+        if (raws.isEmpty || raws.contains(null)) None
+        else {
+          val set = raws.map(v => graft.operators.PartitionFn(meta.partitionFn, dt, v)).toSet
+          if (set.contains(null)) None
+          else Some((e: Entry) => partVal(e).exists(set.contains))
+        }
+      } catch { case _: Exception => None }
+    }
 
   private def attrOf(x: Expression): Option[String] = x match {
     case a: AttributeReference => Some(a.name)
@@ -256,7 +307,7 @@ class LakeFileIndex(
       val rangey: Option[EPred] =
         if (rendered.isEmpty || rendered.exists(_.isEmpty)) None
         else {
-          if (isPart(nm)) {
+          if (isPart(nm) && identityPart) {
             // value-space equality, NOT rendered-string equality: a
             // pushed -0.0 literal renders "-0.0" while the stored
             // cast-to-string partition value is "0.0", yet Spark equality
@@ -284,9 +335,26 @@ class LakeFileIndex(
           }
         }
       val bloomy = bloomPred(nm, a.dataType, raws)
-      (rangey, bloomy) match {
-        case (Some(x), Some(y)) => Some((e: Entry) => x(e) && y(e))
-        case (x, y) => x.orElse(y)
+      val fnEq = fnEqPred(nm, raws)
+      Seq(rangey, bloomy, fnEq).flatten match {
+        case Nil => None
+        case ps => Some((e: Entry) => ps.forall(_(e)))
+      }
+    }
+
+  /** Range comparison on attribute `a` over raw bounds: the rendered
+    * stats/identity-partition envelope AND (for a transform-partitioned
+    * source column) the monotone transform-space range, whichever
+    * apply. A bound whose literal fails to render simply contributes no
+    * constraint (conservative).
+    */
+  private def cmpPred(a: Expression, rawLo: Option[Any], rawHi: Option[Any]): Option[EPred] =
+    attrOf(a).flatMap { nm =>
+      val rendered =
+        bound(nm, rawLo.flatMap(renderedFor(nm, _)), rawHi.flatMap(renderedFor(nm, _)))
+      Seq(rendered, fnRangePred(nm, rawLo, rawHi)).flatten match {
+        case Nil => None
+        case ps => Some((e: Entry) => ps.forall(_(e)))
       }
     }
 
@@ -300,22 +368,14 @@ class LakeFileIndex(
       attrOf(a).filter(isPart).map(_ => (e: Entry) => e.part == LakeTable.NullPartition)
     case EqualNullSafe(a, Literal(v, _)) => eqPred(a, Seq(v))
     case EqualNullSafe(Literal(v, _), a) => eqPred(a, Seq(v))
-    case GreaterThan(a, Literal(v, _)) =>       // attr > v  (widened to >=)
-      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, Some(s), None)) yield p
-    case GreaterThanOrEqual(a, Literal(v, _)) =>
-      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, Some(s), None)) yield p
-    case LessThan(a, Literal(v, _)) =>
-      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, None, Some(s))) yield p
-    case LessThanOrEqual(a, Literal(v, _)) =>
-      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, None, Some(s))) yield p
-    case GreaterThan(Literal(v, _), a) =>       // v > attr  ⇔  attr < v
-      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, None, Some(s))) yield p
-    case GreaterThanOrEqual(Literal(v, _), a) =>
-      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, None, Some(s))) yield p
-    case LessThan(Literal(v, _), a) =>
-      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, Some(s), None)) yield p
-    case LessThanOrEqual(Literal(v, _), a) =>
-      for (nm <- attrOf(a); s <- renderedFor(nm, v); p <- bound(nm, Some(s), None)) yield p
+    case GreaterThan(a, Literal(v, _)) => cmpPred(a, Some(v), None) // widened to >=
+    case GreaterThanOrEqual(a, Literal(v, _)) => cmpPred(a, Some(v), None)
+    case LessThan(a, Literal(v, _)) => cmpPred(a, None, Some(v))
+    case LessThanOrEqual(a, Literal(v, _)) => cmpPred(a, None, Some(v))
+    case GreaterThan(Literal(v, _), a) => cmpPred(a, None, Some(v)) // v > attr ⇔ attr < v
+    case GreaterThanOrEqual(Literal(v, _), a) => cmpPred(a, None, Some(v))
+    case LessThan(Literal(v, _), a) => cmpPred(a, Some(v), None)
+    case LessThanOrEqual(Literal(v, _), a) => cmpPred(a, Some(v), None)
     case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
       eqPred(a, list.map(_.asInstanceOf[Literal].value))
     case InSet(a, hset) =>

@@ -67,7 +67,7 @@ class LakeStreamingWrite(root: String, schema: StructType, queryId: String)
     val factory = new ParquetFileFormat()
       .prepareWrite(spark, job, Map.empty, meta.schema)
     new LakeStreamWriterFactory(
-      s"$root/data/$currentBatch", meta.schema, partIdx,
+      s"$root/data/$currentBatch", meta.schema, partIdx, meta.partitionFn,
       spark.sessionState.conf.sessionLocalTimeZone,
       new SerializableConfiguration(job.getConfiguration), factory)
   }
@@ -92,6 +92,7 @@ private[lake] class LakeStreamWriterFactory(
     batchDir: String,
     schema: StructType,
     partIdx: Int,
+    partitionFn: String,
     timeZone: String,
     conf: SerializableConfiguration,
     factory: OutputWriterFactory)
@@ -100,7 +101,8 @@ private[lake] class LakeStreamWriterFactory(
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new LakeStreamDataWriter(
-      batchDir, schema, partIdx, timeZone, conf, factory, partitionId, taskId, epochId)
+      batchDir, schema, partIdx, partitionFn, timeZone, conf, factory,
+      partitionId, taskId, epochId)
 }
 
 private[lake] case class LakeStreamCommitMessage(files: Seq[String])
@@ -115,6 +117,7 @@ private[lake] class LakeStreamDataWriter(
     batchDir: String,
     schema: StructType,
     partIdx: Int,
+    partitionFn: String,
     timeZone: String,
     conf: SerializableConfiguration,
     factory: OutputWriterFactory,
@@ -123,8 +126,9 @@ private[lake] class LakeStreamDataWriter(
     epochId: Long)
   extends DataWriter[InternalRow] {
 
+  private val partDt = schema(partIdx).dataType
   private val partCast = Cast(
-    BoundReference(partIdx, schema(partIdx).dataType, nullable = true),
+    BoundReference(partIdx, partDt, nullable = true),
     StringType, Some(timeZone))
   private val ctx = new TaskAttemptContextImpl(conf.value,
     new TaskAttemptID(new TaskID(new JobID("graft-stream", 0), TaskType.MAP,
@@ -133,7 +137,13 @@ private[lake] class LakeStreamDataWriter(
   private val open = mutable.Map.empty[String, (OutputWriter, Path, Path)]
 
   override def write(row: InternalRow): Unit = {
-    val pv = partCast.eval(row)
+    // transform-partitioned tables derive the directory value with the
+    // SAME PartitionFn the batch writer and the pruner use — the three
+    // faces must agree bit-for-bit or pruning goes unsound
+    val pv =
+      if (partitionFn == graft.operators.PartitionFn.Identity) partCast.eval(row)
+      else if (row.isNullAt(partIdx)) null
+      else graft.operators.PartitionFn(partitionFn, partDt, row.get(partIdx, partDt))
     val dirName =
       if (pv == null) LakeTable.NullPartition
       else ExternalCatalogUtils.escapePathName(pv.toString)

@@ -285,13 +285,13 @@ class LakeCatalogSpec extends SparkSpec {
     spark.sql("CREATE TABLE graft.outer.inner.nt (k BIGINT, p STRING) PARTITIONED BY (p)")
     spark.sql("INSERT INTO graft.outer.inner.nt VALUES (1, 'a')")
     assert(spark.sql("SELECT count(*) c FROM graft.outer.inner.nt").head.getLong(0) === 1)
-    // VERSION AS OF with a non-numeric version fails crisply (on a table
-    // that exists — here the nested one)
+    // VERSION AS OF with a version that is neither numeric nor a known
+    // tag fails crisply (on a table that exists — here the nested one)
     val ev = intercept[Exception](
       spark.sql("SELECT * FROM graft.outer.inner.nt VERSION AS OF 'latest'").collect())
     def msgs(x: Throwable): Seq[String] =
       if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
-    assert(msgs(ev).exists(_.contains("numeric manifest version")), s"got: $ev")
+    assert(msgs(ev).exists(_.contains("neither a manifest version nor a tag")), s"got: $ev")
     // absolute-path identifier addresses an existing root directly
     val root = s"${Files.createTempDirectory("graft-cat-path")}/t"
     LakeTable.init(spark,
