@@ -934,6 +934,171 @@ object ExtQueries {
         s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
     },
 
+    // Hidden partitioning (Iceberg partition transforms): the table is
+    // PARTITIONED BY (months(o_orderdate)) — no derived column exists,
+    // queries filter o_orderdate itself, and the engine maps the
+    // predicate's bounds into month space for manifest pruning. The
+    // engine asserts inline that partition values are month strings,
+    // that a half-range predicate PRUNES the plan's file listing, and
+    // the month rollup then hash-checks that transform-space routing
+    // lost no row (a row filed under the wrong month survives the scan
+    // but shifts its month's cents; an over-pruned month vanishes).
+    "q162_hidden_partitioning" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q162_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q162_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderdate TIMESTAMP, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (months(o_orderdate)) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderdate, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q162_orders")
+      import graft.operators.LakeTable
+      val snap = LakeTable.snapshot(s, root)
+      require(snap.entries.forall(e =>
+        e.part == LakeTable.NullPartition || e.part.matches("\\d{4}-\\d{2}")),
+        "q162: partition values must be month strings")
+      // the pruning pin: a source-column range reaches the file listing
+      // as a transform-space cut
+      val idx = graft.sources.lake.LakeFileIndex(s, root, None)
+      val ts = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "o_orderdate", org.apache.spark.sql.types.TimestampType)()
+      val cut = java.time.Instant.parse("1997-01-01T00:00:00Z")
+      idx.listFiles(Nil, Seq(org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+        ts, org.apache.spark.sql.catalyst.expressions.Literal(
+          cut.getEpochSecond * 1000000L, org.apache.spark.sql.types.TimestampType))))
+      require(idx.lastListedFiles > 0 && idx.lastListedFiles < snap.entries.size,
+        s"q162: months >= 1997 must prune the listing " +
+          s"(${idx.lastListedFiles} of ${snap.entries.size})")
+      s.sql("SELECT date_format(o_orderdate, 'yyyy-MM') AS ym, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt WHERE o_orderdate >= timestamp'1997-01-01 00:00:00' " +
+        "GROUP BY 1 ORDER BY 1")
+    },
+
+    // Snapshot tags: CALL graft.system.tag pins the pre-delete snapshot
+    // under a name; a later COW delete rewrites every file and a
+    // ZERO-retention vacuum reclaims all unpinned history — then
+    // VERSION AS OF 'baseline' must still read the tagged snapshot
+    // bit-for-bit (if vacuum ever reclaims a pinned file, the baseline
+    // arm of the union errors or loses rows and the hash shifts). The
+    // output unions the baseline and head rollups, labeled.
+    "q163_snapshot_tags" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q163_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q163_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q163_orders")
+      s.sql(s"CALL graft.system.tag(table => '$root', name => 'baseline')")
+      s.sql(s"DELETE FROM $lt WHERE o_orderkey % 4 != 1") // rewrites every file
+      s.sql(s"CALL graft.system.vacuum(table => '$root', retain_hours => 0.0D, " +
+        "keep_versions => 1)")
+      s.sql(s"SELECT 'baseline' AS src, o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt VERSION AS OF 'baseline' GROUP BY 1, 2 " +
+        "UNION ALL " +
+        "SELECT 'head' AS src, o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt GROUP BY 1, 2 " +
+        "ORDER BY src, o_orderstatus")
+    },
+
+    // Metadata-only aggregate pushdown: a global COUNT(*)/MIN/MAX over
+    // the lake table is answered from the MANIFEST alone (complete DSv2
+    // aggregate pushdown into a driver-local row — zero files read at
+    // any table size). The engine pins that the pushed arm's executed
+    // plan is a LocalTableScan with NO file scan, and that a filtered
+    // aggregate REFUSES pushdown (a real scan runs — metadata cannot
+    // honor the predicate); both arms then hash-check against the
+    // relational model, so a stale or mis-reduced manifest stat shifts
+    // a value.
+    "q164_agg_pushdown" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q164_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q164_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey,o_totalprice,o_orderdate')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE), o_orderdate FROM q164_orders")
+      val aggs = "count(*) AS cnt, min(o_orderkey) AS mn_key, max(o_orderkey) AS mx_key, " +
+        "min(o_totalprice) AS mn_price, max(o_totalprice) AS mx_price, " +
+        "min(o_orderdate) AS mn_date, max(o_orderdate) AS mx_date"
+      val pushed = s.sql(s"SELECT $aggs FROM $lt")
+      pushed.collect()
+      val pushedPlan = pushed.queryExecution.executedPlan.toString
+      require(pushedPlan.contains("LocalTableScan"),
+        s"q164: the global aggregate must be metadata-only, got\n$pushedPlan")
+      require(!pushedPlan.contains("BatchScan"),
+        s"q164: the global aggregate must not scan files, got\n$pushedPlan")
+      val scanned =
+        s.sql(s"SELECT $aggs FROM $lt WHERE o_orderdate >= timestamp'1997-01-01 00:00:00'")
+      scanned.collect()
+      require(scanned.queryExecution.executedPlan.toString.contains("BatchScan"),
+        "q164: a filtered aggregate must refuse metadata pushdown and scan")
+      pushed.select(org.apache.spark.sql.functions.lit("all").as("src"),
+          org.apache.spark.sql.functions.col("*"))
+        .unionAll(scanned.select(org.apache.spark.sql.functions.lit("filtered").as("src"),
+          org.apache.spark.sql.functions.col("*")))
+        .orderBy("src")
+    },
+
+    // Runtime file skipping (DSv2 runtime filtering — dynamic pruning
+    // generalized to stats/Bloom file skipping): a broadcast join keyed
+    // on a sort-clustered, Bloom-covered column feeds the dimension's
+    // ACTUAL key values into the scan at execution time, which re-prunes
+    // the manifest before reading. The engine pins that the runtime
+    // filter fired and skipped files (kept < total); the rollup then
+    // hash-checks that runtime pruning lost no row (an over-pruned file
+    // drops a matched order and shifts its status's cents).
+    "q165_runtime_file_skip" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q165_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q165_orders")
+      t(s, dir, "customer").createOrReplaceTempView("q165_customer")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_custkey', bloomCols 'o_custkey')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q165_orders")
+      // cluster on the join key: several files per partition, each a
+      // tight o_custkey slice, so an IN-probe prunes by stats range
+      s.sql(s"CALL graft.system.optimize(table => '$root', min_files => 1, " +
+        "max_records_per_file => 700, sort_cols => 'o_custkey')")
+      graft.sources.lake.LakeScan.lastRuntimePrune.remove(root)
+      val q = s.sql("SELECT o.o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt o JOIN q165_customer c ON o.o_custkey = c.c_custkey " +
+        "WHERE c.c_name = 'Customer#000000019' " +
+        "GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus")
+      q.collect()
+      val prune = Option(graft.sources.lake.LakeScan.lastRuntimePrune.get(root))
+      require(prune.exists { case (kept, total) => total > 1 && kept < total },
+        s"q165: the runtime filter must skip files, got $prune")
+      q
+    },
+
     // Merge-on-read UPDATE (deleteMode=mor): the SQL UPDATE tombstones
     // matched positions and appends updated copies in ONE commit — the
     // engine asserts inline that every original file is still present
@@ -2271,6 +2436,51 @@ object ExtQueries {
         |SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    // baseline = the full table (the pinned pre-delete snapshot);
+    // head = the post-delete remainder.
+    "q163_snapshot_tags" ->
+      """WITH pr AS (SELECT o_orderkey, o_orderstatus,
+        |                   CAST(o_totalprice AS DOUBLE) AS pr FROM orders)
+        |SELECT 'baseline' AS src, o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(pr * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM pr GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'head' AS src, o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(pr * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM pr WHERE o_orderkey % 4 = 1 GROUP BY 1, 2
+        |ORDER BY src, o_orderstatus""".stripMargin,
+    // both aggregate arms re-derived relationally — the pushed arm's
+    // values come from manifest stats in the engine, from the rows here.
+    "q164_agg_pushdown" ->
+      """WITH t AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |                  o_orderdate FROM orders)
+        |SELECT 'all' AS src, count(*) AS cnt,
+        |       min(o_orderkey) AS mn_key, max(o_orderkey) AS mx_key,
+        |       min(o_totalprice) AS mn_price, max(o_totalprice) AS mx_price,
+        |       min(o_orderdate) AS mn_date, max(o_orderdate) AS mx_date
+        |FROM t
+        |UNION ALL
+        |SELECT 'filtered' AS src, count(*) AS cnt,
+        |       min(o_orderkey) AS mn_key, max(o_orderkey) AS mx_key,
+        |       min(o_totalprice) AS mn_price, max(o_totalprice) AS mx_price,
+        |       min(o_orderdate) AS mn_date, max(o_orderdate) AS mx_date
+        |FROM t WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY src""".stripMargin,
+    // the runtime-pruned join re-derived relationally.
+    "q165_runtime_file_skip" ->
+      """SELECT o.o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(CAST(o.o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_name = 'Customer#000000019'
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
+    // month routing re-derived straight off the raw table.
+    "q162_hidden_partitioning" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS cnt,
+        |       CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the update re-derived relationally (doubled price for matched keys).
     "q161_mor_update" ->
       """WITH t0 AS (

@@ -2,7 +2,8 @@ package graft.sources.lake
 
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{
@@ -40,6 +41,7 @@ class LakeScanBuilder(
     options: CaseInsensitiveStringMap)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
   // merge-on-read split: DV-free entries plan through the delegate
@@ -61,20 +63,149 @@ class LakeScanBuilder(
       GraftLake.nullable(meta.schema), GraftLake.nullable(meta.schema),
       CaseInsensitiveStringMap.empty()))
 
-  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+  private var sawFilters = false
+  // what Spark pushed, replayed verbatim when a runtime filter re-plans
+  // the scan over a pruned entry list (LakeScan.filter)
+  private var pushedData: Seq[Expression] = Nil
+  private var prunedSchema: Option[StructType] = None
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    sawFilters |= filters.nonEmpty
+    pushedData = filters
     delegate.pushFilters(filters) // parquet keeps every data filter post-scan
+  }
 
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     delegate.pushedFilters
 
-  override def pruneColumns(requiredSchema: StructType): Unit = {
-    delegate.pruneColumns(requiredSchema)
-    dvDelegate.foreach(_.pruneColumns(requiredSchema))
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // after a complete aggregate pushdown the "required columns" are the
+    // aggregate's output, not table columns — nothing to prune
+    if (pushedAgg.isEmpty) {
+      prunedSchema = Some(requiredSchema)
+      delegate.pruneColumns(requiredSchema)
+      dvDelegate.foreach(_.pruneColumns(requiredSchema))
+    }
+
+  // ---- metadata-only aggregate pushdown -------------------------------
+
+  private var pushedAgg: Option[(StructType, InternalRow)] = None
+
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    metadataAggregate(aggregation).isDefined
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    pushedAgg = metadataAggregate(aggregation)
+    pushedAgg.isDefined
   }
 
-  override def build(): Scan =
-    new LakeScan(spark, root, meta, delegate.build().asInstanceOf[ParquetScan], options,
-      dvDelegate.map(b => (b.build().asInstanceOf[ParquetScan], dvEntries)))
+  /** A global COUNT(*) / MIN / MAX answered from the MANIFEST alone —
+    * `SELECT count(*), min(k), max(k) FROM t` plans as a driver-local
+    * row, ZERO files read, at any table size (the 100 TB shape of
+    * "how many rows do I have"). Sound only in exactly these cases,
+    * None (= scan normally) otherwise:
+    *
+    *   - COUNT(*): every entry's row count is recorded; deletion
+    *     vectors subtract exactly (liveRows = rows - dvCardinality).
+    *   - MIN/MAX(col): col is stats-covered, every entry recorded both
+    *     bounds (a missing cell could HIDE the extremum — all-null
+    *     files and legacy manifests refuse), NO entry carries a
+    *     deletion vector (a deleted row may BE the recorded extremum),
+    *     and the rendered bound casts back to the column type exactly
+    *     (the whitelist below; stats are typed min/max rendered with
+    *     cast-to-string, which round-trips for these types). SQL
+    *     MIN/MAX ignore nulls, exactly like per-file typed min/max.
+    *
+    * Any pushed filter refuses (the filter would have to be re-applied
+    * to metadata; Spark only attempts aggregate pushdown under a fully
+    * consumed filter set, this guard makes the soundness local), as
+    * does GROUP BY. Complete pushdown: the returned row is final.
+    */
+  private def metadataAggregate(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types._
+    if (sawFilters || agg.groupByExpressions.nonEmpty) return None
+    val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
+
+    def field(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          meta.schema.fields.find(_.name.equalsIgnoreCase(r.fieldNames()(0)))
+        case _ => None
+      }
+    def exact(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+           StringType | DateType | TimestampType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    def typed(dt: DataType, s: String): Option[Any] = {
+      val v = Cast(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        StringType), dt, zone).eval(null)
+      Option(v)
+    }
+    /** Some(value or null) = answerable; None = refuse pushdown. */
+    def extreme(f: StructField, isMin: Boolean): Option[Any] = {
+      val idx = meta.statsCols.indexWhere(_.equalsIgnoreCase(f.name))
+      if (idx < 0 || !exact(f.dataType)) return None
+      if (entries.exists(_.dv.isDefined)) return None
+      if (entries.isEmpty) return Some(null)
+      val bounds = entries.map { e =>
+        e.stats.lift(idx) match {
+          case Some((Some(mn), Some(mx))) => typed(f.dataType, if (isMin) mn else mx)
+          case _ => None
+        }
+      }
+      if (bounds.exists(_.isEmpty)) return None
+      val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(f.dataType)
+      Some(bounds.flatten.reduce((a, b) =>
+        if (ord.compare(a, b) <= 0 == isMin) a else b))
+    }
+
+    val cols = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+    agg.aggregateExpressions.foreach {
+      case _: CountStar =>
+        if (entries.exists(_.rows.isEmpty)) return None
+        cols += StructField("count_star", LongType, nullable = false)
+        vals += entries.flatMap(_.liveRows).sum
+      case m: Min =>
+        val f = field(m.column).getOrElse(return None)
+        vals += extreme(f, isMin = true).getOrElse(return None)
+        cols += StructField(s"min_${f.name}", f.dataType)
+      case m: Max =>
+        val f = field(m.column).getOrElse(return None)
+        vals += extreme(f, isMin = false).getOrElse(return None)
+        cols += StructField(s"max_${f.name}", f.dataType)
+      case _ => return None
+    }
+    Some((StructType(cols.toSeq), InternalRow.fromSeq(vals.toSeq)))
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, row)) => new LakeLocalAggScan(root, schema, row)
+    case None =>
+      new LakeScan(spark, root, meta, delegate.build().asInstanceOf[ParquetScan], options,
+        dvDelegate.map(b => (b.build().asInstanceOf[ParquetScan], dvEntries)),
+        cleanEntries, pushedData, prunedSchema)
+  }
+}
+
+/** The metadata-only aggregate result as a [[LocalScan]]: Spark plans it
+  * as a driver-local table scan (LocalTableScanExec) — no executors, no
+  * file reads, no shuffle. One row, computed above from the manifest.
+  */
+class LakeLocalAggScan(root: String, schema: StructType, row: InternalRow)
+  extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = Array(row)
+  override def description(): String = s"graft-lake metadata-aggregate $root"
 }
 
 class LakeScan(
@@ -83,15 +214,66 @@ class LakeScan(
     meta: LakeTable.TableMeta,
     delegate: ParquetScan,
     options: CaseInsensitiveStringMap,
-    dvSide: Option[(ParquetScan, Seq[LakeTable.Entry])] = None)
-  extends Scan {
+    dvSide: Option[(ParquetScan, Seq[LakeTable.Entry])] = None,
+    cleanEntries: Seq[LakeTable.Entry] = Nil,
+    pushedData: Seq[Expression] = Nil,
+    prunedSchema: Option[StructType] = None)
+  extends Scan
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = delegate.readSchema()
 
+  // swapped by filter() when a runtime predicate prunes the entry list;
+  // BatchScanExec re-calls toBatch after filter(), picking this up
+  @volatile private var runtimeDelegate: ParquetScan = delegate
+
+  /** Runtime (execution-time) file skipping — the DSv2 dynamic-pruning
+    * contract: Spark's PartitionPruning rule sees these attributes and,
+    * for a broadcast equi-join keyed on one of them with a selective
+    * filter on the other side, feeds the build side's ACTUAL key values
+    * back into [[filter]] before the scan runs. Unlike Hive-style DPP
+    * this is not limited to the partition column: the manifest prunes
+    * whole FILES on stats ranges and Bloom sidecars too, so a join key
+    * that is merely sort-clustered or Bloom-covered skips data the
+    * static planner could never prove dead. At 100 TB this is the
+    * difference between scanning the fact table and scanning the rows
+    * the dimension filter actually selects.
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    (Seq(meta.partitionCol) ++ meta.statsCols ++ meta.bloomCols).distinct
+      // only columns surviving column pruning: Spark RESOLVES these
+      // against the scan's output and throws on a miss (a join key is
+      // always in the output, so this loses no pruning opportunity)
+      .filter(n => readSchema().fields.exists(_.name.equalsIgnoreCase(n)))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val exprs = predicates.toSeq.flatMap(LakeScan.toCatalyst(meta.schema, _))
+    if (exprs.isEmpty) return
+    val kept = new LakeFileIndex(spark, root, meta, cleanEntries).pruneEntries(exprs)
+    LakeScan.lastRuntimePrune.put(root, (kept.size, cleanEntries.size))
+    if (kept.size < cleanEntries.size) {
+      // re-plan over the surviving entries, replaying the ORIGINAL
+      // pushdown state so the rebuilt scan is shape-identical (same
+      // pushed filters, same pruned read schema) — only the file list
+      // shrank. DV'd entries are left unfiltered (conservative; their
+      // scan re-applies every predicate above anyway).
+      val b = ParquetScanBuilder(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        new LakeFileIndex(spark, root, meta, kept),
+        GraftLake.nullable(meta.schema), GraftLake.nullable(meta.schema), options)
+      b.pushFilters(pushedData)
+      prunedSchema.foreach(b.pruneColumns)
+      runtimeDelegate = b.build().asInstanceOf[ParquetScan]
+    }
+  }
+
   override def toBatch: Batch = dvSide match {
-    case None => delegate.toBatch
+    case None => runtimeDelegate.toBatch
     case Some((dvScan, dvEntries)) =>
-      new DvBatch(delegate.toBatch, dvScan, dvEntries, root,
+      new DvBatch(runtimeDelegate.toBatch, dvScan, dvEntries, root,
         new SerializableConfiguration(spark.sessionState.newHadoopConf()))
   }
 
@@ -117,6 +299,55 @@ class LakeScan(
       startingVersion = Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
       skipChangeCommits = options.getBoolean("skipChangeCommits", false),
       maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+  }
+}
+
+private[graft] object LakeScan {
+
+  /** (kept, total) clean entries after the LAST runtime filter on a
+    * root — the probe a skipping pin reads (DPP effects are otherwise
+    * invisible to the SQL face; scan metrics expose file counts but not
+    * the runtime-vs-static split).
+    */
+  val lastRuntimePrune = new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  /** A runtime V2 predicate → the catalyst conjunct [[LakeFileIndex]]
+    * prunes with. Spark's runtime filters arrive as `IN(col, v...)` (the
+    * broadcast side's collected key values) or `=`; anything else is
+    * ignored (no pruning — correctness never depends on it, the join
+    * still filters).
+    */
+  private[lake] def toCatalyst(
+      schema: StructType,
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate): Option[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In}
+    import org.apache.spark.sql.connector.expressions.{
+      NamedReference, Expression => V2Expression, Literal => V2Literal}
+    def attr(e: V2Expression): Option[AttributeReference] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        schema.fields.find(_.name.equalsIgnoreCase(r.fieldNames()(0)))
+          .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+      case _ => None
+    }
+    def lit(e: V2Expression): Option[Literal] = e match {
+      case l: V2Literal[_] => Some(Literal(l.value, l.dataType))
+      case _ => None
+    }
+    p.name match {
+      case "IN" => p.children().toSeq match {
+        case r +: rest if rest.nonEmpty =>
+          val lits = rest.map(lit)
+          if (lits.exists(_.isEmpty)) None
+          else attr(r).map(a => In(a, lits.flatten.toSeq))
+        case _ => None
+      }
+      case "=" => p.children().toSeq match {
+        case Seq(r, l: V2Literal[_]) => attr(r).map(a => EqualTo(a, Literal(l.value, l.dataType)))
+        case Seq(l: V2Literal[_], r) => attr(r).map(a => EqualTo(a, Literal(l.value, l.dataType)))
+        case _ => None
+      }
+      case _ => None
+    }
   }
 }
 

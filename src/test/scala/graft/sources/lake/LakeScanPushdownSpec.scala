@@ -1,0 +1,154 @@
+package graft.sources.lake
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.LakeTable
+
+/** The scan-layer pushdowns past filters/columns: metadata-only
+  * aggregates (complete DSv2 aggregate pushdown answered from the
+  * manifest — COUNT(*)/MIN/MAX plan as a driver-local row, zero files
+  * read) and runtime V2 filtering (a broadcast join's actual key values
+  * re-prune the manifest at execution time — dynamic pruning
+  * generalized to stats-range and Bloom file skipping). Pins: the
+  * pushed plans' shape (LocalTableScan vs BatchScan), value correctness
+  * against recomputation, every refusal case (filters, unsupported
+  * functions, GROUP BY, deletion vectors, uncovered columns), and that
+  * runtime pruning never drops a matched row.
+  */
+class LakeScanPushdownSpec extends SparkSpec {
+
+  private def freshRoot(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    s"${d.getAbsolutePath}/tbl"
+  }
+
+  /** Executed-plan string after running the frame. */
+  private def ranPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def assertMetadataOnly(df: DataFrame): Unit = {
+    val plan = ranPlan(df)
+    assert(plan.contains("LocalTableScan"), s"expected LocalTableScan:\n$plan")
+    assert(!plan.contains("BatchScan"), s"expected no file scan:\n$plan")
+  }
+
+  private def assertScans(df: DataFrame): Unit = {
+    val plan = ranPlan(df)
+    assert(plan.contains("BatchScan"), s"expected a real file scan:\n$plan")
+  }
+
+  test("metadata aggregates: COUNT/MIN/MAX answered from the manifest alone") {
+    val root = freshRoot("graft-aggpush")
+    val lt = s"graft.`$root`"
+    spark.sql(s"CREATE TABLE $lt (k BIGINT, p STRING, price DOUBLE, ts TIMESTAMP) " +
+      "PARTITIONED BY (p) TBLPROPERTIES (statsCols 'k,price,ts')")
+    // three commits, nulls inside files (min/max ignore them, like SQL)
+    spark.sql(s"INSERT INTO $lt SELECT id, cast(id % 3 as string), " +
+      "CASE WHEN id % 7 = 0 THEN NULL ELSE id * 1.5 END, " +
+      "timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,CAST(id AS INT),0) " +
+      "FROM range(90)")
+    spark.sql(s"INSERT INTO $lt VALUES (-5, 'x', 0.25, timestamp'2023-12-31 23:59:59.123456')")
+    spark.sql(s"INSERT INTO $lt VALUES (1000, NULL, 9999.75, timestamp'2025-01-01 00:00:00')")
+
+    val agg = spark.sql(
+      s"SELECT count(*) AS c, min(k) AS mnk, max(k) AS mxk, min(price) AS mnp, " +
+        s"max(price) AS mxp, min(ts) AS mnt, max(ts) AS mxt FROM $lt")
+    assertMetadataOnly(agg)
+    val r = agg.head
+    assert(r.getLong(0) === 92)
+    assert(r.getLong(1) === -5L && r.getLong(2) === 1000L)
+    assert(r.getDouble(3) === 0.25 && r.getDouble(4) === 9999.75)
+    assert(r.getTimestamp(5).toString === "2023-12-31 23:59:59.123456")
+    assert(r.getTimestamp(6).toString === "2025-01-01 00:00:00.0")
+
+    // DataFrame face pushes identically
+    assertMetadataOnly(spark.table(lt).agg(count(lit(1)), min("k"), max("price")))
+
+    // time travel answers from THAT version's manifest
+    val v1 = spark.sql(s"SELECT count(*) AS c, max(k) AS m FROM $lt VERSION AS OF 2")
+    assertMetadataOnly(v1)
+    assert(v1.head.getLong(0) === 90 && v1.head.getLong(1) === 89)
+
+    // empty table: count 0, min/max NULL, still metadata-only
+    val root2 = freshRoot("graft-aggpush-empty")
+    spark.sql(s"CREATE TABLE graft.`$root2` (k BIGINT, p STRING) PARTITIONED BY (p) " +
+      "TBLPROPERTIES (statsCols 'k')")
+    val empty = spark.sql(s"SELECT count(*) AS c, min(k) AS mn FROM graft.`$root2`")
+    assertMetadataOnly(empty)
+    assert(empty.head.getLong(0) === 0L && empty.head.isNullAt(1))
+  }
+
+  test("metadata aggregates refuse: filters, GROUP BY, other functions, uncovered columns") {
+    val root = freshRoot("graft-aggpush-ref")
+    val lt = s"graft.`$root`"
+    spark.sql(s"CREATE TABLE $lt (k BIGINT, p STRING, v BIGINT) PARTITIONED BY (p) " +
+      "TBLPROPERTIES (statsCols 'k')")
+    spark.sql(s"INSERT INTO $lt SELECT id, cast(id % 3 as string), id * 10 FROM range(60)")
+
+    // a WHERE clause cannot be honored from metadata — real scan, right answer
+    val filtered = spark.sql(s"SELECT count(*) AS c, min(k) AS mn FROM $lt WHERE k >= 30")
+    assertScans(filtered)
+    assert(filtered.head.getLong(0) === 30 && filtered.head.getLong(1) === 30)
+
+    // GROUP BY, SUM, and a column without stats all scan
+    assertScans(spark.sql(s"SELECT p, count(*) AS c FROM $lt GROUP BY p"))
+    assertScans(spark.sql(s"SELECT sum(k) AS s FROM $lt"))
+    val mv = spark.sql(s"SELECT min(v) AS mn FROM $lt")
+    assertScans(mv)
+    assert(mv.head.getLong(0) === 0L)
+  }
+
+  test("deletion vectors: COUNT stays metadata-only (live rows), MIN/MAX scans") {
+    val root = freshRoot("graft-aggpush-dv")
+    val lt = s"graft.`$root`"
+    spark.sql(s"CREATE TABLE $lt (k BIGINT, p STRING) PARTITIONED BY (p) " +
+      "TBLPROPERTIES (statsCols 'k', deleteMode 'mor')")
+    spark.sql(s"INSERT INTO $lt SELECT id, cast(id % 2 as string) FROM range(40)")
+    spark.sql(s"DELETE FROM $lt WHERE k < 10")
+    assert(LakeTable.snapshot(spark, root).entries.exists(_.dv.isDefined),
+      "the mor delete must have recorded a deletion vector")
+
+    val cnt = spark.sql(s"SELECT count(*) AS c FROM $lt")
+    assertMetadataOnly(cnt)
+    assert(cnt.head.getLong(0) === 30)
+
+    // the recorded min (0) is a DELETED row — metadata would lie; scan
+    val mn = spark.sql(s"SELECT min(k) AS mn FROM $lt")
+    assertScans(mn)
+    assert(mn.head.getLong(0) === 10L)
+  }
+
+  test("runtime V2 filtering: broadcast-join key values skip files at execution") {
+    val root = freshRoot("graft-runtime")
+    val lt = s"graft.`$root`"
+    spark.sql(s"CREATE TABLE $lt (k BIGINT, p STRING, v BIGINT) PARTITIONED BY (p) " +
+      "TBLPROPERTIES (statsCols 'k', bloomCols 'k')")
+    spark.sql(s"INSERT INTO $lt SELECT id, cast(id % 2 as string), id * 3 FROM range(2000)")
+    // cluster on k: many small files, each a tight k-range
+    spark.sql(s"CALL graft.system.optimize(table => '$root', min_files => 1, " +
+      "max_records_per_file => 100, sort_cols => 'k')")
+    val total = LakeTable.snapshot(spark, root).entries.size
+    assert(total > 10, s"need many files for a meaningful skip, got $total")
+
+    // dim filtered on a NON-key attribute (so no static filter is
+    // inferable on k — only the runtime filter can prune)
+    spark.range(2000).select(col("id").as("fk"),
+        concat(lit("n"), col("id")).as("nm"))
+      .createOrReplaceTempView("rt_dim")
+    LakeScan.lastRuntimePrune.remove(root)
+    val q = spark.sql(s"SELECT t.k, t.v FROM $lt t JOIN rt_dim d ON t.k = d.fk " +
+      "WHERE d.nm IN ('n42', 'n1951')")
+    val rows = q.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.toSeq === Seq((42L, 126L), (1951L, 5853L)))
+    val prune = Option(LakeScan.lastRuntimePrune.get(root))
+    assert(prune.exists { case (kept, tot) => tot == total && kept < tot && kept >= 1 },
+      s"runtime filter must have pruned the listing, got $prune of $total")
+  }
+}
