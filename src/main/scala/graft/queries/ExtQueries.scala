@@ -1083,9 +1083,13 @@ object ExtQueries {
       s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_custkey, o_orderstatus, " +
         "CAST(o_totalprice AS DOUBLE) FROM q165_orders")
       // cluster on the join key: several files per partition, each a
-      // tight o_custkey slice, so an IN-probe prunes by stats range
+      // tight o_custkey slice, so an IN-probe prunes by stats range.
+      // File size scales with the input (~24 files at any SF) — a fixed
+      // size would leave one file per partition at small SF and nothing
+      // to skip
+      val rowsPerFile = math.max(50L, s.table("q165_orders").count() / 24)
       s.sql(s"CALL graft.system.optimize(table => '$root', min_files => 1, " +
-        "max_records_per_file => 700, sort_cols => 'o_custkey')")
+        s"max_records_per_file => $rowsPerFile, sort_cols => 'o_custkey')")
       graft.sources.lake.LakeScan.lastRuntimePrune.remove(root)
       val q = s.sql("SELECT o.o_orderstatus, count(*) AS cnt, " +
         "CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
@@ -1096,6 +1100,61 @@ object ExtQueries {
       val prune = Option(graft.sources.lake.LakeScan.lastRuntimePrune.get(root))
       require(prune.exists { case (kept, total) => total > 1 && kept < total },
         s"q165: the runtime filter must skip files, got $prune")
+      q
+    },
+
+    // Storage-partitioned join: two lake tables identity-partitioned on
+    // the join key report KeyGroupedPartitioning and plan one task per
+    // partition value — the fact-fact join AND the same-key aggregate
+    // above it run with ZERO exchanges (the engine pins no Exchange in
+    // the executed plan and that a SortMergeJoin ran). The per-status
+    // delta rollup then hash-checks alignment: a misgrouped task joins
+    // rows of different partitions and drops matches, shifting cents.
+    "q166_storage_partitioned_join" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q166_$tag"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q166_orders")
+      val (la, lb) = (s"graft.`$stage/a`", s"graft.`$stage/b`")
+      for (lt <- Seq(la, lb))
+        s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)")
+      s.sql(s"INSERT INTO $la SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q166_orders")
+      s.sql(s"INSERT INTO $lb SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) * 2 FROM q166_orders")
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val old = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val body = "SELECT a.o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(round((b.o_totalprice - a.o_totalprice) * 100) AS BIGINT)) " +
+        "AS BIGINT) AS cents " +
+        s"FROM $la a JOIN $lb b " +
+        "ON a.o_orderstatus = b.o_orderstatus AND a.o_orderkey = b.o_orderkey " +
+        "GROUP BY a.o_orderstatus"
+      val q =
+        try {
+          // the pin runs WITHOUT the final ORDER BY (a global sort
+          // legitimately range-shuffles its 3-row input; the claim is
+          // about the join and the same-key aggregate)
+          val pin = s.sql(body)
+          pin.collect()
+          val plan = pin.queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange"),
+            s"q166: the storage-partitioned join must plan zero shuffles, got\n$plan")
+          require(plan.contains("SortMergeJoin"),
+            s"q166: expected a sort-merge join over key-grouped scans, got\n$plan")
+          s.sql(s"$body ORDER BY a.o_orderstatus")
+        } finally old.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
       q
     },
 
@@ -2466,6 +2525,13 @@ object ExtQueries {
         |       min(o_orderdate) AS mn_date, max(o_orderdate) AS mx_date
         |FROM t WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |ORDER BY src""".stripMargin,
+    // the co-partitioned join delta collapses to the price itself
+    // (b = 2*price exactly in doubles, so b - a = price bit-for-bit).
+    "q166_storage_partitioned_join" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the runtime-pruned join re-derived relationally.
     "q165_runtime_file_skip" ->
       """SELECT o.o_orderstatus, count(*) AS cnt,

@@ -191,9 +191,19 @@ class LakeScanBuilder(
   override def build(): Scan = pushedAgg match {
     case Some((schema, row)) => new LakeLocalAggScan(root, schema, row)
     case None =>
+      // storage-partitioned-join eligibility, decided at build time:
+      // identity partitioning (a transform key would need the
+      // FunctionCatalog machinery to resolve on the join side), no
+      // deletion vectors (the DV side plans separately), and the user
+      // opted into Spark's v2 bucketing (the same gate Iceberg uses —
+      // keyed planning trades split granularity for co-partitioning,
+      // which is only a win when a join exploits it)
+      val spj = spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean &&
+        meta.partitionFn == graft.operators.PartitionFn.Identity &&
+        dvEntries.isEmpty && cleanEntries.nonEmpty
       new LakeScan(spark, root, meta, delegate.build().asInstanceOf[ParquetScan], options,
         dvDelegate.map(b => (b.build().asInstanceOf[ParquetScan], dvEntries)),
-        cleanEntries, pushedData, prunedSchema)
+        cleanEntries, pushedData, prunedSchema, spj)
   }
 }
 
@@ -208,6 +218,20 @@ class LakeLocalAggScan(root: String, schema: StructType, row: InternalRow)
   override def description(): String = s"graft-lake metadata-aggregate $root"
 }
 
+/** A [[FilePartition]] whose files all carry one partition value — the
+  * [[org.apache.spark.sql.connector.read.HasPartitionKey]] unit Spark's
+  * key-grouped (storage-partitioned) join planning consumes. The
+  * delegate's file-granular reader factory reads it unchanged.
+  */
+private[lake] class KeyedFilePartition(
+    index: Int,
+    files: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: InternalRow)
+  extends org.apache.spark.sql.execution.datasources.FilePartition(index, files)
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
 class LakeScan(
     spark: SparkSession,
     root: String,
@@ -217,15 +241,74 @@ class LakeScan(
     dvSide: Option[(ParquetScan, Seq[LakeTable.Entry])] = None,
     cleanEntries: Seq[LakeTable.Entry] = Nil,
     pushedData: Seq[Expression] = Nil,
-    prunedSchema: Option[StructType] = None)
+    prunedSchema: Option[StructType] = None,
+    spj: Boolean = false)
   extends Scan
-  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   override def readSchema(): StructType = delegate.readSchema()
 
   // swapped by filter() when a runtime predicate prunes the entry list;
   // BatchScanExec re-calls toBatch after filter(), picking this up
   @volatile private var runtimeDelegate: ParquetScan = delegate
+
+  /** Storage-partitioned joins: report the manifest's identity
+    * partitioning as a [[KeyGroupedPartitioning]], and plan each task
+    * over files of exactly ONE partition value ([[HasPartitionKey]]).
+    * Two lake tables partitioned on the join key then join with NO
+    * shuffle on either side (Spark aligns the key-grouped partitions
+    * and sorts within tasks) — at 100 TB the exchange this deletes is
+    * the dominant cost of a fact-fact join, and a following aggregate
+    * on the same key reuses the partitioning too. Iceberg semantics:
+    * gated by `spark.sql.sources.v2.bucketing.enabled`; join keys that
+    * properly contain the partition key additionally need
+    * `spark.sql.requireAllClusterKeysForCoPartition=false`, and
+    * mismatched partition-value sets need
+    * `spark.sql.sources.v2.bucketing.pushPartValues.enabled`.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (spj)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity(
+          meta.partitionCol)),
+        cleanEntries.map(_.part).distinct.size)
+    else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+
+  /** The delegate's planned splits regrouped so each task covers one
+    * partition value, keyed by that value cast back to the column type
+    * (identity rendering round-trips; the null sentinel keys a null).
+    * The delegate's OWN planning (pushed filters, split sizing) is
+    * reused verbatim — splits of one value merge into one task.
+    */
+  private def keyedBatch(b: Batch): Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      import graft.operators.Dv
+      val partOf: Map[String, String] =
+        cleanEntries.map(e => Dv.suffixKey(e.rel) -> e.part).toMap
+      val dt = meta.schema.fields
+        .find(_.name.equalsIgnoreCase(meta.partitionCol)).get.dataType
+      val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
+      def keyRow(part: String): InternalRow = InternalRow(
+        if (part == LakeTable.NullPartition) null
+        else Cast(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(part),
+          org.apache.spark.sql.types.StringType), dt, zone).eval(null))
+      val files = b.planInputPartitions().flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp.files
+        case other => throw new IllegalStateException(
+          s"graft-lake SPJ: unexpected input partition ${other.getClass}")
+      }
+      files.groupBy { f =>
+        partOf.getOrElse(Dv.suffixKey(Dv.decodeUrlPath(f.filePath.toString)),
+          throw new IllegalStateException(
+            s"graft-lake SPJ: planned file ${f.filePath} not in the manifest"))
+      }.toSeq.zipWithIndex.map { case ((part, fs), i) =>
+        new KeyedFilePartition(i, fs.toArray, keyRow(part))
+      }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory = b.createReaderFactory()
+  }
 
   /** Runtime (execution-time) file skipping — the DSv2 dynamic-pruning
     * contract: Spark's PartitionPruning rule sees these attributes and,
@@ -271,7 +354,8 @@ class LakeScan(
   }
 
   override def toBatch: Batch = dvSide match {
-    case None => runtimeDelegate.toBatch
+    case None =>
+      if (spj) keyedBatch(runtimeDelegate.toBatch) else runtimeDelegate.toBatch
     case Some((dvScan, dvEntries)) =>
       new DvBatch(runtimeDelegate.toBatch, dvScan, dvEntries, root,
         new SerializableConfiguration(spark.sessionState.newHadoopConf()))

@@ -125,6 +125,55 @@ class LakeScanPushdownSpec extends SparkSpec {
     assert(mn.head.getLong(0) === 10L)
   }
 
+  /** Set session confs for the block, restoring previous values. */
+  private def withConfs(kv: (String, String)*)(body: => Unit): Unit = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("storage-partitioned join: co-partitioned lake tables join with zero shuffles") {
+    val rootA = freshRoot("graft-spj-a")
+    val rootB = freshRoot("graft-spj-b")
+    spark.sql(s"CREATE TABLE graft.`$rootA` (k BIGINT, p BIGINT, v BIGINT) PARTITIONED BY (p)")
+    spark.sql(s"CREATE TABLE graft.`$rootB` (k BIGINT, p BIGINT, v BIGINT) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO graft.`$rootA` SELECT id, id % 7, id * 10 FROM range(3000)")
+    spark.sql(s"INSERT INTO graft.`$rootB` SELECT id, id % 7, id * 100 FROM range(2000)")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // no ORDER BY: a global sort legitimately range-shuffles; the pin
+      // is about the join + same-key aggregate
+      val q = spark.sql(
+        s"SELECT a.p, count(*) AS c, sum(a.v + b.v) AS s FROM graft.`$rootA` a " +
+          s"JOIN graft.`$rootB` b ON a.p = b.p AND a.k = b.k GROUP BY a.p")
+      val rows = q.collect()
+      // correctness: a 1:1 join on k for k < 2000, grouped by k % 7
+      val expected = (0L until 2000L).groupBy(_ % 7).toSeq.sortBy(_._1)
+        .map { case (p, ks) => (p, ks.size.toLong, ks.map(k => k * 110).sum) }
+      assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq === expected)
+      // the whole plan — join AND the following same-key aggregate —
+      // runs on the reported key-grouped partitioning: zero exchanges
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"SPJ must remove every shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    }
+    // without the conf the same query plans shuffles (the gate works)
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val q2 = spark.sql(
+        s"SELECT a.p, count(*) AS c FROM graft.`$rootA` a " +
+          s"JOIN graft.`$rootB` b ON a.p = b.p AND a.k = b.k GROUP BY a.p")
+      q2.collect()
+      assert(q2.queryExecution.executedPlan.toString.contains("Exchange"))
+    }
+  }
+
   test("runtime V2 filtering: broadcast-join key values skip files at execution") {
     val root = freshRoot("graft-runtime")
     val lt = s"graft.`$root`"
