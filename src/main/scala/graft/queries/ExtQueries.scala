@@ -1103,6 +1103,42 @@ object ExtQueries {
       q
     },
 
+    // Partition profile from metadata: COUNT/MIN/MAX GROUPED BY the
+    // partition column answered from the manifest alone — the "how big
+    // is each partition" operational query plans as driver-local rows
+    // (pinned LocalTableScan, no file scan). The rollup hash-checks the
+    // per-partition counts and key extremes against the relational
+    // model, so a stale row count or a mis-reduced group stat shifts a
+    // value.
+    "q167_partition_profile" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q167_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q167_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey,o_totalprice')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q167_orders")
+      // a second commit so groups span entries
+      s.sql(s"INSERT INTO $lt VALUES (3000000000, 'F', 100.5)")
+      val q = s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        "min(o_orderkey) AS mn_key, max(o_orderkey) AS mx_key, " +
+        s"max(o_totalprice) AS mx_price FROM $lt " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("LocalTableScan"),
+        s"q167: the grouped aggregate must be metadata-only, got\n$plan")
+      require(!plan.contains("BatchScan"),
+        s"q167: the grouped aggregate must not scan files, got\n$plan")
+      q
+    },
+
     // Storage-partitioned join: two lake tables identity-partitioned on
     // the join key report KeyGroupedPartitioning and plan one task per
     // partition value — the fact-fact join AND the same-key aggregate
@@ -2525,6 +2561,16 @@ object ExtQueries {
         |       min(o_orderdate) AS mn_date, max(o_orderdate) AS mx_date
         |FROM t WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |ORDER BY src""".stripMargin,
+    // the per-partition profile re-derived relationally (plus the
+    // second commit's extra F row).
+    "q167_partition_profile" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus,
+        |                  CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM orders
+        |           UNION ALL SELECT 3000000000, 'F', 100.5)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       min(o_orderkey) AS mn_key, max(o_orderkey) AS mx_key,
+        |       max(o_totalprice) AS mx_price
+        |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the co-partitioned join delta collapses to the price itself
     // (b = 2*price exactly in doubles, so b - a = price bit-for-bit).
     "q166_storage_partitioned_join" ->

@@ -89,7 +89,7 @@ class LakeScanBuilder(
 
   // ---- metadata-only aggregate pushdown -------------------------------
 
-  private var pushedAgg: Option[(StructType, InternalRow)] = None
+  private var pushedAgg: Option[(StructType, Seq[InternalRow])] = None
 
   override def supportCompletePushDown(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -101,11 +101,12 @@ class LakeScanBuilder(
     pushedAgg.isDefined
   }
 
-  /** A global COUNT(*) / MIN / MAX answered from the MANIFEST alone —
-    * `SELECT count(*), min(k), max(k) FROM t` plans as a driver-local
-    * row, ZERO files read, at any table size (the 100 TB shape of
-    * "how many rows do I have"). Sound only in exactly these cases,
-    * None (= scan normally) otherwise:
+  /** COUNT(*) / MIN / MAX — global or GROUPED BY the identity partition
+    * column — answered from the MANIFEST alone: `SELECT count(*) FROM t`
+    * and `SELECT p, count(*), max(k) FROM t GROUP BY p` plan as
+    * driver-local rows, ZERO files read, at any table size (the 100 TB
+    * shape of "how many rows per partition"). Sound only in exactly
+    * these cases, None (= scan normally) otherwise:
     *
     *   - COUNT(*): every entry's row count is recorded; deletion
     *     vectors subtract exactly (liveRows = rows - dvCardinality).
@@ -117,19 +118,24 @@ class LakeScanBuilder(
     *     (the whitelist below; stats are typed min/max rendered with
     *     cast-to-string, which round-trips for these types). SQL
     *     MIN/MAX ignore nulls, exactly like per-file typed min/max.
+    *   - GROUP BY: exactly the partition column under IDENTITY
+    *     partitioning (files carry one value each, so per-partition
+    *     groups are unions of whole entries; the null sentinel IS the
+    *     SQL null group). Transform partitioning refuses — the source
+    *     column does not group by partition value.
     *
     * Any pushed filter refuses (the filter would have to be re-applied
     * to metadata; Spark only attempts aggregate pushdown under a fully
-    * consumed filter set, this guard makes the soundness local), as
-    * does GROUP BY. Complete pushdown: the returned row is final.
+    * consumed filter set, this guard makes the soundness local).
+    * Complete pushdown: the returned rows are final.
     */
   private def metadataAggregate(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, InternalRow)] = {
+      : Option[(StructType, Seq[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, CountStar, Max, Min}
     import org.apache.spark.sql.types._
-    if (sawFilters || agg.groupByExpressions.nonEmpty) return None
+    if (sawFilters) return None
     val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
 
     def field(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
@@ -149,13 +155,31 @@ class LakeScanBuilder(
         StringType), dt, zone).eval(null)
       Option(v)
     }
-    /** Some(value or null) = answerable; None = refuse pushdown. */
-    def extreme(f: StructField, isMin: Boolean): Option[Any] = {
+
+    // grouping: none (one global group) or exactly the identity
+    // partition column
+    val groupField: Option[StructField] = agg.groupByExpressions.toSeq match {
+      case Seq() => None
+      case Seq(e) => field(e) match {
+        // no floating key: -0.0 and 0.0 are DISTINCT partition dirs but
+        // ONE SQL group (Spark normalizes -0.0 in grouping), so the
+        // directory-per-value model would emit two rows for one group
+        case Some(f) if f.name.equalsIgnoreCase(meta.partitionCol) &&
+            meta.partitionFn == graft.operators.PartitionFn.Identity &&
+            exact(f.dataType) &&
+            f.dataType != FloatType && f.dataType != DoubleType => Some(f)
+        case _ => return None
+      }
+      case _ => return None
+    }
+
+    /** Some(value or null) = answerable over `es`; None = refuse. */
+    def extreme(f: StructField, isMin: Boolean, es: Seq[LakeTable.Entry]): Option[Any] = {
       val idx = meta.statsCols.indexWhere(_.equalsIgnoreCase(f.name))
       if (idx < 0 || !exact(f.dataType)) return None
-      if (entries.exists(_.dv.isDefined)) return None
-      if (entries.isEmpty) return Some(null)
-      val bounds = entries.map { e =>
+      if (es.exists(_.dv.isDefined)) return None
+      if (es.isEmpty) return Some(null)
+      val bounds = es.map { e =>
         e.stats.lift(idx) match {
           case Some((Some(mn), Some(mx))) => typed(f.dataType, if (isMin) mn else mx)
           case _ => None
@@ -165,31 +189,45 @@ class LakeScanBuilder(
       val ord = org.apache.spark.sql.catalyst.util.TypeUtils
         .getInterpretedOrdering(f.dataType)
       Some(bounds.flatten.reduce((a, b) =>
-        if (ord.compare(a, b) <= 0 == isMin) a else b))
+        if ((ord.compare(a, b) <= 0) == isMin) a else b))
+    }
+    def value(op: AggregateFunc, es: Seq[LakeTable.Entry]): Option[Any] = op match {
+      case _: CountStar =>
+        if (es.exists(_.rows.isEmpty)) None else Some(es.flatMap(_.liveRows).sum)
+      case m: Min => field(m.column).flatMap(extreme(_, isMin = true, es))
+      case m: Max => field(m.column).flatMap(extreme(_, isMin = false, es))
+      case _ => None
     }
 
-    val cols = scala.collection.mutable.ArrayBuffer.empty[StructField]
-    val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
-    agg.aggregateExpressions.foreach {
-      case _: CountStar =>
-        if (entries.exists(_.rows.isEmpty)) return None
-        cols += StructField("count_star", LongType, nullable = false)
-        vals += entries.flatMap(_.liveRows).sum
-      case m: Min =>
-        val f = field(m.column).getOrElse(return None)
-        vals += extreme(f, isMin = true).getOrElse(return None)
-        cols += StructField(s"min_${f.name}", f.dataType)
-      case m: Max =>
-        val f = field(m.column).getOrElse(return None)
-        vals += extreme(f, isMin = false).getOrElse(return None)
-        cols += StructField(s"max_${f.name}", f.dataType)
-      case _ => return None
+    val cols = groupField.toSeq.map(f => StructField(f.name, f.dataType)) ++
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => StructField("count_star", LongType, nullable = false)
+        case m: Min =>
+          val f = field(m.column).getOrElse(return None)
+          StructField(s"min_${f.name}", f.dataType)
+        case m: Max =>
+          val f = field(m.column).getOrElse(return None)
+          StructField(s"max_${f.name}", f.dataType)
+        case _ => return None
+      }
+    val groups: Seq[(Seq[Any], Seq[LakeTable.Entry])] = groupField match {
+      case None => Seq((Nil, entries))
+      case Some(f) => entries.groupBy(_.part).toSeq.map { case (p, es) =>
+        val key =
+          if (p == LakeTable.NullPartition) null
+          else typed(f.dataType, p).getOrElse(return None)
+        (Seq(key), es)
+      }
     }
-    Some((StructType(cols.toSeq), InternalRow.fromSeq(vals.toSeq)))
+    val rows = groups.map { case (key, es) =>
+      val vals = agg.aggregateExpressions.toSeq.map(op => value(op, es).getOrElse(return None))
+      InternalRow.fromSeq(key ++ vals)
+    }
+    Some((StructType(cols), rows))
   }
 
   override def build(): Scan = pushedAgg match {
-    case Some((schema, row)) => new LakeLocalAggScan(root, schema, row)
+    case Some((schema, rows)) => new LakeLocalAggScan(root, schema, rows)
     case None =>
       // storage-partitioned-join eligibility, decided at build time:
       // identity partitioning (a transform key would need the
@@ -209,12 +247,13 @@ class LakeScanBuilder(
 
 /** The metadata-only aggregate result as a [[LocalScan]]: Spark plans it
   * as a driver-local table scan (LocalTableScanExec) — no executors, no
-  * file reads, no shuffle. One row, computed above from the manifest.
+  * file reads, no shuffle. One row per group, computed above from the
+  * manifest.
   */
-class LakeLocalAggScan(root: String, schema: StructType, row: InternalRow)
+class LakeLocalAggScan(root: String, schema: StructType, groupRows: Seq[InternalRow])
   extends org.apache.spark.sql.connector.read.LocalScan {
   override def readSchema(): StructType = schema
-  override def rows(): Array[InternalRow] = Array(row)
+  override def rows(): Array[InternalRow] = groupRows.toArray
   override def description(): String = s"graft-lake metadata-aggregate $root"
 }
 

@@ -85,6 +85,42 @@ class LakeScanPushdownSpec extends SparkSpec {
     assert(empty.head.getLong(0) === 0L && empty.head.isNullAt(1))
   }
 
+  test("metadata aggregates: GROUP BY the partition column, from the manifest alone") {
+    val root = freshRoot("graft-aggpush-grp")
+    val lt = s"graft.`$root`"
+    spark.sql(s"CREATE TABLE $lt (k BIGINT, p STRING, price DOUBLE) PARTITIONED BY (p) " +
+      "TBLPROPERTIES (statsCols 'k,price')")
+    spark.sql(s"INSERT INTO $lt SELECT id, " +
+      "CASE WHEN id % 11 = 10 THEN NULL ELSE cast(id % 3 as string) END, id * 0.5 " +
+      "FROM range(90)")
+    spark.sql(s"INSERT INTO $lt VALUES (900, '1', 450.0)")
+
+    val q = spark.sql(s"SELECT p, count(*) AS c, min(k) AS mn, max(k) AS mx, " +
+      s"max(price) AS mxp FROM $lt GROUP BY p")
+    assertMetadataOnly(q)
+    val got = q.collect().map(r => (Option(r.getString(0)),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).sortBy(_._1)
+    // recompute relationally over the raw read (bypasses the pushdown)
+    val exp = LakeTable.read(spark, root).collect()
+      .map(r => (Option(r.getAs[String]("p")), r.getAs[Long]("k"), r.getAs[Double]("price")))
+      .groupBy(_._1).toSeq
+      .map { case (p, rs) =>
+        (p, rs.length.toLong, rs.map(_._2).min, rs.map(_._2).max, rs.map(_._3).max) }
+      .sortBy(_._1)
+    assert(got.toSeq === exp.toSeq)
+    assert(got.exists(_._1.isEmpty), "the null-sentinel partition must be the SQL null group")
+
+    // grouping by anything else — or by the source column of a
+    // TRANSFORM-partitioned table — scans
+    assertScans(spark.sql(s"SELECT k % 2 AS g, count(*) AS c FROM $lt GROUP BY k % 2"))
+    val root2 = freshRoot("graft-aggpush-grp2")
+    spark.sql(s"CREATE TABLE graft.`$root2` (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (months(ts))")
+    spark.sql(s"INSERT INTO graft.`$root2` VALUES (1, timestamp'2024-01-05 00:00:00'), " +
+      "(2, timestamp'2024-02-05 00:00:00')")
+    assertScans(spark.sql(s"SELECT ts, count(*) AS c FROM graft.`$root2` GROUP BY ts"))
+  }
+
   test("metadata aggregates refuse: filters, GROUP BY, other functions, uncovered columns") {
     val root = freshRoot("graft-aggpush-ref")
     val lt = s"graft.`$root`"
@@ -97,8 +133,8 @@ class LakeScanPushdownSpec extends SparkSpec {
     assertScans(filtered)
     assert(filtered.head.getLong(0) === 30 && filtered.head.getLong(1) === 30)
 
-    // GROUP BY, SUM, and a column without stats all scan
-    assertScans(spark.sql(s"SELECT p, count(*) AS c FROM $lt GROUP BY p"))
+    // GROUP BY a non-partition column, SUM, and a stats-less column scan
+    assertScans(spark.sql(s"SELECT v, count(*) AS c FROM $lt GROUP BY v"))
     assertScans(spark.sql(s"SELECT sum(k) AS s FROM $lt"))
     val mv = spark.sql(s"SELECT min(v) AS mn FROM $lt")
     assertScans(mv)
