@@ -1194,6 +1194,60 @@ object ExtQueries {
       q
     },
 
+    // Bucket storage-partitioned join: both tables PARTITIONED BY
+    // (bucket(16, o_custkey)) — the catalog's V2 bucket function
+    // (FunctionCatalog) resolves the transform on both sides, so the
+    // key-grouped join AND the same-key aggregate plan with ZERO
+    // exchanges at ANY key cardinality (identity partitioning cannot
+    // bucket 10^9 keys; this is the Iceberg bucketed-fact shape). The
+    // per-customer delta rollup hash-checks bucket routing end-to-end:
+    // a row hashed into different buckets on the two sides loses its
+    // match and drops a customer's cents.
+    "q168_bucket_spj" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q168_$tag"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q168_orders")
+      val (la, lb) = (s"graft.`$stage/a`", s"graft.`$stage/b`")
+      for (lt <- Seq(la, lb))
+        s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_custkey BIGINT, " +
+          "o_totalprice DOUBLE) PARTITIONED BY (bucket(16, o_custkey))")
+      s.sql(s"INSERT INTO $la SELECT o_orderkey, o_custkey, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q168_orders")
+      s.sql(s"INSERT INTO $lb SELECT o_orderkey, o_custkey, " +
+        "CAST(o_totalprice AS DOUBLE) * 2 FROM q168_orders")
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val old = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val body = "SELECT a.o_custkey, count(*) AS cnt, " +
+        "CAST(sum(CAST(round((b.o_totalprice - a.o_totalprice) * 100) AS BIGINT)) " +
+        "AS BIGINT) AS cents " +
+        s"FROM $la a JOIN $lb b " +
+        "ON a.o_custkey = b.o_custkey AND a.o_orderkey = b.o_orderkey " +
+        "GROUP BY a.o_custkey"
+      val q =
+        try {
+          val pin = s.sql(body)
+          pin.collect()
+          val plan = pin.queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange"),
+            s"q168: the bucket SPJ must plan zero shuffles, got\n$plan")
+          require(plan.contains("SortMergeJoin"),
+            s"q168: expected a sort-merge join over key-grouped scans, got\n$plan")
+          s.sql(s"$body ORDER BY a.o_custkey")
+        } finally old.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      q
+    },
+
     // Merge-on-read UPDATE (deleteMode=mor): the SQL UPDATE tombstones
     // matched positions and appends updated copies in ONE commit — the
     // engine asserts inline that every original file is still present
@@ -2561,6 +2615,13 @@ object ExtQueries {
         |       min(o_orderdate) AS mn_date, max(o_orderdate) AS mx_date
         |FROM t WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |ORDER BY src""".stripMargin,
+    // the bucketed join delta collapses to the price itself (b = 2*price
+    // exactly in doubles, so b - a = price bit-for-bit).
+    "q168_bucket_spj" ->
+      """SELECT o_custkey, count(*) AS cnt,
+        |       CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // the per-partition profile re-derived relationally (plus the
     // second commit's extra F row).
     "q167_partition_profile" ->

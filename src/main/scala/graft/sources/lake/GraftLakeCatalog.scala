@@ -63,7 +63,8 @@ import graft.operators.LakeTable
   * (commit time = the manifest file's modification time — the same
   * convention Delta uses).
   */
-class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
+  with FunctionCatalog {
 
   private var catalogName: String = "graft"
   private var initWarehouse: Option[String] = None
@@ -125,6 +126,27 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       procedures.keys.toSeq.sorted.map(Identifier.of(Array("system"), _)).toArray
     else Array.empty
+
+  // ---- V2 catalog functions (FunctionCatalog) -------------------------
+  // Partition-transform resolution loads these at the ROOT namespace
+  // (V2ExpressionUtils probes `loadFunction(Identifier.of([], name))`
+  // when a scan reports a transform partitioning); the SQL face reaches
+  // them as `graft.system.<fn>(...)`.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftFunctions.all.keys.toSeq.sorted.map(Identifier.of(namespace, _)).toArray
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    val known = ident.namespace.isEmpty || ident.namespace.sameElements(Array("system"))
+    if (known) GraftFunctions.all.get(ident.name.toLowerCase(java.util.Locale.ROOT)) match {
+      case Some(f) => return f
+      case None => ()
+    }
+    throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+  }
 
   /** Table root for an identifier: absolute-path names address a table
     * root directly; everything else lives under the warehouse.

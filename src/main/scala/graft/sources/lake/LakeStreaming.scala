@@ -230,15 +230,19 @@ class LakeScanBuilder(
     case Some((schema, rows)) => new LakeLocalAggScan(root, schema, rows)
     case None =>
       // storage-partitioned-join eligibility, decided at build time:
-      // identity partitioning (a transform key would need the
-      // FunctionCatalog machinery to resolve on the join side), no
-      // deletion vectors (the DV side plans separately), and the user
-      // opted into Spark's v2 bucketing (the same gate Iceberg uses —
-      // keyed planning trades split granularity for co-partitioning,
-      // which is only a win when a join exploits it)
+      // identity or bucket partitioning (bucket resolves through the
+      // catalog's V2 `bucket` function — GraftFunctions; the temporal
+      // transforms are for pruning, not join keys), no deletion vectors
+      // (the DV side plans separately), and the user opted into Spark's
+      // v2 bucketing (the same gate Iceberg uses — keyed planning
+      // trades split granularity for co-partitioning, which is only a
+      // win when a join exploits it)
+      val spjFn = graft.operators.PartitionFn.parse(meta.partitionFn)._1 match {
+        case "identity" | "bucket" => true
+        case _ => false
+      }
       val spj = spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean &&
-        meta.partitionFn == graft.operators.PartitionFn.Identity &&
-        dvEntries.isEmpty && cleanEntries.nonEmpty
+        spjFn && dvEntries.isEmpty && cleanEntries.nonEmpty
       new LakeScan(spark, root, meta, delegate.build().asInstanceOf[ParquetScan], options,
         dvDelegate.map(b => (b.build().asInstanceOf[ParquetScan], dvEntries)),
         cleanEntries, pushedData, prunedSchema, spj)
@@ -308,12 +312,15 @@ class LakeScan(
     */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (spj)
+    if (spj) {
+      import org.apache.spark.sql.connector.expressions.Expressions
+      val key = graft.operators.PartitionFn.parse(meta.partitionFn) match {
+        case ("bucket", n) => Expressions.bucket(n, meta.partitionCol)
+        case _ => Expressions.identity(meta.partitionCol)
+      }
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        Array(org.apache.spark.sql.connector.expressions.Expressions.identity(
-          meta.partitionCol)),
-        cleanEntries.map(_.part).distinct.size)
-    else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+        Array(key), cleanEntries.map(_.part).distinct.size)
+    } else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
   /** The delegate's planned splits regrouped so each task covers one
     * partition value, keyed by that value cast back to the column type
@@ -326,11 +333,16 @@ class LakeScan(
       import graft.operators.Dv
       val partOf: Map[String, String] =
         cleanEntries.map(e => Dv.suffixKey(e.rel) -> e.part).toMap
+      // key type: the COLUMN's type under identity, the transform's
+      // result type (Int bucket id) under bucket — must match what the
+      // resolved TransformExpression/attribute declares
+      val bucketed = graft.operators.PartitionFn.parse(meta.partitionFn)._1 == "bucket"
       val dt = meta.schema.fields
         .find(_.name.equalsIgnoreCase(meta.partitionCol)).get.dataType
       val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
       def keyRow(part: String): InternalRow = InternalRow(
         if (part == LakeTable.NullPartition) null
+        else if (bucketed) part.toInt
         else Cast(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(part),
           org.apache.spark.sql.types.StringType), dt, zone).eval(null))
       val files = b.planInputPartitions().flatMap {

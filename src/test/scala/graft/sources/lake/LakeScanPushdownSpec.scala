@@ -210,6 +210,38 @@ class LakeScanPushdownSpec extends SparkSpec {
     }
   }
 
+  test("storage-partitioned join on BUCKET partitioning via the catalog bucket function") {
+    val rootA = freshRoot("graft-spjb-a")
+    val rootB = freshRoot("graft-spjb-b")
+    for (r <- Seq(rootA, rootB))
+      spark.sql(s"CREATE TABLE graft.`$r` (u STRING, v BIGINT) PARTITIONED BY (bucket(8, u))")
+    spark.sql(s"INSERT INTO graft.`$rootA` SELECT concat('u', id), id FROM range(1000)")
+    spark.sql(s"INSERT INTO graft.`$rootB` SELECT concat('u', id), id * 2 FROM range(600)")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // group by the join key: bucket(8, u) clusters by u, so the
+      // aggregate rides the key-grouped partitioning too — zero
+      // exchanges in the WHOLE plan
+      val q = spark.sql(s"SELECT a.u, sum(a.v + b.v) AS s FROM graft.`$rootA` a " +
+        s"JOIN graft.`$rootB` b ON a.u = b.u GROUP BY a.u")
+      val rows = q.collect()
+      assert(rows.length === 600)
+      assert(rows.map(_.getLong(1)).sum === (0L until 600L).map(_ * 3).sum)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucket SPJ must remove the join shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    }
+    // the catalog bucket function is SQL-callable and write-consistent
+    val parts = LakeTable.snapshot(spark, rootA).entries.map(_.part).toSet
+    val b7 = spark.sql("SELECT graft.system.bucket(8, 'u7')").head.getInt(0)
+    assert(parts.contains(b7.toString))
+    assert(spark.sql("SELECT graft.system.bucket(8, CAST(NULL AS STRING))").head.isNullAt(0))
+  }
+
   test("runtime V2 filtering: broadcast-join key values skip files at execution") {
     val root = freshRoot("graft-runtime")
     val lt = s"graft.`$root`"
