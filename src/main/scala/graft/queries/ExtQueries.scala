@@ -1194,6 +1194,39 @@ object ExtQueries {
       q
     },
 
+    // Metadata tables: `t.__partitions` exposes the manifest's
+    // per-partition row accounting through plain SQL, planned as
+    // driver-local rows (pinned LocalTableScan — zero data files opened
+    // at any table size). After a merge-on-read DELETE the table's
+    // rows/live_rows split is exactly total vs surviving — both
+    // hash-checked against the relational model (a stale row count or
+    // an unsubtracted deletion vector shifts a cell).
+    "q169_partitions_meta" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q169_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q169_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (deleteMode 'mor')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q169_orders")
+      s.sql(s"DELETE FROM $lt WHERE o_orderkey % 5 = 2") // DVs, files untouched
+      val files = s.sql(s"SELECT * FROM $lt.`__files`")
+      files.collect()
+      val plan = files.queryExecution.executedPlan.toString
+      require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+        s"q169: metadata tables must plan driver-local, got\n$plan")
+      require(s.sql(s"SELECT count(*) c FROM $lt.`__files` WHERE dv_cardinality > 0")
+        .head.getLong(0) >= 1, "q169: the mor delete must have recorded vectors")
+      s.sql("SELECT partition AS o_orderstatus, `rows` AS total_rows, " +
+        s"live_rows FROM $lt.`__partitions` ORDER BY partition")
+    },
+
     // Bucket storage-partitioned join: both tables PARTITIONED BY
     // (bucket(16, o_custkey)) — the catalog's V2 bucket function
     // (FunctionCatalog) resolves the transform on both sides, so the
@@ -2615,6 +2648,12 @@ object ExtQueries {
         |       min(o_orderdate) AS mn_date, max(o_orderdate) AS mx_date
         |FROM t WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |ORDER BY src""".stripMargin,
+    // per-partition total vs post-delete survivors, straight off orders.
+    "q169_partitions_meta" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS total_rows,
+        |       CAST(sum(CASE WHEN o_orderkey % 5 = 2 THEN 0 ELSE 1 END) AS BIGINT)
+        |         AS live_rows
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the bucketed join delta collapses to the price itself (b = 2*price
     // exactly in doubles, so b - a = price bit-for-bit).
     "q168_bucket_spj" ->

@@ -171,6 +171,18 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
       if (snap.version > 0)
         return new GraftLakeChangesTable(s"$base.__changes", baseRoot, snap)
     }
+    // `<table>.__files` / `<table>.__partitions` — manifest inspection
+    // as derived READ-ONLY tables (the Iceberg metadata-table pattern):
+    // both plan as driver-local rows straight from the snapshot, zero
+    // data files opened, at any table size.
+    if ((ident.name == "__files" || ident.name == "__partitions") && ident.namespace.nonEmpty) {
+      val base = Identifier.of(ident.namespace.init, ident.namespace.last)
+      val baseRoot = rootOf(base)
+      val snap = LakeTable.snapshot(spark, baseRoot)
+      if (snap.version > 0)
+        return new GraftLakeMetaTable(s"$base.${ident.name}", baseRoot, snap,
+          filesFace = ident.name == "__files")
+    }
     val root = rootOf(ident)
     val snap = LakeTable.snapshot(spark, root)
     if (snap.version == 0) throw new NoSuchTableException(ident)
@@ -562,6 +574,77 @@ class GraftLakeChangesTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeChangesScanBuilder(spark, root, meta, options)
+}
+
+/** The derived `<table>.__files` and `<table>.__partitions` metadata
+  * tables: manifest inspection through plain SQL, planned as
+  * driver-local rows ([[LakeLocalAggScan]] — LocalTableScanExec, zero
+  * data files opened at any table size). Snapshot-pinned at load.
+  */
+class GraftLakeMetaTable(
+    tableName: String,
+    val root: String,
+    snap: LakeTable.Snapshot,
+    filesFace: Boolean)
+  extends Table
+  with SupportsRead {
+
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val meta: LakeTable.TableMeta = snap.meta.get
+
+  override def name(): String = tableName
+
+  override def schema(): StructType =
+    if (filesFace) StructType(Seq(
+      StructField("partition", StringType),
+      StructField("file", StringType, nullable = false),
+      StructField("rows", LongType),
+      StructField("live_rows", LongType),
+      StructField("bytes", LongType),
+      StructField("dv_cardinality", LongType, nullable = false),
+      StructField("stats", StringType)))
+    else StructType(Seq(
+      StructField("partition", StringType),
+      StructField("files", LongType, nullable = false),
+      StructField("rows", LongType),
+      StructField("live_rows", LongType),
+      StructField("bytes", LongType)))
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  private def partVal(p: String): UTF8String =
+    if (p == LakeTable.NullPartition) null else UTF8String.fromString(p)
+
+  // exact-or-null: a legacy entry without the cell nulls the whole sum
+  // rather than under-reporting
+  private def sumOpt(xs: Seq[Option[Long]]): Any =
+    if (xs.exists(_.isEmpty)) null else xs.flatten.sum
+
+  private def rows(): Seq[org.apache.spark.sql.catalyst.InternalRow] =
+    if (filesFace) snap.entries.map { e =>
+      val stats = meta.statsCols.zip(e.stats).collect {
+        case (c, (Some(mn), Some(mx))) => s"$c=[$mn..$mx]"
+      }.mkString(";")
+      org.apache.spark.sql.catalyst.InternalRow(
+        partVal(e.part), UTF8String.fromString(e.rel),
+        e.rows.map(Long.box).orNull, e.liveRows.map(Long.box).orNull,
+        e.bytes.map(Long.box).orNull, e.dv.fold(0L)(_.card),
+        if (stats.isEmpty) null else UTF8String.fromString(stats))
+    }
+    else snap.entries.groupBy(_.part).toSeq.map { case (p, es) =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        partVal(p), es.size.toLong,
+        sumOpt(es.map(_.rows)), sumOpt(es.map(_.liveRows)), sumOpt(es.map(_.bytes)))
+    }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new LakeLocalAggScan(root, schema(), rows())
+    }
 }
 
 /** INSERT INTO / INSERT OVERWRITE as transactional manifest commits via

@@ -242,6 +242,37 @@ class LakeScanPushdownSpec extends SparkSpec {
     assert(spark.sql("SELECT graft.system.bucket(8, CAST(NULL AS STRING))").head.isNullAt(0))
   }
 
+  test("__files and __partitions metadata tables: manifest inspection, driver-local") {
+    val d = java.nio.file.Files.createTempDirectory("graft-meta-cat").toString
+    spark.conf.set("spark.sql.catalog.graft.warehouse", d)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.mt (k BIGINT, p STRING) PARTITIONED BY (p) " +
+      "TBLPROPERTIES (statsCols 'k', deleteMode 'mor')")
+    spark.sql("INSERT INTO graft.db.mt SELECT id, cast(id % 2 as string) FROM range(40)")
+    spark.sql("INSERT INTO graft.db.mt VALUES (100, NULL)")
+    spark.sql("DELETE FROM graft.db.mt WHERE k < 6") // DV commit
+
+    val files = spark.sql("SELECT * FROM graft.db.mt.__files")
+    assertMetadataOnly(files)
+    val fr = files.collect()
+    assert(fr.map(_.getLong(2)).sum === 41, "rows must sum over all files")
+    assert(fr.map(_.getLong(3)).sum === 35, "live_rows must subtract DV cardinalities")
+    assert(fr.map(_.getLong(5)).sum === 6, "dv_cardinality must total the deleted positions")
+    assert(fr.exists(_.isNullAt(0)), "the null partition shows as SQL NULL")
+    assert(fr.forall(_.getString(1).nonEmpty) && fr.forall(_.getLong(4) > 0))
+    assert(fr.forall(r => r.getString(6).startsWith("k=[")), "stats cells render")
+
+    val parts = spark.sql(
+      "SELECT partition, files, live_rows FROM graft.db.mt.__partitions ORDER BY partition")
+    assertMetadataOnly(parts)
+    val pr = parts.collect()
+    assert(pr.length === 3)
+    assert(pr.map(_.getLong(2)).sum === 35)
+    // the SQL face composes: joins/filters over the metadata rows work
+    assert(spark.sql("SELECT count(*) c FROM graft.db.mt.__files WHERE dv_cardinality > 0")
+      .head.getLong(0) >= 1)
+  }
+
   test("runtime V2 filtering: broadcast-join key values skip files at execution") {
     val root = freshRoot("graft-runtime")
     val lt = s"graft.`$root`"
