@@ -288,9 +288,72 @@ class LakeScan(
     spj: Boolean = false)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = delegate.readSchema()
+
+  /** Plan-time statistics from the MANIFEST, and filter-aware: the
+    * pushed conjuncts prune the entry list exactly as the listing will,
+    * so a `WHERE month = X` join side is costed at its post-prune size —
+    * the static broadcast/join-reorder decision sees the truth without
+    * waiting for AQE's runtime numbers. Missing cells degrade to
+    * "unknown" (Spark substitutes its conservative default), never to
+    * an under-estimate: an under-reported fact table would be
+    * broadcast. Column min/max from the stats cells feed CBO.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val all = cleanEntries ++ dvSide.map(_._2).getOrElse(Nil)
+    val kept =
+      if (pushedData.isEmpty || all.isEmpty) all
+      else new LakeFileIndex(spark, root, meta, all).pruneEntries(pushedData)
+    val bytes = if (kept.exists(_.bytes.isEmpty)) None else Some(kept.flatMap(_.bytes).sum)
+    val rows = if (kept.exists(_.rows.isEmpty)) None else Some(kept.flatMap(_.liveRows).sum)
+    val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val colStats: Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        ColumnStatistics] =
+      meta.statsCols.zipWithIndex.flatMap { case (c, i) =>
+        meta.schema.fields.find(_.name.equalsIgnoreCase(c)).flatMap { f =>
+          val cells = kept.map(_.stats.lift(i))
+          if (kept.isEmpty || cells.exists(x => !x.exists(p => p._1.isDefined && p._2.isDefined)))
+            None
+          else {
+            def v(s: String): Option[Any] = Option(Cast(Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s),
+              org.apache.spark.sql.types.StringType), f.dataType, zone).eval(null))
+            val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+              .getInterpretedOrdering(f.dataType)
+            val mins = cells.map(x => v(x.get._1.get))
+            val maxs = cells.map(x => v(x.get._2.get))
+            if (mins.exists(_.isEmpty) || maxs.exists(_.isEmpty)) None
+            else Some(
+              org.apache.spark.sql.connector.expressions.Expressions.column(f.name) ->
+                new ColumnStatistics {
+                  override def min(): java.util.Optional[Object] = java.util.Optional.of(
+                    mins.flatten.reduce((a, b) => if (ord.compare(a, b) <= 0) a else b)
+                      .asInstanceOf[Object])
+                  override def max(): java.util.Optional[Object] = java.util.Optional.of(
+                    maxs.flatten.reduce((a, b) => if (ord.compare(a, b) >= 0) a else b)
+                      .asInstanceOf[Object])
+                })
+          }
+        }
+      }.toMap
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        bytes.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
+        colStats.foreach { case (k, s) => m.put(k, s) }
+        m
+      }
+    }
+  }
 
   // swapped by filter() when a runtime predicate prunes the entry list;
   // BatchScanExec re-calls toBatch after filter(), picking this up

@@ -242,6 +242,44 @@ class LakeScanPushdownSpec extends SparkSpec {
     assert(spark.sql("SELECT graft.system.bucket(8, CAST(NULL AS STRING))").head.isNullAt(0))
   }
 
+  test("manifest plan-time statistics: exact sizes, filter-aware, static broadcast") {
+    val root = freshRoot("graft-stats")
+    val lt = s"graft.`$root`"
+    spark.sql(s"CREATE TABLE $lt (k BIGINT, p STRING, v BIGINT) PARTITIONED BY (p) " +
+      "TBLPROPERTIES (statsCols 'k')")
+    spark.sql(s"INSERT INTO $lt SELECT id, cast(id % 3 as string), id FROM range(300)")
+
+    val full = spark.table(lt).queryExecution.optimizedPlan.stats
+    val manifestBytes = LakeTable.snapshot(spark, root).entries.flatMap(_.bytes).sum
+    assert(full.sizeInBytes === BigInt(manifestBytes),
+      s"plan stats must be the manifest's exact byte count, got ${full.sizeInBytes}")
+    assert(full.rowCount.contains(BigInt(300)))
+
+    // filter-aware: a partition predicate prunes the costed size
+    val filtered = spark.table(lt).where(col("p") === "1")
+      .queryExecution.optimizedPlan.stats
+    assert(filtered.sizeInBytes < full.sizeInBytes,
+      s"pushed filters must shrink plan-time size: $filtered vs $full")
+
+    // the static planner broadcasts from manifest stats alone (AQE off)
+    withConfs("spark.sql.adaptive.enabled" -> "false") {
+      spark.range(300000).select(col("id").as("k"), (col("id") * 2).as("w"))
+        .createOrReplaceTempView("stats_big")
+      val j = spark.sql(s"SELECT sum(b.w) s FROM $lt l JOIN stats_big b ON l.k = b.k")
+      assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        s"static plan must broadcast the small lake side:\n${j.queryExecution.executedPlan}")
+    }
+
+    // column min/max reach catalyst under CBO
+    withConfs("spark.sql.cbo.enabled" -> "true") {
+      val attrStats = spark.table(lt).where(col("k") >= 0)
+        .queryExecution.optimizedPlan.stats.attributeStats
+      val kStats = attrStats.find(_._1.name == "k").map(_._2)
+      assert(kStats.exists(s => s.min.contains(0L) && s.max.contains(299L)),
+        s"manifest min/max must reach CBO column stats, got $kStats")
+    }
+  }
+
   test("__files and __partitions metadata tables: manifest inspection, driver-local") {
     val d = java.nio.file.Files.createTempDirectory("graft-meta-cat").toString
     spark.conf.set("spark.sql.catalog.graft.warehouse", d)
