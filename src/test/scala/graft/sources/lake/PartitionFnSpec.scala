@@ -189,6 +189,64 @@ class PartitionFnSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) c FROM graft.db.pfst").head.getLong(0) === 30)
   }
 
+  test("randomized write/plan agreement: column() == apply() over bulk values") {
+    val rnd = new scala.util.Random(20260815)
+
+    // dates: ±82 years around the epoch as epoch-day ints
+    val days = (Seq.fill(300)(rnd.between(-30000, 40000)) ++ Seq(0, -1, 1)).distinct
+    val dDf = spark.createDataFrame(days.map(Tuple1(_))).toDF("d")
+      .select(col("d"), date_add(to_date(lit("1970-01-01")), col("d").cast("int")).as("dt"))
+    for (fn <- Seq("days", "months")) {
+      val got = dDf.select(col("d"),
+        PartitionFn.column(fn, col("dt"), DateType).as("p")).collect()
+      got.foreach(r => assert(r.getString(1) === PartitionFn(fn, DateType, r.getInt(0)),
+        s"$fn(date) disagrees at epoch-day ${r.getInt(0)}"))
+    }
+
+    // timestamps: ±60 years as epoch micros (incl. pre-epoch floors)
+    val micros = (Seq.fill(300)(rnd.between(-1900000000000000L, 1900000000000000L)) ++
+      Seq(0L, -1L, -999999L, 86399999999L)).distinct
+    val tDf = spark.createDataFrame(micros.map(Tuple1(_))).toDF("us")
+      .select(col("us"), timestamp_micros(col("us")).as("ts"))
+    for (fn <- Seq("days", "months", "hours")) {
+      val got = tDf.select(col("us"),
+        PartitionFn.column(fn, col("ts"), TimestampType).as("p")).collect()
+      got.foreach(r => assert(r.getString(1) === PartitionFn(fn, TimestampType, r.getLong(0)),
+        s"$fn(ts) disagrees at micros ${r.getLong(0)}"))
+    }
+
+    // strings: bucket + truncate (unicode, empty, shorter-than-width)
+    val strs = (Seq.fill(300)(rnd.alphanumeric.take(rnd.between(0, 12)).mkString) ++
+      Seq("", "é€漢", "ab")).distinct
+    val sDf = spark.createDataFrame(strs.map(Tuple1(_))).toDF("s")
+    for (fn <- Seq("bucket:7", "bucket:64", "truncate:3")) {
+      val got = sDf.select(col("s"),
+        PartitionFn.column(fn, col("s"), StringType).as("p")).collect()
+      got.foreach(r => assert(
+        r.getString(1) === PartitionFn(fn, StringType, UTF8String.fromString(r.getString(0))),
+        s"$fn(string) disagrees at '${r.getString(0)}'"))
+    }
+
+    // longs: bucket across the full signed range; integral truncate
+    // clear of the bottom width (flooring within `width` of MinValue is
+    // unrepresentable — ANSI overflow on the write path, inherent)
+    val longs = (Seq.fill(300)(rnd.nextLong()) ++
+      Seq(0L, -1L, Long.MaxValue, Long.MinValue + 1)).distinct
+    val bDf = spark.createDataFrame(longs.map(Tuple1(_))).toDF("n")
+    val got = bDf.select(col("n"),
+      PartitionFn.column("bucket:16", col("n"), LongType).as("p")).collect()
+    got.foreach(r => assert(r.getString(1) === PartitionFn("bucket:16", LongType, r.getLong(0)),
+      s"bucket(long) disagrees at ${r.getLong(0)}"))
+    val safe = longs.filter(_ > Long.MinValue + 2000000000L)
+    val lDf = spark.createDataFrame(safe.map(Tuple1(_))).toDF("n")
+    for (fn <- Seq("truncate:25", "truncate:1000000007")) {
+      val g = lDf.select(col("n"),
+        PartitionFn.column(fn, col("n"), LongType).as("p")).collect()
+      g.foreach(r => assert(r.getString(1) === PartitionFn(fn, LongType, r.getLong(0)),
+        s"$fn(long) disagrees at ${r.getLong(0)}"))
+    }
+  }
+
   test("write/plan agreement across every transform (value sweep)") {
     val date = java.time.LocalDate.of(2023, 11, 7).toEpochDay.toInt
     val micros = java.time.Instant.parse("2023-11-07T22:15:00Z").toEpochMilli * 1000L
