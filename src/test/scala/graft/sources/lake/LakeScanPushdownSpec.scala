@@ -210,6 +210,36 @@ class LakeScanPushdownSpec extends SparkSpec {
     }
   }
 
+  test("SPJ composes with static pruning and MISMATCHED partition-value sets") {
+    val rootA = freshRoot("graft-spjm-a")
+    val rootB = freshRoot("graft-spjm-b")
+    spark.sql(s"CREATE TABLE graft.`$rootA` (k BIGINT, p BIGINT, v BIGINT) PARTITIONED BY (p)")
+    spark.sql(s"CREATE TABLE graft.`$rootB` (k BIGINT, p BIGINT, v BIGINT) PARTITIONED BY (p)")
+    // A has partitions 0..6, B only 0..4 — pushPartValues must align the
+    // differing sets (missing partitions join empty, not wrong)
+    spark.sql(s"INSERT INTO graft.`$rootA` SELECT id, id % 7, id FROM range(1400)")
+    spark.sql(s"INSERT INTO graft.`$rootB` SELECT id, id % 5, id * 10 FROM range(1400)")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val q = spark.sql(
+        s"SELECT count(*) AS c, sum(b.v) AS s FROM graft.`$rootA` a " +
+          s"JOIN graft.`$rootB` b ON a.p = b.p AND a.k = b.k WHERE a.p >= 2")
+      val r = q.collect().head
+      // matches: k with k%7 == k%5 (>= 2): k mod 35 in {2,3,4} (+0,1 excluded)
+      val ks = (0L until 1400L).filter(k => k % 7 == k % 5 && k % 7 >= 2)
+      assert(r.getLong(0) === ks.size.toLong && r.getLong(1) === ks.map(_ * 10).sum)
+      // the join itself is exchange-free; the only exchange is the
+      // global aggregate's SinglePartition gather
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.replace("Exchange SinglePartition", "").contains("Exchange"),
+        s"only the global-agg gather may shuffle:\n$plan")
+    }
+  }
+
   test("storage-partitioned join on BUCKET partitioning via the catalog bucket function") {
     val rootA = freshRoot("graft-spjb-a")
     val rootB = freshRoot("graft-spjb-b")
