@@ -341,6 +341,28 @@ class LakeScanPushdownSpec extends SparkSpec {
       .head.getLong(0) >= 1)
   }
 
+  test("runtime filtering composes with key-grouped (SPJ) planning on one scan") {
+    val root = freshRoot("graft-spj-rt")
+    val lt = s"graft.`$root`"
+    spark.sql(s"CREATE TABLE $lt (u STRING, v BIGINT) PARTITIONED BY (bucket(8, u)) " +
+      "TBLPROPERTIES (bloomCols 'u')")
+    spark.sql(s"INSERT INTO $lt SELECT concat('u', id), id FROM range(1000)")
+    spark.range(1000).select(concat(lit("u"), col("id")).as("fk"),
+      concat(lit("n"), col("id")).as("nm")).createOrReplaceTempView("spjrt_dim")
+    // v2 bucketing ON (the scan reports KeyGroupedPartitioning) while a
+    // BROADCAST join fires DPP-style runtime filters into the same scan
+    // — BatchScanExec's key-grouped runtime-filter branch must not trip
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true") {
+      LakeScan.lastRuntimePrune.remove(root)
+      val q = spark.sql(s"SELECT t.u, t.v FROM $lt t JOIN spjrt_dim d ON t.u = d.fk " +
+        "WHERE d.nm = 'n37'")
+      val rows = q.collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("u37", 37L)))
+    }
+  }
+
   test("runtime V2 filtering: broadcast-join key values skip files at execution") {
     val root = freshRoot("graft-runtime")
     val lt = s"graft.`$root`"
