@@ -1329,10 +1329,19 @@ object LakeTable {
     */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
+    historyRows(spark, root).toDF("version", "files", "rows",
+      "files_added", "rows_added", "files_removed", "rows_removed")
+  }
+
+  /** The history rows themselves — shared by [[history]] and the
+    * catalog's `t.__history` metadata table (driver-local either way).
+    */
+  private[graft] def historyRows(spark: SparkSession, root: String)
+      : Seq[(Long, Long, Option[Long], Long, Option[Long], Long, Option[Long])] = {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.history: no committed snapshot at $root")
     val perV = (1L to s0.version).map(v => v -> readManifest(spark, root, v)._2)
-    val rows = perV.map { case (v, entries) =>
+    perV.map { case (v, entries) =>
       val prev = if (v == 1) Nil else perV(v.toInt - 2)._2
       val prevByRel = prev.map(e => e.rel -> e).toMap
       val curRels = entries.map(_.rel).toSet
@@ -1344,8 +1353,6 @@ object LakeTable {
         added.size.toLong, rowSum(added),
         removed.size.toLong, rowSum(removed))
     }
-    rows.toDF("version", "files", "rows",
-      "files_added", "rows_added", "files_removed", "rows_removed")
   }
 
   /** Metadata-only COUNT(*): the snapshot's per-file row counts summed —

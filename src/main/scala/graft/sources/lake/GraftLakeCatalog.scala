@@ -175,13 +175,14 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
     // as derived READ-ONLY tables (the Iceberg metadata-table pattern):
     // both plan as driver-local rows straight from the snapshot, zero
     // data files opened, at any table size.
-    if ((ident.name == "__files" || ident.name == "__partitions") && ident.namespace.nonEmpty) {
+    if (Seq("__files", "__partitions", "__history").contains(ident.name) &&
+        ident.namespace.nonEmpty) {
       val base = Identifier.of(ident.namespace.init, ident.namespace.last)
       val baseRoot = rootOf(base)
       val snap = LakeTable.snapshot(spark, baseRoot)
       if (snap.version > 0)
         return new GraftLakeMetaTable(s"$base.${ident.name}", baseRoot, snap,
-          filesFace = ident.name == "__files")
+          face = ident.name.stripPrefix("__"))
     }
     val root = rootOf(ident)
     val snap = LakeTable.snapshot(spark, root)
@@ -585,7 +586,7 @@ class GraftLakeMetaTable(
     tableName: String,
     val root: String,
     snap: LakeTable.Snapshot,
-    filesFace: Boolean)
+    face: String) // "files" | "partitions" | "history"
   extends Table
   with SupportsRead {
 
@@ -597,7 +598,15 @@ class GraftLakeMetaTable(
   override def name(): String = tableName
 
   override def schema(): StructType =
-    if (filesFace) StructType(Seq(
+    if (face == "history") StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("files", LongType, nullable = false),
+      StructField("rows", LongType),
+      StructField("files_added", LongType, nullable = false),
+      StructField("rows_added", LongType),
+      StructField("files_removed", LongType, nullable = false),
+      StructField("rows_removed", LongType)))
+    else if (face == "files") StructType(Seq(
       StructField("partition", StringType),
       StructField("file", StringType, nullable = false),
       StructField("rows", LongType),
@@ -624,7 +633,14 @@ class GraftLakeMetaTable(
     if (xs.exists(_.isEmpty)) null else xs.flatten.sum
 
   private def rows(): Seq[org.apache.spark.sql.catalyst.InternalRow] =
-    if (filesFace) snap.entries.map { e =>
+    if (face == "history")
+      LakeTable.historyRows(SparkSession.active, root).map {
+        case (v, files, rws, fa, ra, fr, rr) =>
+          org.apache.spark.sql.catalyst.InternalRow(
+            v, files, rws.map(Long.box).orNull, fa, ra.map(Long.box).orNull,
+            fr, rr.map(Long.box).orNull)
+      }
+    else if (face == "files") snap.entries.map { e =>
       val stats = meta.statsCols.zip(e.stats).collect {
         case (c, (Some(mn), Some(mx))) => s"$c=[$mn..$mx]"
       }.mkString(";")

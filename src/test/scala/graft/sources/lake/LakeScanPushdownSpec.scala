@@ -339,6 +339,20 @@ class LakeScanPushdownSpec extends SparkSpec {
     // the SQL face composes: joins/filters over the metadata rows work
     assert(spark.sql("SELECT count(*) c FROM graft.db.mt.__files WHERE dv_cardinality > 0")
       .head.getLong(0) >= 1)
+
+    // __history: one row per version, deltas vs the previous one; the
+    // mor delete keeps the file set (DV only) but drops live rows
+    val hist = spark.sql("SELECT * FROM graft.db.mt.__history ORDER BY version")
+    assertMetadataOnly(hist)
+    val hr = hist.collect()
+    assert(hr.length === 4, "CREATE + 2 inserts + delete = 4 versions")
+    assert(hr.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(hr(1).getLong(2) === 40 && hr(2).getLong(2) === 41)
+    assert(hr(3).getLong(2) === 35, "the DV commit's live rows drop")
+    assert(hr(3).getLong(3) === 0 && hr(3).getLong(5) === 0,
+      "a mor delete adds and removes NO files")
+    assert(hist.schema.fieldNames.toSeq === Seq("version", "files", "rows",
+      "files_added", "rows_added", "files_removed", "rows_removed"))
   }
 
   test("runtime filtering composes with key-grouped (SPJ) planning on one scan") {
