@@ -1340,9 +1340,15 @@ object LakeTable {
       : Seq[(Long, Long, Option[Long], Long, Option[Long], Long, Option[Long])] = {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.history: no committed snapshot at $root")
-    val perV = (1L to s0.version).map(v => v -> readManifest(spark, root, v)._2)
-    perV.map { case (v, entries) =>
-      val prev = if (v == 1) Nil else perV(v.toInt - 2)._2
+    // a vacuumed version's entry SEGMENTS may be reclaimed while its
+    // manifest doc survives — such versions are unreadable by contract
+    // (readVersion refuses them too) and simply drop out of the walk;
+    // a version right after a gap diffs against the nearest readable
+    // predecessor, so its deltas honestly cover the whole gap
+    val perV = (1L to s0.version).flatMap(v =>
+      scala.util.Try(v -> readManifest(spark, root, v)._2).toOption)
+    perV.zipWithIndex.map { case ((v, entries), i) =>
+      val prev = if (i == 0) Nil else perV(i - 1)._2
       val prevByRel = prev.map(e => e.rel -> e).toMap
       val curRels = entries.map(_.rel).toSet
       val added = entries.filterNot(e => prevByRel.contains(e.rel))

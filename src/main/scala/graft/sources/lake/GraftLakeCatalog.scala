@@ -191,18 +191,33 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
   }
 
   override def loadTable(ident: Identifier, version: String): Table = {
+    // snapshot-shaped metadata tables time-travel too: "what files /
+    // partition sizes did v3 (or tag 'training_v1') have" — the audit
+    // companion of VERSION AS OF on the data (__history and __changes
+    // are version-axis tables already, so they refuse here)
+    if (Seq("__files", "__partitions").contains(ident.name) && ident.namespace.nonEmpty) {
+      val base = Identifier.of(ident.namespace.init, ident.namespace.last)
+      val baseRoot = rootOf(base)
+      if (exists(baseRoot))
+        return new GraftLakeMetaTable(s"$base.${ident.name}@v$version", baseRoot,
+          LakeTable.snapshotAt(spark, baseRoot, resolveVersion(baseRoot, version)),
+          face = ident.name.stripPrefix("__"))
+    }
     val root = rootOf(ident)
     if (!exists(root)) throw new NoSuchTableException(ident)
-    // numeric = a manifest version; otherwise a NAMED TAG (a pinned
-    // snapshot vacuum keeps alive — VERSION AS OF 'training_v1')
-    val v = scala.util.Try(version.trim.toLong).getOrElse(
+    new GraftLakeV2Table(s"$ident@v$version", root,
+      LakeTable.snapshotAt(spark, root, resolveVersion(root, version)), timeTravel = true)
+  }
+
+  /** Numeric = a manifest version; otherwise a NAMED TAG (a pinned
+    * snapshot vacuum keeps alive — VERSION AS OF 'training_v1').
+    */
+  private def resolveVersion(root: String, version: String): Long =
+    scala.util.Try(version.trim.toLong).getOrElse(
       LakeTable.resolveTag(spark, root, version.trim).getOrElse(
         throw new IllegalArgumentException(
           s"graft-lake: VERSION AS OF '$version' is neither a manifest version nor " +
             s"a tag (tags: ${LakeTable.tags(spark, root).keys.toSeq.sorted.mkString(", ")})")))
-    new GraftLakeV2Table(s"$ident@v$version", root,
-      LakeTable.snapshotAt(spark, root, v), timeTravel = true)
-  }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     // timestamp arrives in MICROseconds; commit time = the manifest's

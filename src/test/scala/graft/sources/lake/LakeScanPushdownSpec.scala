@@ -353,6 +353,40 @@ class LakeScanPushdownSpec extends SparkSpec {
       "a mor delete adds and removes NO files")
     assert(hist.schema.fieldNames.toSeq === Seq("version", "files", "rows",
       "files_added", "rows_added", "files_removed", "rows_removed"))
+
+    // snapshot-shaped metadata tables time-travel: v2's file accounting
+    // (the first insert only; no deletion vectors yet)
+    val v2 = spark.sql(
+      "SELECT sum(`rows`) r, sum(live_rows) lr FROM graft.db.mt.__files VERSION AS OF 2")
+    assertMetadataOnly(v2)
+    assert(v2.head.getLong(0) === 40 && v2.head.getLong(1) === 40)
+    assert(spark.sql(
+      "SELECT sum(live_rows) lr FROM graft.db.mt.__partitions VERSION AS OF 3")
+      .head.getLong(0) === 41)
+  }
+
+  test("__history survives vacuumed segmented versions (skips unreadable ones)") {
+    val root = freshRoot("graft-hist-vac")
+    val old = LakeTable.SegmentThreshold
+    LakeTable.SegmentThreshold = 1 // force segmented manifests at toy size
+    try {
+      val lt = s"graft.`$root`"
+      spark.sql(s"CREATE TABLE $lt (k BIGINT, p STRING) PARTITIONED BY (p)")
+      for (i <- 0 until 3)
+        spark.sql(s"INSERT INTO $lt SELECT id + ${i * 100}, cast(id % 2 as string) " +
+          "FROM range(10)")
+      // rewrite everything, then reclaim all unpinned history hard
+      spark.sql(s"DELETE FROM $lt WHERE k % 2 = 0")
+      spark.sql(s"CALL graft.system.vacuum(table => '$root', retain_hours => 0.0D, " +
+        "keep_versions => 1)")
+      val hist = spark.sql(s"SELECT version, `rows` FROM $lt.`__history` ORDER BY version")
+      val hr = hist.collect()
+      assert(hr.nonEmpty, "the readable tail of history must survive")
+      assert(hr.last.getLong(0) === 5 && hr.last.getLong(1) === 15,
+        s"the head version must report post-delete rows, got ${hr.toSeq}")
+      // the DataFrame face walks the same rows without crashing either
+      assert(LakeTable.history(spark, root).count() === hr.length.toLong)
+    } finally LakeTable.SegmentThreshold = old
   }
 
   test("runtime filtering composes with key-grouped (SPJ) planning on one scan") {
