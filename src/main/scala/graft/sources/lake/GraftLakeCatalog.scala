@@ -141,7 +141,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
     val known = ident.namespace.isEmpty || ident.namespace.sameElements(Array("system"))
-    if (known) GraftFunctions.all.get(ident.name.toLowerCase(java.util.Locale.ROOT)) match {
+    if (known) GraftFunctions.resolve(ident.name.toLowerCase(java.util.Locale.ROOT)) match {
       case Some(f) => return f
       case None => ()
     }

@@ -238,7 +238,7 @@ class LakeScanBuilder(
       // trades split granularity for co-partitioning, which is only a
       // win when a join exploits it)
       val spjFn = graft.operators.PartitionFn.parse(meta.partitionFn)._1 match {
-        case "identity" | "bucket" => true
+        case "identity" | "bucket" | "truncate" => true
         case _ => false
       }
       val spj = spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean &&
@@ -379,6 +379,11 @@ class LakeScan(
       import org.apache.spark.sql.connector.expressions.Expressions
       val key = graft.operators.PartitionFn.parse(meta.partitionFn) match {
         case ("bucket", n) => Expressions.bucket(n, meta.partitionCol)
+        // single-argument form (truncate_<w>): Spark's key-grouped
+        // partitioning rejects multi-arg transforms, so the width rides
+        // the function name (resolved by GraftFunctions.resolve)
+        case ("truncate", n) =>
+          Expressions.apply(s"truncate_$n", Expressions.column(meta.partitionCol))
         case _ => Expressions.identity(meta.partitionCol)
       }
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(

@@ -272,6 +272,44 @@ class LakeScanPushdownSpec extends SparkSpec {
     assert(spark.sql("SELECT graft.system.bucket(8, CAST(NULL AS STRING))").head.isNullAt(0))
   }
 
+  test("storage-partitioned join on TRUNCATE partitioning (string prefix + integral floor)") {
+    val spjConfs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+    // string prefix: both sides partitioned by truncate(2, u)
+    val (sa, sb) = (freshRoot("graft-spjt-sa"), freshRoot("graft-spjt-sb"))
+    for (r <- Seq(sa, sb))
+      spark.sql(s"CREATE TABLE graft.`$r` (u STRING, v BIGINT) PARTITIONED BY (truncate(2, u))")
+    spark.sql(s"INSERT INTO graft.`$sa` SELECT concat('k', id % 10, '-', id), id FROM range(800)")
+    spark.sql(s"INSERT INTO graft.`$sb` SELECT concat('k', id % 10, '-', id), id * 5 FROM range(500)")
+    withConfs(spjConfs: _*) {
+      val q = spark.sql(s"SELECT a.u, a.v + b.v AS s FROM graft.`$sa` a " +
+        s"JOIN graft.`$sb` b ON a.u = b.u")
+      assert(q.collect().length === 500)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"truncate(string) SPJ must not shuffle:\n$plan")
+    }
+
+    // integral floor: both sides partitioned by truncate(100, n)
+    val (na, nb) = (freshRoot("graft-spjt-na"), freshRoot("graft-spjt-nb"))
+    for (r <- Seq(na, nb))
+      spark.sql(s"CREATE TABLE graft.`$r` (n BIGINT, v BIGINT) PARTITIONED BY (truncate(100, n))")
+    spark.sql(s"INSERT INTO graft.`$na` SELECT id - 300, id FROM range(900)")
+    spark.sql(s"INSERT INTO graft.`$nb` SELECT id - 300, id * 7 FROM range(600)")
+    withConfs(spjConfs: _*) {
+      val q = spark.sql(s"SELECT count(*) AS c FROM graft.`$na` a " +
+        s"JOIN graft.`$nb` b ON a.n = b.n")
+      assert(q.collect().head.getLong(0) === 600)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.replace("Exchange SinglePartition", "").contains("Exchange"),
+        s"truncate(long) SPJ: only the global-agg gather may shuffle:\n$plan")
+    }
+  }
+
   test("manifest plan-time statistics: exact sizes, filter-aware, static broadcast") {
     val root = freshRoot("graft-stats")
     val lt = s"graft.`$root`"
