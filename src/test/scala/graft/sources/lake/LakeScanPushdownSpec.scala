@@ -265,11 +265,14 @@ class LakeScanPushdownSpec extends SparkSpec {
         s"bucket SPJ must remove the join shuffles:\n$plan")
       assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
     }
-    // the catalog bucket function is SQL-callable and write-consistent
+    // the catalog functions are SQL-callable and write-consistent
     val parts = LakeTable.snapshot(spark, rootA).entries.map(_.part).toSet
     val b7 = spark.sql("SELECT graft.system.bucket(8, 'u7')").head.getInt(0)
     assert(parts.contains(b7.toString))
     assert(spark.sql("SELECT graft.system.bucket(8, CAST(NULL AS STRING))").head.isNullAt(0))
+    assert(spark.sql("SELECT graft.system.truncate(3, 'abcdef')").head.getString(0) === "abc")
+    assert(spark.sql("SELECT graft.system.truncate(25, CAST(-13 AS BIGINT))")
+      .head.getLong(0) === -25L)
   }
 
   test("storage-partitioned join on TRUNCATE partitioning (string prefix + integral floor)") {
