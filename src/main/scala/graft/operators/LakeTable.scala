@@ -2922,6 +2922,16 @@ object LakeTable {
     val s0 = snapshot(spark, root)
     require(version >= 1 && version <= s0.version,
       s"LakeTable.tag: v$version is not a committed version (head is v${s0.version})")
+    // refuse to tag an already-vacuumed version: a tag only PREVENTS
+    // future reclamation, it cannot resurrect files — and snapshotAt's
+    // missing-file check is exactly the readability contract the tag
+    // promises (`VERSION AS OF 'name'` resolves through it)
+    try snapshotAt(spark, root, version)
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"LakeTable.tag: v$version at $root is not readable (vacuumed?) — " +
+          s"refusing to tag it: ${e.getMessage}")
+    }
     val dir = new Path(manifestDir(root), "refs")
     val f = fs(spark, dir)
     f.mkdirs(dir)
@@ -2994,7 +3004,17 @@ object LakeTable {
     // tagged versions are pinned LIVE regardless of age or the version
     // window — a tag is exactly a promise that its snapshot stays
     // readable (drop the tag to let retention reclaim it)
-    val pinned = tags(spark, root).values.toSet.filter(_ < floor)
+    val pinnedAll = tags(spark, root).values.toSet.filter(_ < floor)
+    // tolerate a pinned version that is no longer readable (tagged via
+    // an old code path, or its segments reclaimed by a pre-tag vacuum):
+    // there is nothing left to keep alive for it, and aborting here
+    // would wedge EVERY future vacuum until the tag is dropped
+    val pinned = pinnedAll.filter { v =>
+      val ok = scala.util.Try(readManifest(spark, root, v)).isSuccess
+      if (!ok) Console.err.println(s"LakeTable.vacuum: tagged v$v at $root is " +
+        "unreadable (already vacuumed?) — skipping its pin")
+      ok
+    }
     val liveVersions = (floor to s0.version) ++ pinned
     val live = liveVersions
       .flatMap(v => readManifest(spark, root, v)._2.map(_.rel)).toSet

@@ -89,8 +89,13 @@ private[graft] object PartitionFn {
       case ("truncate", n) =>
         dt match {
           case StringType =>
+            // Spark's substring() counts CODE POINTS, not UTF-16 units —
+            // supplementary-plane chars (surrogate pairs) must not be
+            // split or double-counted, or this face disagrees with the
+            // write path's substring(c, 1, n) and pruning goes unsound
             val s = v.toString
-            if (s.length <= n) s else s.substring(0, n)
+            if (s.codePointCount(0, s.length) <= n) s
+            else s.substring(0, s.offsetByCodePoints(0, n))
           case _ =>
             val l = v.asInstanceOf[Number].longValue()
             (l - (((l % n) + n) % n)).toString
@@ -99,13 +104,14 @@ private[graft] object PartitionFn {
   }
 
   // identity must render exactly like the write path's cast-to-string
-  // (dates/timestamps as calendar strings, not their internal integers)
-  private def renderIdentity(dt: DataType, v: Any): String = dt match {
-    case DateType => LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).format(DayFmt)
-    case TimestampType =>
-      org.apache.spark.sql.catalyst.util.DateTimeUtils
-        .microsToInstant(v.asInstanceOf[Long]).toString
-    case _ => v.toString
+  // (dates/timestamps as calendar strings, not their internal integers).
+  // Delegating to Cast itself — with the engine's pinned UTC session
+  // zone — makes three-face parity hold by construction: timestamps
+  // render "2024-01-01 00:00:00", not Instant's ISO "…T…Z" form.
+  private def renderIdentity(dt: DataType, v: Any): String = {
+    val r = org.apache.spark.sql.catalyst.expressions
+      .Cast(Literal.create(v, dt), StringType, Some("UTC")).eval(null)
+    if (r == null) null else r.toString
   }
 
   private def localDateTime(dt: DataType, v: Any): LocalDateTime = dt match {

@@ -158,13 +158,18 @@ private[lake] object GraftLakeProcedures {
           val s0 = LakeTable.snapshot(spark(), root)
           require(s0.version > 0, s"graft-lake: no committed snapshot at $root")
           val es = s0.entries
+          // exact-or-null (the countRows / __partitions contract): a
+          // legacy entry without the cell nulls the whole sum rather
+          // than silently under-reporting rows/bytes
+          def sumOpt(xs: Seq[Option[Long]]): Any =
+            if (xs.exists(_.isEmpty)) null else Long.box(xs.flatten.sum)
           (StructType(Seq(
             StructField("version", LongType), StructField("files", LongType),
             StructField("partitions", LongType), StructField("rows", LongType),
             StructField("bytes", LongType))),
             Seq(InternalRow(s0.version, es.size.toLong,
               es.map(_.part).distinct.size.toLong,
-              es.flatMap(_.liveRows).sum, es.flatMap(_.bytes).sum)))
+              sumOpt(es.map(_.liveRows)), sumOpt(es.map(_.bytes)))))
         }
       }
     ).map { case (k, v) => k -> (v: UnboundProcedure) }

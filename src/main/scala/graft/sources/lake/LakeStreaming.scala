@@ -699,7 +699,7 @@ class LakeChangesScan(
     // staged under a shutdown-cleaned root, keyed by (table, window):
     // a re-executed action (or a second read of the same window) REUSES
     // the _SUCCESS-gated slice instead of leaking one temp dir per run
-    val dir = LakeCdf.batchStageDir(root, startingVersion, head)
+    val dir = LakeCdf.batchStageDir(root, keys, startingVersion, head)
     LakeCdf.materialize(spark, root, startingVersion, head, keys, cdf, dir)
     LakeCdf.scanOver(spark, Seq(dir), cdf).toBatch
   }
@@ -734,8 +734,13 @@ private[lake] object LakeCdf {
     dir
   }
 
-  def batchStageDir(root: String, from: Long, to: Long): String = {
-    val key = java.lang.Integer.toHexString(root.hashCode)
+  def batchStageDir(root: String, keyCols: Seq[String], from: Long, to: Long): String = {
+    // full-string digest, not hashCode: two roots (or the same root read
+    // with different keyCols, which changes the insert/update/delete
+    // classification) must never collide onto one _SUCCESS-gated slice
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val id = (root + "\n" + keyCols.mkString(",")).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val key = md.digest(id).map("%02x".format(_)).mkString
     s"$batchStageRoot/$key/v$from-$to"
   }
 

@@ -712,6 +712,17 @@ class LakeCatalogSpec extends SparkSpec {
     assert(byType === Map(
       (3L, "update_preimage") -> 3L, (3L, "update_postimage") -> 3L,
       (4L, "delete") -> 2L))
+    // same window, DIFFERENT keyCols → an independently materialized
+    // slice (the batch stage key digests root + keyCols): with v in the
+    // key the v3 rewrite classifies as delete+insert, not update — a
+    // reused slice from the keyCols="k" read above would be wrong here
+    val log2 = spark.read.option("keyCols", "k,v")
+      .option("startingVersion", "2").table(s"$t.__changes")
+    val byType2 = log2.groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byType2 === Map(
+      (3L, "delete") -> 3L, (3L, "insert") -> 3L, (4L, "delete") -> 2L),
+      s"keyCols must key the staged slice, got $byType2")
     // SQL face resolves the derived identifier too
     assert(spark.sql(
       s"SELECT count(*) c FROM $t.__changes WHERE _change_type = 'insert'")

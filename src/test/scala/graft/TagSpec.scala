@@ -69,6 +69,33 @@ class TagSpec extends SparkSpec {
       (0 until 90).count(k => k % 2 != 0 && k % 3 != 0))
   }
 
+  test("tagging a vacuumed version is refused; a stale pin never wedges vacuum") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    LakeTable.delete(spark, root, col("k") % 2 === 0, "p") // v2
+    LakeTable.delete(spark, root, col("k") % 3 === 0, "p") // v3
+    LakeTable.vacuum(spark, root, retainMillis = 0L, keepVersions = 1)
+    // v1 is gone — a tag cannot resurrect it, so tag() must refuse
+    // (an accepted-but-unreadable pin would poison every later vacuum)
+    val e = intercept[IllegalArgumentException](LakeTable.tag(spark, root, "ghost", 1))
+    assert(e.getMessage.contains("not readable"), e.getMessage)
+    assert(LakeTable.tags(spark, root).isEmpty)
+
+    // even a pin that BECAME unreadable (written out-of-band, the way a
+    // legacy tag file could exist) is tolerated: vacuum skips it
+    // instead of aborting until the tag is dropped
+    val refs = new org.apache.hadoop.fs.Path(s"$root/_manifests/refs")
+    val fs = refs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(refs)
+    val out = fs.create(new org.apache.hadoop.fs.Path(refs, "stale"), true)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+    LakeTable.append(spark, root, baseDf) // v4 — pushes v3 out of keepVersions
+    val removed = LakeTable.vacuum(spark, root, retainMillis = 0L, keepVersions = 1)
+    assert(removed >= 0L) // did not throw
+    assert(LakeTable.read(spark, root).count() ===
+      90 + (0 until 90).count(k => k % 2 != 0 && k % 3 != 0))
+  }
+
   test("tags pin deletion vectors too; SQL + CALL faces resolve them") {
     val d = Files.createTempDirectory("graft-tag-cat").toString
     spark.conf.set("spark.sql.catalog.graft.warehouse", d)

@@ -247,6 +247,50 @@ class PartitionFnSpec extends SparkSpec {
     }
   }
 
+  test("truncate over supplementary-plane strings: code points, not UTF-16 units") {
+    // emoji / CJK-extension chars are surrogate PAIRS in the JVM —
+    // substring() counting UTF-16 units would split or double-count
+    // them, filing streaming-written rows under a different partition
+    // than the batch writer and making fnEq/fnRange pruning unsound
+    val rnd = new scala.util.Random(20260817)
+    val supp = Seq(0x1F600, 0x1F680, 0x20000, 0x10348).map(Character.toChars(_).mkString)
+    val strs = (Seq.fill(200) {
+      (0 until rnd.between(0, 8)).map(_ =>
+        if (rnd.nextBoolean()) supp(rnd.nextInt(supp.size))
+        else ('a' + rnd.nextInt(26)).toChar.toString).mkString
+    } ++ Seq("😀😀😀😀", "a😀b😀c", "𐍈𐍈", "漢😀漢")).distinct
+    val sDf = spark.createDataFrame(strs.map(Tuple1(_))).toDF("s")
+    for (fn <- Seq("truncate:1", "truncate:3", "truncate:5")) {
+      val got = sDf.select(col("s"),
+        PartitionFn.column(fn, col("s"), StringType).as("p")).collect()
+      got.foreach(r => assert(
+        r.getString(1) === PartitionFn(fn, StringType, UTF8String.fromString(r.getString(0))),
+        s"$fn disagrees at '${r.getString(0)}' (code-point vs UTF-16 truncation)"))
+    }
+    // a split would also produce a lone surrogate — pin it cannot happen
+    assert(PartitionFn("truncate:2", StringType, UTF8String.fromString("a😀b")) === "a😀")
+    assert(PartitionFn("truncate:1", StringType, UTF8String.fromString("😀bc")) === "😀")
+  }
+
+  test("identity renders via the write path's cast-to-string (timestamps included)") {
+    // three-faces contract for identity: apply() must equal cast-to-
+    // string — "2024-01-01 00:00:00", NOT Instant's ISO "…T…Z" form
+    val micros = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
+    assert(PartitionFn("identity", TimestampType, micros) === "2024-01-01 00:00:00")
+    val date = java.time.LocalDate.of(2024, 3, 9).toEpochDay.toInt
+    assert(PartitionFn("identity", DateType, date) === "2024-03-09")
+    assert(PartitionFn("identity", LongType, -42L) === "-42")
+    assert(PartitionFn("identity", StringType, UTF8String.fromString("x y")) === "x y")
+    // bulk agreement against the actual Column face
+    val tDf = spark.range(50).select(
+      (col("id") * 7919L * 1000000L - 900000000000000L).as("us"))
+      .select(col("us"), timestamp_micros(col("us")).as("ts"))
+    val got = tDf.select(col("us"),
+      PartitionFn.column("identity", col("ts"), TimestampType).as("p")).collect()
+    got.foreach(r => assert(r.getString(1) === PartitionFn("identity", TimestampType, r.getLong(0)),
+      s"identity(ts) disagrees at micros ${r.getLong(0)}"))
+  }
+
   test("write/plan agreement across every transform (value sweep)") {
     val date = java.time.LocalDate.of(2023, 11, 7).toEpochDay.toInt
     val micros = java.time.Instant.parse("2023-11-07T22:15:00Z").toEpochMilli * 1000L
