@@ -49,12 +49,17 @@ import graft.sources.lake.GraftLakeV2Table
   * their ON expressions) plans onto [[LakeTable.merge]]'s specialized
   * broadcast-anti-join path (with append-style schema evolution); every
   * other clause shape plans onto [[LakeTable.mergeClauses]]'s general
-  * full-outer-join COW rewrite. Subqueries in clause conditions or
-  * assignments, and assignments to columns the table lacks, throw a
+  * full-outer-join COW rewrite. UPDATE and DELETE statements take
+  * ARBITRARY predicates/assignments (evaluated by the rewrite scan
+  * itself), including UNCORRELATED subqueries — `DELETE FROM t WHERE k
+  * IN (SELECT ...)` and friends — which are executed once at statement
+  * start and spliced back in as their materialized result (see
+  * [[materializeSubqueries]]); the same holds for clause conditions
+  * and assignment values on the general MERGE path. CORRELATED
+  * subqueries, and assignments to columns the table lacks, throw a
   * crisp UnsupportedOperationException rather than silently changing
-  * semantics. UPDATE and DELETE statements take ARBITRARY
-  * predicates/assignments (evaluated by the rewrite scan itself),
-  * except subqueries (refused crisply — see [[byNameColumn]]).
+  * semantics (the decorrelation of a correlated predicate IS a join —
+  * exactly what MERGE INTO expresses directly).
   *
   * Cardinality: duplicate SOURCE keys are a MERGE cardinality violation
   * (checked with one batch-sized aggregate before the merge — the
@@ -81,17 +86,22 @@ object LakeDmlStrategy extends SparkStrategy {
     case DeleteFromTable(LakeTarget(t), condition) =>
       // DeleteFromTable normally routes through SupportsDelete, which
       // refuses non-Filter-translatable predicates; planning it here
-      // lifts that restriction — LakeTable.delete evaluates ANY predicate
+      // lifts that restriction — LakeTable.delete evaluates ANY
+      // predicate, incl. uncorrelated subqueries (materialized at
+      // execution time — `DELETE FROM t WHERE k IN (SELECT ...)`, the
+      // decontamination-by-blocklist verb)
+      val condExpr = byNameExpr(condition, "DELETE")
       LakeDmlExec("delete", () => {
-        // deleteMode=mor records deletion vectors instead of rewriting
-        // files (same result, O(matched) commit) — the table property
-        // picks the strategy, the SQL face is identical
-        if (t.meta.deleteMode == "mor")
-          LakeTable.deleteMorWithRetry(SparkSession.active, t.root, byNameColumn(condition),
-            t.meta.partitionCol)
-        else
-          LakeTable.deleteWithRetry(SparkSession.active, t.root, byNameColumn(condition),
-            t.meta.partitionCol)
+        val spark = SparkSession.active
+        withSubqueryMaterializer(spark) { toCol =>
+          // deleteMode=mor records deletion vectors instead of rewriting
+          // files (same result, O(matched) commit) — the table property
+          // picks the strategy, the SQL face is identical
+          if (t.meta.deleteMode == "mor")
+            LakeTable.deleteMorWithRetry(spark, t.root, toCol(condExpr), t.meta.partitionCol)
+          else
+            LakeTable.deleteWithRetry(spark, t.root, toCol(condExpr), t.meta.partitionCol)
+        }
       }) :: Nil
     case _ => Nil
   }
@@ -115,22 +125,90 @@ object LakeDmlStrategy extends SparkStrategy {
   }
 
   /** A resolved expression re-anchored by NAME (attribute references
-    * replaced with unresolved ones) and wrapped as a Column — usable
-    * against a frame read fresh from the table, whose attribute ids
-    * differ from the command plan's. Subquery expressions are refused
-    * crisply: their INNER plans keep the command's attribute ids, which
-    * cannot be re-anchored by name, so letting one through would die at
-    * execution with a confusing missing-attribute error.
+    * replaced with unresolved ones) — usable against a frame read fresh
+    * from the table, whose attribute ids differ from the command plan's.
+    * The transform walks only EXPRESSION children, so a subquery's inner
+    * plan (not an expression child) keeps its resolved shape for
+    * [[materializeSubqueries]] to execute later. CORRELATED subqueries
+    * are refused at plan time: their inner plans reference the command's
+    * outer attribute ids, which cannot be re-anchored by name — and the
+    * decorrelation that could lift them is exactly a join, i.e. the
+    * MERGE INTO the refusal suggests.
     */
-  private def byNameColumn(e: Expression): org.apache.spark.sql.Column = {
-    if (e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
-      throw new UnsupportedOperationException(
-        "graft-lake UPDATE/DELETE: subqueries in the predicate or assignments are not " +
-          "supported — materialize the subquery (e.g. into a temp view joined ahead of " +
-          "time, or a MERGE INTO source) instead")
-    GraftColumnBridge.column(e.transform {
+  private def byNameExpr(e: Expression, verb: String): Expression = {
+    e.foreach {
+      case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+          if sq.isCorrelated =>
+        throw new UnsupportedOperationException(
+          s"graft-lake $verb: correlated subqueries are not supported — rewrite as " +
+            "MERGE INTO with the correlation as the ON key (uncorrelated subqueries, " +
+            "e.g. IN (SELECT ...) over another table, are supported)")
+      case _ => ()
+    }
+    e.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
-    })
+    }
+  }
+
+  /** Executes every (uncorrelated — [[byNameExpr]] already refused the
+    * rest) subquery in `e` and splices the RESULT back in as a
+    * self-contained parquet scan, leaving the surrounding expression
+    * untouched: `k IN (SELECT ...)` becomes `k IN (scan of the staged
+    * result)`. Runs at DML-execution time, inside
+    * [[withSubqueryMaterializer]]'s staging scope.
+    *
+    * Why materialize instead of splicing the live inner plan: the
+    * subquery may read the TARGET table itself (`DELETE FROM t WHERE k
+    * IN (SELECT k FROM t ...)`) — the COW rewrite re-evaluates its
+    * predicate across probe and rewrite scans, and ANSI DML semantics
+    * want the subquery evaluated against the PRE-statement state, which
+    * the staged copy pins exactly once. Staging is subquery-result-
+    * sized (a blocklist, an aggregate), never table-sized, and the
+    * rewritten predicate re-enters Spark's own subquery planning
+    * (broadcast IN-hash / null-aware anti join) over the staged scan.
+    */
+  private def materializeSubqueries(
+      spark: SparkSession,
+      e: Expression,
+      staged: scala.collection.mutable.Buffer[java.io.File]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Exists, InSubquery, ListQuery, ScalarSubquery, SubqueryExpression}
+    def stage(plan: LogicalPlan): LogicalPlan = {
+      val df = GraftColumnBridge.ofRows(spark, plan)
+      val dir = java.nio.file.Files.createTempDirectory("graft-dml-subquery").toFile
+      staged += dir
+      val path = s"$dir/q"
+      df.write.parquet(path)
+      // schema passed explicitly: an EMPTY result has no footer to infer
+      spark.read.schema(df.schema).parquet(path).queryExecution.analyzed
+    }
+    e.transform {
+      case in: InSubquery => InSubquery(in.values, ListQuery(stage(in.query.plan)))
+      case lq: ListQuery => lq // already staged by its enclosing InSubquery
+      case ex: Exists => Exists(stage(ex.plan))
+      case s: ScalarSubquery => ScalarSubquery(stage(s.plan))
+      case sq: SubqueryExpression =>
+        throw new UnsupportedOperationException(
+          s"graft-lake DML: unsupported subquery shape ${sq.getClass.getSimpleName}")
+    }
+  }
+
+  /** Execution-time staging scope for DML subqueries: `body` receives an
+    * Expression→Column converter that materializes subqueries on the
+    * way; every staged result is reclaimed when the verb finishes,
+    * success or failure.
+    */
+  private def withSubqueryMaterializer(
+      spark: SparkSession)(
+      body: (Expression => org.apache.spark.sql.Column) => Unit): Unit = {
+    val staged = scala.collection.mutable.Buffer[java.io.File]()
+    def toCol(e: Expression): org.apache.spark.sql.Column =
+      GraftColumnBridge.column(materializeSubqueries(spark, e, staged))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    try body(toCol) finally staged.foreach(rm)
   }
 
   private def fail(what: String): Nothing =
@@ -139,8 +217,8 @@ object LakeDmlStrategy extends SparkStrategy {
         s"that is a conjunction of target-column = source-expression equalities; " +
         s"WHEN MATCHED [AND cond] THEN UPDATE/DELETE; WHEN NOT MATCHED [AND cond] " +
         s"THEN INSERT; WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE; " +
-        s"no subqueries in clause conditions or assignments; assignments to " +
-        s"existing table columns only)")
+        s"no CORRELATED subqueries in clause conditions or assignments; assignments " +
+        s"to existing table columns only)")
 
   /** ON must be a conjunction of targetCol = sourceExpr equalities —
     * that is what makes the merge an equi-join (shuffle-/broadcast-
@@ -286,17 +364,22 @@ object LakeDmlStrategy extends SparkStrategy {
       notMatched: Seq[MergeAction],
       bySource: Seq[MergeAction]): SparkPlan = {
     val sourceOut = source.outputSet
-    def anchored(e: Expression): org.apache.spark.sql.Column = {
-      if (e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
-        fail(s"subquery in merge clause ${e.sql}")
-      GraftColumnBridge.column(e.transform {
+    def anchored(e: Expression): Expression = {
+      e.foreach {
+        case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+            if sq.isCorrelated =>
+          fail(s"CORRELATED subquery in merge clause ${e.sql} (uncorrelated " +
+            "subqueries are materialized and supported)")
+        case _ => ()
+      }
+      e.transform {
         case a: AttributeReference =>
           if (sourceOut.contains(a)) UnresolvedAttribute.quoted("__s_" + a.name)
           else UnresolvedAttribute.quoted(a.name)
-      })
+      }
     }
     val targetFields = t.meta.schema.fieldNames.toSet
-    def assignMap(assigns: Seq[Assignment], what: String): Map[String, org.apache.spark.sql.Column] =
+    def assignMap(assigns: Seq[Assignment], what: String): Map[String, Expression] =
       assigns.map { a =>
         val name = a.key match {
           case ar: AttributeReference => ar.name
@@ -306,18 +389,21 @@ object LakeDmlStrategy extends SparkStrategy {
           fail(s"$what assigns $name, not a table column (clause merge does not evolve schema)")
         name -> anchored(a.value)
       }.toMap
-    def branch(a: MergeAction, what: String): LakeTable.MergeBranch = a match {
-      case u: UpdateAction =>
-        LakeTable.MergeBranch(u.condition.map(anchored), Some(assignMap(u.assignments, what)))
-      case d: DeleteAction =>
-        LakeTable.MergeBranch(d.condition.map(anchored), None)
-      case i: InsertAction =>
-        LakeTable.MergeBranch(i.condition.map(anchored), Some(assignMap(i.assignments, what)))
-      case other => fail(s"$what action $other")
-    }
+    // branches carry re-anchored EXPRESSIONS; Columns are built at
+    // execution time, when the subquery materializer has a session
+    def branch(a: MergeAction, what: String): (Option[Expression], Option[Map[String, Expression]]) =
+      a match {
+        case u: UpdateAction =>
+          (u.condition.map(anchored), Some(assignMap(u.assignments, what)))
+        case d: DeleteAction =>
+          (d.condition.map(anchored), None)
+        case i: InsertAction =>
+          (i.condition.map(anchored), Some(assignMap(i.assignments, what)))
+        case other => fail(s"$what action $other")
+      }
     val mBr = matched.map(branch(_, "MATCHED"))
     val nBr = notMatched.map(branch(_, "NOT MATCHED"))
-    nBr.foreach(b => if (b.values.isEmpty) fail("a NOT MATCHED clause that does not INSERT"))
+    nBr.foreach(b => if (b._2.isEmpty) fail("a NOT MATCHED clause that does not INSERT"))
     val sBr = bySource.map(branch(_, "NOT MATCHED BY SOURCE"))
 
     // the prepared source frame mergeClauses expects: every source
@@ -330,16 +416,22 @@ object LakeDmlStrategy extends SparkStrategy {
     val keyCols = keyPairs.map(_._1)
     LakeDmlExec("merge", () => {
       val spark = SparkSession.active
-      val src = GraftColumnBridge.ofRows(spark, srcPlan)
-      // ALWAYS required on the general path, even with no MATCHED
-      // clause: mergeClauses' full-outer join replicates a matched
-      // TARGET row once per duplicate source key, so an insert-only
-      // merge with a dup-keyed source would silently duplicate target
-      // rows (Delta permits dup UNMATCHED inserts; we trade that corner
-      // for a crisp refusal instead of corruption)
-      cardinalityCheck(src, keyCols)
-      LakeTable.mergeClausesWithRetry(
-        spark, t.root, src, keyCols, mBr, nBr, sBr, t.meta.partitionCol)
+      withSubqueryMaterializer(spark) { toCol =>
+        def mk(b: (Option[Expression], Option[Map[String, Expression]])): LakeTable.MergeBranch =
+          LakeTable.MergeBranch(b._1.map(toCol),
+            b._2.map(_.map { case (k, v) => k -> toCol(v) }))
+        val src = GraftColumnBridge.ofRows(spark, srcPlan)
+        // ALWAYS required on the general path, even with no MATCHED
+        // clause: mergeClauses' full-outer join replicates a matched
+        // TARGET row once per duplicate source key, so an insert-only
+        // merge with a dup-keyed source would silently duplicate target
+        // rows (Delta permits dup UNMATCHED inserts; we trade that corner
+        // for a crisp refusal instead of corruption)
+        cardinalityCheck(src, keyCols)
+        LakeTable.mergeClausesWithRetry(
+          spark, t.root, src, keyCols, mBr.map(mk), nBr.map(mk), sBr.map(mk),
+          t.meta.partitionCol)
+      }
     })
   }
 
@@ -357,17 +449,20 @@ object LakeDmlStrategy extends SparkStrategy {
       // (c = c) need no rewrite expression
       a.value match {
         case v: AttributeReference if v.name == name => None
-        case v => Some(name -> byNameColumn(v))
+        case v => Some(name -> byNameExpr(v, "UPDATE"))
       }
     }.toMap
-    val cond = condition.map(byNameColumn)
-      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val condExpr = condition.map(byNameExpr(_, "UPDATE"))
     LakeDmlExec("update", () => {
-      if (t.meta.deleteMode == "mor")
-        LakeTable.updateMorWithRetry(SparkSession.active, t.root, cond, set,
-          t.meta.partitionCol)
-      else
-        LakeTable.updateWithRetry(SparkSession.active, t.root, cond, set, t.meta.partitionCol)
+      val spark = SparkSession.active
+      withSubqueryMaterializer(spark) { toCol =>
+        val cond = condExpr.map(toCol).getOrElse(org.apache.spark.sql.functions.lit(true))
+        val setCols = set.map { case (k, v) => k -> toCol(v) }
+        if (t.meta.deleteMode == "mor")
+          LakeTable.updateMorWithRetry(spark, t.root, cond, setCols, t.meta.partitionCol)
+        else
+          LakeTable.updateWithRetry(spark, t.root, cond, setCols, t.meta.partitionCol)
+      }
     })
   }
 }

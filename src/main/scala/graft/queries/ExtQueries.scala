@@ -1227,6 +1227,45 @@ object ExtQueries {
         s"live_rows FROM $lt.`__partitions` ORDER BY partition")
     },
 
+    // DML subquery predicates: the decontamination-by-blocklist verb as
+    // SQL — `DELETE FROM lake WHERE key IN (SELECT ... blocklist)` plus
+    // a scalar-subquery UPDATE. Each uncorrelated subquery is executed
+    // ONCE at statement start and spliced back as its materialized
+    // result (subquery-result-sized staging, never table-sized), then
+    // the ordinary stats-pruned COW rewrite runs — so the corpus never
+    // joins driver-side and the blocklist never re-executes per scan.
+    // Hash-checked against the pure relational complement in DuckDB.
+    "q170_dml_subquery" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q170_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q170_orders")
+      t(s, dir, "customer").createOrReplaceTempView("q170_customer")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (bucket(8, o_custkey)) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey,o_custkey')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_custkey, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q170_orders")
+      val total = s.sql(s"SELECT count(*) c FROM $lt").head.getLong(0)
+      // blocklist delete: BUILDING-segment customers leave the corpus
+      s.sql(s"DELETE FROM $lt WHERE o_custkey IN " +
+        "(SELECT c_custkey FROM q170_customer WHERE c_mktsegment = 'BUILDING')")
+      val kept = s.sql(s"SELECT count(*) c FROM $lt").head.getLong(0)
+      require(kept < total, s"q170: the blocklist delete must remove rows ($kept of $total)")
+      // scalar subquery in an UPDATE assignment (same materialize path)
+      s.sql(s"UPDATE $lt SET o_totalprice = o_totalprice + " +
+        "(SELECT CAST(min(c_custkey) AS DOUBLE) FROM q170_customer " +
+        "WHERE c_mktsegment = 'BUILDING')")
+      s.sql(s"SELECT CAST(count(*) AS BIGINT) AS cnt, " +
+        "min(o_orderkey) AS mn_key, max(o_orderkey) AS mx_key, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt")
+    },
+
     // Bucket storage-partitioned join: both tables PARTITIONED BY
     // (bucket(16, o_custkey)) — the catalog's V2 bucket function
     // (FunctionCatalog) resolves the transform on both sides, so the
@@ -2648,6 +2687,20 @@ object ExtQueries {
         |       min(o_orderdate) AS mn_date, max(o_orderdate) AS mx_date
         |FROM t WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |ORDER BY src""".stripMargin,
+    // the blocklist complement plus the scalar bump, re-derived
+    // relationally: survivors are orders whose customer is NOT in the
+    // BUILDING segment; every survivor's price gains min(blocklist key).
+    "q170_dml_subquery" ->
+      """WITH blk AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     surv AS (SELECT * FROM orders
+        |              WHERE o_custkey NOT IN (SELECT c_custkey FROM blk))
+        |SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(min(o_orderkey) AS BIGINT) AS mn_key,
+        |       CAST(max(o_orderkey) AS BIGINT) AS mx_key,
+        |       CAST(sum(CAST(round((CAST(o_totalprice AS DOUBLE) +
+        |                 (SELECT CAST(min(c_custkey) AS DOUBLE) FROM blk)) * 100)
+        |                 AS BIGINT)) AS BIGINT) AS cents
+        |FROM surv""".stripMargin,
     // per-partition total vs post-delete survivors, straight off orders.
     "q169_partitions_meta" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS total_rows,

@@ -365,6 +365,63 @@ class LakeCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 30)
   }
 
+  test("DML subqueries: IN / NOT IN / EXISTS / scalar are materialized; correlated refused") {
+    val t = mkTable() // k=0..29, p=k%3, v=k*10
+    val root = s"$wh/db/${t.split('.').last}"
+    spark.sql("CREATE OR REPLACE TEMP VIEW blk AS SELECT * FROM VALUES (3L),(5L),(7L) AS v(b)")
+
+    // the decontamination verb: blocklist IN-delete (subquery over
+    // another relation, executed once, spliced back as its result)
+    spark.sql(s"DELETE FROM $t WHERE k IN (SELECT b FROM blk)")
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 27)
+    assert(spark.sql(s"SELECT count(*) c FROM $t WHERE k IN (3,5,7)").head.getLong(0) === 0)
+
+    // SELF-referencing subquery: evaluated against the PRE-statement
+    // snapshot (the materialized copy pins it), so max(v) is stable
+    spark.sql(s"DELETE FROM $t WHERE v IN (SELECT max(v) FROM $t)")
+    assert(spark.sql(s"SELECT max(k) m FROM $t").head.getLong(0) === 28)
+
+    // scalar-subquery assignment + IN predicate on UPDATE
+    spark.sql(s"UPDATE $t SET v = (SELECT min(b) FROM blk) WHERE k IN (SELECT b + 1 FROM blk)")
+    assert(spark.sql(s"SELECT collect_set(v)[0] s, count(*) c FROM $t WHERE k IN (4, 6, 8)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head === ((3L, 3L)))
+
+    // EXISTS (uncorrelated): empty result = no-op, non-empty = gate open
+    val before = spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0)
+    spark.sql(s"DELETE FROM $t WHERE EXISTS (SELECT 1 FROM blk WHERE b > 100) AND k < 2")
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === before)
+    spark.sql(s"DELETE FROM $t WHERE EXISTS (SELECT 1 FROM blk WHERE b > 5) AND k < 2")
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === before - 2)
+
+    // NOT IN keeps its three-valued SQL semantics through the rewrite
+    spark.sql(s"DELETE FROM $t WHERE k NOT IN (SELECT b * 2 FROM blk)")
+    assert(spark.sql(s"SELECT sort_array(collect_list(k)) s FROM $t").head
+      .getSeq[Long](0) === Seq(6L, 10L, 14L))
+
+    // MERGE clause condition with an uncorrelated subquery
+    spark.sql("CREATE OR REPLACE TEMP VIEW msrc AS " +
+      "SELECT * FROM VALUES (6L,'z',1L),(10L,'z',2L),(99L,'z',3L) AS s(k,p,v)")
+    spark.sql(s"MERGE INTO $t t USING msrc s ON t.k = s.k " +
+      "WHEN MATCHED AND t.k IN (SELECT b * 2 FROM blk) THEN UPDATE SET v = s.v * 1000 " +
+      "WHEN NOT MATCHED THEN INSERT (k, p, v) VALUES (s.k, s.p, s.v)")
+    val m = spark.sql(s"SELECT k, v FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(m === Seq((6L, 1000L), (10L, 2000L), (14L, 140L), (99L, 3L)), s"got $m")
+
+    // correlated subqueries refuse crisply on every verb
+    def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
+    for (sql <- Seq(
+      s"DELETE FROM $t WHERE EXISTS (SELECT 1 FROM blk WHERE b = k)",
+      s"UPDATE $t SET v = (SELECT max(b) FROM blk WHERE b < k) WHERE k > 0")) {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(chain(e).exists(c => c.getMessage != null &&
+        c.getMessage.toLowerCase.contains("correlated")), s"$sql got: $e")
+    }
+    // refusal left no commit behind
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 4)
+    val _ = root
+  }
+
   test("catalog scans report manifest statistics: small lake table broadcasts without a hint") {
     val t = mkTable()
     val big = spark.range(50000).select(col("id").as("k"), (col("id") * 2).as("w"))
