@@ -188,6 +188,40 @@ object LakeProbe {
       f"${sidecarBytes / 1048576.0}%5.2f MiB, load $tLoad%6.3f s " +
       f"(${blooms.size} filters), prune $tPruneB%6.3f s kept ${keptB.size}, " +
       f"readPoint $tPoint%6.3f s vs full filtered read $tFull%6.3f s")
+
+    // ---- 4. mass MOR delete: executor-published DV sidecars --------
+    // A sparse delete touching ~every one of 10⁴ files. The position
+    // bitmaps build distributedly AND the sidecars publish from tasks
+    // (publishDvSidecars) — the driver receives one (key, rel,
+    // cardinality) triple per file, never bitmap bytes, so heap delta
+    // stays flat no matter how many files the delete touches.
+    val morRoot = s"${Files.createTempDirectory("graft-mor-probe")}/t"
+    val mdf = spark.range(2560000L).select(
+      col("id").as("k"),
+      (col("id") % 16).cast("string").as("p"),
+      (col("id") * 3).as("v"))
+    // bucket:10240 hidden partitioning → 10,240 one-file partitions:
+    // the writer's repartition(PartDirCol) collapses each partition
+    // value to one file, so file count == partition count by design
+    val (_, tMorInit) = time(
+      LakeTable.init(spark, morRoot, mdf, "k", partitionFn = "bucket:10240"))
+    val nMorFiles = LakeTable.snapshot(spark, morRoot).entries.size
+    require(nMorFiles >= 10000, s"probe needs >=10^4 files, got $nMorFiles")
+    val rt = Runtime.getRuntime
+    def usedHeap(): Long = { System.gc(); rt.totalMemory - rt.freeMemory }
+    val h0 = usedHeap()
+    val (morStats, tMor) = time(
+      LakeTable.deleteMor(spark, morRoot, col("k") % 97 === 0, "k"))
+    val heapMb = (usedHeap() - h0) / 1048576.0
+    val expectDead = (0L until 2560000L).count(_ % 97 == 0).toLong
+    val liveCnt = LakeTable.read(spark, morRoot).count()
+    require(liveCnt == 2560000L - expectDead, s"mass MOR delete drifted: $liveCnt")
+    require(morStats.filesRewritten >= 9000,
+      s"a ~1% delete should DV nearly every file, got ${morStats.filesRewritten}")
+    println(f"[lake] mass MOR delete: $nMorFiles files (init $tMorInit%5.1f s), " +
+      f"${morStats.filesRewritten} DV'd in $tMor%5.1f s, " +
+      f"driver heap delta $heapMb%+7.1f MiB (sidecars task-published), " +
+      f"live $liveCnt == ${2560000L - expectDead}")
     spark.stop()
   }
 }

@@ -55,13 +55,27 @@ private[graft] object Dv {
     * it (a losing commit racer's DV is an orphan, reclaimed by vacuum's
     * `dv/` sweep).
     */
-  def write(spark: SparkSession, root: String, bm: Roaring64Bitmap): String = {
-    val rel = s"$Dir/${java.util.UUID.randomUUID().toString.take(12)}.dv"
+  def write(spark: SparkSession, root: String, bm: Roaring64Bitmap): String =
+    writeFrom(spark.sparkContext.hadoopConfiguration, root, bm)
+
+  /** [[write]] callable from EXECUTOR tasks (Configuration, not
+    * SparkSession) with the temp-create + rename publish the streaming
+    * writer uses: a killed/speculative attempt leaves only a
+    * `.inprogress` temp (never `.dv`, so no reader or vacuum pin ever
+    * sees it; vacuum sweeps aged temps). Fresh UUID names make attempts
+    * collision-free — the one row that reaches the driver references
+    * the one published sidecar, the rest are unreferenced orphans.
+    */
+  def writeFrom(conf: Configuration, root: String, bm: Roaring64Bitmap): String = {
+    val name = java.util.UUID.randomUUID().toString.take(12)
+    val rel = s"$Dir/$name.dv"
     val p = new Path(root, rel)
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = p.getFileSystem(conf)
     f.mkdirs(p.getParent)
-    val out = f.create(p, false)
+    val tmp = new Path(p.getParent, s".$name.inprogress")
+    val out = f.create(tmp, true)
     try out.write(serialize(bm)) finally out.close()
+    require(f.rename(tmp, p), s"Dv.writeFrom: publish rename failed for $p")
     rel
   }
 

@@ -2127,12 +2127,46 @@ object LakeTable {
     * instead of O(touched gigabytes). The position bitmaps build
     * DISTRIBUTEDLY ([[PosBitmapAgg]]: partial bitmaps per scan task,
     * bitmap-OR merge, one compressed row per touched file crosses the
-    * shuffle); the driver only unions each file's new bitmap with its
-    * existing vector and commits the manifest swap. A file whose every
+    * shuffle) and the SIDECARS publish from executor tasks too
+    * ([[publishDvSidecars]]); the driver sees only (file, rel,
+    * cardinality) triples and commits the manifest swap. A file whose every
     * row is dead drops from the manifest entirely (no tombstone chains);
     * stats/Bloom pruning still gates which files are probed at all.
     * Same optimistic-concurrency contract as [[delete]].
     */
+  /** Distributed DV sidecar publication: one TASK-side write per
+    * touched file — the driver receives only (file-key, sidecar rel,
+    * dead cardinality) triples, never bitmap bytes, so a mass MOR
+    * delete touching millions of files holds driver memory flat (the
+    * round-16 watch-point: collect()ing per-file bitmap blobs put the
+    * whole delete's bitmaps on the driver before any sidecar write).
+    * Each task unions the file's new dead positions with its existing
+    * vector (rel paths broadcast — metadata-sized) and publishes an
+    * immutable sidecar via [[Dv.writeFrom]]'s temp-rename commit;
+    * failed/speculative attempts leave only unreferenced orphans for
+    * vacuum's `dv/` sweep.
+    */
+  private def publishDvSidecars(
+      spark: SparkSession,
+      root: String,
+      hits: DataFrame, // __file (url-encoded scan path), __bm (serialized bitmap)
+      existingByKey: Map[String, String]): Array[(String, String, Long)] = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val bEx = spark.sparkContext.broadcast(existingByKey)
+    try hits.select(col("__file"), col("__bm")).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (file, bytes) =>
+          val key = Dv.suffixKey(Dv.decodeUrlPath(file))
+          val bm = Dv.deserialize(bytes)
+          bEx.value.get(key).foreach(d => bm.or(Dv.read(conf.value, s"$root/$d")))
+          (key, Dv.writeFrom(conf.value, root, bm), bm.getLongCardinality)
+        }
+      }.collect()
+    finally bEx.destroy()
+  }
+
   def deleteMor(
       spark: SparkSession,
       root: String,
@@ -2150,7 +2184,7 @@ object LakeTable {
     // (already-dead positions are filtered by the scan's own DV
     // application, so re-deleting is naturally idempotent) aggregate to
     // one position bitmap per file
-    val hits: Array[(String, Array[Byte])] =
+    val sidecars: Array[(String, String, Long)] =
       if (probeEntries.isEmpty) Array.empty
       else {
         val posAgg = GraftColumnBridge.column(
@@ -2165,33 +2199,29 @@ object LakeTable {
             val df = spark.read.schema(meta.schema)
               .parquet(es.map(e => s"$root/${e.rel}"): _*)
             val kept = if (applyDv) df.where(dvKeepColumn(spark, root, es)) else df
-            // group on the RAW url-encoded path; the driver decodes it
-            // to the manifest's suffix key after the collect
+            // group on the RAW url-encoded path; tasks decode it to the
+            // manifest's suffix key when publishing
             Some(kept
               .withColumn("__file", col("_metadata.file_path"))
               .withColumn("__pos", col("_metadata.row_index")))
           }
         val probed = (withPos(clean, applyDv = false).toSeq ++
           withPos(dvd, applyDv = true).toSeq).reduce(_.unionByName(_))
-        probed.where(predicate)
-          .groupBy(col("__file"))
-          .agg(posAgg.as("__bm"))
-          .collect()
-          .map(r => Dv.suffixKey(Dv.decodeUrlPath(r.getString(0))) -> r.getAs[Array[Byte]](1))
+        publishDvSidecars(spark, root,
+          probed.where(predicate).groupBy(col("__file")).agg(posAgg.as("__bm")),
+          probeEntries.flatMap(e => e.dv.map(d => Dv.suffixKey(e.rel) -> d.rel)).toMap)
       }
-    if (hits.isEmpty)
+    if (sidecars.isEmpty)
       return MergeStats(s0.version, 0, 0, s0.entries.size, 0, filesProbed = probeEntries.size)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val updated: Map[String, Entry] = hits.iterator.map { case (name, bytes) =>
-      val e = byKey(name)
-      val fresh = Dv.deserialize(bytes)
-      e.dv.foreach(d => fresh.or(Dv.read(conf, s"$root/${d.rel}")))
-      val card = fresh.getLongCardinality
+    val updated: Map[String, Entry] = sidecars.iterator.map { case (key, rel, card) =>
+      val e = byKey(key)
       val entry =
-        if (e.rows.contains(card)) None // every row dead -> drop the file
-        else Some(e.copy(dv = Some(DvRef(Dv.write(spark, root, fresh), card))))
+        // every row dead -> drop the file (its just-published sidecar is
+        // an unreferenced orphan, reclaimed by vacuum's dv/ sweep)
+        if (e.rows.contains(card)) None
+        else Some(e.copy(dv = Some(DvRef(rel, card))))
       e.rel -> entry
-    }.collect { case (rel, e) => rel -> e.orNull }.toMap
+    }.collect { case (r, e) => r -> e.orNull }.toMap
     val newEntries = s0.entries.flatMap { e =>
       if (!updated.contains(e.rel)) Some(e) else Option(updated(e.rel))
     }
@@ -2199,7 +2229,7 @@ object LakeTable {
       commit(spark, root, s0.version + 1, meta, newEntries),
       s"LakeTable.deleteMor: concurrent commit at $root (retry on a fresh snapshot)")
     MergeStats(s0.version + 1,
-      matchedPartitions = hits.map(h => byKey(h._1).part).distinct.length,
+      matchedPartitions = sidecars.map(h => byKey(h._1).part).distinct.length,
       // "rewritten" here = files that gained/extended a DV (metadata
       // only — zero data bytes moved); fully-dead files simply drop
       filesRewritten = updated.size,
@@ -2256,9 +2286,10 @@ object LakeTable {
     try {
       val posAgg = GraftColumnBridge.column(
         PosBitmapAgg(exprOf(col("__pos"))).toAggregateExpression())
-      val hits = matched.groupBy(col("__file")).agg(posAgg.as("__bm")).collect()
-        .map(r => Dv.suffixKey(Dv.decodeUrlPath(r.getString(0))) -> r.getAs[Array[Byte]](1))
-      if (hits.isEmpty)
+      val sidecars = publishDvSidecars(spark, root,
+        matched.groupBy(col("__file")).agg(posAgg.as("__bm")),
+        probeEntries.flatMap(e => e.dv.map(d => Dv.suffixKey(e.rel) -> d.rel)).toMap)
+      if (sidecars.isEmpty)
         return MergeStats(s0.version, 0, 0, s0.entries.size, 0,
           filesProbed = probeEntries.size)
       // updated copies: assignments evaluate against the PRE-update row
@@ -2267,15 +2298,11 @@ object LakeTable {
           .getOrElse(col(s"`${fld.name}`"))
       }.toSeq: _*)
       val written = writeBatch(spark, root, updatedRows, meta)
-      val conf = spark.sparkContext.hadoopConfiguration
-      val tombstoned: Map[String, Entry] = hits.iterator.map { case (key, bytes) =>
+      val tombstoned: Map[String, Entry] = sidecars.iterator.map { case (key, rel, card) =>
         val e = byKey(key)
-        val fresh = Dv.deserialize(bytes)
-        e.dv.foreach(d => fresh.or(Dv.read(conf, s"$root/${d.rel}")))
-        val card = fresh.getLongCardinality
         val entry =
           if (e.rows.contains(card)) None // every row moved out -> drop
-          else Some(e.copy(dv = Some(DvRef(Dv.write(spark, root, fresh), card))))
+          else Some(e.copy(dv = Some(DvRef(rel, card))))
         e.rel -> entry.orNull
       }.toMap
       val newEntries = s0.entries.flatMap { e =>
@@ -2285,7 +2312,7 @@ object LakeTable {
         commit(spark, root, s0.version + 1, meta, newEntries),
         s"LakeTable.updateMor: concurrent commit at $root (retry on a fresh snapshot)")
       MergeStats(s0.version + 1,
-        matchedPartitions = hits.map(h => byKey(h._1).part).distinct.length,
+        matchedPartitions = sidecars.map(h => byKey(h._1).part).distinct.length,
         filesRewritten = tombstoned.size,
         filesCarried = s0.entries.size - tombstoned.size,
         rowsWritten = written.size,
@@ -3064,9 +3091,14 @@ object LakeTable {
     val dvDir = new Path(root, Dv.Dir)
     if (f.exists(dvDir)) {
       f.listStatus(dvDir).foreach { s =>
-        if (s.isFile && s.getPath.getName.endsWith(".dv") &&
-          s.getModificationTime < cutoff &&
+        val stale = s.isFile && s.getModificationTime < cutoff
+        if (stale && s.getPath.getName.endsWith(".dv") &&
           !liveDvs.contains(s"${Dv.Dir}/${s.getPath.getName}")) {
+          f.delete(s.getPath, false)
+          removed += 1
+        } else if (stale && s.getPath.getName.endsWith(".inprogress")) {
+          // a killed/speculative executor DV attempt's unpublished temp —
+          // can never be referenced, ages out with everything else
           f.delete(s.getPath, false)
           removed += 1
         }
