@@ -229,6 +229,11 @@ object AggOps {
     *      each running sum = chunk-local running sum + its offset. Every
     *      sort task is bounded by the range chunk size.
     *
+    * INPUT-SIZE-ADAPTIVE: a cached count routes inputs at or below
+    * `smallInputRows` through the plain one-partition window (where the
+    * chunk machinery's exchange + offsets join costs more than it
+    * saves) and everything larger through the chunk-parallel path.
+    *
     * `order` should be a TOTAL order (include a unique tie-break column)
     * for deterministic output — same requirement as the builtin window.
     * `rnName` gets the 1-based global rank as LONG (the builtin's
@@ -242,7 +247,32 @@ object AggOps {
   def globalRank(
       order: Seq[Column],
       rnName: String,
-      cumSums: Seq[(String, String)] = Nil): DataFrame => DataFrame = { df =>
+      cumSums: Seq[(String, String)] = Nil,
+      smallInputRows: Long = 100000L): DataFrame => DataFrame = { df =>
+    // input-size-adaptive: one cached count picks the path. At or below
+    // `smallInputRows` the plain one-partition window is both correct
+    // and FASTER — the chunk-parallel path pays a range exchange, a
+    // second persist and an offsets join that only amortize on big
+    // inputs (the round-16 q128 regression was exactly this overhead on
+    // a 15k-row frame). Above it, one partition is the scale-killer and
+    // the chunk machinery takes over. The probe cache feeds whichever
+    // path runs, so the count is the only extra job.
+    val probe = graft.engine.ManagedCache.persist(df)
+    if (probe.count() <= smallInputRows) {
+      val w = Window.orderBy(order: _*)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = probe.withColumn(rnName, row_number().over(w).cast("long"))
+      cumSums.foldLeft(ranked) { case (acc, (in, out)) =>
+        acc.withColumn(out, sum(col(in)).over(wRun))
+      }
+    } else globalRankChunked(probe, order, rnName, cumSums)
+  }
+
+  private def globalRankChunked(
+      df: DataFrame,
+      order: Seq[Column],
+      rnName: String,
+      cumSums: Seq[(String, String)]): DataFrame = {
     val nChunks = df.sparkSession.sessionState.conf.numShufflePartitions
     // persisted: repartitionByRange executes its child twice (boundary
     // sampling + exchange), and the offsets branch and the rank branch

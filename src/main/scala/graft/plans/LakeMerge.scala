@@ -78,8 +78,12 @@ object LakeMerge {
 object LakeDmlStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case m @ MergeIntoTable(LakeTarget(t), source, cond, matched, notMatched, bySource, _)
-        if !m.schemaEvolutionEnabled =>
+    // schema evolution (WITH SCHEMA EVOLUTION + the table's
+    // AUTOMATIC_SCHEMA_EVOLUTION capability) is applied during ANALYSIS:
+    // ResolveMergeIntoSchemaEvolution already altered the table and
+    // re-resolved the target, so by planning time the new columns are
+    // ordinary table columns and the clause merge needs no special case
+    case MergeIntoTable(LakeTarget(t), source, cond, matched, notMatched, bySource, _) =>
       planMerge(t, source, cond, matched, notMatched, bySource) :: Nil
     case UpdateTable(LakeTarget(t), assignments, condition) =>
       planUpdate(t, assignments, condition) :: Nil

@@ -1266,6 +1266,47 @@ object ExtQueries {
         s"FROM $lt")
     },
 
+    // MERGE WITH SCHEMA EVOLUTION on the general clause path: the
+    // source-only `tag` column widens the table during ANALYSIS
+    // (AUTOMATIC_SCHEMA_EVOLUTION capability → the catalog's
+    // metadata-only ADD COLUMNS commit), then a conditional
+    // DELETE + UPDATE clause merge lands the values — old files read
+    // NULL through, and WITHOUT the opt-in the same statement must
+    // refuse at analysis with nothing committed. The status rollup
+    // hash-checks survivors, tag coverage and cents.
+    "q171_merge_evolution_sql" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q171_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q171_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q171_orders")
+      s.sql("CREATE OR REPLACE TEMP VIEW q171_src AS " +
+        "SELECT o_orderkey, 'audited' AS tag FROM q171_orders WHERE o_orderkey % 7 = 0")
+      val clauses = s"USING q171_src s ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED AND s.o_orderkey % 14 = 0 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET tag = s.tag"
+      // refusal retained without the opt-in: unresolved column, no commit
+      val v0 = graft.operators.LakeTable.snapshot(s, root).version
+      val refused =
+        try { s.sql(s"MERGE INTO $lt t $clauses"); false }
+        catch { case _: Exception => true }
+      require(refused, "q171: new-column assignment must refuse without WITH SCHEMA EVOLUTION")
+      require(graft.operators.LakeTable.snapshot(s, root).version == v0,
+        "q171: the refused merge must not commit")
+      s.sql(s"MERGE WITH SCHEMA EVOLUTION INTO $lt t $clauses")
+      s.sql(s"SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt, " +
+        "CAST(count(tag) AS BIGINT) AS tagged, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    },
+
     // Bucket storage-partitioned join: both tables PARTITIONED BY
     // (bucket(16, o_custkey)) — the catalog's V2 bucket function
     // (FunctionCatalog) resolves the transform on both sides, so the
@@ -2687,6 +2728,17 @@ object ExtQueries {
         |       min(o_orderdate) AS mn_date, max(o_orderdate) AS mx_date
         |FROM t WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |ORDER BY src""".stripMargin,
+    // survivors exclude multiples of 14 (the DELETE clause); tagged =
+    // the remaining multiples of 7 (the UPDATE clause); cents over
+    // survivors. NULL-through-evolution is exactly cnt - tagged.
+    "q171_merge_evolution_sql" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS tagged,
+        |       CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM orders WHERE o_orderkey % 14 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the blocklist complement plus the scalar bump, re-derived
     // relationally: survivors are orders whose customer is NOT in the
     // BUILDING segment; every survivor's price gains min(blocklist key).

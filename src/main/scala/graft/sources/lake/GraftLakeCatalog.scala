@@ -516,7 +516,14 @@ class GraftLakeV2Table(
       TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      // MERGE ... WITH SCHEMA EVOLUTION: the analyzer's
+      // ResolveMergeIntoSchemaEvolution widens the table through
+      // alterTable (the SAME metadata-only ADD COLUMNS commit as ALTER
+      // TABLE) and re-resolves the target before our DML strategy plans
+      // the clause merge — old files read NULL through, evolution is
+      // still an explicit per-statement opt-in
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     caps
   }
 

@@ -365,6 +365,47 @@ class LakeCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 30)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: clause path widens through alterTable; opt-in only") {
+    val t = mkTable() // k=0..29, p=k%3, v=k*10
+    val root = s"$wh/db/${t.split('.').last}"
+    spark.sql("CREATE OR REPLACE TEMP VIEW evsrc AS " +
+      "SELECT * FROM VALUES (1L,'1',111L,'upd'),(99L,'0',990L,'new') AS s(k,p,v,note)")
+
+    // WITHOUT the opt-in: assigning a column the table lacks fails at
+    // analysis (unresolved column), nothing commits
+    val v0 = LakeTable.snapshot(spark, root).version
+    intercept[Exception](spark.sql(s"MERGE INTO $t t USING evsrc s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v, note = s.note " +
+      "WHEN NOT MATCHED THEN INSERT (k, p, v, note) VALUES (s.k, s.p, s.v, s.note)"))
+    assert(LakeTable.snapshot(spark, root).version === v0)
+    assert(!LakeTable.snapshot(spark, root).meta.get.schema.fieldNames.contains("note"))
+
+    // WITH SCHEMA EVOLUTION: the general clause path (conditional
+    // UPDATE + DELETE + INSERT) gains the source-only column — analysis
+    // widens the table via the catalog's ADD COLUMNS commit, old files
+    // read NULL through, and the clause rewrite lands the new values
+    spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO $t t USING evsrc s ON t.k = s.k " +
+      "WHEN MATCHED AND s.note = 'upd' THEN UPDATE SET v = s.v, note = s.note " +
+      "WHEN MATCHED THEN DELETE " +
+      "WHEN NOT MATCHED THEN INSERT (k, p, v, note) VALUES (s.k, s.p, s.v, s.note)")
+    assert(LakeTable.snapshot(spark, root).meta.get.schema.fieldNames.contains("note"))
+    val got = spark.sql(s"SELECT k, v, note FROM $t WHERE k IN (1, 99) ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === Seq((1L, 111L, "upd"), (99L, 990L, "new")), s"got $got")
+    // untouched rows (old files) read NULL through the evolution:
+    // 30 originals + the k=99 insert, notes only on k=1 and k=99
+    assert(spark.sql(s"SELECT count(*) c FROM $t WHERE note IS NULL").head.getLong(0) === 29)
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 31)
+
+    // the source-wins upsert shape evolves under the same opt-in
+    spark.sql("CREATE OR REPLACE TEMP VIEW evsrc2 AS " +
+      "SELECT * FROM VALUES (2L,'2',222L,'x',7L) AS s(k,p,v,note,extra)")
+    spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO $t t USING evsrc2 s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql(s"SELECT extra FROM $t WHERE k = 2").head.getLong(0) === 7L)
+    assert(spark.sql(s"SELECT count(*) c FROM $t WHERE extra IS NULL").head.getLong(0) === 30)
+  }
+
   test("DML subqueries: IN / NOT IN / EXISTS / scalar are materialized; correlated refused") {
     val t = mkTable() // k=0..29, p=k%3, v=k*10
     val root = s"$wh/db/${t.split('.').last}"

@@ -250,7 +250,10 @@ class OperatorSpec extends SparkSpec {
     val rows = (1 to 257).map(i => (i % 13, i, (i * 7 % 29).toLong - 5L, i.toLong % 11))
     val df = rows.toDF("score", "id", "a", "b").repartition(7)
     val order = Seq(col("score").desc, col("id").asc)
-    val got = AggOps.globalRank(order, "rn", Seq("a" -> "ca", "b" -> "cb"))(df)
+    // smallInputRows = 0 forces the CHUNKED path (the scale shape under
+    // test); the adaptive default is exercised separately below
+    val got = AggOps.globalRank(order, "rn", Seq("a" -> "ca", "b" -> "cb"),
+      smallInputRows = 0L)(df)
     assert(got.schema("rn").dataType.typeName == "long")
     val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
     val wr = w.rowsBetween(
@@ -278,5 +281,16 @@ class OperatorSpec extends SparkSpec {
       assert(agg.nonEmpty,
         s"unpartitioned window not over the chunk-count-bounded offsets:\n$ww")
     }
+
+    // the adaptive default routes this sub-threshold input through the
+    // PLAIN window (no range exchange, no __pid machinery) with the
+    // identical result — the small-input fast path that recovers q128's
+    // overhead at low scale
+    val small = AggOps.globalRank(order, "rn", Seq("a" -> "ca", "b" -> "cb"))(df)
+    assert(key(small) == key(exp))
+    assert(small.queryExecution.executedPlan.toString.contains("Window"))
+    assert(!small.columns.contains("__pid") &&
+      !small.queryExecution.executedPlan.toString.contains("__pid"),
+      "sub-threshold input must take the plain-window path")
   }
 }

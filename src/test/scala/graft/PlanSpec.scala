@@ -579,8 +579,12 @@ class PlanSpec extends SparkSpec {
       "q126_gap_quantiles" -> "window over histogram buckets",
       // month-count-sized lag (~84 rows over the calendar, not rows)
       "q127_mom_growth" -> "window over months",
-      // globalRank's offsets: <= spark.sql.shuffle.partitions rows
-      "q128_pareto" -> "globalRank offsets over chunk count")
+      // globalRank: at sweep scale the adaptive size probe picks the
+      // plain window (input <= smallInputRows by construction — the
+      // SAME bound that makes it safe); at scale it switches to the
+      // chunked path whose only unpartitioned window is the offsets
+      // rollup over <= spark.sql.shuffle.partitions rows
+      "q128_pareto" -> "globalRank: adaptive small-input window / chunked offsets")
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
