@@ -648,8 +648,20 @@ object ExtQueries {
       val lake = s.read.format("graft-lake").load(root)
       val filtered = lake.where(col("o_orderkey").between(100, 399))
       filtered.collect()
-      val scanned = filtered.queryExecution.executedPlan
-        .collect { case sc: FileSourceScanExec => sc.metrics("numFiles").value }.sum
+      // the path face plans through DSv2 now (BatchScan over the same
+      // manifest-pruned index); the v1 FileSourceScanExec arm stays for
+      // anything still landing there
+      val scanned = filtered.queryExecution.executedPlan.collect {
+        case sc: FileSourceScanExec => sc.metrics("numFiles").value
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.partitions.toSeq.collect {
+            case dp: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+              dp.inputPartitions.collect {
+                case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                  fp.files.map(_.urlEncodedPath).toSeq
+              }.flatten
+          }.flatten.distinct.size.toLong
+      }.sum
       val total = LakeTable.snapshot(s, root).entries.size.toLong
       val v1Rows = s.read.format("graft-lake").option("versionAsOf", 1).load(root).count()
       val v2Rows = lake.count()

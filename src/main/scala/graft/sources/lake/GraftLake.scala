@@ -64,11 +64,73 @@ class GraftLake
   extends DataSourceRegister
   with RelationProvider
   with CreatableRelationProvider
-  with StreamSourceProvider {
+  with StreamSourceProvider
+  with org.apache.spark.sql.connector.catalog.TableProvider {
 
   import GraftLake._
 
   override def shortName(): String = "graft-lake"
+
+  // ---- DSv2 TableProvider face ----------------------------------------
+  //
+  // With TableProvider present, `spark.read.format("graft-lake")` and
+  // `readStream.format("graft-lake")` resolve through DSv2: reads plan
+  // as BatchScan over LakeScanBuilder — the SAME scan the catalog face
+  // uses, with vectorized parquet + pushdown, metadata-only aggregate
+  // pushdown, runtime file skipping, and native deletion-vector
+  // handling (the split scan), retiring the v1 DvV1Relation `.rdd`
+  // path from the read route. `readChangeFeed=true` maps onto the
+  // `__changes` table (batch + streaming), so the option is honored
+  // instead of silently ignored as the v1 batch face did. WRITES keep
+  // the v1 CreatableRelationProvider route (SaveMode create semantics,
+  // GraftLakeV2Table declares V1_BATCH_WRITE).
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def v2Table(
+      spark: SparkSession,
+      options: Map[String, String]): org.apache.spark.sql.connector.catalog.Table = {
+    val root = rootOf(options)
+    if (opt(options, "readChangeFeed").exists(_.toBoolean)) {
+      validateStreamOptions(options)
+      val snap = LakeTable.snapshot(spark, root)
+      require(snap.version > 0, s"graft-lake: no committed snapshot at $root")
+      new GraftLakeChangesTable(s"`graft-lake`.`$root`.__changes", root, snap)
+    } else {
+      val versionAsOf = opt(options, "versionAsOf").map(_.toLong)
+      versionAsOf match {
+        case Some(v) =>
+          new GraftLakeV2Table(s"`graft-lake`.`$root`", root,
+            LakeTable.snapshotAt(spark, root, v), timeTravel = true)
+        case None =>
+          val snap = LakeTable.snapshot(spark, root)
+          // a root with no committed snapshot yet must still resolve on
+          // the WRITE path — DataFrameWriter calls getTable before it
+          // decides anything, and the create-on-save flow lives in the
+          // v1 CreatableRelationProvider. A capability-less placeholder
+          // (not SupportsWrite) routes every SaveMode to the v1 fall
+          // back; reads through it fail with the crisp missing-table
+          // error instead of a capability complaint.
+          if (snap.version == 0) new MissingLakeTable(root)
+          else new GraftLakeV2Table(s"`graft-lake`.`$root`", root, snap)
+      }
+    }
+  }
+
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
+    import scala.jdk.CollectionConverters._
+    v2Table(SparkSession.active, options.asCaseSensitiveMap().asScala.toMap).schema()
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table = {
+    import scala.jdk.CollectionConverters._
+    v2Table(SparkSession.active, properties.asScala.toMap)
+  }
 
   // ---- batch read ----------------------------------------------------
 
@@ -227,6 +289,26 @@ object GraftLake {
       // unhandledFilters keeps Spark re-applying everything)
       new DvV1Relation(spark, root, versionAsOf)
   }
+}
+
+/** Placeholder for a root with no committed snapshot on the DSv2 face:
+  * zero capabilities (and not SupportsWrite), so DataFrameWriter's save
+  * falls back to the v1 CreatableRelationProvider create flow; a READ
+  * that lands here fails with the crisp missing-table error.
+  */
+private[lake] class MissingLakeTable(root: String)
+  extends org.apache.spark.sql.connector.catalog.Table
+  with org.apache.spark.sql.connector.catalog.SupportsRead {
+  override def name(): String = s"`graft-lake`.`$root`"
+  override def schema(): StructType = new StructType()
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.Collections.emptySet()
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    throw new IllegalArgumentException(
+      s"graft-lake: no committed snapshot at $root")
 }
 
 private[lake] class DvV1Relation(

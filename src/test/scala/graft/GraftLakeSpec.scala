@@ -25,12 +25,33 @@ class GraftLakeSpec extends SparkSpec {
     s"${d.getAbsolutePath}/t"
   }
 
-  /** numFiles actually scanned by the executed plan (post-pruning). */
+  /** Distinct data files the executed scan actually read (post-pruning).
+    * The path face now resolves through DSv2 (BatchScanExec); the v1
+    * FileSourceScanExec arm stays for anything still landing there.
+    */
   private def scannedFiles(df: DataFrame): Long = {
     df.collect()
-    val scans = df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
-    assert(scans.nonEmpty, "no FileSourceScanExec in executed plan")
-    scans.map(_.metrics("numFiles").value).sum
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        unwrap(a.executedPlan)
+      case s: FileSourceScanExec => Seq(s)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+      case other => other.children.flatMap(unwrap)
+    }
+    val scans = unwrap(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no file scan in executed plan")
+    scans.map {
+      case s: FileSourceScanExec => s.metrics("numFiles").value
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.partitions.toSeq.collect {
+          case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+            p.inputPartitions.collect {
+              case f: org.apache.spark.sql.execution.datasources.FilePartition =>
+                f.files.map(_.urlEncodedPath).toSeq
+            }.flatten
+        }.flatten.distinct.size.toLong
+    }.sum
   }
 
   /** A 3-partition, stats-tracked table with one file per key bucket:
@@ -523,6 +544,31 @@ class GraftLakeSpec extends SparkSpec {
       val want = f(plain).orderBy("k").collect().toSeq
       assert(got === want, s"predicate #$i diverged under pruning")
     }
+  }
+
+  test("v1/v2 read-face parity: useV1SourceList forces v1 with identical results and pruning") {
+    val root = tmp("facepar")
+    mkTable(root)
+    // the v2 (default) face: BatchScan over LakeScanBuilder
+    val v2 = spark.read.format("graft-lake").load(root).where(col("k").between(120, 130))
+    val v2Rows = v2.orderBy("k").collect().toSeq
+    val v2Files = scannedFiles(spark.read.format("graft-lake").load(root)
+      .where(col("k").between(120, 130)))
+    assert(v2.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "default path face must plan through DSv2")
+    // the v1 escape hatch: same relation machinery the streaming source
+    // uses internally; results AND file pruning must agree exactly
+    spark.conf.set("spark.sql.sources.useV1SourceList", "graft-lake")
+    try {
+      val v1 = spark.read.format("graft-lake").load(root).where(col("k").between(120, 130))
+      assert(!v1.queryExecution.executedPlan.toString.contains("BatchScan"),
+        "useV1SourceList must force the v1 relation")
+      assert(v1.orderBy("k").collect().toSeq === v2Rows, "face results diverged")
+      val v1Files = scannedFiles(
+        spark.read.format("graft-lake").load(root).where(col("k").between(120, 130)))
+      assert(v1Files === v2Files,
+        s"manifest pruning must be face-independent: v1 read $v1Files files, v2 $v2Files")
+    } finally spark.conf.unset("spark.sql.sources.useV1SourceList")
   }
 
   test("maxVersionsPerTrigger drains a version backlog in capped micro-batches") {

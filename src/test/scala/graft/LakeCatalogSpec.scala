@@ -356,10 +356,13 @@ class LakeCatalogSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE $t ADD COLUMNS (c BIGINT NOT NULL)"))
     assert(chain(e2).exists(c => c.getMessage != null && c.getMessage.contains("nullable")),
       s"got: $e2")
-    // subquery in a DML predicate: crisp refusal, not a stale-attribute crash
+    // CORRELATED subquery in a DML predicate: crisp refusal, not a
+    // stale-attribute crash (uncorrelated subqueries are supported —
+    // the qualified tt.k makes this one genuinely correlated; an
+    // unqualified k would bind to dupsrc's own column, inner scope wins)
     val e3 = intercept[Exception](
-      spark.sql(s"DELETE FROM $t WHERE k % 2 = 0 AND " +
-        s"EXISTS (SELECT 1 FROM dupsrc d WHERE d.k = k)"))
+      spark.sql(s"DELETE FROM $t tt WHERE tt.k % 2 = 0 AND " +
+        s"EXISTS (SELECT 1 FROM dupsrc d WHERE d.k = tt.k)"))
     assert(chain(e3).exists(c => c.isInstanceOf[UnsupportedOperationException] &&
       c.getMessage.contains("subqueries")), s"got: $e3")
     assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 30)
