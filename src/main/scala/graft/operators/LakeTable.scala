@@ -284,7 +284,40 @@ object LakeTable {
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def manifestDir(root: String) = new Path(root, "_manifests")
+  // ---- branch refs ----------------------------------------------------
+  //
+  // A BRANCH is an independent manifest VERSION LINE over the same data
+  // directory (the Iceberg writable-branch shape): branch commits write
+  // `_manifests/branches/<name>/v*.manifest` while data/dv/index files
+  // land in the shared table directories, so forking is one metadata
+  // commit and fast-forward is adopting the branch head's entry list.
+  // A branch is addressed as `root#branch=<name>` — every LakeTable op
+  // (append, DELETE/UPDATE/MERGE, read, time travel) works on a branch
+  // ref unchanged because manifest paths resolve through [[manifestDir]]
+  // and data paths through [[dataRoot]].
+  private val BranchFrag = "#branch="
+
+  private[graft] def branchRef(root: String, name: String): String = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9_.-]*"),
+      s"LakeTable: branch name must be alphanumeric/_/./-, got '$name'")
+    s"${dataRoot(root)}$BranchFrag$name"
+  }
+
+  private[graft] def splitRef(root: String): (String, Option[String]) =
+    root.indexOf(BranchFrag) match {
+      case -1 => (root, None)
+      case i => (root.substring(0, i), Some(root.substring(i + BranchFrag.length)))
+    }
+
+  /** The DATA root of a (possibly branch-) ref: where `data/`, `dv/`
+    * and `index/` live — shared by every branch of the table.
+    */
+  private[graft] def dataRoot(root: String): String = splitRef(root)._1
+
+  private def manifestDir(root: String): Path = splitRef(root) match {
+    case (r, None) => new Path(r, "_manifests")
+    case (r, Some(b)) => new Path(r, s"_manifests/branches/$b")
+  }
 
   // ---- manifest (de)serialization -----------------------------------
 
@@ -843,7 +876,7 @@ object LakeTable {
       enforceChecks: Boolean = true): Seq[Entry] = {
     if (enforceChecks) requireChecks(spark, df, meta, "write")
     val batch = s"batch-${java.util.UUID.randomUUID().toString.take(8)}"
-    val dataDir = new Path(new Path(root, "data"), batch)
+    val dataDir = new Path(new Path(dataRoot(root), "data"), batch)
     // column mapping: stamp each written column with its field id (the
     // parquet writer embeds StructField metadata ids into the files, so
     // post-RENAME readers keep matching them by id)
@@ -900,7 +933,7 @@ object LakeTable {
       batch: String,
       meta: TableMeta,
       writtenCols: Seq[String]): Seq[Entry] = {
-    val dataDir = new Path(new Path(root, "data"), batch)
+    val dataDir = new Path(new Path(dataRoot(root), "data"), batch)
     // ONE listing of the just-written batch serves everything below:
     // empty-batch detection, per-file lengths for the manifest, and the
     // footer row-count reads. An EMPTY batch (e.g. a merge whose source
@@ -996,7 +1029,7 @@ object LakeTable {
               perFile.select(rel.as("rel"), lit(c).as("col"), col(s"bf_$i").as("bits"))
             }.reduce(_.unionByName(_))
               .write.mode("overwrite")
-              .parquet(new Path(new Path(root, "index"), batch).toString)
+              .parquet(new Path(new Path(dataRoot(root), "index"), batch).toString)
           }
           if (present.isEmpty) Map.empty
           else {
@@ -1235,7 +1268,7 @@ object LakeTable {
       spark: SparkSession,
       root: String,
       dvd: Seq[Entry]): Column = {
-    val paths = dvd.map(e => Dv.suffixKey(e.rel) -> s"$root/${e.dv.get.rel}").toMap
+    val paths = dvd.map(e => Dv.suffixKey(e.rel) -> s"${dataRoot(root)}/${e.dv.get.rel}").toMap
     org.apache.spark.sql.GraftColumnBridge.column(DvKeepExpr(
       exprOf(col("_metadata.file_path")), exprOf(col("_metadata.row_index")),
       paths, Map.empty, keepMembers = false,
@@ -1254,7 +1287,7 @@ object LakeTable {
     def scan(es: Seq[Entry]): DataFrame =
       // the manifest's schema drives the scan: files written under an
       // older (narrower) schema yield NULL for since-added columns
-      spark.read.schema(schema).parquet(es.map(e => s"$root/${e.rel}"): _*)
+      spark.read.schema(schema).parquet(es.map(e => s"${dataRoot(root)}/${e.rel}"): _*)
     val (dvd, clean) = entries.partition(_.dv.isDefined)
     if (entries.isEmpty)
       // a legitimately-empty committed state (e.g. a delete that removed
@@ -1292,7 +1325,7 @@ object LakeTable {
         Map.empty, bitmaps, keepMembers = true,
         new org.apache.spark.util.SerializableConfiguration(
           spark.sessionState.newHadoopConf())))
-      spark.read.schema(schema).parquet(entries.map(e => s"$root/${e.rel}"): _*)
+      spark.read.schema(schema).parquet(entries.map(e => s"${dataRoot(root)}/${e.rel}"): _*)
         .where(keep)
         .select(schema.fieldNames.map(n => col(s"`$n`")).toSeq: _*)
     }
@@ -1435,10 +1468,10 @@ object LakeTable {
     val mf = new Path(manifestDir(root), s"v$version.manifest")
     require(fs(spark, mf).exists(mf), s"LakeTable.readVersion: no v$version at $root")
     val (meta, entries) = readManifest(spark, root, version)
-    val fsys = fs(spark, new Path(root))
+    val fsys = fs(spark, new Path(dataRoot(root)))
     val missing = entries.filterNot(e =>
-      fsys.exists(new Path(root, e.rel)) &&
-        e.dv.forall(d => fsys.exists(new Path(root, d.rel))))
+      fsys.exists(new Path(dataRoot(root), e.rel)) &&
+        e.dv.forall(d => fsys.exists(new Path(dataRoot(root), d.rel))))
     require(missing.isEmpty,
       s"LakeTable.readVersion: v$version at $root has been vacuumed — " +
         s"${missing.size}/${entries.size} data files reclaimed (time travel is " +
@@ -1726,7 +1759,7 @@ object LakeTable {
       spark: SparkSession,
       root: String,
       names: Seq[String]): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
-    val idx = new Path(root, "index")
+    val idx = new Path(dataRoot(root), "index")
     val f = fs(spark, idx)
     if (!f.exists(idx)) Map.empty
     else {
@@ -2160,8 +2193,8 @@ object LakeTable {
         it.map { case (file, bytes) =>
           val key = Dv.suffixKey(Dv.decodeUrlPath(file))
           val bm = Dv.deserialize(bytes)
-          bEx.value.get(key).foreach(d => bm.or(Dv.read(conf.value, s"$root/$d")))
-          (key, Dv.writeFrom(conf.value, root, bm), bm.getLongCardinality)
+          bEx.value.get(key).foreach(d => bm.or(Dv.read(conf.value, s"${dataRoot(root)}/$d")))
+          (key, Dv.writeFrom(conf.value, dataRoot(root), bm), bm.getLongCardinality)
         }
       }.collect()
     finally bEx.destroy()
@@ -2197,7 +2230,7 @@ object LakeTable {
           if (es.isEmpty) None
           else {
             val df = spark.read.schema(meta.schema)
-              .parquet(es.map(e => s"$root/${e.rel}"): _*)
+              .parquet(es.map(e => s"${dataRoot(root)}/${e.rel}"): _*)
             val kept = if (applyDv) df.where(dvKeepColumn(spark, root, es)) else df
             // group on the RAW url-encoded path; tasks decode it to the
             // manifest's suffix key when publishing
@@ -2273,7 +2306,7 @@ object LakeTable {
       if (es.isEmpty) None
       else {
         val df = spark.read.schema(meta.schema)
-          .parquet(es.map(e => s"$root/${e.rel}"): _*)
+          .parquet(es.map(e => s"${dataRoot(root)}/${e.rel}"): _*)
         val kept = if (applyDv) df.where(dvKeepColumn(spark, root, es)) else df
         Some(kept
           .withColumn("__file", col("_metadata.file_path"))
@@ -2752,7 +2785,7 @@ object LakeTable {
     val conf = spark.sparkContext.hadoopConfiguration
     def bmOf(e: Entry): org.roaringbitmap.longlong.Roaring64Bitmap =
       e.dv.fold(new org.roaringbitmap.longlong.Roaring64Bitmap())(d =>
-        Dv.read(conf, s"$root/${d.rel}"))
+        Dv.read(conf, s"${dataRoot(root)}/${d.rel}"))
     def diffs(sel: ((Entry, Entry)) => (Entry, Entry)): (Seq[Entry], Map[String, Array[Byte]]) = {
       val picked = dvPairs.flatMap { p =>
         val (a, b) = sel(p)
@@ -2992,6 +3025,94 @@ object LakeTable {
   def resolveTag(spark: SparkSession, root: String, name: String): Option[Long] =
     tags(spark, root).get(name)
 
+  // ---- branches ------------------------------------------------------
+
+  /** Fork a WRITABLE BRANCH at the current head (the Iceberg branch
+    * shape; [[tag]]'s mutable sibling): the branch gets its own version
+    * line under `_manifests/branches/<name>/` whose v1 is the head's
+    * (meta, entries) — one metadata commit, zero data I/O. Every
+    * LakeTable op accepts the [[branchRef]] `root#branch=<name>` —
+    * appends, DELETE/UPDATE/MERGE, reads, time travel — writing data
+    * files into the SHARED table directories while main's line never
+    * sees them ([[vacuum]] pins branch-referenced files live). The fork
+    * base (main's version now) is recorded for [[fastForward]].
+    */
+  def branch(spark: SparkSession, root: String, name: String): Unit = {
+    val r = dataRoot(root)
+    val s0 = snapshot(spark, r)
+    require(s0.version > 0, s"LakeTable.branch: no committed snapshot at $r")
+    val ref = branchRef(r, name)
+    require(snapshot(spark, ref).version == 0,
+      s"LakeTable.branch: branch '$name' already exists at $r")
+    val dir = manifestDir(ref)
+    val f = fs(spark, dir)
+    f.mkdirs(dir)
+    writeBranchBase(spark, r, name, s0.version)
+    require(commit(spark, ref, 1, s0.meta.get, s0.entries),
+      s"LakeTable.branch: concurrent branch create for '$name' at $r")
+  }
+
+  /** All branches as (name, head version, fork base). */
+  def branches(spark: SparkSession, root: String): Seq[(String, Long, Long)] = {
+    val dir = new Path(new Path(dataRoot(root), "_manifests"), "branches")
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted.map { b =>
+      (b, snapshot(spark, branchRef(root, b)).version, branchBase(spark, root, b))
+    }
+  }
+
+  def dropBranch(spark: SparkSession, root: String, name: String): Boolean = {
+    val dir = manifestDir(branchRef(root, name))
+    // data files only the branch referenced become unreferenced orphans
+    // — the next vacuum reclaims them like any dead version's files
+    fs(spark, dir).delete(dir, true)
+  }
+
+  /** FAST-FORWARD main to the branch head: sound exactly when main has
+    * not advanced past the fork base (then the branch head is a linear
+    * descendant of main's state, and adopting its (meta, entries) as
+    * main's next version IS the merge — one metadata commit, zero data
+    * I/O, the same files). A diverged main refuses crisply. The branch
+    * stays, its base moved up to the new main head, so the
+    * branch-write → fast-forward loop iterates.
+    */
+  def fastForward(spark: SparkSession, root: String, name: String): Long = {
+    val r = dataRoot(root)
+    val ref = branchRef(r, name)
+    val bs = snapshot(spark, ref)
+    require(bs.version > 0, s"LakeTable.fastForward: no branch '$name' at $r")
+    val base = branchBase(spark, r, name)
+    val m0 = snapshot(spark, r)
+    require(m0.version == base,
+      s"LakeTable.fastForward: main is at v${m0.version} but branch '$name' forked " +
+        s"at v$base — main has advanced, the branch is not a linear descendant " +
+        "(rebase the branch or merge manually)")
+    require(commit(spark, r, m0.version + 1, bs.meta.get, bs.entries),
+      s"LakeTable.fastForward: concurrent commit at $r (retry on a fresh snapshot)")
+    writeBranchBase(spark, r, name, m0.version + 1, replace = true)
+    m0.version + 1
+  }
+
+  private def branchBase(spark: SparkSession, root: String, name: String): Long = {
+    val bp = new Path(manifestDir(branchRef(root, name)), "base")
+    val f = fs(spark, bp)
+    val in = f.open(bp)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    text.toLong
+  }
+
+  private def writeBranchBase(
+      spark: SparkSession, root: String, name: String, v: Long,
+      replace: Boolean = false): Unit = {
+    val dir = manifestDir(branchRef(root, name))
+    val f = fs(spark, dir)
+    val bp = new Path(dir, "base")
+    if (replace) f.delete(bp, false)
+    val out = f.create(bp, false)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   // ---- vacuum --------------------------------------------------------
 
   /** Delete data files that are (a) not referenced by any of the newest
@@ -3042,17 +3163,31 @@ object LakeTable {
         "unreadable (already vacuumed?) — skipping its pin")
       ok
     }
+    require(splitRef(root)._2.isEmpty,
+      "LakeTable.vacuum: vacuum runs on the TABLE root, not a branch ref " +
+        "(branches share the data tree; a branch-scoped sweep would reclaim " +
+        "files other lines still reference)")
     val liveVersions = (floor to s0.version) ++ pinned
-    val live = liveVersions
-      .flatMap(v => readManifest(spark, root, v)._2.map(_.rel)).toSet
+    // every branch's whole line pins its files/DVs live — branch writes
+    // land in the shared data tree and only branch manifests reference
+    // them (dropBranch releases the pins; branch version counts are
+    // activity-bounded, so this walk is metadata-sized)
+    val branchEntries: Seq[Entry] = branches(spark, root).flatMap { case (b, head, _) =>
+      val ref = branchRef(root, b)
+      (1L to head).flatMap(v =>
+        scala.util.Try(readManifest(spark, ref, v)._2).toOption.getOrElse(Nil))
+    }
+    val live = (liveVersions
+      .flatMap(v => readManifest(spark, root, v)._2.map(_.rel)) ++
+      branchEntries.map(_.rel)).toSet
     val cutoff = System.currentTimeMillis() - retainMillis
-    val dataDir = new Path(root, "data")
+    val dataDir = new Path(dataRoot(root), "data")
     val f = fs(spark, dataDir)
     if (!f.exists(dataDir)) return 0L
     val it = f.listFiles(dataDir, true)
     val all = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
       .filter(s => s.isFile && s.getModificationTime < cutoff).map(_.getPath).toSeq
-    val rootUri = new Path(root).toUri.getPath
+    val rootUri = new Path(dataRoot(root)).toUri.getPath
     var removed = 0L
     all.foreach { p =>
       val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
@@ -3065,7 +3200,7 @@ object LakeTable {
     val liveBatches = live.collect {
       case rel if rel.startsWith("data/") => rel.split('/')(1)
     }
-    val idxDir = new Path(root, "index")
+    val idxDir = new Path(dataRoot(root), "index")
     if (f.exists(idxDir)) {
       f.listStatus(idxDir).foreach { s =>
         if (s.isDirectory && s.getModificationTime < cutoff &&
@@ -3086,9 +3221,10 @@ object LakeTable {
     // delete's just-written, not-yet-committed vector; a superseded
     // vector — its file re-deleted-from or rewritten — becomes
     // unreferenced and is reclaimed here)
-    val liveDvs = liveVersions
-      .flatMap(v => readManifest(spark, root, v)._2.flatMap(_.dv.map(_.rel))).toSet
-    val dvDir = new Path(root, Dv.Dir)
+    val liveDvs = (liveVersions
+      .flatMap(v => readManifest(spark, root, v)._2.flatMap(_.dv.map(_.rel))) ++
+      branchEntries.flatMap(_.dv.map(_.rel))).toSet
+    val dvDir = new Path(dataRoot(root), Dv.Dir)
     if (f.exists(dvDir)) {
       f.listStatus(dvDir).foreach { s =>
         val stale = s.isFile && s.getModificationTime < cutoff

@@ -1319,6 +1319,46 @@ object ExtQueries {
         s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
     },
 
+    // Writable branches (the Iceberg branch shape): CALL
+    // graft.system.branch forks a metadata-only version line over the
+    // shared data tree; INSERT + DELETE land on the
+    // `__branch_<name>` face while MAIN is require-pinned untouched
+    // (version AND rollup); fast_forward adopts the branch head as one
+    // metadata commit. The final status rollup hash-checks the whole
+    // loop against the relational model — a branch write leaking into
+    // main early, a lost branch delete, or a partial fast-forward all
+    // shift cnt/cents.
+    "q172_branches" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q172_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q172_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus)")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q172_orders")
+      val mainCnt = s.sql(s"SELECT count(*) c FROM $lt").head.getLong(0)
+      val v0 = graft.operators.LakeTable.snapshot(s, root).version
+      s.sql(s"CALL graft.system.branch('$root', 'exp')")
+      val bt = s"graft.`$root`.`__branch_exp`"
+      s.sql(s"INSERT INTO $bt SELECT o_orderkey + 1000000000, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) * 2 FROM q172_orders WHERE o_orderkey % 5 = 0")
+      s.sql(s"DELETE FROM $bt WHERE o_orderkey % 7 = 0 AND o_orderkey < 1000000000")
+      // isolation pin: branch writes must not move main's line or rows
+      require(graft.operators.LakeTable.snapshot(s, root).version == v0,
+        "q172: branch writes must not advance main's version")
+      require(s.sql(s"SELECT count(*) c FROM $lt").head.getLong(0) == mainCnt,
+        "q172: branch writes must not change main's rows")
+      s.sql(s"CALL graft.system.fast_forward('$root', 'exp')")
+      s.sql(s"SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    },
+
     // Bucket storage-partitioned join: both tables PARTITIONED BY
     // (bucket(16, o_custkey)) — the catalog's V2 bucket function
     // (FunctionCatalog) resolves the transform on both sides, so the
@@ -2740,6 +2780,21 @@ object ExtQueries {
         |       min(o_orderdate) AS mn_date, max(o_orderdate) AS mx_date
         |FROM t WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |ORDER BY src""".stripMargin,
+    // the fast-forwarded main re-derived relationally: originals minus
+    // the branch delete (multiples of 7) plus the branch insert
+    // (key-shifted doubled-price copies of multiples of 5).
+    "q172_branches" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS price
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_orderstatus,
+        |         CAST(o_totalprice AS DOUBLE) * 2
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // survivors exclude multiples of 14 (the DELETE clause); tagged =
     // the remaining multiples of 7 (the UPDATE clause); cents over
     // survivors. NULL-through-evolution is exactly cnt - tagged.

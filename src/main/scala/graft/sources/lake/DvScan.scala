@@ -48,7 +48,7 @@ private[lake] class DvBatch(
         val e = dvByKey.getOrElse(key, sys.error(
           s"graft-lake DV scan: no manifest entry for planned file $key"))
         DvInputPartition(
-          FilePartition(i, Array(whole)), s"$root/${e.dv.get.rel}"): InputPartition
+          FilePartition(i, Array(whole)), s"${graft.operators.LakeTable.dataRoot(root)}/${e.dv.get.rel}"): InputPartition
     }.toArray
     clean.planInputPartitions() ++ dvParts
   }

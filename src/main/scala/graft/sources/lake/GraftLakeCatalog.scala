@@ -171,6 +171,22 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
       if (snap.version > 0)
         return new GraftLakeChangesTable(s"$base.__changes", baseRoot, snap)
     }
+    // `<table>.__branch_<name>` — a WRITABLE BRANCH as a full table
+    // face: SELECT / INSERT INTO / DELETE / UPDATE / MERGE INTO all
+    // address the branch's own version line (LakeTable ops accept the
+    // branch ref everywhere), while data files land in the shared table
+    // tree and main never sees them until CALL graft.system.fast_forward
+    if (ident.name.startsWith("__branch_") && ident.namespace.nonEmpty) {
+      val bname = ident.name.stripPrefix("__branch_")
+      val base = Identifier.of(ident.namespace.init, ident.namespace.last)
+      val baseRoot = rootOf(base)
+      if (exists(baseRoot)) {
+        val ref = LakeTable.branchRef(baseRoot, bname)
+        val snap = LakeTable.snapshot(spark, ref)
+        if (snap.version > 0)
+          return new GraftLakeV2Table(s"$base.__branch_$bname", ref, snap)
+      }
+    }
     // `<table>.__files` / `<table>.__partitions` — manifest inspection
     // as derived READ-ONLY tables (the Iceberg metadata-table pattern):
     // both plan as driver-local rows straight from the snapshot, zero

@@ -123,6 +123,60 @@ private[lake] object GraftLakeProcedures {
         }
       },
 
+      "branch" -> new LakeProc(
+        "branch",
+        "fork a writable branch at the current head (read/write it as " +
+          "<table>.__branch_<name>; fast_forward merges it back)",
+        Seq(p("table", StringType), p("name", StringType))) {
+        override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          val root = rootOf(args.getUTF8String(0).toString)
+          LakeTable.branch(spark(), root, args.getUTF8String(1).toString)
+          (StructType(Seq(
+            StructField("name", StringType), StructField("forked_at", LongType))),
+            Seq(InternalRow(args.getUTF8String(1).copy(),
+              LakeTable.snapshot(spark(), root).version)))
+        }
+      },
+
+      "drop_branch" -> new LakeProc(
+        "drop_branch",
+        "remove a branch (files only it referenced become vacuum-reclaimable)",
+        Seq(p("table", StringType), p("name", StringType))) {
+        override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          val dropped = LakeTable.dropBranch(spark(),
+            rootOf(args.getUTF8String(0).toString), args.getUTF8String(1).toString)
+          (StructType(Seq(StructField("dropped", BooleanType))),
+            Seq(InternalRow(dropped)))
+        }
+      },
+
+      "fast_forward" -> new LakeProc(
+        "fast_forward",
+        "advance main to the branch head (refuses if main diverged from the fork base)",
+        Seq(p("table", StringType), p("name", StringType))) {
+        override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          val v = LakeTable.fastForward(spark(),
+            rootOf(args.getUTF8String(0).toString), args.getUTF8String(1).toString)
+          (StructType(Seq(StructField("head_version", LongType))),
+            Seq(InternalRow(v)))
+        }
+      },
+
+      "branches" -> new LakeProc(
+        "branches",
+        "list branches as (name, head_version, fork_base)",
+        Seq(p("table", StringType))) {
+        override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          val bs = LakeTable.branches(spark(), rootOf(args.getUTF8String(0).toString))
+          (StructType(Seq(
+            StructField("name", StringType), StructField("head_version", LongType),
+            StructField("fork_base", LongType))),
+            bs.map { case (n, h, b) =>
+              InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(n), h, b)
+            })
+        }
+      },
+
       "tags" -> new LakeProc(
         "tags",
         "list snapshot tags as (name, version)",

@@ -67,7 +67,7 @@ class LakeFileIndex(
     */
   @volatile var lastListedFiles: Int = -1
 
-  override def rootPaths: Seq[Path] = Seq(new Path(root))
+  override def rootPaths: Seq[Path] = Seq(new Path(graft.operators.LakeTable.dataRoot(root)))
 
   override def partitionSchema: StructType = new StructType()
 
@@ -96,7 +96,7 @@ class LakeFileIndex(
   // the table root qualified once (makeQualified is local — no RPC), so
   // synthesized statuses carry full URIs like a real listing would
   private lazy val qualifiedRoot: Path = {
-    val p = new Path(root)
+    val p = new Path(graft.operators.LakeTable.dataRoot(root))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
   }
 
@@ -124,7 +124,7 @@ class LakeFileIndex(
     case None =>
       fallbackStatus.computeIfAbsent(e.rel, { rel =>
         fsStatusLookupCount.incrementAndGet()
-        val p = new Path(root, rel)
+        val p = new Path(graft.operators.LakeTable.dataRoot(root), rel)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
       })
   }
@@ -132,7 +132,7 @@ class LakeFileIndex(
   override lazy val sizeInBytes: Long = entries.map(e => e.bytes.getOrElse(status(e).getLen)).sum
 
   override def inputFiles: Array[String] =
-    entries.map(e => new Path(root, e.rel).toString).toArray
+    entries.map(e => new Path(graft.operators.LakeTable.dataRoot(root), e.rel).toString).toArray
 
   /** The manifest entries surviving predicate pruning — the metadata
     * half of [[listFiles]], separable so soundness properties can probe

@@ -67,7 +67,7 @@ class LakeStreamingWrite(root: String, schema: StructType, queryId: String)
     val factory = new ParquetFileFormat()
       .prepareWrite(spark, job, Map.empty, meta.schema)
     new LakeStreamWriterFactory(
-      s"$root/data/$currentBatch", meta.schema, partIdx, meta.partitionFn,
+      s"${graft.operators.LakeTable.dataRoot(root)}/data/$currentBatch", meta.schema, partIdx, meta.partitionFn,
       spark.sessionState.conf.sessionLocalTimeZone,
       new SerializableConfiguration(job.getConfiguration), factory)
   }
@@ -80,7 +80,7 @@ class LakeStreamingWrite(root: String, schema: StructType, queryId: String)
     // best-effort: an uncommitted batch dir is already invisible; vacuum
     // reclaims it even if this delete loses a race
     try {
-      val p = new Path(s"$root/data/$currentBatch")
+      val p = new Path(s"${graft.operators.LakeTable.dataRoot(root)}/data/$currentBatch")
       val f = p.getFileSystem(
         SparkSession.active.sparkContext.hadoopConfiguration)
       f.delete(p, true): Unit

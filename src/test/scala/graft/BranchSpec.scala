@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.LakeTable
+
+/** Writable branches (the Iceberg branch shape on top of snapshot
+  * tags): a branch is an independent manifest version line over the
+  * SHARED data tree. Pins: fork is metadata-only; branch writes (API +
+  * SQL DML through the `__branch_<name>` face) never touch main;
+  * vacuum keeps branch-referenced files live; fast-forward adopts the
+  * branch head exactly and refuses on divergence; dropBranch releases
+  * the pins.
+  */
+class BranchSpec extends SparkSpec {
+
+  private def freshRoot(): String = {
+    val d = Files.createTempDirectory("graft-branch").toFile
+    d.deleteOnExit()
+    s"${d.getAbsolutePath}/tbl"
+  }
+
+  private def baseDf = spark.range(60).select(
+    col("id").as("k"), (col("id") % 3).cast("string").as("p"), (col("id") * 10).as("v"))
+
+  test("branch fork, write isolation, fast-forward, divergence refusal") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"))
+    LakeTable.branch(spark, root, "dev")
+    assert(LakeTable.branches(spark, root) === Seq(("dev", 1L, 1L)))
+
+    // branch ref works across the op surface: append + DELETE
+    val ref = LakeTable.branchRef(root, "dev")
+    LakeTable.append(spark, ref, baseDf.withColumn("k", col("k") + 1000))
+    LakeTable.delete(spark, ref, col("k") % 2 === 1, "p")
+    val branchRows = LakeTable.read(spark, ref)
+    assert(branchRows.count() === 60, "60 even keys across both batches")
+    assert(branchRows.where(col("k") >= 1000).count() === 30)
+
+    // main is untouched: same version, same rows
+    assert(LakeTable.snapshot(spark, root).version === 1)
+    assert(LakeTable.read(spark, root).count() === 60)
+    assert(LakeTable.read(spark, root).where(col("k") >= 1000).count() === 0)
+
+    // branch time travel rides the branch's own line
+    assert(LakeTable.readVersion(spark, ref, 1).count() === 60)
+    assert(LakeTable.readVersion(spark, ref, 2).count() === 120)
+
+    // vacuum on main must NOT reclaim branch-only files
+    LakeTable.vacuum(spark, root, retainMillis = 0L, keepVersions = 1)
+    assert(LakeTable.read(spark, ref).count() === 60, "branch files survive main vacuum")
+    // and vacuum refuses to run on a branch ref
+    intercept[IllegalArgumentException](LakeTable.vacuum(spark, ref, 0L, 1))
+
+    // fast-forward: main adopts the branch head bit-for-bit
+    val newHead = LakeTable.fastForward(spark, root, "dev")
+    assert(newHead === 2)
+    val main = LakeTable.read(spark, root)
+    assert(main.count() === 60)
+    assert(main.exceptAll(branchRows).isEmpty && branchRows.exceptAll(main).isEmpty)
+
+    // the loop iterates: another branch write, another fast-forward
+    LakeTable.append(spark, ref, baseDf.withColumn("k", col("k") + 2000))
+    assert(LakeTable.fastForward(spark, root, "dev") === 3)
+    assert(LakeTable.read(spark, root).count() === 120)
+
+    // divergence: main advances past the fork base -> refusal
+    LakeTable.append(spark, root, baseDf.withColumn("k", col("k") + 3000))
+    LakeTable.append(spark, ref, baseDf.withColumn("k", col("k") + 4000))
+    val e = intercept[IllegalArgumentException](LakeTable.fastForward(spark, root, "dev"))
+    assert(e.getMessage.contains("advanced"), e.getMessage)
+
+    assert(LakeTable.dropBranch(spark, root, "dev"))
+    assert(LakeTable.branches(spark, root).isEmpty)
+  }
+
+  test("SQL face: CALL branch / __branch_ DML / fast_forward / drop_branch") {
+    val d = Files.createTempDirectory("graft-branch-cat").toString
+    spark.conf.set("spark.sql.catalog.graft.warehouse", d)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.br (k BIGINT, p STRING, v BIGINT) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.db.br SELECT id, cast(id % 3 as string), id * 10 FROM range(30)")
+    val fork = spark.sql("CALL graft.system.branch('db.br', 'exp')").head
+    assert(fork.getString(0) === "exp" && fork.getLong(1) === 2L)
+
+    // full DML surface against the branch face
+    spark.sql("INSERT INTO graft.db.br.`__branch_exp` " +
+      "SELECT id, cast(id % 3 as string), id FROM range(100, 110)")
+    spark.sql("UPDATE graft.db.br.`__branch_exp` SET v = v + 1 WHERE k < 3")
+    spark.sql("DELETE FROM graft.db.br.`__branch_exp` WHERE k IN (5, 6)")
+    assert(spark.sql("SELECT count(*) c FROM graft.db.br.`__branch_exp`")
+      .head.getLong(0) === 38)
+    assert(spark.sql("SELECT sum(v) s FROM graft.db.br.`__branch_exp` WHERE k < 3")
+      .head.getLong(0) === 0 + 10 + 20 + 3)
+    // main untouched through it all
+    assert(spark.sql("SELECT count(*) c FROM graft.db.br").head.getLong(0) === 30)
+    assert(spark.sql("SELECT sum(v) s FROM graft.db.br WHERE k < 3").head.getLong(0) === 30)
+
+    val brs = spark.sql("CALL graft.system.branches('db.br')").collect()
+    assert(brs.map(r => (r.getString(0), r.getLong(2))).toSeq === Seq(("exp", 2L)))
+
+    spark.sql("CALL graft.system.fast_forward('db.br', 'exp')")
+    assert(spark.sql("SELECT count(*) c FROM graft.db.br").head.getLong(0) === 38)
+    // post-ff the branch base moved up: the loop iterates through SQL too
+    spark.sql("INSERT INTO graft.db.br.`__branch_exp` " +
+      "SELECT id, '0', id FROM range(200, 203)")
+    spark.sql("CALL graft.system.fast_forward('db.br', 'exp')")
+    assert(spark.sql("SELECT count(*) c FROM graft.db.br").head.getLong(0) === 41)
+
+    assert(spark.sql("CALL graft.system.drop_branch('db.br', 'exp')").head.getBoolean(0))
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft.db.br.`__branch_exp`").collect())
+  }
+}
