@@ -999,6 +999,12 @@ object LakeTable {
     // happen post-align, but stay conservative) records nothing for it.
     val present = meta.statsCols.filter(writtenCols.contains)
     val bloomPresent = meta.bloomCols.filter(writtenCols.contains)
+    // equi-width histogram columns: numeric stats columns (CBO's
+    // FilterEstimation consumes numeric histograms; string min/max
+    // stay min/max-only)
+    val histPresent = present.filter(c =>
+      meta.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .exists(_.dataType.isInstanceOf[NumericType]))
     val stats: Map[String, Seq[(Option[String], Option[String])]] =
       if (present.isEmpty && bloomPresent.isEmpty) Map.empty
       else {
@@ -1048,6 +1054,44 @@ object LakeTable {
           }
         } finally if (bothConsumers) perFile.unpersist()
       }
+
+    // per-batch equi-width histogram per NUMERIC stats column (the CBO
+    // skew signal beyond min/max): bounds come from the per-file min/max
+    // just collected, bin counts from one extra narrow columnar scan of
+    // the batch (map-side partial sums, B cells per column back). Stored
+    // as a `__hist` row in the batch's index sidecar dataset, so the
+    // histogram lives and dies with its batch and
+    // [[tableHistograms]] folds live batches at estimate time.
+    if (histPresent.nonEmpty && stats.nonEmpty) {
+      val bounds: Seq[(String, Double, Double)] = histPresent.flatMap { c =>
+        val i = meta.statsCols.indexWhere(_.equalsIgnoreCase(c))
+        val los = stats.values.flatMap(s =>
+          s(i)._1.flatMap(x => scala.util.Try(x.toDouble).toOption))
+        val his = stats.values.flatMap(s =>
+          s(i)._2.flatMap(x => scala.util.Try(x.toDouble).toOption))
+        if (los.isEmpty || his.isEmpty) None else Some((c, los.min, his.max))
+      }
+      if (bounds.nonEmpty) {
+        val aggsH = bounds.flatMap { case (c, lo, hi) =>
+          val w = if (hi > lo) hi - lo else 1.0
+          val bucket = least(lit(HistBins - 1), greatest(lit(0),
+            floor((col(s"`$c`").cast("double") - lit(lo)) / lit(w) * lit(HistBins)).cast("int")))
+          (0 until HistBins).map(b =>
+            sum(when(col(s"`$c`").isNotNull && bucket === b, 1L).otherwise(0L))
+              .as(s"h_${bounds.indexWhere(_._1 == c)}_$b"))
+        }
+        val row = spark.read.parquet(dataDir.toString)
+          .agg(aggsH.head, aggsH.tail: _*).head
+        val histRows = bounds.zipWithIndex.map { case ((c, lo, hi), ci) =>
+          val cnts = (0 until HistBins).map(b => row.getAs[Long](s"h_${ci}_$b")).toArray
+          (HistRel, c, encodeHist(lo, hi, cnts))
+        }
+        import spark.implicits._
+        histRows.toDF("rel", "col", "bits").coalesce(1)
+          .write.mode("append")
+          .parquet(new Path(new Path(dataRoot(root), "index"), batch).toString)
+      }
+    }
 
     files.map { s =>
       val p = s.getPath
@@ -1767,7 +1811,9 @@ object LakeTable {
       if (batches.isEmpty) Map.empty
       else
         spark.read.parquet(batches: _*)
-          .where(col("col").isin(names.map(x => x: Any): _*))
+          // histogram rows share the sidecar dataset under rel __hist —
+          // their bits are NOT Bloom bytes, keep them out of the probe
+          .where(col("rel") =!= HistRel && col("col").isin(names.map(x => x: Any): _*))
           .select("rel", "bits")
           .collect()
           .map { r =>
@@ -1775,6 +1821,129 @@ object LakeTable {
               new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
           }.toMap
     }
+  }
+
+  // ---- CBO histograms -------------------------------------------------
+
+  /** Sentinel `rel` for histogram rows inside a batch's index sidecar
+    * dataset (same (rel, col, bits) schema as the Bloom rows, so one
+    * dataset serves both; the bits cell is [[encodeHist]] bytes).
+    */
+  private[graft] val HistRel = "__hist"
+
+  /** Equi-width bins per batch histogram — enough resolution for CBO
+    * selectivity (the fold keeps the same grid), tiny enough that a
+    * histogram row is ~300 bytes.
+    */
+  private[graft] val HistBins = 32
+
+  private[graft] def encodeHist(lo: Double, hi: Double, counts: Array[Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeDouble(lo); out.writeDouble(hi); out.writeInt(counts.length)
+    counts.foreach(out.writeLong)
+    out.flush()
+    bos.toByteArray
+  }
+
+  private[graft] def decodeHist(bytes: Array[Byte]): (Double, Double, Array[Long]) = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val lo = in.readDouble(); val hi = in.readDouble()
+    (lo, hi, Array.fill(in.readInt())(in.readLong()))
+  }
+
+  // fold cache: the sidecar read is a (tiny) Spark job at PLANNING time,
+  // so one live-batch-set's fold is computed once, not per query
+  private val histCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Map[String, (Double, Double, Array[Double])]](
+        16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Map[String, (Double, Double, Array[Double])]])
+            : Boolean = size() > 64
+      })
+
+  /** Fold the LIVE batches' write-time histograms into one table-level
+    * equi-width histogram per column (CBO's skew signal beyond min/max):
+    * each batch's counts redistribute proportionally onto the merged
+    * [lo, hi] grid, scaled by the batch's LIVE fraction (COW deletes
+    * drop whole files out of `entries`; the scale keeps the estimate
+    * honest without re-scanning anything). Returns None for a column
+    * unless EVERY live row-carrying batch recorded a histogram for it —
+    * a partial fold would misstate the distribution, and "no histogram"
+    * degrades to min/max estimation, never to a wrong answer.
+    */
+  private[graft] def tableHistograms(
+      spark: SparkSession,
+      root: String,
+      entries: Seq[Entry],
+      columns: Seq[String]): Map[String, (Double, Double, Array[Double])] = {
+    if (columns.isEmpty || entries.isEmpty) return Map.empty
+    val liveByBatch: Map[String, Long] = entries
+      .groupBy(_.rel.split('/')(1))
+      .map { case (b, es) =>
+        b -> (if (es.exists(_.rows.isEmpty)) -1L else es.flatMap(_.liveRows).sum)
+      }
+    // a batch with unknown row counts cannot be liveness-scaled
+    if (liveByBatch.valuesIterator.contains(-1L)) return Map.empty
+    val key = root + "\n" + liveByBatch.toSeq.sorted.mkString(",") + "\n" +
+      columns.sorted.mkString(",")
+    val hit = histCache.get(key)
+    if (hit != null) return hit
+    val idx = new Path(dataRoot(root), "index")
+    val f = fs(spark, idx)
+    val computed: Map[String, (Double, Double, Array[Double])] =
+      if (!f.exists(idx)) Map.empty
+      else {
+        val dirs = f.listStatus(idx).filter(_.isDirectory)
+          .filter(s => liveByBatch.contains(s.getPath.getName))
+          .map(_.getPath.toString).toSeq
+        // per (batch, col) histogram rows of the live batches
+        val rows: Seq[(String, String, Array[Byte])] =
+          if (dirs.isEmpty) Nil
+          else spark.read.parquet(dirs: _*)
+            .where(col("rel") === HistRel && col("col").isin(columns.map(x => x: Any): _*))
+            .select(input_file_name().as("f"), col("col"), col("bits"))
+            .collect().toSeq
+            .map(r => (r.getString(0).split('/').dropRight(1).last, r.getString(1),
+              r.getAs[Array[Byte]](2)))
+        columns.flatMap { c =>
+          val perBatch = rows.filter(_._2.equalsIgnoreCase(c))
+            .map(r => r._1 -> decodeHist(r._3)).toMap
+          val needed = liveByBatch.filter(_._2 > 0).keySet
+          if (needed.isEmpty || !needed.subsetOf(perBatch.keySet)) None
+          else {
+            val hs = needed.toSeq.map(b => (perBatch(b), liveByBatch(b)))
+            val lo = hs.map(_._1._1).min
+            val hi = hs.map(_._1._2).max
+            if (!(hi > lo)) None
+            else {
+              val out = Array.fill(HistBins)(0.0)
+              val w = (hi - lo) / HistBins
+              hs.foreach { case ((blo, bhi, counts), live) =>
+                val total = counts.sum.toDouble
+                val scale = if (total <= 0) 0.0 else math.min(1.0, live / total)
+                val bw = (if (bhi > blo) bhi - blo else w) / counts.length
+                counts.zipWithIndex.foreach { case (n, i) =>
+                  if (n > 0) {
+                    // spread the source cell's mass over the grid cells
+                    // it overlaps (proportional redistribution)
+                    val cl = blo + i * bw
+                    val ch = cl + bw
+                    var g = math.max(0, math.min(HistBins - 1, ((cl - lo) / w).toInt))
+                    val gEnd = math.max(0, math.min(HistBins - 1, (((ch - lo) / w) - 1e-12).toInt))
+                    val span = gEnd - g + 1
+                    while (g <= gEnd) { out(g) += n * scale / span; g += 1 }
+                  }
+                }
+              }
+              Some(c -> ((lo, hi, out)))
+            }
+          }
+        }.toMap
+      }
+    histCache.put(key, computed)
+    computed
   }
 
   /** The entries a point lookup `column = value` must read: files whose

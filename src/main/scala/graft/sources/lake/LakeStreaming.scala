@@ -311,6 +311,15 @@ class LakeScan(
     val bytes = if (kept.exists(_.bytes.isEmpty)) None else Some(kept.flatMap(_.bytes).sum)
     val rows = if (kept.exists(_.rows.isEmpty)) None else Some(kept.flatMap(_.liveRows).sum)
     val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    // write-time per-batch histograms folded over the PRUNED entry list
+    // (liveness-scaled): CBO's skew signal beyond min/max — only loaded
+    // when CBO will read it, and only for numeric stats columns
+    val hists: Map[String, (Double, Double, Array[Double])] =
+      if (!spark.sessionState.conf.cboEnabled) Map.empty
+      else graft.operators.LakeTable.tableHistograms(spark, root, kept,
+        meta.statsCols.filter(c => meta.schema.fields
+          .find(_.name.equalsIgnoreCase(c))
+          .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])))
     val colStats: Map[org.apache.spark.sql.connector.expressions.NamedReference,
         ColumnStatistics] =
       meta.statsCols.zipWithIndex.flatMap { case (c, i) =>
@@ -326,6 +335,10 @@ class LakeScan(
               .getInterpretedOrdering(f.dataType)
             val mins = cells.map(x => v(x.get._1.get))
             val maxs = cells.map(x => v(x.get._2.get))
+            val v2Hist = hists.get(c).orElse(
+              hists.find(_._1.equalsIgnoreCase(c)).map(_._2)).flatMap {
+              case (lo, hi, counts) => LakeScan.equiHeight(lo, hi, counts)
+            }
             if (mins.exists(_.isEmpty) || maxs.exists(_.isEmpty)) None
             else Some(
               org.apache.spark.sql.connector.expressions.Expressions.column(f.name) ->
@@ -336,6 +349,11 @@ class LakeScan(
                   override def max(): java.util.Optional[Object] = java.util.Optional.of(
                     maxs.flatten.reduce((a, b) => if (ord.compare(a, b) >= 0) a else b)
                       .asInstanceOf[Object])
+                  override def histogram(): java.util.Optional[
+                      org.apache.spark.sql.connector.read.colstats.Histogram] =
+                    v2Hist.fold(java.util.Optional.empty[
+                      org.apache.spark.sql.connector.read.colstats.Histogram]())(
+                      java.util.Optional.of)
                 })
           }
         }
@@ -506,6 +524,57 @@ class LakeScan(
 }
 
 private[graft] object LakeScan {
+
+  /** Equi-width fold → the EQUI-HEIGHT histogram the v2/catalyst stats
+    * interface expects (height = rows per bin): walk the cells cutting
+    * cumulative mass at height multiples, assuming uniform mass within
+    * a cell for fractional cuts. Per-bin ndv is approximated as the
+    * number of source cells the bin overlaps — FilterEstimation only
+    * uses it to damp equality selectivity, so a cell-granular proxy is
+    * the right order of magnitude.
+    */
+  def equiHeight(lo: Double, hi: Double, counts: Array[Double])
+      : Option[org.apache.spark.sql.connector.read.colstats.Histogram] = {
+    import org.apache.spark.sql.connector.read.colstats.{Histogram, HistogramBin}
+    val total = counts.sum
+    if (!(total > 0) || !(hi > lo)) return None
+    val cells = counts.length
+    val cellW = (hi - lo) / cells
+    // cumulative mass at each cell boundary; bin cuts found by linear
+    // interpolation inside the cell containing each height multiple
+    val cum = new Array[Double](cells + 1)
+    var i = 0
+    while (i < cells) { cum(i + 1) = cum(i) + counts(i); i += 1 }
+    val target = math.min(32, cells)
+    val h = total / target
+    def xAt(mass: Double): Double = {
+      var j = 0
+      while (j < cells && cum(j + 1) < mass) j += 1
+      if (j >= cells) hi
+      else {
+        val frac = if (counts(j) > 0) (mass - cum(j)) / counts(j) else 0.0
+        lo + j * cellW + frac * cellW
+      }
+    }
+    val cuts = (0 to target).map(j =>
+      if (j == 0) lo else if (j == target) hi else xAt(j * h))
+    val cutBins = (0 until target).map { j =>
+      val bLo = cuts(j)
+      val bHi = math.max(cuts(j + 1), bLo)
+      // ndv proxy: how many source cells the bin spans — only used to
+      // damp equality selectivity, the order of magnitude is what counts
+      val nd = math.max(1L, math.round((bHi - bLo) / cellW))
+      new HistogramBin {
+        override def lo(): Double = bLo
+        override def hi(): Double = bHi
+        override def ndv(): Long = nd
+      }: HistogramBin
+    }
+    Some(new Histogram {
+      override def height(): Double = h
+      override def bins(): Array[HistogramBin] = cutBins.toArray
+    })
+  }
 
   /** (kept, total) clean entries after the LAST runtime filter on a
     * root — the probe a skipping pin reads (DPP effects are otherwise
