@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Same-surface A/B bench: prior-round code vs the current tree.
+
+Round-over-round BENCH totals drift with host noise (multi-tenant CPU /
+memory bandwidth), which made regression attribution archaeology. This
+harness removes the host variable mechanically:
+
+  1. finds the previous round's final commit (the driver's
+     "round N: ..." commit; override with --base <ref>),
+  2. builds it in a git worktree with its own sbt target,
+  3. runs graft.Bench on an IDENTICAL query subset against both trees,
+     INTERLEAVED (A B A B) on the same machine back-to-back, taking the
+     per-query min across invocations (each invocation already warms up
+     and reports min-of-2 internally),
+  4. writes BENCH_AB.json with per-query ratios and the median ratio —
+     a median ratio near 1.0 means no code-level regression regardless
+     of what the absolute totals did.
+
+Usage: python3 scripts/bench_ab.py [--base <ref>] [--sf <dir>] [--only q1,q2,...]
+"""
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+REPO = "/root/repo"
+WORKTREE = "/tmp/graft_ab_base"
+# stable, representative subset spanning agg / join / window / dedup /
+# similarity / percentile / lake shapes — prefixes resolved by Bench
+DEFAULT_SUBSET = ("q02,q21,q22,q31,q36,q48,q63,q68,q91,q100,q117,q128")
+
+
+def sh(cmd, cwd=REPO, env=None, capture=False):
+    print(f"[ab] $ {cmd}", file=sys.stderr)
+    if capture:
+        return subprocess.run(cmd, shell=True, cwd=cwd, env=env, check=True,
+                              capture_output=True, text=True).stdout
+    subprocess.run(cmd, shell=True, cwd=cwd, env=env, check=True)
+
+
+def bench(tree, sf, subset, cpus):
+    env = dict(os.environ)
+    env.update({"SPARK_GRAFT_SF_DIR": sf, "SPARK_GRAFT_ONLY": subset,
+                "SPARK_GRAFT_CPUS": str(cpus)})
+    out = subprocess.run('sbt -batch "runMain graft.Bench"', shell=True, cwd=tree,
+                         env=env, capture_output=True, text=True)
+    for line in out.stdout.splitlines():
+        m = re.search(r'\{"metric".*\}', line)
+        if m:
+            return json.loads(m.group(0))["queries"]
+    print(out.stdout[-4000:], file=sys.stderr)
+    print(out.stderr[-4000:], file=sys.stderr)
+    raise SystemExit(f"no bench JSON from {tree}")
+
+
+def main():
+    args = sys.argv[1:]
+    def opt(name, default):
+        return args[args.index(name) + 1] if name in args else default
+    sf = opt("--sf", "/root/testdata/sf0.1")
+    subset = opt("--only", DEFAULT_SUBSET)
+    cpus = int(opt("--cpus", "32"))
+    base = opt("--base", "")
+    if not base:
+        log = sh("git log --format='%H %s' -200", capture=True)
+        for line in log.splitlines():
+            h, _, subj = line.partition(" ")
+            if re.match(r"^round \d+:", subj):
+                base = h
+                break
+    if not base:
+        raise SystemExit("no prior-round commit found; pass --base <ref>")
+
+    sh(f"git worktree remove --force {WORKTREE} 2>/dev/null || true")
+    shutil.rmtree(WORKTREE, ignore_errors=True)
+    sh(f"git worktree add --detach {WORKTREE} {base}")
+    try:
+        # sequential builds only: two sbt processes sharing one JVM pool
+        # (and the current tree's target/) corrupt each other
+        sh("sbt -batch compile", cwd=WORKTREE)
+        sh("sbt -batch compile")
+
+        runs_a, runs_b = [], []
+        for _ in range(2):  # interleaved A B A B
+            runs_a.append(bench(WORKTREE, sf, subset, cpus))
+            runs_b.append(bench(REPO, sf, subset, cpus))
+
+        def fold(runs):
+            out = {}
+            for r in runs:
+                for q, v in r.items():
+                    if v >= 0:
+                        out[q] = min(out.get(q, v), v)
+            return out
+        a, b = fold(runs_a), fold(runs_b)
+        shared = sorted(set(a) & set(b))
+        ratios = {q: round(b[q] / a[q], 3) for q in shared if a[q] > 0}
+        med = sorted(ratios.values())[len(ratios) // 2] if ratios else None
+        result = {
+            "metric": "bench_ab",
+            "base_commit": base,
+            "sf": sf,
+            "subset": shared,
+            "prior_sec": {q: a[q] for q in shared},
+            "current_sec": {q: b[q] for q in shared},
+            "ratio_current_over_prior": ratios,
+            "median_ratio": med,
+        }
+        with open(os.path.join(REPO, "BENCH_AB.json"), "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+        print(json.dumps({"median_ratio": med, "ratios": ratios}))
+    finally:
+        sh(f"git worktree remove --force {WORKTREE} 2>/dev/null || true")
+
+
+main()
