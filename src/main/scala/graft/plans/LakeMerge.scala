@@ -85,16 +85,18 @@ object LakeDmlStrategy extends SparkStrategy {
     // ordinary table columns and the clause merge needs no special case
     case MergeIntoTable(LakeTarget(t), source, cond, matched, notMatched, bySource, _) =>
       planMerge(t, source, cond, matched, notMatched, bySource) :: Nil
-    case UpdateTable(LakeTarget(t), assignments, condition) =>
-      planUpdate(t, assignments, condition) :: Nil
-    case DeleteFromTable(LakeTarget(t), condition) =>
+    case UpdateTable(tgt @ LakeTarget(t), assignments, condition) =>
+      planUpdate(t, tgt, assignments, condition) :: Nil
+    case DeleteFromTable(tgt @ LakeTarget(t), condition) =>
       // DeleteFromTable normally routes through SupportsDelete, which
       // refuses non-Filter-translatable predicates; planning it here
       // lifts that restriction — LakeTable.delete evaluates ANY
       // predicate, incl. uncorrelated subqueries (materialized at
       // execution time — `DELETE FROM t WHERE k IN (SELECT ...)`, the
-      // decontamination-by-blocklist verb)
-      val condExpr = byNameExpr(condition, "DELETE")
+      // decontamination-by-blocklist verb) and CORRELATED EXISTS/IN
+      // (evaluated once against the pre-statement snapshot, see
+      // [[plantCorrelated]])
+      val condExpr = byNameExpr(condition, "DELETE", target = Some(tgt))
       LakeDmlExec("delete", () => {
         val spark = SparkSession.active
         withSubqueryMaterializer(spark) { toCol =>
@@ -133,24 +135,121 @@ object LakeDmlStrategy extends SparkStrategy {
     * from the table, whose attribute ids differ from the command plan's.
     * The transform walks only EXPRESSION children, so a subquery's inner
     * plan (not an expression child) keeps its resolved shape for
-    * [[materializeSubqueries]] to execute later. CORRELATED subqueries
-    * are refused at plan time: their inner plans reference the command's
-    * outer attribute ids, which cannot be re-anchored by name — and the
-    * decorrelation that could lift them is exactly a join, i.e. the
-    * MERGE INTO the refusal suggests.
+    * [[materializeSubqueries]] to execute later.
+    *
+    * CORRELATED subqueries cannot be re-anchored (their inner plans
+    * reference the command's outer attribute ids); where `target` (the
+    * command's resolved target plan) is provided — UPDATE/DELETE
+    * CONDITIONS — they are instead lifted by [[plantCorrelated]] into a
+    * deferred membership test against the set of qualifying outer-column
+    * tuples, evaluated once at statement start. Sites with no single
+    * outer relation (assignment values) keep the crisp refusal.
     */
-  private def byNameExpr(e: Expression, verb: String): Expression = {
-    e.foreach {
-      case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression
-          if sq.isCorrelated =>
-        throw new UnsupportedOperationException(
-          s"graft-lake $verb: correlated subqueries are not supported — rewrite as " +
-            "MERGE INTO with the correlation as the ON key (uncorrelated subqueries, " +
-            "e.g. IN (SELECT ...) over another table, are supported)")
-      case _ => ()
-    }
-    e.transform {
+  private def byNameExpr(
+      e: Expression,
+      verb: String,
+      target: Option[LogicalPlan] = None): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    val lifted =
+      if (!e.exists { case sq: SubqueryExpression => sq.isCorrelated; case _ => false }) e
+      else target match {
+        case Some(rel) => plantCorrelated(nnf(e), rel, verb)
+        case None => refuseCorrelated(verb,
+          "here (supported in UPDATE/DELETE conditions; in assignment values, " +
+            "rewrite as MERGE INTO with the correlation as the ON key)")
+      }
+    lifted.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }
+  }
+
+  /** Plan-time stand-in for a lifted correlated predicate: carries the
+    * RESOLVED boolean predicate (the subquery, possibly NOT-wrapped —
+    * its attribute ids match [[rel]]) and the outer columns it reads.
+    * A leaf by construction, so [[byNameExpr]]'s re-anchoring transform
+    * never walks the resolved payload; replaced at DML-execution time
+    * by [[spliceCorrelated]].
+    */
+  private case class CorrelatedMembership(
+      pred: Expression,
+      rel: LogicalPlan,
+      outer: Seq[AttributeReference])
+    extends Expression with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+    override def children: Seq[Expression] = Nil
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.BooleanType
+    override def nullable: Boolean = false
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = this
+  }
+
+  private def refuseCorrelated(verb: String, where: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft-lake $verb: correlated subqueries are not supported $where")
+
+  /** Negation-normal form over the boolean connectives — exact in
+    * three-valued logic (De Morgan holds in Kleene logic). After this,
+    * every NOT sits directly on a leaf, so [[plantCorrelated]] sees each
+    * correlated subquery either bare or under one immediate NOT, always
+    * in a monotone AND/OR context.
+    */
+  private def nnf(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Not, Or}
+    e match {
+      case Not(Not(x)) => nnf(x)
+      case Not(And(l, r)) => Or(nnf(Not(l)), nnf(Not(r)))
+      case Not(Or(l, r)) => And(nnf(Not(l)), nnf(Not(r)))
+      case And(l, r) => And(nnf(l), nnf(r))
+      case Or(l, r) => Or(nnf(l), nnf(r))
+      case other => other
+    }
+  }
+
+  /** Lifts each boolean NNF leaf that contains a correlated subquery —
+    * a bare `EXISTS(...)`, `NOT EXISTS(...)`, `k IN (corr)`, but also a
+    * comparison on a correlated scalar like
+    * `price < (SELECT avg(p) FROM s WHERE s.k = t.k)` — wholesale into
+    * a [[CorrelatedMembership]] marker carrying the RESOLVED predicate
+    * and target plan. [[materializeSubqueries]] later stages the
+    * distinct referenced-column tuples for which the leaf is TRUE
+    * (Catalyst decorrelates that filter into an ordinary semi/anti join
+    * over the pre-statement snapshot) and splices back a null-safe
+    * membership test against the staged set.
+    *
+    * Exactness: the lift maps the LEAF's NULL to FALSE. NNF guarantees
+    * every handled leaf sits in a pure AND/OR context (NOT over a
+    * connective was pushed down; NOT over a leaf stays INSIDE the
+    * staged predicate), and the connectives are monotone in
+    * FALSE < NULL < TRUE — so the condition's TRUTH, the only thing
+    * WHERE/DML evaluates, is unchanged. Null-observation INSIDE the
+    * leaf (a CASE or IS NULL over the subquery within one comparison)
+    * is evaluated verbatim by the staging filter, so it needs no
+    * special case. Non-deterministic leaves are refused: the staged
+    * evaluation and a re-evaluation could disagree.
+    */
+  private def plantCorrelated(
+      e: Expression,
+      rel: LogicalPlan,
+      verb: String): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Or, SubqueryExpression}
+    def hasCorr(x: Expression): Boolean =
+      x.exists { case s: SubqueryExpression => s.isCorrelated; case _ => false }
+    e match {
+      case And(l, r) => And(plantCorrelated(l, rel, verb), plantCorrelated(r, rel, verb))
+      case Or(l, r) => Or(plantCorrelated(l, rel, verb), plantCorrelated(r, rel, verb))
+      case leaf if hasCorr(leaf) =>
+        if (!leaf.deterministic)
+          refuseCorrelated(verb, s"inside a non-deterministic predicate ${leaf.sql}")
+        val outer = leaf.references.toSeq.map {
+          case a: AttributeReference => a
+          case o => refuseCorrelated(verb, s"whose reference ${o.sql} is not a column")
+        }
+        val missing = outer.filterNot(rel.outputSet.contains)
+        if (missing.nonEmpty)
+          refuseCorrelated(verb, "referencing columns outside the target table: " +
+            missing.map(_.name).mkString(", "))
+        CorrelatedMembership(leaf, rel, outer)
+      case other => other
     }
   }
 
@@ -187,6 +286,7 @@ object LakeDmlStrategy extends SparkStrategy {
       spark.read.schema(df.schema).parquet(path).queryExecution.analyzed
     }
     e.transform {
+      case m: CorrelatedMembership => spliceCorrelated(spark, m, stage)
       case in: InSubquery => InSubquery(in.values, ListQuery(stage(in.query.plan)))
       case lq: ListQuery => lq // already staged by its enclosing InSubquery
       case ex: Exists => Exists(stage(ex.plan))
@@ -195,6 +295,51 @@ object LakeDmlStrategy extends SparkStrategy {
         throw new UnsupportedOperationException(
           s"graft-lake DML: unsupported subquery shape ${sq.getClass.getSimpleName}")
     }
+  }
+
+  /** Executes a lifted correlated predicate ONCE: stages the distinct
+    * outer-column tuples of the target for which it is TRUE (the filter
+    * below is exactly the shape Catalyst's subquery decorrelation turns
+    * into a semi/anti join — distributed, pushdown-planned, against the
+    * pre-statement snapshot the resolved [[CorrelatedMembership.rel]]
+    * pins), then returns a null-safe membership test the rewrite scans
+    * re-evaluate against the STAGED (qualifying-tuples-sized) result:
+    *
+    * {{{ EXISTS(SELECT 1 FROM staged WHERE staged.ci <=> outer.ci ...) }}}
+    *
+    * `<=>` keeps tuples with NULL outer columns matchable (a correlated
+    * `s.k <=> t.k` or `t.k IS NULL OR ...` inside the subquery can
+    * qualify them); the staged column names are collision-proofed so the
+    * outer references inside the new EXISTS resolve to the ENCLOSING
+    * frame, never the staged scan (inner scope wins on a name clash).
+    * Staging is O(distinct qualifying tuples) — blocklist-key-sized for
+    * the decontamination shapes, never wider than the matched rows the
+    * COW rewrite touches anyway.
+    */
+  private def spliceCorrelated(
+      spark: SparkSession,
+      m: CorrelatedMembership,
+      stage: LogicalPlan => LogicalPlan): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, Exists}
+    import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Filter => LFilter}
+    val cols = m.outer.zipWithIndex.map { case (a, i) =>
+      Alias(a, s"__graft_corr_f$i")(): org.apache.spark.sql.catalyst.expressions.NamedExpression
+    }
+    // The strategy received the OPTIMIZER's condition: a correlated
+    // subquery in it is mid-rewrite (pulled up, DomainJoin
+    // placeholders) — analyzer-ILLEGAL, so re-entering ofRows directly
+    // would fail subquery validation for the scalar shape. Finish the
+    // job the optimizer started instead: run the optimizer over the
+    // staging plan — Filter IS the supported decorrelation context, so
+    // the subquery is consumed into ordinary semi/anti/left joins and
+    // the staged write re-enters ofRows as a plain relational plan.
+    val tuples = spark.sessionState.optimizer.execute(
+      Distinct(Project(cols, LFilter(m.pred, m.rel))))
+    val stagedScan = stage(tuples)
+    val conj = m.outer.zip(stagedScan.output).map { case (a, st) =>
+      EqualNullSafe(st, UnresolvedAttribute.quoted(a.name)): Expression
+    }.reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
+    Exists(LFilter(conj, stagedScan))
   }
 
   /** Execution-time staging scope for DML subqueries: `body` receives an
@@ -441,6 +586,7 @@ object LakeDmlStrategy extends SparkStrategy {
 
   private def planUpdate(
       t: GraftLakeV2Table,
+      tgt: LogicalPlan,
       assignments: Seq[Assignment],
       condition: Option[Expression]): SparkPlan = {
     val set = assignments.flatMap { a =>
@@ -456,7 +602,7 @@ object LakeDmlStrategy extends SparkStrategy {
         case v => Some(name -> byNameExpr(v, "UPDATE"))
       }
     }.toMap
-    val condExpr = condition.map(byNameExpr(_, "UPDATE"))
+    val condExpr = condition.map(byNameExpr(_, "UPDATE", target = Some(tgt)))
     LakeDmlExec("update", () => {
       val spark = SparkSession.active
       withSubqueryMaterializer(spark) { toCol =>

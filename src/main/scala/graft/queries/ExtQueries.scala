@@ -1359,6 +1359,53 @@ object ExtQueries {
         s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
     },
 
+    // CORRELATED subqueries in SQL DML: each boolean leaf containing a
+    // correlated subquery (EXISTS / NOT EXISTS / a comparison on a
+    // correlated scalar) is evaluated ONCE against the pre-statement
+    // snapshot — Catalyst decorrelates the staging filter into an
+    // ordinary semi/anti join — and spliced back as a null-safe
+    // membership test over the staged qualifying-tuple set, then the
+    // ordinary stats-pruned COW rewrite runs. Three shapes in sequence:
+    // an EXISTS blocklist delete, a per-customer correlated-scalar
+    // threshold UPDATE, and a NOT EXISTS (anti) delete. Hash-checked
+    // against DuckDB running the same correlated SQL relationally.
+    "q173_dml_correlated" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q173_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q173_orders")
+      t(s, dir, "customer").createOrReplaceTempView("q173_customer")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (bucket(8, o_custkey)) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey,o_custkey')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_custkey, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q173_orders")
+      val total = s.sql(s"SELECT count(*) c FROM $lt").head.getLong(0)
+      // correlated EXISTS: BUILDING-segment customers' orders leave
+      s.sql(s"DELETE FROM $lt t WHERE EXISTS (SELECT 1 FROM q173_customer c " +
+        "WHERE c.c_custkey = t.o_custkey AND c.c_mktsegment = 'BUILDING')")
+      val kept = s.sql(s"SELECT count(*) c FROM $lt").head.getLong(0)
+      require(kept < total, s"q173: the correlated EXISTS delete must remove rows")
+      // correlated scalar in a comparison: cheap orders (below their own
+      // customer's account balance) get a fee
+      s.sql(s"UPDATE $lt t SET o_totalprice = o_totalprice + 1.0 " +
+        "WHERE o_totalprice < (SELECT max(CAST(c_acctbal AS DOUBLE)) " +
+        "FROM q173_customer c WHERE c.c_custkey = t.o_custkey)")
+      // correlated NOT EXISTS (anti): drop orders whose customer has no
+      // non-negative balance row
+      s.sql(s"DELETE FROM $lt t WHERE NOT EXISTS (SELECT 1 FROM q173_customer c " +
+        "WHERE c.c_custkey = t.o_custkey AND CAST(c.c_acctbal AS DOUBLE) >= 0.0)")
+      s.sql(s"SELECT CAST(count(*) AS BIGINT) AS cnt, " +
+        "min(o_orderkey) AS mn_key, max(o_orderkey) AS mx_key, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt")
+    },
+
+
     // Bucket storage-partitioned join: both tables PARTITIONED BY
     // (bucket(16, o_custkey)) — the catalog's V2 bucket function
     // (FunctionCatalog) resolves the transform on both sides, so the
@@ -2780,6 +2827,34 @@ object ExtQueries {
         |       min(o_orderdate) AS mn_date, max(o_orderdate) AS mx_date
         |FROM t WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |ORDER BY src""".stripMargin,
+    // the same three correlated DML statements replayed relationally:
+    // EXISTS blocklist complement, the per-customer threshold fee, the
+    // NOT EXISTS anti gate — DuckDB plans the correlation natively.
+    "q173_dml_correlated" ->
+      """WITH s1 AS (
+        |  SELECT * FROM orders t
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                    WHERE c.c_custkey = t.o_custkey
+        |                      AND c.c_mktsegment = 'BUILDING')
+        |), s2 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN CAST(o_totalprice AS DOUBLE) <
+        |                   (SELECT max(CAST(c_acctbal AS DOUBLE)) FROM customer c
+        |                    WHERE c.c_custkey = t.o_custkey)
+        |              THEN CAST(o_totalprice AS DOUBLE) + 1.0
+        |              ELSE CAST(o_totalprice AS DOUBLE) END AS price
+        |  FROM s1 t
+        |), s3 AS (
+        |  SELECT * FROM s2 t
+        |  WHERE EXISTS (SELECT 1 FROM customer c
+        |                WHERE c.c_custkey = t.o_custkey
+        |                  AND CAST(c.c_acctbal AS DOUBLE) >= 0.0)
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(min(o_orderkey) AS BIGINT) AS mn_key,
+        |       CAST(max(o_orderkey) AS BIGINT) AS mx_key,
+        |       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM s3""".stripMargin,
     // the fast-forwarded main re-derived relationally: originals minus
     // the branch delete (multiples of 7) plus the branch insert
     // (key-shifted doubled-price copies of multiples of 5).

@@ -356,16 +356,14 @@ class LakeCatalogSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE $t ADD COLUMNS (c BIGINT NOT NULL)"))
     assert(chain(e2).exists(c => c.getMessage != null && c.getMessage.contains("nullable")),
       s"got: $e2")
-    // CORRELATED subquery in a DML predicate: crisp refusal, not a
-    // stale-attribute crash (uncorrelated subqueries are supported —
-    // the qualified tt.k makes this one genuinely correlated; an
-    // unqualified k would bind to dupsrc's own column, inner scope wins)
-    val e3 = intercept[Exception](
-      spark.sql(s"DELETE FROM $t tt WHERE tt.k % 2 = 0 AND " +
-        s"EXISTS (SELECT 1 FROM dupsrc d WHERE d.k = tt.k)"))
-    assert(chain(e3).exists(c => c.isInstanceOf[UnsupportedOperationException] &&
-      c.getMessage.contains("subqueries")), s"got: $e3")
-    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 30)
+    // CORRELATED subquery in a DML predicate: lifted into a staged
+    // membership test (the qualified tt.k makes this one genuinely
+    // correlated; an unqualified k would bind to dupsrc's own column,
+    // inner scope wins) — deletes exactly the odd keys dupsrc knows
+    spark.sql(s"DELETE FROM $t tt WHERE tt.k % 2 = 1 AND " +
+      s"EXISTS (SELECT 1 FROM dupsrc d WHERE d.k = tt.k)")
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 29)
+    assert(spark.sql(s"SELECT count(*) c FROM $t WHERE k = 1").head.getLong(0) === 0)
   }
 
   test("MERGE WITH SCHEMA EVOLUTION: clause path widens through alterTable; opt-in only") {
@@ -452,11 +450,14 @@ class LakeCatalogSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(m === Seq((6L, 1000L), (10L, 2000L), (14L, 140L), (99L, 3L)), s"got $m")
 
-    // correlated subqueries refuse crisply on every verb
+    // correlated subqueries in ASSIGNMENT VALUES (a per-row scalar
+    // lookup, not a membership predicate) and in MERGE CLAUSE
+    // conditions keep the crisp refusal
     def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
     for (sql <- Seq(
-      s"DELETE FROM $t WHERE EXISTS (SELECT 1 FROM blk WHERE b = k)",
-      s"UPDATE $t SET v = (SELECT max(b) FROM blk WHERE b < k) WHERE k > 0")) {
+      s"UPDATE $t SET v = (SELECT max(b) FROM blk WHERE b < k) WHERE k > 0",
+      s"MERGE INTO $t t USING msrc s ON t.k = s.k " +
+        "WHEN MATCHED AND EXISTS (SELECT 1 FROM blk WHERE b = t.v) THEN DELETE")) {
       val e = intercept[Exception](spark.sql(sql))
       assert(chain(e).exists(c => c.getMessage != null &&
         c.getMessage.toLowerCase.contains("correlated")), s"$sql got: $e")
@@ -464,6 +465,61 @@ class LakeCatalogSpec extends SparkSpec {
     // refusal left no commit behind
     assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 4)
     val _ = root
+  }
+
+  test("correlated DML predicates: EXISTS/NOT EXISTS/IN/scalar-compare lift to staged membership") {
+    val t = mkTable() // k=0..29, p=k%3, v=k*10
+    val root = s"$wh/db/${t.split('.').last}"
+    spark.sql("CREATE OR REPLACE TEMP VIEW cdim AS SELECT * FROM VALUES " +
+      "(1L, 100L), (2L, 100L), (3L, 305L), (4L, 100L), (5L, 505L) AS d(dk, cap)")
+
+    // correlated EXISTS with an extra inner predicate: deletes k where a
+    // dim row has dk = k AND cap > v (k=1: cap 100 > 10 yes; k=2: 100 >
+    // 20 yes; k=3: 305 > 30 yes; k=4: 100 > 40 yes; k=5: 505 > 50 yes)
+    spark.sql(s"DELETE FROM $t tt WHERE EXISTS " +
+      "(SELECT 1 FROM cdim d WHERE d.dk = tt.k AND d.cap > tt.v)")
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 25)
+    assert(spark.sql(s"SELECT count(*) c FROM $t WHERE k BETWEEN 1 AND 5").head.getLong(0) === 0)
+
+    // comparison on a correlated SCALAR: the whole boolean leaf lifts.
+    // Remaining k: 0, 6..29. avg(cap where dk <= k) = 222 for k >= 5 —
+    // v < 222 holds for v = 60..220, i.e. k in 6..22 → bumps v by 1
+    spark.sql(s"UPDATE $t tt SET v = v + 1 WHERE tt.v < " +
+      "(SELECT avg(cap) FROM cdim d WHERE d.dk <= tt.k)")
+    // k=0: no dim rows (dk <= 0 empty) → scalar NULL → no update
+    assert(spark.sql(s"SELECT v FROM $t WHERE k = 0").head.getLong(0) === 0)
+    assert(spark.sql(s"SELECT v FROM $t WHERE k = 6").head.getLong(0) === 61)
+    assert(spark.sql(s"SELECT v FROM $t WHERE k = 22").head.getLong(0) === 221)
+    assert(spark.sql(s"SELECT v FROM $t WHERE k = 23").head.getLong(0) === 230)
+
+    // correlated NOT EXISTS (anti) under OR with an ordinary predicate:
+    // keep only rows a dim row covers (dk = k % 6) unless k >= 24
+    spark.sql(s"DELETE FROM $t tt WHERE k < 24 AND NOT EXISTS " +
+      "(SELECT 1 FROM cdim d WHERE d.dk = tt.k % 6)")
+    // k < 24 survivors need k % 6 in {1..5}: kills 0, 6, 12, 18
+    assert(spark.sql(s"SELECT count(*) c FROM $t WHERE k IN (0, 6, 12, 18)")
+      .head.getLong(0) === 0)
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 21)
+
+    // correlated IN (the inner filter reads the outer row): no surviving
+    // row's v + k equals its own dk-row's cap — commits cleanly as a
+    // no-op instead of refusing or over-deleting
+    spark.sql(s"DELETE FROM $t tt WHERE tt.v + tt.k IN " +
+      "(SELECT cap FROM cdim d WHERE d.dk = tt.k % 25)")
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 21)
+
+    // MOR table: the same correlated EXISTS drives deletion vectors
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES (deleteMode 'mor')")
+    val entriesBefore = LakeTable.snapshot(spark, root).entries.map(_.rel).toSet
+    spark.sql(s"DELETE FROM $t tt WHERE EXISTS " +
+      "(SELECT 1 FROM cdim d WHERE d.dk = tt.k % 6 AND d.cap = 100)")
+    // k%6 in {1,2,4} dies: survivors have k%6 in {3,5} or k >= 24 with
+    // k%6 in {0,3,5}: from remaining set
+    assert(spark.sql(s"SELECT count(*) c FROM $t WHERE k % 6 IN (1, 2, 4) AND k < 24")
+      .head.getLong(0) === 0)
+    // no data file was rewritten (MOR: only DV sidecars + manifest)
+    val after = LakeTable.snapshot(spark, root).entries.map(_.rel).toSet
+    assert(after.subsetOf(entriesBefore), "MOR correlated delete must not rewrite files")
   }
 
   test("catalog scans report manifest statistics: small lake table broadcasts without a hint") {
