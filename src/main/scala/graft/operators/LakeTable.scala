@@ -174,7 +174,13 @@ object LakeTable {
       // ("days"/"months"/"hours"/"bucket:N"/"truncate:N", see
       // [[PartitionFn]]). Queries filter the SOURCE column; pruning
       // maps their bounds into transform space.
-      partitionFn: String = PartitionFn.Identity) {
+      partitionFn: String = PartitionFn.Identity,
+      // free-form table properties carried in the manifest (one
+      // `#prop=` line each): derived-table definitions (materialized
+      // views record source/keys/aggs/last-applied-version here), user
+      // annotations. Never steers the reader — an old library ignores
+      // them and still reads the data correctly.
+      props: Map[String, String] = Map.empty) {
     def statsCol: Option[String] = statsCols.headOption
     /** Every sidecar name a bloom lookup on `column` must match. */
     def bloomNamesFor(column: String): Seq[String] =
@@ -458,7 +464,12 @@ object LakeTable {
       } ++
       // transactional-writer watermarks (idempotent appends): the highest
       // txnVersion committed per appId, carried forward by every commit
-      meta.txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn=${esc(app)}:$v" }
+      meta.txns.toSeq.sortBy(_._1).map { case (app, v) => s"#txn=${esc(app)}:$v" } ++
+      // free-form properties, one line per key (':' in the NAME cell is
+      // encoded, so the first ':' always splits name from value)
+      meta.props.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"#prop=${esc(k).replace(":", "%3A")}:${esc(v)}"
+      }
     val refLines = segRefs.map(r => s"@seg=${esc(r.rel)}:${r.count}")
     (header ++ refLines ++ entries.map(renderEntryLine)).mkString("\n")
   }
@@ -538,7 +549,8 @@ object LakeTable {
     // the unique-key map
     val (txnLines, rest1) = header.partition(_.startsWith("#txn="))
     val (checkLines, rest2) = rest1.partition(_.startsWith("#check="))
-    val (defaultLines, rest) = rest2.partition(_.startsWith("#default="))
+    val (defaultLines, rest3) = rest2.partition(_.startsWith("#default="))
+    val (propLines, rest) = rest3.partition(_.startsWith("#prop="))
     val (aliasLines, kvLines) = rest.partition(_.startsWith("#bloomAlias="))
     val kv = kvLines.map { h =>
       val Array(k, v) = h.stripPrefix("#").split("=", 2)
@@ -590,7 +602,12 @@ object LakeTable {
       kv.get("maxFieldId").map(_.toLong).getOrElse(0L),
       checks,
       kv.getOrElse("deleteMode", "cow"),
-      kv.getOrElse("partitionFn", PartitionFn.Identity))
+      kv.getOrElse("partitionFn", PartitionFn.Identity),
+      propLines.map { l =>
+        val s = l.stripPrefix("#prop=")
+        val i = s.indexOf(':')
+        unesc(s.take(i)) -> unesc(s.drop(i + 1))
+      }.toMap)
     val segRefs = segLines.map { l =>
       val s = l.stripPrefix("@seg=")
       val i = s.lastIndexOf(':')
@@ -1133,7 +1150,8 @@ object LakeTable {
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
       deleteMode: String = "cow",
-      partitionFn: String = PartitionFn.Identity): Unit = {
+      partitionFn: String = PartitionFn.Identity,
+      props: Map[String, String] = Map.empty): Unit = {
     val s0 = snapshot(spark, root)
     require(s0.version == 0, s"LakeTable.init: $root already at version ${s0.version}")
     require(deleteMode == "cow" || deleteMode == "mor",
@@ -1147,7 +1165,7 @@ object LakeTable {
     val mapped = withFieldIds(df.schema,
       df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1).toLong }.toMap)
     val meta = TableMeta(mapped, partitionCol, allStats, bloomCols = bloomCols,
-      deleteMode = deleteMode, partitionFn = partitionFn)
+      deleteMode = deleteMode, partitionFn = partitionFn, props = props)
     val entries = writeBatch(spark, root, df, meta)
     require(commit(spark, root, 1, meta, entries), s"LakeTable.init: concurrent commit at $root")
   }
@@ -1297,6 +1315,28 @@ object LakeTable {
         s"LakeTable.alterTable: concurrent commit at $root (retries exhausted)")
       alterTable(spark, root, addColumns, statsCols, bloomCols, renameColumns,
         dropColumns, addChecks, dropChecks, maxRetries - 1, deleteMode)
+    }
+  }
+
+  /** Metadata-only property commit (optimistic, retried): merges `kv`
+    * into [[TableMeta.props]] without touching data. Used by derived-
+    * table maintenance when a refresh window carries no net change —
+    * the applied-version watermark still advances, in one commit.
+    */
+  def setProps(
+      spark: SparkSession,
+      root: String,
+      kv: Map[String, String],
+      maxRetries: Int = 3): Long = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.setProps: no committed snapshot at $root")
+    val meta = s0.meta.get
+    if (commit(spark, root, s0.version + 1, meta.copy(props = meta.props ++ kv), s0.entries))
+      s0.version + 1
+    else {
+      require(maxRetries > 0,
+        s"LakeTable.setProps: concurrent commit at $root (retries exhausted)")
+      setProps(spark, root, kv, maxRetries - 1)
     }
   }
 
@@ -1498,6 +1538,24 @@ object LakeTable {
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
     val s = snapshotAt(spark, root, version)
     readEntries(spark, root, s.meta.get.schema, s.entries)
+  }
+
+  /** [[readVersion]] narrowed to files that can hold any of `keys`'
+    * tuples — the same stats + Bloom entry probe the merge path uses,
+    * so a derived-view dirty-group re-aggregation reads candidate
+    * files only, never the table (files without covering stats are
+    * conservatively kept).
+    */
+  def readVersionForKeys(
+      spark: SparkSession,
+      root: String,
+      version: Long,
+      keyCols: Seq[String],
+      keys: DataFrame): DataFrame = {
+    val s = snapshotAt(spark, root, version)
+    val meta = s.meta.get
+    val mayMatch = keyProbeFilter(spark, root, meta, keyCols, keys)
+    readEntries(spark, root, meta.schema, s.entries.filter(mayMatch))
   }
 
   /** The committed snapshot AT `version` (time-travel planning face; the
@@ -2729,10 +2787,15 @@ object LakeTable {
       matched: Seq[MergeBranch],
       notMatched: Seq[MergeBranch],
       notMatchedBySource: Seq[MergeBranch],
-      partitionCol: String): MergeStats = {
+      partitionCol: String,
+      // committed ATOMICALLY with the data change — a derived-table
+      // refresh records the source version it applied in the same
+      // manifest swap, so a crash can never leave the delta applied
+      // but unrecorded (or vice versa)
+      metaUpdate: TableMeta => TableMeta = identity): MergeStats = {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.mergeClauses: no committed snapshot at $root")
-    val meta = s0.meta.get
+    val meta = metaUpdate(s0.meta.get)
     require(meta.partitionCol == partitionCol,
       s"LakeTable.mergeClauses: table is partitioned by ${meta.partitionCol}, not $partitionCol")
     notMatched.foreach(b => require(b.values.isDefined,
@@ -2820,10 +2883,11 @@ object LakeTable {
       notMatched: Seq[MergeBranch],
       notMatchedBySource: Seq[MergeBranch],
       partitionCol: String,
-      maxRetries: Int = 3): MergeStats =
+      maxRetries: Int = 3,
+      metaUpdate: TableMeta => TableMeta = identity): MergeStats =
     withCommitRetry(maxRetries)(retriesLeft =>
       try Some(mergeClauses(spark, root, source, keyCols, matched, notMatched,
-        notMatchedBySource, partitionCol))
+        notMatchedBySource, partitionCol, metaUpdate))
       catch {
         case e: IllegalArgumentException
             if e.getMessage != null && e.getMessage.contains("concurrent commit") &&
@@ -2929,12 +2993,59 @@ object LakeTable {
     * version, which MERGE maintains. Cost scales with the CHANGED slice,
     * never the table.
     */
+  /** The raw signed row-multiset diff between two versions: every row
+    * that LEFT the table in `(vFrom, vTo]` carries `_sign = -1`, every
+    * row that ENTERED carries `_sign = +1` — computed file-wise
+    * (removed files, added files, deletion-vector diffs) with NO
+    * pairing join, so it needs no key columns and is exact under any
+    * duplicate structure. Intermediate states net out (a row inserted
+    * and deleted inside the window contributes nothing). This is the
+    * incremental-view-maintenance feed: a group-by SUM over
+    * sign-weighted rows IS the exact aggregate delta, and its cost is
+    * O(changed files), never the table.
+    */
+  def rowDeltas(spark: SparkSession, root: String, vFrom: Long, vTo: Long): DataFrame = {
+    val (pre, post, _) = prePostRows(spark, root, vFrom, vTo)
+    post.withColumn("_sign", lit(1L)).unionByName(pre.withColumn("_sign", lit(-1L)))
+  }
+
   def tableChanges(
       spark: SparkSession,
       root: String,
       vFrom: Long,
       vTo: Long,
       keyCols: Seq[String]): DataFrame = {
+    val (pre, post, outSchema) = prePostRows(spark, root, vFrom, vTo)
+    val dataCols = outSchema.fieldNames.toSeq
+    // pack each side into ONE struct before the join: after a full-outer
+    // join a missing side is then a genuinely NULL struct (selecting the
+    // columns after the join would yield a struct OF nulls instead)
+    def packed(df: DataFrame, as: String): DataFrame =
+      df.select(keyCols.map(col) :+ struct(dataCols.map(col): _*).as(as): _*)
+    val j = packed(pre, "__pre").join(packed(post, "__post"), keyCols, "full_outer")
+    val inserts = j.where(col("__pre").isNull)
+      .select(dataCols.map(c => col(s"__post.$c")) :+ lit("insert").as("_change_type"): _*)
+    val deletes = j.where(col("__post").isNull)
+      .select(dataCols.map(c => col(s"__pre.$c")) :+ lit("delete").as("_change_type"): _*)
+    val changed = j.where(col("__pre").isNotNull && col("__post").isNotNull &&
+      !(col("__pre") <=> col("__post")))
+    val preImg = changed
+      .select(dataCols.map(c => col(s"__pre.$c")) :+ lit("update_preimage").as("_change_type"): _*)
+    val postImg = changed
+      .select(dataCols.map(c => col(s"__post.$c")) :+ lit("update_postimage").as("_change_type"): _*)
+    inserts.unionByName(deletes).unionByName(preImg).unionByName(postImg)
+  }
+
+  /** The row multisets that left (`pre`) and entered (`post`) the table
+    * between two versions, aligned to `vTo`'s schema — the shared diff
+    * under [[tableChanges]]'s classified feed and [[rowDeltas]]'s
+    * signed feed.
+    */
+  private def prePostRows(
+      spark: SparkSession,
+      root: String,
+      vFrom: Long,
+      vTo: Long): (DataFrame, DataFrame, StructType) = {
     require(vFrom < vTo, s"LakeTable.tableChanges: need vFrom < vTo, got $vFrom >= $vTo")
     val (metaFrom, entFrom) = readManifest(spark, root, vFrom)
     val (metaTo, entTo) = readManifest(spark, root, vTo)
@@ -2970,24 +3081,7 @@ object LakeTable {
     val pre = align(readEntries(spark, root, metaFrom.schema, removed), outSchema)
       .unionByName(align(preDv, outSchema))
     val post = readEntries(spark, root, outSchema, added).unionByName(postDv)
-    val dataCols = outSchema.fieldNames.toSeq
-    // pack each side into ONE struct before the join: after a full-outer
-    // join a missing side is then a genuinely NULL struct (selecting the
-    // columns after the join would yield a struct OF nulls instead)
-    def packed(df: DataFrame, as: String): DataFrame =
-      df.select(keyCols.map(col) :+ struct(dataCols.map(col): _*).as(as): _*)
-    val j = packed(pre, "__pre").join(packed(post, "__post"), keyCols, "full_outer")
-    val inserts = j.where(col("__pre").isNull)
-      .select(dataCols.map(c => col(s"__post.$c")) :+ lit("insert").as("_change_type"): _*)
-    val deletes = j.where(col("__post").isNull)
-      .select(dataCols.map(c => col(s"__pre.$c")) :+ lit("delete").as("_change_type"): _*)
-    val changed = j.where(col("__pre").isNotNull && col("__post").isNotNull &&
-      !(col("__pre") <=> col("__post")))
-    val preImg = changed
-      .select(dataCols.map(c => col(s"__pre.$c")) :+ lit("update_preimage").as("_change_type"): _*)
-    val postImg = changed
-      .select(dataCols.map(c => col(s"__post.$c")) :+ lit("update_postimage").as("_change_type"): _*)
-    inserts.unionByName(deletes).unionByName(preImg).unionByName(postImg)
+    (pre, post, outSchema)
   }
 
   /** Versioned changelog: the per-commit CDC feed for every version in

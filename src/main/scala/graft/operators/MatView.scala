@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained MATERIALIZED VIEWS over lake tables: a
+  * group-by aggregate (`count` / `sum` / `min` / `max` over key
+  * columns) stored as its own lake table and kept in sync with the
+  * source by REFRESH steps that never recompute the world.
+  *
+  * Refresh strategy is picked from the aggregate set:
+  *
+  *   - '''pure delta''' (only `cnt`/`sum`): the source's SIGNED row
+  *     diff over the window ([[LakeTable.rowDeltas]] — file-wise,
+  *     key-free, exact under duplicates) folds to one net delta row
+  *     per touched group (entered rows +1, departed rows −1; sums
+  *     sign-weighted), which MERGEs into the view — '''the source is
+  *     never scanned''', refresh cost is O(changed files) regardless
+  *     of table size. Groups whose net count reaches zero are deleted.
+  *     SQL `sum` null semantics are kept exact through a hidden
+  *     non-null counter per sum column (`_nn_<col>`): a group whose
+  *     every value is NULL reports a NULL sum even after incremental
+  *     updates.
+  *   - '''dirty groups''' (`min`/`max` present — not incrementally
+  *     maintainable under deletes): the change feed yields the DISTINCT
+  *     touched keys; only those groups re-aggregate from the source
+  *     (a semi join the scan layer prunes by stats/Bloom/partition),
+  *     then MERGE. Cost O(changes + rows of touched groups), never a
+  *     full recompute.
+  *
+  * Exactly-once: the last-applied source version rides in the SAME
+  * manifest commit as the data change ([[LakeTable.mergeClauses]]'s
+  * `metaUpdate`), so a crash between "apply" and "record" cannot
+  * double-apply a delta. An empty refresh window still advances the
+  * watermark (one metadata-only commit).
+  *
+  * The view is an ordinary lake table: SQL reads, time travel, CDF and
+  * streaming compose over it unchanged. It is bucket-partitioned on the
+  * first key (`bucket:16`) with stats on every key, so refresh merges
+  * prune to the touched buckets at any key cardinality.
+  *
+  * Reference scope: the reference engine's labs materialize aggregates
+  * only as full-recompute job outputs (e.g. lab8 product totals,
+  * lab10 yearly counts); this is the same result kept CURRENT under
+  * row-level DML at 100 TB scale.
+  */
+object MatView {
+
+  /** One aggregate column: `cnt`, or `sum:c` / `min:c` / `max:c`. */
+  case class Agg(fn: String, column: String) {
+    def name: String = if (fn == "cnt") "cnt" else s"${fn}_$column"
+    def spec: String = if (fn == "cnt") "cnt" else s"$fn:$column"
+  }
+
+  private val PropSrc = "mv.src"
+  private val PropKeys = "mv.keys"
+  private val PropAggs = "mv.aggs"
+  private val PropVersion = "mv.srcVersion"
+
+  def parseAggs(s: String): Seq[Agg] = s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map {
+    case "cnt" => Agg("cnt", "")
+    case a => a.split(":") match {
+      case Array(fn, c) if Set("sum", "min", "max")(fn) => Agg(fn, c)
+      case _ => throw new IllegalArgumentException(
+        s"MatView: bad aggregate '$a' (supported: cnt, sum:<col>, min:<col>, max:<col>)")
+    }
+  }
+
+  /** The stored aggregate columns for one group: `cnt` always (group
+    * liveness is what drives deletes), plus each requested aggregate,
+    * plus a hidden `_nn_<col>` non-null counter per sum column.
+    */
+  private def aggExprs(aggs: Seq[Agg]): Seq[Column] =
+    count(lit(1L)).as("cnt") +: aggs.filter(_.fn != "cnt").flatMap {
+      case Agg("sum", c) => Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"_nn_$c"))
+      case Agg("min", c) => Seq(min(col(c)).as(s"min_$c"))
+      case Agg("max", c) => Seq(max(col(c)).as(s"max_$c"))
+      case other => throw new IllegalArgumentException(s"MatView: $other")
+    }
+
+  private def storedCols(aggs: Seq[Agg]): Seq[String] =
+    "cnt" +: aggs.filter(_.fn != "cnt").flatMap {
+      case Agg("sum", c) => Seq(s"sum_$c", s"_nn_$c")
+      case a => Seq(a.name)
+    }
+
+  /** Full compute at the source's CURRENT version + view-table init.
+    * One commit carries content, definition and the applied version.
+    */
+  def create(
+      spark: SparkSession,
+      mvRoot: String,
+      srcRoot: String,
+      keys: Seq[String],
+      aggs: Seq[Agg]): Long = {
+    require(keys.nonEmpty, "MatView.create: at least one key column")
+    require(aggs.nonEmpty, "MatView.create: at least one aggregate")
+    val head = LakeTable.snapshot(spark, srcRoot).version
+    require(head > 0, s"MatView.create: no committed snapshot at $srcRoot")
+    val full = LakeTable.readVersion(spark, srcRoot, head)
+      .groupBy(keys.map(col): _*).agg(aggExprs(aggs).head, aggExprs(aggs).tail: _*)
+    LakeTable.init(spark, mvRoot, full,
+      partitionCol = keys.head,
+      statsCols = keys,
+      partitionFn = "bucket:16",
+      props = Map(
+        PropSrc -> srcRoot, PropKeys -> keys.mkString(","),
+        PropAggs -> aggs.map(_.spec).mkString(","), PropVersion -> head.toString))
+    head
+  }
+
+  /** Applies the source's `(lastApplied, head]` change window to the
+    * view. Returns the source version the view now reflects.
+    */
+  def refresh(spark: SparkSession, mvRoot: String): Long = {
+    val s0 = LakeTable.snapshot(spark, mvRoot)
+    require(s0.version > 0, s"MatView.refresh: no committed snapshot at $mvRoot")
+    val meta = s0.meta.get
+    val d = meta.props
+    require(d.contains(PropSrc), s"MatView.refresh: $mvRoot is not a materialized view")
+    val (src, keys, aggs, last) = (
+      d(PropSrc), d(PropKeys).split(",").toSeq, parseAggs(d(PropAggs)), d(PropVersion).toLong)
+    val head = LakeTable.snapshot(spark, src).version
+    if (head <= last) return last
+
+    // the SIGNED row diff of the whole window — file-wise, key-free,
+    // exact under duplicates; intermediate states net out
+    val changes = LakeTable.rowDeltas(spark, src, last, head)
+    val stamp = (m: LakeTable.TableMeta) =>
+      m.copy(props = m.props + (PropVersion -> head.toString))
+    val deltaOnly = aggs.forall(a => a.fn == "cnt" || a.fn == "sum")
+    val source =
+      if (deltaOnly) deltaSource(changes, keys, aggs)
+      else dirtySource(spark, src, head, changes, keys, aggs)
+    val stored = storedCols(aggs)
+
+    // matched groups: dead (post-refresh cnt NULL or <= 0) delete,
+    // live update; unseen-but-live groups insert. The __s_cnt guard on
+    // INSERT skips windows that net to "never existed".
+    val matched = Seq(
+      LakeTable.MergeBranch(Some(deadCond(deltaOnly)), None),
+      LakeTable.MergeBranch(None, Some(
+        stored.map(c => c -> updateValue(deltaOnly, c)).toMap)))
+    val notMatched = Seq(
+      LakeTable.MergeBranch(Some(liveInsertCond(deltaOnly)), Some(
+        (keys.map(k => k -> col(s"__s_$k")) ++
+          stored.map(c => c -> insertValue(deltaOnly, c))).toMap)))
+    LakeTable.mergeClausesWithRetry(
+      spark, mvRoot, source, keys, matched, notMatched, Nil,
+      partitionCol = meta.partitionCol, metaUpdate = stamp)
+    head
+  }
+
+  /** Pure-delta source: one NET aggregate row per touched group,
+    * straight off the signed row diff — `__s_cnt` is the net row-count
+    * change, `__s_sum_<c>`/`__s__nn_<c>` the net sum/non-null-count
+    * change. No source scan.
+    */
+  private def deltaSource(changes: DataFrame, keys: Seq[String], aggs: Seq[Agg]): DataFrame = {
+    val sign = col("_sign")
+    val dCols = sum(sign).as("cnt") +: aggs.filter(_.fn == "sum").flatMap { a =>
+      Seq(
+        sum(sign * col(a.column)).as(s"sum_${a.column}"),
+        sum(when(col(a.column).isNotNull, sign)).as(s"_nn_${a.column}"))
+    }
+    val g = changes.groupBy(keys.map(col): _*).agg(dCols.head, dCols.tail: _*)
+    g.select(
+      keys.map(col) ++ keys.map(k => col(k).as(s"__s_$k")) ++
+        g.columns.filterNot(keys.contains).toSeq.map(c => col(c).as(s"__s_$c")): _*)
+  }
+
+  /** Dirty-group source: DISTINCT touched keys from the change feed,
+    * re-aggregated from the source AT THE PINNED head version (groups
+    * the window killed come back with NULL aggregates → DELETE). The
+    * source read is entry-pruned by the dirty key set (stats/Bloom),
+    * then semi-joined — candidate files only, never the table.
+    */
+  private def dirtySource(
+      spark: SparkSession,
+      src: String,
+      head: Long,
+      changes: DataFrame,
+      keys: Seq[String],
+      aggs: Seq[Agg]): DataFrame = {
+    val dirty = changes.select(keys.map(col): _*).distinct()
+    val recomputed = LakeTable.readVersionForKeys(spark, src, head, keys, dirty)
+      .join(dirty, keys, "left_semi")
+      .groupBy(keys.map(col): _*).agg(aggExprs(aggs).head, aggExprs(aggs).tail: _*)
+    val joined = dirty.join(recomputed, keys, "left")
+    joined.select(
+      keys.map(col) ++ keys.map(k => col(k).as(s"__s_$k")) ++
+        storedCols(aggs).map(c => col(c).as(s"__s_$c")): _*)
+  }
+
+  // ---- merge branch value expressions ---------------------------------
+
+  private def deadCond(deltaOnly: Boolean): Column =
+    if (deltaOnly) col("cnt") + coalesce(col("__s_cnt"), lit(0L)) <= 0
+    else col("__s_cnt").isNull
+
+  private def liveInsertCond(deltaOnly: Boolean): Column =
+    if (deltaOnly) coalesce(col("__s_cnt"), lit(0L)) > 0 else col("__s_cnt").isNotNull
+
+  /** Post-refresh value of stored column `c` for a MATCHED group. */
+  private def updateValue(deltaOnly: Boolean, c: String): Column =
+    if (!deltaOnly) col(s"__s_$c")
+    else if (c == "cnt" || c.startsWith("_nn_"))
+      coalesce(col(c), lit(0L)) + coalesce(col(s"__s_$c"), lit(0L))
+    else { // sum_<x>: NULL when no non-null value remains (SQL sum)
+      val nn = s"_nn_${c.stripPrefix("sum_")}"
+      val newNn = coalesce(col(nn), lit(0L)) + coalesce(col(s"__s_$nn"), lit(0L))
+      when(newNn <= 0, lit(null))
+        .otherwise(coalesce(col(c), lit(0L)) + coalesce(col(s"__s_$c"), lit(0L)))
+    }
+
+  /** Value of stored column `c` for an unmatched INSERTED group. */
+  private def insertValue(deltaOnly: Boolean, c: String): Column =
+    if (!deltaOnly) col(s"__s_$c")
+    else if (c == "cnt" || c.startsWith("_nn_")) coalesce(col(s"__s_$c"), lit(0L))
+    else {
+      val nn = s"_nn_${c.stripPrefix("sum_")}"
+      when(coalesce(col(s"__s_$nn"), lit(0L)) <= 0, lit(null)).otherwise(col(s"__s_$c"))
+    }
+}

@@ -1277,6 +1277,58 @@ object ExtQueries {
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
         s"FROM $lt")
     },
+    // Incrementally-maintained MATERIALIZED VIEWS: two aggregate views
+    // over one lake table — a cnt/sum view refreshed by PURE DELTA (the
+    // change feed folds to signed per-group deltas; the source is never
+    // rescanned) and a min/max view refreshed by DIRTY-GROUP rescan
+    // (only touched groups re-aggregate, pruned through the scan
+    // layer). A delete + insert + update wave lands on the source, one
+    // refresh each brings both views current, and the joined rollup
+    // hash-checks against DuckDB recomputing the aggregates from the
+    // final source state. Exact integer cents keep the incremental sum
+    // bit-equal to the recomputed one (double addition would drift by
+    // fold order). The applied-source-version watermark commits
+    // ATOMICALLY with each refresh's data change.
+    "q174_matview_refresh" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q174_$tag"
+      val root = s"$stage/t"
+      val (mv1, mv2) = (s"$stage/mv_sum", s"$stage/mv_range")
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q174_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_cents BIGINT) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) FROM q174_orders")
+      s.sql(s"CALL graft.system.create_matview('$mv1', '$root', " +
+        "'o_orderstatus', 'cnt,sum:o_cents')")
+      s.sql(s"CALL graft.system.create_matview('$mv2', '$root', " +
+        "'o_orderstatus', 'min:o_orderkey,max:o_orderkey')")
+      // the change wave: delete, key-shifted insert, fee update
+      s.sql(s"DELETE FROM $lt WHERE o_orderkey % 5 = 2")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey + 5000000, o_orderstatus, " +
+        "CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) * 2 " +
+        "FROM q174_orders WHERE o_orderkey % 11 = 0")
+      s.sql(s"UPDATE $lt SET o_cents = o_cents + 100 WHERE o_orderkey % 7 = 0")
+      val head = graft.operators.LakeTable.snapshot(s, root).version
+      val r1 = s.sql(s"CALL graft.system.refresh_matview('$mv1')").head.getLong(0)
+      val r2 = s.sql(s"CALL graft.system.refresh_matview('$mv2')").head.getLong(0)
+      require(r1 == head && r2 == head,
+        s"q174: refresh must reach the source head ($r1/$r2 vs $head)")
+      // exactly-once pin: the watermark rode the refresh commit itself
+      require(graft.operators.LakeTable.snapshot(s, mv1)
+        .meta.get.props("mv.srcVersion").toLong == head,
+        "q174: watermark must live in the view's manifest")
+      s.sql(s"SELECT m1.o_orderstatus AS status, m1.cnt AS cnt, " +
+        "m1.sum_o_cents AS cents, m2.min_o_orderkey AS mn_key, " +
+        "m2.max_o_orderkey AS mx_key " +
+        s"FROM graft.`$mv1` m1 JOIN graft.`$mv2` m2 " +
+        "ON m1.o_orderstatus = m2.o_orderstatus ORDER BY status")
+    },
 
     // MERGE WITH SCHEMA EVOLUTION on the general clause path: the
     // source-only `tag` column widens the table during ANALYSIS
@@ -2827,6 +2879,28 @@ object ExtQueries {
         |       min(o_orderdate) AS mn_date, max(o_orderdate) AS mx_date
         |FROM t WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |ORDER BY src""".stripMargin,
+    // the final source state re-derived relationally (delete, shifted
+    // insert, fee update in statement order), then both views' aggregates
+    // recomputed from scratch — the incremental merges must land exactly
+    // here. Integer cents make the sums order-independent.
+    "q174_matview_refresh" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |         CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), s1 AS (SELECT * FROM base WHERE k % 5 <> 2),
+        |s2 AS (
+        |  SELECT * FROM s1
+        |  UNION ALL
+        |  SELECT k + 5000000, st, cents * 2 FROM base WHERE k % 11 = 0
+        |), s3 AS (
+        |  SELECT k, st, CASE WHEN k % 7 = 0 THEN cents + 100 ELSE cents END AS cents
+        |  FROM s2
+        |)
+        |SELECT st AS status, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(cents) AS BIGINT) AS cents,
+        |       CAST(min(k) AS BIGINT) AS mn_key, CAST(max(k) AS BIGINT) AS mx_key
+        |FROM s3 GROUP BY st ORDER BY status""".stripMargin,
     // the same three correlated DML statements replayed relationally:
     // EXISTS blocklist complement, the per-customer threshold fee, the
     // NOT EXISTS anti gate — DuckDB plans the correlation natively.

@@ -225,6 +225,34 @@ private[lake] object GraftLakeProcedures {
               es.map(_.part).distinct.size.toLong,
               sumOpt(es.map(_.liveRows)), sumOpt(es.map(_.bytes)))))
         }
+      },
+
+      "create_matview" -> new LakeProc(
+        "create_matview",
+        "materialize a group-by aggregate view over a lake table " +
+          "(aggs: 'cnt,sum:c,min:c,max:c'); refresh_matview keeps it in sync",
+        Seq(p("view", StringType), p("table", StringType),
+          p("keys", StringType), p("aggs", StringType))) {
+        override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          val v = graft.operators.MatView.create(spark(),
+            rootOf(args.getUTF8String(0).toString),
+            rootOf(args.getUTF8String(1).toString),
+            args.getUTF8String(2).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+            graft.operators.MatView.parseAggs(args.getUTF8String(3).toString))
+          (StructType(Seq(StructField("src_version", LongType))), Seq(InternalRow(v)))
+        }
+      },
+
+      "refresh_matview" -> new LakeProc(
+        "refresh_matview",
+        "apply the source's change window since the last refresh " +
+          "(delta merge for cnt/sum, dirty-group re-aggregate for min/max)",
+        Seq(p("view", StringType))) {
+        override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          val v = graft.operators.MatView.refresh(spark(),
+            rootOf(args.getUTF8String(0).toString))
+          (StructType(Seq(StructField("src_version", LongType))), Seq(InternalRow(v)))
+        }
       }
     ).map { case (k, v) => k -> (v: UnboundProcedure) }
   }

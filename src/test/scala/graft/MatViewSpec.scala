@@ -1,0 +1,192 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LakeTable, MatView}
+
+/** Incrementally-maintained materialized views: the delta path
+  * (cnt/sum — no source scan), the dirty-group path (min/max —
+  * touched groups only), exactly-once refresh bookkeeping, SQL NULL
+  * semantics of incrementally-updated sums, and the procedure faces.
+  */
+class MatViewSpec extends SparkSpec {
+
+  private lazy val wh: String = {
+    val d = Files.createTempDirectory("graft-mv").toString
+    spark.conf.set("spark.sql.catalog.graft.warehouse", d)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    d
+  }
+
+  private var n = 0
+  private def freshRoots(): (String, String) = {
+    n += 1
+    val _ = wh
+    (s"$wh/src$n", s"$wh/mv$n")
+  }
+
+  /** The view's PUBLIC face == a fresh aggregate over the source. */
+  private def assertInSync(src: String, mv: String, keys: Seq[String], aggs: Seq[String]): Unit = {
+    val fresh = LakeTable.read(spark, src)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), aggs.map(a => expr(a).as(a)): _*)
+      .orderBy(keys.map(col): _*).collect().toSeq
+    val stored = LakeTable.read(spark, mv)
+      .select((keys :+ "cnt").map(col) ++ aggs.map(a =>
+        col(a.replace("(", "_").replace(")", ""))): _*)
+      .orderBy(keys.map(col): _*).collect().toSeq
+    assert(stored.map(_.toSeq) === fresh.map(_.toSeq))
+  }
+
+  test("delta path: cnt/sum maintained from the change feed alone") {
+    val (src, mv) = freshRoots()
+    import spark.implicits._
+    LakeTable.init(spark,
+      src, (0L until 30L).map(i => (i, s"p${i % 3}", i * 10L)).toDF("k", "p", "v"),
+      partitionCol = "p", statsCols = Seq("k"))
+    val v0 = MatView.create(spark, mv, src, Seq("p"), MatView.parseAggs("cnt,sum:v"))
+    assert(v0 === 1)
+    assertInSync(src, mv, Seq("p"), Seq("sum(v)"))
+
+    // inserts, a delete and an update land; one refresh folds all three
+    LakeTable.append(spark,
+      src, Seq((100L, "p0", 7L), (101L, "p3", 5L)).toDF("k", "p", "v"))
+    LakeTable.deleteWithRetry(spark, src, col("k") % 10 === 1, "p")
+    LakeTable.updateWithRetry(spark, src, col("k") === 2, Map("v" -> lit(9999L)), "p")
+    val applied = MatView.refresh(spark, mv)
+    assert(applied === LakeTable.snapshot(spark, src).version)
+    assertInSync(src, mv, Seq("p"), Seq("sum(v)"))
+
+    // group death: delete every p3 row → the group leaves the view
+    LakeTable.deleteWithRetry(spark, src, col("p") === "p3", "p")
+    MatView.refresh(spark, mv)
+    assert(LakeTable.read(spark, mv).where(col("p") === "p3").count() === 0)
+    assertInSync(src, mv, Seq("p"), Seq("sum(v)"))
+
+    // group birth through refresh (a key never seen at create time)
+    LakeTable.append(spark, src, Seq((200L, "p9", 1L)).toDF("k", "p", "v"))
+    MatView.refresh(spark, mv)
+    assertInSync(src, mv, Seq("p"), Seq("sum(v)"))
+
+    // caught-up refresh: version watermark unchanged, no new commit
+    val mvV = LakeTable.snapshot(spark, mv).version
+    MatView.refresh(spark, mv)
+    assert(LakeTable.snapshot(spark, mv).version === mvV)
+  }
+
+  test("delta path keeps SQL sum NULL semantics through the _nn counter") {
+    val (src, mv) = freshRoots()
+    import spark.implicits._
+    // group g1 starts all-NULL (sum NULL), g2 has values
+    LakeTable.init(spark,
+      src, Seq(("g1", Option.empty[Long]), ("g1", Option.empty[Long]),
+        ("g2", Some(5L))).toDF("g", "x"),
+      partitionCol = "g")
+    MatView.create(spark, mv, src, Seq("g"), MatView.parseAggs("cnt,sum:x"))
+    val r0 = LakeTable.read(spark, mv).where(col("g") === "g1").head
+    assert(r0.getAs[Any]("sum_x") === null)
+
+    // a non-null value arrives in g1 → sum becomes defined
+    LakeTable.append(spark, src, Seq(("g1", Some(3L))).toDF("g", "x"))
+    MatView.refresh(spark, mv)
+    assert(LakeTable.read(spark, mv).where(col("g") === "g1")
+      .head.getAs[Long]("sum_x") === 3L)
+
+    // ...and leaves again → back to NULL (cnt stays 2: the null rows)
+    LakeTable.deleteWithRetry(spark, src, col("x").isNotNull && col("g") === "g1", "g")
+    MatView.refresh(spark, mv)
+    val r2 = LakeTable.read(spark, mv).where(col("g") === "g1").head
+    assert(r2.getAs[Any]("sum_x") === null)
+    assert(r2.getAs[Long]("cnt") === 2L)
+  }
+
+  test("dirty-group path: min/max re-aggregate touched groups only") {
+    val (src, mv) = freshRoots()
+    import spark.implicits._
+    LakeTable.init(spark,
+      src, (0L until 30L).map(i => (i, s"p${i % 3}", i * 10L)).toDF("k", "p", "v"),
+      partitionCol = "p", statsCols = Seq("k"))
+    MatView.create(spark, mv, src, Seq("p"), MatView.parseAggs("cnt,min:v,max:v,sum:v"))
+    assertInSync(src, mv, Seq("p"), Seq("min(v)", "max(v)", "sum(v)"))
+
+    // deleting the current max of p0 must LOWER max_v — the shape pure
+    // delta cannot maintain; the dirty-group rescan gets it right
+    val oldMax = LakeTable.read(spark, mv).where(col("p") === "p0")
+      .head.getAs[Long]("max_v")
+    LakeTable.deleteWithRetry(spark, src, col("v") === oldMax && col("p") === "p0", "p")
+    MatView.refresh(spark, mv)
+    val newMax = LakeTable.read(spark, mv).where(col("p") === "p0")
+      .head.getAs[Long]("max_v")
+    assert(newMax < oldMax)
+    assertInSync(src, mv, Seq("p"), Seq("min(v)", "max(v)", "sum(v)"))
+
+    // untouched groups must not be re-aggregated: kill p1 entirely,
+    // p0/p2 rows stay identical through the refresh
+    val before = LakeTable.read(spark, mv).where(col("p") =!= "p1")
+      .orderBy("p").collect().toSeq
+    LakeTable.deleteWithRetry(spark, src, col("p") === "p1", "p")
+    MatView.refresh(spark, mv)
+    assert(LakeTable.read(spark, mv).where(col("p") === "p1").count() === 0)
+    assert(LakeTable.read(spark, mv).where(col("p") =!= "p1")
+      .orderBy("p").collect().toSeq === before)
+  }
+
+  test("dirty-path source read prunes files by the dirty key set") {
+    val (src, _) = freshRoots()
+    import spark.implicits._
+    LakeTable.init(spark,
+      src, (0L until 10L).map(i => (i, "a", i)).toDF("k", "p", "v"),
+      partitionCol = "p", statsCols = Seq("k"))
+    LakeTable.append(spark,
+      src, (100L until 110L).map(i => (i, "a", i)).toDF("k", "p", "v"))
+    val head = LakeTable.snapshot(spark, src).version
+    val all = LakeTable.readVersion(spark, src, head).inputFiles.length
+    val pruned = LakeTable.readVersionForKeys(spark, src, head, Seq("k"),
+      Seq(5L).toDF("k")).inputFiles.length
+    assert(all >= 2 && pruned < all, s"expected pruning: $pruned of $all files")
+  }
+
+  test("exactly-once: the applied source version rides in the merge commit") {
+    val (src, mv) = freshRoots()
+    import spark.implicits._
+    LakeTable.init(spark, src, Seq((1L, "a", 10L)).toDF("k", "p", "v"),
+      partitionCol = "p")
+    MatView.create(spark, mv, src, Seq("p"), MatView.parseAggs("cnt,sum:v"))
+    LakeTable.append(spark, src, Seq((2L, "a", 5L)).toDF("k", "p", "v"))
+    MatView.refresh(spark, mv)
+    // the watermark lives in the SAME manifest version as the new rows:
+    // reading the view one version back shows the old content AND the
+    // old watermark (no state where one moved without the other)
+    val s = LakeTable.snapshot(spark, mv)
+    val props = s.meta.get.props
+    assert(props("mv.srcVersion").toLong === LakeTable.snapshot(spark, src).version)
+    val (prevMeta, _) = LakeTable.readManifest(spark, mv, s.version - 1)
+    assert(prevMeta.props("mv.srcVersion").toLong ===
+      LakeTable.snapshot(spark, src).version - 1)
+    assert(LakeTable.readVersion(spark, mv, s.version - 1)
+      .agg(sum("sum_v")).head.getLong(0) === 10L)
+    assert(LakeTable.read(spark, mv).agg(sum("sum_v")).head.getLong(0) === 15L)
+  }
+
+  test("procedure faces + empty-window refresh advances the watermark") {
+    val (src, mv) = freshRoots()
+    import spark.implicits._
+    LakeTable.init(spark,
+      src, (0L until 12L).map(i => (i, s"p${i % 2}", i)).toDF("k", "p", "v"),
+      partitionCol = "p", statsCols = Seq("k"))
+    spark.sql(s"CALL graft.system.create_matview('$mv', '$src', 'p', 'cnt,sum:v')")
+    assert(LakeTable.read(spark, mv).count() === 2)
+    // a data-free commit (OPTIMIZE) opens a window with no net change:
+    // refresh still advances the watermark, with content unchanged
+    LakeTable.optimize(spark, src)
+    val r = spark.sql(s"CALL graft.system.refresh_matview('$mv')").head.getLong(0)
+    assert(r === LakeTable.snapshot(spark, src).version)
+    assert(LakeTable.snapshot(spark, mv).meta.get.props("mv.srcVersion").toLong === r)
+    assertInSync(src, mv, Seq("p"), Seq("sum(v)"))
+    // refusal: refreshing a non-view lake table
+    val e = intercept[Exception](MatView.refresh(spark, src))
+    assert(e.getMessage.contains("not a materialized view"))
+  }
+}
