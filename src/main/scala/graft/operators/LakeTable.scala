@@ -214,17 +214,82 @@ object LakeTable {
   private[graft] val ExistsDefaultKey =
     org.apache.spark.sql.catalyst.util.ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY
 
-  /** Defaults removed from field metadata — toDDL renders a `DEFAULT`
-    * clause for them that fromDDL cannot parse back, so the `#schema`
-    * manifest cell must stay clause-free (the `#default=` lines are the
+  /** Generation-expression metadata (Spark's own key, the one the
+    * parser stores for `GENERATED ALWAYS AS (expr)` columns). Spark
+    * validates the expression at CREATE (deterministic, built-in
+    * functions only, reads only non-generated columns); COMPUTING it is
+    * the connector's job — [[writeBatch]] fills the column where the
+    * incoming row has NULL and refuses rows whose provided value breaks
+    * the `g <=> expr` invariant, and [[update]]/[[updateMor]] recompute
+    * it after SET so a change to a referenced column cannot leave a
+    * stale value behind.
+    */
+  private[graft] val GenExprKey =
+    org.apache.spark.sql.catalyst.util.GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY
+
+  private[graft] def generatedOf(schema: StructType): Seq[(String, String)] =
+    schema.fields.toSeq.filter(_.metadata.contains(GenExprKey))
+      .map(f => f.name -> f.metadata.getString(GenExprKey))
+
+  private[graft] def withGenerated(schema: StructType, gens: Map[String, String]): StructType =
+    StructType(schema.fields.map { f =>
+      gens.get(f.name).fold(f)(e =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putString(GenExprKey, e).build()))
+    })
+
+  /** IDENTITY column metadata (Spark's own keys from `GENERATED ALWAYS /
+    * BY DEFAULT AS IDENTITY (START WITH s INCREMENT BY i)`). The engine
+    * allocates values at WRITE time: NULL cells in an incoming batch
+    * fill from the table's high-water mark plus sparse per-partition
+    * offsets (`monotonically_increasing_id` — unique and direction-
+    * monotonic across batches, gaps allowed, never a global sort or a
+    * driver loop). The mark is the max of a PERSISTED `identity.hw.<c>`
+    * table property (advanced atomically with each insert commit, so a
+    * DELETE of the highest row can never cause value reuse) and the
+    * manifest's per-file stats for the column (covers explicit inserts
+    * and legacy tables). `ALWAYS` (allowExplicitInsert = false) refuses
+    * user-supplied values at the insert funnels; internal COW/MOR
+    * rewrites carry existing values untouched.
+    */
+  private[graft] val IdStartKey =
+    org.apache.spark.sql.catalyst.util.IdentityColumn.IDENTITY_INFO_START
+  private[graft] val IdStepKey =
+    org.apache.spark.sql.catalyst.util.IdentityColumn.IDENTITY_INFO_STEP
+  private[graft] val IdAllowKey =
+    org.apache.spark.sql.catalyst.util.IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT
+
+  /** (name, start, step, allowExplicitInsert) per identity column. */
+  private[graft] def identityOf(schema: StructType): Seq[(String, Long, Long, Boolean)] =
+    schema.fields.toSeq.filter(_.metadata.contains(IdStartKey)).map(f =>
+      (f.name, f.metadata.getLong(IdStartKey), f.metadata.getLong(IdStepKey),
+        f.metadata.getBoolean(IdAllowKey)))
+
+  private[graft] def withIdentity(
+      schema: StructType, ids: Map[String, (Long, Long, Boolean)]): StructType =
+    StructType(schema.fields.map { f =>
+      ids.get(f.name).fold(f) { case (start, step, allow) =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong(IdStartKey, start).putLong(IdStepKey, step)
+          .putBoolean(IdAllowKey, allow).build())
+      }
+    })
+
+  /** Defaults, generation expressions and identity specs removed from
+    * field metadata — toDDL renders clauses for them that fromDDL cannot
+    * parse back, so the `#schema` manifest cell must stay clause-free
+    * (the `#default=` / `#generated=` / `#identity=` lines are the
     * single source of truth).
     */
   private def stripDefaults(schema: StructType): StructType =
     StructType(schema.fields.map { f =>
-      if (!f.metadata.contains(CurrentDefaultKey) && !f.metadata.contains(ExistsDefaultKey)) f
+      val keys = Seq(CurrentDefaultKey, ExistsDefaultKey, GenExprKey,
+        IdStartKey, IdStepKey, IdAllowKey)
+      if (!keys.exists(f.metadata.contains)) f
       else {
         val b = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
-        b.remove(CurrentDefaultKey).remove(ExistsDefaultKey)
+        keys.foreach(b.remove)
         f.copy(metadata = b.build())
       }
     })
@@ -452,6 +517,14 @@ object LakeTable {
           else cur
         s"#default=${cell(f.name)}:${cell(cur)}:${cell(ex)}"
       } ++
+      // generation expressions, one line per GENERATED ALWAYS AS column
+      generatedOf(meta.schema).map { case (n, e) =>
+        s"#generated=${esc(n).replace(":", "%3A")}:${esc(e)}"
+      } ++
+      // identity specs, one line per IDENTITY column
+      identityOf(meta.schema).map { case (n, start, step, allow) =>
+        s"#identity=${esc(n).replace(":", "%3A")}:$start:$step:$allow"
+      } ++
       // former sidecar names of renamed bloom columns (one line per
       // current name, aliases newest-first)
       meta.bloomAliases.toSeq.sortBy(_._1).map { case (cur, olds) =>
@@ -550,7 +623,9 @@ object LakeTable {
     val (txnLines, rest1) = header.partition(_.startsWith("#txn="))
     val (checkLines, rest2) = rest1.partition(_.startsWith("#check="))
     val (defaultLines, rest3) = rest2.partition(_.startsWith("#default="))
-    val (propLines, rest) = rest3.partition(_.startsWith("#prop="))
+    val (propLines, rest4) = rest3.partition(_.startsWith("#prop="))
+    val (genLines, rest5) = rest4.partition(_.startsWith("#generated="))
+    val (idLines, rest) = rest5.partition(_.startsWith("#identity="))
     val (aliasLines, kvLines) = rest.partition(_.startsWith("#bloomAlias="))
     val kv = kvLines.map { h =>
       val Array(k, v) = h.stripPrefix("#").split("=", 2)
@@ -592,8 +667,21 @@ object LakeTable {
       val Array(n, cur, ex) = l.stripPrefix("#default=").split(":", 3)
       unesc(n) -> (unesc(cur), unesc(ex))
     }.toMap
+    val gens: Map[String, String] = genLines.map { l =>
+      val s = l.stripPrefix("#generated=")
+      val i = s.indexOf(':')
+      unesc(s.take(i)) -> unesc(s.drop(i + 1))
+    }.toMap
+    val idents: Map[String, (Long, Long, Boolean)] = idLines.map { l =>
+      val Array(n, start, step, allow) = l.stripPrefix("#identity=").split(":", 4)
+      unesc(n) -> ((start.toLong, step.toLong, allow.toBoolean))
+    }.toMap
     val meta = TableMeta(
-      withDefaults(withFieldIds(StructType.fromDDL(kv("schema")), fieldIds), defaults),
+      withIdentity(
+        withGenerated(
+          withDefaults(withFieldIds(StructType.fromDDL(kv("schema")), fieldIds), defaults),
+          gens),
+        idents),
       kv("partitionCol"),
       statsCols,
       txns,
@@ -855,6 +943,21 @@ object LakeTable {
         meta.schema(meta.partitionCol).dataType),
       lit(NullPartition))
 
+  /** Recompute GENERATED columns over a post-SET frame: an UPDATE that
+    * changed a referenced column must not leave the stale generated
+    * value behind (it would then fail [[writeBatch]]'s invariant check).
+    * Runs AFTER the SET projection, so the expression reads the NEW
+    * values; rows the update missed recompute to their existing value
+    * (a no-op). A generated column the user SET explicitly is left for
+    * the invariant check to validate.
+    */
+  private def regenerate(df: DataFrame, meta: TableMeta, explicit: Set[String]): DataFrame =
+    generatedOf(meta.schema).filterNot { case (g, _) => explicit.contains(g) }
+      .foldLeft(df) { case (d, (g, e)) =>
+        d.withColumn(g,
+          org.apache.spark.sql.functions.expr(e).cast(meta.schema(g).dataType))
+      }
+
   /** Enforce the table's CHECK constraints on rows about to be written
     * (SQL semantics: NULL passes, only FALSE violates). One short-
     * circuiting existence probe per constraint, run only when
@@ -892,6 +995,112 @@ object LakeTable {
       zorderCols: Seq[String] = Nil,
       enforceChecks: Boolean = true): Seq[Entry] = {
     if (enforceChecks) requireChecks(spark, df, meta, "write")
+    // GENERATED ALWAYS AS: fill where the incoming row has NULL (an
+    // INSERT that omitted the column), then refuse any provided value
+    // that breaks the invariant — same refuse-before-commit contract as
+    // CHECK constraints. Skipped with enforceChecks=false (OPTIMIZE
+    // rewrites of already-validated rows).
+    val gens = if (enforceChecks) generatedOf(meta.schema) else Nil
+    val dfGen = gens.foldLeft(df) { case (d, (g, e)) =>
+      d.withColumn(g,
+        coalesce(col(g), org.apache.spark.sql.functions.expr(e))
+          .cast(meta.schema(g).dataType))
+    }
+    gens.foreach { case (g, e) =>
+      val want = org.apache.spark.sql.functions.expr(e).cast(meta.schema(g).dataType)
+      if (!dfGen.where(!(col(g) <=> want)).isEmpty) throw new IllegalArgumentException(
+        s"graft-lake write: rows violate GENERATED ALWAYS AS ($g = $e) — nothing committed")
+    }
+    // IDENTITY allocation: NULL cells fill from beyond the high-water
+    // mark with sparse per-partition offsets — unique, direction-
+    // monotonic vs every previously allocated value, no global sort.
+    // Rewrite paths carry existing (non-null) values untouched. A
+    // commit race re-runs the whole op (see append), so a losing
+    // writer's allocation never lands.
+    val idents = if (enforceChecks) identityOf(meta.schema) else Nil
+    val dfId = idents.foldLeft(dfGen) { case (d, (c, start, step, _)) =>
+      val hw = identityHighWater(spark, root, meta, c, start, step)
+      d.withColumn(c, coalesce(col(c),
+        (lit(hw + step) + lit(step) *
+          org.apache.spark.sql.functions.monotonically_increasing_id())
+          .cast(meta.schema(c).dataType)))
+    }
+    writeBatchRaw(spark, root, dfId, meta, maxRecordsPerFile, sortCols, zorderCols)
+  }
+
+  /** The farthest identity value ever allocated for `c` (in `step`'s
+    * direction): the max of the persisted `identity.hw.<c>` property
+    * (advanced with each insert commit — survives DELETE of the highest
+    * row, so values are never reused), the manifest's per-file stats
+    * for the column, and a scan of any file the stats do not cover
+    * (legacy batches only; tables created with an identity column get
+    * it added to statsCols at init). `start - step` on an empty table.
+    */
+  private def identityHighWater(
+      spark: SparkSession,
+      root: String,
+      meta: TableMeta,
+      c: String,
+      start: Long,
+      step: Long): Long = {
+    val dir: (Long, Long) => Long = if (step > 0) math.max else math.min
+    val s0 = snapshot(spark, root)
+    val propHw = s0.meta.flatMap(_.props.get(s"identity.hw.$c")).map(_.toLong)
+    val i = meta.statsCols.indexOf(c)
+    def cell(e: Entry): Option[String] =
+      e.stats.lift(i).flatMap(s => if (step > 0) s._2 else s._1)
+    val (covered, uncovered) =
+      if (i < 0) (Seq.empty[Entry], s0.entries) else s0.entries.partition(e => cell(e).isDefined)
+    val statBound = covered.flatMap(cell).map(_.toLong).reduceOption(dir)
+    val scanBound =
+      if (uncovered.isEmpty) None
+      else {
+        val agg = if (step > 0) max(col(s"`$c`")) else min(col(s"`$c`"))
+        Option(readEntries(spark, root, meta.schema, uncovered).agg(agg).head.get(0))
+          .map(_.toString.toLong)
+      }
+    (Seq(start - step) ++ propHw ++ statBound ++ scanBound).reduce(dir)
+  }
+
+  /** Meta for an insert commit with the identity high-water marks
+    * advanced to cover the just-written batch (from its file stats) —
+    * rides the SAME manifest swap as the data, so a later DELETE of the
+    * highest rows can never make the mark regress.
+    */
+  private def advanceIdentityHw(meta: TableMeta, written: Seq[Entry]): TableMeta = {
+    val updates = identityOf(meta.schema).flatMap { case (c, _, step, _) =>
+      val dir: (Long, Long) => Long = if (step > 0) math.max else math.min
+      val i = meta.statsCols.indexOf(c)
+      val bound = written
+        .flatMap(e => e.stats.lift(i).flatMap(s => if (step > 0) s._2 else s._1))
+        .map(_.toLong).reduceOption(dir)
+      val prev = meta.props.get(s"identity.hw.$c").map(_.toLong)
+      (bound ++ prev).reduceOption(dir).map(v => s"identity.hw.$c" -> v.toString)
+    }
+    if (updates.isEmpty) meta else meta.copy(props = meta.props ++ updates)
+  }
+
+  /** The insert-funnel gate for `GENERATED ALWAYS AS IDENTITY`
+    * (allowExplicitInsert = false): user-supplied values are refused —
+    * internal COW/MOR rewrites do not pass through here and carry
+    * existing values untouched.
+    */
+  private def requireNoExplicitIdentity(df: DataFrame, meta: TableMeta, op: String): Unit =
+    identityOf(meta.schema).filterNot(_._4).foreach { case (c, _, _, _) =>
+      if (df.columns.contains(c) && !df.where(col(s"`$c`").isNotNull).isEmpty)
+        throw new IllegalArgumentException(
+          s"graft-lake $op: $c is GENERATED ALWAYS AS IDENTITY — explicit values " +
+            "are not accepted (omit the column)")
+    }
+
+  private def writeBatchRaw(
+      spark: SparkSession,
+      root: String,
+      df: DataFrame,
+      meta: TableMeta,
+      maxRecordsPerFile: Long = 0L,
+      sortCols: Seq[String] = Nil,
+      zorderCols: Seq[String] = Nil): Seq[Entry] = {
     val batch = s"batch-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(new Path(dataRoot(root), "data"), batch)
     // column mapping: stamp each written column with its field id (the
@@ -1156,7 +1365,9 @@ object LakeTable {
     require(s0.version == 0, s"LakeTable.init: $root already at version ${s0.version}")
     require(deleteMode == "cow" || deleteMode == "mor",
       s"LakeTable.init: deleteMode must be cow or mor, got $deleteMode")
-    val allStats = statsCol.toSeq ++ statsCols
+    // identity columns join statsCols automatically: the high-water
+    // derivation reads per-file max/min from the manifest
+    val allStats = (statsCol.toSeq ++ statsCols ++ identityOf(df.schema).map(_._1)).distinct
     (allStats ++ bloomCols :+ partitionCol).foreach(c => require(df.columns.contains(c),
       s"LakeTable.init: stats/bloom/partition column $c not in the frame"))
     PartitionFn.validate(partitionFn, df.schema(partitionCol).dataType)
@@ -1166,8 +1377,10 @@ object LakeTable {
       df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1).toLong }.toMap)
     val meta = TableMeta(mapped, partitionCol, allStats, bloomCols = bloomCols,
       deleteMode = deleteMode, partitionFn = partitionFn, props = props)
+    requireNoExplicitIdentity(df, meta, "init")
     val entries = writeBatch(spark, root, df, meta)
-    require(commit(spark, root, 1, meta, entries), s"LakeTable.init: concurrent commit at $root")
+    require(commit(spark, root, 1, advanceIdentityHw(meta, entries), entries),
+      s"LakeTable.init: concurrent commit at $root")
   }
 
   /** Metadata-only ALTER: commit a new version whose schema gains
@@ -1195,9 +1408,15 @@ object LakeTable {
       addChecks: Seq[(String, String)] = Nil,
       dropChecks: Seq[String] = Nil,
       maxRetries: Int = 3,
-      deleteMode: Option[String] = None): Long = {
+      deleteMode: Option[String] = None,
+      setProps: Map[String, String] = Map.empty,
+      unsetProps: Seq[String] = Nil): Long = {
     deleteMode.foreach(m => require(m == "cow" || m == "mor",
       s"LakeTable.alterTable: deleteMode must be cow or mor, got $m"))
+    addColumns.foreach(f => require(
+      !f.metadata.contains(GenExprKey) && !f.metadata.contains(IdStartKey),
+      s"LakeTable.alterTable: cannot ADD a GENERATED/IDENTITY column (${f.name}) — " +
+        "existing rows would need a backfill rewrite; create it at table definition time"))
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.alterTable: no committed snapshot at $root")
     val meta = s0.meta.get
@@ -1300,7 +1519,8 @@ object LakeTable {
       // retire dropped ids forever (highWater spans the pre-drop schema)
       maxFieldId = if (dropColumns.nonEmpty) highWater(meta) else meta.maxFieldId,
       checks = standingChecks ++ addChecks,
-      deleteMode = deleteMode.getOrElse(meta.deleteMode))
+      deleteMode = deleteMode.getOrElse(meta.deleteMode),
+      props = meta.props ++ setProps -- unsetProps)
     val oldStatsRenamed = meta.statsCols.map(renamed)
     val entries = s0.entries.map { e =>
       e.copy(stats = newStats.map { c =>
@@ -1314,7 +1534,8 @@ object LakeTable {
       require(maxRetries > 0,
         s"LakeTable.alterTable: concurrent commit at $root (retries exhausted)")
       alterTable(spark, root, addColumns, statsCols, bloomCols, renameColumns,
-        dropColumns, addChecks, dropChecks, maxRetries - 1, deleteMode)
+        dropColumns, addChecks, dropChecks, maxRetries - 1, deleteMode,
+        setProps, unsetProps)
     }
   }
 
@@ -2121,8 +2342,10 @@ object LakeTable {
       val newMeta = meta.copy(
         schema = extendSchema(meta.schema, newFields.toSeq, highWater(meta)),
         txns = txnAppId.fold(meta.txns)(app => meta.txns + (app -> txnVersion)))
+      requireNoExplicitIdentity(df, meta, "append")
       val written = writeBatch(spark, root, align(df, newMeta.schema), newMeta)
-      if (commit(spark, root, s0.version + 1, newMeta, s0.entries ++ written))
+      if (commit(spark, root, s0.version + 1,
+          advanceIdentityHw(newMeta, written), s0.entries ++ written))
         MergeStats(s0.version + 1, 0, 0, s0.entries.size, written.size)
       else {
         // lost the race: the batch is orphaned (vacuum reclaims it);
@@ -2197,8 +2420,9 @@ object LakeTable {
     val meta = s0.meta.get
     val newFields = df.schema.filterNot(f => meta.schema.fieldNames.contains(f.name))
     val newMeta = meta.copy(schema = extendSchema(meta.schema, newFields.toSeq, highWater(meta)))
+    requireNoExplicitIdentity(df, meta, "overwrite")
     val written = writeBatch(spark, root, align(df, newMeta.schema), newMeta)
-    if (commit(spark, root, s0.version + 1, newMeta, written))
+    if (commit(spark, root, s0.version + 1, advanceIdentityHw(newMeta, written), written))
       MergeStats(s0.version + 1, 0, 0, 0, written.size)
     else {
       require(maxRetries > 0,
@@ -2557,7 +2781,7 @@ object LakeTable {
         set.get(fld.name).map(_.cast(fld.dataType).as(fld.name))
           .getOrElse(col(s"`${fld.name}`"))
       }.toSeq: _*)
-      val written = writeBatch(spark, root, updatedRows, meta)
+      val written = writeBatch(spark, root, regenerate(updatedRows, meta, set.keySet), meta)
       val tombstoned: Map[String, Entry] = sidecars.iterator.map { case (key, rel, card) =>
         val e = byKey(key)
         val entry =
@@ -2655,7 +2879,7 @@ object LakeTable {
               .map(v => when(hit, v.cast(fld.dataType)).otherwise(col(fld.name)).as(fld.name))
               .getOrElse(col(fld.name))
           }.toSeq: _*)
-        writeBatch(spark, root, updated, meta)
+        writeBatch(spark, root, regenerate(updated, meta, set.keySet), meta)
       }
     require(
       commit(spark, root, s0.version + 1, meta, carry ++ written),

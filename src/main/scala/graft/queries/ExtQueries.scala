@@ -1330,6 +1330,92 @@ object ExtQueries {
         "ON m1.o_orderstatus = m2.o_orderstatus ORDER BY status")
     },
 
+    // GENERATED ALWAYS AS columns: the write path computes the column
+    // when the insert omits it, refuses provided values that break the
+    // g <=> expr invariant, and UPDATE recomputes it when a referenced
+    // column changes — so a predicate on the generated column is always
+    // consistent with its sources (and prunes through its write-time
+    // stats like any stored column). The wave: insert omitting the
+    // column, a delete keyed on the generated band, a price update that
+    // silently moves rows between bands. Hash-checked against DuckDB
+    // computing the expression relationally at read time.
+    "q175_generated_columns" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q175_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q175_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_totalprice DOUBLE, " +
+        "price_band BIGINT GENERATED ALWAYS AS " +
+        "(CAST(floor(o_totalprice / 50000.0) AS BIGINT))) " +
+        "PARTITIONED BY (bucket(8, o_orderkey)) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey,price_band')")
+      // insert OMITS the generated column — the engine computes it
+      s.sql(s"INSERT INTO $lt (o_orderkey, o_totalprice) " +
+        "SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) FROM q175_orders")
+      require(s.sql(s"SELECT count(*) c FROM $lt " +
+        "WHERE price_band <> CAST(floor(o_totalprice / 50000.0) AS BIGINT)")
+        .head.getLong(0) == 0, "q175: generated values must hold after insert")
+      // delete keyed on the GENERATED band
+      s.sql(s"DELETE FROM $lt WHERE price_band = 0")
+      // price update moves rows between bands — recompute must track it
+      s.sql(s"UPDATE $lt SET o_totalprice = o_totalprice * 2 WHERE o_orderkey % 3 = 0")
+      require(s.sql(s"SELECT count(*) c FROM $lt " +
+        "WHERE price_band <> CAST(floor(o_totalprice / 50000.0) AS BIGINT)")
+        .head.getLong(0) == 0, "q175: generated values must hold after update")
+      s.sql(s"SELECT price_band, CAST(count(*) AS BIGINT) AS cnt, " +
+        "min(o_orderkey) AS mn_key, max(o_orderkey) AS mx_key, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt GROUP BY price_band ORDER BY price_band")
+    },
+
+    // IDENTITY columns: `GENERATED ALWAYS AS IDENTITY (START WITH s
+    // INCREMENT BY i)` allocated by the WRITE PATH — NULL cells fill
+    // from beyond a persisted high-water mark with sparse per-partition
+    // offsets (no global sort, no driver loop); uniqueness, the
+    // START/INCREMENT lattice, cross-batch monotonicity and never-reuse
+    // across DELETE are pinned inline (the values themselves depend on
+    // partitioning, so the hashed result carries only count(DISTINCT)
+    // tied to count(*) plus key rollups).
+    "q176_identity_columns" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q176_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q176_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "row_id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 2)) " +
+        "PARTITIONED BY (o_orderstatus)")
+      s.sql(s"INSERT INTO $lt (o_orderkey, o_orderstatus) " +
+        "SELECT o_orderkey, o_orderstatus FROM q176_orders")
+      val b1 = s.sql(s"SELECT min(row_id) mn, max(row_id) mx, count(*) c, " +
+        s"count(DISTINCT row_id) d FROM $lt").head
+      require(b1.getLong(2) == b1.getLong(3), "q176: ids must be unique")
+      require(b1.getLong(0) >= 1000 && (b1.getLong(0) - 1000) % 2 == 0,
+        "q176: ids must respect START WITH / INCREMENT BY")
+      s.sql(s"INSERT INTO $lt (o_orderkey, o_orderstatus) " +
+        "SELECT o_orderkey + 3000000, o_orderstatus FROM q176_orders " +
+        "WHERE o_orderkey % 10 = 0")
+      val b2min = s.sql(s"SELECT min(row_id) FROM $lt WHERE o_orderkey >= 3000000")
+        .head.getLong(0)
+      require(b2min > b1.getLong(1), "q176: batch 2 ids must start beyond batch 1")
+      val maxBefore = s.sql(s"SELECT max(row_id) FROM $lt").head.getLong(0)
+      s.sql(s"DELETE FROM $lt WHERE o_orderkey % 7 = 3")
+      s.sql(s"INSERT INTO $lt (o_orderkey, o_orderstatus) VALUES (9999999, 'O')")
+      require(s.sql(s"SELECT max(row_id) FROM $lt").head.getLong(0) > maxBefore,
+        "q176: deleted identity values must never be reused")
+      s.sql(s"SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS cnt, " +
+        "CAST(count(DISTINCT row_id) AS BIGINT) AS uids, " +
+        "min(o_orderkey) AS mn_key, max(o_orderkey) AS mx_key " +
+        s"FROM $lt GROUP BY o_orderstatus ORDER BY status")
+    },
+
     // MERGE WITH SCHEMA EVOLUTION on the general clause path: the
     // source-only `tag` column widens the table during ANALYSIS
     // (AUTOMATIC_SCHEMA_EVOLUTION capability → the catalog's
@@ -2879,6 +2965,34 @@ object ExtQueries {
         |       min(o_orderdate) AS mn_date, max(o_orderdate) AS mx_date
         |FROM t WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |ORDER BY src""".stripMargin,
+    // the replayed inserts/delete with uids == cnt (identity uniqueness
+    // folded into the hashed result without exposing allocation order).
+    "q176_identity_columns" ->
+      """WITH s1 AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 3000000, o_orderstatus FROM orders WHERE o_orderkey % 10 = 0
+        |), s2 AS (SELECT * FROM s1 WHERE k % 7 <> 3),
+        |s3 AS (SELECT * FROM s2 UNION ALL SELECT 9999999, 'O')
+        |SELECT st AS status, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(count(*) AS BIGINT) AS uids,
+        |       CAST(min(k) AS BIGINT) AS mn_key, CAST(max(k) AS BIGINT) AS mx_key
+        |FROM s3 GROUP BY st ORDER BY status""".stripMargin,
+    // the band expression recomputed relationally at read time over the
+    // replayed statements (delete band 0, double prices of key%3=0).
+    "q175_generated_columns" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price FROM orders
+        |), s1 AS (
+        |  SELECT * FROM base WHERE CAST(floor(price / 50000.0) AS BIGINT) <> 0
+        |), s2 AS (
+        |  SELECT k, CASE WHEN k % 3 = 0 THEN price * 2 ELSE price END AS price FROM s1
+        |)
+        |SELECT CAST(floor(price / 50000.0) AS BIGINT) AS price_band,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(min(k) AS BIGINT) AS mn_key, CAST(max(k) AS BIGINT) AS mx_key,
+        |       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
     // the final source state re-derived relationally (delete, shifted
     // insert, fee update in statement order), then both views' aggregates
     // recomputed from scratch — the incremental merges must land exactly

@@ -96,7 +96,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(
       TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -258,6 +260,31 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
     loadTable(ident, versions.max.toString)
   }
 
+  /** The V2-column overload: the default bridge to the StructType
+    * overload DROPS generation expressions (they live on the v2 Column,
+    * not in field metadata) — re-attach them so `GENERATED ALWAYS AS`
+    * survives into the manifest.
+    */
+  override def createTable(
+      ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val base = org.apache.spark.sql.GraftColumnBridge.v2ColumnsToStructType(columns)
+    val gens = columns.toSeq
+      .filter(_.generationExpression() != null)
+      .map(c => c.name() -> c.generationExpression()).toMap
+    val idents = columns.toSeq
+      .filter(_.identityColumnSpec() != null)
+      .map { c =>
+        val sp = c.identityColumnSpec()
+        c.name() -> ((sp.getStart, sp.getStep, sp.isAllowExplicitInsert))
+      }.toMap
+    createTable(ident,
+      LakeTable.withIdentity(LakeTable.withGenerated(base, gens), idents),
+      partitions, properties)
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -305,8 +332,24 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
     LakeTable.init(spark, root, empty, partitionCol,
       statsCols = cols("statsCols"), bloomCols = cols("bloomCols"),
       deleteMode = prop("deleteMode").getOrElse("cow"),
-      partitionFn = partitionFn)
+      partitionFn = partitionFn,
+      props = userProps(properties))
     loadTable(ident)
+  }
+
+  /** TBLPROPERTIES entries that are neither engine-reserved nor
+    * Spark-internal — carried verbatim in [[LakeTable.TableMeta.props]]
+    * (annotations, ownership tags; the Delta arbitrary-property shape).
+    */
+  private def userProps(properties: util.Map[String, String]): Map[String, String] = {
+    val reserved = Set("statsCols", "bloomCols", "deleteMode", "partitionCol",
+      "provider", "location", "comment", "owner", "external", "path",
+      "is_managed_location")
+    import scala.jdk.CollectionConverters._
+    properties.asScala.toMap.filterNot { case (k, _) =>
+      reserved.contains(k) || k.startsWith("option.") || k.startsWith("spark.sql.") ||
+        k.startsWith("mv.") || k.startsWith("identity.hw.")
+    }
   }
 
   /** ALTER TABLE ADD COLUMNS (appended, nullable — a metadata-only
@@ -334,6 +377,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
     def split(v: String) = v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     var addChecks = Seq.empty[(String, String)]
     var dropChecks = Seq.empty[String]
+    val setProps = scala.collection.mutable.Map.empty[String, String]
+    val unsetProps = scala.collection.mutable.Buffer.empty[String]
     changes.foreach {
       case a: TableChange.AddConstraint =>
         a.constraint() match {
@@ -385,13 +430,26 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
         bloomCols = Some(split(s.value))
       case s: TableChange.SetProperty if s.property == "deleteMode" =>
         deleteMode = Some(s.value)
+      // mv.* bookkeeping is maintained by refresh_matview's atomic
+      // commits — hand-editing it via SQL would desynchronize the view
+      case s: TableChange.SetProperty if s.property.startsWith("mv.") =>
+        throw new UnsupportedOperationException(
+          s"graft-lake: ${s.property} is maintained by graft.system.refresh_matview")
+      case s: TableChange.SetProperty if s.property.startsWith("identity.hw.") =>
+        throw new UnsupportedOperationException(
+          s"graft-lake: ${s.property} is maintained by the identity write path")
+      case s: TableChange.SetProperty =>
+        setProps += (s.property -> s.value)
+      case r: TableChange.RemoveProperty if !r.property.startsWith("mv.") =>
+        unsetProps += r.property
       case other => throw new UnsupportedOperationException(
         s"graft-lake: unsupported ALTER TABLE change $other (immutable data files; " +
           "only ADD COLUMNS, RENAME/DROP COLUMN and SET TBLPROPERTIES statsCols/bloomCols " +
           "are metadata-only)")
     }
     LakeTable.alterTable(spark, root, addCols, statsCols, bloomCols, renames, drops,
-      addChecks, dropChecks, deleteMode = deleteMode)
+      addChecks, dropChecks, deleteMode = deleteMode,
+      setProps = setProps.toMap, unsetProps = unsetProps.toSeq)
     loadTable(ident)
   }
 
@@ -509,6 +567,7 @@ class GraftLakeV2Table(
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
+    meta.props.foreach { case (k, v) => m.put(k, v) }
     m.put("partitionCol", meta.partitionCol)
     if (meta.statsCols.nonEmpty) m.put("statsCols", meta.statsCols.mkString(","))
     if (meta.bloomCols.nonEmpty) m.put("bloomCols", meta.bloomCols.mkString(","))
@@ -739,6 +798,16 @@ class LakeWriteBuilder(root: String, info: LogicalWriteInfo) extends WriteBuilde
       if (replaceAll) throw new UnsupportedOperationException(
         "graft-lake: streaming writes are append-only (complete/update output " +
           "modes would truncate per epoch)")
+      // the epoch write path publishes task files directly (no
+      // writeBatch funnel), so it cannot compute generation
+      // expressions — refuse instead of committing stale values
+      LakeTable.snapshot(SparkSession.active, root).meta.foreach { m =>
+        if (LakeTable.generatedOf(m.schema).nonEmpty ||
+          LakeTable.identityOf(m.schema).nonEmpty)
+          throw new UnsupportedOperationException(
+            "graft-lake: streaming writes to a table with GENERATED/IDENTITY columns " +
+              "are not supported — compute the column in the stream query instead")
+      }
       new LakeStreamingWrite(root, info.schema(), info.queryId())
     }
   }

@@ -11,6 +11,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** [[connector.catalog.CatalogV2Util]] is private[sql]; the lake
+    * catalog needs its column conversion to re-attach generation
+    * expressions the default createTable bridge drops.
+    */
+  def v2ColumnsToStructType(
+      cols: Array[connector.catalog.Column]): types.StructType =
+    connector.catalog.CatalogV2Util.v2ColumnsToStructType(cols.toSeq)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   /** Top-level conjuncts of `c`'s ColumnNode tree (the pre-analysis shape
     * Spark 4 Columns carry: comparisons are UnresolvedFunction nodes named

@@ -467,6 +467,143 @@ class LakeCatalogSpec extends SparkSpec {
     val _ = root
   }
 
+  test("GENERATED ALWAYS AS: computed on insert, invariant-validated, recomputed on update") {
+    n += 1
+    val t = s"graft.db.t$n"
+    val _ = wh
+    spark.sql(s"CREATE TABLE $t (k BIGINT, p STRING, " +
+      "dek BIGINT GENERATED ALWAYS AS (k % 10)) PARTITIONED BY (p) " +
+      "TBLPROPERTIES (statsCols 'k')")
+    // the expression survives the manifest round-trip
+    val root = s"$wh/db/t$n"
+    assert(LakeTable.generatedOf(LakeTable.snapshot(spark, root).meta.get.schema)
+      === Seq("dek" -> "k % 10"))
+
+    // by-name INSERT omitting the column → the write path computes it
+    spark.sql(s"INSERT INTO $t (k, p) SELECT id, cast(id % 3 AS string) FROM range(30)")
+    assert(spark.sql(s"SELECT count(*) c FROM $t WHERE dek = k % 10").head.getLong(0) === 30)
+
+    // a provided value must satisfy the invariant: match commits,
+    // mismatch refuses with nothing committed
+    spark.sql(s"INSERT INTO $t VALUES (100L, 'a', 0L)")
+    def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
+    val e1 = intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (101L, 'a', 5L)"))
+    assert(chain(e1).exists(c => c.getMessage != null &&
+      c.getMessage.contains("GENERATED")), s"got: $e1")
+    assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 31)
+
+    // UPDATE of a referenced column recomputes the generated value
+    spark.sql(s"UPDATE $t SET k = k + 100 WHERE k = 7")
+    assert(spark.sql(s"SELECT dek FROM $t WHERE k = 107").head.getLong(0) === 7)
+    // explicit SET breaking the invariant refuses
+    val e2 = intercept[Exception](spark.sql(s"UPDATE $t SET dek = 99 WHERE k = 107"))
+    assert(chain(e2).exists(c => c.getMessage != null &&
+      c.getMessage.contains("GENERATED")), s"got: $e2")
+
+    // MOR mode recomputes too (tombstone + regenerated append)
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES (deleteMode 'mor')")
+    spark.sql(s"UPDATE $t SET k = k + 100 WHERE k = 107")
+    assert(spark.sql(s"SELECT dek FROM $t WHERE k = 207").head.getLong(0) === 7)
+
+    // a generated column cannot be bolted on later (no backfill rewrite)
+    val e3 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $t ADD COLUMNS (g2 BIGINT GENERATED ALWAYS AS (k + 1))"))
+    assert(e3 != null)
+  }
+
+  test("IDENTITY columns: write-path allocation, monotonic across batches, never reused") {
+    n += 1
+    val t = s"graft.db.t$n"
+    val _ = wh
+    val root = s"$wh/db/t$n"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, p STRING, " +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 3)) " +
+      "PARTITIONED BY (p)")
+    // the spec survives the manifest round-trip; the column auto-joined stats
+    val meta0 = LakeTable.snapshot(spark, root).meta.get
+    assert(LakeTable.identityOf(meta0.schema) === Seq(("id", 100L, 3L, false)))
+    assert(meta0.statsCols.contains("id"))
+
+    spark.sql(s"INSERT INTO $t (k, p) SELECT id, cast(id % 3 AS string) FROM range(30)")
+    def ids(): Seq[Long] =
+      spark.sql(s"SELECT id FROM $t").collect().map(_.getLong(0)).toSeq
+    val b1 = ids()
+    assert(b1.size === 30 && b1.distinct.size === 30, "ids must be unique")
+    assert(b1.forall(_ >= 100), "ids start at START WITH")
+    assert(b1.forall(i => (i - 100) % 3 == 0), "ids stay on the START/INCREMENT lattice")
+
+    // second batch allocates strictly beyond the first (hw from stats)
+    spark.sql(s"INSERT INTO $t (k, p) SELECT id + 100, 'x' FROM range(10)")
+    val b2 = ids().filterNot(b1.toSet)
+    assert(b2.size === 10 && b2.min > b1.max, s"batch 2 must start beyond ${b1.max}")
+
+    // GENERATED ALWAYS: explicit values refuse at the insert funnel
+    def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
+    val e1 = intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (1L, 'x', 5L)"))
+    assert(chain(e1).exists(c => c.getMessage != null &&
+      c.getMessage.contains("IDENTITY")), s"got: $e1")
+
+    // never-reuse: delete the highest rows, the persisted high-water
+    // keeps the next allocation beyond the DELETED max
+    val maxBefore = ids().max
+    spark.sql(s"DELETE FROM $t WHERE id > ${maxBefore - 15}")
+    spark.sql(s"INSERT INTO $t (k, p) VALUES (999L, 'x')")
+    assert(ids().max > maxBefore, "deleted identity values must never be reused")
+
+    // the high-water rides the table, fenced from SQL edits
+    assert(LakeTable.snapshot(spark, root).meta.get.props.contains("identity.hw.id"))
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('identity.hw.id' '1')"))
+    assert(chain(e2).exists(c => c.getMessage != null &&
+      c.getMessage.contains("identity")), s"got: $e2")
+
+    // BY DEFAULT variant accepts explicit values and allocates around them
+    n += 1
+    val t2 = s"graft.db.t$n"
+    spark.sql(s"CREATE TABLE $t2 (k BIGINT, p STRING, " +
+      "id BIGINT GENERATED BY DEFAULT AS IDENTITY) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $t2 VALUES (1L, 'a', 7777L)")
+    spark.sql(s"INSERT INTO $t2 (k, p) VALUES (2L, 'a')")
+    val v = spark.sql(s"SELECT id FROM $t2 ORDER BY id").collect().map(_.getLong(0))
+    assert(v.contains(7777L) && v.distinct.length === 2)
+    assert(v.max > 7777L, "allocation must clear an explicit high value")
+
+    // identity cannot be bolted on later
+    val e3 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $t ADD COLUMNS (id2 BIGINT GENERATED ALWAYS AS IDENTITY)"))
+    assert(e3 != null)
+  }
+
+  test("free-form TBLPROPERTIES persist in the manifest; mv.* is fenced") {
+    n += 1
+    val t = s"graft.db.t$n"
+    val _ = wh
+    spark.sql(s"CREATE TABLE $t (k BIGINT, p STRING) PARTITIONED BY (p) " +
+      "TBLPROPERTIES (statsCols 'k', team 'data-eng')")
+    def props(): Map[String, String] =
+      spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props().get("team") === Some("data-eng"))
+    assert(props().get("statsCols") === Some("k"))
+
+    // SET adds/overwrites, UNSET removes — both metadata-only commits
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES (team 'ml', tier 'gold')")
+    assert(props().get("team") === Some("ml"))
+    assert(props().get("tier") === Some("gold"))
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES (tier)")
+    assert(props().get("tier") === None)
+    // the property survives a round-trip through the manifest codec
+    val root = s"$wh/db/t$n"
+    assert(LakeTable.snapshot(spark, root).meta.get.props("team") === "ml")
+
+    // view bookkeeping cannot be hand-edited through SQL
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('mv.srcVersion' '99')"))
+    def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("refresh_matview")), s"got: $e")
+  }
+
   test("correlated DML predicates: EXISTS/NOT EXISTS/IN/scalar-compare lift to staged membership") {
     val t = mkTable() // k=0..29, p=k%3, v=k*10
     val root = s"$wh/db/${t.split('.').last}"
