@@ -298,10 +298,13 @@ object LakeTable {
       schema: StructType, defs: Map[String, (String, String)]): StructType =
     StructType(schema.fields.map { f =>
       defs.get(f.name).fold(f) { case (cur, ex) =>
-        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
-          .putString(CurrentDefaultKey, cur)
-          .putString(ExistsDefaultKey, ex).build())
+          .putString(ExistsDefaultKey, ex)
+        // empty current cell = DROP DEFAULT happened; only the frozen
+        // exists-default survives
+        if (cur.nonEmpty) b.putString(CurrentDefaultKey, cur)
+        f.copy(metadata = b.build())
       }
     })
 
@@ -509,9 +512,15 @@ object LakeTable {
       // column defaults, one line per defaulted column: name, INSERT-time
       // default SQL, exists-default SQL (all cells ':'-encoded so the
       // 3-way split is unambiguous)
-      meta.schema.fields.filter(_.metadata.contains(CurrentDefaultKey)).toSeq.map { f =>
+      meta.schema.fields.filter(f => f.metadata.contains(CurrentDefaultKey) ||
+        f.metadata.contains(ExistsDefaultKey)).toSeq.map { f =>
         def cell(v: String) = esc(v).replace(":", "%3A")
-        val cur = f.metadata.getString(CurrentDefaultKey)
+        // an EMPTY current cell = no current default (DROP DEFAULT leaves
+        // only the frozen exists-default; a real default is SQL text like
+        // `''`, never the empty string)
+        val cur =
+          if (f.metadata.contains(CurrentDefaultKey)) f.metadata.getString(CurrentDefaultKey)
+          else ""
         val ex =
           if (f.metadata.contains(ExistsDefaultKey)) f.metadata.getString(ExistsDefaultKey)
           else cur
@@ -1046,11 +1055,27 @@ object LakeTable {
     val dir: (Long, Long) => Long = if (step > 0) math.max else math.min
     val s0 = snapshot(spark, root)
     val propHw = s0.meta.flatMap(_.props.get(s"identity.hw.$c")).map(_.toLong)
+    (Seq(start - step) ++ propHw ++ identityDataBound(spark, root, meta, s0.entries, c, step))
+      .reduce(dir)
+  }
+
+  /** The farthest value PRESENT IN DATA for identity column `c`
+    * (manifest stats where covered, a scan of only the uncovered
+    * files otherwise); None on an empty table.
+    */
+  private def identityDataBound(
+      spark: SparkSession,
+      root: String,
+      meta: TableMeta,
+      entries: Seq[Entry],
+      c: String,
+      step: Long): Option[Long] = {
+    val dir: (Long, Long) => Long = if (step > 0) math.max else math.min
     val i = meta.statsCols.indexOf(c)
     def cell(e: Entry): Option[String] =
       e.stats.lift(i).flatMap(s => if (step > 0) s._2 else s._1)
     val (covered, uncovered) =
-      if (i < 0) (Seq.empty[Entry], s0.entries) else s0.entries.partition(e => cell(e).isDefined)
+      if (i < 0) (Seq.empty[Entry], entries) else entries.partition(e => cell(e).isDefined)
     val statBound = covered.flatMap(cell).map(_.toLong).reduceOption(dir)
     val scanBound =
       if (uncovered.isEmpty) None
@@ -1059,7 +1084,31 @@ object LakeTable {
         Option(readEntries(spark, root, meta.schema, uncovered).agg(agg).head.get(0))
           .map(_.toString.toLong)
       }
-    (Seq(start - step) ++ propHw ++ statBound ++ scanBound).reduce(dir)
+    (statBound ++ scanBound).reduceOption(dir)
+  }
+
+  /** `SYNC IDENTITY`: re-derive each identity column's high-water mark
+    * from the data actually present (the Delta ALTER TABLE ... SYNC
+    * IDENTITY verb — realigns allocation after explicit inserts on a
+    * BY DEFAULT column). NOTE it can LOWER the mark (that is the verb's
+    * point); values of rows deleted since then become allocatable
+    * again, exactly as in Delta. Returns (column, new mark) pairs.
+    */
+  def syncIdentity(spark: SparkSession, root: String, maxRetries: Int = 3): Seq[(String, Long)] = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.syncIdentity: no committed snapshot at $root")
+    val meta = s0.meta.get
+    val marks = identityOf(meta.schema).map { case (c, start, step, _) =>
+      c -> identityDataBound(spark, root, meta, s0.entries, c, step).getOrElse(start - step)
+    }
+    if (marks.isEmpty) return Nil
+    val props = meta.props ++ marks.map { case (c, v) => s"identity.hw.$c" -> v.toString }
+    if (commit(spark, root, s0.version + 1, meta.copy(props = props), s0.entries)) marks
+    else {
+      require(maxRetries > 0,
+        s"LakeTable.syncIdentity: concurrent commit at $root (retries exhausted)")
+      syncIdentity(spark, root, maxRetries - 1)
+    }
   }
 
   /** Meta for an insert commit with the identity high-water marks
@@ -1410,7 +1459,12 @@ object LakeTable {
       maxRetries: Int = 3,
       deleteMode: Option[String] = None,
       setProps: Map[String, String] = Map.empty,
-      unsetProps: Seq[String] = Nil): Long = {
+      unsetProps: Seq[String] = Nil,
+      // ALTER COLUMN c SET DEFAULT sql (Some) / DROP DEFAULT (None):
+      // touches ONLY the CURRENT default (future inserts) — the
+      // exists-default is frozen at ADD COLUMN time and files written
+      // before a column existed keep reading exactly what they did
+      setDefaults: Map[String, Option[String]] = Map.empty): Long = {
     deleteMode.foreach(m => require(m == "cow" || m == "mor",
       s"LakeTable.alterTable: deleteMode must be cow or mor, got $m"))
     addColumns.foreach(f => require(
@@ -1493,10 +1547,27 @@ object LakeTable {
     // the SAME evolution point as append/merge widening, so a column
     // added here stays renamable later; the highWater floor spans the
     // PRE-drop schema, so a just-dropped id is already out of reach
-    val newSchema = extendSchema(renamedSchema, addColumns, highWater(meta))
-    require(newSchema.fieldNames.distinct.length == newSchema.fieldNames.length,
+    val extended = extendSchema(renamedSchema, addColumns, highWater(meta))
+    require(extended.fieldNames.distinct.length == extended.fieldNames.length,
       s"LakeTable.alterTable: duplicate column names after rename/add " +
-        s"(${newSchema.fieldNames.mkString(", ")})")
+        s"(${extended.fieldNames.mkString(", ")})")
+    setDefaults.keys.foreach { c =>
+      require(extended.fieldNames.contains(c),
+        s"LakeTable.alterTable: SET/DROP DEFAULT column $c does not exist")
+      require(!extended(c).metadata.contains(GenExprKey) &&
+        !extended(c).metadata.contains(IdStartKey),
+        s"LakeTable.alterTable: $c is GENERATED/IDENTITY — it cannot take a DEFAULT")
+    }
+    val newSchema = StructType(extended.fields.map { f =>
+      setDefaults.get(f.name).fold(f) { sqlOpt =>
+        val b = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+        sqlOpt match {
+          case Some(sql) => b.putString(CurrentDefaultKey, sql)
+          case None => b.remove(CurrentDefaultKey)
+        }
+        f.copy(metadata = b.build())
+      }
+    })
     val newStats = statsCols.getOrElse(meta.statsCols.filterNot(dropped).map(renamed))
     val newBlooms = bloomCols.getOrElse(meta.bloomCols.filterNot(dropped).map(renamed))
     (newStats ++ newBlooms).foreach(c => require(newSchema.fieldNames.contains(c),
@@ -1535,7 +1606,7 @@ object LakeTable {
         s"LakeTable.alterTable: concurrent commit at $root (retries exhausted)")
       alterTable(spark, root, addColumns, statsCols, bloomCols, renameColumns,
         dropColumns, addChecks, dropChecks, maxRetries - 1, deleteMode,
-        setProps, unsetProps)
+        setProps, unsetProps, setDefaults)
     }
   }
 

@@ -379,6 +379,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
     var dropChecks = Seq.empty[String]
     val setProps = scala.collection.mutable.Map.empty[String, String]
     val unsetProps = scala.collection.mutable.Buffer.empty[String]
+    val setDefaults = scala.collection.mutable.Map.empty[String, Option[String]]
     changes.foreach {
       case a: TableChange.AddConstraint =>
         a.constraint() match {
@@ -424,6 +425,11 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
             .putString(LakeTable.CurrentDefaultKey, curSql)
             .putString(LakeTable.ExistsDefaultKey, existsSql).build())
         }
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames().length == 1,
+          s"graft-lake: SET/DROP DEFAULT on nested field ${u.fieldNames().mkString(".")}")
+        setDefaults += (u.fieldNames()(0) ->
+          Option(u.newDefaultValue()).filter(_.nonEmpty))
       case s: TableChange.SetProperty if s.property == "statsCols" =>
         statsCols = Some(split(s.value))
       case s: TableChange.SetProperty if s.property == "bloomCols" =>
@@ -449,7 +455,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
     }
     LakeTable.alterTable(spark, root, addCols, statsCols, bloomCols, renames, drops,
       addChecks, dropChecks, deleteMode = deleteMode,
-      setProps = setProps.toMap, unsetProps = unsetProps.toSeq)
+      setProps = setProps.toMap, unsetProps = unsetProps.toSeq,
+      setDefaults = setDefaults.toMap)
     loadTable(ident)
   }
 

@@ -243,6 +243,22 @@ private[lake] object GraftLakeProcedures {
         }
       },
 
+      "sync_identity" -> new LakeProc(
+        "sync_identity",
+        "re-derive identity high-water marks from the data present " +
+          "(after explicit inserts on BY DEFAULT identity columns)",
+        Seq(p("table", StringType))) {
+        override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          val marks = LakeTable.syncIdentity(spark(),
+            rootOf(args.getUTF8String(0).toString))
+          (StructType(Seq(
+            StructField("column", StringType), StructField("high_water", LongType))),
+            marks.map { case (c, v) =>
+              InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(c), v)
+            })
+        }
+      },
+
       "refresh_matview" -> new LakeProc(
         "refresh_matview",
         "apply the source's change window since the last refresh " +

@@ -574,6 +574,47 @@ class LakeCatalogSpec extends SparkSpec {
     assert(e3 != null)
   }
 
+  test("ALTER COLUMN SET/DROP DEFAULT is metadata-only; exists-default stays frozen") {
+    val t = mkTable() // k=0..29, p=k%3, v=k*10
+    val root = s"$wh/db/${t.split('.').last}"
+    // add a column WITH a default: old files read the frozen
+    // exists-default, new inserts take the current default
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (tagv BIGINT DEFAULT 7)")
+    spark.sql(s"INSERT INTO $t (k, p, v) VALUES (100L, 'a', 1L)")
+    assert(spark.sql(s"SELECT tagv FROM $t WHERE k = 100").head.getLong(0) === 7)
+    // SET DEFAULT changes FUTURE inserts only — rows already written and
+    // pre-add files keep reading what they did
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN tagv SET DEFAULT 9")
+    spark.sql(s"INSERT INTO $t (k, p, v) VALUES (101L, 'a', 1L)")
+    assert(spark.sql(s"SELECT tagv FROM $t WHERE k = 101").head.getLong(0) === 9)
+    assert(spark.sql(s"SELECT tagv FROM $t WHERE k = 100").head.getLong(0) === 7)
+    assert(spark.sql(s"SELECT tagv FROM $t WHERE k = 0").head.getLong(0) === 7,
+      "pre-add files keep the frozen exists-default")
+    // DROP DEFAULT: omission now means NULL; old readings unchanged
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN tagv DROP DEFAULT")
+    spark.sql(s"INSERT INTO $t (k, p, v) VALUES (102L, 'a', 1L)")
+    assert(spark.sql(s"SELECT tagv FROM $t WHERE k = 102").head.isNullAt(0))
+    assert(spark.sql(s"SELECT tagv FROM $t WHERE k = 0").head.getLong(0) === 7)
+    val _ = root
+  }
+
+  test("sync_identity re-derives the mark from data (the Delta SYNC IDENTITY verb)") {
+    n += 1
+    val t = s"graft.db.t$n"
+    val _ = wh
+    val root = s"$wh/db/t$n"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, p STRING, " +
+      "id BIGINT GENERATED BY DEFAULT AS IDENTITY) PARTITIONED BY (p)")
+    // explicit high value on a BY DEFAULT column, then sync: the mark
+    // jumps to the data max, and allocation clears it
+    spark.sql(s"INSERT INTO $t VALUES (1L, 'a', 50000L)")
+    val marks = spark.sql(s"CALL graft.system.sync_identity('$root')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(marks === Seq(("id", 50000L)), s"got $marks")
+    spark.sql(s"INSERT INTO $t (k, p) VALUES (2L, 'a')")
+    assert(spark.sql(s"SELECT max(id) FROM $t").head.getLong(0) > 50000L)
+  }
+
   test("free-form TBLPROPERTIES persist in the manifest; mv.* is fenced") {
     n += 1
     val t = s"graft.db.t$n"
