@@ -56,10 +56,13 @@ import graft.sources.lake.GraftLakeV2Table
   * start and spliced back in as their materialized result (see
   * [[materializeSubqueries]]); the same holds for clause conditions
   * and assignment values on the general MERGE path. CORRELATED
-  * subqueries, and assignments to columns the table lacks, throw a
-  * crisp UnsupportedOperationException rather than silently changing
-  * semantics (the decorrelation of a correlated predicate IS a join —
-  * exactly what MERGE INTO expresses directly).
+  * subqueries are supported in UPDATE/DELETE conditions and in merge
+  * CLAUSE CONDITIONS (lifted to a staged membership test over the
+  * clause family's evaluation domain, see [[plantCorrelated]]);
+  * correlated ASSIGNMENT VALUES (a per-row scalar lookup) and
+  * assignments to columns the table lacks throw a crisp
+  * UnsupportedOperationException rather than silently changing
+  * semantics.
   *
   * Cardinality: duplicate SOURCE keys are a MERGE cardinality violation
   * (checked with one batch-sized aggregate before the merge — the
@@ -83,8 +86,8 @@ object LakeDmlStrategy extends SparkStrategy {
     // ResolveMergeIntoSchemaEvolution already altered the table and
     // re-resolved the target, so by planning time the new columns are
     // ordinary table columns and the clause merge needs no special case
-    case MergeIntoTable(LakeTarget(t), source, cond, matched, notMatched, bySource, _) =>
-      planMerge(t, source, cond, matched, notMatched, bySource) :: Nil
+    case MergeIntoTable(tgt @ LakeTarget(t), source, cond, matched, notMatched, bySource, _) =>
+      planMerge(t, tgt, source, cond, matched, notMatched, bySource) :: Nil
     case UpdateTable(tgt @ LakeTarget(t), assignments, condition) =>
       planUpdate(t, tgt, assignments, condition) :: Nil
     case DeleteFromTable(tgt @ LakeTarget(t), condition) =>
@@ -173,7 +176,10 @@ object LakeDmlStrategy extends SparkStrategy {
   private case class CorrelatedMembership(
       pred: Expression,
       rel: LogicalPlan,
-      outer: Seq[AttributeReference])
+      outer: Seq[AttributeReference],
+      // the names the SPLICE references on the evaluation frame (the
+      // merge path renames source columns to __s_<name>)
+      names: Seq[String])
     extends Expression with org.apache.spark.sql.catalyst.expressions.Unevaluable {
     override def children: Seq[Expression] = Nil
     override def dataType: org.apache.spark.sql.types.DataType =
@@ -230,13 +236,16 @@ object LakeDmlStrategy extends SparkStrategy {
   private def plantCorrelated(
       e: Expression,
       rel: LogicalPlan,
-      verb: String): Expression = {
+      verb: String,
+      nameOf: AttributeReference => String = _.name): Expression = {
     import org.apache.spark.sql.catalyst.expressions.{And, Or, SubqueryExpression}
     def hasCorr(x: Expression): Boolean =
       x.exists { case s: SubqueryExpression => s.isCorrelated; case _ => false }
     e match {
-      case And(l, r) => And(plantCorrelated(l, rel, verb), plantCorrelated(r, rel, verb))
-      case Or(l, r) => Or(plantCorrelated(l, rel, verb), plantCorrelated(r, rel, verb))
+      case And(l, r) =>
+        And(plantCorrelated(l, rel, verb, nameOf), plantCorrelated(r, rel, verb, nameOf))
+      case Or(l, r) =>
+        Or(plantCorrelated(l, rel, verb, nameOf), plantCorrelated(r, rel, verb, nameOf))
       case leaf if hasCorr(leaf) =>
         if (!leaf.deterministic)
           refuseCorrelated(verb, s"inside a non-deterministic predicate ${leaf.sql}")
@@ -246,9 +255,9 @@ object LakeDmlStrategy extends SparkStrategy {
         }
         val missing = outer.filterNot(rel.outputSet.contains)
         if (missing.nonEmpty)
-          refuseCorrelated(verb, "referencing columns outside the target table: " +
+          refuseCorrelated(verb, "referencing columns outside the staging relation: " +
             missing.map(_.name).mkString(", "))
-        CorrelatedMembership(leaf, rel, outer)
+        CorrelatedMembership(leaf, rel, outer, outer.map(nameOf))
       case other => other
     }
   }
@@ -336,8 +345,8 @@ object LakeDmlStrategy extends SparkStrategy {
     val tuples = spark.sessionState.optimizer.execute(
       Distinct(Project(cols, LFilter(m.pred, m.rel))))
     val stagedScan = stage(tuples)
-    val conj = m.outer.zip(stagedScan.output).map { case (a, st) =>
-      EqualNullSafe(st, UnresolvedAttribute.quoted(a.name)): Expression
+    val conj = m.names.zip(stagedScan.output).map { case (n, st) =>
+      EqualNullSafe(st, UnresolvedAttribute.quoted(n)): Expression
     }.reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
     Exists(LFilter(conj, stagedScan))
   }
@@ -401,6 +410,7 @@ object LakeDmlStrategy extends SparkStrategy {
 
   private def planMerge(
       t: GraftLakeV2Table,
+      tgt: LogicalPlan,
       source: LogicalPlan,
       cond: Expression,
       matched: Seq[MergeAction],
@@ -414,7 +424,7 @@ object LakeDmlStrategy extends SparkStrategy {
     try planSourceWins(t, source, keyPairs, matched, notMatched, bySource)
     catch {
       case _: UnsupportedOperationException =>
-        planGeneralMerge(t, source, keyPairs, matched, notMatched, bySource)
+        planGeneralMerge(t, tgt, source, cond, keyPairs, matched, notMatched, bySource)
     }
   }
 
@@ -507,26 +517,44 @@ object LakeDmlStrategy extends SparkStrategy {
     */
   private def planGeneralMerge(
       t: GraftLakeV2Table,
+      tgt: LogicalPlan,
       source: LogicalPlan,
+      cond: Expression,
       keyPairs: Seq[(String, Expression)],
       matched: Seq[MergeAction],
       notMatched: Seq[MergeAction],
       bySource: Seq[MergeAction]): SparkPlan = {
     val sourceOut = source.outputSet
-    def anchored(e: Expression): Expression = {
-      e.foreach {
-        case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression
-            if sq.isCorrelated =>
-          fail(s"CORRELATED subquery in merge clause ${e.sql} (uncorrelated " +
-            "subqueries are materialized and supported)")
-        case _ => ()
-      }
-      e.transform {
-        case a: AttributeReference =>
-          if (sourceOut.contains(a)) UnresolvedAttribute.quoted("__s_" + a.name)
-          else UnresolvedAttribute.quoted(a.name)
-      }
+    def rename(a: AttributeReference): String =
+      if (sourceOut.contains(a)) "__s_" + a.name else a.name
+    def anchorNames(e: Expression): Expression = e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(rename(a))
     }
+    def hasCorr(e: Expression): Boolean = e.exists {
+      case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => sq.isCorrelated
+      case _ => false
+    }
+    /** Clause CONDITIONS take correlated subqueries via the same lift
+      * as UPDATE/DELETE — the staging relation is the clause family's
+      * evaluation domain (matched pairs = the ON inner join; not-matched
+      * conditions read source columns only; by-source conditions read
+      * target columns only — a superset domain is sound, the lifted
+      * leaf is a pure function of its referenced columns).
+      */
+    def anchoredCond(e: Expression, rel: LogicalPlan): Expression =
+      anchorNames(
+        if (!hasCorr(e)) e else plantCorrelated(nnf(e), rel, "MERGE", rename))
+    // assignment VALUES would need a per-row scalar lookup, not a
+    // membership test — keep the crisp refusal there
+    def anchoredValue(e: Expression): Expression = {
+      if (hasCorr(e))
+        fail(s"CORRELATED subquery in merge assignment ${e.sql} (supported in clause " +
+          "conditions and in UPDATE/DELETE; uncorrelated subqueries are materialized)")
+      anchorNames(e)
+    }
+    val matchedRel = org.apache.spark.sql.catalyst.plans.logical.Join(
+      tgt, source, org.apache.spark.sql.catalyst.plans.Inner, Some(cond),
+      org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
     val targetFields = t.meta.schema.fieldNames.toSet
     def assignMap(assigns: Seq[Assignment], what: String): Map[String, Expression] =
       assigns.map { a =>
@@ -536,24 +564,25 @@ object LakeDmlStrategy extends SparkStrategy {
         }
         if (!targetFields.contains(name))
           fail(s"$what assigns $name, not a table column (clause merge does not evolve schema)")
-        name -> anchored(a.value)
+        name -> anchoredValue(a.value)
       }.toMap
     // branches carry re-anchored EXPRESSIONS; Columns are built at
     // execution time, when the subquery materializer has a session
-    def branch(a: MergeAction, what: String): (Option[Expression], Option[Map[String, Expression]]) =
+    def branch(a: MergeAction, what: String, rel: LogicalPlan)
+        : (Option[Expression], Option[Map[String, Expression]]) =
       a match {
         case u: UpdateAction =>
-          (u.condition.map(anchored), Some(assignMap(u.assignments, what)))
+          (u.condition.map(anchoredCond(_, rel)), Some(assignMap(u.assignments, what)))
         case d: DeleteAction =>
-          (d.condition.map(anchored), None)
+          (d.condition.map(anchoredCond(_, rel)), None)
         case i: InsertAction =>
-          (i.condition.map(anchored), Some(assignMap(i.assignments, what)))
+          (i.condition.map(anchoredCond(_, rel)), Some(assignMap(i.assignments, what)))
         case other => fail(s"$what action $other")
       }
-    val mBr = matched.map(branch(_, "MATCHED"))
-    val nBr = notMatched.map(branch(_, "NOT MATCHED"))
+    val mBr = matched.map(branch(_, "MATCHED", matchedRel))
+    val nBr = notMatched.map(branch(_, "NOT MATCHED", source))
     nBr.foreach(b => if (b._2.isEmpty) fail("a NOT MATCHED clause that does not INSERT"))
-    val sBr = bySource.map(branch(_, "NOT MATCHED BY SOURCE"))
+    val sBr = bySource.map(branch(_, "NOT MATCHED BY SOURCE", tgt))
 
     // the prepared source frame mergeClauses expects: every source
     // column under __s_<name>, plus each ON key expression under its

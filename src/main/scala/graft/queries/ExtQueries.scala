@@ -1537,6 +1537,19 @@ object ExtQueries {
       // non-negative balance row
       s.sql(s"DELETE FROM $lt t WHERE NOT EXISTS (SELECT 1 FROM q173_customer c " +
         "WHERE c.c_custkey = t.o_custkey AND CAST(c.c_acctbal AS DOUBLE) >= 0.0)")
+      // correlated EXISTS in a MERGE CLAUSE CONDITION: machinery
+      // customers' orders delete when the customer's balance beats the
+      // price, take a fee otherwise — the same lift, staged over the
+      // clause family's evaluation domain (the ON inner join)
+      val preMerge = s.sql(s"SELECT count(*) c FROM $lt").head.getLong(0)
+      s.sql(s"MERGE INTO $lt t USING (SELECT c_custkey FROM q173_customer " +
+        "WHERE c_mktsegment = 'MACHINERY') s ON t.o_custkey = s.c_custkey " +
+        "WHEN MATCHED AND EXISTS (SELECT 1 FROM q173_customer c " +
+        "WHERE c.c_custkey = t.o_custkey AND CAST(c.c_acctbal AS DOUBLE) > t.o_totalprice) " +
+        "THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET o_totalprice = o_totalprice + 5.0")
+      require(s.sql(s"SELECT count(*) c FROM $lt").head.getLong(0) < preMerge,
+        "q173: the correlated merge clause DELETE must fire")
       s.sql(s"SELECT CAST(count(*) AS BIGINT) AS cnt, " +
         "min(o_orderkey) AS mn_key, max(o_orderkey) AS mx_key, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
@@ -3037,12 +3050,22 @@ object ExtQueries {
         |  WHERE EXISTS (SELECT 1 FROM customer c
         |                WHERE c.c_custkey = t.o_custkey
         |                  AND CAST(c.c_acctbal AS DOUBLE) >= 0.0)
+        |), mach AS (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |), s4 AS (
+        |  SELECT t.o_orderkey, t.o_custkey,
+        |         CASE WHEN m.c_custkey IS NOT NULL THEN t.price + 5.0
+        |              ELSE t.price END AS price
+        |  FROM s3 t LEFT JOIN mach m ON t.o_custkey = m.c_custkey
+        |  WHERE m.c_custkey IS NULL OR NOT EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_custkey = t.o_custkey
+        |      AND CAST(c.c_acctbal AS DOUBLE) > t.price)
         |)
         |SELECT CAST(count(*) AS BIGINT) AS cnt,
         |       CAST(min(o_orderkey) AS BIGINT) AS mn_key,
         |       CAST(max(o_orderkey) AS BIGINT) AS mx_key,
         |       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
-        |FROM s3""".stripMargin,
+        |FROM s4""".stripMargin,
     // the fast-forwarded main re-derived relationally: originals minus
     // the branch delete (multiples of 7) plus the branch insert
     // (key-shifted doubled-price copies of multiples of 5).

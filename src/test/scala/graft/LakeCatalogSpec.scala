@@ -451,13 +451,13 @@ class LakeCatalogSpec extends SparkSpec {
     assert(m === Seq((6L, 1000L), (10L, 2000L), (14L, 140L), (99L, 3L)), s"got $m")
 
     // correlated subqueries in ASSIGNMENT VALUES (a per-row scalar
-    // lookup, not a membership predicate) and in MERGE CLAUSE
-    // conditions keep the crisp refusal
+    // lookup, not a membership predicate) keep the crisp refusal —
+    // on UPDATE and on the merge clause path alike
     def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
     for (sql <- Seq(
       s"UPDATE $t SET v = (SELECT max(b) FROM blk WHERE b < k) WHERE k > 0",
       s"MERGE INTO $t t USING msrc s ON t.k = s.k " +
-        "WHEN MATCHED AND EXISTS (SELECT 1 FROM blk WHERE b = t.v) THEN DELETE")) {
+        "WHEN MATCHED AND t.k > 0 THEN UPDATE SET v = (SELECT max(b) FROM blk WHERE b < t.k)")) {
       val e = intercept[Exception](spark.sql(sql))
       assert(chain(e).exists(c => c.getMessage != null &&
         c.getMessage.toLowerCase.contains("correlated")), s"$sql got: $e")
@@ -465,6 +465,35 @@ class LakeCatalogSpec extends SparkSpec {
     // refusal left no commit behind
     assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 4)
     val _ = root
+  }
+
+  test("correlated subqueries in MERGE clause conditions lift to staged membership") {
+    val t = mkTable() // k=0..29, p=k%3, v=k*10
+    spark.sql("CREATE OR REPLACE TEMP VIEW mdim AS " +
+      "SELECT * FROM VALUES (5L, 1000L), (7L, 5L) AS d(dk, cap)")
+    spark.sql("CREATE OR REPLACE TEMP VIEW msrc2 AS SELECT * FROM VALUES " +
+      "(5L,'2',501L), (7L,'1',701L), (99L,'0',990L), (98L,'2',980L) AS s(k,p,v)")
+    // every clause family with a correlated condition: MATCHED reads
+    // BOTH sides (t.k equi + dim cap vs the SOURCE's v), NOT MATCHED
+    // reads the source, NOT MATCHED BY SOURCE reads the target
+    spark.sql(s"""MERGE INTO $t t USING msrc2 s ON t.k = s.k
+      WHEN MATCHED AND EXISTS (SELECT 1 FROM mdim d WHERE d.dk = t.k AND d.cap > s.v)
+        THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED AND EXISTS (SELECT 1 FROM mdim d WHERE d.dk = s.k % 94)
+        THEN INSERT (k, p, v) VALUES (s.k, s.p, s.v)
+      WHEN NOT MATCHED BY SOURCE AND EXISTS (SELECT 1 FROM mdim d WHERE d.dk = t.k % 2 + 5)
+        THEN DELETE""")
+    // k=5: dim cap 1000 > source v 501 → deleted; k=7: cap 5 → updated;
+    // k=99: 99%94=5 in dim → inserted; k=98: 98%94=4 absent → skipped;
+    // unmatched EVEN target rows (k%2+5 = 5 in dim) → deleted
+    val rows = spark.sql(s"SELECT k, v FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.size === 15, s"got ${rows.size}: $rows")
+    assert(!rows.exists(_._1 == 5) && !rows.exists(_._1 == 98))
+    assert(rows.contains((7L, 701L)) && rows.contains((99L, 990L)))
+    assert(rows.filter(r => r._1 < 30 && r._1 != 7).forall(r => r._1 % 2 == 1),
+      "every surviving pre-existing row except k=7 must be odd")
   }
 
   test("GENERATED ALWAYS AS: computed on insert, invariant-validated, recomputed on update") {
