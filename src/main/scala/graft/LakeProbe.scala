@@ -222,6 +222,40 @@ object LakeProbe {
       f"${morStats.filesRewritten} DV'd in $tMor%5.1f s, " +
       f"driver heap delta $heapMb%+7.1f MiB (sidecars task-published), " +
       f"live $liveCnt == ${2560000L - expectDead}")
+
+    // ---- 5. manifest parse amplification per SQL statement ---------
+    // The fixed cost the r17 bench flagged: every snapshot()/readManifest
+    // used to RE-PARSE the manifest header + inline entries. With the
+    // (path, mtime, len)-keyed doc cache, a statement should parse at
+    // most the manifests it has never seen — ~1 per commit it performs,
+    // 0 for a read of an unchanged table.
+    spark.conf.set("spark.sql.catalog.graft.warehouse",
+      Files.createTempDirectory("graft-parse-probe").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.pp (k BIGINT, p STRING, v BIGINT) " +
+      "PARTITIONED BY (p) TBLPROPERTIES (statsCols 'k')")
+    spark.sql("INSERT INTO graft.db.pp SELECT id, cast(id % 4 AS string), id * 2 " +
+      "FROM range(1000)")
+    spark.sql("SELECT count(*) FROM graft.db.pp").collect() // warm the head manifest
+    def parsesOf(label: String)(f: => Unit): Long = {
+      val before = LakeTable.manifestParses.get()
+      f
+      val d = LakeTable.manifestParses.get() - before
+      println(f"[lake] manifest parses / $label%-28s = $d")
+      d
+    }
+    val pSel = parsesOf("SELECT (warm table)") {
+      spark.sql("SELECT sum(v) FROM graft.db.pp WHERE k < 100").collect()
+    }
+    val pSel2 = parsesOf("repeat SELECT") {
+      spark.sql("SELECT sum(v) FROM graft.db.pp WHERE k < 100").collect()
+    }
+    require(pSel <= 1 && pSel2 == 0,
+      s"reads of an unchanged table must not re-parse manifests ($pSel/$pSel2)")
+    val pUpd = parsesOf("UPDATE (one commit)") {
+      spark.sql("UPDATE graft.db.pp SET v = v + 1 WHERE k = 7").collect()
+    }
+    require(pUpd <= 2, s"a single-commit DML should parse ~1 new manifest, got $pUpd")
     spark.stop()
   }
 }

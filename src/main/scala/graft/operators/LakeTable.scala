@@ -765,12 +765,43 @@ object LakeTable {
     SegRef(rel, es.size)
   }
 
+  /** Parsed manifest documents, cached JVM-wide. A published
+    * `vN.manifest` is immutable (publishAtomic never overwrites an
+    * existing destination), but table ROOTS are reused within one JVM —
+    * DROP + re-CREATE, test harnesses staging under the same dir — so
+    * the key carries the file's (mtime, length) alongside its absolute
+    * path: a re-created table at the same path misses instead of
+    * returning the dropped table's metadata. Bounded LRU: 256 docs; the
+    * per-doc entry body is mostly `@seg=` references (resolved through
+    * [[segmentCache]]), so residency is headers + inline tails.
+    */
+  private val docCache: java.util.Map[String, ManifestDoc] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, ManifestDoc](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, ManifestDoc]): Boolean = size > 256
+      })
+
+  /** Total full-manifest parses since JVM start (cache misses only) —
+    * observability for the per-statement parse count; see LakeProbe.
+    */
+  private[graft] val manifestParses = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def readDoc(spark: SparkSession, root: String, v: Long): ManifestDoc = {
     val mf = new Path(manifestDir(root), s"v$v.manifest")
     val f = fs(spark, mf)
-    val in = f.open(mf)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    parseManifestDoc(text)
+    val st = f.getFileStatus(mf) // FileNotFoundException here, same as open()
+    val key = s"${f.makeQualified(mf)}|${st.getModificationTime}|${st.getLen}"
+    val cached = docCache.get(key)
+    if (cached != null) cached
+    else {
+      val in = f.open(mf)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val doc = parseManifestDoc(text)
+      manifestParses.incrementAndGet()
+      docCache.put(key, doc)
+      doc
+    }
   }
 
   private[graft] def readManifest(spark: SparkSession, root: String, v: Long): (TableMeta, Seq[Entry]) = {
@@ -1141,6 +1172,24 @@ object LakeTable {
           s"graft-lake $op: $c is GENERATED ALWAYS AS IDENTITY — explicit values " +
             "are not accepted (omit the column)")
     }
+
+  /** UPDATE-side gate for identity columns: SET (in UPDATE and in MERGE
+    * matched/by-source branches) may never reassign an identity column —
+    * ALWAYS and BY DEFAULT alike, the Delta contract. A reassignment
+    * would both duplicate engine-allocated values and bypass the
+    * high-water accounting that guarantees never-reuse.
+    */
+  private def requireNoIdentitySet(
+      meta: TableMeta,
+      assigned: Iterable[String],
+      op: String): Unit = {
+    val idents = identityOf(meta.schema).map(_._1).toSet
+    assigned.find(idents.contains).foreach { c =>
+      throw new IllegalArgumentException(
+        s"graft-lake $op: $c is an IDENTITY column — SET on identity columns is " +
+          "not allowed (values are engine-allocated exactly once)")
+    }
+  }
 
   private def writeBatchRaw(
       spark: SparkSession,
@@ -2578,10 +2627,14 @@ object LakeTable {
     val merged = survivors.fold(align(source, outSchema))(s =>
       align(source, outSchema).unionByName(align(s, outSchema)))
     val newMeta = meta.copy(schema = outSchema)
+    // upsert source rows are an insert funnel: GENERATED ALWAYS AS
+    // IDENTITY values may not arrive from outside (matched rows are
+    // replaced wholesale, so their identity values re-allocate)
+    requireNoExplicitIdentity(source, newMeta, "merge")
     val written = writeBatch(spark, root, merged, newMeta)
     preCommit()
     require(
-      commit(spark, root, s0.version + 1, newMeta, carry ++ written),
+      commit(spark, root, s0.version + 1, advanceIdentityHw(newMeta, written), carry ++ written),
       s"LakeTable.merge: concurrent commit at $root (retry on a fresh snapshot)")
     MergeStats(
       version = s0.version + 1,
@@ -2818,6 +2871,7 @@ object LakeTable {
       s"LakeTable.updateMor: table is partitioned by ${meta.partitionCol}, not $partitionCol")
     set.keys.foreach(c => require(meta.schema.fieldNames.contains(c),
       s"LakeTable.updateMor: SET column $c not in table schema"))
+    requireNoIdentitySet(meta, set.keys, "updateMor")
     val mayMatch = predicateFilePruner(spark, root, meta, predicate)
     val probeEntries = s0.entries.filter(mayMatch)
     val byKey = probeEntries.map(e => Dv.suffixKey(e.rel) -> e).toMap
@@ -2932,6 +2986,7 @@ object LakeTable {
       s"LakeTable.update: table is partitioned by ${meta.partitionCol}, not $partitionCol")
     set.keys.foreach(c => require(meta.schema.fieldNames.contains(c),
       s"LakeTable.update: SET column $c not in table schema"))
+    requireNoIdentitySet(meta, set.keys, "update")
     val mayMatch = predicateFilePruner(spark, root, meta, predicate)
     val probeEntries = s0.entries.filter(mayMatch)
     val affected =
@@ -3087,7 +3142,11 @@ object LakeTable {
       // refresh records the source version it applied in the same
       // manifest swap, so a crash can never leave the delta applied
       // but unrecorded (or vice versa)
-      metaUpdate: TableMeta => TableMeta = identity): MergeStats = {
+      metaUpdate: TableMeta => TableMeta = identity,
+      // `<=>` key matching: a NULL key matches a NULL key (GROUP BY
+      // semantics — NULL is a real group). Required by MatView, whose
+      // group keys may be NULL; the default stays SQL MERGE's `=`.
+      nullSafeKeys: Boolean = false): MergeStats = {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.mergeClauses: no committed snapshot at $root")
     val meta = metaUpdate(s0.meta.get)
@@ -3095,6 +3154,18 @@ object LakeTable {
       s"LakeTable.mergeClauses: table is partitioned by ${meta.partitionCol}, not $partitionCol")
     notMatched.foreach(b => require(b.values.isDefined,
       "LakeTable.mergeClauses: NOT MATCHED clauses must INSERT"))
+    // identity invariants: UPDATE branches may never SET an identity
+    // column, and INSERT branches may assign a GENERATED ALWAYS AS
+    // IDENTITY column never (BY DEFAULT may) — same gates as
+    // update()/append(), enforced statically on the clause shapes
+    requireNoIdentitySet(meta,
+      (matched ++ notMatchedBySource).flatMap(_.values).flatMap(_.keys), "mergeClauses")
+    identityOf(meta.schema).filterNot(_._4).foreach { case (c, _, _, _) =>
+      if (notMatched.exists(_.values.exists(_.contains(c))))
+        throw new IllegalArgumentException(
+          s"graft-lake mergeClauses: $c is GENERATED ALWAYS AS IDENTITY — INSERT " +
+            "branches must omit the column")
+    }
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
 
     // rewrite set: with by-source clauses every target row's fate depends
@@ -3104,12 +3175,24 @@ object LakeTable {
         (s0.entries, Seq.empty[Entry], s0.entries.size,
           s0.entries.map(_.part).distinct.size)
       else {
-        val mayMatch = keyProbeFilter(spark, root, meta, keyCols, srcKeys)
+        // stats/Bloom pruning is sound only for non-null keys (NULL is
+        // outside every min/max bound) — a null-safe merge whose batch
+        // carries a NULL key must probe every entry
+        val srcHasNullKey = nullSafeKeys &&
+          !srcKeys.where(keyCols.map(k => col(s"`$k`").isNull).reduce(_ || _)).isEmpty
+        val mayMatch =
+          if (srcHasNullKey) (_: Entry) => true
+          else keyProbeFilter(spark, root, meta, keyCols, srcKeys)
         val probeEntries = s0.entries.filter(mayMatch)
+        val semiCond = (t: String, k: String) =>
+          keyCols.map { c =>
+            if (nullSafeKeys) col(s"$t.`$c`") <=> col(s"$k.`$c`")
+            else col(s"$t.`$c`") === col(s"$k.`$c`")
+          }.reduce(_ && _)
         val matchedParts =
           if (probeEntries.isEmpty) Set.empty[String]
-          else readEntries(spark, root, meta.schema, probeEntries)
-            .join(broadcast(srcKeys), keyCols, "left_semi")
+          else readEntries(spark, root, meta.schema, probeEntries).as("t")
+            .join(broadcast(srcKeys).as("k"), semiCond("t", "k"), "left_semi")
             .select(partExpr(meta)).distinct()
             .collect().map(_.getString(0)).toSet
         val (rw, cy) =
@@ -3121,7 +3204,10 @@ object LakeTable {
       .withColumn("__thit", lit(true)).as("t")
       .join(
         source.withColumn("__shit", lit(true)).as("s"),
-        keyCols.map(k => col(s"t.`$k`") === col(s"s.`$k`")).reduce(_ && _),
+        keyCols.map { k =>
+          if (nullSafeKeys) col(s"t.`$k`") <=> col(s"s.`$k`")
+          else col(s"t.`$k`") === col(s"s.`$k`")
+        }.reduce(_ && _),
         "full_outer")
     val base = joined.select(
       meta.schema.map(f => col(s"t.`${f.name}`").as(f.name)) ++
@@ -3158,9 +3244,14 @@ object LakeTable {
           .cast(f.dataType).as(f.name)
       }.toSeq: _*)
 
-    val written = writeBatch(spark, root, result, meta)
+    // GENERATED ALWAYS AS: recompute any generated column a branch did
+    // not assign explicitly — an UPDATE of a referenced column must not
+    // leave the stale generated value (mirrors update/updateMor)
+    val explicitGen = (matched ++ notMatched ++ notMatchedBySource)
+      .flatMap(_.values).flatMap(_.keys).toSet
+    val written = writeBatch(spark, root, regenerate(result, meta, explicitGen), meta)
     require(
-      commit(spark, root, s0.version + 1, meta, carry ++ written),
+      commit(spark, root, s0.version + 1, advanceIdentityHw(meta, written), carry ++ written),
       s"LakeTable.mergeClauses: concurrent commit at $root (retry on a fresh snapshot)")
     MergeStats(s0.version + 1, affectedParts, rewrite.size, carry.size, written.size,
       filesProbed = probed)
@@ -3179,10 +3270,11 @@ object LakeTable {
       notMatchedBySource: Seq[MergeBranch],
       partitionCol: String,
       maxRetries: Int = 3,
-      metaUpdate: TableMeta => TableMeta = identity): MergeStats =
+      metaUpdate: TableMeta => TableMeta = identity,
+      nullSafeKeys: Boolean = false): MergeStats =
     withCommitRetry(maxRetries)(retriesLeft =>
       try Some(mergeClauses(spark, root, source, keyCols, matched, notMatched,
-        notMatchedBySource, partitionCol, metaUpdate))
+        notMatchedBySource, partitionCol, metaUpdate, nullSafeKeys))
       catch {
         case e: IllegalArgumentException
             if e.getMessage != null && e.getMessage.contains("concurrent commit") &&

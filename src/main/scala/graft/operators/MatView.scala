@@ -126,8 +126,17 @@ object MatView {
     // the SIGNED row diff of the whole window — file-wise, key-free,
     // exact under duplicates; intermediate states net out
     val changes = LakeTable.rowDeltas(spark, src, last, head)
-    val stamp = (m: LakeTable.TableMeta) =>
+    // the stamp VALIDATES the watermark on the same snapshot the merge
+    // commits against: a concurrent refresh that already applied (at
+    // least) our window advanced mv.srcVersion, and re-applying our
+    // delta on top would double-count it — abort and recompute instead.
+    // mergeClauses re-runs metaUpdate on every retry snapshot, so the
+    // check rides the same atomic commit.
+    val stamp = (m: LakeTable.TableMeta) => {
+      require(m.props.get(PropVersion).contains(last.toString),
+        s"MatView.refresh: stale refresh watermark (view advanced past $last concurrently)")
       m.copy(props = m.props + (PropVersion -> head.toString))
+    }
     val deltaOnly = aggs.forall(a => a.fn == "cnt" || a.fn == "sum")
     val source =
       if (deltaOnly) deltaSource(changes, keys, aggs)
@@ -145,10 +154,20 @@ object MatView {
       LakeTable.MergeBranch(Some(liveInsertCond(deltaOnly)), Some(
         (keys.map(k => k -> col(s"__s_$k")) ++
           stored.map(c => c -> insertValue(deltaOnly, c))).toMap)))
-    LakeTable.mergeClausesWithRetry(
-      spark, mvRoot, source, keys, matched, notMatched, Nil,
-      partitionCol = meta.partitionCol, metaUpdate = stamp)
-    head
+    try {
+      // nullSafeKeys: GROUP BY treats NULL as a real group — the view
+      // merge must match it, or every refresh re-inserts the NULL group
+      LakeTable.mergeClausesWithRetry(
+        spark, mvRoot, source, keys, matched, notMatched, Nil,
+        partitionCol = meta.partitionCol, metaUpdate = stamp, nullSafeKeys = true)
+      head
+    } catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("stale refresh watermark") =>
+        // a concurrent refresh covered our window — restart from its
+        // watermark (terminates: the watermark strictly advances)
+        refresh(spark, mvRoot)
+    }
   }
 
   /** Pure-delta source: one NET aggregate row per touched group,
@@ -183,13 +202,22 @@ object MatView {
       keys: Seq[String],
       aggs: Seq[Agg]): DataFrame = {
     val dirty = changes.select(keys.map(col): _*).distinct()
-    val recomputed = LakeTable.readVersionForKeys(spark, src, head, keys, dirty)
-      .join(dirty, keys, "left_semi")
+    // NULL keys sit outside every min/max bound, so the entry-pruned
+    // read is only sound when no dirty key is NULL — a NULL group
+    // falls back to the full pinned-version scan (rare, still one pass)
+    val hasNullKey = !dirty.where(keys.map(k => col(s"`$k`").isNull).reduce(_ || _)).isEmpty
+    val base =
+      if (hasNullKey) LakeTable.readVersion(spark, src, head)
+      else LakeTable.readVersionForKeys(spark, src, head, keys, dirty)
+    def keyEq(l: String, r: String): Column =
+      keys.map(k => col(s"$l.`$k`") <=> col(s"$r.`$k`")).reduce(_ && _)
+    val recomputed = base.as("b")
+      .join(broadcast(dirty).as("d"), keyEq("b", "d"), "left_semi")
       .groupBy(keys.map(col): _*).agg(aggExprs(aggs).head, aggExprs(aggs).tail: _*)
-    val joined = dirty.join(recomputed, keys, "left")
+    val joined = dirty.as("d").join(recomputed.as("r"), keyEq("d", "r"), "left")
     joined.select(
-      keys.map(col) ++ keys.map(k => col(k).as(s"__s_$k")) ++
-        storedCols(aggs).map(c => col(c).as(s"__s_$c")): _*)
+      keys.map(k => col(s"d.`$k`").as(k)) ++ keys.map(k => col(s"d.`$k`").as(s"__s_$k")) ++
+        storedCols(aggs).map(c => col(s"r.`$c`").as(s"__s_$c")): _*)
   }
 
   // ---- merge branch value expressions ---------------------------------

@@ -446,7 +446,14 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
           s"graft-lake: ${s.property} is maintained by the identity write path")
       case s: TableChange.SetProperty =>
         setProps += (s.property -> s.value)
-      case r: TableChange.RemoveProperty if !r.property.startsWith("mv.") =>
+      // symmetric with the SetProperty fences above: dropping the
+      // high-water pin would let identity allocation fall back to data
+      // bounds and reuse values of deleted rows
+      case r: TableChange.RemoveProperty
+          if r.property.startsWith("mv.") || r.property.startsWith("identity.hw.") =>
+        throw new UnsupportedOperationException(
+          s"graft-lake: ${r.property} is engine-maintained and cannot be unset")
+      case r: TableChange.RemoveProperty =>
         unsetProps += r.property
       case other => throw new UnsupportedOperationException(
         s"graft-lake: unsupported ALTER TABLE change $other (immutable data files; " +

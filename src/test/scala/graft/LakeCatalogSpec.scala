@@ -1241,4 +1241,72 @@ class LakeCatalogSpec extends SparkSpec {
     assert(spark.read.parquet(out2).count() === 10,
       "the original append streams; the skipped DV commit is not re-delivered")
   }
+
+  test("identity invariants hold through MERGE and UPDATE (SET refused, hw advanced)") {
+    n += 1
+    val t = s"graft.db.t$n"
+    val _ = wh
+    spark.sql(s"CREATE TABLE $t (k BIGINT, p STRING, " +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $t (k, p) SELECT id, 'a' FROM range(5)")
+    def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
+    def ids(): Seq[Long] = spark.sql(s"SELECT id FROM $t").collect().map(_.getLong(0)).toSeq
+
+    // UPDATE SET on an identity column refuses (COW and MOR paths share the gate)
+    val e1 = intercept[Exception](spark.sql(s"UPDATE $t SET id = 1 WHERE k = 0"))
+    assert(chain(e1).exists(c => c.getMessage != null &&
+      c.getMessage.contains("IDENTITY")), s"got: $e1")
+
+    spark.sql("CREATE OR REPLACE TEMP VIEW idsrc AS SELECT id AS k FROM range(3, 8)")
+    // MERGE matched UPDATE SET on identity refuses
+    val e2 = intercept[Exception](spark.sql(s"MERGE INTO $t t USING idsrc s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET id = 0"))
+    assert(chain(e2).exists(c => c.getMessage != null &&
+      c.getMessage.contains("IDENTITY")), s"got: $e2")
+    // MERGE insert branch assigning a GENERATED ALWAYS identity refuses
+    val e3 = intercept[Exception](spark.sql(s"MERGE INTO $t t USING idsrc s ON t.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT (k, p, id) VALUES (s.k, 'b', 1)"))
+    assert(chain(e3).exists(c => c.getMessage != null &&
+      c.getMessage.contains("IDENTITY")), s"got: $e3")
+
+    // MERGE NOT MATCHED INSERT allocates, and the high-water advances in
+    // the SAME commit — deleting the merge-inserted top rows can never
+    // free their values for reuse
+    spark.sql(s"MERGE INTO $t t USING idsrc s ON t.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT (k, p) VALUES (s.k, 'b')")
+    val afterMerge = ids()
+    assert(afterMerge.size === 8 && afterMerge.distinct.size === 8,
+      "merge-inserted ids must be unique")
+    val maxBefore = afterMerge.max
+    spark.sql(s"DELETE FROM $t WHERE id > ${maxBefore - 3}")
+    spark.sql(s"INSERT INTO $t (k, p) VALUES (99, 'c')")
+    assert(ids().max > maxBefore,
+      "merge-allocated identity values must never be reused after DELETE")
+
+    // UNSET of the engine-maintained high-water pin refuses (symmetric
+    // with the SET fence)
+    val e4 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('identity.hw.id')"))
+    assert(chain(e4).exists(c => c.getMessage != null &&
+      c.getMessage.contains("identity")), s"got: $e4")
+  }
+
+  test("MERGE matched UPDATE recomputes generated columns it does not assign") {
+    n += 1
+    val t = s"graft.db.t$n"
+    val _ = wh
+    spark.sql(s"CREATE TABLE $t (k BIGINT, p STRING, " +
+      "dek BIGINT GENERATED ALWAYS AS (k % 10)) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $t (k, p) SELECT id, 'a' FROM range(5)")
+    spark.sql("CREATE OR REPLACE TEMP VIEW gsrc AS SELECT id AS k FROM range(2, 7)")
+    // updating the referenced column must regenerate dek, not trip the
+    // write-path invariant on the stale value
+    spark.sql(s"MERGE INTO $t t USING gsrc s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET k = t.k + 101 " +
+      "WHEN NOT MATCHED THEN INSERT (k, p) VALUES (s.k, 'b')")
+    val rows = spark.sql(s"SELECT k, dek FROM $t").collect()
+    assert(rows.length === 7, s"got ${rows.toSeq}")
+    assert(rows.forall(r => r.getLong(1) === r.getLong(0) % 10),
+      s"generated column must track the updated base column: ${rows.toSeq}")
+  }
 }

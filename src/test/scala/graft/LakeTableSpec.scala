@@ -32,6 +32,34 @@ class LakeTableSpec extends SparkSpec {
       (col("id") * 10).as("v"))
   }
 
+  test("manifest doc cache: repeated snapshots parse once; a re-created root misses") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    LakeTable.snapshot(spark, root) // warm the (path, mtime, len) entry
+    val p0 = LakeTable.manifestParses.get()
+    (1 to 10).foreach(_ => LakeTable.snapshot(spark, root))
+    assert(LakeTable.manifestParses.get() === p0,
+      "re-reading an unchanged manifest must not re-parse it")
+    // a commit publishes a NEW version file → exactly the new manifest parses
+    LakeTable.append(spark, root, baseDf.limit(3))
+    LakeTable.snapshot(spark, root)
+    val p1 = LakeTable.manifestParses.get()
+    assert(p1 > p0)
+    LakeTable.snapshot(spark, root)
+    assert(LakeTable.manifestParses.get() === p1)
+    // DROP + re-CREATE at the same path: the cache must MISS (the key
+    // carries mtime/length), so readers see the new table's metadata
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    import spark.implicits._
+    LakeTable.init(spark, root,
+      Seq((1L, "a", "fresh")).toDF("k", "p", "note"), "p")
+    val meta = LakeTable.snapshot(spark, root).meta.get
+    assert(meta.schema.fieldNames.toSeq === Seq("k", "p", "note"),
+      "a re-created table at the same path must not serve the dropped table's schema")
+  }
+
   test("merge = source-wins upsert; q121-style relational re-derivation matches") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p")

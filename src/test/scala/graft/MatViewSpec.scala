@@ -189,4 +189,74 @@ class MatViewSpec extends SparkSpec {
     val e = intercept[Exception](MatView.refresh(spark, src))
     assert(e.getMessage.contains("not a materialized view"))
   }
+
+  test("NULL group keys: refresh updates the NULL group instead of duplicating it") {
+    val (src, mv) = freshRoots()
+    import spark.implicits._
+    LakeTable.init(spark, src,
+      Seq((1L, "b0", Option("a"), 10L), (2L, "b0", Option.empty[String], 5L),
+        (3L, "b1", Option.empty[String], 2L)).toDF("k", "b", "g", "v"),
+      partitionCol = "b", statsCols = Seq("k"))
+    MatView.create(spark, mv, src, Seq("g"), MatView.parseAggs("cnt,sum:v"))
+    def nullRows() = LakeTable.read(spark, mv).where(col("g").isNull).collect().toSeq
+    assert(nullRows().size === 1 && nullRows().head.getAs[Long]("cnt") === 2L)
+
+    // delta path: a new row in the NULL group must UPDATE its view row
+    // (a strict-equality merge would re-INSERT a duplicate every refresh)
+    LakeTable.append(spark, src,
+      Seq((4L, "b1", Option.empty[String], 7L)).toDF("k", "b", "g", "v"))
+    MatView.refresh(spark, mv)
+    assert(nullRows().size === 1, s"NULL group duplicated: ${nullRows()}")
+    assert(nullRows().head.getAs[Long]("cnt") === 3L)
+    assert(nullRows().head.getAs[Long]("sum_v") === 14L)
+
+    // group death for the NULL key: the delete fires for it too
+    LakeTable.deleteWithRetry(spark, src, col("g").isNull, "b")
+    MatView.refresh(spark, mv)
+    assert(nullRows().isEmpty, s"dead NULL group must leave the view: ${nullRows()}")
+
+    // dirty path (min present): NULL-group rescan falls back to the full
+    // pinned-version read and still lands on the right aggregates
+    val (src2, mv2) = freshRoots()
+    LakeTable.init(spark, src2,
+      Seq((1L, "b0", Option("a"), 10L), (2L, "b0", Option.empty[String], 5L))
+        .toDF("k", "b", "g", "v"),
+      partitionCol = "b", statsCols = Seq("k"))
+    MatView.create(spark, mv2, src2, Seq("g"), MatView.parseAggs("cnt,min:v"))
+    LakeTable.append(spark, src2,
+      Seq((3L, "b1", Option.empty[String], 1L)).toDF("k", "b", "g", "v"))
+    MatView.refresh(spark, mv2)
+    val nr = LakeTable.read(spark, mv2).where(col("g").isNull).collect().toSeq
+    assert(nr.size === 1 && nr.head.getAs[Long]("cnt") === 2L
+      && nr.head.getAs[Long]("min_v") === 1L, s"got $nr")
+  }
+
+  test("racing refreshes apply a delta window exactly once") {
+    val (src, mv) = freshRoots()
+    import spark.implicits._
+    LakeTable.init(spark, src,
+      (0L until 20L).map(i => (i, s"p${i % 2}", i)).toDF("k", "p", "v"),
+      partitionCol = "p", statsCols = Seq("k"))
+    MatView.create(spark, mv, src, Seq("p"), MatView.parseAggs("cnt,sum:v"))
+    LakeTable.append(spark, src,
+      (100L until 110L).map(i => (i, "p0", i)).toDF("k", "p", "v"))
+    // two refreshes race the same window: the loser must observe the
+    // winner's advanced watermark on its commit snapshot and abort the
+    // re-apply (double-applying the delta would double the new sums)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val ths = (0 until 2).map { _ =>
+      val t = new Thread {
+        override def run(): Unit =
+          try { gate.await(); MatView.refresh(spark, mv) }
+          catch { case x: Throwable => errs.add(x) }
+      }
+      t.start(); t
+    }
+    ths.foreach(_.join())
+    assert(errs.isEmpty, s"refresh must absorb the race internally: $errs")
+    assertInSync(src, mv, Seq("p"), Seq("sum(v)"))
+    assert(LakeTable.snapshot(spark, mv).meta.get.props("mv.srcVersion").toLong ===
+      LakeTable.snapshot(spark, src).version)
+  }
 }
