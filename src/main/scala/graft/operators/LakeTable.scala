@@ -120,7 +120,11 @@ object LakeTable {
       // (merge-on-read — the file itself is untouched; see [[Dv]]).
       // None = every row is live. Min/max stats and Bloom sidecars stay
       // valid over a DV'd file (conservative supersets).
-      dv: Option[DvRef] = None) {
+      dv: Option[DvRef] = None,
+      // the partition spec this file was written under (index into
+      // [[TableMeta.specs]]); 0 on tables that never evolved their
+      // partitioning, so pre-evolution manifests parse unchanged
+      spec: Int = 0) {
     def min: Option[String] = stats.headOption.flatMap(_._1)
     def max: Option[String] = stats.headOption.flatMap(_._2)
     /** Rows a reader actually sees: recorded count minus DV'd positions
@@ -180,11 +184,22 @@ object LakeTable {
       // views record source/keys/aggs/last-applied-version here), user
       // annotations. Never steers the reader — an old library ignores
       // them and still reads the data correctly.
-      props: Map[String, String] = Map.empty) {
+      props: Map[String, String] = Map.empty,
+      // PARTITION SPEC EVOLUTION (the Iceberg per-spec model): every
+      // OLDER (col, fn) spec the table has partitioned by, oldest
+      // first; (partitionCol, partitionFn) is always the CURRENT spec.
+      // An entry's `spec` indexes into priorSpecs :+ current — old
+      // files keep pruning under the spec they were written with, new
+      // files file under the current one, and compaction migrates.
+      priorSpecs: Seq[(String, String)] = Nil) {
     def statsCol: Option[String] = statsCols.headOption
     /** Every sidecar name a bloom lookup on `column` must match. */
     def bloomNamesFor(column: String): Seq[String] =
       column +: bloomAliases.getOrElse(column, Nil)
+    /** All partition specs, indexed by entry spec id (current last). */
+    def specs: Seq[(String, String)] = priorSpecs :+ ((partitionCol, partitionFn))
+    /** The spec id new writes record. */
+    def currentSpec: Int = priorSpecs.size
   }
 
   // ---- column mapping (RENAME COLUMN without rewriting data) ---------
@@ -424,8 +439,16 @@ object LakeTable {
     * so any manifest with a DV'd entry claims 3). Writers claim the
     * LOWEST format the manifest actually needs, so tables that never
     * MOR-delete stay readable by older parsers.
+    *
+    * Format 4 = PARTITION SPEC EVOLUTION: `#priorSpec=<col>:<fn>`
+    * header lines (oldest first) record every former partitioning, and
+    * entry lines written under a non-zero spec extend the trailing
+    * cell to 5 parts `rows:bytes:dvCard:dvRel:spec` (dv cells `_` when
+    * absent). A format-3 reader interpreting old entries under the new
+    * spec would prune and classify them WRONGLY, so any evolved table
+    * claims 4 and older readers refuse crisply.
     */
-  private[graft] val ManifestFormat = 3
+  private[graft] val ManifestFormat = 4
 
   /** Entry count above which [[commit]] switches a table from one
     * inline manifest to segment references. Below it, a commit rewrites
@@ -465,7 +488,8 @@ object LakeTable {
       // see — the committer passes what it knows about the full list
       segsHaveDv: Boolean = false): String = {
     val fmt =
-      if (segsHaveDv || entries.exists(_.dv.isDefined) ||
+      if (meta.priorSpecs.nonEmpty) 4
+      else if (segsHaveDv || entries.exists(_.dv.isDefined) ||
         meta.partitionFn != PartitionFn.Identity) 3
       else if (segRefs.nonEmpty) 2
       else 1
@@ -509,6 +533,11 @@ object LakeTable {
       // instead of corrupting partition space.
       (if (meta.partitionFn != PartitionFn.Identity)
          Seq(s"#partitionFn=${meta.partitionFn}") else Nil) ++
+      // former partition specs, oldest first (format 4): entry spec ids
+      // index priorSpecs :+ (partitionCol, partitionFn)
+      meta.priorSpecs.map { case (c, fn) =>
+        s"#priorSpec=${esc(c).replace(":", "%3A")}:${esc(fn)}"
+      } ++
       // column defaults, one line per defaulted column: name, INSERT-time
       // default SQL, exists-default SQL (all cells ':'-encoded so the
       // 3-way split is unambiguous)
@@ -573,18 +602,28 @@ object LakeTable {
   // it) — a partition value could otherwise render a line masquerading
   // as an `@seg=` reference
   private def renderEntryLine(e: Entry): String = {
-    val cell = e.dv match {
-      case Some(d) =>
-        // 4-cell form (format 3): rows and bytes render explicitly ("_"
-        // when unknown) so the dv cells always sit at fixed positions;
-        // ':' in the dv rel percent-encodes so the 4-way split is
-        // unambiguous (unesc decodes %3A back)
+    val cell =
+      if (e.spec != 0)
+        // 5-cell form (format 4): rows, bytes, dv card, dv rel (each
+        // "_" when absent) and the entry's partition spec id at fixed
+        // positions — spec-0 entries keep the shorter forms, so a
+        // never-evolved table's manifests are byte-identical to before
         Seq(e.rows.fold("_")(_.toString) + ":" + e.bytes.fold("_")(_.toString) +
-          s":${d.card}:${esc(d.rel).replace(":", "%3A")}")
-      case None =>
-        if (e.rows.isEmpty && e.bytes.isEmpty) Nil
-        else Seq(e.rows.fold("_")(_.toString) + e.bytes.fold("")(b => s":$b"))
-    }
+          ":" + e.dv.fold("_")(_.card.toString) +
+          ":" + e.dv.fold("_")(d => esc(d.rel).replace(":", "%3A")) +
+          s":${e.spec}")
+      else e.dv match {
+        case Some(d) =>
+          // 4-cell form (format 3): rows and bytes render explicitly ("_"
+          // when unknown) so the dv cells always sit at fixed positions;
+          // ':' in the dv rel percent-encodes so the 4-way split is
+          // unambiguous (unesc decodes %3A back)
+          Seq(e.rows.fold("_")(_.toString) + ":" + e.bytes.fold("_")(_.toString) +
+            s":${d.card}:${esc(d.rel).replace(":", "%3A")}")
+        case None =>
+          if (e.rows.isEmpty && e.bytes.isEmpty) Nil
+          else Seq(e.rows.fold("_")(_.toString) + e.bytes.fold("")(b => s":$b"))
+      }
     val cells = e.stats.flatMap { case (mn, mx) => Seq(encOpt(mn), encOpt(mx)) } ++ cell
     val part = esc(e.part)
     val safePart = if (part.startsWith("@")) "%40" + part.tail else part
@@ -594,22 +633,24 @@ object LakeTable {
   private def parseEntryLine(line: String): Entry = {
     val cells = line.split("\t", -1)
     val tail = cells.drop(2)
-    val (rows, bytes, dv) =
+    val (rows, bytes, dv, spec) =
       if (tail.length % 2 == 1) {
-        val parts = tail.last.split(":", 4)
+        val parts = tail.last.split(":", 5)
         val r = if (parts(0) == "_") None else Some(parts(0).toLong)
         val b =
           if (parts.length < 2 || parts(1) == "_" || parts(1).isEmpty) None
           else Some(parts(1).toLong)
         val d =
-          if (parts.length == 4) Some(DvRef(unesc(parts(3)), parts(2).toLong))
+          if (parts.length >= 4 && parts(2) != "_")
+            Some(DvRef(unesc(parts(3)), parts(2).toLong))
           else None
-        (r, b, d)
-      } else (None, None, None)
+        val sp = if (parts.length == 5) parts(4).toInt else 0
+        (r, b, d, sp)
+      } else (None, None, None, 0)
     val stats = tail.take(tail.length - (tail.length % 2)).grouped(2).collect {
       case Array(mn, mx) => (decOpt(mn), decOpt(mx))
     }.toSeq
-    Entry(unesc(cells(0)), cells(1), stats, rows, bytes, dv)
+    Entry(unesc(cells(0)), cells(1), stats, rows, bytes, dv, spec)
   }
 
   /** Parse the pure-inline view of a manifest — refuses segmented
@@ -634,7 +675,8 @@ object LakeTable {
     val (defaultLines, rest3) = rest2.partition(_.startsWith("#default="))
     val (propLines, rest4) = rest3.partition(_.startsWith("#prop="))
     val (genLines, rest5) = rest4.partition(_.startsWith("#generated="))
-    val (idLines, rest) = rest5.partition(_.startsWith("#identity="))
+    val (idLines, rest6) = rest5.partition(_.startsWith("#identity="))
+    val (priorSpecLines, rest) = rest6.partition(_.startsWith("#priorSpec="))
     val (aliasLines, kvLines) = rest.partition(_.startsWith("#bloomAlias="))
     val kv = kvLines.map { h =>
       val Array(k, v) = h.stripPrefix("#").split("=", 2)
@@ -704,7 +746,12 @@ object LakeTable {
         val s = l.stripPrefix("#prop=")
         val i = s.indexOf(':')
         unesc(s.take(i)) -> unesc(s.drop(i + 1))
-      }.toMap)
+      }.toMap,
+      priorSpecLines.map { l =>
+        val s = l.stripPrefix("#priorSpec=")
+        val i = s.indexOf(':')
+        (unesc(s.take(i)), unesc(s.drop(i + 1)))
+      })
     val segRefs = segLines.map { l =>
       val s = l.stripPrefix("@seg=")
       val i = s.lastIndexOf(':')
@@ -982,6 +1029,31 @@ object LakeTable {
       PartitionFn.column(meta.partitionFn, col(meta.partitionCol),
         meta.schema(meta.partitionCol).dataType),
       lit(NullPartition))
+
+  /** DML file-classification matcher under PARTITION SPEC EVOLUTION:
+    * TRUE iff the entry's partition value — interpreted under the
+    * entry's OWN spec — is among the values `rows` map to under that
+    * spec. One distinct-collect computes every spec's value set in a
+    * single pass; on never-evolved tables this is exactly the old
+    * single-spec `partExpr.distinct` classification. Completeness is
+    * what correctness rides on: a file holding a row the DML must touch
+    * is matched because that row itself maps into the file's spec space.
+    * Returns the matcher and the CURRENT spec's affected-value count
+    * (the MergeStats partition figure).
+    */
+  private def partitionMatcher(
+      meta: TableMeta,
+      rows: DataFrame): (Entry => Boolean, Int) = {
+    val exprs = meta.specs.zipWithIndex.map { case ((c, fn), i) =>
+      coalesce(
+        PartitionFn.column(fn, col(s"`$c`"), meta.schema(c).dataType),
+        lit(NullPartition)).as(s"__p$i")
+    }
+    val collected = rows.select(exprs: _*).distinct().collect()
+    val sets: IndexedSeq[Set[String]] =
+      meta.specs.indices.map(i => collected.map(_.getString(i)).toSet)
+    ((e: Entry) => sets(e.spec).contains(e.part), sets.last.size)
+  }
 
   /** Recompute GENERATED columns over a post-SET frame: an UPDATE that
     * changed a referenced column must not leave the stale generated
@@ -1429,7 +1501,7 @@ object LakeTable {
       // literal); a null partition's directory IS the sentinel already
       val decoded = if (pv == NullPartition) NullPartition else unesc(pv)
       Entry(decoded, s"data/$batch/$PartDirCol=$pv/${p.getName}", bounds,
-        counts.get(key), bytes = Some(s.getLen))
+        counts.get(key), bytes = Some(s.getLen), spec = meta.currentSpec)
     }
   }
 
@@ -1563,8 +1635,8 @@ object LakeTable {
     dropColumns.foreach { c =>
       require(meta.schema.fieldNames.contains(c),
         s"LakeTable.alterTable: DROP column $c does not exist")
-      require(c != meta.partitionCol,
-        s"LakeTable.alterTable: cannot drop the partition column $c")
+      require(!meta.specs.exists(_._1 == c),
+        s"LakeTable.alterTable: cannot drop partition column $c (current or prior spec)")
       require(meta.schema(c).metadata.contains(FieldIdKey),
         s"LakeTable.alterTable: column $c has no field id — the table was " +
           "created before column mapping; DROP would break reads of existing files")
@@ -1582,8 +1654,8 @@ object LakeTable {
         s"LakeTable.alterTable: RENAME source column $from does not exist")
       require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
         s"LakeTable.alterTable: RENAME target column $to already exists")
-      require(from != meta.partitionCol,
-        s"LakeTable.alterTable: cannot rename the partition column $from")
+      require(!meta.specs.exists(_._1 == from),
+        s"LakeTable.alterTable: cannot rename partition column $from (current or prior spec)")
       require(meta.schema(from).metadata.contains(FieldIdKey),
         s"LakeTable.alterTable: column $from has no field id — the table was " +
           "created before column mapping; RENAME would break reads of existing files")
@@ -1656,6 +1728,39 @@ object LakeTable {
       alterTable(spark, root, addColumns, statsCols, bloomCols, renameColumns,
         dropColumns, addChecks, dropChecks, maxRetries - 1, deleteMode,
         setProps, unsetProps, setDefaults)
+    }
+  }
+
+  /** PARTITION SPEC EVOLUTION (`ALTER TABLE ... SET PARTITIONING`, the
+    * Iceberg per-spec model): change the partitioning of FUTURE writes
+    * in one metadata-only commit. Existing files are untouched — they
+    * keep their manifest entries, their partition values, and their
+    * pruning under the spec they were written with; new files list and
+    * prune under the new spec; [[optimize]] migrates old groups forward
+    * as it compacts. A long-lived 100 TB table outgrows its original
+    * grain; this is the verb that changes it without a rewrite.
+    */
+  def setPartitioning(
+      spark: SparkSession,
+      root: String,
+      partitionCol: String,
+      partitionFn: String = PartitionFn.Identity,
+      maxRetries: Int = 3): Long = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.setPartitioning: no committed snapshot at $root")
+    val meta = s0.meta.get
+    require(meta.schema.fieldNames.contains(partitionCol),
+      s"LakeTable.setPartitioning: column $partitionCol not in table schema")
+    PartitionFn.validate(partitionFn, meta.schema(partitionCol).dataType)
+    if (partitionCol == meta.partitionCol && partitionFn == meta.partitionFn)
+      return s0.version // already the current spec — no empty commit
+    val newMeta = meta.copy(partitionCol = partitionCol, partitionFn = partitionFn,
+      priorSpecs = meta.priorSpecs :+ ((meta.partitionCol, meta.partitionFn)))
+    if (commit(spark, root, s0.version + 1, newMeta, s0.entries)) s0.version + 1
+    else {
+      require(maxRetries > 0,
+        s"LakeTable.setPartitioning: concurrent commit at $root (retries exhausted)")
+      setPartitioning(spark, root, partitionCol, partitionFn, maxRetries - 1)
     }
   }
 
@@ -1774,7 +1879,15 @@ object LakeTable {
   def readPartitions(spark: SparkSession, root: String, values: Set[String]): DataFrame = {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.readPartitions: no committed snapshot at $root")
-    readEntries(spark, root, s0.meta.get.schema, s0.entries.filter(e => values.contains(e.part)))
+    val meta = s0.meta.get
+    val (current, older) = s0.entries.partition(_.spec == meta.currentSpec)
+    val direct = readEntries(spark, root, meta.schema, current.filter(e => values.contains(e.part)))
+    // values are CURRENT-spec partition strings; rows in files written
+    // under an older spec are not grouped by them — read those files and
+    // row-filter on the current spec expression (exact, just not pruned)
+    if (older.isEmpty) direct
+    else direct.unionByName(
+      readEntries(spark, root, meta.schema, older).where(partExpr(meta).isin(values.toSeq: _*)))
   }
 
   /** Table history from the manifests alone (the DESCRIBE HISTORY
@@ -1838,7 +1951,10 @@ object LakeTable {
   def countByPartition(spark: SparkSession, root: String): Option[Map[String, Long]] = {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.countByPartition: no committed snapshot at $root")
-    if (s0.entries.exists(_.rows.isEmpty)) None
+    // spec-evolved snapshots refuse (None = count by scanning): part
+    // values of different specs are not one keyed space
+    if (s0.entries.exists(_.rows.isEmpty) ||
+      s0.entries.exists(_.spec != s0.meta.get.currentSpec)) None
     else Some(s0.entries.groupBy(_.part).map { case (p, es) => p -> es.flatMap(_.liveRows).sum })
   }
 
@@ -2602,21 +2718,23 @@ object LakeTable {
     // partitions holding a matched key (one probe of the surviving files
     // against the broadcast source keys) ∪ partitions receiving source
     // rows; NULL partition values go through the same sentinel the
-    // directory listing produces, so a null-keyed partition is rewritten
-    val matched =
-      if (probeEntries.isEmpty) Nil
-      else readEntries(spark, root, meta.schema, probeEntries)
-        .join(broadcast(srcKeys), keyCols, "left_semi")
-        .select(partExpr(meta)).distinct()
-        .collect().map(_.getString(0)).toSeq
-    val affected = (matched ++
-      source.select(partExpr(meta)).distinct().collect().map(_.getString(0))).toSet
+    // directory listing produces, so a null-keyed partition is rewritten.
+    // Under spec evolution each entry is classified in ITS OWN spec
+    // space (partitionMatcher maps the same rows through every spec).
+    val matchedRows =
+      if (probeEntries.isEmpty) None
+      else Some(readEntries(spark, root, meta.schema, probeEntries)
+        .join(broadcast(srcKeys), keyCols, "left_semi"))
+    val affectedRows = matchedRows
+      .map(m => align(m, outSchema).unionByName(align(source, outSchema)))
+      .getOrElse(align(source, outSchema))
+    val (inAffected, affectedCount) = partitionMatcher(meta, affectedRows)
 
     // file-level COW: inside affected partitions, files whose key stats
     // are disjoint from the source bounds cannot hold a matched row —
     // they carry by path (their rows would pass the survivor anti-join
     // unchanged, so skipping the rewrite is result-identical)
-    val (rewrite, carry) = s0.entries.partition(e => affected.contains(e.part) && mayMatch(e))
+    val (rewrite, carry) = s0.entries.partition(e => inAffected(e) && mayMatch(e))
     // survivors of the affected slice: target rows there whose key has no
     // source match — read ONLY the rewritten files, not the table
     val survivors =
@@ -2633,12 +2751,15 @@ object LakeTable {
     requireNoExplicitIdentity(source, newMeta, "merge")
     val written = writeBatch(spark, root, merged, newMeta)
     preCommit()
-    require(
-      commit(spark, root, s0.version + 1, advanceIdentityHw(newMeta, written), carry ++ written),
-      s"LakeTable.merge: concurrent commit at $root (retry on a fresh snapshot)")
+    val finalMeta = advanceIdentityHw(newMeta, written)
+    val landed: Long =
+      if (commit(spark, root, s0.version + 1, finalMeta, carry ++ written)) s0.version + 1
+      else rebaseCommit(spark, root, s0, finalMeta, rewrite, written, mayMatch)
+        .getOrElse(throw new IllegalArgumentException(
+          s"LakeTable.merge: concurrent commit at $root (retry on a fresh snapshot)"))
     MergeStats(
-      version = s0.version + 1,
-      matchedPartitions = affected.size,
+      version = landed,
+      matchedPartitions = affectedCount,
       filesRewritten = rewrite.size,
       filesCarried = carry.size,
       rowsWritten = written.size,
@@ -2703,14 +2824,13 @@ object LakeTable {
     val meta = s0.meta.get
     val mayDelete = predicateFilePruner(spark, root, meta, predicate)
     val probeEntries = s0.entries.filter(mayDelete)
-    val affected =
-      if (probeEntries.isEmpty) Set.empty[String]
-      else readEntries(spark, root, meta.schema, probeEntries).where(predicate)
-        .select(partExpr(meta)).distinct()
-        .collect().map(_.getString(0)).toSet
+    val (inAffected, affectedCount) =
+      if (probeEntries.isEmpty) ((_: Entry) => false, 0)
+      else partitionMatcher(meta,
+        readEntries(spark, root, meta.schema, probeEntries).where(predicate))
     // file-level COW: stats-disjoint files in affected partitions hold no
     // row the predicate deletes — carry them by path
-    val (rewrite, carry) = s0.entries.partition(e => affected.contains(e.part) && mayDelete(e))
+    val (rewrite, carry) = s0.entries.partition(e => inAffected(e) && mayDelete(e))
     val written =
       if (rewrite.isEmpty) Nil
       else writeBatch(
@@ -2724,7 +2844,7 @@ object LakeTable {
     require(
       commit(spark, root, s0.version + 1, meta, carry ++ written),
       s"LakeTable.delete: concurrent commit at $root (retry on a fresh snapshot)")
-    MergeStats(s0.version + 1, affected.size, rewrite.size, carry.size, written.size,
+    MergeStats(s0.version + 1, affectedCount, rewrite.size, carry.size, written.size,
       filesProbed = probeEntries.size)
   }
 
@@ -2989,12 +3109,11 @@ object LakeTable {
     requireNoIdentitySet(meta, set.keys, "update")
     val mayMatch = predicateFilePruner(spark, root, meta, predicate)
     val probeEntries = s0.entries.filter(mayMatch)
-    val affected =
-      if (probeEntries.isEmpty) Set.empty[String]
-      else readEntries(spark, root, meta.schema, probeEntries).where(predicate)
-        .select(partExpr(meta)).distinct()
-        .collect().map(_.getString(0)).toSet
-    val (rewrite, carry) = s0.entries.partition(e => affected.contains(e.part) && mayMatch(e))
+    val (inAffected, affectedCount) =
+      if (probeEntries.isEmpty) ((_: Entry) => false, 0)
+      else partitionMatcher(meta,
+        readEntries(spark, root, meta.schema, probeEntries).where(predicate))
+    val (rewrite, carry) = s0.entries.partition(e => inAffected(e) && mayMatch(e))
     val written =
       if (rewrite.isEmpty) Nil
       else {
@@ -3010,7 +3129,7 @@ object LakeTable {
     require(
       commit(spark, root, s0.version + 1, meta, carry ++ written),
       s"LakeTable.update: concurrent commit at $root (retry on a fresh snapshot)")
-    MergeStats(s0.version + 1, affected.size, rewrite.size, carry.size, written.size,
+    MergeStats(s0.version + 1, affectedCount, rewrite.size, carry.size, written.size,
       filesProbed = probeEntries.size)
   }
 
@@ -3074,6 +3193,60 @@ object LakeTable {
     mergeWithRetryImpl(spark, root, source, keyCols, partitionCol, maxRetries, () => ())
 
   @annotation.tailrec
+  /** Merges that landed via the lost-commit REBASE fast path (spec
+    * observability: the contention case asserts zero recomputes).
+    */
+  private[graft] val mergeRebases = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** File-level CONFLICT DETECTION for a lost merge commit (the
+    * Delta-style logical check): instead of recomputing the whole
+    * merge against the winner's snapshot, re-commit this merge's entry
+    * delta ON TOP of it when sequential equivalence provably holds —
+    *
+    *   1. table METADATA is untouched on both sides (our op changed
+    *      none; the winner changed none),
+    *   2. every file we rewrote is still present BYTE-IDENTICAL at
+    *      head (the winner did not touch our read set), and
+    *   3. the winner's new/changed files provably hold NONE of our
+    *      batch keys (the same stats/Bloom probe that pruned our scan,
+    *      metadata-only) — so a sequential run would have classified
+    *      them as carry.
+    *
+    * Any failed condition returns None and the caller recomputes (the
+    * correctness-required path — the winner's rows must then re-enter
+    * the probe). Under real disjoint-writer contention this turns N
+    * serialized recomputes into N-1 metadata-only re-commits.
+    */
+  private def rebaseCommit(
+      spark: SparkSession,
+      root: String,
+      base: Snapshot,
+      ourMeta: TableMeta,
+      removed: Seq[Entry],
+      written: Seq[Entry],
+      mayMatch: Entry => Boolean,
+      maxRebases: Int = 5): Option[Long] = {
+    if (ourMeta != base.meta.get) return None // our op changed metadata
+    val removedRels = removed.map(_.rel).toSet
+    val baseByRel = base.entries.map(e => e.rel -> e).toMap
+    var tries = maxRebases
+    while (tries > 0) {
+      tries -= 1
+      val head = snapshot(spark, root)
+      if (head.meta.get != base.meta.get) return None
+      val headByRel = head.entries.map(e => e.rel -> e).toMap
+      if (removed.exists(e => !headByRel.get(e.rel).contains(e))) return None
+      val winnersNew = head.entries.filterNot(e => baseByRel.get(e.rel).contains(e))
+      if (winnersNew.exists(mayMatch)) return None
+      val rebased = head.entries.filterNot(e => removedRels.contains(e.rel)) ++ written
+      if (commit(spark, root, head.version + 1, ourMeta, rebased)) {
+        mergeRebases.incrementAndGet()
+        return Some(head.version + 1)
+      }
+    }
+    None
+  }
+
   private[graft] def mergeWithRetryImpl(
       spark: SparkSession,
       root: String,
@@ -3105,6 +3278,52 @@ object LakeTable {
     * matched / by-source clauses and become NULL for inserts).
     */
   case class MergeBranch(condition: Option[Column], values: Option[Map[String, Column]])
+
+  // ---- merge clause chains (Delta semantics: first clause whose
+  // condition passes wins; a NULL condition does not fire) -------------
+
+  private def fire(b: MergeBranch): Column = b.condition.getOrElse(lit(true))
+
+  /** TRUE iff any clause of the family fires for this row. */
+  private def firedChain(branches: Seq[MergeBranch]): Column =
+    branches.foldRight(lit(false))((b, acc) => when(fire(b), lit(true)).otherwise(acc))
+
+  /** Whether the row survives: the first firing clause's keep/drop
+    * (UPDATE/INSERT keep, DELETE drops); `default` when none fires.
+    */
+  private def keepChain(branches: Seq[MergeBranch], default: Column): Column =
+    branches.foldRight(default)((b, acc) =>
+      when(fire(b), lit(b.values.isDefined)).otherwise(acc))
+
+  /** The post-merge value of column `name`: the first firing clause's
+    * assignment (`unassigned` when that clause does not set it),
+    * `noneFired` when no clause fires.
+    */
+  private def valueChain(
+      branches: Seq[MergeBranch],
+      name: String,
+      unassigned: Column,
+      noneFired: Column): Column =
+    branches.foldRight(noneFired)((b, acc) =>
+      when(fire(b), b.values.flatMap(_.get(name)).getOrElse(unassigned)).otherwise(acc))
+
+  /** Shared identity-column gates for clause merges: UPDATE-shaped
+    * branches may never SET an identity column; INSERT branches may
+    * assign a GENERATED ALWAYS AS IDENTITY column never.
+    */
+  private def requireMergeIdentityGates(
+      meta: TableMeta,
+      updating: Seq[MergeBranch],
+      inserting: Seq[MergeBranch],
+      op: String): Unit = {
+    requireNoIdentitySet(meta, updating.flatMap(_.values).flatMap(_.keys), op)
+    identityOf(meta.schema).filterNot(_._4).foreach { case (c, _, _, _) =>
+      if (inserting.exists(_.values.exists(_.contains(c))))
+        throw new IllegalArgumentException(
+          s"graft-lake $op: $c is GENERATED ALWAYS AS IDENTITY — INSERT " +
+            "branches must omit the column")
+    }
+  }
 
   /** General MERGE with Delta-semantics clause lists (first matching
     * clause wins; a row matching no clause of its family is kept
@@ -3158,14 +3377,7 @@ object LakeTable {
     // column, and INSERT branches may assign a GENERATED ALWAYS AS
     // IDENTITY column never (BY DEFAULT may) — same gates as
     // update()/append(), enforced statically on the clause shapes
-    requireNoIdentitySet(meta,
-      (matched ++ notMatchedBySource).flatMap(_.values).flatMap(_.keys), "mergeClauses")
-    identityOf(meta.schema).filterNot(_._4).foreach { case (c, _, _, _) =>
-      if (notMatched.exists(_.values.exists(_.contains(c))))
-        throw new IllegalArgumentException(
-          s"graft-lake mergeClauses: $c is GENERATED ALWAYS AS IDENTITY — INSERT " +
-            "branches must omit the column")
-    }
+    requireMergeIdentityGates(meta, matched ++ notMatchedBySource, notMatched, "mergeClauses")
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
 
     // rewrite set: with by-source clauses every target row's fate depends
@@ -3189,15 +3401,14 @@ object LakeTable {
             if (nullSafeKeys) col(s"$t.`$c`") <=> col(s"$k.`$c`")
             else col(s"$t.`$c`") === col(s"$k.`$c`")
           }.reduce(_ && _)
-        val matchedParts =
-          if (probeEntries.isEmpty) Set.empty[String]
-          else readEntries(spark, root, meta.schema, probeEntries).as("t")
-            .join(broadcast(srcKeys).as("k"), semiCond("t", "k"), "left_semi")
-            .select(partExpr(meta)).distinct()
-            .collect().map(_.getString(0)).toSet
+        val (inMatched, matchedCount) =
+          if (probeEntries.isEmpty) ((_: Entry) => false, 0)
+          else partitionMatcher(meta,
+            readEntries(spark, root, meta.schema, probeEntries).as("t")
+              .join(broadcast(srcKeys).as("k"), semiCond("t", "k"), "left_semi"))
         val (rw, cy) =
-          s0.entries.partition(e => matchedParts.contains(e.part) && mayMatch(e))
-        (rw, cy, probeEntries.size, matchedParts.size)
+          s0.entries.partition(e => inMatched(e) && mayMatch(e))
+        (rw, cy, probeEntries.size, matchedCount)
       }
 
     val joined = readEntries(spark, root, meta.schema, rewrite)
@@ -3215,18 +3426,6 @@ object LakeTable {
         Seq(
           coalesce(col("t.__thit"), lit(false)).as("__thit"),
           coalesce(col("s.__shit"), lit(false)).as("__shit")): _*)
-
-    def fire(b: MergeBranch): Column = b.condition.getOrElse(lit(true))
-    def keepChain(branches: Seq[MergeBranch], default: Column): Column =
-      branches.foldRight(default)((b, acc) =>
-        when(fire(b), lit(b.values.isDefined)).otherwise(acc))
-    def valueChain(
-        branches: Seq[MergeBranch],
-        name: String,
-        unassigned: Column,
-        noneFired: Column): Column =
-      branches.foldRight(noneFired)((b, acc) =>
-        when(fire(b), b.values.flatMap(_.get(name)).getOrElse(unassigned)).otherwise(acc))
 
     val isM = col("__thit") && col("__shit")
     val isS = !col("__thit") && col("__shit")
@@ -3275,6 +3474,158 @@ object LakeTable {
     withCommitRetry(maxRetries)(retriesLeft =>
       try Some(mergeClauses(spark, root, source, keyCols, matched, notMatched,
         notMatchedBySource, partitionCol, metaUpdate, nullSafeKeys))
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("concurrent commit") &&
+              retriesLeft > 0 => None
+      })
+
+  /** Merge-on-read clause MERGE: the `deleteMode=mor` arm of
+    * [[mergeClauses]]. Matched rows a clause touches TOMBSTONE into
+    * deletion-vector sidecars (position bitmaps, published from
+    * executors — exactly [[deleteMor]]'s shape) and their post-update
+    * images plus the NOT MATCHED inserts APPEND as a new batch, all in
+    * ONE manifest commit. A CDC-apply MERGE touching 0.1% of the rows
+    * per file writes O(matched) bytes instead of rewriting every file
+    * holding a match — the write amplification DVs exist to kill.
+    * Matched-but-unfired and unmatched target rows never move: their
+    * files stay byte-identical in the manifest. OPTIMIZE later
+    * materializes the vectors away, like any MOR delete/update.
+    *
+    * NOT MATCHED BY SOURCE clauses make every target row's fate
+    * join-dependent (no file can carry unprobed) — that shape routes
+    * through the COW [[mergeClauses]]; the SQL face picks the arm.
+    */
+  def mergeClausesMor(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      matched: Seq[MergeBranch],
+      notMatched: Seq[MergeBranch],
+      partitionCol: String,
+      metaUpdate: TableMeta => TableMeta = identity): MergeStats = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.mergeClausesMor: no committed snapshot at $root")
+    val meta = metaUpdate(s0.meta.get)
+    require(meta.partitionCol == partitionCol,
+      s"LakeTable.mergeClausesMor: table is partitioned by ${meta.partitionCol}, not $partitionCol")
+    notMatched.foreach(b => require(b.values.isDefined,
+      "LakeTable.mergeClausesMor: NOT MATCHED clauses must INSERT"))
+    requireMergeIdentityGates(meta, matched, notMatched, "mergeClausesMor")
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+
+    // candidate files: the stats/Bloom probe is conservative-COMPLETE
+    // (every file that could hold a source key survives it), so a
+    // source row unmatched within the probe set is unmatched in the
+    // whole table — the NOT MATCHED classification needs no full scan
+    val mayMatch = keyProbeFilter(spark, root, meta, keyCols, srcKeys)
+    val probeEntries = s0.entries.filter(mayMatch)
+    val byKey = probeEntries.map(e => Dv.suffixKey(e.rel) -> e).toMap
+    val (dvd, clean) = probeEntries.partition(_.dv.isDefined)
+    def withPos(es: Seq[Entry], applyDv: Boolean): Option[DataFrame] =
+      if (es.isEmpty) None
+      else {
+        val df = spark.read.schema(meta.schema)
+          .parquet(es.map(e => s"${dataRoot(root)}/${e.rel}"): _*)
+        val kept = if (applyDv) df.where(dvKeepColumn(spark, root, es)) else df
+        Some(kept
+          .withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index")))
+      }
+    val target: Option[DataFrame] =
+      (withPos(clean, applyDv = false).toSeq ++ withPos(dvd, applyDv = true).toSeq)
+        .reduceOption(_.unionByName(_))
+
+    val srcCols = source.columns.filter(_.startsWith("__s_")).toSeq
+    val base = target match {
+      case Some(tdf) =>
+        tdf.withColumn("__thit", lit(true)).as("t")
+          .join(
+            source.withColumn("__shit", lit(true)).as("s"),
+            keyCols.map(k => col(s"t.`$k`") === col(s"s.`$k`")).reduce(_ && _),
+            "full_outer")
+          .select(
+            meta.schema.map(f => col(s"t.`${f.name}`").as(f.name)) ++
+              Seq(col("t.`__file`").as("__file"), col("t.`__pos`").as("__pos")) ++
+              srcCols.map(c => col(s"s.`$c`")) ++
+              Seq(
+                coalesce(col("t.__thit"), lit(false)).as("__thit"),
+                coalesce(col("s.__shit"), lit(false)).as("__shit")): _*)
+      case None => // no candidate files: every source row is unmatched
+        source.select(
+          meta.schema.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+            Seq(lit(null).cast("string").as("__file"), lit(null).cast("long").as("__pos")) ++
+            srcCols.map(col) ++
+            Seq(lit(false).as("__thit"), lit(true).as("__shit")): _*)
+    }
+
+    val isM = col("__thit") && col("__shit")
+    val isS = !col("__thit") && col("__shit")
+    // only rows a clause actually FIRES for do any work: fired matched
+    // rows tombstone (and, for UPDATE, re-append); fired not-matched
+    // rows insert; everything else — matched-unfired, unmatched target,
+    // unfired source — is untouched
+    val work = base
+      .withColumn("__mfire", isM && firedChain(matched))
+      .withColumn("__ins", isS && keepChain(notMatched, lit(false)))
+      .withColumn("__mkeep", keepChain(matched, lit(true)))
+      .where(col("__mfire") || col("__ins"))
+      .persist()
+    try {
+      val posAgg = GraftColumnBridge.column(
+        PosBitmapAgg(exprOf(col("__pos"))).toAggregateExpression())
+      val sidecars = publishDvSidecars(spark, root,
+        work.where(col("__mfire")).groupBy(col("__file")).agg(posAgg.as("__bm")),
+        probeEntries.flatMap(e => e.dv.map(d => Dv.suffixKey(e.rel) -> d.rel)).toMap)
+      val post = work
+        .where((col("__mfire") && col("__mkeep")) || col("__ins"))
+        .select(meta.schema.map { f =>
+          val nul = lit(null).cast(f.dataType)
+          when(col("__ins"), valueChain(notMatched, f.name, nul, nul))
+            .otherwise(valueChain(matched, f.name, col(f.name), col(f.name)))
+            .cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+      val explicitGen = (matched ++ notMatched).flatMap(_.values).flatMap(_.keys).toSet
+      val written =
+        if (post.isEmpty) Nil
+        else writeBatch(spark, root, regenerate(post, meta, explicitGen), meta)
+      val tombstoned: Map[String, Entry] = sidecars.iterator.map { case (key, rel, card) =>
+        val e = byKey(key)
+        val entry =
+          if (e.rows.contains(card)) None // every row moved out -> drop the file
+          else Some(e.copy(dv = Some(DvRef(rel, card))))
+        e.rel -> entry.orNull
+      }.toMap
+      val newEntries = s0.entries.flatMap { e =>
+        if (!tombstoned.contains(e.rel)) Some(e) else Option(tombstoned(e.rel))
+      } ++ written
+      require(
+        commit(spark, root, s0.version + 1, advanceIdentityHw(meta, written), newEntries),
+        s"LakeTable.mergeClausesMor: concurrent commit at $root (retry on a fresh snapshot)")
+      MergeStats(s0.version + 1,
+        matchedPartitions = sidecars.map(h => byKey(h._1).part).distinct.length,
+        filesRewritten = tombstoned.size,
+        filesCarried = s0.entries.size - tombstoned.size,
+        rowsWritten = written.size,
+        filesProbed = probeEntries.size)
+    } finally work.unpersist()
+  }
+
+  /** [[mergeClausesMor]] with the standard optimistic-retry loop. */
+  def mergeClausesMorWithRetry(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      matched: Seq[MergeBranch],
+      notMatched: Seq[MergeBranch],
+      partitionCol: String,
+      maxRetries: Int = 3,
+      metaUpdate: TableMeta => TableMeta = identity): MergeStats =
+    withCommitRetry(maxRetries)(retriesLeft =>
+      try Some(mergeClausesMor(spark, root, source, keyCols, matched, notMatched,
+        partitionCol, metaUpdate))
       catch {
         case e: IllegalArgumentException
             if e.getMessage != null && e.getMessage.contains("concurrent commit") &&
@@ -3333,16 +3684,23 @@ object LakeTable {
       "LakeTable.optimize: pass sortCols (lexicographic) OR zorderCols (Morton), not both")
     (sortCols ++ zorderCols).foreach(c => require(meta.schema.fieldNames.contains(c),
       s"LakeTable.optimize: sort column $c not in table schema"))
-    val fileCounts = s0.entries.groupBy(_.part).map { case (p, es) => p -> es.size }
+    // partition groups are (spec, part) pairs: under spec evolution the
+    // same string can name different slices in different spec spaces.
+    // Compaction rewrites through writeBatch, which files rows under
+    // the CURRENT spec — OPTIMIZE is therefore also the spec MIGRATION
+    // verb (old-spec files fold into current-spec layout as they compact)
+    val fileCounts = s0.entries.groupBy(e => (e.spec, e.part)).map { case (p, es) => p -> es.size }
     // partitions with enough small files to pack, plus any partition
     // holding a DV'd file: OPTIMIZE is also the DV MATERIALIZATION verb
     // (rewrite minus dead rows, drop the vector) that restores
-    // pure-columnar scans after merge-on-read deletes
+    // pure-columnar scans after merge-on-read deletes; with
+    // minFilesPerPartition=1 every old-spec group rewrites too — the
+    // explicit full-migration call
     val compactParts = fileCounts.filter(_._2 >= minFilesPerPartition).keySet ++
-      s0.entries.filter(_.dv.isDefined).map(_.part)
+      s0.entries.filter(_.dv.isDefined).map(e => (e.spec, e.part))
     if (compactParts.isEmpty)
       return MergeStats(s0.version, 0, 0, s0.entries.size, 0)
-    val (rewrite, carry) = s0.entries.partition(e => compactParts.contains(e.part))
+    val (rewrite, carry) = s0.entries.partition(e => compactParts.contains((e.spec, e.part)))
     val df = readEntries(spark, root, meta.schema, rewrite)
     // already-validated rows being compacted — no CHECK re-validation
     val written = writeBatch(spark, root, df, meta, maxRecordsPerFile, sortCols, zorderCols,

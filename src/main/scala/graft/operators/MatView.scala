@@ -4,13 +4,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained MATERIALIZED VIEWS over lake tables: a
-  * group-by aggregate (`count` / `sum` / `min` / `max` over key
-  * columns) stored as its own lake table and kept in sync with the
-  * source by REFRESH steps that never recompute the world.
+  * group-by aggregate (`count` / `sum` / `avg` / `min` / `max` /
+  * exact `count(distinct)` over key columns) stored as its own lake
+  * table and kept in sync with the source by REFRESH steps that never
+  * recompute the world.
   *
   * Refresh strategy is picked from the aggregate set:
   *
-  *   - '''pure delta''' (only `cnt`/`sum`): the source's SIGNED row
+  *   - '''pure delta''' (only `cnt`/`sum`/`avg` — avg folds from its
+  *     stored sum + non-null-count support columns): the source's SIGNED row
   *     diff over the window ([[LakeTable.rowDeltas]] — file-wise,
   *     key-free, exact under duplicates) folds to one net delta row
   *     per touched group (entered rows +1, departed rows −1; sums
@@ -21,8 +23,8 @@ import org.apache.spark.sql.functions._
   *     non-null counter per sum column (`_nn_<col>`): a group whose
   *     every value is NULL reports a NULL sum even after incremental
   *     updates.
-  *   - '''dirty groups''' (`min`/`max` present — not incrementally
-  *     maintainable under deletes): the change feed yields the DISTINCT
+  *   - '''dirty groups''' (`min`/`max`/`cntd` present — not
+  *     incrementally maintainable under deletes): the change feed yields the DISTINCT
   *     touched keys; only those groups re-aggregate from the source
   *     (a semi join the scan layer prunes by stats/Bloom/partition),
   *     then MERGE. Cost O(changes + rows of touched groups), never a
@@ -46,7 +48,9 @@ import org.apache.spark.sql.functions._
   */
 object MatView {
 
-  /** One aggregate column: `cnt`, or `sum:c` / `min:c` / `max:c`. */
+  /** One aggregate column: `cnt`, or `sum:c` / `avg:c` / `min:c` /
+    * `max:c` / `cntd:c` (exact COUNT(DISTINCT c)).
+    */
   case class Agg(fn: String, column: String) {
     def name: String = if (fn == "cnt") "cnt" else s"${fn}_$column"
     def spec: String = if (fn == "cnt") "cnt" else s"$fn:$column"
@@ -56,33 +60,56 @@ object MatView {
   private val PropKeys = "mv.keys"
   private val PropAggs = "mv.aggs"
   private val PropVersion = "mv.srcVersion"
+  // join views (fact ⋈ dim): the dim side's root, the equi-join columns
+  // and the dim-side watermark — present only on views over a join
+  private val PropDim = "mv.dim"
+  private val PropJoinFact = "mv.joinFact"
+  private val PropJoinDim = "mv.joinDim"
+  private val PropDimVersion = "mv.dimVersion"
 
   def parseAggs(s: String): Seq[Agg] = s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map {
     case "cnt" => Agg("cnt", "")
     case a => a.split(":") match {
-      case Array(fn, c) if Set("sum", "min", "max")(fn) => Agg(fn, c)
+      case Array(fn, c) if Set("sum", "avg", "min", "max", "cntd")(fn) => Agg(fn, c)
       case _ => throw new IllegalArgumentException(
-        s"MatView: bad aggregate '$a' (supported: cnt, sum:<col>, min:<col>, max:<col>)")
+        s"MatView: bad aggregate '$a' (supported: cnt, sum:<col>, avg:<col>, " +
+          "min:<col>, max:<col>, cntd:<col>)")
     }
   }
 
-  /** The stored aggregate columns for one group: `cnt` always (group
-    * liveness is what drives deletes), plus each requested aggregate,
-    * plus a hidden `_nn_<col>` non-null counter per sum column.
+  /** The stored column plan for one group: `cnt` always (group liveness
+    * is what drives deletes), plus each requested aggregate and its
+    * hidden support columns — `sum_<c>` + `_nn_<c>` back both `sum` and
+    * `avg` (shared when both are requested, deduped by name), `avg_<c>`
+    * derives from them, `cntd_<c>` is an exact COUNT(DISTINCT) (not
+    * incrementally maintainable under deletes — it routes the refresh
+    * through the dirty-group path, like min/max).
     */
-  private def aggExprs(aggs: Seq[Agg]): Seq[Column] =
-    count(lit(1L)).as("cnt") +: aggs.filter(_.fn != "cnt").flatMap {
-      case Agg("sum", c) => Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"_nn_$c"))
-      case Agg("min", c) => Seq(min(col(c)).as(s"min_$c"))
-      case Agg("max", c) => Seq(max(col(c)).as(s"max_$c"))
+  private def storedPlan(aggs: Seq[Agg]): Seq[(String, Column)] = {
+    val cols = scala.collection.mutable.LinkedHashMap[String, Column](
+      "cnt" -> count(lit(1L)))
+    aggs.foreach {
+      case Agg("cnt", _) => ()
+      case Agg("sum", c) =>
+        cols.getOrElseUpdate(s"sum_$c", sum(col(c)))
+        cols.getOrElseUpdate(s"_nn_$c", count(col(c)))
+      case Agg("avg", c) =>
+        cols.getOrElseUpdate(s"sum_$c", sum(col(c)))
+        cols.getOrElseUpdate(s"_nn_$c", count(col(c)))
+        cols.getOrElseUpdate(s"avg_$c", avg(col(c)))
+      case Agg("min", c) => cols.getOrElseUpdate(s"min_$c", min(col(c)))
+      case Agg("max", c) => cols.getOrElseUpdate(s"max_$c", max(col(c)))
+      case Agg("cntd", c) =>
+        cols.getOrElseUpdate(s"cntd_$c", countDistinct(col(c)))
       case other => throw new IllegalArgumentException(s"MatView: $other")
     }
+    cols.toSeq
+  }
 
-  private def storedCols(aggs: Seq[Agg]): Seq[String] =
-    "cnt" +: aggs.filter(_.fn != "cnt").flatMap {
-      case Agg("sum", c) => Seq(s"sum_$c", s"_nn_$c")
-      case a => Seq(a.name)
-    }
+  private def aggExprs(aggs: Seq[Agg]): Seq[Column] =
+    storedPlan(aggs).map { case (n, e) => e.as(n) }
+
+  private def storedCols(aggs: Seq[Agg]): Seq[String] = storedPlan(aggs).map(_._1)
 
   /** Full compute at the source's CURRENT version + view-table init.
     * One commit carries content, definition and the applied version.
@@ -109,6 +136,90 @@ object MatView {
     head
   }
 
+  /** A view over `fact ⋈ dim` (inner equi-join on `factKey = dimKey`),
+    * maintained by DELTA-JOIN refresh: with F0/D0 the states at the last
+    * refresh and F1/D1 at head,
+    *
+    * {{{ Δ(F ⋈ D) = ΔF ⋈ D1  ∪  F0 ⋈ ΔD }}}
+    *
+    * (exact in signed multiset algebra: F1⋈D1 − F0⋈D0 =
+    * (F1−F0)⋈D1 + F0⋈(D1−D0)). ΔF/ΔD are the file-wise signed row
+    * diffs; the F0⋈ΔD term reads the fact PRUNED to the dirty dim keys
+    * (stats/Bloom — never the fact table), so a fact-append refresh is
+    * O(fact changes) and a dim-update refresh O(rows joining the
+    * changed dim keys). Aggregates are restricted to the delta family
+    * (cnt/sum/avg) — min/max over a join would need a dirty-group
+    * rescan of the join itself.
+    *
+    * Column names must be disjoint across the two sides (the dim join
+    * column may share the fact join column's name — it is dropped, the
+    * values are equal on every joined row).
+    */
+  def createJoin(
+      spark: SparkSession,
+      mvRoot: String,
+      factRoot: String,
+      dimRoot: String,
+      factKey: String,
+      dimKey: String,
+      keys: Seq[String],
+      aggs: Seq[Agg]): Long = {
+    require(keys.nonEmpty, "MatView.createJoin: at least one key column")
+    require(aggs.nonEmpty, "MatView.createJoin: at least one aggregate")
+    require(aggs.forall(a => Set("cnt", "sum", "avg")(a.fn)),
+      "MatView.createJoin: join views support cnt/sum/avg only (delta-join maintenance)")
+    val headF = LakeTable.snapshot(spark, factRoot).version
+    val headD = LakeTable.snapshot(spark, dimRoot).version
+    require(headF > 0 && headD > 0, "MatView.createJoin: both sources need a snapshot")
+    val full = joined(
+      LakeTable.readVersion(spark, factRoot, headF),
+      LakeTable.readVersion(spark, dimRoot, headD),
+      factKey, dimKey, keys, aggs, col("f.`__one`"))
+      .groupBy(keys.map(col): _*).agg(aggExprs(aggs).head, aggExprs(aggs).tail: _*)
+    LakeTable.init(spark, mvRoot, full,
+      partitionCol = keys.head,
+      statsCols = keys,
+      partitionFn = "bucket:16",
+      props = Map(
+        PropSrc -> factRoot, PropDim -> dimRoot,
+        PropJoinFact -> factKey, PropJoinDim -> dimKey,
+        PropKeys -> keys.mkString(","),
+        PropAggs -> aggs.map(_.spec).mkString(","),
+        PropVersion -> headF.toString, PropDimVersion -> headD.toString))
+    headF
+  }
+
+  /** The inner equi-join projected to the view's input columns plus a
+    * `_sign` column (`signCol` — `f.__one`/`d.__one` select which side
+    * carries the window's sign; both sides get a constant `__one` so
+    * the same shape serves full compute and both delta terms).
+    */
+  private def joined(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      keys: Seq[String],
+      aggs: Seq[Agg],
+      signCol: Column): DataFrame = {
+    val f = (if (fact.columns.contains("_sign")) fact
+             else fact.withColumn("_sign", lit(1L))).withColumnRenamed("_sign", "__one")
+    val d = (if (dim.columns.contains("_sign")) dim
+             else dim.withColumn("_sign", lit(1L))).withColumnRenamed("_sign", "__one")
+    val factCols = f.columns.toSet - "__one"
+    val dimCols = d.columns.toSet - "__one"
+    val shared = (factCols & dimCols) - dimKey
+    require(shared.isEmpty,
+      s"MatView join: column names must be disjoint across sides " +
+        s"(shared: ${shared.mkString(", ")}; only the join column may collide)")
+    val needed = (keys ++ aggs.filter(_.fn != "cnt").map(_.column)).distinct
+    f.as("f").join(d.as("d"), col(s"f.`$factKey`") === col(s"d.`$dimKey`"))
+      .select(needed.map { c =>
+        if (factCols.contains(c)) col(s"f.`$c`").as(c)
+        else col(s"d.`$c`").as(c)
+      } :+ signCol.as("_sign"): _*)
+  }
+
   /** Applies the source's `(lastApplied, head]` change window to the
     * view. Returns the source version the view now reflects.
     */
@@ -118,6 +229,7 @@ object MatView {
     val meta = s0.meta.get
     val d = meta.props
     require(d.contains(PropSrc), s"MatView.refresh: $mvRoot is not a materialized view")
+    if (d.contains(PropDim)) return refreshJoin(spark, mvRoot, meta)
     val (src, keys, aggs, last) = (
       d(PropSrc), d(PropKeys).split(",").toSeq, parseAggs(d(PropAggs)), d(PropVersion).toLong)
     val head = LakeTable.snapshot(spark, src).version
@@ -137,7 +249,7 @@ object MatView {
         s"MatView.refresh: stale refresh watermark (view advanced past $last concurrently)")
       m.copy(props = m.props + (PropVersion -> head.toString))
     }
-    val deltaOnly = aggs.forall(a => a.fn == "cnt" || a.fn == "sum")
+    val deltaOnly = aggs.forall(a => Set("cnt", "sum", "avg")(a.fn))
     val source =
       if (deltaOnly) deltaSource(changes, keys, aggs)
       else dirtySource(spark, src, head, changes, keys, aggs)
@@ -170,6 +282,67 @@ object MatView {
     }
   }
 
+  /** Delta-join refresh: ΔF ⋈ D1 ∪ F0 ⋈ ΔD folded to net per-group
+    * deltas, merged under BOTH watermarks in one atomic commit.
+    */
+  private def refreshJoin(spark: SparkSession, mvRoot: String, meta: LakeTable.TableMeta): Long = {
+    val d = meta.props
+    val (fact, dim) = (d(PropSrc), d(PropDim))
+    val (fk, dk) = (d(PropJoinFact), d(PropJoinDim))
+    val (keys, aggs) = (d(PropKeys).split(",").toSeq, parseAggs(d(PropAggs)))
+    val (lastF, lastD) = (d(PropVersion).toLong, d(PropDimVersion).toLong)
+    val headF = LakeTable.snapshot(spark, fact).version
+    val headD = LakeTable.snapshot(spark, dim).version
+    if (headF <= lastF && headD <= lastD) return lastF
+
+    // term 1: the fact window joined against the dim AT HEAD
+    val term1 =
+      if (headF <= lastF) None
+      else Some(joined(LakeTable.rowDeltas(spark, fact, lastF, headF),
+        LakeTable.readVersion(spark, dim, headD),
+        fk, dk, keys, aggs, col("f.`__one`")))
+    // term 2: the PRE-WINDOW fact joined against the dim window — the
+    // fact read prunes to the dirty dim keys (stats/Bloom), never the
+    // table
+    val term2 =
+      if (headD <= lastD) None
+      else {
+        val dD = LakeTable.rowDeltas(spark, dim, lastD, headD)
+        val dirtyKeys = dD.select(col(s"`$dk`").as(fk)).distinct()
+        val f0 = LakeTable.readVersionForKeys(spark, fact, lastF, Seq(fk), dirtyKeys)
+        Some(joined(f0, dD, fk, dk, keys, aggs, col("d.`__one`")))
+      }
+    val changes = (term1.toSeq ++ term2.toSeq).reduce(_.unionByName(_))
+
+    val stamp = (m: LakeTable.TableMeta) => {
+      require(m.props.get(PropVersion).contains(lastF.toString) &&
+        m.props.get(PropDimVersion).contains(lastD.toString),
+        s"MatView.refresh: stale refresh watermark (view advanced past $lastF/$lastD concurrently)")
+      m.copy(props = m.props +
+        (PropVersion -> headF.toString) + (PropDimVersion -> headD.toString))
+    }
+    val source = deltaSource(changes, keys, aggs)
+    val stored = storedCols(aggs)
+    val matched = Seq(
+      LakeTable.MergeBranch(Some(deadCond(deltaOnly = true)), None),
+      LakeTable.MergeBranch(None, Some(
+        stored.map(c => c -> updateValue(deltaOnly = true, c)).toMap)))
+    val notMatched = Seq(
+      LakeTable.MergeBranch(Some(liveInsertCond(deltaOnly = true)), Some(
+        (keys.map(k => k -> col(s"__s_$k")) ++
+          stored.map(c => c -> insertValue(deltaOnly = true, c))).toMap)))
+    try {
+      LakeTable.mergeClausesWithRetry(
+        spark, mvRoot, source, keys, matched, notMatched, Nil,
+        partitionCol = meta.partitionCol, metaUpdate = stamp, nullSafeKeys = true)
+      headF
+    } catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("stale refresh watermark") =>
+        refresh(spark, mvRoot)
+    }
+  }
+
   /** Pure-delta source: one NET aggregate row per touched group,
     * straight off the signed row diff — `__s_cnt` is the net row-count
     * change, `__s_sum_<c>`/`__s__nn_<c>` the net sum/non-null-count
@@ -177,11 +350,16 @@ object MatView {
     */
   private def deltaSource(changes: DataFrame, keys: Seq[String], aggs: Seq[Agg]): DataFrame = {
     val sign = col("_sign")
-    val dCols = sum(sign).as("cnt") +: aggs.filter(_.fn == "sum").flatMap { a =>
-      Seq(
-        sum(sign * col(a.column)).as(s"sum_${a.column}"),
-        sum(when(col(a.column).isNotNull, sign)).as(s"_nn_${a.column}"))
+    // sum and avg share their sum_/nn_ support deltas (deduped by name);
+    // avg_<c> itself has no delta — update/insertValue re-derive it from
+    // the updated support columns
+    val dMap = scala.collection.mutable.LinkedHashMap[String, Column]("cnt" -> sum(sign))
+    aggs.filter(a => a.fn == "sum" || a.fn == "avg").foreach { a =>
+      dMap.getOrElseUpdate(s"sum_${a.column}", sum(sign * col(a.column)))
+      dMap.getOrElseUpdate(s"_nn_${a.column}",
+        sum(when(col(a.column).isNotNull, sign)))
     }
+    val dCols = dMap.toSeq.map { case (n, e) => e.as(n) }
     val g = changes.groupBy(keys.map(col): _*).agg(dCols.head, dCols.tail: _*)
     g.select(
       keys.map(col) ++ keys.map(k => col(k).as(s"__s_$k")) ++
@@ -234,6 +412,14 @@ object MatView {
     if (!deltaOnly) col(s"__s_$c")
     else if (c == "cnt" || c.startsWith("_nn_"))
       coalesce(col(c), lit(0L)) + coalesce(col(s"__s_$c"), lit(0L))
+    else if (c.startsWith("avg_")) { // derived from the UPDATED support columns
+      val base = c.stripPrefix("avg_")
+      val newNn = coalesce(col(s"_nn_$base"), lit(0L)) +
+        coalesce(col(s"__s__nn_$base"), lit(0L))
+      val newSum = coalesce(col(s"sum_$base"), lit(0L)) +
+        coalesce(col(s"__s_sum_$base"), lit(0L))
+      when(newNn <= 0, lit(null)).otherwise(newSum.cast("double") / newNn)
+    }
     else { // sum_<x>: NULL when no non-null value remains (SQL sum)
       val nn = s"_nn_${c.stripPrefix("sum_")}"
       val newNn = coalesce(col(nn), lit(0L)) + coalesce(col(s"__s_$nn"), lit(0L))
@@ -245,6 +431,12 @@ object MatView {
   private def insertValue(deltaOnly: Boolean, c: String): Column =
     if (!deltaOnly) col(s"__s_$c")
     else if (c == "cnt" || c.startsWith("_nn_")) coalesce(col(s"__s_$c"), lit(0L))
+    else if (c.startsWith("avg_")) {
+      val base = c.stripPrefix("avg_")
+      when(coalesce(col(s"__s__nn_$base"), lit(0L)) <= 0, lit(null))
+        .otherwise(coalesce(col(s"__s_sum_$base"), lit(0L)).cast("double") /
+          col(s"__s__nn_$base"))
+    }
     else {
       val nn = s"_nn_${c.stripPrefix("sum_")}"
       when(coalesce(col(s"__s_$nn"), lit(0L)) <= 0, lit(null)).otherwise(col(s"__s_$c"))

@@ -145,8 +145,8 @@ object LakeDmlStrategy extends SparkStrategy {
     * command's resolved target plan) is provided — UPDATE/DELETE
     * CONDITIONS — they are instead lifted by [[plantCorrelated]] into a
     * deferred membership test against the set of qualifying outer-column
-    * tuples, evaluated once at statement start. Sites with no single
-    * outer relation (assignment values) keep the crisp refusal.
+    * tuples, evaluated once at statement start. Assignment VALUES lift
+    * through [[byNameValue]]/[[plantCorrelatedValue]] instead.
     */
   private def byNameExpr(
       e: Expression,
@@ -161,6 +161,25 @@ object LakeDmlStrategy extends SparkStrategy {
           "here (supported in UPDATE/DELETE conditions; in assignment values, " +
             "rewrite as MERGE INTO with the correlation as the ON key)")
       }
+    lifted.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }
+  }
+
+  /** [[byNameExpr]] for ASSIGNMENT VALUES: a correlated value lifts
+    * through [[plantCorrelatedValue]] (per-tuple staged scalar, domain-
+    * restricted to the statement's qualifying rows when deterministic)
+    * instead of the membership lift conditions get.
+    */
+  private def byNameValue(
+      e: Expression,
+      verb: String,
+      rel: LogicalPlan,
+      domain: Option[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    val lifted =
+      if (!e.exists { case sq: SubqueryExpression => sq.isCorrelated; case _ => false }) e
+      else plantCorrelatedValue(e, rel, domain, verb)
     lifted.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     }
@@ -187,6 +206,54 @@ object LakeDmlStrategy extends SparkStrategy {
     override def nullable: Boolean = false
     override protected def withNewChildrenInternal(
         newChildren: IndexedSeq[Expression]): Expression = this
+  }
+
+  /** Plan-time stand-in for a lifted correlated ASSIGNMENT VALUE
+    * (`UPDATE ... SET x = (SELECT ... corr)`, MERGE SET values): carries
+    * the RESOLVED value expression, the staging relation its outer
+    * references resolve against, and an optional deterministic DOMAIN
+    * predicate restricting staging to the qualifying tuples (the
+    * UPDATE's own WHERE). Replaced at DML-execution time by
+    * [[spliceLookup]] with a per-tuple scalar lookup join.
+    */
+  private case class CorrelatedLookup(
+      value: Expression,
+      domain: Option[Expression],
+      rel: LogicalPlan,
+      outer: Seq[AttributeReference],
+      names: Seq[String])
+    extends Expression with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+    override def children: Seq[Expression] = Nil
+    override def dataType: org.apache.spark.sql.types.DataType = value.dataType
+    override def nullable: Boolean = true
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression = this
+  }
+
+  /** Lift a correlated assignment value WHOLESALE: the entire value
+    * expression becomes a per-outer-tuple scalar, staged once against
+    * the pre-statement snapshot and looked up null-safely from the
+    * rewrite projection. The when(hit)-guard on the rewrite side only
+    * CONSULTS the value on qualifying rows, so restricting the staged
+    * domain to them (when the condition is deterministic) is exact.
+    */
+  private def plantCorrelatedValue(
+      e: Expression,
+      rel: LogicalPlan,
+      domain: Option[Expression],
+      verb: String,
+      nameOf: AttributeReference => String = _.name): Expression = {
+    if (!e.deterministic)
+      refuseCorrelated(verb, s"inside a non-deterministic assignment ${e.sql}")
+    val outer = e.references.toSeq.map {
+      case a: AttributeReference => a
+      case o => refuseCorrelated(verb, s"whose reference ${o.sql} is not a column")
+    }
+    val missing = outer.filterNot(rel.outputSet.contains)
+    if (missing.nonEmpty)
+      refuseCorrelated(verb, "referencing columns outside the staging relation: " +
+        missing.map(_.name).mkString(", "))
+    CorrelatedLookup(e, domain.filter(_.deterministic), rel, outer, outer.map(nameOf))
   }
 
   private def refuseCorrelated(verb: String, where: String): Nothing =
@@ -296,6 +363,7 @@ object LakeDmlStrategy extends SparkStrategy {
     }
     e.transform {
       case m: CorrelatedMembership => spliceCorrelated(spark, m, stage)
+      case m: CorrelatedLookup => spliceLookup(spark, m, stage)
       case in: InSubquery => InSubquery(in.values, ListQuery(stage(in.query.plan)))
       case lq: ListQuery => lq // already staged by its enclosing InSubquery
       case ex: Exists => Exists(stage(ex.plan))
@@ -351,6 +419,45 @@ object LakeDmlStrategy extends SparkStrategy {
     Exists(LFilter(conj, stagedScan))
   }
 
+  /** Executes a lifted correlated ASSIGNMENT VALUE once: stages one row
+    * per distinct outer-column tuple of the (domain-filtered) staging
+    * relation, carrying the VALUE the expression evaluates to for that
+    * tuple — the correlated scalar in a Project over distinct tuples is
+    * exactly the shape Catalyst decorrelates into a left-outer join +
+    * aggregate (with the ANSI more-than-one-row guard preserved), run
+    * through the optimizer like [[spliceCorrelated]] because the
+    * strategy received a mid-rewrite subquery. The splice-back is a
+    * scalar lookup against the staged result:
+    *
+    * {{{ (SELECT __v FROM staged WHERE staged.fi <=> outer.ci ...) }}}
+    *
+    * `<=>` matches NULL tuple components (each distinct tuple is staged
+    * exactly once, so the lookup is at most one row by construction);
+    * a row OUTSIDE the staged domain reads NULL, which the rewrite's
+    * when(hit)-guard never consults. Staging is O(distinct qualifying
+    * tuples), never the table.
+    */
+  private def spliceLookup(
+      spark: SparkSession,
+      m: CorrelatedLookup,
+      stage: LogicalPlan => LogicalPlan): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Filter => LFilter}
+    val dom = m.domain.fold(m.rel)(d => LFilter(d, m.rel))
+    val tuples = Distinct(Project(
+      m.outer.map(a => a: org.apache.spark.sql.catalyst.expressions.NamedExpression), dom))
+    val cols = m.outer.zipWithIndex.map { case (a, i) =>
+      Alias(a, s"__graft_corr_f$i")(): org.apache.spark.sql.catalyst.expressions.NamedExpression
+    }
+    val valued = spark.sessionState.optimizer.execute(
+      Project(cols :+ Alias(m.value, "__graft_corr_v")(), tuples))
+    val stagedScan = stage(valued)
+    val conj = m.names.zip(stagedScan.output.init).map { case (n, st) =>
+      EqualNullSafe(st, UnresolvedAttribute.quoted(n)): Expression
+    }.reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
+    ScalarSubquery(Project(Seq(stagedScan.output.last), LFilter(conj, stagedScan)))
+  }
+
   /** Execution-time staging scope for DML subqueries: `body` receives an
     * Expression→Column converter that materializes subqueries on the
     * way; every staged result is reclaimed when the verb finishes,
@@ -375,8 +482,8 @@ object LakeDmlStrategy extends SparkStrategy {
         s"that is a conjunction of target-column = source-expression equalities; " +
         s"WHEN MATCHED [AND cond] THEN UPDATE/DELETE; WHEN NOT MATCHED [AND cond] " +
         s"THEN INSERT; WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE; " +
-        s"no CORRELATED subqueries in clause conditions or assignments; assignments " +
-        s"to existing table columns only)")
+        s"correlated subqueries in clause conditions and assignment values; " +
+        s"assignments to existing table columns only)")
 
   /** ON must be a conjunction of targetCol = sourceExpr equalities —
     * that is what makes the merge an equi-join (shuffle-/broadcast-
@@ -483,7 +590,19 @@ object LakeDmlStrategy extends SparkStrategy {
       val spark = SparkSession.active
       val src = GraftColumnBridge.ofRows(spark, projected)
       cardinalityCheck(src, keyCols)
-      LakeTable.mergeWithRetry(spark, t.root, src, keyCols, t.meta.partitionCol)
+      if (t.meta.deleteMode == "mor") {
+        // source-wins on a MOR table: express the upsert as one
+        // unconditional matched-UPDATE + insert clause pair over the
+        // MOR clause merge — matched rows tombstone + re-append, files
+        // without matches stay byte-identical
+        import org.apache.spark.sql.functions.col
+        val withS = src.columns.foldLeft(src)((d, c) => d.withColumn("__s_" + c, col(c)))
+        val values = Some(targetCols.map(c => c -> col("__s_" + c)).toMap)
+        LakeTable.mergeClausesMorWithRetry(spark, t.root, withS, keyCols,
+          Seq(LakeTable.MergeBranch(None, values)),
+          Seq(LakeTable.MergeBranch(None, values)),
+          t.meta.partitionCol)
+      } else LakeTable.mergeWithRetry(spark, t.root, src, keyCols, t.meta.partitionCol)
     })
   }
 
@@ -544,19 +663,18 @@ object LakeDmlStrategy extends SparkStrategy {
     def anchoredCond(e: Expression, rel: LogicalPlan): Expression =
       anchorNames(
         if (!hasCorr(e)) e else plantCorrelated(nnf(e), rel, "MERGE", rename))
-    // assignment VALUES would need a per-row scalar lookup, not a
-    // membership test — keep the crisp refusal there
-    def anchoredValue(e: Expression): Expression = {
-      if (hasCorr(e))
-        fail(s"CORRELATED subquery in merge assignment ${e.sql} (supported in clause " +
-          "conditions and in UPDATE/DELETE; uncorrelated subqueries are materialized)")
-      anchorNames(e)
-    }
+    // assignment VALUES lift to a per-tuple staged scalar + null-safe
+    // lookup join (plantCorrelatedValue) — the staging relation is the
+    // clause family's evaluation domain, like clause conditions
+    def anchoredValue(e: Expression, rel: LogicalPlan): Expression =
+      if (!hasCorr(e)) anchorNames(e)
+      else anchorNames(plantCorrelatedValue(e, rel, None, "MERGE", rename))
     val matchedRel = org.apache.spark.sql.catalyst.plans.logical.Join(
       tgt, source, org.apache.spark.sql.catalyst.plans.Inner, Some(cond),
       org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
     val targetFields = t.meta.schema.fieldNames.toSet
-    def assignMap(assigns: Seq[Assignment], what: String): Map[String, Expression] =
+    def assignMap(
+        assigns: Seq[Assignment], what: String, rel: LogicalPlan): Map[String, Expression] =
       assigns.map { a =>
         val name = a.key match {
           case ar: AttributeReference => ar.name
@@ -564,7 +682,7 @@ object LakeDmlStrategy extends SparkStrategy {
         }
         if (!targetFields.contains(name))
           fail(s"$what assigns $name, not a table column (clause merge does not evolve schema)")
-        name -> anchoredValue(a.value)
+        name -> anchoredValue(a.value, rel)
       }.toMap
     // branches carry re-anchored EXPRESSIONS; Columns are built at
     // execution time, when the subquery materializer has a session
@@ -572,11 +690,11 @@ object LakeDmlStrategy extends SparkStrategy {
         : (Option[Expression], Option[Map[String, Expression]]) =
       a match {
         case u: UpdateAction =>
-          (u.condition.map(anchoredCond(_, rel)), Some(assignMap(u.assignments, what)))
+          (u.condition.map(anchoredCond(_, rel)), Some(assignMap(u.assignments, what, rel)))
         case d: DeleteAction =>
           (d.condition.map(anchoredCond(_, rel)), None)
         case i: InsertAction =>
-          (i.condition.map(anchoredCond(_, rel)), Some(assignMap(i.assignments, what)))
+          (i.condition.map(anchoredCond(_, rel)), Some(assignMap(i.assignments, what, rel)))
         case other => fail(s"$what action $other")
       }
     val mBr = matched.map(branch(_, "MATCHED", matchedRel))
@@ -606,9 +724,17 @@ object LakeDmlStrategy extends SparkStrategy {
         // rows (Delta permits dup UNMATCHED inserts; we trade that corner
         // for a crisp refusal instead of corruption)
         cardinalityCheck(src, keyCols)
-        LakeTable.mergeClausesWithRetry(
-          spark, t.root, src, keyCols, mBr.map(mk), nBr.map(mk), sBr.map(mk),
-          t.meta.partitionCol)
+        // deleteMode=mor: matched rows tombstone into DV sidecars and
+        // postimages/inserts append — one commit, no file rewrite. A
+        // by-source clause makes every target row's fate join-dependent,
+        // so that shape stays on the COW arm.
+        if (t.meta.deleteMode == "mor" && sBr.isEmpty)
+          LakeTable.mergeClausesMorWithRetry(
+            spark, t.root, src, keyCols, mBr.map(mk), nBr.map(mk), t.meta.partitionCol)
+        else
+          LakeTable.mergeClausesWithRetry(
+            spark, t.root, src, keyCols, mBr.map(mk), nBr.map(mk), sBr.map(mk),
+            t.meta.partitionCol)
       }
     })
   }
@@ -628,7 +754,7 @@ object LakeDmlStrategy extends SparkStrategy {
       // (c = c) need no rewrite expression
       a.value match {
         case v: AttributeReference if v.name == name => None
-        case v => Some(name -> byNameExpr(v, "UPDATE"))
+        case v => Some(name -> byNameValue(v, "UPDATE", tgt, condition))
       }
     }.toMap
     val condExpr = condition.map(byNameExpr(_, "UPDATE", target = Some(tgt)))

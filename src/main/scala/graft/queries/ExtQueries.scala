@@ -946,6 +946,71 @@ object ExtQueries {
         s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
     },
 
+    // Partition spec evolution (the Iceberg per-spec model): the table
+    // starts identity-partitioned on o_orderstatus, CALL set_partitioning
+    // flips FUTURE writes to months(o_orderdate) in a metadata-only
+    // commit, and a second generation lands under the new grain. The
+    // engine asserts inline that the spec change touched no file, that
+    // the two generations carry distinct spec ids (new parts are month
+    // strings), and that a status-equality predicate still PRUNES the
+    // old-spec files under their own spec. A DELETE then spans both
+    // generations (per-spec file classification), OPTIMIZE(min_files=1)
+    // migrates everything to the current spec, and the final rollup
+    // hash-checks both generations + the cross-spec delete against
+    // DuckDB — a file classified under the wrong spec either leaks
+    // deleted rows or loses live ones, shifting cents.
+    "q178_partition_evolution" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q178_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q178_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_orderdate TIMESTAMP, o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, o_orderdate, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q178_orders")
+      import graft.operators.LakeTable
+      val relsBefore = LakeTable.snapshot(s, root).entries.map(_.rel).toSet
+      s.sql(s"CALL graft.system.set_partitioning(table => '$root', " +
+        "spec => 'months(o_orderdate)')")
+      require(LakeTable.snapshot(s, root).entries.map(_.rel).toSet == relsBefore,
+        "q178: the spec change must be metadata-only")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey + 1000000000, o_orderstatus, " +
+        "o_orderdate, CAST(o_totalprice AS DOUBLE) * 2 FROM q178_orders")
+      val snap = LakeTable.snapshot(s, root)
+      require(snap.entries.map(_.spec).toSet == Set(0, 1),
+        "q178: the two generations must carry their own spec ids")
+      require(snap.entries.filter(_.spec == 1).forall(e =>
+        e.part == LakeTable.NullPartition || e.part.matches("\\d{4}-\\d{2}")),
+        "q178: new-generation partition values must be month strings")
+      // old-spec files still prune under the OLD spec: a status equality
+      // keeps only that status's old files (plus every new-spec file)
+      val idx = graft.sources.lake.LakeFileIndex(s, root, None)
+      val st = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "o_orderstatus", org.apache.spark.sql.types.StringType)()
+      idx.listFiles(Nil, Seq(org.apache.spark.sql.catalyst.expressions.EqualTo(
+        st, org.apache.spark.sql.catalyst.expressions.Literal.create(
+          "F", org.apache.spark.sql.types.StringType))))
+      val newFiles = snap.entries.count(_.spec == 1)
+      require(idx.lastListedFiles < snap.entries.size &&
+        idx.lastListedFiles >= newFiles,
+        s"q178: old-spec pruning must survive evolution " +
+          s"(${idx.lastListedFiles} of ${snap.entries.size}, $newFiles new)")
+      // cross-spec DML: the delete classifies every file under its own spec
+      s.sql(s"DELETE FROM $lt WHERE o_orderkey % 5 = 0")
+      s.sql(s"CALL graft.system.optimize(table => '$root', min_files => 1)")
+      val after = LakeTable.snapshot(s, root)
+      require(after.entries.forall(_.spec == after.meta.get.currentSpec),
+        "q178: OPTIMIZE(min_files=1) must migrate every file to the current spec")
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    },
+
     // Hidden partitioning (Iceberg partition transforms): the table is
     // PARTITIONED BY (months(o_orderdate)) — no derived column exists,
     // queries filter o_orderdate itself, and the engine maps the
@@ -1289,6 +1354,103 @@ object ExtQueries {
     // bit-equal to the recomputed one (double addition would drift by
     // fold order). The applied-source-version watermark commits
     // ATOMICALLY with each refresh's data change.
+    // Materialized-view AVG and exact COUNT(DISTINCT): avg folds on the
+    // delta path from its stored sum + non-null-count support columns
+    // (no source rescan), cntd routes the refresh through the
+    // dirty-group path (distinct counts are not delta-able under
+    // deletes — a removed row may or may not retire its value). The
+    // delete wave removes EVERY order of some customers, so distinct
+    // counts must drop; the fee update shifts averages. Both views
+    // refresh once and the joined rollup hash-checks against DuckDB
+    // re-aggregating the final state — a stale average, a distinct
+    // count that missed the delete, or a double-applied delta all
+    // shift cells.
+    "q180_matview_avg_distinct" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q180_$tag"
+      val root = s"$stage/t"
+      val (mv1, mv2) = (s"$stage/mv_avg", s"$stage/mv_cd")
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q180_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_custkey BIGINT, o_cents BIGINT) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, o_custkey, " +
+        "CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) FROM q180_orders")
+      s.sql(s"CALL graft.system.create_matview('$mv1', '$root', " +
+        "'o_orderstatus', 'cnt,avg:o_cents')")
+      s.sql(s"CALL graft.system.create_matview('$mv2', '$root', " +
+        "'o_orderstatus', 'cnt,cntd:o_custkey')")
+      val cdBefore = s.sql(s"SELECT sum(cntd_o_custkey) FROM graft.`$mv2`").head.getLong(0)
+      // the wave: drop every order of %10=3 customers, re-insert a
+      // key-shifted slice (some of those customers come back), add fees
+      s.sql(s"DELETE FROM $lt WHERE o_custkey % 10 = 3")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey + 5000000, o_orderstatus, o_custkey, " +
+        "CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) * 2 " +
+        "FROM q180_orders WHERE o_orderkey % 11 = 0")
+      s.sql(s"UPDATE $lt SET o_cents = o_cents + 100 WHERE o_orderkey % 7 = 0")
+      val head = graft.operators.LakeTable.snapshot(s, root).version
+      val r1 = s.sql(s"CALL graft.system.refresh_matview('$mv1')").head.getLong(0)
+      val r2 = s.sql(s"CALL graft.system.refresh_matview('$mv2')").head.getLong(0)
+      require(r1 == head && r2 == head,
+        s"q180: refresh must reach the source head ($r1/$r2 vs $head)")
+      require(s.sql(s"SELECT sum(cntd_o_custkey) FROM graft.`$mv2`").head.getLong(0)
+        < cdBefore, "q180: the customer-delete wave must lower distinct counts")
+      s.sql(s"SELECT m1.o_orderstatus AS status, m1.cnt AS cnt, " +
+        "CAST(floor(m1.avg_o_cents * 100) AS BIGINT) AS avg100, " +
+        "m2.cntd_o_custkey AS cd " +
+        s"FROM graft.`$mv1` m1 JOIN graft.`$mv2` m2 " +
+        "ON m1.o_orderstatus = m2.o_orderstatus ORDER BY status")
+    },
+
+    // Materialized view over a JOIN (delta-join maintenance):
+    // Δ(F ⋈ D) = ΔF ⋈ D1 ∪ F0 ⋈ ΔD — the fact side of the dim term
+    // reads PRUNED to the dirty dim keys, never the fact table. The
+    // waves hit both sides in one window: a fact delete + shifted
+    // insert AND a dim segment MOVE (group membership changes for every
+    // joining fact row). One refresh; the view rows hash-check against
+    // DuckDB recomputing the join aggregate from the final state — a
+    // missed cross term, a stale dim side, or a double-counted moved
+    // row all shift cells.
+    "q181_matview_join" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q181_$tag"
+      val (fact, dim, mv) = (s"$stage/fact", s"$stage/dim", s"$stage/mv")
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q181_orders")
+      t(s, dir, "customer").createOrReplaceTempView("q181_customer")
+      val (lf, ld) = (s"graft.`$fact`", s"graft.`$dim`")
+      s.sql(s"CREATE TABLE $lf (o_orderkey BIGINT, o_custkey BIGINT, o_cents BIGINT) " +
+        "PARTITIONED BY (bucket(8, o_custkey)) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey,o_custkey')")
+      s.sql(s"INSERT INTO $lf SELECT o_orderkey, o_custkey, " +
+        "CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) FROM q181_orders")
+      s.sql(s"CREATE TABLE $ld (c_custkey BIGINT, c_seg STRING) " +
+        "PARTITIONED BY (c_seg) TBLPROPERTIES (statsCols 'c_custkey')")
+      s.sql(s"INSERT INTO $ld SELECT c_custkey, c_mktsegment FROM q181_customer")
+      s.sql(s"CALL graft.system.create_matview_join('$mv', '$fact', '$dim', " +
+        "'o_custkey', 'c_custkey', 'c_seg', 'cnt,sum:o_cents')")
+      // both-side wave in one refresh window
+      s.sql(s"DELETE FROM $lf WHERE o_orderkey % 5 = 2")
+      s.sql(s"INSERT INTO $lf SELECT o_orderkey + 5000000, o_custkey, " +
+        "CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) * 2 " +
+        "FROM q181_orders WHERE o_orderkey % 11 = 0")
+      s.sql(s"UPDATE $ld SET c_seg = 'MOVED' WHERE c_custkey % 7 = 1")
+      val headF = graft.operators.LakeTable.snapshot(s, fact).version
+      val r = s.sql(s"CALL graft.system.refresh_matview('$mv')").head.getLong(0)
+      require(r == headF, s"q181: refresh must reach the fact head ($r vs $headF)")
+      require(graft.operators.LakeTable.snapshot(s, mv)
+        .meta.get.props("mv.dimVersion").toLong ==
+        graft.operators.LakeTable.snapshot(s, dim).version,
+        "q181: the dim watermark must advance with the same refresh")
+      s.sql(s"SELECT c_seg, cnt, sum_o_cents AS cents FROM graft.`$mv` ORDER BY c_seg")
+    },
+
     "q174_matview_refresh" -> { (s, dir) =>
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val stage = s"/root/repo/target/staging/q174_$tag"
@@ -1507,6 +1669,56 @@ object ExtQueries {
     // an EXISTS blocklist delete, a per-customer correlated-scalar
     // threshold UPDATE, and a NOT EXISTS (anti) delete. Hash-checked
     // against DuckDB running the same correlated SQL relationally.
+    // Correlated subqueries in ASSIGNMENT VALUES (the q173 lift's last
+    // refusal): `UPDATE ... SET x = (SELECT ... corr)` and correlated
+    // values in MERGE SET / INSERT stage ONE row per distinct qualifying
+    // outer tuple (Catalyst decorrelates the staged Project into a left
+    // join + aggregate over the pre-statement snapshot) and the rewrite
+    // projection looks the scalar up null-safely — never a per-row
+    // subquery execution. Three statements chain so the oracle's
+    // relational re-derivation catches a value staged against the wrong
+    // snapshot or a lookup that misses (NULL) or double-matches.
+    "q179_correlated_set" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q179_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q179_orders")
+      t(s, dir, "customer").createOrReplaceTempView("q179_customer")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey,o_custkey')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q179_orders")
+      // correlated scalar ASSIGNMENT in UPDATE: each hit row adds ITS
+      // OWN customer's balance (per-row lookup, staged per tuple)
+      s.sql(s"UPDATE $lt t SET o_totalprice = o_totalprice + " +
+        "(SELECT CAST(c_acctbal AS DOUBLE) FROM q179_customer c " +
+        "WHERE c.c_custkey = t.o_custkey) WHERE o_orderkey % 7 = 0")
+      // correlated values in MERGE SET (both sides referenced) and in a
+      // NOT MATCHED INSERT
+      s.sql(s"""MERGE INTO $lt t USING (
+        SELECT o_orderkey AS k, o_custkey AS ck, o_orderstatus AS st
+        FROM q179_orders WHERE o_orderkey % 11 = 3
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus
+        FROM q179_orders WHERE o_orderkey % 11 = 4) s
+        ON t.o_orderkey = s.k
+        WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice * 2 +
+          (SELECT max(CAST(c_acctbal AS DOUBLE)) FROM q179_customer c
+           WHERE c.c_custkey = s.ck)
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+          VALUES (s.k, s.ck, s.st,
+            (SELECT CAST(c_acctbal AS DOUBLE) FROM q179_customer c
+             WHERE c.c_custkey = s.ck))""")
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    },
+
     "q173_dml_correlated" -> { (s, dir) =>
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val stage = s"/root/repo/target/staging/q173_$tag"
@@ -1641,6 +1853,67 @@ object ExtQueries {
       require(LakeTable.countRows(s, root).contains(
         s.sql(s"SELECT count(*) FROM q161_orders").head.getLong(0)),
         "q161: live metadata count must be unchanged by an update")
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    },
+
+    // MOR MERGE (deleteMode=mor): one CDC-apply MERGE carrying DELETE,
+    // UPDATE and INSERT ops tombstones matched rows into DV sidecars
+    // and appends postimages + inserts in ONE commit — no data file is
+    // rewritten. The engine asserts inline that every original file
+    // survives byte-identical in the manifest (subset pin), that
+    // tombstone vectors exist, and that the metadata-only live count
+    // matches the relational model (orig − deletes + inserts; updates
+    // are count-neutral: tombstone + postimage). CALL optimize then
+    // materializes the vectors away and the final rollup hash-checks
+    // the whole CDC application against DuckDB's relational re-derive —
+    // a leaked tombstoned preimage, a lost postimage, or a doubled
+    // insert all shift cents.
+    "q177_mor_merge" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q177_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q177_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey', deleteMode 'mor')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q177_orders")
+      import graft.operators.LakeTable
+      val before = LakeTable.snapshot(s, root).entries.map(_.rel).toSet
+      s.sql("CREATE OR REPLACE TEMP VIEW q177_src AS " +
+        "SELECT o_orderkey AS k, 'D' AS op, CAST(0.0 AS DOUBLE) AS pr, o_orderstatus " +
+        "FROM q177_orders WHERE o_orderkey % 13 = 0 " +
+        "UNION ALL SELECT o_orderkey, 'U', CAST(0.0 AS DOUBLE), o_orderstatus " +
+        "FROM q177_orders WHERE o_orderkey % 13 = 1 " +
+        "UNION ALL SELECT o_orderkey + 1000000000, 'I', " +
+        "CAST(o_totalprice AS DOUBLE) / 2, o_orderstatus " +
+        "FROM q177_orders WHERE o_orderkey % 13 = 2")
+      s.sql(s"MERGE INTO $lt t USING q177_src s ON t.o_orderkey = s.k " +
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE " +
+        "WHEN MATCHED AND s.op = 'U' THEN UPDATE SET o_totalprice = t.o_totalprice * 3 " +
+        "WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (o_orderkey, o_orderstatus, " +
+        "o_totalprice) VALUES (s.k, s.o_orderstatus, s.pr)")
+      val snap = LakeTable.snapshot(s, root)
+      require(before.subsetOf(snap.entries.map(_.rel).toSet),
+        "q177: a MOR merge must keep every original file (tombstone + append)")
+      require(snap.entries.exists(_.dv.isDefined),
+        "q177: no tombstone vector recorded by the merge")
+      val Seq(orig, nD, nI) = Seq(
+        "SELECT count(*) FROM q177_orders",
+        "SELECT count(*) FROM q177_orders WHERE o_orderkey % 13 = 0",
+        "SELECT count(*) FROM q177_orders WHERE o_orderkey % 13 = 2")
+        .map(q => s.sql(q).head.getLong(0))
+      require(LakeTable.countRows(s, root).contains(orig - nD + nI),
+        "q177: metadata live count must follow the CDC model (orig - D + I)")
+      s.sql(s"CALL graft.system.optimize(table => '$root')")
+      require(LakeTable.snapshot(s, root).entries.forall(_.dv.isEmpty),
+        "q177: OPTIMIZE must materialize the merge's deletion vectors")
       s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
         s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
@@ -3010,6 +3283,46 @@ object ExtQueries {
     // insert, fee update in statement order), then both views' aggregates
     // recomputed from scratch — the incremental merges must land exactly
     // here. Integer cents make the sums order-independent.
+    // the join aggregate recomputed from the FINAL state of both sides
+    "q181_matview_join" ->
+      """WITH fact AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 5 <> 2
+        |  UNION ALL
+        |  SELECT o_orderkey + 5000000, o_custkey,
+        |         CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) * 2
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |dim AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 7 = 1 THEN 'MOVED' ELSE c_mktsegment END AS c_seg
+        |  FROM customer)
+        |SELECT c_seg, count(*) AS cnt,
+        |       CAST(sum(cents) AS BIGINT) AS cents
+        |FROM fact JOIN dim ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the three waves re-derived, then re-aggregated; avg compared as
+    // floor(100 * exact-integer-sum / count) — the same double division
+    // the incremental fold performs, so representability is identical.
+    "q180_matview_avg_distinct" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_custkey,
+        |         CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |w2 AS (
+        |  SELECT * FROM base WHERE o_custkey % 10 <> 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 5000000, o_orderstatus, o_custkey, cents * 2
+        |  FROM base WHERE o_orderkey % 11 = 0),
+        |w3 AS (
+        |  SELECT o_orderstatus, o_custkey,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN cents + 100 ELSE cents END AS cents
+        |  FROM w2)
+        |SELECT o_orderstatus AS status, count(*) AS cnt,
+        |       CAST(floor(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+        |                  / count(cents) * 100) AS BIGINT) AS avg100,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS cd
+        |FROM w3 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q174_matview_refresh" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS st,
@@ -3029,6 +3342,30 @@ object ExtQueries {
         |       CAST(min(k) AS BIGINT) AS mn_key, CAST(max(k) AS BIGINT) AS mx_key
         |FROM s3 GROUP BY st ORDER BY status""".stripMargin,
     // the same three correlated DML statements replayed relationally:
+    // sequential re-derive: the %7 update adds the row's own customer
+    // balance; the merge then doubles-and-adds for %11=3 and inserts
+    // shifted %11=4 rows priced at their customer's balance (every
+    // o_custkey resolves to exactly one customer row, so the scalar
+    // lookups are single-valued).
+    "q179_correlated_set" ->
+      """WITH cust AS (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal FROM customer),
+        |t0 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |              CAST(o_totalprice AS DOUBLE) AS pr FROM orders),
+        |t1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 7 = 0
+        |              THEN pr + (SELECT bal FROM cust c WHERE c.c_custkey = o_custkey)
+        |              ELSE pr END AS pr FROM t0),
+        |t2 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 11 = 3
+        |              THEN pr * 2 + (SELECT max(bal) FROM cust c WHERE c.c_custkey = o_custkey)
+        |              ELSE pr END AS pr FROM t1
+        |       UNION ALL
+        |       SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+        |              (SELECT bal FROM cust c WHERE c.c_custkey = o_custkey) AS pr
+        |       FROM orders WHERE o_orderkey % 11 = 4)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(pr * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM t2 GROUP BY 1 ORDER BY 1""".stripMargin,
     // EXISTS blocklist complement, the per-customer threshold fee, the
     // NOT EXISTS anti gate — DuckDB plans the correlation natively.
     "q173_dml_correlated" ->
@@ -3162,6 +3499,34 @@ object ExtQueries {
         |SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(sum(CAST(round(pr * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM t0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // both generations re-derived: gen2 = shifted keys at doubled
+    // price; the %5 delete hits both (the shift is a multiple of 5).
+    "q178_partition_evolution" ->
+      """WITH gens AS (
+        |  SELECT o_orderkey AS k, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS pr
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_orderstatus, CAST(o_totalprice AS DOUBLE) * 2
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(pr * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM gens WHERE k % 5 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the CDC MERGE re-derived relationally: %13=0 deleted, %13=1
+    // price-tripled, %13=2 re-inserted under a shifted key at half
+    // price; everything else untouched.
+    "q177_mor_merge" ->
+      """WITH live AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderkey % 13 = 1
+        |              THEN CAST(o_totalprice AS DOUBLE) * 3
+        |              ELSE CAST(o_totalprice AS DOUBLE) END AS pr
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE) / 2 AS pr
+        |  FROM orders WHERE o_orderkey % 13 = 2)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(pr * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
     // both deletes re-derived relationally; meta_live is the same scalar
     // on every row (the metadata-only count taken BEFORE materialization
     // must already equal the relational live count).

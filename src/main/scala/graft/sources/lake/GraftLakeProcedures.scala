@@ -243,6 +243,27 @@ private[lake] object GraftLakeProcedures {
         }
       },
 
+      "create_matview_join" -> new LakeProc(
+        "create_matview_join",
+        "materialize a group-by aggregate view over fact JOIN dim " +
+          "(inner equi-join; aggs: 'cnt,sum:c,avg:c' — delta-join maintained); " +
+          "refresh_matview keeps it in sync against BOTH sources",
+        Seq(p("view", StringType), p("fact", StringType), p("dim", StringType),
+          p("join_fact", StringType), p("join_dim", StringType),
+          p("keys", StringType), p("aggs", StringType))) {
+        override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          val v = graft.operators.MatView.createJoin(spark(),
+            rootOf(args.getUTF8String(0).toString),
+            rootOf(args.getUTF8String(1).toString),
+            rootOf(args.getUTF8String(2).toString),
+            args.getUTF8String(3).toString,
+            args.getUTF8String(4).toString,
+            args.getUTF8String(5).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+            graft.operators.MatView.parseAggs(args.getUTF8String(6).toString))
+          (StructType(Seq(StructField("src_version", LongType))), Seq(InternalRow(v)))
+        }
+      },
+
       "sync_identity" -> new LakeProc(
         "sync_identity",
         "re-derive identity high-water marks from the data present " +
@@ -259,6 +280,20 @@ private[lake] object GraftLakeProcedures {
         }
       },
 
+      "set_partitioning" -> new LakeProc(
+        "set_partitioning",
+        "change the partition spec for FUTURE writes (metadata-only commit; " +
+          "existing files keep pruning under the spec they were written with; " +
+          "OPTIMIZE migrates old groups as it compacts)",
+        Seq(p("table", StringType), p("spec", StringType))) {
+        override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          val (c, fn) = parsePartSpec(args.getUTF8String(1).toString)
+          val v = LakeTable.setPartitioning(spark(),
+            rootOf(args.getUTF8String(0).toString), c, fn)
+          (StructType(Seq(StructField("version", LongType))), Seq(InternalRow(v)))
+        }
+      },
+
       "refresh_matview" -> new LakeProc(
         "refresh_matview",
         "apply the source's change window since the last refresh " +
@@ -271,6 +306,24 @@ private[lake] object GraftLakeProcedures {
         }
       }
     ).map { case (k, v) => k -> (v: UnboundProcedure) }
+  }
+
+  /** Parse a partition-spec string into (column, PartitionFn code):
+    * `col` / `identity(col)` / `days|months|hours(col)` /
+    * `bucket(n, col)` / `truncate(n, col)` — the same transform surface
+    * CREATE TABLE's PARTITIONED BY accepts.
+    */
+  private val SpecFn1 = "(?i)^(identity|days|months|hours)\\s*\\(\\s*([^)]+?)\\s*\\)$".r
+  private val SpecFn2 = "(?i)^(bucket|truncate)\\s*\\(\\s*(\\d+)\\s*,\\s*([^)]+?)\\s*\\)$".r
+  private[lake] def parsePartSpec(s: String): (String, String) = s.trim match {
+    case SpecFn1(fn, c) =>
+      val f = fn.toLowerCase
+      (c, if (f == "identity") graft.operators.PartitionFn.Identity else f)
+    case SpecFn2(fn, n, c) => (c, s"${fn.toLowerCase}:$n")
+    case c if c.nonEmpty && !c.contains("(") => (c, graft.operators.PartitionFn.Identity)
+    case other => throw new IllegalArgumentException(
+      s"graft-lake set_partitioning: unparseable spec '$other' (expected col, " +
+        "identity(col), days/months/hours(col), bucket(n, col) or truncate(n, col))")
   }
 
   /** One procedure = its own unbound AND bound form (parameters are

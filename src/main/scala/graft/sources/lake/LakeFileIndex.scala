@@ -138,10 +138,25 @@ class LakeFileIndex(
     * half of [[listFiles]], separable so soundness properties can probe
     * it without touching the filesystem.
     */
-  private[lake] def pruneEntries(filters: Seq[Expression]): Seq[Entry] = {
-    val preds = filters.flatMap(entryPredicate)
-    entries.filter(e => preds.forall(_(e)))
-  }
+  private[lake] def pruneEntries(filters: Seq[Expression]): Seq[Entry] =
+    if (meta.priorSpecs.isEmpty) {
+      val preds = filters.flatMap(entryPredicate)
+      entries.filter(e => preds.forall(_(e)))
+    } else {
+      // PARTITION SPEC EVOLUTION: each entry's partition value lives in
+      // the spec space it was WRITTEN under — group by spec, prune each
+      // group through a single-spec child index whose meta carries that
+      // spec, union. Stats/Bloom arms are spec-independent; only the
+      // partition arms reinterpret. Old files keep pruning under the
+      // old grain, new files under the new — exactly Iceberg's model.
+      val specs = meta.specs
+      entries.groupBy(_.spec).toSeq.sortBy(_._1).flatMap { case (sid, es) =>
+        val (pc, fn) = specs(sid)
+        new LakeFileIndex(spark, root,
+          meta.copy(partitionCol = pc, partitionFn = fn, priorSpecs = Nil), es)
+          .pruneEntries(filters)
+      }
+    }
 
   override def listFiles(
       partitionFilters: Seq[Expression],

@@ -163,9 +163,12 @@ class LakeScanBuilder(
       case Seq(e) => field(e) match {
         // no floating key: -0.0 and 0.0 are DISTINCT partition dirs but
         // ONE SQL group (Spark normalizes -0.0 in grouping), so the
-        // directory-per-value model would emit two rows for one group
+        // directory-per-value model would emit two rows for one group.
+        // Spec-evolved snapshots refuse until every file is current-spec
+        // (an old-spec file's part value groups a DIFFERENT column).
         case Some(f) if f.name.equalsIgnoreCase(meta.partitionCol) &&
             meta.partitionFn == graft.operators.PartitionFn.Identity &&
+            entries.forall(_.spec == meta.currentSpec) &&
             exact(f.dataType) &&
             f.dataType != FloatType && f.dataType != DoubleType => Some(f)
         case _ => return None
@@ -241,8 +244,12 @@ class LakeScanBuilder(
         case "identity" | "bucket" | "truncate" => true
         case _ => false
       }
+      // spec-evolved snapshots refuse SPJ until compaction migrates
+      // every file to the current spec (mixed-spec part values are not
+      // one keyed space)
       val spj = spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean &&
-        spjFn && dvEntries.isEmpty && cleanEntries.nonEmpty
+        spjFn && dvEntries.isEmpty && cleanEntries.nonEmpty &&
+        cleanEntries.forall(_.spec == meta.currentSpec)
       new LakeScan(spark, root, meta, delegate.build().asInstanceOf[ParquetScan], options,
         dvDelegate.map(b => (b.build().asInstanceOf[ParquetScan], dvEntries)),
         cleanEntries, pushedData, prunedSchema, spj)

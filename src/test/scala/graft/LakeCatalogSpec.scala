@@ -407,7 +407,7 @@ class LakeCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) c FROM $t WHERE extra IS NULL").head.getLong(0) === 30)
   }
 
-  test("DML subqueries: IN / NOT IN / EXISTS / scalar are materialized; correlated refused") {
+  test("DML subqueries: IN / NOT IN / EXISTS / scalar materialized; correlated values lift") {
     val t = mkTable() // k=0..29, p=k%3, v=k*10
     val root = s"$wh/db/${t.split('.').last}"
     spark.sql("CREATE OR REPLACE TEMP VIEW blk AS SELECT * FROM VALUES (3L),(5L),(7L) AS v(b)")
@@ -450,19 +450,20 @@ class LakeCatalogSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(m === Seq((6L, 1000L), (10L, 2000L), (14L, 140L), (99L, 3L)), s"got $m")
 
-    // correlated subqueries in ASSIGNMENT VALUES (a per-row scalar
-    // lookup, not a membership predicate) keep the crisp refusal —
-    // on UPDATE and on the merge clause path alike
-    def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
-    for (sql <- Seq(
-      s"UPDATE $t SET v = (SELECT max(b) FROM blk WHERE b < k) WHERE k > 0",
-      s"MERGE INTO $t t USING msrc s ON t.k = s.k " +
-        "WHEN MATCHED AND t.k > 0 THEN UPDATE SET v = (SELECT max(b) FROM blk WHERE b < t.k)")) {
-      val e = intercept[Exception](spark.sql(sql))
-      assert(chain(e).exists(c => c.getMessage != null &&
-        c.getMessage.toLowerCase.contains("correlated")), s"$sql got: $e")
-    }
-    // refusal left no commit behind
+    // correlated subqueries in ASSIGNMENT VALUES: a per-tuple staged
+    // scalar + null-safe lookup — on UPDATE and the merge clause path
+    // alike (rows: (6,1000),(10,2000),(14,140),(99,3); blk = {3,5,7})
+    spark.sql(s"UPDATE $t SET v = (SELECT max(b) FROM blk WHERE b < k) WHERE k > 0")
+    val u = spark.sql(s"SELECT k, v FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(u === Seq((6L, 5L), (10L, 7L), (14L, 7L), (99L, 7L)), s"got $u")
+    spark.sql(s"MERGE INTO $t t USING msrc s ON t.k = s.k " +
+      "WHEN MATCHED AND t.k > 0 THEN UPDATE SET v = " +
+      "(SELECT sum(b) FROM blk WHERE b < t.k)")
+    val m2 = spark.sql(s"SELECT k, v FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // matched keys 6/10/99 take sum(b < k) = 8/15/15; 14 is unmatched
+    assert(m2 === Seq((6L, 8L), (10L, 15L), (14L, 7L), (99L, 15L)), s"got $m2")
     assert(spark.sql(s"SELECT count(*) c FROM $t").head.getLong(0) === 4)
     val _ = root
   }
@@ -817,7 +818,7 @@ class LakeCatalogSpec extends SparkSpec {
       spark.sql("ALTER TABLE graft.db.ren RENAME COLUMN p TO q"))
     def chain(x: Throwable): Seq[Throwable] = if (x == null) Nil else x +: chain(x.getCause)
     assert(chain(e).exists(c => c.getMessage != null &&
-      c.getMessage.contains("cannot rename the partition column")), s"got: $e")
+      c.getMessage.contains("cannot rename partition column")), s"got: $e")
     // a column added via ALTER TABLE gets a field id too — it must stay
     // renamable (ADD then RENAME, both metadata-only)
     spark.sql("ALTER TABLE graft.db.ren ADD COLUMNS (extra BIGINT)")
@@ -1240,6 +1241,87 @@ class LakeCatalogSpec extends SparkSpec {
       .start(out2).awaitTermination()
     assert(spark.read.parquet(out2).count() === 10,
       "the original append streams; the skipped DV commit is not re-delivered")
+  }
+
+  test("correlated assignment values in UPDATE and MERGE SET") {
+    val t = mkTable() // k=0..29, p=k%3, v=k*10
+    spark.sql("CREATE OR REPLACE TEMP VIEW refv AS " +
+      "SELECT id AS rk, id * 1000 AS rv FROM range(10)")
+
+    // correlated scalar in UPDATE SET: per-row lookup, staged once
+    spark.sql(s"UPDATE $t SET v = (SELECT rv FROM refv WHERE rk = k) WHERE k < 10")
+    assert(spark.sql(s"SELECT sum(v) s FROM $t WHERE k < 10").head.getLong(0) ===
+      (0 until 10).map(_ * 1000L).sum)
+    assert(spark.sql(s"SELECT sum(v) s FROM $t WHERE k >= 10").head.getLong(0) ===
+      (10 until 30).map(_ * 10L).sum, "non-qualifying rows untouched")
+
+    // correlated AGGREGATE scalar mixing outer arithmetic
+    spark.sql(s"UPDATE $t SET v = k + (SELECT sum(rv) FROM refv WHERE rk % 3 = k % 3) " +
+      "WHERE k >= 10 AND k < 13")
+    def sumFor(m: Long) = (0 until 10).filter(_ % 3 == m).map(_ * 1000L).sum
+    (10L until 13L).foreach { k =>
+      assert(spark.sql(s"SELECT v FROM $t WHERE k = $k").head.getLong(0) ===
+        k + sumFor(k % 3), s"k=$k")
+    }
+
+    // a lookup with NO match assigns NULL (ANSI scalar subquery)
+    spark.sql(s"UPDATE $t SET v = (SELECT rv FROM refv WHERE rk = k - 100) WHERE k = 20")
+    assert(spark.sql(s"SELECT v FROM $t WHERE k = 20").head.isNullAt(0))
+
+    // correlated value in a MERGE SET (references both sides)
+    spark.sql("CREATE OR REPLACE TEMP VIEW csrc2 AS SELECT id AS k FROM range(25, 28)")
+    spark.sql(s"MERGE INTO $t t USING csrc2 s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = t.k + (SELECT rv FROM refv WHERE rk = s.k - 20)")
+    (25L until 28L).foreach { k =>
+      assert(spark.sql(s"SELECT v FROM $t WHERE k = $k").head.getLong(0) ===
+        k + (k - 20) * 1000L, s"merge k=$k")
+    }
+  }
+
+  test("mor table: MERGE tombstones + appends in one commit, no file rewrite") {
+    val _ = wh
+    spark.sql("CREATE TABLE graft.db.mm (k BIGINT, p STRING, v BIGINT) PARTITIONED BY (p) " +
+      "TBLPROPERTIES (statsCols 'k', deleteMode 'mor')")
+    spark.sql("INSERT INTO graft.db.mm SELECT id, cast(id % 3 as string), id * 10 FROM range(30)")
+    val root = s"$wh/db/mm"
+    val v0 = LakeTable.snapshot(spark, root).version
+    val before = LakeTable.snapshot(spark, root).entries.map(_.rel).toSet
+
+    // source-wins upsert: matched 25..29 tombstone + re-append, 30..34 insert
+    spark.sql("CREATE OR REPLACE TEMP VIEW mmsrc AS " +
+      "SELECT id AS k, cast('9' as string) AS p, id * 100 AS v FROM range(25, 35)")
+    spark.sql("MERGE INTO graft.db.mm t USING mmsrc s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val s1 = LakeTable.snapshot(spark, root)
+    assert(s1.version === v0 + 1, "tombstones and appends must ride ONE commit")
+    assert(before.subsetOf(s1.entries.map(_.rel).toSet),
+      "a MOR merge must keep every original file")
+    assert(s1.entries.exists(_.dv.isDefined), "tombstone vectors recorded")
+    assert(spark.sql("SELECT count(*) c FROM graft.db.mm").head.getLong(0) === 35)
+    assert(spark.sql("SELECT count(*) c FROM graft.db.mm WHERE v >= 2500 AND p = '9'")
+      .head.getLong(0) === 10)
+
+    // clause merge: conditional DELETE + UPDATE, first clause wins
+    spark.sql("CREATE OR REPLACE TEMP VIEW mmsrc2 AS SELECT id AS k FROM range(0, 10)")
+    spark.sql("MERGE INTO graft.db.mm t USING mmsrc2 s ON t.k = s.k " +
+      "WHEN MATCHED AND t.k < 5 THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET v = t.v + 1")
+    assert(spark.sql("SELECT count(*) c FROM graft.db.mm").head.getLong(0) === 30)
+    assert(spark.sql("SELECT sum(v) s FROM graft.db.mm WHERE k >= 5 AND k < 10")
+      .head.getLong(0) === (5 until 10).map(_ * 10 + 1).sum)
+
+    // by-source clauses route through the COW arm (every row's fate is
+    // join-dependent) and still land the right result
+    spark.sql("MERGE INTO graft.db.mm t USING mmsrc2 s ON t.k = s.k " +
+      "WHEN NOT MATCHED BY SOURCE AND t.k >= 30 THEN DELETE")
+    assert(spark.sql("SELECT count(*) c FROM graft.db.mm").head.getLong(0) === 25)
+
+    // OPTIMIZE materializes the merge's vectors away, content unchanged
+    val cents0 = spark.sql("SELECT sum(v) s FROM graft.db.mm").head.getLong(0)
+    spark.sql("CALL graft.system.optimize('db.mm')")
+    val s3 = LakeTable.snapshot(spark, root)
+    assert(s3.entries.forall(_.dv.isEmpty))
+    assert(spark.sql("SELECT sum(v) s FROM graft.db.mm").head.getLong(0) === cents0)
   }
 
   test("identity invariants hold through MERGE and UPDATE (SET refused, hw advanced)") {

@@ -60,6 +60,114 @@ class LakeTableSpec extends SparkSpec {
       "a re-created table at the same path must not serve the dropped table's schema")
   }
 
+  test("lost-commit rebase: disjoint merges re-commit without recompute") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"))
+    val r0 = LakeTable.mergeRebases.get()
+
+    // writer B lands BETWEEN A's write and A's commit (the preCommit
+    // hook): key ranges are stats-disjoint, so A must REBASE — one
+    // metadata re-commit, no second compute pass
+    val srcA = baseDf.where(col("k") < 10).withColumn("v", col("v") + 1)
+    val srcB = spark.range(5000, 5010).select(
+      col("id").as("k"), lit("9").as("p"), lit(1L).as("v"))
+    var fired = 0
+    val stats = LakeTable.mergeImpl(spark, root, srcA, Seq("k"), "p", () => {
+      fired += 1
+      if (fired == 1) LakeTable.merge(spark, root, srcB, Seq("k"), "p")
+    })
+    assert(fired === 1, "the losing merge must rebase, not recompute")
+    assert(LakeTable.mergeRebases.get() === r0 + 1)
+    assert(stats.version === 3)
+    val got = LakeTable.read(spark, root)
+    assert(got.count() === 310)
+    assert(got.where(col("k") < 10).select(sum("v")).head.getLong(0) ===
+      (0 until 10).map(_ * 10L + 1).sum, "A's update applied")
+    assert(got.where(col("k") >= 5000).count() === 10, "B's insert survived the rebase")
+
+    // OVERLAPPING writers (B2 touches a file A2 rewrites): the rebase
+    // refuses and the retry loop recomputes — sequential equivalence
+    val r1 = LakeTable.mergeRebases.get()
+    val srcA2 = baseDf.where(col("k") >= 20 && col("k") < 30).withColumn("v", lit(100L))
+    val srcB2 = baseDf.where(col("k") === 25).withColumn("v", lit(200L))
+    var fired2 = 0
+    LakeTable.mergeWithRetryImpl(spark, root, srcA2, Seq("k"), "p", 3, () => {
+      fired2 += 1
+      if (fired2 == 1) LakeTable.merge(spark, root, srcB2, Seq("k"), "p")
+    })
+    assert(fired2 === 2, "overlapping writers must recompute")
+    assert(LakeTable.mergeRebases.get() === r1, "no rebase on a true conflict")
+    assert(LakeTable.read(spark, root).where(col("k") === 25)
+      .head.getAs[Long]("v") === 100L, "A2 lands after B2, sequentially")
+  }
+
+  test("partition spec evolution: per-spec pruning, DML across specs, OPTIMIZE migrates") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"))
+    val specBefore = LakeTable.snapshot(spark, root).entries.map(_.spec).toSet
+    assert(specBefore === Set(0))
+
+    // metadata-only: the spec changes for FUTURE writes, files untouched
+    val relsBefore = LakeTable.snapshot(spark, root).entries.map(_.rel).toSet
+    LakeTable.setPartitioning(spark, root, "k", "bucket:4")
+    val s1 = LakeTable.snapshot(spark, root)
+    assert(s1.entries.map(_.rel).toSet === relsBefore, "spec change must be metadata-only")
+    assert(s1.entries.forall(_.spec === 0), "existing files keep their spec")
+    assert(s1.meta.get.priorSpecs === Seq(("p", graft.operators.PartitionFn.Identity)))
+
+    // new writes file under the NEW spec
+    val extra = spark.range(1000, 1100).select(
+      col("id").as("k"), lit("7").as("p"), (col("id") * 10).as("v"))
+    LakeTable.append(spark, root, extra)
+    val s2 = LakeTable.snapshot(spark, root)
+    assert(s2.entries.exists(_.spec === 1), "new files must record the current spec")
+    assert(LakeTable.read(spark, root).count() === 400)
+
+    // per-spec pruning: p='1' prunes OLD files by identity-partition
+    // value AND keeps every new-spec file (conservative); k=1005 prunes
+    // NEW files into their bucket
+    val idx = graft.sources.lake.LakeFileIndex(spark, root, None)
+    val total = s2.entries.size
+    val pAttr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "p", org.apache.spark.sql.types.StringType)()
+    idx.listFiles(Nil, Seq(org.apache.spark.sql.catalyst.expressions.EqualTo(
+      pAttr, org.apache.spark.sql.catalyst.expressions.Literal.create(
+        "1", org.apache.spark.sql.types.StringType))))
+    assert(idx.lastListedFiles > 0 && idx.lastListedFiles < total,
+      s"old-spec files must still prune under the old spec (${idx.lastListedFiles}/$total)")
+    val kAttr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "k", org.apache.spark.sql.types.LongType)()
+    val oldCount = s2.entries.count(_.spec === 0)
+    idx.listFiles(Nil, Seq(org.apache.spark.sql.catalyst.expressions.EqualTo(
+      kAttr, org.apache.spark.sql.catalyst.expressions.Literal(1005L))))
+    assert(idx.lastListedFiles < total,
+      s"new-spec files must prune in bucket space (${idx.lastListedFiles}/$total)")
+    val _ = oldCount
+
+    // DML spanning both specs: every file holding a matched row is
+    // classified in ITS OWN spec space
+    LakeTable.deleteWithRetry(spark, root, col("k") % 10 === 5, "k")
+    assert(LakeTable.read(spark, root).count() === 400 - 40)
+    assert(LakeTable.read(spark, root).where(col("k") % 10 === 5).count() === 0)
+
+    // updates recompute across specs too
+    LakeTable.updateWithRetry(spark, root, col("k") === 2 || col("k") === 1002,
+      Map("v" -> lit(-1L)), "k")
+    assert(LakeTable.read(spark, root).where(col("v") === -1L).count() === 2)
+
+    // OPTIMIZE(minFiles=1) migrates every file to the current spec
+    LakeTable.optimize(spark, root, minFilesPerPartition = 1)
+    val s3 = LakeTable.snapshot(spark, root)
+    assert(s3.entries.forall(_.spec === s3.meta.get.currentSpec),
+      "compaction must migrate old-spec groups to the current spec")
+    assert(LakeTable.read(spark, root).count() === 360)
+
+    // the old partition column stays protected from rename/drop
+    val e = intercept[Exception](LakeTable.alterTable(spark, root,
+      renameColumns = Map("p" -> "p2")))
+    assert(e.getMessage.contains("prior spec") || e.getMessage.contains("partition column"))
+  }
+
   test("merge = source-wins upsert; q121-style relational re-derivation matches") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p")

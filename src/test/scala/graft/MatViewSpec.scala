@@ -190,6 +190,52 @@ class MatViewSpec extends SparkSpec {
     assert(e.getMessage.contains("not a materialized view"))
   }
 
+  test("avg stays on the delta path; exact count-distinct re-aggregates dirty groups") {
+    val (src, mv) = freshRoots()
+    import spark.implicits._
+    def rows(r: Range) = r.map(i => (i.toLong, s"p${i % 3}", i * 10L, s"u${i % 5}"))
+      .toDF("k", "p", "v", "u")
+    LakeTable.init(spark, src, rows(0 until 30),
+      partitionCol = "p", statsCols = Seq("k"))
+
+    // cnt/sum/avg only → the delta path (no source rescan on refresh)
+    MatView.create(spark, mv, src, Seq("p"), MatView.parseAggs("cnt,sum:v,avg:v"))
+    assertInSync(src, mv, Seq("p"), Seq("sum(v)", "avg(v)"))
+    LakeTable.append(spark, src,
+      Seq((100L, "p0", 1000L, "u9"), (101L, "p1", 5L, "u9")).toDF("k", "p", "v", "u"))
+    LakeTable.deleteWithRetry(spark, src, col("k") % 10 === 3, "p")
+    LakeTable.updateWithRetry(spark, src, col("k") === 2, Map("v" -> lit(7777L)), "p")
+    MatView.refresh(spark, mv)
+    assertInSync(src, mv, Seq("p"), Seq("sum(v)", "avg(v)"))
+
+    // avg of a group whose every value left goes NULL with the sum
+    val (src2, mv2) = freshRoots()
+    LakeTable.init(spark, src2,
+      Seq(("g1", Option.empty[Long]), ("g1", Some(4L))).toDF("g", "x"),
+      partitionCol = "g")
+    MatView.create(spark, mv2, src2, Seq("g"), MatView.parseAggs("cnt,avg:x"))
+    LakeTable.deleteWithRetry(spark, src2, col("x").isNotNull, "g")
+    MatView.refresh(spark, mv2)
+    val r = LakeTable.read(spark, mv2).head
+    assert(r.getAs[Any]("avg_x") === null && r.getAs[Long]("cnt") === 1L)
+
+    // cntd → dirty-group path; a delete wave LOWERS the distinct count
+    val (src3, mv3) = freshRoots()
+    LakeTable.init(spark, src3, rows(0 until 30),
+      partitionCol = "p", statsCols = Seq("k"))
+    MatView.create(spark, mv3, src3, Seq("p"), MatView.parseAggs("cnt,cntd:u,max:v"))
+    def cntdOf() = LakeTable.read(spark, mv3)
+      .select("p", "cntd_u").orderBy("p").collect().map(_.getLong(1)).toSeq
+    val before = cntdOf()
+    LakeTable.deleteWithRetry(spark, src3, col("u") === "u4", "p")
+    MatView.refresh(spark, mv3)
+    val after = cntdOf()
+    assert(after !== before, "the delete wave must lower some distinct count")
+    val fresh = LakeTable.read(spark, src3).groupBy("p")
+      .agg(countDistinct(col("u")).as("cd")).orderBy("p").collect().map(_.getLong(1)).toSeq
+    assert(after === fresh)
+  }
+
   test("NULL group keys: refresh updates the NULL group instead of duplicating it") {
     val (src, mv) = freshRoots()
     import spark.implicits._
@@ -229,6 +275,59 @@ class MatViewSpec extends SparkSpec {
     val nr = LakeTable.read(spark, mv2).where(col("g").isNull).collect().toSeq
     assert(nr.size === 1 && nr.head.getAs[Long]("cnt") === 2L
       && nr.head.getAs[Long]("min_v") === 1L, s"got $nr")
+  }
+
+  test("join views: delta-join maintenance across fact and dim waves") {
+    val (fact, mv) = freshRoots()
+    val dim = s"$wh/dimx$n"
+    import spark.implicits._
+    LakeTable.init(spark, fact,
+      (0L until 40L).map(i => (i, s"b${i % 4}", i % 6, i * 10L)).toDF("k", "b", "fk", "v"),
+      partitionCol = "b", statsCols = Seq("k", "fk"))
+    LakeTable.init(spark, dim,
+      (0L until 6L).map(j => (j, s"g${j % 2}")).toDF("dk", "seg"),
+      partitionCol = "seg", statsCols = Seq("dk"))
+    MatView.createJoin(spark, mv, fact, dim, "fk", "dk",
+      Seq("seg"), MatView.parseAggs("cnt,sum:v,avg:v"))
+    def inSync(): Unit = {
+      val fresh = LakeTable.read(spark, fact).as("f")
+        .join(LakeTable.read(spark, dim).as("d"), col("f.fk") === col("d.dk"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("s"), avg("v").as("a"))
+        .orderBy("seg").collect().toSeq
+      val stored = LakeTable.read(spark, mv).select("seg", "cnt", "sum_v", "avg_v")
+        .orderBy("seg").collect().toSeq
+      assert(stored.map(_.toSeq) === fresh.map(_.toSeq))
+    }
+    inSync()
+
+    // fact-only wave: ΔF ⋈ D1, no dim work
+    LakeTable.append(spark, fact, Seq((100L, "b0", 1L, 999L)).toDF("k", "b", "fk", "v"))
+    LakeTable.deleteWithRetry(spark, fact, col("k") % 10 === 3, "b")
+    MatView.refresh(spark, mv)
+    inSync()
+
+    // dim-only wave: a partition-moving UPDATE changes group MEMBERSHIP —
+    // every joining fact row must move between groups (F0 ⋈ ΔD)
+    LakeTable.updateWithRetry(spark, dim, col("dk") === 1, Map("seg" -> lit("g9")), "seg")
+    MatView.refresh(spark, mv)
+    inSync()
+
+    // both sides change in ONE window (the cross-term exactness case)
+    LakeTable.append(spark, fact, Seq((101L, "b1", 5L, 7L)).toDF("k", "b", "fk", "v"))
+    LakeTable.deleteWithRetry(spark, dim, col("dk") === 0, "seg")
+    MatView.refresh(spark, mv)
+    inSync()
+
+    // caught-up refresh: no new commit
+    val v0 = LakeTable.snapshot(spark, mv).version
+    MatView.refresh(spark, mv)
+    assert(LakeTable.snapshot(spark, mv).version === v0)
+
+    // refusals: non-delta aggregates and colliding column names
+    val e1 = intercept[Exception](MatView.createJoin(spark, s"$wh/mvj_bad$n", fact, dim,
+      "fk", "dk", Seq("seg"), MatView.parseAggs("cnt,min:v")))
+    assert(e1.getMessage.contains("cnt/sum/avg"))
   }
 
   test("racing refreshes apply a delta window exactly once") {
