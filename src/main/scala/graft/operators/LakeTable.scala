@@ -1395,6 +1395,17 @@ object LakeTable {
     // happen post-align, but stay conservative) records nothing for it.
     val present = meta.statsCols.filter(writtenCols.contains)
     val bloomPresent = meta.bloomCols.filter(writtenCols.contains)
+    // the batch's DATA schema is already known (writtenCols over the
+    // table schema) — passing it to the reads below removes one
+    // schema-inference job per scan, a fixed per-commit cost that
+    // dominates small-batch DML statements (field ids ride the fields,
+    // so id-based matching keeps working)
+    val dataSchema: Option[StructType] =
+      if (writtenCols.forall(c => meta.schema.fieldNames.contains(c)))
+        Some(StructType(writtenCols.map(c => meta.schema(c).copy(nullable = true))))
+      else None
+    def readBatch(): DataFrame =
+      dataSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(dataDir.toString)
     // equi-width histogram columns: numeric stats columns (CBO's
     // FilterEstimation consumes numeric histograms; string min/max
     // stay min/max-only)
@@ -1418,7 +1429,7 @@ object LakeTable {
           bridge.column(agg.toAggregateExpression()).as(s"bf_$i")
         }
         val aggs = statAggs ++ bloomAggs
-        val perFile = spark.read.parquet(dataDir.toString)
+        val perFile = readBatch()
           .groupBy(input_file_name().as("f"))
           .agg(aggs.head, aggs.tail: _*)
         val bothConsumers = present.nonEmpty && bloomPresent.nonEmpty
@@ -1476,7 +1487,7 @@ object LakeTable {
             sum(when(col(s"`$c`").isNotNull && bucket === b, 1L).otherwise(0L))
               .as(s"h_${bounds.indexWhere(_._1 == c)}_$b"))
         }
-        val row = spark.read.parquet(dataDir.toString)
+        val row = readBatch()
           .agg(aggsH.head, aggsH.tail: _*).head
         val histRows = bounds.zipWithIndex.map { case ((c, lo, hi), ci) =>
           val cnts = (0 until HistBins).map(b => row.getAs[Long](s"h_${ci}_$b")).toArray
