@@ -54,6 +54,39 @@ object CorrelatedDmlProps extends Properties("graft.correlatedDml") {
 
   private var n = 0
 
+  /** Correlated scalar ASSIGNMENT values: the staged per-tuple lookup
+    * must agree with Spark's native per-row evaluation — including the
+    * no-match-goes-NULL and NULL-outer-column tuples.
+    */
+  private val genValue: Gen[String] = Gen.oneOf(
+    Gen.choose(2, 6).map(m =>
+      s"(SELECT max(cap) FROM pdim d WHERE d.dk = tt.k % $m)"),
+    Gen.choose(2, 6).map(m =>
+      s"tt.k + (SELECT count(*) FROM pdim d WHERE d.dk <= tt.k % $m AND d.cap IS NOT NULL)"),
+    Gen.choose(2, 6).map(m =>
+      s"(SELECT sum(cap) FROM pdim d WHERE d.dk = tt.k % $m AND d.cap > tt.v)"))
+
+  property("UPDATE SET <correlated scalar> == native per-row evaluation") =
+    forAll(genValue, genLeaf) { (value, cond) =>
+      val s = spark
+      n += 1
+      val root = java.nio.file.Files.createTempDirectory(s"graft-corr-set$n").toString + "/t"
+      LakeTable.init(s, root, s.table("pbase"), partitionCol = "p", statsCols = Seq("k"))
+      s.sql(s"UPDATE graft.`$root` tt SET v = $value WHERE $cond")
+      val got = s.sql(s"SELECT k, v FROM graft.`$root`")
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      val expected = s.sql(
+        s"SELECT k, CASE WHEN ($cond) THEN CAST(($value) AS BIGINT) ELSE v END AS v " +
+          "FROM pbase tt")
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      if (got != expected)
+        println(s"value: $value\ncond: $cond\n" +
+          s"diff: ${(got.toSet diff expected.toSet) ++ (expected.toSet diff got.toSet)}")
+      got == expected
+    }
+
   property("DELETE WHERE <correlated cond> == rows where cond IS NOT TRUE") =
     forAll(genCond) { cond =>
       val s = spark

@@ -277,6 +277,31 @@ class MatViewSpec extends SparkSpec {
       && nr.head.getAs[Long]("min_v") === 1L, s"got $nr")
   }
 
+  test("refresh over a MOR source: a tombstone+append merge commit folds exactly") {
+    val (src, mv) = freshRoots()
+    import spark.implicits._
+    LakeTable.init(spark, src,
+      (0L until 20L).map(i => (i, s"p${i % 2}", i * 10L)).toDF("k", "p", "v"),
+      partitionCol = "p", statsCols = Seq("k"), deleteMode = "mor")
+    MatView.create(spark, mv, src, Seq("p"), MatView.parseAggs("cnt,sum:v"))
+    // ONE MOR clause-merge commit carrying a tombstone delete, a
+    // tombstone+postimage update and an insert — the change window the
+    // signed row diff must decompose via DV diffs + added files
+    val batch = Seq((3L, 0L), (5L, 77L), (100L, 777L)).toDF("k", "nv")
+      .withColumn("__s_nv", col("nv")).withColumn("__s_k", col("k"))
+    LakeTable.mergeClausesMor(spark, src, batch, Seq("k"),
+      matched = Seq(
+        LakeTable.MergeBranch(Some(col("k") === 3), None),
+        LakeTable.MergeBranch(None, Some(Map("v" -> col("__s_nv"))))),
+      notMatched = Seq(LakeTable.MergeBranch(None, Some(
+        Map("k" -> col("__s_k"), "p" -> lit("p0"), "v" -> col("__s_nv"))))),
+      partitionCol = "p")
+    assert(LakeTable.snapshot(spark, src).entries.exists(_.dv.isDefined),
+      "the merge must have taken the MOR arm")
+    MatView.refresh(spark, mv)
+    assertInSync(src, mv, Seq("p"), Seq("sum(v)"))
+  }
+
   test("join views: delta-join maintenance across fact and dim waves") {
     val (fact, mv) = freshRoots()
     val dim = s"$wh/dimx$n"
