@@ -60,6 +60,33 @@ class LakeTableSpec extends SparkSpec {
       "a re-created table at the same path must not serve the dropped table's schema")
   }
 
+  test("partition spec evolution composes with MOR DML and branches") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"), deleteMode = "mor")
+    LakeTable.setPartitioning(spark, root, "k", "bucket:4")
+    LakeTable.append(spark, root, spark.range(1000, 1050).select(
+      col("id").as("k"), lit("7").as("p"), (col("id") * 10).as("v")))
+
+    // MOR delete spanning both specs: tombstones land per file (rel-keyed,
+    // spec-agnostic), originals stay, counts exact
+    val before = LakeTable.snapshot(spark, root).entries.map(_.rel).toSet
+    LakeTable.deleteMor(spark, root, col("k") % 10 === 5, "k")
+    val s1 = LakeTable.snapshot(spark, root)
+    assert(before.subsetOf(s1.entries.map(_.rel).toSet))
+    assert(s1.entries.exists(_.dv.isDefined))
+    assert(LakeTable.read(spark, root).count() === 350 - 35)
+    assert(LakeTable.read(spark, root).where(col("k") % 10 === 5).count() === 0)
+
+    // a branch forked AFTER evolution carries the spec history; branch
+    // DML classifies per spec like main
+    val br = LakeTable.branchRef(root, "exp")
+    LakeTable.branch(spark, root, "exp")
+    assert(LakeTable.snapshot(spark, br).meta.get.priorSpecs.nonEmpty)
+    LakeTable.deleteWithRetry(spark, br, col("k") < 3, "k")
+    assert(LakeTable.read(spark, br).count() === 315 - 3)
+    assert(LakeTable.read(spark, root).count() === 315, "main pinned untouched")
+  }
+
   test("lost-commit rebase: disjoint merges re-commit without recompute") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"))
