@@ -191,11 +191,23 @@ object LakeTable {
       // An entry's `spec` indexes into priorSpecs :+ current — old
       // files keep pruning under the spec they were written with, new
       // files file under the current one, and compaction migrates.
-      priorSpecs: Seq[(String, String)] = Nil) {
+      priorSpecs: Seq[(String, String)] = Nil,
+      // sidecar WRITE KEY per bloom column (absent = the column name).
+      // Bloom bits hash the column's INTERNAL value, and xxhash64 of an
+      // int differs from xxhash64 of the same number as a long — so
+      // ALTER COLUMN TYPE (widening) rekeys the column's sidecar
+      // namespace: rows written before the widening simply stop
+      // matching (conservative — those files are kept, never wrongly
+      // pruned) and post-widening writes key their rows under the new
+      // name. Decoupled from the logical name, so a later RENAME keeps
+      // the key (and needs no alias) once a column has one.
+      bloomKeys: Map[String, String] = Map.empty) {
     def statsCol: Option[String] = statsCols.headOption
+    /** The sidecar key new writes record for bloom column `column`. */
+    def bloomKeyOf(column: String): String = bloomKeys.getOrElse(column, column)
     /** Every sidecar name a bloom lookup on `column` must match. */
     def bloomNamesFor(column: String): Seq[String] =
-      column +: bloomAliases.getOrElse(column, Nil)
+      bloomKeyOf(column) +: bloomAliases.getOrElse(column, Nil)
     /** All partition specs, indexed by entry spec id (current last). */
     def specs: Seq[(String, String)] = priorSpecs :+ ((partitionCol, partitionFn))
     /** The spec id new writes record. */
@@ -447,8 +459,16 @@ object LakeTable {
     * absent). A format-3 reader interpreting old entries under the new
     * spec would prune and classify them WRONGLY, so any evolved table
     * claims 4 and older readers refuse crisply.
+    *
+    * Format 5 = TYPE WIDENING with rekeyed bloom sidecars:
+    * `#bloomKey=<col>:<key>` header lines record the sidecar write key
+    * of bloom columns whose type was widened by ALTER COLUMN TYPE
+    * (bloom bits hash the internal value, so pre-widening sidecars are
+    * invalid for the new type). A format-4 reader ignoring the key
+    * would probe the STALE sidecars under the bare column name and
+    * wrongly prune files, so any rekeyed table claims 5.
     */
-  private[graft] val ManifestFormat = 4
+  private[graft] val ManifestFormat = 5
 
   /** Entry count above which [[commit]] switches a table from one
     * inline manifest to segment references. Below it, a commit rewrites
@@ -488,7 +508,8 @@ object LakeTable {
       // see — the committer passes what it knows about the full list
       segsHaveDv: Boolean = false): String = {
     val fmt =
-      if (meta.priorSpecs.nonEmpty) 4
+      if (meta.bloomKeys.nonEmpty) 5
+      else if (meta.priorSpecs.nonEmpty) 4
       else if (segsHaveDv || entries.exists(_.dv.isDefined) ||
         meta.partitionFn != PartitionFn.Identity) 3
       else if (segRefs.nonEmpty) 2
@@ -567,6 +588,10 @@ object LakeTable {
       // current name, aliases newest-first)
       meta.bloomAliases.toSeq.sortBy(_._1).map { case (cur, olds) =>
         s"#bloomAlias=${(cur +: olds).map(n => esc(n).replace(",", "%2C")).mkString(",")}"
+      } ++
+      // sidecar write keys of type-widened bloom columns (format 5)
+      meta.bloomKeys.toSeq.sortBy(_._1).map { case (c, k) =>
+        s"#bloomKey=${esc(c).replace(":", "%3A")}:${esc(k)}"
       } ++
       // CHECK constraints, one line per name (the ':' in the NAME cell
       // is encoded, so the first ':' always splits name from SQL)
@@ -676,7 +701,8 @@ object LakeTable {
     val (propLines, rest4) = rest3.partition(_.startsWith("#prop="))
     val (genLines, rest5) = rest4.partition(_.startsWith("#generated="))
     val (idLines, rest6) = rest5.partition(_.startsWith("#identity="))
-    val (priorSpecLines, rest) = rest6.partition(_.startsWith("#priorSpec="))
+    val (priorSpecLines, rest7) = rest6.partition(_.startsWith("#priorSpec="))
+    val (bloomKeyLines, rest) = rest7.partition(_.startsWith("#bloomKey="))
     val (aliasLines, kvLines) = rest.partition(_.startsWith("#bloomAlias="))
     val kv = kvLines.map { h =>
       val Array(k, v) = h.stripPrefix("#").split("=", 2)
@@ -751,7 +777,12 @@ object LakeTable {
         val s = l.stripPrefix("#priorSpec=")
         val i = s.indexOf(':')
         (unesc(s.take(i)), unesc(s.drop(i + 1)))
-      })
+      },
+      bloomKeyLines.map { l =>
+        val s = l.stripPrefix("#bloomKey=")
+        val i = s.indexOf(':')
+        unesc(s.take(i)) -> unesc(s.drop(i + 1))
+      }.toMap)
     val segRefs = segLines.map { l =>
       val s = l.stripPrefix("@seg=")
       val i = s.lastIndexOf(':')
@@ -1439,7 +1470,9 @@ object LakeTable {
           if (bloomPresent.nonEmpty) {
             val rel = concat(lit(s"data/$batch/"), regexp_extract(col("f"), "([^/]+/[^/]+)$", 1))
             bloomPresent.zipWithIndex.map { case (c, i) =>
-              perFile.select(rel.as("rel"), lit(c).as("col"), col(s"bf_$i").as("bits"))
+              // keyed by the column's sidecar WRITE key — rekeyed after a
+              // type widening so stale-typed rows never match a probe
+              perFile.select(rel.as("rel"), lit(meta.bloomKeyOf(c)).as("col"), col(s"bf_$i").as("bits"))
             }.reduce(_.unionByName(_))
               .write.mode("overwrite")
               .parquet(new Path(new Path(dataRoot(root), "index"), batch).toString)
@@ -1578,6 +1611,51 @@ object LakeTable {
     * batches written AFTER the change, exactly Delta's add-a-bloom
     * semantics). Returns the committed version.
     */
+  /** Is `to` a SAFE (lossless, order-preserving) widening of `from`?
+    * The Iceberg type-promotion set plus the int-family → double cases
+    * Spark 4's parquet readers promote natively: every old file keeps
+    * reading under the widened schema (the reader up-converts exactly)
+    * and every value round-trips — nothing is rewritten.
+    */
+  private[graft] def widens(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
+
+  /** Re-render a manifest stat cell exactly under a widened type. Only
+    * float→double changes the text: a float's shortest-round-trip
+    * rendering re-read as a DOUBLE is a different number (the decimal
+    * lies inside the float's rounding interval, not on the value), so
+    * an unrewritten max could sit BELOW a double-typed query bound the
+    * file actually satisfies — a wrong prune. parseFloat→toDouble is
+    * exact, and pruning then compares double renderings to double
+    * bounds (order-exact, as before the widening). Integral and
+    * decimal widenings change only the parse type, never the text.
+    */
+  private[graft] def rewidenStat(
+      s: String,
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    (from, to) match {
+      case (FloatType, DoubleType) =>
+        // NaN / Infinity / -Infinity parse and re-render to themselves
+        try java.lang.Double.toString(java.lang.Float.parseFloat(s).toDouble)
+        catch { case _: NumberFormatException => s }
+      case _ => s
+    }
+  }
+
   def alterTable(
       spark: SparkSession,
       root: String,
@@ -1596,7 +1674,16 @@ object LakeTable {
       // touches ONLY the CURRENT default (future inserts) — the
       // exists-default is frozen at ADD COLUMN time and files written
       // before a column existed keep reading exactly what they did
-      setDefaults: Map[String, Option[String]] = Map.empty): Long = {
+      setDefaults: Map[String, Option[String]] = Map.empty,
+      // ALTER COLUMN c TYPE t — metadata-only TYPE WIDENING (the
+      // Iceberg promotion model): old files keep their physical type
+      // and the parquet reader up-converts; stat cells re-render
+      // exactly; a widened bloom column's sidecars are rekeyed (stale
+      // hashes stop matching — conservative). Narrowing, partition
+      // columns (transform/bucket spaces are type-bound) and
+      // generated-column inputs (the stored generated value was
+      // computed under the old arithmetic type) are refused.
+      widenColumns: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): Long = {
     deleteMode.foreach(m => require(m == "cow" || m == "mor",
       s"LakeTable.alterTable: deleteMode must be cow or mor, got $m"))
     addColumns.foreach(f => require(
@@ -1671,6 +1758,36 @@ object LakeTable {
         s"LakeTable.alterTable: column $from has no field id — the table was " +
           "created before column mapping; RENAME would break reads of existing files")
     }
+    // TYPE WIDENING validations (keys are the column's CURRENT name —
+    // a SQL statement carries a single ALTER COLUMN change, so widen
+    // never composes with a same-statement rename/drop of its column)
+    widenColumns.foreach { case (c, to) =>
+      require(meta.schema.fieldNames.contains(c),
+        s"LakeTable.alterTable: ALTER COLUMN TYPE column $c does not exist")
+      require(!renameColumns.contains(c) && !dropColumns.contains(c),
+        s"LakeTable.alterTable: column $c cannot be widened and renamed/dropped together")
+      val from = meta.schema(c).dataType
+      require(widens(from, to),
+        s"LakeTable.alterTable: ALTER COLUMN $c TYPE ${to.simpleString} is not a " +
+          s"safe widening of ${from.simpleString} (data files are immutable — only " +
+          "byte/short/int->long, int-family->double, float->double and decimal " +
+          "precision widening read back losslessly)")
+      require(!meta.specs.exists(_._1 == c),
+        s"LakeTable.alterTable: cannot widen partition column $c (current or prior " +
+          "spec) — transform/bucket spaces are type-bound, old files would misprune")
+      require(!meta.schema(c).metadata.contains(GenExprKey),
+        s"LakeTable.alterTable: cannot widen GENERATED column $c — stored values " +
+          "were computed under the old expression type")
+      generatedOf(meta.schema).foreach { case (g, sql) =>
+        val refs = spark.sessionState.sqlParser.parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+        }
+        require(!refs.exists(_.equalsIgnoreCase(c)),
+          s"LakeTable.alterTable: column $c is referenced by GENERATED column $g " +
+            s"($sql) — widening would change the expression's result type while " +
+            "stored values keep the old one")
+      }
+    }
     def renamed(n: String): String = renameColumns.getOrElse(n, n)
     val dropped = dropColumns.toSet
     val keptSchema = StructType(meta.schema.fields.filterNot(f => dropped(f.name)))
@@ -1690,7 +1807,15 @@ object LakeTable {
         !extended(c).metadata.contains(IdStartKey),
         s"LakeTable.alterTable: $c is GENERATED/IDENTITY — it cannot take a DEFAULT")
     }
-    val newSchema = StructType(extended.fields.map { f =>
+    // widen keys are pre-statement names; extended is post-rename (a
+    // widened column is never renamed in the same call — validated)
+    val widenRenamed: Map[String, org.apache.spark.sql.types.DataType] =
+      widenColumns.map { case (k, v) => renamed(k) -> v }
+    val newSchema = StructType(extended.fields.map { f0 =>
+      // the field id, defaults and every other metadata ride along —
+      // only the logical type changes; old files keep their physical
+      // type and the parquet reader up-converts at scan time
+      val f = widenRenamed.get(f0.name).fold(f0)(t => f0.copy(dataType = t))
       setDefaults.get(f.name).fold(f) { sqlOpt =>
         val b = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
         sqlOpt match {
@@ -1710,15 +1835,27 @@ object LakeTable {
     // files write sidecar rows under that name for the OTHER column, and
     // matching them would consult the wrong bloom (a false prune). The
     // old column's pre-rename sidecars just stop pruning — conservative.
-    val newAliases = renameColumns.foldLeft(meta.bloomAliases -- dropped) {
-      case (acc, (from, to)) if meta.bloomCols.contains(from) =>
+    val newAliases0 = renameColumns.foldLeft(meta.bloomAliases -- dropped) {
+      // a column with a sidecar KEY needs no rename alias: its rows are
+      // keyed by the (name-decoupled) key, and aliasing the old name
+      // would match stale pre-widening rows written under it
+      case (acc, (from, to))
+          if meta.bloomCols.contains(from) && !meta.bloomKeys.contains(from) =>
         (acc - from) + (to -> (from +: acc.getOrElse(from, Nil)))
-      case (acc, _) => acc
+      case (acc, (from, to)) => (acc - from) ++ acc.get(from).map(to -> _)
     }.map { case (cur, olds) =>
       cur -> olds.filterNot(newSchema.fieldNames.contains)
     }.filter(_._2.nonEmpty)
+    // rekey widened bloom columns: pre-widening sidecar rows (bits of
+    // the OLD type's hashes) stop matching — conservative, those files
+    // are kept; post-widening writes key rows under the version-stamped
+    // name. Aliases of a rekeyed column are purged for the same reason.
+    val rekeyedBlooms = newBlooms.filter(widenRenamed.contains).toSet
+    val newAliases = newAliases0 -- rekeyedBlooms
+    val newKeys = (meta.bloomKeys -- dropped).map { case (c, k) => renamed(c) -> k } ++
+      rekeyedBlooms.map(c => c -> s"$c#w${s0.version + 1}")
     val newMeta = meta.copy(schema = newSchema, statsCols = newStats,
-      bloomCols = newBlooms, bloomAliases = newAliases,
+      bloomCols = newBlooms, bloomAliases = newAliases, bloomKeys = newKeys,
       // retire dropped ids forever (highWater spans the pre-drop schema)
       maxFieldId = if (dropColumns.nonEmpty) highWater(meta) else meta.maxFieldId,
       checks = standingChecks ++ addChecks,
@@ -1728,8 +1865,17 @@ object LakeTable {
     val entries = s0.entries.map { e =>
       e.copy(stats = newStats.map { c =>
         val i = oldStatsRenamed.indexOf(c)
-        if (i >= 0) e.stats.lift(i).getOrElse((None, None))
-        else (None: Option[String], None: Option[String])
+        if (i >= 0) {
+          val cell = e.stats.lift(i).getOrElse((None: Option[String], None: Option[String]))
+          // a widened stats column re-renders its cells exactly under
+          // the new type in the SAME commit (see rewidenStat: a float
+          // rendering re-read as a double mis-orders against double
+          // bounds — a wrong prune)
+          widenRenamed.get(c).fold(cell) { to =>
+            val from = meta.schema(meta.statsCols(i)).dataType
+            (cell._1.map(rewidenStat(_, from, to)), cell._2.map(rewidenStat(_, from, to)))
+          }
+        } else (None: Option[String], None: Option[String])
       })
     }
     if (commit(spark, root, s0.version + 1, newMeta, entries)) s0.version + 1
@@ -1738,7 +1884,7 @@ object LakeTable {
         s"LakeTable.alterTable: concurrent commit at $root (retries exhausted)")
       alterTable(spark, root, addColumns, statsCols, bloomCols, renameColumns,
         dropColumns, addChecks, dropChecks, maxRetries - 1, deleteMode,
-        setProps, unsetProps, setDefaults)
+        setProps, unsetProps, setDefaults, widenColumns)
     }
   }
 
@@ -3674,9 +3820,19 @@ object LakeTable {
       maxRecordsPerFile: Long = 0L,
       maxRetries: Int = 3,
       sortCols: Seq[String] = Nil,
-      zorderCols: Seq[String] = Nil): MergeStats =
+      zorderCols: Seq[String] = Nil,
+      // SCOPED compaction (the Delta `OPTIMIZE ... WHERE` / Iceberg
+      // rewrite_data_files filter): only partition groups holding a
+      // file that MAY match the predicate compact — evaluated against
+      // manifest metadata alone (partition values in each file's own
+      // spec space, min/max stats, Bloom sidecars; zero data I/O). At
+      // 100 TB nobody compacts the whole table — this is the verb that
+      // compacts the hot partitions. Conservative by construction: an
+      // unprunable predicate shape keeps groups in (compacting more
+      // than asked is content-preserving; losing a group is not).
+      where: Option[String] = None): MergeStats =
     optimizeImpl(spark, root, minFilesPerPartition, maxRecordsPerFile, maxRetries, () => (),
-      sortCols, zorderCols)
+      sortCols, zorderCols, where)
 
   @annotation.tailrec
   private[graft] def optimizeImpl(
@@ -3687,7 +3843,8 @@ object LakeTable {
       maxRetries: Int,
       preCommit: () => Unit,
       sortCols: Seq[String] = Nil,
-      zorderCols: Seq[String] = Nil): MergeStats = {
+      zorderCols: Seq[String] = Nil,
+      where: Option[String] = None): MergeStats = {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.optimize: no committed snapshot at $root")
     val meta = s0.meta.get
@@ -3707,8 +3864,24 @@ object LakeTable {
     // pure-columnar scans after merge-on-read deletes; with
     // minFilesPerPartition=1 every old-spec group rewrites too — the
     // explicit full-migration call
-    val compactParts = fileCounts.filter(_._2 >= minFilesPerPartition).keySet ++
+    val compactParts0 = fileCounts.filter(_._2 >= minFilesPerPartition).keySet ++
       s0.entries.filter(_.dv.isDefined).map(e => (e.spec, e.part))
+    // WHERE scope: the same metadata-only pruning the scan runs (per-spec
+    // partition arms, stats, Blooms) selects the groups that may hold a
+    // matching row; everything else carries untouched
+    val compactParts = where.fold(compactParts0) { w =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(w)
+      val resolved = parsed.transformUp {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          val f = meta.schema.fields.find(_.name.equalsIgnoreCase(a.name)).getOrElse(
+            throw new IllegalArgumentException(
+              s"LakeTable.optimize: WHERE references unknown column ${a.name}"))
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(f.name, f.dataType)()
+      }
+      val idx = new graft.sources.lake.LakeFileIndex(spark, root, meta, s0.entries)
+      val scoped = idx.pruneEntries(Seq(resolved)).map(e => (e.spec, e.part)).toSet
+      compactParts0 & scoped
+    }
     if (compactParts.isEmpty)
       return MergeStats(s0.version, 0, 0, s0.entries.size, 0)
     val (rewrite, carry) = s0.entries.partition(e => compactParts.contains((e.spec, e.part)))
@@ -3724,7 +3897,7 @@ object LakeTable {
       require(maxRetries > 0,
         s"LakeTable.optimize: concurrent commit at $root (retries exhausted)")
       optimizeImpl(spark, root, minFilesPerPartition, maxRecordsPerFile, maxRetries - 1, preCommit,
-        sortCols, zorderCols)
+        sortCols, zorderCols, where)
     }
   }
 

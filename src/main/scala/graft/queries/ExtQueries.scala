@@ -1011,6 +1011,104 @@ object ExtQueries {
         s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
     },
 
+    // TYPE WIDENING (ALTER COLUMN TYPE, the Iceberg promotion model):
+    // the table starts narrow (INT keys, FLOAT price), a first
+    // generation lands, and three metadata-only ALTERs widen to
+    // BIGINT/DOUBLE — the engine asserts inline that no file changed,
+    // that the widened bloom column was REKEYED (its stale int-hash
+    // sidecars would false-prune the long probe — the point lookup must
+    // still find every row), and a second generation then lands with
+    // values only the wide types can hold (keys beyond int range). A
+    // DELETE spans both physical widths, and the final rollup
+    // hash-checks against DuckDB re-deriving the same state — a file
+    // lost to a stale bloom or a mis-rewritten float stat shifts cnt
+    // and cents.
+    "q182_type_widening" -> { (s, dir) =>
+      import graft.operators.LakeTable
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q182_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q182_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey INT, o_orderstatus STRING, " +
+        "o_custkey INT, o_totalprice FLOAT) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_totalprice', bloomCols 'o_custkey')")
+      s.sql(s"INSERT INTO $lt SELECT CAST(o_orderkey AS INT), o_orderstatus, " +
+        "CAST(o_custkey AS INT), CAST(o_totalprice AS FLOAT) " +
+        "FROM q182_orders WHERE o_orderkey % 2 = 0")
+      val relsBefore = LakeTable.snapshot(s, root).entries.map(_.rel).toSet
+      s.sql(s"ALTER TABLE $lt ALTER COLUMN o_orderkey TYPE BIGINT")
+      s.sql(s"ALTER TABLE $lt ALTER COLUMN o_custkey TYPE BIGINT")
+      s.sql(s"ALTER TABLE $lt ALTER COLUMN o_totalprice TYPE DOUBLE")
+      val snap = LakeTable.snapshot(s, root)
+      require(snap.entries.map(_.rel).toSet == relsBefore,
+        "q182: widening must be metadata-only")
+      require(snap.meta.get.bloomKeys.contains("o_custkey"),
+        "q182: the widened bloom column must be rekeyed")
+      // the stale int-hash sidecars must not prune the LONG probe: the
+      // point lookup finds exactly the relational row count
+      val probe = s.sql("SELECT min(o_custkey) AS c, count(*) AS n FROM q182_orders " +
+        "WHERE o_orderkey % 2 = 0 GROUP BY o_custkey ORDER BY n DESC, c LIMIT 1").head
+      val (probeKey, probeRows) = (probe.getLong(0), probe.getLong(1))
+      require(LakeTable.readPoint(s, root, "o_custkey", probeKey).count() == probeRows,
+        s"q182: bloom point lookup after widening must find all $probeRows rows")
+      // second generation: keys only BIGINT can hold, prices born DOUBLE
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey + 3000000000, o_orderstatus, " +
+        "o_custkey, CAST(o_totalprice AS DOUBLE) * 2 FROM q182_orders " +
+        "WHERE o_orderkey % 2 = 1")
+      // one DML across both physical widths
+      s.sql(s"DELETE FROM $lt WHERE o_orderkey % 10 = 3")
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, sum(o_custkey) AS sum_cust, " +
+        "max(o_orderkey) AS mx_key, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    },
+
+    // Scoped compaction (OPTIMIZE ... WHERE, the Delta/Iceberg
+    // rewrite-filter shape): two append generations leave every status
+    // partition multi-file; CALL optimize(where => "o_orderstatus='F'")
+    // folds ONLY the F group — the engine asserts inline that F
+    // compacted to one file, that every other group's entries carried
+    // BIT-IDENTICALLY (rel-for-rel), and that the scope came from
+    // manifest metadata alone. At 100 TB nobody compacts the whole
+    // table; this is the hot-partition maintenance verb. The rollup
+    // then hash-checks that scoped compaction is content-preserving.
+    "q183_optimize_where" -> { (s, dir) =>
+      import graft.operators.LakeTable
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q183_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q183_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q183_orders WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q183_orders WHERE o_orderkey % 2 = 1")
+      val before = LakeTable.snapshot(s, root)
+      require(before.entries.groupBy(_.part).forall(_._2.size >= 2),
+        "q183: fixture must leave every partition multi-file")
+      val otherRels = before.entries.filterNot(_.part == "F").map(_.rel).toSet
+      s.sql(s"CALL graft.system.optimize(table => '$root', " +
+        "where => \"o_orderstatus = 'F'\")")
+      val after = LakeTable.snapshot(s, root)
+      require(after.entries.count(_.part == "F") == 1,
+        "q183: the scoped group must fold to one file")
+      require(after.entries.filterNot(_.part == "F").map(_.rel).toSet == otherRels,
+        "q183: out-of-scope groups must carry bit-identically")
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    },
+
     // Hidden partitioning (Iceberg partition transforms): the table is
     // PARTITIONED BY (months(o_orderdate)) — no derived column exists,
     // queries filter o_orderdate itself, and the engine maps the
@@ -3511,6 +3609,33 @@ object ExtQueries {
         |SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(sum(CAST(round(pr * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM gens WHERE k % 5 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // both generations re-derived: gen1 = even keys at FLOAT precision
+    // (REAL→DOUBLE is the float's exact binary value — both engines
+    // promote identically), gen2 = odd keys shifted beyond int range at
+    // doubled DOUBLE price; the %10=3 delete hits both (the shift is a
+    // multiple of 10).
+    "q182_type_widening" ->
+      """WITH gens AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus,
+        |         CAST(o_custkey AS BIGINT) AS c,
+        |         CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS pr
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 3000000000, o_orderstatus,
+        |         CAST(o_custkey AS BIGINT),
+        |         CAST(o_totalprice AS DOUBLE) * 2
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT o_orderstatus, count(*) AS cnt, CAST(sum(c) AS BIGINT) AS sum_cust,
+        |       max(k) AS mx_key,
+        |       CAST(sum(CAST(round(pr * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM gens WHERE k % 10 <> 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // scoped compaction is content-preserving: the rollup equals the
+    // two untouched generations.
+    "q183_optimize_where" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the CDC MERGE re-derived relationally: %13=0 deleted, %13=1
     // price-tripled, %13=2 re-inserted under a shifted key at half
     // price; everything else untouched.

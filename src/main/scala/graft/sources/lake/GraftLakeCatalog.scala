@@ -361,14 +361,18 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
     * mark, so old data can never resurface under a later same-named
     * column), and SET TBLPROPERTIES for `statsCols`/`bloomCols` (take
     * effect for batches written after the change; old files are
-    * conservatively never pruned on new columns). Everything else —
-    * type changes, repartitioning — is refused: data files are
-    * immutable, so those verbs would need a full rewrite.
+    * conservatively never pruned on new columns), and ALTER COLUMN
+    * TYPE for SAFE WIDENINGS (int-family->long/double, float->double,
+    * decimal precision — the Iceberg promotion set; the parquet reader
+    * up-converts old files at scan time). Everything else — narrowing,
+    * repartitioning by rewrite — is refused: data files are immutable,
+    * so those verbs would need a full rewrite.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!exists(root)) throw new NoSuchTableException(ident)
     var addCols = Seq.empty[org.apache.spark.sql.types.StructField]
+    var widenCols = Map.empty[String, org.apache.spark.sql.types.DataType]
     var statsCols: Option[Seq[String]] = None
     var bloomCols: Option[Seq[String]] = None
     var deleteMode: Option[String] = None
@@ -425,6 +429,14 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
             .putString(LakeTable.CurrentDefaultKey, curSql)
             .putString(LakeTable.ExistsDefaultKey, existsSql).build())
         }
+      // ALTER COLUMN c TYPE t: metadata-only TYPE WIDENING (Iceberg
+      // promotion set) — LakeTable.alterTable validates the (from, to)
+      // pair and refuses narrowing / partition columns / generated
+      // inputs with a crisp error
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          "graft-lake: ALTER COLUMN TYPE supports top-level columns only")
+        widenCols += (u.fieldNames()(0) -> u.newDataType())
       case u: TableChange.UpdateColumnDefaultValue =>
         require(u.fieldNames().length == 1,
           s"graft-lake: SET/DROP DEFAULT on nested field ${u.fieldNames().mkString(".")}")
@@ -463,7 +475,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
     LakeTable.alterTable(spark, root, addCols, statsCols, bloomCols, renames, drops,
       addChecks, dropChecks, deleteMode = deleteMode,
       setProps = setProps.toMap, unsetProps = unsetProps.toSeq,
-      setDefaults = setDefaults.toMap)
+      setDefaults = setDefaults.toMap, widenColumns = widenCols)
     loadTable(ident)
   }
 

@@ -42,19 +42,22 @@ private[lake] object GraftLakeProcedures {
     Map(
       "optimize" -> new LakeProc(
         "optimize",
-        "transactional small-file compaction; optional sort/Z-order clustering",
+        "transactional small-file compaction; optional sort/Z-order clustering; " +
+          "optional WHERE scope (metadata-pruned partition groups only)",
         Seq(p("table", StringType),
           pd("min_files", IntegerType, "2"),
           pd("max_records_per_file", LongType, "0"),
           pd("sort_cols", StringType, "''"),
-          pd("zorder_cols", StringType, "''"))) {
+          pd("zorder_cols", StringType, "''"),
+          pd("where", StringType, "''"))) {
         override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
           def cols(i: Int): Seq[String] =
             args.getUTF8String(i).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
           val stats = LakeTable.optimize(spark(), rootOf(args.getUTF8String(0).toString),
             minFilesPerPartition = args.getInt(1),
             maxRecordsPerFile = args.getLong(2),
-            sortCols = cols(3), zorderCols = cols(4))
+            sortCols = cols(3), zorderCols = cols(4),
+            where = Some(args.getUTF8String(5).toString).filter(_.nonEmpty))
           (StructType(Seq(
             StructField("version", LongType), StructField("files_rewritten", LongType),
             StructField("files_carried", LongType), StructField("rows_written", LongType))),

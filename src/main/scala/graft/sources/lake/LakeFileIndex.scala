@@ -138,7 +138,7 @@ class LakeFileIndex(
     * half of [[listFiles]], separable so soundness properties can probe
     * it without touching the filesystem.
     */
-  private[lake] def pruneEntries(filters: Seq[Expression]): Seq[Entry] =
+  private[graft] def pruneEntries(filters: Seq[Expression]): Seq[Entry] =
     if (meta.priorSpecs.isEmpty) {
       val preds = filters.flatMap(entryPredicate)
       entries.filter(e => preds.forall(_(e)))

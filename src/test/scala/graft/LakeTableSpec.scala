@@ -406,6 +406,61 @@ class LakeTableSpec extends SparkSpec {
     assert(after.count() === 110 - expected.where(col("p").isNull && col("k") < 20).count())
   }
 
+  test("optimize WHERE: only metadata-matching partition groups compact; everything else carries untouched") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"))
+    (0 until 3).foreach { i =>
+      LakeTable.append(spark, root, baseDf.where(col("k") % 10 === i)
+        .select((col("k") + 1000L * (i + 1)).as("k"), col("p"), col("v")))
+    }
+    val before = LakeTable.snapshot(spark, root)
+    val preSum = LakeTable.read(spark, root).agg(sum("v")).head.getLong(0)
+    val otherRels = before.entries.filterNot(_.part == "1").map(_.rel).toSet
+
+    // scope to partition p = '1': its group folds to one file, every
+    // other group's entries are carried bit-identically
+    val stats = LakeTable.optimize(spark, root, where = Some("p = '1'"))
+    val after = LakeTable.snapshot(spark, root)
+    assert(after.entries.count(_.part == "1") === 1, "scoped group must compact")
+    assert(after.entries.filterNot(_.part == "1").map(_.rel).toSet === otherRels,
+      "out-of-scope groups must carry untouched")
+    assert(stats.filesRewritten === before.entries.count(_.part == "1"))
+    assert(LakeTable.read(spark, root).agg(sum("v")).head.getLong(0) === preSum)
+
+    // a stats-range predicate matching nothing compacts nothing (no commit)
+    val noop = LakeTable.optimize(spark, root, where = Some("k > 99999999"))
+    assert(noop.version === after.version && noop.rowsWritten === 0)
+
+    // unknown columns refuse crisply
+    val e = intercept[IllegalArgumentException](
+      LakeTable.optimize(spark, root, where = Some("nope = 1")))
+    assert(e.getMessage.contains("unknown column nope"), e.getMessage)
+
+    // SQL face: CALL with where scopes the same way (remaining groups fold)
+    spark.sql("CALL graft.system.optimize(table => '" + root + "', " +
+      "where => \"p = '0'\")")
+    val after2 = LakeTable.snapshot(spark, root)
+    assert(after2.entries.count(_.part == "0") === 1)
+    assert(after2.entries.count(_.part == "2") === 4, "p=2 still uncompacted")
+  }
+
+  test("optimize WHERE under MOR: scoped DV materialization leaves other vectors standing") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"), deleteMode = "mor")
+    LakeTable.deleteMor(spark, root, col("k") % 7 === 0, "p") // DVs in every partition
+    val before = LakeTable.snapshot(spark, root)
+    assert(before.entries.count(_.dv.isDefined) >= 3, "fixture needs DVs in each partition")
+    val preSum = LakeTable.read(spark, root).agg(sum("v")).head.getLong(0)
+
+    LakeTable.optimize(spark, root, minFilesPerPartition = 99, where = Some("p = '1'"))
+    val after = LakeTable.snapshot(spark, root)
+    assert(after.entries.filter(_.part == "1").forall(_.dv.isEmpty),
+      "scoped partition's vectors must materialize away")
+    assert(after.entries.filterNot(_.part == "1").exists(_.dv.isDefined),
+      "out-of-scope vectors must stand")
+    assert(LakeTable.read(spark, root).agg(sum("v")).head.getLong(0) === preSum)
+  }
+
   test("optimize: compacts multi-file partitions into one, contents and history intact") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p")
