@@ -230,6 +230,35 @@ class TypeWideningSpec extends SparkSpec {
       "the widening commit is a pure metadata change")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens a narrower table column from the source type") {
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+    val stage = Files.createTempDirectory("graft-widen-merge").toFile
+    stage.deleteOnExit()
+    val root = s"${stage.getAbsolutePath}/t$tag"
+    val lt = s"graft.`$root`"
+    spark.sql(s"CREATE TABLE $lt (k INT, p STRING, v INT) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $lt VALUES (1, 'a', 10), (2, 'b', 20)")
+    spark.sql("CREATE OR REPLACE TEMP VIEW widen_src AS " +
+      "SELECT CAST(3000000000 AS BIGINT) AS k, 'a' AS p, CAST(30 AS BIGINT) AS v")
+    val clauses = s"USING widen_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (k, p, v) VALUES (s.k, s.p, s.v)"
+    // without the opt-in the wide source refuses (no silent narrowing,
+    // nothing committed)
+    val v0 = LakeTable.snapshot(spark, root).version
+    intercept[Exception](spark.sql(s"MERGE INTO $lt t $clauses"))
+    assert(LakeTable.snapshot(spark, root).version === v0)
+    // with it, Spark's evolution rule emits UpdateColumnType and the
+    // catalog runs the same metadata-only widening as ALTER COLUMN TYPE
+    spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO $lt t $clauses")
+    val meta = LakeTable.snapshot(spark, root).meta.get
+    assert(meta.schema("k").dataType === LongType)
+    assert(meta.schema("v").dataType === LongType)
+    val got = spark.sql(s"SELECT k, v FROM $lt ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 10L), (2L, 20L), (3000000000L, 30L)))
+  }
+
   test("SQL surface: ALTER COLUMN TYPE through the catalog; DML over mixed-width files") {
     val tag = java.util.UUID.randomUUID.toString.replace("-", "")
     val stage = Files.createTempDirectory("graft-widen-sql").toFile
