@@ -356,16 +356,44 @@ object LakeTable {
   private def highWater(meta: TableMeta): Long =
     fieldIdsOf(meta.schema).values.foldLeft(meta.maxFieldId)(math.max)
 
+  /** Normalize NESTED containment nullability to permissive (struct
+    * fields, array elements, map values). The engine cannot enforce a
+    * nested NOT NULL (no per-field write validation inside containers),
+    * and recording one poisons every later [[align]]: parquet reads
+    * come back with permissive inner nullability, and ANSI Spark
+    * refuses `cast(struct<a> as struct<a NOT NULL>)` — a table whose
+    * struct column was created from a non-nullable frame could never be
+    * MERGE'd again. Top-level nullability is untouched (scans wrap it
+    * via GraftLake.nullable; align never casts on it).
+    */
+  private def deepPermissive(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = deepPermissive(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      org.apache.spark.sql.types.ArrayType(deepPermissive(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      org.apache.spark.sql.types.MapType(
+        deepPermissive(m.keyType), deepPermissive(m.valueType), valueContainsNull = true)
+    case o => o
+  }
+
+  private[graft] def deepPermissiveSchema(schema: StructType): StructType =
+    StructType(schema.fields.map(f => f.copy(dataType = deepPermissive(f.dataType))))
+
   /** Append `newFields` to the schema, assigning fresh field ids when
     * the table uses column mapping (max(live ids, `floor`) + 1, the
     * Delta convention — `floor` is [[highWater]], so ids of DROPPED
     * columns are never recycled) — the single evolution point shared by
     * append/overwrite/merge widening and ALTER TABLE ADD COLUMNS.
+    * Added fields' nested nullability normalizes to permissive (see
+    * [[deepPermissiveSchema]]).
     */
   private def extendSchema(
       schema: StructType,
-      newFields: Seq[org.apache.spark.sql.types.StructField],
+      newFields0: Seq[org.apache.spark.sql.types.StructField],
       floor: Long = 0): StructType = {
+    val newFields = newFields0.map(f => f.copy(dataType = deepPermissive(f.dataType)))
     val ids = fieldIdsOf(schema)
     if (ids.isEmpty || newFields.isEmpty) StructType(schema.fields ++ newFields)
     else {
@@ -1586,8 +1614,9 @@ object LakeTable {
       s"LakeTable.init: stats/bloom/partition column $c not in the frame"))
     PartitionFn.validate(partitionFn, df.schema(partitionCol).dataType)
     // every new table gets column-mapping ids from birth (1..n), so
-    // RENAME COLUMN is metadata-only for its whole life
-    val mapped = withFieldIds(df.schema,
+    // RENAME COLUMN is metadata-only for its whole life; nested
+    // nullability normalizes to permissive (deepPermissiveSchema)
+    val mapped = withFieldIds(deepPermissiveSchema(df.schema),
       df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1).toLong }.toMap)
     val meta = TableMeta(mapped, partitionCol, allStats, bloomCols = bloomCols,
       deleteMode = deleteMode, partitionFn = partitionFn, props = props)
@@ -3938,6 +3967,42 @@ object LakeTable {
     post.withColumn("_sign", lit(1L)).unionByName(pre.withColumn("_sign", lit(-1L)))
   }
 
+  /** Does the type contain a MAP anywhere? Maps are not orderable, so a
+    * row-equality `<=>` over a map-bearing struct is refused by the
+    * analyzer — the CDC compare routes such columns through
+    * [[orderableProxy]].
+    */
+  private def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+    case _ => false
+  }
+
+  /** An ORDERABLE mirror of a possibly-map-bearing column: every map
+    * (at any nesting depth) becomes its entry array sorted by key —
+    * canonical because map keys are unique, so two maps are equal iff
+    * their sorted entry arrays are. Identity for map-free types;
+    * null-ness is preserved at every level (a NULL struct must not
+    * become a struct of NULLs, which would spuriously equal one).
+    */
+  private def orderableProxy(
+      c: Column,
+      dt: org.apache.spark.sql.types.DataType): Column =
+    if (!hasMap(dt)) c
+    else dt match {
+      case m: org.apache.spark.sql.types.MapType =>
+        sort_array(transform(map_entries(c), e => struct(
+          orderableProxy(e.getField("key"), m.keyType).as("key"),
+          orderableProxy(e.getField("value"), m.valueType).as("value"))))
+      case s: StructType =>
+        when(c.isNull, lit(null)).otherwise(struct(s.fields.map(f =>
+          orderableProxy(c.getField(f.name), f.dataType).as(f.name)).toSeq: _*))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        transform(c, x => orderableProxy(x, a.elementType))
+      case _ => c
+    }
+
   def tableChanges(
       spark: SparkSession,
       root: String,
@@ -3956,8 +4021,12 @@ object LakeTable {
       .select(dataCols.map(c => col(s"__post.$c")) :+ lit("insert").as("_change_type"): _*)
     val deletes = j.where(col("__post").isNull)
       .select(dataCols.map(c => col(s"__pre.$c")) :+ lit("delete").as("_change_type"): _*)
+    // the equality runs over orderable mirrors (maps → sorted entry
+    // arrays); output columns stay the original values
+    def cmp(side: String): Column = struct(outSchema.fields.map(f =>
+      orderableProxy(col(s"$side.`${f.name}`"), f.dataType).as(f.name)).toSeq: _*)
     val changed = j.where(col("__pre").isNotNull && col("__post").isNotNull &&
-      !(col("__pre") <=> col("__post")))
+      !(cmp("__pre") <=> cmp("__post")))
     val preImg = changed
       .select(dataCols.map(c => col(s"__pre.$c")) :+ lit("update_preimage").as("_change_type"): _*)
     val postImg = changed
