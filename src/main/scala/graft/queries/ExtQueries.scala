@@ -1109,6 +1109,44 @@ object ExtQueries {
         s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
     },
 
+    // Nested column types (STRUCT/ARRAY/MAP) through the lake verb set:
+    // the table stores a struct, an array and a map built from orders
+    // columns; a MERGE rewrites a struct field, an UPDATE replaces the
+    // array from the (post-merge) struct, and a DELETE filters on a map
+    // lookup — three statements over nested payloads, each a
+    // transactional commit. The final rollup extracts FLAT scalars
+    // (s.cust, xs[0], m['cents']) so DuckDB re-derives the same numbers
+    // relationally without constructing nested values at all — a nested
+    // write/read/align defect anywhere in the chain shifts a sum.
+    "q184_nested_types" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q184_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q184_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (k BIGINT, p STRING, " +
+        "s STRUCT<cust: BIGINT, prio: STRING>, xs ARRAY<BIGINT>, " +
+        "m MAP<STRING, BIGINT>) PARTITIONED BY (p) TBLPROPERTIES (statsCols 'k')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "named_struct('cust', CAST(o_custkey AS BIGINT), 'prio', o_orderpriority), " +
+        "array(o_orderkey, CAST(o_custkey AS BIGINT)), " +
+        "map('cents', CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) " +
+        "FROM q184_orders")
+      s.sql(s"MERGE INTO $lt t USING " +
+        "(SELECT o_orderkey AS k FROM q184_orders WHERE o_orderkey % 11 = 0) src " +
+        "ON t.k = src.k WHEN MATCHED THEN UPDATE SET " +
+        "s = named_struct('cust', t.s.cust * 2, 'prio', t.s.prio)")
+      s.sql(s"UPDATE $lt SET xs = array(s.cust) WHERE k % 13 = 0")
+      s.sql(s"DELETE FROM $lt WHERE element_at(m, 'cents') % 7 = 3")
+      s.sql(s"SELECT p, count(*) AS cnt, CAST(sum(s.cust) AS BIGINT) AS sum_cust, " +
+        "CAST(sum(xs[0]) AS BIGINT) AS sum_x0, " +
+        "CAST(sum(element_at(m, 'cents')) AS BIGINT) AS sum_cents " +
+        s"FROM $lt GROUP BY p ORDER BY p")
+    },
+
     // Hidden partitioning (Iceberg partition transforms): the table is
     // PARTITIONED BY (months(o_orderdate)) — no derived column exists,
     // queries filter o_orderdate itself, and the engine maps the
@@ -3629,6 +3667,25 @@ object ExtQueries {
         |       max(k) AS mx_key,
         |       CAST(sum(CAST(round(pr * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM gens WHERE k % 10 <> 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the nested chain re-derived flat: the struct field doubles for
+    // %11 keys, xs[0] follows (orig o_orderkey; post-update = the
+    // possibly-doubled cust for %13 keys), the map lookup drives the
+    // delete — no nested construction needed on the oracle side.
+    "q184_nested_types" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS p,
+        |         CAST(o_custkey AS BIGINT) AS c,
+        |         CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |s1 AS (SELECT k, p, CASE WHEN k % 11 = 0 THEN c * 2 ELSE c END AS cust,
+        |              cents FROM b),
+        |s2 AS (SELECT k, p, cust, cents,
+        |              CASE WHEN k % 13 = 0 THEN cust ELSE k END AS x0 FROM s1),
+        |s3 AS (SELECT * FROM s2 WHERE cents % 7 <> 3)
+        |SELECT p, count(*) AS cnt, CAST(sum(cust) AS BIGINT) AS sum_cust,
+        |       CAST(sum(x0) AS BIGINT) AS sum_x0,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM s3 GROUP BY 1 ORDER BY 1""".stripMargin,
     // scoped compaction is content-preserving: the rollup equals the
     // two untouched generations.
     "q183_optimize_where" ->
