@@ -254,6 +254,7 @@ object MatView {
       if (deltaOnly) deltaSource(changes, keys, aggs)
       else dirtySource(spark, src, head, changes, keys, aggs)
     val stored = storedCols(aggs)
+    inheritWidenings(spark, mvRoot, meta, keys ++ stored, source)
 
     // matched groups: dead (post-refresh cnt NULL or <= 0) delete,
     // live update; unseen-but-live groups insert. The __s_cnt guard on
@@ -323,6 +324,7 @@ object MatView {
     }
     val source = deltaSource(changes, keys, aggs)
     val stored = storedCols(aggs)
+    inheritWidenings(spark, mvRoot, meta, keys ++ stored, source)
     val matched = Seq(
       LakeTable.MergeBranch(Some(deadCond(deltaOnly = true)), None),
       LakeTable.MergeBranch(None, Some(
@@ -341,6 +343,34 @@ object MatView {
           if e.getMessage != null && e.getMessage.contains("stale refresh watermark") =>
         refresh(spark, mvRoot)
     }
+  }
+
+  /** The view INHERITS safe type widenings from its source: after
+    * `ALTER COLUMN TYPE` on the source, refresh deltas arrive in the
+    * wide type, and merging them into the view's frozen CREATE-time
+    * columns would cast back down — a crisp ANSI overflow on the first
+    * wide value, leaving the view permanently un-refreshable. Any view
+    * column (group key or stored aggregate) whose incoming `__s_` type
+    * is a safe widening of its stored type widens the VIEW first, via
+    * the same metadata-only commit as the source's ALTER (the stamp
+    * validation is untouched — alterTable carries props verbatim). A
+    * widened view PARTITION key still refuses inside alterTable
+    * (transform spaces are type-bound) — crisply, nothing committed.
+    */
+  private def inheritWidenings(
+      spark: SparkSession,
+      mvRoot: String,
+      meta: LakeTable.TableMeta,
+      viewCols: Seq[String],
+      source: DataFrame): Unit = {
+    val widen = viewCols.distinct.flatMap { c =>
+      for {
+        sf <- source.schema.fields.find(_.name == s"__s_$c")
+        vf <- meta.schema.fields.find(_.name == c)
+        if LakeTable.widens(vf.dataType, sf.dataType)
+      } yield c -> sf.dataType
+    }.toMap
+    if (widen.nonEmpty) LakeTable.alterTable(spark, mvRoot, widenColumns = widen)
   }
 
   /** Pure-delta source: one NET aggregate row per touched group,

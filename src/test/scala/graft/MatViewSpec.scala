@@ -383,4 +383,27 @@ class MatViewSpec extends SparkSpec {
     assert(LakeTable.snapshot(spark, mv).meta.get.props("mv.srcVersion").toLong ===
       LakeTable.snapshot(spark, src).version)
   }
+
+  test("refresh over a TYPE-WIDENED source: deltas arrive wide, the view stays in sync") {
+    val (src, mv) = freshRoots()
+    import spark.implicits._
+    import org.apache.spark.sql.types.LongType
+    LakeTable.init(spark,
+      src, (0 until 20).map(i => (i, s"p${i % 2}", i * 10)).toDF("k", "p", "v"),
+      partitionCol = "p", statsCols = Seq("k"))
+    MatView.create(spark, mv, src, Seq("p"), MatView.parseAggs("cnt,sum:v,max:v"))
+    assertInSync(src, mv, Seq("p"), Seq("sum(v)", "max(v)"))
+
+    // the source widens mid-life; post-widening rows carry values only
+    // the wide type holds — the refresh window spans the widening
+    // commit and both physical generations
+    LakeTable.alterTable(spark, src,
+      widenColumns = Map("k" -> LongType, "v" -> LongType))
+    LakeTable.append(spark, src,
+      Seq((3000000000L, "p0", 5000000000L), (3000000001L, "p1", 1L)).toDF("k", "p", "v"))
+    LakeTable.deleteWithRetry(spark, src, col("k") % 4 === 1, "p")
+    MatView.refresh(spark, mv)
+    assertInSync(src, mv, Seq("p"), Seq("sum(v)", "max(v)"))
+    assert(LakeTable.read(spark, mv).agg(max("max_v")).head.getLong(0) === 5000000000L)
+  }
 }
