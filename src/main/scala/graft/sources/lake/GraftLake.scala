@@ -436,6 +436,9 @@ class GraftLakeSource(
     val to = ver(end)
     if (readChangeFeed) changeFeedBatch(from, to)
     else {
+      // a mid-stream ALTER COLUMN TYPE refuses crisply (restart picks
+      // up the wide schema) instead of failing in the parquet reader
+      window.requireTypesUnchanged(tableSchema, to)
       val added = window.addedEntries(from, to, skipChangeCommits)
       // the batch is a REAL pruned file scan (isStreaming wrapped): later
       // query filters still push into listFiles and the parquet reader

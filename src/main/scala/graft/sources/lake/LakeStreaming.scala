@@ -685,9 +685,13 @@ class LakeMicroBatchStream(
       CaseInsensitiveStringMap.empty())
       .build().asInstanceOf[ParquetScan]
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    // a mid-stream ALTER COLUMN TYPE refuses crisply (restart picks up
+    // the wide schema) instead of failing in the parquet reader
+    window.requireTypesUnchanged(meta.schema, ver(end))
     scanOf(window.addedEntries(ver(start), ver(end), skipChangeCommits))
       .toBatch.planInputPartitions()
+  }
 
   // the factory captures schema + conf only — partitions carry the files,
   // so one factory serves every micro-batch

@@ -44,6 +44,29 @@ private[lake] class VersionWindow(spark: SparkSession, root: String) {
     }
   }
 
+  /** Column TYPES at the window's end version differing from the
+    * stream's start schema (by name, for names present in both): files
+    * written after an ALTER COLUMN TYPE carry the WIDE physical type,
+    * and reading them under the stream's captured (narrow) schema is a
+    * low-level parquet reader failure — so the stream refuses CRISPLY
+    * with a restart instruction instead (the Delta schema-change stop).
+    * Not skippable: unlike a change COMMIT, the type change is
+    * permanent — every future file is wide.
+    */
+  def requireTypesUnchanged(
+      streamSchema: org.apache.spark.sql.types.StructType,
+      to: Long): Unit = {
+    val head = LakeTable.readManifest(spark, root, to)._1.schema
+    val drift = streamSchema.fields.flatMap(f =>
+      head.fields.find(_.name == f.name)
+        .filter(_.dataType != f.dataType)
+        .map(h => s"${f.name}: ${f.dataType.simpleString} -> ${h.dataType.simpleString}"))
+    if (drift.nonEmpty) throw new IllegalStateException(
+      s"graft-lake streaming: column types of $root changed since the stream " +
+        s"started (${drift.mkString(", ")} — ALTER COLUMN TYPE). Restart the " +
+        "stream to pick up the widened schema.")
+  }
+
   /** Files added by pure-append commits in (from, to] — or the crisp
     * change-commit refusal.
     */

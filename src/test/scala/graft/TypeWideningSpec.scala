@@ -230,6 +230,48 @@ class TypeWideningSpec extends SparkSpec {
       "the widening commit is a pure metadata change")
   }
 
+  test("a mid-stream widening refuses crisply; a restarted stream reads the wide rows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft-widen-stream").toString
+    val root = s"$base/tbl"
+    import spark.implicits._
+    LakeTable.init(spark, root, Seq((1, "a", 10)).toDF("k", "p", "v"), "p")
+    def drain(out: String, ckpt: String): Unit = {
+      val q = spark.readStream.format("graft-lake").load(root)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain(s"$base/out", s"$base/ckpt")
+    assert(spark.read.parquet(s"$base/out").count() === 1)
+
+    // a LIVE stream (schema captured at start) must refuse the widening
+    // with a restart instruction, NOT die in the parquet reader with a
+    // type error. (A RESTARTED stream re-captures the schema — only the
+    // offsets checkpoint — so restart genuinely is the remedy.)
+    val live = spark.readStream.format("graft-lake").load(root)
+      .writeStream.format("parquet")
+      .option("path", s"$base/live-out").option("checkpointLocation", s"$base/live-ckpt")
+      .start()
+    try {
+      live.processAllAvailable()
+      LakeTable.alterTable(spark, root, widenColumns = Map("k" -> LongType))
+      LakeTable.append(spark, root, Seq((3000000000L, "a", 20)).toDF("k", "p", "v"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        live.processAllAvailable())
+      val msg = e.getMessage + Option(e.getCause).fold("")(_.getMessage)
+      assert(msg.contains("Restart the stream"), msg)
+    } finally live.stop()
+
+    // a FRESH stream (new checkpoint) reads everything under the wide schema
+    drain(s"$base/out2", s"$base/ckpt2")
+    val got = spark.read.parquet(s"$base/out2")
+    assert(got.schema("k").dataType === LongType)
+    assert(got.select($"k".as[Long]).collect().toSet === Set(1L, 3000000000L))
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION widens a narrower table column from the source type") {
     val tag = java.util.UUID.randomUUID.toString.replace("-", "")
     val stage = Files.createTempDirectory("graft-widen-merge").toFile
