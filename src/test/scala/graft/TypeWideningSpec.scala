@@ -272,6 +272,29 @@ class TypeWideningSpec extends SparkSpec {
     assert(got.select($"k".as[Long]).collect().toSet === Set(1L, 3000000000L))
   }
 
+  test("the catalog micro-batch face refuses a mid-stream widening the same way") {
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+    val stage = Files.createTempDirectory("graft-widen-cat-stream").toFile
+    stage.deleteOnExit()
+    val root = s"${stage.getAbsolutePath}/t$tag"
+    val lt = s"graft.`$root`"
+    spark.sql(s"CREATE TABLE $lt (k INT, p STRING) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $lt VALUES (1, 'a')")
+    val live = spark.readStream.table(lt)
+      .writeStream.format("parquet")
+      .option("path", s"$stage/out").option("checkpointLocation", s"$stage/ckpt")
+      .start()
+    try {
+      live.processAllAvailable()
+      spark.sql(s"ALTER TABLE $lt ALTER COLUMN k TYPE BIGINT")
+      spark.sql(s"INSERT INTO $lt VALUES (3000000000, 'a')")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        live.processAllAvailable())
+      val msg = e.getMessage + Option(e.getCause).fold("")(_.getMessage)
+      assert(msg.contains("Restart the stream"), msg)
+    } finally live.stop()
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION widens a narrower table column from the source type") {
     val tag = java.util.UUID.randomUUID.toString.replace("-", "")
     val stage = Files.createTempDirectory("graft-widen-merge").toFile
