@@ -170,12 +170,12 @@ object ScaleProbe {
       time("lake merge, 20k updates confined to 1/32 partitions") {
         val s = LakeTable.merge(spark, s"$lakeRoot/t", narrow, Seq("o_orderkey"), "pt")
         println(s"[scale]   rewrote ${s.filesRewritten} files, carried ${s.filesCarried}")
-        s.rowsWritten
+        s.filesWritten
       }
       time("lake merge, 20k updates spread across all 32 partitions") {
         val s = LakeTable.merge(spark, s"$lakeRoot/t", wide, Seq("o_orderkey"), "pt")
         println(s"[scale]   rewrote ${s.filesRewritten} files, carried ${s.filesCarried}")
-        s.rowsWritten
+        s.filesWritten
       }
     }
 

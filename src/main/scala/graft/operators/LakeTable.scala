@@ -92,7 +92,7 @@ object LakeTable {
       matchedPartitions: Long,
       filesRewritten: Long,
       filesCarried: Long,
-      rowsWritten: Long,
+      filesWritten: Long,
       filesProbed: Long = -1L)
 
   /** One live data file: partition value (decoded; NULL → sentinel),
@@ -2948,7 +2948,7 @@ object LakeTable {
       matchedPartitions = affectedCount,
       filesRewritten = rewrite.size,
       filesCarried = carry.size,
-      rowsWritten = written.size,
+      filesWritten = written.size,
       filesProbed = probeEntries.size)
   }
 
@@ -3148,7 +3148,7 @@ object LakeTable {
       // only — zero data bytes moved); fully-dead files simply drop
       filesRewritten = updated.size,
       filesCarried = s0.entries.size - updated.size,
-      rowsWritten = 0,
+      filesWritten = 0,
       filesProbed = probeEntries.size)
   }
 
@@ -3230,7 +3230,7 @@ object LakeTable {
         matchedPartitions = sidecars.map(h => byKey(h._1).part).distinct.length,
         filesRewritten = tombstoned.size,
         filesCarried = s0.entries.size - tombstoned.size,
-        rowsWritten = written.size,
+        filesWritten = written.size,
         filesProbed = probeEntries.size)
     } finally matched.unpersist()
   }
@@ -3793,7 +3793,7 @@ object LakeTable {
         matchedPartitions = sidecars.map(h => byKey(h._1).part).distinct.length,
         filesRewritten = tombstoned.size,
         filesCarried = s0.entries.size - tombstoned.size,
-        rowsWritten = written.size,
+        filesWritten = written.size,
         filesProbed = probeEntries.size)
     } finally work.unpersist()
   }
@@ -3900,16 +3900,28 @@ object LakeTable {
     // matching row; everything else carries untouched
     val compactParts = where.fold(compactParts0) { w =>
       val parsed = spark.sessionState.sqlParser.parseExpression(w)
-      val resolved = parsed.transformUp {
-        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          val f = meta.schema.fields.find(_.name.equalsIgnoreCase(a.name)).getOrElse(
-            throw new IllegalArgumentException(
-              s"LakeTable.optimize: WHERE references unknown column ${a.name}"))
-          org.apache.spark.sql.catalyst.expressions.AttributeReference(f.name, f.dataType)()
+      // Nested-field references (multi-part names, e.g. s.cust) have no
+      // top-level stats/partition arm to prune on — per the stated
+      // contract, an unprunable predicate shape conservatively keeps
+      // every group in rather than throwing. A single-part name that
+      // matches nothing is still a hard error (typo detection).
+      val nested = parsed.collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.length > 1 => a
       }
-      val idx = new graft.sources.lake.LakeFileIndex(spark, root, meta, s0.entries)
-      val scoped = idx.pruneEntries(Seq(resolved)).map(e => (e.spec, e.part)).toSet
-      compactParts0 & scoped
+      if (nested.nonEmpty) compactParts0
+      else {
+        val resolved = parsed.transformUp {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            val f = meta.schema.fields.find(_.name.equalsIgnoreCase(a.name)).getOrElse(
+              throw new IllegalArgumentException(
+                s"LakeTable.optimize: WHERE references unknown column ${a.name}"))
+            org.apache.spark.sql.catalyst.expressions.AttributeReference(f.name, f.dataType)()
+        }
+        val idx = new graft.sources.lake.LakeFileIndex(spark, root, meta, s0.entries)
+        val scoped = idx.pruneEntries(Seq(resolved)).map(e => (e.spec, e.part)).toSet
+        compactParts0 & scoped
+      }
     }
     if (compactParts.isEmpty)
       return MergeStats(s0.version, 0, 0, s0.entries.size, 0)

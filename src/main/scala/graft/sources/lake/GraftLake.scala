@@ -434,11 +434,13 @@ class GraftLakeSource(
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(ver).getOrElse(startingVersion)
     val to = ver(end)
+    // a mid-stream ALTER COLUMN TYPE refuses crisply (restart picks
+    // up the wide schema) instead of failing in the parquet reader —
+    // on the CDF face too, where the failure mode is otherwise an ANSI
+    // cast error while aligning the slice to the captured narrow schema
+    window.requireTypesUnchanged(tableSchema, to)
     if (readChangeFeed) changeFeedBatch(from, to)
     else {
-      // a mid-stream ALTER COLUMN TYPE refuses crisply (restart picks
-      // up the wide schema) instead of failing in the parquet reader
-      window.requireTypesUnchanged(tableSchema, to)
       val added = window.addedEntries(from, to, skipChangeCommits)
       // the batch is a REAL pruned file scan (isStreaming wrapped): later
       // query filters still push into listFiles and the parquet reader

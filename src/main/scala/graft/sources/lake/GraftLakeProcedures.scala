@@ -60,9 +60,9 @@ private[lake] object GraftLakeProcedures {
             where = Some(args.getUTF8String(5).toString).filter(_.nonEmpty))
           (StructType(Seq(
             StructField("version", LongType), StructField("files_rewritten", LongType),
-            StructField("files_carried", LongType), StructField("rows_written", LongType))),
+            StructField("files_carried", LongType), StructField("files_written", LongType))),
             Seq(InternalRow(stats.version, stats.filesRewritten,
-              stats.filesCarried, stats.rowsWritten)))
+              stats.filesCarried, stats.filesWritten)))
         }
       },
 

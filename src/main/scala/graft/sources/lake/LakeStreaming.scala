@@ -933,6 +933,12 @@ class LakeCdfMicroBatchStream(
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (from, to) = (ver(start), ver(end))
+    // a mid-stream ALTER COLUMN TYPE refuses crisply here too — without
+    // this, sliceFrame's cast-to-captured-schema fails with a low-level
+    // ANSI cast error on out-of-range widened values instead of the
+    // restart instruction (narrow→wide at the batch end passes: the
+    // slice casts UP, which is the supported direction)
+    window.requireTypesUnchanged(cdf, to)
     val dir = s"$stageDir/v$from-$to"
     LakeCdf.materialize(spark, root, from, to, keyCols, cdf, dir)
     LakeCdf.scanOver(spark, Seq(dir), cdf).toBatch.planInputPartitions()

@@ -44,7 +44,7 @@ private[lake] class VersionWindow(spark: SparkSession, root: String) {
     }
   }
 
-  /** Column TYPES at the window's end version differing from the
+  /** Column TYPES at the window's end version UNREADABLE under the
     * stream's start schema (by name, for names present in both): files
     * written after an ALTER COLUMN TYPE carry the WIDE physical type,
     * and reading them under the stream's captured (narrow) schema is a
@@ -52,6 +52,15 @@ private[lake] class VersionWindow(spark: SparkSession, root: String) {
     * with a restart instruction instead (the Delta schema-change stop).
     * Not skippable: unlike a change COMMIT, the type change is
     * permanent — every future file is wide.
+    *
+    * Direction matters: a stream RESTARTED after the widening captures
+    * the WIDE schema, and with `maxVersionsPerTrigger` its first capped
+    * batch can end BEFORE the widening commit, whose manifest is still
+    * narrow. Reading narrow old files under the wide stream schema is
+    * the supported reader up-conversion — refusing there would livelock
+    * the restart the refusal message itself prescribes. So only a
+    * manifest type that does NOT safely widen to the stream's type
+    * drifts.
     */
   def requireTypesUnchanged(
       streamSchema: org.apache.spark.sql.types.StructType,
@@ -59,7 +68,7 @@ private[lake] class VersionWindow(spark: SparkSession, root: String) {
     val head = LakeTable.readManifest(spark, root, to)._1.schema
     val drift = streamSchema.fields.flatMap(f =>
       head.fields.find(_.name == f.name)
-        .filter(_.dataType != f.dataType)
+        .filter(h => h.dataType != f.dataType && !LakeTable.widens(h.dataType, f.dataType))
         .map(h => s"${f.name}: ${f.dataType.simpleString} -> ${h.dataType.simpleString}"))
     if (drift.nonEmpty) throw new IllegalStateException(
       s"graft-lake streaming: column types of $root changed since the stream " +

@@ -38,7 +38,7 @@ class DvSpec extends SparkSpec {
 
     val stats = LakeTable.deleteMor(spark, root, col("k") % 10 === 7, "p")
     assert(stats.version === 2)
-    assert(stats.rowsWritten === 0, "a MOR delete writes no data rows")
+    assert(stats.filesWritten === 0, "a MOR delete writes no data rows")
 
     val snap = LakeTable.snapshot(spark, root)
     assert(snap.entries.map(_.rel).toSet === relsBefore,
@@ -163,7 +163,7 @@ class DvSpec extends SparkSpec {
     val stats = LakeTable.updateMor(spark, root, col("k") % 10 === 7,
       Map("v" -> (col("v") + 1L)), "p")
     assert(stats.version === 2)
-    assert(stats.rowsWritten > 0, "updated copies append as a new batch")
+    assert(stats.filesWritten > 0, "updated copies append as a new batch")
     val snap = LakeTable.snapshot(spark, root)
     assert(relsBefore.subsetOf(snap.entries.map(_.rel).toSet),
       "original files stay in place (tombstoned, not rewritten)")

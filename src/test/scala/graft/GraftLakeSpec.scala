@@ -495,7 +495,7 @@ class GraftLakeSpec extends SparkSpec {
     assert(LakeTable.read(spark, root).count() === 300)
     // the replayed (appId, version) must STILL be a no-op post-restore
     val s = LakeTable.append(spark, root, batch, txnAppId = Some("app1"), txnVersion = 7L)
-    assert(s.rowsWritten === 0)
+    assert(s.filesWritten === 0)
     assert(LakeTable.read(spark, root).count() === 300)
     // a genuinely newer txn version lands
     LakeTable.append(spark, root, batch, txnAppId = Some("app1"), txnVersion = 8L)

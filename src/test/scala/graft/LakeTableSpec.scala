@@ -429,7 +429,7 @@ class LakeTableSpec extends SparkSpec {
 
     // a stats-range predicate matching nothing compacts nothing (no commit)
     val noop = LakeTable.optimize(spark, root, where = Some("k > 99999999"))
-    assert(noop.version === after.version && noop.rowsWritten === 0)
+    assert(noop.version === after.version && noop.filesWritten === 0)
 
     // unknown columns refuse crisply
     val e = intercept[IllegalArgumentException](
@@ -442,6 +442,29 @@ class LakeTableSpec extends SparkSpec {
     val after2 = LakeTable.snapshot(spark, root)
     assert(after2.entries.count(_.part == "0") === 1)
     assert(after2.entries.count(_.part == "2") === 4, "p=2 still uncompacted")
+  }
+
+  test("optimize WHERE on a nested field is unprunable: keeps every group in, never throws") {
+    val root = freshRoot()
+    val df = spark.range(20)
+      .selectExpr("CAST(id AS INT) AS k", "CAST(id % 2 AS STRING) AS p",
+        "named_struct('cust', CAST(id AS INT)) AS s")
+    LakeTable.init(spark, root, df.where(col("k") < 10), "p")
+    LakeTable.append(spark, root, df.where(col("k") >= 10))
+    val before = LakeTable.snapshot(spark, root)
+    assert(before.entries.size === 4)
+    // s.cust has no top-level stats arm — the contract says unprunable
+    // predicate shapes conservatively keep groups IN, so every eligible
+    // group compacts (compacting more than asked is content-preserving)
+    val stats = LakeTable.optimize(spark, root, where = Some("s.cust > 5"))
+    assert(stats.filesRewritten === 4, "nested predicate must keep all groups in scope")
+    val after = LakeTable.snapshot(spark, root)
+    assert(after.entries.size === 2)
+    assert(LakeTable.read(spark, root).count() === 20)
+    // a misspelled TOP-LEVEL name still refuses crisply (typo detection)
+    val e = intercept[IllegalArgumentException](
+      LakeTable.optimize(spark, root, where = Some("nope = 1")))
+    assert(e.getMessage.contains("unknown column nope"), e.getMessage)
   }
 
   test("optimize WHERE under MOR: scoped DV materialization leaves other vectors standing") {
@@ -496,7 +519,7 @@ class LakeTableSpec extends SparkSpec {
       .agg(sum("v")).head.getLong(0) === preSum)
     // idempotent: a second optimize is a no-op (no new version)
     val again = LakeTable.optimize(spark, root)
-    assert(again.version === sAfter.version && again.rowsWritten === 0)
+    assert(again.version === sAfter.version && again.filesWritten === 0)
 
     // a lost commit race retries on the winner's snapshot
     var stole = false
@@ -740,21 +763,21 @@ class LakeTableSpec extends SparkSpec {
     LakeTable.init(spark, root, baseDf, "p")
     val batch = spark.range(1000, 1010).select(col("id").as("k"), lit("9").as("p"), lit(1L).as("v"))
     val s1 = LakeTable.append(spark, root, batch, txnAppId = Some("job-a"), txnVersion = 0L)
-    assert(s1.rowsWritten > 0 && LakeTable.read(spark, root).count() === 310)
+    assert(s1.filesWritten > 0 && LakeTable.read(spark, root).count() === 310)
     // exact replay: recognized, nothing written, version unchanged
     val s2 = LakeTable.append(spark, root, batch, txnAppId = Some("job-a"), txnVersion = 0L)
-    assert(s2.version === s1.version && s2.rowsWritten === 0)
+    assert(s2.version === s1.version && s2.filesWritten === 0)
     assert(LakeTable.read(spark, root).count() === 310)
     // an unrelated commit (merge) carries the watermark forward
     LakeTable.merge(spark, root,
       baseDf.where(col("k") === 1L).withColumn("v", col("v") + 1), Seq("k"), "p")
     val s3 = LakeTable.append(spark, root, batch, txnAppId = Some("job-a"), txnVersion = 0L)
-    assert(s3.rowsWritten === 0 && LakeTable.read(spark, root).count() === 310)
+    assert(s3.filesWritten === 0 && LakeTable.read(spark, root).count() === 310)
     // a HIGHER version from the same app commits; another app's version 0 too
     assert(LakeTable.append(spark, root, batch, txnAppId = Some("job-a"), txnVersion = 1L)
-      .rowsWritten > 0)
+      .filesWritten > 0)
     assert(LakeTable.append(spark, root, batch, txnAppId = Some("job-b"), txnVersion = 0L)
-      .rowsWritten > 0)
+      .filesWritten > 0)
     assert(LakeTable.read(spark, root).count() === 330)
   }
 
@@ -877,7 +900,7 @@ class LakeTableSpec extends SparkSpec {
     // an empty source probes NOTHING (no key can equi-match) and commits
     // a carry-everything no-op version
     val empty = LakeTable.merge(spark, root, baseDf.where(lit(false)), Seq("k"), "p")
-    assert(empty.filesProbed === 0 && empty.filesRewritten === 0 && empty.rowsWritten === 0)
+    assert(empty.filesProbed === 0 && empty.filesRewritten === 0 && empty.filesWritten === 0)
     assert(LakeTable.read(spark, root).count() === 300)
   }
 

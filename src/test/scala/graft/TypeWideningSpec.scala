@@ -295,6 +295,78 @@ class TypeWideningSpec extends SparkSpec {
     } finally live.stop()
   }
 
+  test("a restarted capped stream whose pending offsets predate the widening drains (no livelock)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft-widen-capped").toString
+    val root = s"$base/tbl"
+    import spark.implicits._
+    LakeTable.init(spark, root, Seq((1, "a", 10)).toDF("k", "p", "v"), "p") // v1
+    LakeTable.append(spark, root, Seq((2, "a", 11)).toDF("k", "p", "v")) // v2
+    LakeTable.alterTable(spark, root, widenColumns = Map("k" -> LongType)) // v3
+    LakeTable.append(spark, root, Seq((3000000000L, "a", 12)).toDF("k", "p", "v")) // v4
+    // a stream started AFTER the widening captures the WIDE schema; with
+    // maxVersionsPerTrigger=1 its first batch ends at v1, whose manifest
+    // is still narrow. Narrow-under-wide is the supported reader
+    // up-conversion — the batch must commit, not refuse: the refusal's
+    // own remedy ("Restart the stream") would re-hit it forever.
+    val q = spark.readStream.format("graft-lake")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$base/out")
+    assert(got.schema("k").dataType === LongType)
+    assert(got.select($"k".as[Long]).collect().toSet === Set(1L, 2L, 3000000000L))
+  }
+
+  test("the DSv1 CDF stream refuses a mid-stream widening crisply, not with a cast error") {
+    val base = Files.createTempDirectory("graft-widen-cdf").toString
+    val root = s"$base/tbl"
+    import spark.implicits._
+    LakeTable.init(spark, root, Seq((1, "a", 10)).toDF("k", "p", "v"), "p")
+    val live = spark.readStream.format("graft-lake")
+      .option("readChangeFeed", "true").option("keyCols", "k").load(root)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      live.processAllAvailable()
+      LakeTable.alterTable(spark, root, widenColumns = Map("k" -> LongType))
+      // a value out of the captured INT range: without the guard, slice
+      // alignment casts it down and dies with a low-level ANSI cast error
+      LakeTable.append(spark, root, Seq((3000000000L, "a", 20)).toDF("k", "p", "v"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        live.processAllAvailable())
+      val msg = e.getMessage + Option(e.getCause).fold("")(_.getMessage)
+      assert(msg.contains("Restart the stream"), msg)
+    } finally live.stop()
+  }
+
+  test("the catalog __changes stream refuses a mid-stream widening the same way") {
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+    val stage = Files.createTempDirectory("graft-widen-chg").toFile
+    stage.deleteOnExit()
+    val root = s"${stage.getAbsolutePath}/t$tag"
+    val lt = s"graft.`$root`"
+    spark.sql(s"CREATE TABLE $lt (k INT, p STRING) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $lt VALUES (1, 'a')")
+    val live = spark.readStream.option("keyCols", "k").table(s"$lt.__changes")
+      .writeStream.format("parquet")
+      .option("path", s"$stage/out").option("checkpointLocation", s"$stage/ckpt")
+      .start()
+    try {
+      live.processAllAvailable()
+      spark.sql(s"ALTER TABLE $lt ALTER COLUMN k TYPE BIGINT")
+      spark.sql(s"INSERT INTO $lt VALUES (3000000000, 'a')")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        live.processAllAvailable())
+      val msg = e.getMessage + Option(e.getCause).fold("")(_.getMessage)
+      assert(msg.contains("Restart the stream"), msg)
+    } finally live.stop()
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION widens a narrower table column from the source type") {
     val tag = java.util.UUID.randomUUID.toString.replace("-", "")
     val stage = Files.createTempDirectory("graft-widen-merge").toFile
