@@ -3679,8 +3679,13 @@ object LakeTable {
     * materializes the vectors away, like any MOR delete/update.
     *
     * NOT MATCHED BY SOURCE clauses make every target row's fate
-    * join-dependent (no file can carry unprobed) — that shape routes
-    * through the COW [[mergeClauses]]; the SQL face picks the arm.
+    * join-dependent, so the READ side is a full scan (the clause
+    * semantics require it; Delta does the same) — but the WRITE side
+    * stays O(fired): fired by-source rows tombstone like fired matched
+    * rows, their UPDATE postimages ride the same append, and files
+    * where nothing fires carry byte-identical. A nightly full-sync CDC
+    * apply (upsert + delete-the-rest) on a 100 TB table writes only
+    * the day's churn.
     */
   def mergeClausesMor(
       spark: SparkSession,
@@ -3689,6 +3694,7 @@ object LakeTable {
       keyCols: Seq[String],
       matched: Seq[MergeBranch],
       notMatched: Seq[MergeBranch],
+      notMatchedBySource: Seq[MergeBranch] = Nil,
       partitionCol: String,
       metaUpdate: TableMeta => TableMeta = identity): MergeStats = {
     val s0 = snapshot(spark, root)
@@ -3698,14 +3704,19 @@ object LakeTable {
       s"LakeTable.mergeClausesMor: table is partitioned by ${meta.partitionCol}, not $partitionCol")
     notMatched.foreach(b => require(b.values.isDefined,
       "LakeTable.mergeClausesMor: NOT MATCHED clauses must INSERT"))
-    requireMergeIdentityGates(meta, matched, notMatched, "mergeClausesMor")
+    requireMergeIdentityGates(meta, matched ++ notMatchedBySource, notMatched, "mergeClausesMor")
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
 
     // candidate files: the stats/Bloom probe is conservative-COMPLETE
     // (every file that could hold a source key survives it), so a
     // source row unmatched within the probe set is unmatched in the
-    // whole table — the NOT MATCHED classification needs no full scan
-    val mayMatch = keyProbeFilter(spark, root, meta, keyCols, srcKeys)
+    // whole table — the NOT MATCHED classification needs no full scan.
+    // By-source clauses invert the question (which TARGET rows have no
+    // source match?): every live row must reach the join, so the probe
+    // widens to all files — the read is table-sized, the write is not
+    val mayMatch =
+      if (notMatchedBySource.nonEmpty) (_: Entry) => true
+      else keyProbeFilter(spark, root, meta, keyCols, srcKeys)
     val probeEntries = s0.entries.filter(mayMatch)
     val byKey = probeEntries.map(e => Dv.suffixKey(e.rel) -> e).toMap
     val (dvd, clean) = probeEntries.partition(_.dv.isDefined)
@@ -3748,31 +3759,39 @@ object LakeTable {
 
     val isM = col("__thit") && col("__shit")
     val isS = !col("__thit") && col("__shit")
+    val isB = col("__thit") && !col("__shit")
     // only rows a clause actually FIRES for do any work: fired matched
-    // rows tombstone (and, for UPDATE, re-append); fired not-matched
-    // rows insert; everything else — matched-unfired, unmatched target,
-    // unfired source — is untouched
+    // and fired by-source rows tombstone (and, for UPDATE, re-append);
+    // fired not-matched rows insert; everything else — matched-unfired,
+    // unmatched-unfired target, unfired source — is untouched
     val work = base
       .withColumn("__mfire", isM && firedChain(matched))
+      .withColumn("__bfire", isB && firedChain(notMatchedBySource))
       .withColumn("__ins", isS && keepChain(notMatched, lit(false)))
       .withColumn("__mkeep", keepChain(matched, lit(true)))
-      .where(col("__mfire") || col("__ins"))
+      .withColumn("__bkeep", keepChain(notMatchedBySource, lit(true)))
+      .where(col("__mfire") || col("__bfire") || col("__ins"))
       .persist()
     try {
       val posAgg = GraftColumnBridge.column(
         PosBitmapAgg(exprOf(col("__pos"))).toAggregateExpression())
       val sidecars = publishDvSidecars(spark, root,
-        work.where(col("__mfire")).groupBy(col("__file")).agg(posAgg.as("__bm")),
+        work.where(col("__mfire") || col("__bfire"))
+          .groupBy(col("__file")).agg(posAgg.as("__bm")),
         probeEntries.flatMap(e => e.dv.map(d => Dv.suffixKey(e.rel) -> d.rel)).toMap)
       val post = work
-        .where((col("__mfire") && col("__mkeep")) || col("__ins"))
+        .where((col("__mfire") && col("__mkeep")) ||
+          (col("__bfire") && col("__bkeep")) || col("__ins"))
         .select(meta.schema.map { f =>
           val nul = lit(null).cast(f.dataType)
           when(col("__ins"), valueChain(notMatched, f.name, nul, nul))
+            .when(col("__bfire"),
+              valueChain(notMatchedBySource, f.name, col(f.name), col(f.name)))
             .otherwise(valueChain(matched, f.name, col(f.name), col(f.name)))
             .cast(f.dataType).as(f.name)
         }.toSeq: _*)
-      val explicitGen = (matched ++ notMatched).flatMap(_.values).flatMap(_.keys).toSet
+      val explicitGen = (matched ++ notMatched ++ notMatchedBySource)
+        .flatMap(_.values).flatMap(_.keys).toSet
       val written =
         if (post.isEmpty) Nil
         else writeBatch(spark, root, regenerate(post, meta, explicitGen), meta)
@@ -3806,12 +3825,13 @@ object LakeTable {
       keyCols: Seq[String],
       matched: Seq[MergeBranch],
       notMatched: Seq[MergeBranch],
+      notMatchedBySource: Seq[MergeBranch] = Nil,
       partitionCol: String,
       maxRetries: Int = 3,
       metaUpdate: TableMeta => TableMeta = identity): MergeStats =
     withCommitRetry(maxRetries)(retriesLeft =>
       try Some(mergeClausesMor(spark, root, source, keyCols, matched, notMatched,
-        partitionCol, metaUpdate))
+        notMatchedBySource, partitionCol, metaUpdate))
       catch {
         case e: IllegalArgumentException
             if e.getMessage != null && e.getMessage.contains("concurrent commit") &&

@@ -601,7 +601,7 @@ object LakeDmlStrategy extends SparkStrategy {
         LakeTable.mergeClausesMorWithRetry(spark, t.root, withS, keyCols,
           Seq(LakeTable.MergeBranch(None, values)),
           Seq(LakeTable.MergeBranch(None, values)),
-          t.meta.partitionCol)
+          partitionCol = t.meta.partitionCol)
       } else LakeTable.mergeWithRetry(spark, t.root, src, keyCols, t.meta.partitionCol)
     })
   }
@@ -724,13 +724,15 @@ object LakeDmlStrategy extends SparkStrategy {
         // rows (Delta permits dup UNMATCHED inserts; we trade that corner
         // for a crisp refusal instead of corruption)
         cardinalityCheck(src, keyCols)
-        // deleteMode=mor: matched rows tombstone into DV sidecars and
-        // postimages/inserts append — one commit, no file rewrite. A
-        // by-source clause makes every target row's fate join-dependent,
-        // so that shape stays on the COW arm.
-        if (t.meta.deleteMode == "mor" && sBr.isEmpty)
+        // deleteMode=mor: fired matched AND by-source rows tombstone
+        // into DV sidecars; postimages/inserts append — one commit, no
+        // file rewrite. A by-source clause makes the READ a full scan
+        // (every target row's fate is join-dependent) but the write
+        // stays O(fired rows).
+        if (t.meta.deleteMode == "mor")
           LakeTable.mergeClausesMorWithRetry(
-            spark, t.root, src, keyCols, mBr.map(mk), nBr.map(mk), t.meta.partitionCol)
+            spark, t.root, src, keyCols, mBr.map(mk), nBr.map(mk), sBr.map(mk),
+            t.meta.partitionCol)
         else
           LakeTable.mergeClausesWithRetry(
             spark, t.root, src, keyCols, mBr.map(mk), nBr.map(mk), sBr.map(mk),

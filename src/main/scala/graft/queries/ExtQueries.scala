@@ -2055,6 +2055,72 @@ object ExtQueries {
         s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
     },
 
+    // Full-sync CDC apply under deleteMode=mor: the nightly "make the
+    // table equal this snapshot" MERGE whose NOT MATCHED BY SOURCE
+    // clauses previously forced a COW rewrite of every file. The MOR
+    // arm keeps the full-outer fate join (the semantics require it)
+    // but WRITES only DV tombstones + one postimage/insert append —
+    // the engine asserts inline that every original file survives the
+    // single commit BYTE-IDENTICAL on disk (no rewrite, no drop) with
+    // vectors recording the fired rows. The rollup hash-checks the
+    // whole clause algebra — matched-changed update, matched-unchanged
+    // carry, insert, conditional by-source delete vs zero-out —
+    // against DuckDB's relational model of the desired state.
+    "q185_mor_full_sync" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q185_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q185_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey', deleteMode 'mor')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q185_orders")
+      import graft.operators.LakeTable
+      val s0 = LakeTable.snapshot(s, root)
+      def sig(rel: String): (Long, Long) = {
+        val st = f.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"${LakeTable.dataRoot(root)}/$rel"))
+        (st.getLen, st.getModificationTime)
+      }
+      val before = s0.entries.map(e => e.rel -> sig(e.rel)).toMap
+      // the desired state: keys %10==4 gone, %10==0 re-priced, a batch
+      // of brand-new 'P' keys; everything else identical (a real full
+      // sync is mostly unchanged rows — only churn may cost writes)
+      s.sql("CREATE OR REPLACE TEMP VIEW q185_src AS " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 10 = 0 THEN CAST(o_totalprice AS DOUBLE) + 25.0 " +
+        "ELSE CAST(o_totalprice AS DOUBLE) END AS o_totalprice " +
+        "FROM q185_orders WHERE o_orderkey % 10 <> 4 " +
+        "UNION ALL SELECT o_orderkey + 2000000000, o_custkey, 'P', " +
+        "CAST(o_totalprice AS DOUBLE) FROM q185_orders WHERE o_orderkey % 10 = 7")
+      s.sql(s"MERGE INTO $lt t USING q185_src s ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED AND t.o_totalprice <> s.o_totalprice THEN UPDATE SET " +
+        "o_custkey = s.o_custkey, o_orderstatus = s.o_orderstatus, " +
+        "o_totalprice = s.o_totalprice " +
+        "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus, " +
+        "o_totalprice) VALUES (s.o_orderkey, s.o_custkey, s.o_orderstatus, " +
+        "s.o_totalprice) " +
+        "WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 3 = 0 THEN DELETE " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_totalprice = CAST(0.0 AS DOUBLE)")
+      val snap = LakeTable.snapshot(s, root)
+      require(snap.version == s0.version + 1, "q185: one atomic commit")
+      val afterRels = snap.entries.map(_.rel).toSet
+      require(before.keySet.forall(afterRels.contains),
+        "q185: a by-source MOR merge must rewrite or drop ZERO original files")
+      require(before.keys.forall(r => sig(r) == before(r)),
+        "q185: original files must stay byte-identical under MOR")
+      require(snap.entries.exists(e => before.contains(e.rel) && e.dv.isDefined),
+        "q185: fired rows must land as deletion vectors")
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    },
+
     // CHECK constraints end-to-end: ADD CONSTRAINT through SQL (catalog
     // capability + validation scan), a VIOLATING insert refused with
     // nothing committed, valid inserts (including NULL prices — SQL
@@ -3709,6 +3775,25 @@ object ExtQueries {
         |SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(sum(CAST(round(pr * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the desired state re-derived relationally: src keys carry the
+    // source value (matched update or insert), by-source survivors
+    // (%10=4, %3<>0) carry price 0, by-source %3=0 keys are gone.
+    "q185_mor_full_sync" ->
+      """WITH t0 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |                   CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM orders),
+        |final AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 25.0
+        |              ELSE o_totalprice END AS pr
+        |  FROM t0 WHERE o_orderkey % 10 <> 4
+        |  UNION ALL
+        |  SELECT 'P', o_totalprice FROM t0 WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderstatus, CAST(0.0 AS DOUBLE)
+        |  FROM t0 WHERE o_orderkey % 10 = 4 AND o_orderkey % 3 <> 0)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(pr * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     // both deletes re-derived relationally; meta_live is the same scalar
     // on every row (the metadata-only count taken BEFORE materialization
     // must already equal the relational live count).

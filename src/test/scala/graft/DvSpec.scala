@@ -54,6 +54,63 @@ class DvSpec extends SparkSpec {
     assert(LakeTable.countByPartition(spark, root).get.values.sum === 270L)
   }
 
+  test("MOR clause merge with by-source: tombstones + one append, untouched files byte-identical") {
+    import spark.implicits._
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"), deleteMode = "mor")
+    val before = LakeTable.snapshot(spark, root).entries
+    def bytesOf(rel: String): (Long, Long) = {
+      val p = new org.apache.hadoop.fs.Path(s"${LakeTable.dataRoot(root)}/$rel")
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+      (st.getLen, st.getModificationTime)
+    }
+    val sig = before.map(e => e.rel -> bytesOf(e.rel)).toMap
+
+    // full-sync CDC apply: source = desired state (keys %10==4 dropped,
+    // %10==0 re-priced, a handful of brand-new keys); matched rows only
+    // fire when CHANGED, unmatched source inserts, by-source rows
+    // conditionally delete or zero out
+    val src = spark.range(300).where(col("id") % 10 =!= 4)
+      .select(col("id").as("k"), (col("id") % 3).cast("string").as("p"),
+        when(col("id") % 10 === 0, col("id") * 10 + 1).otherwise(col("id") * 10).as("v"))
+      .unionByName(spark.range(1000, 1005).select(
+        col("id").as("k"), lit("9").as("p"), (col("id") * 10).as("v")))
+    val withS = src.columns.foldLeft(src)((d, c) => d.withColumn("__s_" + c, col(c)))
+    val stats = LakeTable.mergeClausesMor(spark, root, withS, Seq("k"),
+      matched = Seq(LakeTable.MergeBranch(Some(col("v") =!= col("__s_v")),
+        Some(Map("v" -> col("__s_v"))))),
+      notMatched = Seq(LakeTable.MergeBranch(None, Some(
+        Map("k" -> col("__s_k"), "p" -> col("__s_p"), "v" -> col("__s_v"))))),
+      notMatchedBySource = Seq(
+        LakeTable.MergeBranch(Some(col("k") % 3 === 0), None),
+        LakeTable.MergeBranch(None, Some(Map("v" -> lit(-1L))))),
+      partitionCol = "p")
+    assert(stats.version === 2, "one atomic commit")
+
+    val snap = LakeTable.snapshot(spark, root)
+    val afterRels = snap.entries.map(_.rel).toSet
+    // zero COW rewrites: every original file survives in the manifest
+    // (tombstoned via DV where rows fired) and is BYTE-IDENTICAL on disk
+    assert(before.map(_.rel).forall(afterRels.contains),
+      "a by-source MOR merge must never drop or rewrite an original file")
+    before.foreach(e => assert(bytesOf(e.rel) === sig(e.rel),
+      s"${e.rel} must stay byte-identical under MOR"))
+    assert(snap.entries.exists(e => sig.contains(e.rel) && e.dv.isDefined),
+      "fired rows must land as deletion vectors")
+    assert(stats.filesWritten > 0, "postimages + inserts append as new files")
+
+    // content: matched-changed re-priced, unchanged untouched, inserts in,
+    // by-source %3==0 deleted, other by-source rows zeroed to -1
+    val got = LakeTable.read(spark, root).select($"k".as[Long], $"v".as[Long])
+      .collect().toMap
+    assert(got(0L) === 1L && got(10L) === 101L, "matched-changed takes the source value")
+    assert(got(1L) === 10L, "matched-unchanged stays")
+    assert(got(1000L) === 10000L, "unmatched source inserts")
+    assert(!got.contains(24L) && !got.contains(54L), "by-source %3==0 deletes")
+    assert(got(14L) === -1L && got(44L) === -1L, "by-source fallback zeroes")
+    assert(got.size === 300 - 10 + 5, "10 by-source keys deleted, 5 inserted")
+  }
+
   test("overlapping second delete unions vectors; re-delete of dead rows commits nothing") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p")

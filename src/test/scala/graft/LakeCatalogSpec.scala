@@ -1310,11 +1310,15 @@ class LakeCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT sum(v) s FROM graft.db.mm WHERE k >= 5 AND k < 10")
       .head.getLong(0) === (5 until 10).map(_ * 10 + 1).sum)
 
-    // by-source clauses route through the COW arm (every row's fate is
-    // join-dependent) and still land the right result
+    // by-source clauses ride the MOR arm too: the READ is a full scan
+    // (every target row's fate is join-dependent) but fired rows
+    // tombstone into deletion vectors — zero files rewritten or dropped
+    val relsPre = LakeTable.snapshot(spark, root).entries.map(_.rel).toSet
     spark.sql("MERGE INTO graft.db.mm t USING mmsrc2 s ON t.k = s.k " +
       "WHEN NOT MATCHED BY SOURCE AND t.k >= 30 THEN DELETE")
     assert(spark.sql("SELECT count(*) c FROM graft.db.mm").head.getLong(0) === 25)
+    assert(LakeTable.snapshot(spark, root).entries.map(_.rel).toSet === relsPre,
+      "a by-source MOR DELETE must be tombstones only — no rewrite, no append")
 
     // OPTIMIZE materializes the merge's vectors away, content unchanged
     val cents0 = spark.sql("SELECT sum(v) s FROM graft.db.mm").head.getLong(0)
