@@ -1011,6 +1011,88 @@ object ExtQueries {
         s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
     },
 
+    // Metadata operations across partition-spec evolution: two tables
+    // identity-partitioned on status evolve to bucket(8, key) as a
+    // metadata-only commit. BEFORE any new write the live files all
+    // still carry the identity spec, so (1) GROUP BY status answers
+    // from the manifest PER SPEC (pinned LocalTableScan, zero files
+    // read — no OPTIMIZE needed first) and (2) the two tables
+    // storage-partition-join on status with ZERO exchanges (the keyed
+    // space is the single LIVE spec, not the current one). OPTIMIZE
+    // then migrates every file to bucket(8) and (3) the same tables
+    // SPJ on the bucket key — the post-migration payoff. The final
+    // per-status rollup of the key-joined pair hash-checks content
+    // preservation through evolution + migration against DuckDB.
+    "q186_evolved_metadata_spj" -> { (s, dir) =>
+      import graft.operators.LakeTable
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q186_$tag"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q186_orders")
+      val (la, lb) = (s"graft.`$stage/a`", s"graft.`$stage/b`")
+      for (lt <- Seq(la, lb))
+        s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus) " +
+          "TBLPROPERTIES (statsCols 'o_orderkey')")
+      s.sql(s"INSERT INTO $la SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q186_orders")
+      s.sql(s"INSERT INTO $lb SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) * 2 FROM q186_orders")
+      LakeTable.setPartitioning(s, s"$stage/a", "o_orderkey", "bucket:8")
+      LakeTable.setPartitioning(s, s"$stage/b", "o_orderkey", "bucket:8")
+      // (1) evolved-but-uncompacted metadata GROUP BY: per-spec fold
+      val prof = s.sql(s"SELECT o_orderstatus, count(*) AS c, " +
+        s"max(o_orderkey) AS mx FROM $la GROUP BY o_orderstatus")
+      prof.collect()
+      val profPlan = prof.queryExecution.executedPlan.toString
+      require(profPlan.contains("LocalTableScan") && !profPlan.contains("BatchScan"),
+        s"q186: evolved-but-uncompacted GROUP BY partition must stay metadata-only:\n$profPlan")
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val old = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val body = "SELECT a.o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(round((b.o_totalprice - a.o_totalprice) * 100) AS BIGINT)) " +
+        "AS BIGINT) AS cents " +
+        s"FROM $la a JOIN $lb b " +
+        "ON a.o_orderstatus = b.o_orderstatus AND a.o_orderkey = b.o_orderkey " +
+        "GROUP BY a.o_orderstatus"
+      try {
+        // (2) pre-migration SPJ on the single LIVE (identity) spec
+        val pin = s.sql(body)
+        pin.collect()
+        val plan = pin.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"q186: the live-spec SPJ must plan zero shuffles, got\n$plan")
+        require(plan.contains("SortMergeJoin"), s"q186: expected SMJ, got\n$plan")
+        // (3) OPTIMIZE migrates to bucket(8); SPJ moves to the new key
+        s.sql(s"CALL graft.system.optimize(table => '$stage/a', min_files => 1)")
+        s.sql(s"CALL graft.system.optimize(table => '$stage/b', min_files => 1)")
+        for (r <- Seq(s"$stage/a", s"$stage/b")) {
+          val sn = LakeTable.snapshot(s, r)
+          require(sn.entries.forall(_.spec == sn.meta.get.currentSpec),
+            s"q186: OPTIMIZE(min_files=1) must migrate every file at $r")
+        }
+        val pin2 = s.sql("SELECT count(*) AS c, " +
+          "CAST(sum(CAST(round(b.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s " +
+          s"FROM $la a JOIN $lb b ON a.o_orderkey = b.o_orderkey")
+        pin2.collect()
+        val plan2 = pin2.queryExecution.executedPlan.toString
+        require(plan2.contains("SortMergeJoin"), s"q186: expected bucket SMJ, got\n$plan2")
+        require(!plan2.replace("Exchange SinglePartition", "").contains("Exchange"),
+          s"q186: post-migration bucket SPJ — only the global-agg gather may shuffle:\n$plan2")
+        s.sql(s"$body ORDER BY a.o_orderstatus")
+      } finally old.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    },
+
     // TYPE WIDENING (ALTER COLUMN TYPE, the Iceberg promotion model):
     // the table starts narrow (INT keys, FLOAT price), a first
     // generation lands, and three metadata-only ALTERs widen to
@@ -3775,6 +3857,13 @@ object ExtQueries {
         |SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(sum(CAST(round(pr * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+    // evolution + migration preserve content exactly, so the key-joined
+    // pair's per-status delta (2x - x) is just the original price.
+    "q186_evolved_metadata_spj" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+        |            AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the desired state re-derived relationally: src keys carry the
     // source value (matched update or insert), by-source survivors
     // (%10=4, %3<>0) carry price 0, by-source %3=0 keys are gone.

@@ -164,11 +164,16 @@ class LakeScanBuilder(
         // no floating key: -0.0 and 0.0 are DISTINCT partition dirs but
         // ONE SQL group (Spark normalizes -0.0 in grouping), so the
         // directory-per-value model would emit two rows for one group.
-        // Spec-evolved snapshots refuse until every file is current-spec
-        // (an old-spec file's part value groups a DIFFERENT column).
-        case Some(f) if f.name.equalsIgnoreCase(meta.partitionCol) &&
-            meta.partitionFn == graft.operators.PartitionFn.Identity &&
-            entries.forall(_.spec == meta.currentSpec) &&
+        // Under spec evolution the fold goes PER SPEC: an entry answers
+        // a GROUP BY c iff its OWN spec is identity on c (its part
+        // value IS the c value); equal part strings then union across
+        // spec ids. A snapshot holding any entry whose spec partitions
+        // a different column (or a transform of this one) refuses —
+        // that file's rows span unknown groups.
+        case Some(f) if entries.nonEmpty &&
+            entries.forall(en => meta.specs.lift(en.spec).exists { case (c, fn) =>
+              c.equalsIgnoreCase(f.name) &&
+                fn == graft.operators.PartitionFn.Identity }) &&
             exact(f.dataType) &&
             f.dataType != FloatType && f.dataType != DoubleType => Some(f)
         case _ => return None
@@ -239,20 +244,30 @@ class LakeScanBuilder(
       // (the DV side plans separately), and the user opted into Spark's
       // v2 bucketing (the same gate Iceberg uses — keyed planning
       // trades split granularity for co-partitioning, which is only a
-      // win when a join exploits it)
-      val spjFn = graft.operators.PartitionFn.parse(meta.partitionFn)._1 match {
-        case "identity" | "bucket" | "truncate" => true
-        case _ => false
-      }
-      // spec-evolved snapshots refuse SPJ until compaction migrates
-      // every file to the current spec (mixed-spec part values are not
-      // one keyed space)
-      val spj = spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean &&
-        spjFn && dvEntries.isEmpty && cleanEntries.nonEmpty &&
-        cleanEntries.forall(_.spec == meta.currentSpec)
+      // win when a join exploits it).
+      //
+      // Spec evolution: the LIVE entries must share ONE spec — its
+      // (col, fn) is the keyed space, whether or not it is the CURRENT
+      // spec (a just-evolved table whose files all predate the change
+      // still joins shuffle-free on the old key). Mixed-spec snapshots
+      // refuse until OPTIMIZE migrates (two part-value spaces are not
+      // one keyed space).
+      val liveSpec: Option[(String, String)] =
+        cleanEntries.map(_.spec).distinct.toList match {
+          case s :: Nil => meta.specs.lift(s)
+          case _ => None
+        }
+      val spjSpec = liveSpec.filter { case (_, fn) =>
+        graft.operators.PartitionFn.parse(fn)._1 match {
+          case "identity" | "bucket" | "truncate" => true
+          case _ => false
+        }
+      }.filter(_ =>
+        spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean &&
+          dvEntries.isEmpty)
       new LakeScan(spark, root, meta, delegate.build().asInstanceOf[ParquetScan], options,
         dvDelegate.map(b => (b.build().asInstanceOf[ParquetScan], dvEntries)),
-        cleanEntries, pushedData, prunedSchema, spj)
+        cleanEntries, pushedData, prunedSchema, spjSpec)
   }
 }
 
@@ -292,7 +307,10 @@ class LakeScan(
     cleanEntries: Seq[LakeTable.Entry] = Nil,
     pushedData: Seq[Expression] = Nil,
     prunedSchema: Option[StructType] = None,
-    spj: Boolean = false)
+    // the single spec (partitionCol, partitionFn) every live entry was
+    // written under, when SPJ-eligible — not necessarily the CURRENT
+    // spec on an evolved-but-unwritten table
+    spjSpec: Option[(String, String)] = None)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -400,20 +418,23 @@ class LakeScan(
     */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (spj) {
-      import org.apache.spark.sql.connector.expressions.Expressions
-      val key = graft.operators.PartitionFn.parse(meta.partitionFn) match {
-        case ("bucket", n) => Expressions.bucket(n, meta.partitionCol)
-        // single-argument form (truncate_<w>): Spark's key-grouped
-        // partitioning rejects multi-arg transforms, so the width rides
-        // the function name (resolved by GraftFunctions.resolve)
-        case ("truncate", n) =>
-          Expressions.apply(s"truncate_$n", Expressions.column(meta.partitionCol))
-        case _ => Expressions.identity(meta.partitionCol)
-      }
-      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        Array(key), cleanEntries.map(_.part).distinct.size)
-    } else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    spjSpec match {
+      case Some((pCol, pFn)) =>
+        import org.apache.spark.sql.connector.expressions.Expressions
+        val key = graft.operators.PartitionFn.parse(pFn) match {
+          case ("bucket", n) => Expressions.bucket(n, pCol)
+          // single-argument form (truncate_<w>): Spark's key-grouped
+          // partitioning rejects multi-arg transforms, so the width rides
+          // the function name (resolved by GraftFunctions.resolve)
+          case ("truncate", n) =>
+            Expressions.apply(s"truncate_$n", Expressions.column(pCol))
+          case _ => Expressions.identity(pCol)
+        }
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(key), cleanEntries.map(_.part).distinct.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   /** The delegate's planned splits regrouped so each task covers one
     * partition value, keyed by that value cast back to the column type
@@ -428,10 +449,13 @@ class LakeScan(
         cleanEntries.map(e => Dv.suffixKey(e.rel) -> e.part).toMap
       // key type: the COLUMN's type under identity, the transform's
       // result type (Int bucket id) under bucket — must match what the
-      // resolved TransformExpression/attribute declares
-      val bucketed = graft.operators.PartitionFn.parse(meta.partitionFn)._1 == "bucket"
+      // resolved TransformExpression/attribute declares. Col/fn come
+      // from the single LIVE spec, not necessarily the current one.
+      val (spjCol, spjFn) = spjSpec.getOrElse(
+        throw new IllegalStateException("graft-lake SPJ: keyedBatch without a live spec"))
+      val bucketed = graft.operators.PartitionFn.parse(spjFn)._1 == "bucket"
       val dt = meta.schema.fields
-        .find(_.name.equalsIgnoreCase(meta.partitionCol)).get.dataType
+        .find(_.name.equalsIgnoreCase(spjCol)).get.dataType
       val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
       def keyRow(part: String): InternalRow = InternalRow(
         if (part == LakeTable.NullPartition) null
@@ -499,7 +523,8 @@ class LakeScan(
 
   override def toBatch: Batch = dvSide match {
     case None =>
-      if (spj) keyedBatch(runtimeDelegate.toBatch) else runtimeDelegate.toBatch
+      if (spjSpec.isDefined) keyedBatch(runtimeDelegate.toBatch)
+      else runtimeDelegate.toBatch
     case Some((dvScan, dvEntries)) =>
       new DvBatch(runtimeDelegate.toBatch, dvScan, dvEntries, root,
         new SerializableConfiguration(spark.sessionState.newHadoopConf()))

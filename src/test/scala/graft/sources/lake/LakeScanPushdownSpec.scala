@@ -121,6 +121,76 @@ class LakeScanPushdownSpec extends SparkSpec {
     assertScans(spark.sql(s"SELECT ts, count(*) AS c FROM graft.`$root2` GROUP BY ts"))
   }
 
+  test("spec evolution: metadata GROUP BY folds per spec; mixed-spec snapshots scan") {
+    val root = freshRoot("graft-aggpush-spec")
+    val lt = s"graft.`$root`"
+    spark.sql(s"CREATE TABLE $lt (k BIGINT, p STRING, ts TIMESTAMP) PARTITIONED BY (p) " +
+      "TBLPROPERTIES (statsCols 'k')")
+    spark.sql(s"INSERT INTO $lt SELECT id, cast(id % 3 as string), " +
+      "timestamp'2024-03-01 00:00:00' + make_interval(0, CAST(id % 2 AS INT)) FROM range(90)")
+    // evolve the spec (metadata-only) — every LIVE file still carries
+    // identity(p), so GROUP BY p answers from the manifest immediately,
+    // no OPTIMIZE migration needed
+    LakeTable.setPartitioning(spark, root, "ts", "months")
+    val q = spark.sql(s"SELECT p, count(*) AS c, min(k) AS mn, max(k) AS mx " +
+      s"FROM $lt GROUP BY p")
+    assertMetadataOnly(q)
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq ===
+      Seq(("0", 30L, 0L, 87L), ("1", 30L, 1L, 88L), ("2", 30L, 2L, 89L)))
+
+    // a second generation lands under months(ts): the snapshot is now
+    // mixed-spec for p — GROUP BY p must fall back to a real scan (the
+    // month files' rows span unknown p groups) and stay correct
+    spark.sql(s"INSERT INTO $lt VALUES (1000, '1', timestamp'2024-05-05 00:00:00')")
+    val q2 = spark.sql(s"SELECT p, count(*) AS c FROM $lt GROUP BY p")
+    assertScans(q2)
+    assert(q2.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq ===
+      Seq(("0", 30L), ("1", 31L), ("2", 30L)))
+    // GROUP BY the NEW spec's source column never answers from metadata
+    // (months is a transform, not identity)
+    assertScans(spark.sql(s"SELECT ts, count(*) AS c FROM $lt GROUP BY ts"))
+  }
+
+  test("SPJ keys on the single LIVE spec of an evolved-but-unwritten table") {
+    val rootA = freshRoot("graft-spjev-a")
+    val rootB = freshRoot("graft-spjev-b")
+    spark.sql(s"CREATE TABLE graft.`$rootA` (k BIGINT, p BIGINT, v BIGINT) PARTITIONED BY (p)")
+    spark.sql(s"CREATE TABLE graft.`$rootB` (k BIGINT, p BIGINT, v BIGINT) PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO graft.`$rootA` SELECT id, id % 7, id * 10 FROM range(3000)")
+    spark.sql(s"INSERT INTO graft.`$rootB` SELECT id, id % 7, id * 100 FROM range(2000)")
+    // evolve ONE side's spec with no new writes: its live entries still
+    // share the identity(p) spec, which is the keyed space that matters
+    LakeTable.setPartitioning(spark, rootA, "k", "bucket:4")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val q = spark.sql(
+        s"SELECT a.p, count(*) AS c, sum(a.v + b.v) AS s FROM graft.`$rootA` a " +
+          s"JOIN graft.`$rootB` b ON a.p = b.p AND a.k = b.k GROUP BY a.p")
+      val rows = q.collect()
+      val expected = (0L until 2000L).groupBy(_ % 7).toSeq.sortBy(_._1)
+        .map { case (p, ks) => (p, ks.size.toLong, ks.map(k => k * 110).sum) }
+      assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq === expected)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"live-spec SPJ must remove every shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+
+      // once a bucket-spec file lands, A is mixed-spec → SPJ refuses
+      // (shuffles come back) but the join stays correct
+      spark.sql(s"INSERT INTO graft.`$rootA` VALUES (5000, 3, 1)")
+      val q2 = spark.sql(
+        s"SELECT count(*) AS c FROM graft.`$rootA` a " +
+          s"JOIN graft.`$rootB` b ON a.p = b.p AND a.k = b.k")
+      assert(q2.collect().head.getLong(0) === 2000L)
+      assert(q2.queryExecution.executedPlan.toString.contains("Exchange"),
+        "mixed-spec snapshots must not report keyed partitioning")
+    }
+  }
+
   test("metadata aggregates refuse: filters, GROUP BY, other functions, uncovered columns") {
     val root = freshRoot("graft-aggpush-ref")
     val lt = s"graft.`$root`"
