@@ -4387,6 +4387,62 @@ object LakeTable {
     m0.version + 1
   }
 
+  /** MERGE a branch back into main — the write → merge loop's closing
+    * verb. Three arms, most specific first:
+    *
+    *   - main unchanged since the fork → [[fastForward]] (adopt the
+    *     branch head verbatim; one metadata commit).
+    *   - main advanced but DISJOINTLY: table metadata untouched on both
+    *     sides and every file the branch removed or modified still
+    *     byte-identical at main's head → re-commit the branch's entry
+    *     delta on top of main via the lost-commit rebase machinery
+    *     ([[rebaseCommit]]) — one metadata commit, zero data I/O.
+    *     FILE-level semantics, like Git: both sides may append freely
+    *     (multiset union, exactly what sequential appends produce);
+    *     overlapping REWRITE sets refuse.
+    *   - anything else refuses crisply — replay the branch's logical
+    *     ops on main, or drop and re-fork.
+    *
+    * On success the branch line is re-seeded with the MERGED state and
+    * its fork base moves to the new main head (a later fastForward can
+    * never silently drop main's changes), so the loop iterates.
+    * Returns the new main version.
+    */
+  def mergeBranch(spark: SparkSession, root: String, name: String): Long = {
+    val r = dataRoot(root)
+    val ref = branchRef(r, name)
+    val bs = snapshot(spark, ref)
+    require(bs.version > 0, s"LakeTable.mergeBranch: no branch '$name' at $r")
+    val base = branchBase(spark, r, name)
+    if (snapshot(spark, r).version == base) return fastForward(spark, r, name)
+
+    val (baseMeta, baseEntries) = readManifest(spark, r, base)
+    require(bs.meta.get == baseMeta,
+      s"LakeTable.mergeBranch: branch '$name' changed table metadata since the " +
+        "fork and main has advanced — metadata changes merge only by " +
+        "fast-forward (merge main's data changes into the branch first)")
+    val baseByRel = baseEntries.map(e => e.rel -> e).toMap
+    val headByRel = bs.entries.map(e => e.rel -> e).toMap
+    // the branch's delta vs its fork base: entries it dropped or
+    // replaced (DV edits included), and entries it added
+    val removed = baseEntries.filterNot(e => headByRel.get(e.rel).contains(e))
+    val written = bs.entries.filterNot(e => baseByRel.get(e.rel).contains(e))
+    val merged = rebaseCommit(spark, r, Snapshot(base, Some(baseMeta), baseEntries),
+      baseMeta, removed, written, _ => false).getOrElse(throw new IllegalStateException(
+      s"LakeTable.mergeBranch: branch '$name' and main hold OVERLAPPING rewrite " +
+        s"sets (or main changed table metadata) since fork base v$base — a " +
+        "file-level merge is not sound; replay the branch's operations on main, " +
+        "or drop and re-fork the branch"))
+    // re-seed the branch with the merged state so the loop iterates and
+    // a later fastForward cannot lose main's side of the merge
+    val (mMeta, mEntries) = readManifest(spark, r, merged)
+    require(commit(spark, ref, bs.version + 1, mMeta, mEntries),
+      s"LakeTable.mergeBranch: main merged at v$merged but a concurrent branch " +
+        s"commit raced the branch re-seed — re-run mergeBranch for '$name'")
+    writeBranchBase(spark, r, name, merged, replace = true)
+    merged
+  }
+
   private def branchBase(spark: SparkSession, root: String, name: String): Long = {
     val bp = new Path(manifestDir(branchRef(root, name)), "base")
     val f = fs(spark, bp)

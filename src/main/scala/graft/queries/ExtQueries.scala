@@ -1877,6 +1877,53 @@ object ExtQueries {
         s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
     },
 
+    // Branch MERGE-BACK (CALL merge_branch): main and a branch advance
+    // CONCURRENTLY — main appends a new-keys batch while the branch
+    // deletes from the shared originals and appends its own batch —
+    // then one call folds the branch into main. Because the two sides
+    // touched disjoint file sets, the merge lands as a METADATA-ONLY
+    // rebase of the branch's entry delta onto main's head (the engine
+    // asserts the rebase counter moved and no recompute ran); the
+    // branch is re-seeded with the merged state so the loop iterates.
+    // The final rollup hash-checks the three-way union — main's
+    // appends, the branch's delete, the branch's appends — against
+    // DuckDB; a lost side or a double-applied delta shifts cnt/cents.
+    "q187_branch_merge" -> { (s, dir) =>
+      import graft.operators.LakeTable
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q187_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q187_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM q187_orders")
+      s.sql(s"CALL graft.system.branch('$root', 'exp')")
+      val bt = s"graft.`$root`.`__branch_exp`"
+      // main advances (append-only) while the branch deletes from the
+      // shared originals AND appends — disjoint file sets
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey + 3000000000, 'P', " +
+        "CAST(o_totalprice AS DOUBLE) FROM q187_orders")
+      s.sql(s"DELETE FROM $bt WHERE o_orderkey % 9 = 0")
+      s.sql(s"INSERT INTO $bt SELECT o_orderkey + 1000000000, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) * 2 FROM q187_orders WHERE o_orderkey % 5 = 0")
+      val rebases0 = LakeTable.mergeRebases.get()
+      s.sql(s"CALL graft.system.merge_branch('$root', 'exp')")
+      require(LakeTable.mergeRebases.get() == rebases0 + 1,
+        "q187: a disjoint branch merge must land as a metadata-only rebase")
+      // the loop iterates: the re-seeded branch merges again by fast-forward
+      s.sql(s"DELETE FROM $bt WHERE o_orderkey % 9 = 1 AND o_orderkey < 1000000000")
+      s.sql(s"CALL graft.system.merge_branch('$root', 'exp')")
+      s.sql(s"SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        s"FROM $lt GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    },
+
     // CORRELATED subqueries in SQL DML: each boolean leaf containing a
     // correlated subquery (EXISTS / NOT EXISTS / a comparison on a
     // correlated scalar) is evaluated ONCE against the pre-statement
@@ -3857,6 +3904,20 @@ object ExtQueries {
         |SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(sum(CAST(round(pr * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+    // three-way union: main's 'P' append + the branch's two deletes
+    // (%9 in {0,1} of the originals) + the branch's x2-price append.
+    "q187_branch_merge" ->
+      """WITH t0 AS (SELECT o_orderkey, o_orderstatus,
+        |                   CAST(o_totalprice AS DOUBLE) AS pr FROM orders),
+        |final AS (
+        |  SELECT o_orderstatus, pr FROM t0 WHERE o_orderkey % 9 NOT IN (0, 1)
+        |  UNION ALL
+        |  SELECT o_orderstatus, pr * 2 FROM t0 WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT 'P', pr FROM t0)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(CAST(round(pr * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     // evolution + migration preserve content exactly, so the key-joined
     // pair's per-status delta (2x - x) is just the original price.
     "q186_evolved_metadata_spj" ->

@@ -165,6 +165,20 @@ private[lake] object GraftLakeProcedures {
         }
       },
 
+      "merge_branch" -> new LakeProc(
+        "merge_branch",
+        "merge a branch back into main: fast-forward when main is unchanged " +
+          "since the fork, disjoint-files metadata rebase when it advanced; " +
+          "refuses on overlapping rewrite sets",
+        Seq(p("table", StringType), p("name", StringType))) {
+        override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          val v = LakeTable.mergeBranch(spark(),
+            rootOf(args.getUTF8String(0).toString), args.getUTF8String(1).toString)
+          (StructType(Seq(StructField("head_version", LongType))),
+            Seq(InternalRow(v)))
+        }
+      },
+
       "branches" -> new LakeProc(
         "branches",
         "list branches as (name, head_version, fork_base)",

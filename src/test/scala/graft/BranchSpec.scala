@@ -75,6 +75,89 @@ class BranchSpec extends SparkSpec {
     assert(LakeTable.branches(spark, root).isEmpty)
   }
 
+  test("mergeBranch: fast-forward arm, disjoint-files rebase, overlap refusal, loop") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"))
+    LakeTable.branch(spark, root, "dev")
+    val ref = LakeTable.branchRef(root, "dev")
+
+    // arm 1 — main unchanged since fork: merge IS a fast-forward
+    LakeTable.append(spark, ref, baseDf.withColumn("k", col("k") + 1000))
+    assert(LakeTable.mergeBranch(spark, root, "dev") === 2)
+    assert(LakeTable.read(spark, root).count() === 120)
+    assert(LakeTable.branches(spark, root) === Seq(("dev", 2L, 2L)))
+
+    // arm 2 — main advanced DISJOINTLY (appended only) while the branch
+    // deleted from shared files and appended: the rebase re-commits the
+    // branch's entry delta on main's head, no data I/O, no refusal
+    LakeTable.append(spark, root, baseDf.withColumn("k", col("k") + 3000)) // main v3
+    LakeTable.delete(spark, ref, col("k") % 2 === 1, "p")
+    LakeTable.append(spark, ref, baseDf.withColumn("k", col("k") + 2000))
+    val merged = LakeTable.mergeBranch(spark, root, "dev")
+    val main = LakeTable.read(spark, root)
+    // file-level semantics: the branch's delete saw only ITS snapshot —
+    // main's 3000-batch keeps its odd keys (exactly what sequential
+    // file-level ops would produce)
+    assert(main.count() === 60 + 60 + 60)
+    assert(main.where(col("k") < 2000 && col("k") % 2 === 1).count() === 0)
+    assert(main.where(col("k") >= 3000 && col("k") % 2 === 1).count() === 30)
+    // the branch is re-seeded with the merged state and its base moves:
+    // a later fastForward can never drop main's side
+    val br = LakeTable.read(spark, ref)
+    assert(br.exceptAll(main).isEmpty && main.exceptAll(br).isEmpty)
+    assert(LakeTable.branches(spark, root).head._3 === merged)
+
+    // the loop iterates: next branch write merges clean again
+    LakeTable.append(spark, ref, baseDf.withColumn("k", col("k") + 5000))
+    LakeTable.mergeBranch(spark, root, "dev")
+    assert(LakeTable.read(spark, root).count() === 240)
+
+    // overlap refusal: both sides rewrite the same shared file (k=0 and
+    // k=6 share the partition-0 file)
+    LakeTable.delete(spark, root, col("k") === 0, "p")
+    LakeTable.update(spark, ref, col("k") === 6, Map("v" -> lit(999L)), "p")
+    val e = intercept[IllegalStateException](LakeTable.mergeBranch(spark, root, "dev"))
+    assert(e.getMessage.contains("OVERLAPPING"), e.getMessage)
+    // nothing half-committed on main by the refusal
+    assert(LakeTable.read(spark, root).count() === 239)
+  }
+
+  test("mergeBranch races: two branches fork together, one wins, the loser rebases or refuses") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"))
+    LakeTable.branch(spark, root, "b1")
+    LakeTable.branch(spark, root, "b2")
+    val (r1, r2) = (LakeTable.branchRef(root, "b1"), LakeTable.branchRef(root, "b2"))
+
+    // DISJOINT work: b1 appends, b2 appends — b1 merges first (fast
+    // forward), b2's merge finds main advanced and lands via the
+    // metadata rebase (zero recomputes, zero refusals)
+    LakeTable.append(spark, r1, baseDf.withColumn("k", col("k") + 1000))
+    LakeTable.append(spark, r2, baseDf.withColumn("k", col("k") + 2000))
+    LakeTable.mergeBranch(spark, root, "b1")
+    val rebases0 = LakeTable.mergeRebases.get()
+    LakeTable.mergeBranch(spark, root, "b2")
+    assert(LakeTable.mergeRebases.get() === rebases0 + 1,
+      "the losing branch must land via the metadata rebase, not a recompute")
+    assert(LakeTable.read(spark, root).count() === 180)
+
+    // OVERLAPPING work: both branches rewrite the original shared files
+    // — the second merge refuses, first-committer-wins
+    LakeTable.branch(spark, root, "c1")
+    LakeTable.branch(spark, root, "c2")
+    LakeTable.update(spark, LakeTable.branchRef(root, "c1"),
+      col("k") === 0, Map("v" -> lit(111L)), "p")
+    LakeTable.update(spark, LakeTable.branchRef(root, "c2"),
+      col("k") === 6, Map("v" -> lit(222L)), "p")
+    LakeTable.mergeBranch(spark, root, "c1")
+    val e = intercept[IllegalStateException](LakeTable.mergeBranch(spark, root, "c2"))
+    assert(e.getMessage.contains("OVERLAPPING"), e.getMessage)
+    // the winner's merge stands; the loser changed nothing on main
+    val got = LakeTable.read(spark, root)
+    assert(got.where(col("k") === 0).head.getLong(2) === 111L)
+    assert(got.where(col("k") === 6).head.getLong(2) === 60L)
+  }
+
   test("SQL face: CALL branch / __branch_ DML / fast_forward / drop_branch") {
     val d = Files.createTempDirectory("graft-branch-cat").toString
     spark.conf.set("spark.sql.catalog.graft.warehouse", d)
