@@ -3004,7 +3004,15 @@ object LakeTable {
       spark: SparkSession,
       root: String,
       predicate: Column,
-      partitionCol: String): MergeStats = {
+      partitionCol: String): MergeStats =
+    deleteImpl(spark, root, predicate, partitionCol, () => ())
+
+  private[graft] def deleteImpl(
+      spark: SparkSession,
+      root: String,
+      predicate: Column,
+      partitionCol: String,
+      preCommit: () => Unit): MergeStats = {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.delete: no committed snapshot at $root")
     val meta = s0.meta.get
@@ -3027,10 +3035,16 @@ object LakeTable {
         readEntries(spark, root, meta.schema, rewrite)
           .where(!coalesce(predicate, lit(false))),
         meta)
-    require(
-      commit(spark, root, s0.version + 1, meta, carry ++ written),
-      s"LakeTable.delete: concurrent commit at $root (retry on a fresh snapshot)")
-    MergeStats(s0.version + 1, affectedCount, rewrite.size, carry.size, written.size,
+    // a lost race first tries the metadata-only rebase (same conditions
+    // as merge: untouched read set, winner's new files provably hold no
+    // predicate match) before the caller recomputes
+    preCommit()
+    val landed: Long =
+      if (commit(spark, root, s0.version + 1, meta, carry ++ written)) s0.version + 1
+      else rebaseCommit(spark, root, s0, meta, rewrite, written, mayDelete)
+        .getOrElse(throw new IllegalArgumentException(
+          s"LakeTable.delete: concurrent commit at $root (retry on a fresh snapshot)"))
+    MergeStats(landed, affectedCount, rewrite.size, carry.size, written.size,
       filesProbed = probeEntries.size)
   }
 
@@ -3284,7 +3298,16 @@ object LakeTable {
       root: String,
       predicate: Column,
       set: Map[String, Column],
-      partitionCol: String): MergeStats = {
+      partitionCol: String): MergeStats =
+    updateImpl(spark, root, predicate, set, partitionCol, () => ())
+
+  private[graft] def updateImpl(
+      spark: SparkSession,
+      root: String,
+      predicate: Column,
+      set: Map[String, Column],
+      partitionCol: String,
+      preCommit: () => Unit): MergeStats = {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.update: no committed snapshot at $root")
     val meta = s0.meta.get
@@ -3312,10 +3335,15 @@ object LakeTable {
           }.toSeq: _*)
         writeBatch(spark, root, regenerate(updated, meta, set.keySet), meta)
       }
-    require(
-      commit(spark, root, s0.version + 1, meta, carry ++ written),
-      s"LakeTable.update: concurrent commit at $root (retry on a fresh snapshot)")
-    MergeStats(s0.version + 1, affectedCount, rewrite.size, carry.size, written.size,
+    // lost race → metadata-only rebase when sound (see delete), else
+    // the retry wrapper recomputes against the winner's snapshot
+    preCommit()
+    val landed: Long =
+      if (commit(spark, root, s0.version + 1, meta, carry ++ written)) s0.version + 1
+      else rebaseCommit(spark, root, s0, meta, rewrite, written, mayMatch)
+        .getOrElse(throw new IllegalArgumentException(
+          s"LakeTable.update: concurrent commit at $root (retry on a fresh snapshot)"))
+    MergeStats(landed, affectedCount, rewrite.size, carry.size, written.size,
       filesProbed = probeEntries.size)
   }
 
@@ -3955,10 +3983,19 @@ object LakeTable {
     if (ok)
       MergeStats(s0.version + 1, compactParts.size, rewrite.size, carry.size, written.size)
     else {
-      require(maxRetries > 0,
-        s"LakeTable.optimize: concurrent commit at $root (retries exhausted)")
-      optimizeImpl(spark, root, minFilesPerPartition, maxRecordsPerFile, maxRetries - 1, preCommit,
-        sortCols, zorderCols, where)
+      // lost race → metadata-only rebase: compaction never needs the
+      // winner's new files (compacting fewer groups than a fresh run is
+      // content-preserving), so the only conditions are untouched
+      // metadata and a byte-identical rewrite set at head
+      rebaseCommit(spark, root, s0, meta, rewrite, written, _ => false) match {
+        case Some(v) =>
+          MergeStats(v, compactParts.size, rewrite.size, carry.size, written.size)
+        case None =>
+          require(maxRetries > 0,
+            s"LakeTable.optimize: concurrent commit at $root (retries exhausted)")
+          optimizeImpl(spark, root, minFilesPerPartition, maxRecordsPerFile, maxRetries - 1,
+            preCommit, sortCols, zorderCols, where)
+      }
     }
   }
 

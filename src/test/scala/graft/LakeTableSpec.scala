@@ -128,6 +128,74 @@ class LakeTableSpec extends SparkSpec {
       .head.getAs[Long]("v") === 100L, "A2 lands after B2, sequentially")
   }
 
+  test("lost-commit rebase covers UPDATE, DELETE and OPTIMIZE for disjoint writers") {
+    import spark.implicits._
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"))
+
+    // DELETE loses to a stats-disjoint append → metadata rebase, no recompute
+    val r0 = LakeTable.mergeRebases.get()
+    val interloper = spark.range(5000, 5010).select(
+      col("id").as("k"), lit("9").as("p"), lit(1L).as("v"))
+    var fired = 0
+    val del = LakeTable.deleteImpl(spark, root, col("k") < 10, "p", () => {
+      fired += 1
+      if (fired == 1) LakeTable.append(spark, root, interloper)
+    })
+    assert(fired === 1, "the losing delete must rebase, not recompute")
+    assert(LakeTable.mergeRebases.get() === r0 + 1)
+    assert(del.version === 3)
+    assert(LakeTable.read(spark, root).count() === 300 - 10 + 10)
+    assert(LakeTable.read(spark, root).where(col("k") < 10).count() === 0)
+    assert(LakeTable.read(spark, root).where(col("k") >= 5000).count() === 10,
+      "the winner's append survives the rebase")
+
+    // UPDATE loses to another disjoint append → rebase again
+    val r1 = LakeTable.mergeRebases.get()
+    var fired2 = 0
+    val upd = LakeTable.updateImpl(spark, root, col("k") >= 290 && col("k") < 300,
+      Map("v" -> lit(777L)), "p", () => {
+        fired2 += 1
+        if (fired2 == 1) LakeTable.append(spark, root,
+          spark.range(6000, 6005).select(col("id").as("k"), lit("9").as("p"), lit(2L).as("v")))
+      })
+    assert(fired2 === 1 && LakeTable.mergeRebases.get() === r1 + 1)
+    assert(upd.version === 5)
+    assert(LakeTable.read(spark, root)
+      .where(col("k") >= 290 && col("k") < 300 && col("v") === 777L).count() === 10)
+    assert(LakeTable.read(spark, root).count() === 305)
+
+    // UPDATE loses to a writer whose NEW file may hold a matching row
+    // → the rebase refuses (the winner's rows must re-enter the probe);
+    // updateImpl surfaces the crisp concurrent-commit error the retry
+    // wrapper recomputes from
+    val r2 = LakeTable.mergeRebases.get()
+    var fired3 = 0
+    val e = intercept[IllegalArgumentException](
+      LakeTable.updateImpl(spark, root, col("k") === 50, Map("v" -> lit(1L)), "p", () => {
+        fired3 += 1
+        if (fired3 == 1) LakeTable.append(spark, root,
+          Seq((50L, "9", 5L)).toDF("k", "p", "v"))
+      }))
+    assert(e.getMessage.contains("concurrent commit"))
+    assert(LakeTable.mergeRebases.get() === r2, "no rebase when the winner may match")
+
+    // OPTIMIZE loses to an append → rebase (compaction never needs the
+    // winner's files: compacting fewer groups is content-preserving)
+    val preSum = LakeTable.read(spark, root).agg(sum("v")).head.getLong(0)
+    val r3 = LakeTable.mergeRebases.get()
+    var fired4 = 0
+    LakeTable.optimizeImpl(spark, root, 2, 0L, 3, () => {
+      fired4 += 1
+      if (fired4 == 1) LakeTable.append(spark, root,
+        spark.range(7000, 7005).select(col("id").as("k"), lit("9").as("p"), lit(3L).as("v")))
+    })
+    assert(fired4 === 1, "the losing optimize must rebase, not recompute")
+    assert(LakeTable.mergeRebases.get() === r3 + 1)
+    assert(LakeTable.read(spark, root).agg(sum("v")).head.getLong(0) === preSum + 5 * 3,
+      "content preserved: compacted rows + the winner's append")
+  }
+
   test("partition spec evolution: per-spec pruning, DML across specs, OPTIMIZE migrates") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"))
