@@ -60,6 +60,13 @@ object MatView {
   private val PropKeys = "mv.keys"
   private val PropAggs = "mv.aggs"
   private val PropVersion = "mv.srcVersion"
+  // filtered/projected views: an optional WHERE predicate over the
+  // source (applied to full compute AND to every signed delta — a
+  // row-wise deterministic filter commutes with the diff), and derived
+  // group-key expressions `name := sql` (re-derived on each delta row
+  // before grouping)
+  private val PropWhere = "mv.where"
+  private val PropKeyExprs = "mv.keyExprs"
   // join views (fact ⋈ dim): the dim side's root, the equi-join columns
   // and the dim-side watermark — present only on views over a join
   private val PropDim = "mv.dim"
@@ -111,20 +118,55 @@ object MatView {
 
   private def storedCols(aggs: Seq[Agg]): Seq[String] = storedPlan(aggs).map(_._1)
 
+  // pairs ride one manifest prop: records separated by U+001E (never
+  // legal in a column name or SQL expression), name/expr split on ':='
+  private def encodeKeyExprs(ke: Seq[(String, String)]): String =
+    ke.map { case (n, e) => s"$n:=$e" }.mkString("\u001E")
+
+  private def decodeKeyExprs(s: String): Seq[(String, String)] =
+    s.split('\u001E').toSeq.filter(_.nonEmpty).map { p =>
+      val i = p.indexOf(":=")
+      require(i > 0, s"MatView: bad key expression encoding '$p'")
+      (p.substring(0, i), p.substring(i + 2))
+    }
+
+  /** Derive expression keys, then apply the WHERE filter — on the full
+    * compute and on every signed delta identically (both are row-wise
+    * deterministic, so they commute with the diff).
+    */
+  private def prep(
+      df: DataFrame,
+      where: Option[String],
+      keyExprs: Seq[(String, String)]): DataFrame = {
+    val derived = keyExprs.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
+    where.fold(derived)(w => derived.where(expr(w)))
+  }
+
   /** Full compute at the source's CURRENT version + view-table init.
     * One commit carries content, definition and the applied version.
+    *
+    * `where` filters the source (the view materializes the aggregate of
+    * the filtered relation); `keyExprs` derive group keys from source
+    * columns (`"decade" -> "year div 10"` — each name must appear in
+    * `keys`). Both compose with every refresh path: the delta path
+    * filters/derives over the signed row diff, the dirty path over the
+    * pinned re-aggregation read.
     */
   def create(
       spark: SparkSession,
       mvRoot: String,
       srcRoot: String,
       keys: Seq[String],
-      aggs: Seq[Agg]): Long = {
+      aggs: Seq[Agg],
+      where: Option[String] = None,
+      keyExprs: Seq[(String, String)] = Nil): Long = {
     require(keys.nonEmpty, "MatView.create: at least one key column")
     require(aggs.nonEmpty, "MatView.create: at least one aggregate")
+    keyExprs.foreach { case (n, _) => require(keys.contains(n),
+      s"MatView.create: derived key $n must be listed in keys") }
     val head = LakeTable.snapshot(spark, srcRoot).version
     require(head > 0, s"MatView.create: no committed snapshot at $srcRoot")
-    val full = LakeTable.readVersion(spark, srcRoot, head)
+    val full = prep(LakeTable.readVersion(spark, srcRoot, head), where, keyExprs)
       .groupBy(keys.map(col): _*).agg(aggExprs(aggs).head, aggExprs(aggs).tail: _*)
     LakeTable.init(spark, mvRoot, full,
       partitionCol = keys.head,
@@ -132,7 +174,9 @@ object MatView {
       partitionFn = "bucket:16",
       props = Map(
         PropSrc -> srcRoot, PropKeys -> keys.mkString(","),
-        PropAggs -> aggs.map(_.spec).mkString(","), PropVersion -> head.toString))
+        PropAggs -> aggs.map(_.spec).mkString(","), PropVersion -> head.toString) ++
+        where.map(PropWhere -> _).toMap ++
+        (if (keyExprs.nonEmpty) Map(PropKeyExprs -> encodeKeyExprs(keyExprs)) else Map.empty))
     head
   }
 
@@ -147,9 +191,11 @@ object MatView {
     * diffs; the F0⋈ΔD term reads the fact PRUNED to the dirty dim keys
     * (stats/Bloom — never the fact table), so a fact-append refresh is
     * O(fact changes) and a dim-update refresh O(rows joining the
-    * changed dim keys). Aggregates are restricted to the delta family
-    * (cnt/sum/avg) — min/max over a join would need a dirty-group
-    * rescan of the join itself.
+    * changed dim keys). The delta family (cnt/sum/avg) folds from the
+    * terms directly; min/max/cntd use the SAME terms only to find the
+    * touched group keys, then re-aggregate those groups from the join
+    * at head with the fact read pruned to the dirty fact-side keys — a
+    * dirty-group rescan of the join, never a full recompute.
     *
     * Column names must be disjoint across the two sides (the dim join
     * column may share the fact join column's name — it is dropped, the
@@ -166,8 +212,6 @@ object MatView {
       aggs: Seq[Agg]): Long = {
     require(keys.nonEmpty, "MatView.createJoin: at least one key column")
     require(aggs.nonEmpty, "MatView.createJoin: at least one aggregate")
-    require(aggs.forall(a => Set("cnt", "sum", "avg")(a.fn)),
-      "MatView.createJoin: join views support cnt/sum/avg only (delta-join maintenance)")
     val headF = LakeTable.snapshot(spark, factRoot).version
     val headD = LakeTable.snapshot(spark, dimRoot).version
     require(headF > 0 && headD > 0, "MatView.createJoin: both sources need a snapshot")
@@ -232,12 +276,17 @@ object MatView {
     if (d.contains(PropDim)) return refreshJoin(spark, mvRoot, meta)
     val (src, keys, aggs, last) = (
       d(PropSrc), d(PropKeys).split(",").toSeq, parseAggs(d(PropAggs)), d(PropVersion).toLong)
+    val (where, keyExprs) =
+      (d.get(PropWhere), d.get(PropKeyExprs).map(decodeKeyExprs).getOrElse(Nil))
     val head = LakeTable.snapshot(spark, src).version
     if (head <= last) return last
 
     // the SIGNED row diff of the whole window — file-wise, key-free,
-    // exact under duplicates; intermediate states net out
-    val changes = LakeTable.rowDeltas(spark, src, last, head)
+    // exact under duplicates; intermediate states net out. Derived keys
+    // and the view's WHERE apply to every signed row (a row UPDATEd out
+    // of the filter nets to −1, into it to +1 — exactly the filtered
+    // relation's diff)
+    val changes = prep(LakeTable.rowDeltas(spark, src, last, head), where, keyExprs)
     // the stamp VALIDATES the watermark on the same snapshot the merge
     // commits against: a concurrent refresh that already applied (at
     // least) our window advanced mv.srcVersion, and re-applying our
@@ -252,7 +301,9 @@ object MatView {
     val deltaOnly = aggs.forall(a => Set("cnt", "sum", "avg")(a.fn))
     val source =
       if (deltaOnly) deltaSource(changes, keys, aggs)
-      else dirtySource(spark, src, head, changes, keys, aggs)
+      else dirtySource(spark, src, head, changes, keys, aggs,
+        physKeys = keys.filterNot(k => keyExprs.exists(_._1 == k)),
+        prepFn = prep(_, where, keyExprs))
     val stored = storedCols(aggs)
     inheritWidenings(spark, mvRoot, meta, keys ++ stored, source)
 
@@ -322,17 +373,20 @@ object MatView {
       m.copy(props = m.props +
         (PropVersion -> headF.toString) + (PropDimVersion -> headD.toString))
     }
-    val source = deltaSource(changes, keys, aggs)
+    val deltaOnly = aggs.forall(a => Set("cnt", "sum", "avg")(a.fn))
+    val source =
+      if (deltaOnly) deltaSource(changes, keys, aggs)
+      else dirtyJoinSource(spark, fact, dim, fk, dk, headF, headD, changes, keys, aggs)
     val stored = storedCols(aggs)
     inheritWidenings(spark, mvRoot, meta, keys ++ stored, source)
     val matched = Seq(
-      LakeTable.MergeBranch(Some(deadCond(deltaOnly = true)), None),
+      LakeTable.MergeBranch(Some(deadCond(deltaOnly)), None),
       LakeTable.MergeBranch(None, Some(
-        stored.map(c => c -> updateValue(deltaOnly = true, c)).toMap)))
+        stored.map(c => c -> updateValue(deltaOnly, c)).toMap)))
     val notMatched = Seq(
-      LakeTable.MergeBranch(Some(liveInsertCond(deltaOnly = true)), Some(
+      LakeTable.MergeBranch(Some(liveInsertCond(deltaOnly)), Some(
         (keys.map(k => k -> col(s"__s_$k")) ++
-          stored.map(c => c -> insertValue(deltaOnly = true, c))).toMap)))
+          stored.map(c => c -> insertValue(deltaOnly, c))).toMap)))
     try {
       LakeTable.mergeClausesWithRetry(
         spark, mvRoot, source, keys, matched, notMatched, Nil,
@@ -408,15 +462,22 @@ object MatView {
       head: Long,
       changes: DataFrame,
       keys: Seq[String],
-      aggs: Seq[Agg]): DataFrame = {
+      aggs: Seq[Agg],
+      // PHYSICAL source columns among the keys — the only ones the
+      // entry-pruned read can prune on (derived keys have no stats arm)
+      physKeys: Seq[String],
+      prepFn: DataFrame => DataFrame): DataFrame = {
     val dirty = changes.select(keys.map(col): _*).distinct()
     // NULL keys sit outside every min/max bound, so the entry-pruned
-    // read is only sound when no dirty key is NULL — a NULL group
-    // falls back to the full pinned-version scan (rare, still one pass)
-    val hasNullKey = !dirty.where(keys.map(k => col(s"`$k`").isNull).reduce(_ || _)).isEmpty
-    val base =
+    // read is only sound when no dirty PHYSICAL key is NULL — then (or
+    // when every key is derived) fall back to the full pinned-version
+    // scan (rare, still one pass)
+    val hasNullKey = physKeys.isEmpty ||
+      !dirty.where(physKeys.map(k => col(s"`$k`").isNull).reduce(_ || _)).isEmpty
+    val base = prepFn(
       if (hasNullKey) LakeTable.readVersion(spark, src, head)
-      else LakeTable.readVersionForKeys(spark, src, head, keys, dirty)
+      else LakeTable.readVersionForKeys(spark, src, head, physKeys,
+        dirty.select(physKeys.map(col): _*).distinct()))
     def keyEq(l: String, r: String): Column =
       keys.map(k => col(s"$l.`$k`") <=> col(s"$r.`$k`")).reduce(_ && _)
     val recomputed = base.as("b")
@@ -424,6 +485,47 @@ object MatView {
       .groupBy(keys.map(col): _*).agg(aggExprs(aggs).head, aggExprs(aggs).tail: _*)
     val joined = dirty.as("d").join(recomputed.as("r"), keyEq("d", "r"), "left")
     joined.select(
+      keys.map(k => col(s"d.`$k`").as(k)) ++ keys.map(k => col(s"d.`$k`").as(s"__s_$k")) ++
+        storedCols(aggs).map(c => col(s"r.`$c`").as(s"__s_$c")): _*)
+  }
+
+  /** Dirty-group rescan of the JOIN for min/max/cntd join views: the
+    * delta terms (already computed) identify the touched group keys;
+    * those groups re-aggregate from `F1 ⋈ D1` with the fact read
+    * entry-pruned to the dirty FACT-SIDE key values (dim-side keys
+    * cannot prune the fact — the dim itself is read at head, typically
+    * the small side). Groups the window killed come back NULL → DELETE,
+    * exactly [[dirtySource]]'s contract.
+    */
+  private def dirtyJoinSource(
+      spark: SparkSession,
+      fact: String,
+      dim: String,
+      fk: String,
+      dk: String,
+      headF: Long,
+      headD: Long,
+      changes: DataFrame,
+      keys: Seq[String],
+      aggs: Seq[Agg]): DataFrame = {
+    val dirty = changes.select(keys.map(col): _*).distinct()
+    val factCols = LakeTable.snapshot(spark, fact).meta.get.schema.fieldNames.toSet
+    val factKeys = keys.filter(factCols.contains)
+    val hasNullFactKey = factKeys.isEmpty ||
+      !dirty.where(factKeys.map(k => col(s"`$k`").isNull).reduce(_ || _)).isEmpty
+    val f1 =
+      if (hasNullFactKey) LakeTable.readVersion(spark, fact, headF)
+      else LakeTable.readVersionForKeys(spark, fact, headF, factKeys,
+        dirty.select(factKeys.map(col): _*).distinct())
+    val j = joined(f1, LakeTable.readVersion(spark, dim, headD),
+      fk, dk, keys, aggs, col("f.`__one`"))
+    def keyEq(l: String, r: String): Column =
+      keys.map(k => col(s"$l.`$k`") <=> col(s"$r.`$k`")).reduce(_ && _)
+    val recomputed = j.as("b")
+      .join(broadcast(dirty).as("d"), keyEq("b", "d"), "left_semi")
+      .groupBy(keys.map(col): _*).agg(aggExprs(aggs).head, aggExprs(aggs).tail: _*)
+    val out = dirty.as("d").join(recomputed.as("r"), keyEq("d", "r"), "left")
+    out.select(
       keys.map(k => col(s"d.`$k`").as(k)) ++ keys.map(k => col(s"d.`$k`").as(s"__s_$k")) ++
         storedCols(aggs).map(c => col(s"r.`$c`").as(s"__s_$c")): _*)
   }

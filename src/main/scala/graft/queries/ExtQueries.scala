@@ -1669,6 +1669,82 @@ object ExtQueries {
       s.sql(s"SELECT c_seg, cnt, sum_o_cents AS cents FROM graft.`$mv` ORDER BY c_seg")
     },
 
+    // Materialized view over a FILTERED source with a DERIVED group key
+    // (CREATE ... WHERE o_cents >= 10000 GROUP BY o_orderkey % 10): the
+    // WHERE and the key expression apply to every SIGNED delta row, so
+    // the refresh stays on the pure-delta path — an UPDATE that moves a
+    // row ACROSS the filter boundary nets to exactly −1/+1 on its
+    // group, and the source is never rescanned. The wave crosses the
+    // boundary in BOTH directions plus a delete; the final view state
+    // hash-checks against DuckDB's filtered-relation model.
+    "q188_matview_filtered" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q188_$tag"
+      val (root, mv) = (s"$stage/t", s"$stage/mv")
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q188_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_cents BIGINT) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) FROM q188_orders")
+      s.sql(s"CALL graft.system.create_matview(view => '$mv', table => '$root', " +
+        "keys => 'kdec', aggs => 'cnt,sum:o_cents', " +
+        "where => 'o_cents >= 10000', key_exprs => 'kdec:=o_orderkey % 10')")
+      // the wave: a delete, rows falling BELOW the filter, rows rising
+      // ABOVE it — all folded by one delta refresh
+      s.sql(s"DELETE FROM $lt WHERE o_orderkey % 5 = 2")
+      s.sql(s"UPDATE $lt SET o_cents = 5 WHERE o_orderkey % 7 = 0")
+      s.sql(s"UPDATE $lt SET o_cents = o_cents + 100000 WHERE o_orderkey % 7 = 1")
+      val head = graft.operators.LakeTable.snapshot(s, root).version
+      val r = s.sql(s"CALL graft.system.refresh_matview('$mv')").head.getLong(0)
+      require(r == head, s"q188: refresh must reach the source head ($r vs $head)")
+      s.sql(s"SELECT kdec, cnt, sum_o_cents AS cents FROM graft.`$mv` ORDER BY kdec")
+    },
+
+    // MIN/MAX over a JOIN view: the delta terms only IDENTIFY touched
+    // groups; the refresh re-aggregates those groups from the join at
+    // head with the fact read pruned to the dirty fact-side keys. The
+    // wave deletes each group's top rows (the case no delta algebra can
+    // fold), moves dim rows between groups, and appends doubled-price
+    // facts — one refresh folds all three, hash-checked against DuckDB
+    // recomputing the joined state relationally.
+    "q189_matview_minmax_join" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q189_$tag"
+      val (fact, dim, mv) = (s"$stage/fact", s"$stage/dim", s"$stage/mv")
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q189_orders")
+      t(s, dir, "customer").createOrReplaceTempView("q189_customer")
+      val (lf, ld) = (s"graft.`$fact`", s"graft.`$dim`")
+      s.sql(s"CREATE TABLE $lf (o_orderkey BIGINT, o_custkey BIGINT, o_cents BIGINT) " +
+        "PARTITIONED BY (bucket(8, o_custkey)) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey,o_custkey')")
+      s.sql(s"INSERT INTO $lf SELECT o_orderkey, o_custkey, " +
+        "CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) FROM q189_orders")
+      s.sql(s"CREATE TABLE $ld (c_custkey BIGINT, c_seg STRING) " +
+        "PARTITIONED BY (c_seg) TBLPROPERTIES (statsCols 'c_custkey')")
+      s.sql(s"INSERT INTO $ld SELECT c_custkey, c_mktsegment FROM q189_customer")
+      s.sql(s"CALL graft.system.create_matview_join('$mv', '$fact', '$dim', " +
+        "'o_custkey', 'c_custkey', 'c_seg', 'cnt,min:o_cents,max:o_cents')")
+      // kill the top of every group, then move dim membership, then
+      // append — the refresh window holds all three
+      s.sql(s"DELETE FROM $lf WHERE o_orderkey % 5 = 2 OR o_cents >= 15000000")
+      s.sql(s"INSERT INTO $lf SELECT o_orderkey + 5000000, o_custkey, o_cents * 2 " +
+        s"FROM $lf WHERE o_orderkey % 11 = 0")
+      s.sql(s"UPDATE $ld SET c_seg = 'MOVED' WHERE c_custkey % 7 = 1")
+      val headF = graft.operators.LakeTable.snapshot(s, fact).version
+      val r = s.sql(s"CALL graft.system.refresh_matview('$mv')").head.getLong(0)
+      require(r == headF, s"q189: refresh must reach the fact head ($r vs $headF)")
+      s.sql(s"SELECT c_seg, cnt, min_o_cents AS mn, max_o_cents AS mx " +
+        s"FROM graft.`$mv` ORDER BY c_seg")
+    },
+
     "q174_matview_refresh" -> { (s, dir) =>
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val stage = s"/root/repo/target/staging/q174_$tag"
@@ -3904,6 +3980,39 @@ object ExtQueries {
         |SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(sum(CAST(round(pr * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the filtered relation after the wave: deletes applied, %7=0 rows
+    // fall out of the filter (c=5), %7=1 rows gain 100000.
+    "q188_matview_filtered" ->
+      """WITH t0 AS (SELECT o_orderkey,
+        |            CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS c
+        |            FROM orders),
+        |state AS (SELECT o_orderkey,
+        |          CASE WHEN o_orderkey % 7 = 0 THEN 5
+        |               WHEN o_orderkey % 7 = 1 THEN c + 100000
+        |               ELSE c END AS c
+        |          FROM t0 WHERE o_orderkey % 5 <> 2),
+        |filt AS (SELECT o_orderkey % 10 AS kdec, c FROM state WHERE c >= 10000)
+        |SELECT kdec, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(c) AS BIGINT) AS cents
+        |FROM filt GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the joined state after the wave: survivors of the two-predicate
+    // delete, the doubled-price re-append of %11 survivors, and the
+    // %7=1 dim rows moved into segment MOVED.
+    "q189_matview_minmax_join" ->
+      """WITH f0 AS (SELECT o_orderkey, o_custkey,
+        |            CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS c
+        |            FROM orders),
+        |surv AS (SELECT * FROM f0 WHERE o_orderkey % 5 <> 2 AND c < 15000000),
+        |f1 AS (SELECT o_orderkey, o_custkey, c FROM surv
+        |       UNION ALL
+        |       SELECT o_orderkey + 5000000, o_custkey, c * 2 FROM surv
+        |       WHERE o_orderkey % 11 = 0),
+        |d1 AS (SELECT c_custkey,
+        |       CASE WHEN c_custkey % 7 = 1 THEN 'MOVED' ELSE c_mktsegment END AS c_seg
+        |       FROM customer)
+        |SELECT c_seg, CAST(count(*) AS BIGINT) AS cnt, CAST(min(c) AS BIGINT) AS mn,
+        |       CAST(max(c) AS BIGINT) AS mx
+        |FROM f1 JOIN d1 ON f1.o_custkey = d1.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // three-way union: main's 'P' append + the branch's two deletes
     // (%9 in {0,1} of the originals) + the branch's x2-price append.
     "q187_branch_merge" ->

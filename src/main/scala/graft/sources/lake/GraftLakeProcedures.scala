@@ -247,15 +247,26 @@ private[lake] object GraftLakeProcedures {
       "create_matview" -> new LakeProc(
         "create_matview",
         "materialize a group-by aggregate view over a lake table " +
-          "(aggs: 'cnt,sum:c,min:c,max:c'); refresh_matview keeps it in sync",
+          "(aggs: 'cnt,sum:c,min:c,max:c'); optional where filters the source, " +
+          "optional key_exprs derives group keys ('name:=sql' pairs, ';'-separated); " +
+          "refresh_matview keeps it in sync",
         Seq(p("view", StringType), p("table", StringType),
-          p("keys", StringType), p("aggs", StringType))) {
+          p("keys", StringType), p("aggs", StringType),
+          pd("where", StringType, "''"), pd("key_exprs", StringType, "''"))) {
         override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          val keyExprs = args.getUTF8String(5).toString.split(";")
+            .map(_.trim).filter(_.nonEmpty).toSeq.map { pair =>
+              val i = pair.indexOf(":=")
+              require(i > 0, s"create_matview: bad key_exprs pair '$pair' (want name:=sql)")
+              (pair.substring(0, i).trim, pair.substring(i + 2).trim)
+            }
           val v = graft.operators.MatView.create(spark(),
             rootOf(args.getUTF8String(0).toString),
             rootOf(args.getUTF8String(1).toString),
             args.getUTF8String(2).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-            graft.operators.MatView.parseAggs(args.getUTF8String(3).toString))
+            graft.operators.MatView.parseAggs(args.getUTF8String(3).toString),
+            where = Some(args.getUTF8String(4).toString).filter(_.nonEmpty),
+            keyExprs = keyExprs)
           (StructType(Seq(StructField("src_version", LongType))), Seq(InternalRow(v)))
         }
       },
@@ -263,7 +274,8 @@ private[lake] object GraftLakeProcedures {
       "create_matview_join" -> new LakeProc(
         "create_matview_join",
         "materialize a group-by aggregate view over fact JOIN dim " +
-          "(inner equi-join; aggs: 'cnt,sum:c,avg:c' — delta-join maintained); " +
+          "(inner equi-join; cnt/sum/avg delta-join maintained, min/max/cntd " +
+          "via dirty-group join rescan); " +
           "refresh_matview keeps it in sync against BOTH sources",
         Seq(p("view", StringType), p("fact", StringType), p("dim", StringType),
           p("join_fact", StringType), p("join_dim", StringType),

@@ -349,10 +349,116 @@ class MatViewSpec extends SparkSpec {
     MatView.refresh(spark, mv)
     assert(LakeTable.snapshot(spark, mv).version === v0)
 
-    // refusals: non-delta aggregates and colliding column names
-    val e1 = intercept[Exception](MatView.createJoin(spark, s"$wh/mvj_bad$n", fact, dim,
-      "fk", "dk", Seq("seg"), MatView.parseAggs("cnt,min:v")))
-    assert(e1.getMessage.contains("cnt/sum/avg"))
+    // refusal: colliding column names across the two sides
+    val e1 = intercept[Exception](MatView.createJoin(spark, s"$wh/mvj_bad$n",
+      fact, fact, "fk", "fk", Seq("b"), MatView.parseAggs("cnt")))
+    assert(e1.getMessage.contains("disjoint"), e1.getMessage)
+  }
+
+  test("filtered + expression-key views refresh on both paths") {
+    val (src, mv) = freshRoots()
+    import spark.implicits._
+    LakeTable.init(spark, src,
+      (0L until 40L).map(i => (i, s"p${i % 2}", i * 10L)).toDF("k", "p", "v"),
+      partitionCol = "p", statsCols = Seq("k"))
+    // WHERE v >= 100, grouped by a DERIVED key (k div 10) — delta path
+    MatView.create(spark, mv, src, Seq("dec"), MatView.parseAggs("cnt,sum:v"),
+      where = Some("v >= 100"), keyExprs = Seq("dec" -> "k div 10"))
+    def inSync(m: String, aggSel: Seq[String]): Unit = {
+      val fresh = LakeTable.read(spark, src).where(col("v") >= 100)
+        .withColumn("dec", expr("k div 10"))
+        .groupBy("dec").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+        .select(("dec" +: aggSel).map(col): _*).orderBy("dec").collect().toSeq
+      val stored = LakeTable.read(spark, m).select(("dec" +: aggSel).map(col): _*)
+        .orderBy("dec").collect().toSeq
+      assert(stored.map(_.toSeq) === fresh.map(_.toSeq))
+    }
+    inSync(mv, Seq("cnt", "sum_v"))
+
+    // an UPDATE that moves rows ACROSS the filter boundary in both
+    // directions: in-filter rows drop below 100, out-of-filter rise above
+    LakeTable.updateWithRetry(spark, src, col("k") === 15, Map("v" -> lit(5L)), "p")
+    LakeTable.updateWithRetry(spark, src, col("k") === 3, Map("v" -> lit(500L)), "p")
+    LakeTable.deleteWithRetry(spark, src, col("k") >= 30 && col("k") < 35, "p")
+    MatView.refresh(spark, mv)
+    inSync(mv, Seq("cnt", "sum_v"))
+    // group death through the filter: every in-filter row of dec=1 gone
+    LakeTable.updateWithRetry(spark, src, col("k") >= 10 && col("k") < 20,
+      Map("v" -> lit(1L)), "p")
+    MatView.refresh(spark, mv)
+    assert(LakeTable.read(spark, mv).where(col("dec") === 1).count() === 0)
+    inSync(mv, Seq("cnt", "sum_v"))
+
+    // the DIRTY path under a filter + derived key (min present):
+    val mv2 = s"$wh/mvfd$n"
+    MatView.create(spark, mv2, src, Seq("dec"), MatView.parseAggs("cnt,min:v"),
+      where = Some("v >= 100"), keyExprs = Seq("dec" -> "k div 10"))
+    LakeTable.deleteWithRetry(spark, src, col("k") === 20, "p")
+    LakeTable.append(spark, src, Seq((25L, "p1", 105L)).toDF("k", "p", "v"))
+    MatView.refresh(spark, mv2)
+    val fresh2 = LakeTable.read(spark, src).where(col("v") >= 100)
+      .withColumn("dec", expr("k div 10"))
+      .groupBy("dec").agg(count(lit(1)).as("cnt"), min("v").as("min_v"))
+      .orderBy("dec").collect().toSeq
+    val stored2 = LakeTable.read(spark, mv2).select("dec", "cnt", "min_v")
+      .orderBy("dec").collect().toSeq
+    assert(stored2.map(_.toSeq) === fresh2.map(_.toSeq))
+
+    // SQL face round trip
+    val mv3 = s"$wh/mvfp$n"
+    spark.sql(s"CALL graft.system.create_matview(view => '$mv3', table => '$src', " +
+      "keys => 'dec', aggs => 'cnt,sum:v', " +
+      "where => 'v >= 100', key_exprs => 'dec:=k div 10')")
+    LakeTable.append(spark, src, Seq((90L, "p0", 950L)).toDF("k", "p", "v"))
+    spark.sql(s"CALL graft.system.refresh_matview('$mv3')")
+    inSync(mv3, Seq("cnt", "sum_v"))
+  }
+
+  test("min/max over a JOIN view: dirty-group join rescan survives a delete wave") {
+    val (fact, mv) = freshRoots()
+    val dim = s"$wh/dimm$n"
+    import spark.implicits._
+    LakeTable.init(spark, fact,
+      (0L until 40L).map(i => (i, s"b${i % 4}", i % 6, i * 10L)).toDF("k", "b", "fk", "v"),
+      partitionCol = "b", statsCols = Seq("k", "fk"))
+    LakeTable.init(spark, dim,
+      (0L until 6L).map(j => (j, s"g${j % 2}")).toDF("dk", "seg"),
+      partitionCol = "seg", statsCols = Seq("dk"))
+    MatView.createJoin(spark, mv, fact, dim, "fk", "dk",
+      Seq("seg"), MatView.parseAggs("cnt,min:v,max:v"))
+    def inSync(): Unit = {
+      val fresh = LakeTable.read(spark, fact).as("f")
+        .join(LakeTable.read(spark, dim).as("d"), col("f.fk") === col("d.dk"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("cnt"), min("v").as("mn"), max("v").as("mx"))
+        .orderBy("seg").collect().toSeq
+      val stored = LakeTable.read(spark, mv).select("seg", "cnt", "min_v", "max_v")
+        .orderBy("seg").collect().toSeq
+      assert(stored.map(_.toSeq) === fresh.map(_.toSeq))
+    }
+    inSync()
+
+    // a delete wave that REMOVES each group's current max (the case no
+    // delta algebra can fold — only a rescan of the touched groups)
+    LakeTable.deleteWithRetry(spark, fact, col("v") >= 300L, "b")
+    MatView.refresh(spark, mv)
+    inSync()
+
+    // dim-side wave: group membership moves, min/max follow
+    LakeTable.updateWithRetry(spark, dim, col("dk") === 1, Map("seg" -> lit("g9")), "seg")
+    MatView.refresh(spark, mv)
+    inSync()
+
+    // both sides in one window + a group dies (dim key deleted)
+    LakeTable.append(spark, fact, Seq((200L, "b2", 5L, 5000L)).toDF("k", "b", "fk", "v"))
+    LakeTable.deleteWithRetry(spark, dim, col("dk") === 0, "seg")
+    MatView.refresh(spark, mv)
+    inSync()
+
+    // caught-up refresh commits nothing
+    val v0 = LakeTable.snapshot(spark, mv).version
+    MatView.refresh(spark, mv)
+    assert(LakeTable.snapshot(spark, mv).version === v0)
   }
 
   test("racing refreshes apply a delta window exactly once") {
