@@ -22,6 +22,10 @@ object SparkEngine {
       .builder()
       .master(master)
       .appName(appName)
+      // build-time extensions (functions, TopK planning, view DDL parser
+      // + view substitution — the last two are only injectable here, not
+      // on a live session)
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

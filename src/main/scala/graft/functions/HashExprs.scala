@@ -789,6 +789,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     GraftExtensions.descs.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
+    // logical views over graft catalogs: DDL swaps at parse time (Spark
+    // refuses view DDL on non-session catalogs before extension rules
+    // run), reads substitute via a resolution rule
+    ext.injectParser((_, delegate) => new graft.sources.lake.GraftViewSqlParser(delegate))
+    ext.injectResolutionRule(s => graft.sources.lake.GraftViewSubstitution(s))
   }
 }
 

@@ -1669,6 +1669,52 @@ object ExtQueries {
       s.sql(s"SELECT c_seg, cnt, sum_o_cents AS cents FROM graft.`$mv` ORDER BY c_seg")
     },
 
+    // Logical CREATE VIEW through the graft catalog (DSv2 ViewCatalog +
+    // the engine's own DDL parser swap and read-time substitution —
+    // vanilla Spark refuses view DDL on any non-session catalog): a
+    // filtered/projected view over a lake table, a second view stacked
+    // on it, CREATE OR REPLACE swapping a definition, and DML on the
+    // BASE table flowing through both layers (frozen-SQL semantics).
+    // The engine pins inline that a partition predicate through the
+    // view still prunes the lake scan; the final rollup through the
+    // stacked views hash-checks against DuckDB inlining the same SQL.
+    "q190_logical_view" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q190_$tag"
+      val root = s"$stage/t"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q190_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_cents BIGINT) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) FROM q190_orders")
+      s.sql(s"CREATE VIEW graft.`$stage/v_big` AS " +
+        s"SELECT o_orderstatus, o_orderkey, o_cents FROM $lt WHERE o_cents >= 10000000")
+      // a partition predicate THROUGH the view must still prune files
+      val probe = s.sql(s"SELECT o_cents FROM graft.`$stage/v_big` " +
+        "WHERE o_orderstatus = 'F'")
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+      require(plan.contains("LakeFileIndex"),
+        s"q190: the view read must hit the lake scan, got\n$plan")
+      // view over view; then DML on the BASE flows through both layers
+      s.sql(s"CREATE VIEW graft.`$stage/v_roll` AS " +
+        s"SELECT o_orderstatus, count(*) AS cnt, sum(o_cents) AS cents " +
+        s"FROM graft.`$stage/v_big` GROUP BY o_orderstatus")
+      s.sql(s"DELETE FROM $lt WHERE o_orderkey % 5 = 2")
+      // CREATE OR REPLACE swaps the roll-up to a stricter filter
+      s.sql(s"CREATE OR REPLACE VIEW graft.`$stage/v_roll` AS " +
+        s"SELECT o_orderstatus, count(*) AS cnt, " +
+        s"CAST(sum(o_cents) AS BIGINT) AS cents " +
+        s"FROM graft.`$stage/v_big` WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus")
+      s.sql(s"SELECT o_orderstatus, CAST(cnt AS BIGINT) AS cnt, cents " +
+        s"FROM graft.`$stage/v_roll` ORDER BY o_orderstatus")
+    },
+
     // Materialized view over a FILTERED source with a DERIVED group key
     // (CREATE ... WHERE o_cents >= 10000 GROUP BY o_orderkey % 10): the
     // WHERE and the key expression apply to every SIGNED delta row, so
@@ -3980,6 +4026,16 @@ object ExtQueries {
         |SELECT o_orderstatus, count(*) AS cnt,
         |       CAST(sum(CAST(round(pr * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+    // both view layers inlined over the post-delete base state.
+    "q190_logical_view" ->
+      """WITH t0 AS (SELECT o_orderkey, o_orderstatus,
+        |            CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS c
+        |            FROM orders),
+        |live AS (SELECT * FROM t0 WHERE o_orderkey % 5 <> 2),
+        |big AS (SELECT * FROM live WHERE c >= 10000000 AND o_orderkey % 2 = 0)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(c) AS BIGINT) AS cents
+        |FROM big GROUP BY 1 ORDER BY 1""".stripMargin,
     // the filtered relation after the wave: deletes applied, %7=0 rows
     // fall out of the filter (c=5), %7=1 rows gain 100000.
     "q188_matview_filtered" ->

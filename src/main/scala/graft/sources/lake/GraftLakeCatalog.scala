@@ -64,7 +64,7 @@ import graft.operators.LakeTable
   * convention Delta uses).
   */
 class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
-  with FunctionCatalog {
+  with FunctionCatalog with ViewCatalog {
 
   private var catalogName: String = "graft"
   private var initWarehouse: Option[String] = None
@@ -551,6 +551,143 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
         s"graft-lake: namespace ${namespace.mkString(".")} is not empty")
       fs.delete(dir, true)
     }
+  }
+
+  // ---- logical views (ViewCatalog) ------------------------------------
+  // `CREATE VIEW graft.db.v AS SELECT ...` — plain SQL views resolved
+  // through the catalog (the DSv2 ViewCatalog contract): the definition
+  // persists as one small properties file under `<ns>/_views/` (views
+  // are metadata, not version lines — no manifest machinery needed), and
+  // Spark's analyzer substitutes the stored SQL at read time, so pruning
+  // and pushdown through the view hit the lake scan exactly as if the
+  // query were inlined.
+
+  private def viewFile(ident: Identifier): Path =
+    // absolute-path names address the view file directly (the same
+    // `graft.`/path`` idiom tables support); everything else lives
+    // under `<warehouse>/<ns...>/_views/`
+    if (ident.namespace.isEmpty && ident.name.startsWith("/"))
+      new Path(s"${ident.name}.view")
+    else new Path(((ident.namespace :+ "_views").mkString(s"$warehouse/", "/", "")) +
+      s"/${ident.name}.view")
+
+  private def viewFs(p: Path) = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // array cells join on U+001F; a NULL cell (a column without a comment)
+  // rides as U+0000 (neither can appear in SQL identifiers or comments)
+  private val ViewSep = '\u001F'
+  private val ViewNull = "\u0000"
+
+  private def packArr(a: Array[String]): String =
+    if (a == null) "" else a.map(x => if (x == null) ViewNull else x).mkString(ViewSep.toString)
+
+  private def unpackArr(s: String): Array[String] =
+    if (s == null || s.isEmpty) Array.empty
+    else s.split(ViewSep).map(x => if (x == ViewNull) null else x)
+
+  override def viewExists(ident: Identifier): Boolean = {
+    val p = viewFile(ident)
+    viewFs(p).exists(p)
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val dir = new Path((namespace :+ "_views").mkString(s"$warehouse/", "/", ""))
+    val f = viewFs(dir)
+    if (!f.exists(dir)) Array.empty
+    else f.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
+      .filter(_.endsWith(".view")).sorted
+      .map(n => Identifier.of(namespace.toArray, n.stripSuffix(".view")))
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val p = viewFile(ident)
+    val f = viewFs(p)
+    if (!f.exists(p))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val props = new java.util.Properties
+    val in = f.open(p)
+    try props.load(new java.io.InputStreamReader(in, "UTF-8")) finally in.close()
+    new GraftLakeView(ident, props, unpackArr)
+  }
+
+  override def createView(info: ViewInfo): View = {
+    if (viewExists(info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident)
+    val props = new java.util.Properties
+    props.setProperty("sql", info.sql)
+    props.setProperty("currentCatalog", info.currentCatalog)
+    props.setProperty("currentNamespace", packArr(info.currentNamespace))
+    props.setProperty("schema", info.schema.toDDL)
+    props.setProperty("queryColumnNames", packArr(info.queryColumnNames))
+    props.setProperty("columnAliases", packArr(info.columnAliases))
+    props.setProperty("columnComments", packArr(info.columnComments))
+    Option(info.properties).foreach(_.asScala.foreach { case (k, v) =>
+      props.setProperty(s"prop.$k", v) })
+    writeView(info.ident, props)
+    loadView(info.ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val v = loadView(ident).asInstanceOf[GraftLakeView]
+    val props = v.raw
+    changes.foreach {
+      case s: ViewChange.SetProperty => props.setProperty(s"prop.${s.property}", s.value)
+      case r: ViewChange.RemoveProperty => props.remove(s"prop.${r.property}"): Unit
+      case other => throw new UnsupportedOperationException(
+        s"graft-lake: unsupported view change $other")
+    }
+    writeView(ident, props)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val p = viewFile(ident)
+    val f = viewFs(p)
+    f.exists(p) && f.delete(p, false)
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val (op, np) = (viewFile(oldIdent), viewFile(newIdent))
+    val f = viewFs(op)
+    if (!f.exists(op))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
+    if (viewExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    f.mkdirs(np.getParent)
+    require(f.rename(op, np),
+      s"graft-lake: rename of view $oldIdent to $newIdent failed")
+  }
+
+  private def writeView(ident: Identifier, props: java.util.Properties): Unit = {
+    val p = viewFile(ident)
+    val f = viewFs(p)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    try props.store(new java.io.OutputStreamWriter(out, "UTF-8"), null)
+    finally out.close()
+  }
+}
+
+/** One persisted logical view (see the ViewCatalog section above). */
+private[lake] class GraftLakeView(
+    ident: Identifier,
+    props: java.util.Properties,
+    unpack: String => Array[String]) extends View {
+  private[lake] def raw: java.util.Properties = props
+  override def name(): String = ident.toString
+  override def query(): String = props.getProperty("sql")
+  override def currentCatalog(): String = props.getProperty("currentCatalog")
+  override def currentNamespace(): Array[String] = unpack(props.getProperty("currentNamespace"))
+  override def schema(): StructType = StructType.fromDDL(props.getProperty("schema"))
+  override def queryColumnNames(): Array[String] = unpack(props.getProperty("queryColumnNames"))
+  override def columnAliases(): Array[String] = unpack(props.getProperty("columnAliases"))
+  override def columnComments(): Array[String] = unpack(props.getProperty("columnComments"))
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    props.stringPropertyNames().asScala.foreach { k =>
+      if (k.startsWith("prop.")) m.put(k.stripPrefix("prop."), props.getProperty(k))
+    }
+    m
   }
 }
 

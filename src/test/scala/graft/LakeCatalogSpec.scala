@@ -1395,4 +1395,40 @@ class LakeCatalogSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(1) === r.getLong(0) % 10),
       s"generated column must track the updated base column: ${rows.toSeq}")
   }
+
+  test("logical CREATE VIEW: create, query with pruning intact, list, rename, drop") {
+    val t = mkTable()
+    spark.sql(s"CREATE VIEW graft.db.vfull AS SELECT p, k, v FROM $t WHERE k < 20")
+    assert(spark.sql("SELECT count(*) c FROM graft.db.vfull").head.getLong(0) === 20)
+    // the stored SQL substitutes at read time: an outer filter on k must
+    // still prune lake files through the view (1 of 3+ data files read)
+    assert(spark.sql("SELECT sum(v) s FROM graft.db.vfull WHERE k = 5")
+      .head.getLong(0) === 50)
+    assert(v2ScannedFiles(
+      spark.sql("SELECT v FROM graft.db.vfull WHERE p = '1'")) === 1,
+      "partition pruning must survive view substitution")
+
+    // view-over-view composes; aggregates through both layers
+    spark.sql("CREATE VIEW graft.db.vtop AS " +
+      "SELECT p, sum(v) AS s FROM graft.db.vfull GROUP BY p")
+    assert(spark.sql("SELECT sum(s) t FROM graft.db.vtop").head.getLong(0) ===
+      (0L until 20L).map(_ * 10).sum)
+
+    // SHOW VIEWS lists both; DROP removes exactly one
+    val shown = spark.sql("SHOW VIEWS IN graft.db").collect().map(_.getString(1)).toSet
+    assert(Set("vfull", "vtop").subsetOf(shown), shown.toString)
+    // rename through ALTER VIEW ... RENAME
+    spark.sql("ALTER VIEW graft.db.vtop RENAME TO graft.db.vtop2")
+    assert(spark.sql("SELECT count(*) c FROM graft.db.vtop2").head.getLong(0) === 3)
+    // the view definition is FROZEN SQL: new source rows flow through
+    spark.sql(s"INSERT INTO $t VALUES (100, '9', 1000), (5, '9', 1)")
+    assert(spark.sql("SELECT count(*) c FROM graft.db.vfull").head.getLong(0) === 21)
+    spark.sql("DROP VIEW graft.db.vtop2")
+    intercept[Exception](spark.sql("SELECT * FROM graft.db.vtop2").collect())
+    assert(spark.sql("SELECT count(*) c FROM graft.db.vfull").head.getLong(0) === 21)
+    // CREATE OR REPLACE swaps the definition
+    spark.sql(s"CREATE OR REPLACE VIEW graft.db.vfull AS SELECT k FROM $t WHERE k >= 100")
+    assert(spark.sql("SELECT count(*) c FROM graft.db.vfull").head.getLong(0) === 1)
+    spark.sql("DROP VIEW graft.db.vfull")
+  }
 }
