@@ -237,22 +237,24 @@ object LakeProbe {
     spark.sql("INSERT INTO graft.db.pp SELECT id, cast(id % 4 AS string), id * 2 " +
       "FROM range(1000)")
     spark.sql("SELECT count(*) FROM graft.db.pp").collect() // warm the head manifest
-    def parsesOf(label: String)(f: => Unit): Long = {
+    def parsesOf(label: String)(f: => Unit): (Long, Long) = {
       val before = LakeTable.manifestParses.get()
+      val segBefore = LakeTable.segmentLoads.get()
       f
       val d = LakeTable.manifestParses.get() - before
-      println(f"[lake] manifest parses / $label%-28s = $d")
-      d
+      val ds = LakeTable.segmentLoads.get() - segBefore
+      println(f"[lake] manifest parses / $label%-28s = $d (segment loads $ds)")
+      (d, ds)
     }
-    val pSel = parsesOf("SELECT (warm table)") {
+    val (pSel, _) = parsesOf("SELECT (warm table)") {
       spark.sql("SELECT sum(v) FROM graft.db.pp WHERE k < 100").collect()
     }
-    val pSel2 = parsesOf("repeat SELECT") {
+    val (pSel2, sSel2) = parsesOf("repeat SELECT") {
       spark.sql("SELECT sum(v) FROM graft.db.pp WHERE k < 100").collect()
     }
-    require(pSel <= 1 && pSel2 == 0,
-      s"reads of an unchanged table must not re-parse manifests ($pSel/$pSel2)")
-    val pUpd = parsesOf("UPDATE (one commit)") {
+    require(pSel <= 1 && pSel2 == 0 && sSel2 == 0,
+      s"reads of an unchanged table must not re-parse manifests ($pSel/$pSel2/$sSel2)")
+    val (pUpd, _) = parsesOf("UPDATE (one commit)") {
       spark.sql("UPDATE graft.db.pp SET v = v + 1 WHERE k = 7").collect()
     }
     require(pUpd <= 2, s"a single-commit DML should parse ~1 new manifest, got $pUpd")

@@ -854,6 +854,7 @@ object LakeTable {
       require(es.size == ref.count,
         s"graft-lake: segment ${ref.rel} resolves to ${es.size} entries but the " +
           s"manifest recorded ${ref.count} — corrupt or truncated segment")
+      segmentLoads.incrementAndGet()
       segmentCache.put(key, es)
       es
     }
@@ -888,10 +889,15 @@ object LakeTable {
             e: java.util.Map.Entry[String, ManifestDoc]): Boolean = size > 256
       })
 
-  /** Total full-manifest parses since JVM start (cache misses only) —
-    * observability for the per-statement parse count; see LakeProbe.
+  /** Total full-manifest parses / segment loads since JVM start (cache
+    * misses only) — observability for the per-statement metadata cost:
+    * on a warm cache a read statement should parse ZERO manifests and a
+    * DML statement exactly the versions it commits (O(1) per
+    * statement, never O(history)). LakeProbe's metadata-cost arm and
+    * LakeTableSpec pin the deltas.
     */
   private[graft] val manifestParses = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val segmentLoads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def readDoc(spark: SparkSession, root: String, v: Long): ManifestDoc = {
     val mf = new Path(manifestDir(root), s"v$v.manifest")

@@ -206,6 +206,13 @@ object Dedup {
     * Docs with an empty shingle set are dropped (they cannot near-dup
     * match — same rule as [[nearDupPairs]]).
     */
+  /** One (id, band index, band hash) row per stored band of a
+    * [[signatures]] table — the LSH bucket key both incremental sides
+    * join on.
+    */
+  private def explodeStoredBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), posexplode(col("bands")).as(Seq("__band", "__bh")))
+
   def signatures(
       df: DataFrame,
       textCol: String,
@@ -265,12 +272,7 @@ object Dedup {
       historySigs.select(col("id"), col("sh"), col("bands"))
         .unionByName(batchSigs.select(col("id"), col("sh"), col("bands"))))
 
-    def banded(sigs: DataFrame): DataFrame =
-      sigs.select(
-        col("id"),
-        posexplode(col("bands")).as(Seq("__band", "__bh")))
-
-    val allBanded = banded(all)
+    val allBanded = explodeStoredBands(all)
     // Global bucket cap: sizes counted over history+batch, so a
     // degenerate bucket is dropped even when each side alone is small.
     val sized = allBanded
@@ -281,7 +283,7 @@ object Dedup {
     // Batch side probes the (capped) full table. Canonical (least,
     // greatest) ordering + distinct collapses the two directions a
     // batch-batch pair generates and dedups multi-band collisions.
-    val candidates = banded(batchSigs).as("a")
+    val candidates = explodeStoredBands(batchSigs).as("a")
       .join(allBanded.join(sized, Seq("__band", "__bh")).as("b"),
         col("a.__band") === col("b.__band") && col("a.__bh") === col("b.__bh") &&
           col("a.id") =!= col("b.id"))

@@ -196,6 +196,30 @@ class LakeTableSpec extends SparkSpec {
       "content preserved: compacted rows + the winner's append")
   }
 
+  test("metadata cost is O(1) per statement: warm reads parse zero manifests") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"))
+    LakeTable.read(spark, root).count() // warm the head manifest
+    val (p0, s0) = (LakeTable.manifestParses.get(), LakeTable.segmentLoads.get())
+    LakeTable.read(spark, root).where(col("k") < 10).count()
+    LakeTable.read(spark, root).agg(sum("v")).collect()
+    assert(LakeTable.manifestParses.get() === p0,
+      "warm reads of an unchanged table must hit the doc cache (zero parses)")
+    assert(LakeTable.segmentLoads.get() === s0,
+      "warm reads must load zero manifest segments")
+    // a DML statement parses O(1) manifests — the versions it touches —
+    // never O(history): grow the history first, then measure one delete
+    (1 to 5).foreach(i =>
+      LakeTable.append(spark, root, baseDf.where(col("k") === i)
+        .select((col("k") + 1000L * i).as("k"), col("p"), col("v"))))
+    LakeTable.read(spark, root).count() // warm the new head
+    val p1 = LakeTable.manifestParses.get()
+    LakeTable.deleteWithRetry(spark, root, col("k") === 1001L, "p")
+    LakeTable.read(spark, root).count()
+    val d = LakeTable.manifestParses.get() - p1
+    assert(d <= 2, s"a single-commit DML + re-read must parse O(1) manifests, got $d")
+  }
+
   test("partition spec evolution: per-spec pruning, DML across specs, OPTIMIZE migrates") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"))
