@@ -3105,7 +3105,8 @@ object LakeTable {
       spark: SparkSession,
       root: String,
       predicate: Column,
-      partitionCol: String): MergeStats = {
+      partitionCol: String,
+      preCommit: () => Unit = () => ()): MergeStats = {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.deleteMor: no committed snapshot at $root")
     val meta = s0.meta.get
@@ -3159,10 +3160,20 @@ object LakeTable {
     val newEntries = s0.entries.flatMap { e =>
       if (!updated.contains(e.rel)) Some(e) else Option(updated(e.rel))
     }
-    require(
-      commit(spark, root, s0.version + 1, meta, newEntries),
-      s"LakeTable.deleteMor: concurrent commit at $root (retry on a fresh snapshot)")
-    MergeStats(s0.version + 1,
+    // lost race → metadata-only rebase: a DV change is remove(old
+    // entry) + write(DV'd entry), so the same conditions as the COW
+    // verbs apply (our touched entries byte-identical at head, the
+    // winner's new files provably predicate-free)
+    preCommit()
+    val landed: Long =
+      if (commit(spark, root, s0.version + 1, meta, newEntries)) s0.version + 1
+      else rebaseCommit(spark, root, s0, meta,
+        removed = s0.entries.filter(e => updated.contains(e.rel)),
+        written = updated.values.filter(_ != null).toSeq,
+        mayMatch = mayDelete)
+        .getOrElse(throw new IllegalArgumentException(
+          s"LakeTable.deleteMor: concurrent commit at $root (retry on a fresh snapshot)"))
+    MergeStats(landed,
       matchedPartitions = sidecars.map(h => byKey(h._1).part).distinct.length,
       // "rewritten" here = files that gained/extended a DV (metadata
       // only — zero data bytes moved); fully-dead files simply drop
@@ -3189,7 +3200,8 @@ object LakeTable {
       root: String,
       predicate: Column,
       set: Map[String, Column],
-      partitionCol: String): MergeStats = {
+      partitionCol: String,
+      preCommit: () => Unit = () => ()): MergeStats = {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.updateMor: no committed snapshot at $root")
     val meta = s0.meta.get
@@ -3243,10 +3255,17 @@ object LakeTable {
       val newEntries = s0.entries.flatMap { e =>
         if (!tombstoned.contains(e.rel)) Some(e) else Option(tombstoned(e.rel))
       } ++ written
-      require(
-        commit(spark, root, s0.version + 1, meta, newEntries),
-        s"LakeTable.updateMor: concurrent commit at $root (retry on a fresh snapshot)")
-      MergeStats(s0.version + 1,
+      // lost race → metadata-only rebase (see deleteMor)
+      preCommit()
+      val landed: Long =
+        if (commit(spark, root, s0.version + 1, meta, newEntries)) s0.version + 1
+        else rebaseCommit(spark, root, s0, meta,
+          removed = s0.entries.filter(e => tombstoned.contains(e.rel)),
+          written = tombstoned.values.filter(_ != null).toSeq ++ written,
+          mayMatch = mayMatch)
+          .getOrElse(throw new IllegalArgumentException(
+            s"LakeTable.updateMor: concurrent commit at $root (retry on a fresh snapshot)"))
+      MergeStats(landed,
         matchedPartitions = sidecars.map(h => byKey(h._1).part).distinct.length,
         filesRewritten = tombstoned.size,
         filesCarried = s0.entries.size - tombstoned.size,
@@ -3839,10 +3858,19 @@ object LakeTable {
       val newEntries = s0.entries.flatMap { e =>
         if (!tombstoned.contains(e.rel)) Some(e) else Option(tombstoned(e.rel))
       } ++ written
-      require(
-        commit(spark, root, s0.version + 1, advanceIdentityHw(meta, written), newEntries),
-        s"LakeTable.mergeClausesMor: concurrent commit at $root (retry on a fresh snapshot)")
-      MergeStats(s0.version + 1,
+      // lost race → metadata-only rebase (see deleteMor); an identity
+      // high-water advance changes meta, which condition 1 refuses —
+      // those tables keep the recompute
+      val finalMeta = advanceIdentityHw(meta, written)
+      val landed: Long =
+        if (commit(spark, root, s0.version + 1, finalMeta, newEntries)) s0.version + 1
+        else rebaseCommit(spark, root, s0, finalMeta,
+          removed = s0.entries.filter(e => tombstoned.contains(e.rel)),
+          written = tombstoned.values.filter(_ != null).toSeq ++ written,
+          mayMatch = mayMatch)
+          .getOrElse(throw new IllegalArgumentException(
+            s"LakeTable.mergeClausesMor: concurrent commit at $root (retry on a fresh snapshot)"))
+      MergeStats(landed,
         matchedPartitions = sidecars.map(h => byKey(h._1).part).distinct.length,
         filesRewritten = tombstoned.size,
         filesCarried = s0.entries.size - tombstoned.size,

@@ -640,6 +640,19 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
     loadView(ident)
   }
 
+  /** ALTER VIEW ... AS: swap the stored SQL + recorded schema in place,
+    * keeping every other cell (creation context, properties) verbatim.
+    */
+  private[lake] def replaceViewSql(
+      ident: Identifier, sql: String, schema: StructType): Unit = {
+    val v = loadView(ident).asInstanceOf[GraftLakeView]
+    val props = v.raw
+    props.setProperty("sql", sql)
+    props.setProperty("schema", schema.toDDL)
+    props.setProperty("queryColumnNames", packArr(schema.fieldNames))
+    writeView(ident, props)
+  }
+
   override def dropView(ident: Identifier): Boolean = {
     val p = viewFile(ident)
     val f = viewFs(p)

@@ -101,6 +101,25 @@ class GraftViewSqlParser(delegate: ParserInterface) extends ParserInterface {
           case Some((cat, rest)) => GraftShowViewsCommand(cat, rest, pattern, output)
           case None => sv
         }
+      case av @ org.apache.spark.sql.catalyst.plans.logical.AlterViewAs(
+          child: org.apache.spark.sql.catalyst.analysis.UnresolvedView, originalText, _) =>
+        GraftViews.route(child.multipartIdentifier) match {
+          case Some((cat, ident)) => GraftAlterViewAsCommand(cat, ident, originalText)
+          case None => av
+        }
+      case sp @ org.apache.spark.sql.catalyst.plans.logical.SetViewProperties(
+          child: org.apache.spark.sql.catalyst.analysis.UnresolvedView, props) =>
+        GraftViews.route(child.multipartIdentifier) match {
+          case Some((cat, ident)) => GraftViewPropsCommand(cat, ident, props, Nil, false)
+          case None => sp
+        }
+      case up @ org.apache.spark.sql.catalyst.plans.logical.UnsetViewProperties(
+          child: org.apache.spark.sql.catalyst.analysis.UnresolvedView, keys, ifExists) =>
+        GraftViews.route(child.multipartIdentifier) match {
+          case Some((cat, ident)) =>
+            GraftViewPropsCommand(cat, ident, Map.empty, keys, ifExists)
+          case None => up
+        }
       case rt @ RenameTable(child: UnresolvedTableOrView, newName, true) =>
         GraftViews.route(child.multipartIdentifier) match {
           case Some((cat, ident)) =>
@@ -132,14 +151,31 @@ class GraftViewSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseRoutineParam(sqlText)
 }
 
-/** Read-time substitution of stored graft views (see [[GraftViews]]). */
+/** Read-time substitution of stored graft views (see [[GraftViews]]).
+  *
+  * Cost discipline: this rule fires on every still-unresolved relation
+  * each fixed-point iteration, so its guard must be CHEAP. `viewExists`
+  * is one fs exists() on the view file path and runs FIRST; the
+  * table-existence probe (a snapshot listing) runs only after a view
+  * file was actually found — real tables were already resolved by
+  * ResolveRelations (which runs earlier in the same batch), so the
+  * common non-view case costs one exists() and nothing else.
+  */
 case class GraftViewSubstitution(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case u @ UnresolvedRelation(parts, _, false) =>
       GraftViews.route(parts) match {
-        case Some((cat, ident)) if !tableExists(cat, ident) && cat.viewExists(ident) =>
+        case Some((cat, ident)) if cat.viewExists(ident) && !tableExists(cat, ident) =>
           val view = cat.loadView(ident)
           SubqueryAlias(ident.name, spark.sessionState.sqlParser.parsePlan(view.query))
+        case _ => u
+      }
+    case u @ UnresolvedRelation(parts, _, true) =>
+      GraftViews.route(parts) match {
+        case Some((cat, ident)) if cat.viewExists(ident) && !tableExists(cat, ident) =>
+          throw new UnsupportedOperationException(
+            s"graft-lake: streaming reads of logical view ${parts.mkString(".")} are " +
+              "not supported — readStream the base lake table instead")
         case _ => u
       }
   }
@@ -177,6 +213,44 @@ case class GraftCreateViewCommand(
     catalog.createView(new ViewInfo(ident, sql,
       cm.currentCatalog.name, cm.currentNamespace,
       schema, schema.fieldNames, Array.empty, Array.empty, properties)): Unit
+    Nil
+  }
+}
+
+case class GraftAlterViewAsCommand(
+    catalog: GraftLakeCatalog,
+    ident: Identifier,
+    sql: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    if (!catalog.viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val parsed = session.sessionState.sqlParser.parsePlan(sql)
+    val schema = session.sessionState.executePlan(parsed).analyzed.schema
+    catalog.replaceViewSql(ident, sql, schema)
+    Nil
+  }
+}
+
+case class GraftViewPropsCommand(
+    catalog: GraftLakeCatalog,
+    ident: Identifier,
+    set: Map[String, String],
+    unset: Seq[String],
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    if (!catalog.viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    if (!ifExists) {
+      val have = catalog.loadView(ident).properties()
+      val missing = unset.filterNot(have.containsKey)
+      require(missing.isEmpty,
+        s"graft-lake ALTER VIEW: properties ${missing.mkString(", ")} do not " +
+          "exist (use IF EXISTS)")
+    }
+    val changes = set.toSeq.map { case (k, v) => ViewChange.setProperty(k, v) } ++
+      unset.map(ViewChange.removeProperty)
+    catalog.alterView(ident, changes: _*): Unit
     Nil
   }
 }

@@ -111,6 +111,59 @@ class DvSpec extends SparkSpec {
     assert(got.size === 300 - 10 + 5, "10 by-source keys deleted, 5 inserted")
   }
 
+  test("MOR verbs rebase on a disjoint lost race instead of recomputing") {
+    import spark.implicits._
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"), deleteMode = "mor")
+    val interloper = spark.range(5000, 5010).select(
+      col("id").as("k"), lit("9").as("p"), lit(1L).as("v"))
+
+    // deleteMor loses to a stats-disjoint append → metadata rebase
+    val r0 = LakeTable.mergeRebases.get()
+    var fired = 0
+    val del = LakeTable.deleteMor(spark, root, col("k") < 10, "p", preCommit = () => {
+      fired += 1
+      if (fired == 1) LakeTable.append(spark, root, interloper)
+    })
+    assert(fired === 1, "the losing MOR delete must rebase, not recompute")
+    assert(LakeTable.mergeRebases.get() === r0 + 1)
+    assert(del.version === 3)
+    val got = LakeTable.read(spark, root)
+    assert(got.count() === 300)
+    assert(got.where(col("k") < 10).isEmpty)
+    assert(got.where(col("k") >= 5000).count() === 10, "winner's append survives")
+    assert(LakeTable.snapshot(spark, root).entries.exists(_.dv.isDefined),
+      "the rebased delete still lands as deletion vectors")
+
+    // updateMor loses to another disjoint append → rebase again
+    val r1 = LakeTable.mergeRebases.get()
+    var fired2 = 0
+    LakeTable.updateMor(spark, root, col("k") >= 290 && col("k") < 300,
+      Map("v" -> lit(777L)), "p", preCommit = () => {
+        fired2 += 1
+        if (fired2 == 1) LakeTable.append(spark, root,
+          spark.range(6000, 6005).select(
+            col("id").as("k"), lit("9").as("p"), lit(2L).as("v")))
+      })
+    assert(fired2 === 1 && LakeTable.mergeRebases.get() === r1 + 1)
+    assert(LakeTable.read(spark, root)
+      .where(col("v") === 777L).count() === 10)
+    assert(LakeTable.read(spark, root).count() === 305)
+
+    // a winner whose new file MAY match the predicate → rebase refuses,
+    // the crisp concurrent-commit error surfaces for the retry wrapper
+    val r2 = LakeTable.mergeRebases.get()
+    var fired3 = 0
+    val e = intercept[IllegalArgumentException](
+      LakeTable.deleteMor(spark, root, col("k") === 50, "p", preCommit = () => {
+        fired3 += 1
+        if (fired3 == 1) LakeTable.append(spark, root,
+          Seq((50L, "9", 5L)).toDF("k", "p", "v"))
+      }))
+    assert(e.getMessage.contains("concurrent commit"))
+    assert(LakeTable.mergeRebases.get() === r2, "no rebase when the winner may match")
+  }
+
   test("overlapping second delete unions vectors; re-delete of dead rows commits nothing") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p")

@@ -1429,6 +1429,18 @@ class LakeCatalogSpec extends SparkSpec {
     // CREATE OR REPLACE swaps the definition
     spark.sql(s"CREATE OR REPLACE VIEW graft.db.vfull AS SELECT k FROM $t WHERE k >= 100")
     assert(spark.sql("SELECT count(*) c FROM graft.db.vfull").head.getLong(0) === 1)
+    // ALTER VIEW ... AS swaps in place; properties set/unset round-trip
+    spark.sql(s"ALTER VIEW graft.db.vfull AS SELECT k, v FROM $t WHERE k < 3")
+    assert(spark.sql("SELECT sum(v) s FROM graft.db.vfull").head.getLong(0) === 30)
+    spark.sql("ALTER VIEW graft.db.vfull SET TBLPROPERTIES ('team' = 'core')")
+    intercept[Exception](
+      spark.sql("ALTER VIEW graft.db.vfull UNSET TBLPROPERTIES ('nope')"))
+    spark.sql("ALTER VIEW graft.db.vfull UNSET TBLPROPERTIES IF EXISTS ('nope')")
+    spark.sql("ALTER VIEW graft.db.vfull UNSET TBLPROPERTIES ('team')")
+    // a streaming read of a logical view refuses crisply
+    val es = intercept[Exception](
+      spark.readStream.table("graft.db.vfull").writeStream.format("noop").start())
+    assert(es.getMessage.contains("streaming reads of logical view"), es.getMessage)
     spark.sql("DROP VIEW graft.db.vfull")
   }
 }
