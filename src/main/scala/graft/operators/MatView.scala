@@ -509,16 +509,29 @@ object MatView {
       keys: Seq[String],
       aggs: Seq[Agg]): DataFrame = {
     val dirty = changes.select(keys.map(col): _*).distinct()
+    val d1 = LakeTable.readVersion(spark, dim, headD)
     val factCols = LakeTable.snapshot(spark, fact).meta.get.schema.fieldNames.toSet
     val factKeys = keys.filter(factCols.contains)
+    val dimKeys = keys.filter(d1.columns.contains)
     val hasNullFactKey = factKeys.isEmpty ||
       !dirty.where(factKeys.map(k => col(s"`$k`").isNull).reduce(_ || _)).isEmpty
     val f1 =
-      if (hasNullFactKey) LakeTable.readVersion(spark, fact, headF)
-      else LakeTable.readVersionForKeys(spark, fact, headF, factKeys,
-        dirty.select(factKeys.map(col): _*).distinct())
-    val j = joined(f1, LakeTable.readVersion(spark, dim, headD),
-      fk, dk, keys, aggs, col("f.`__one`"))
+      if (!hasNullFactKey)
+        LakeTable.readVersionForKeys(spark, fact, headF, factKeys,
+          dirty.select(factKeys.map(col): _*).distinct())
+      else if (dimKeys.size == keys.size) {
+        // dim-side view keys (the common "GROUP BY segment" shape): the
+        // dirty groups name DIM rows, and only fact rows joining those
+        // rows can belong to a dirty group — prune the fact read by
+        // THEIR join-key values (the dim is the small side; its dirty
+        // slice is smaller still)
+        val dirtyFks = d1.as("d").join(broadcast(dirty).as("x"),
+          dimKeys.map(k => col(s"d.`$k`") <=> col(s"x.`$k`")).reduce(_ && _),
+          "left_semi")
+          .select(col(s"`$dk`").as(fk)).where(col(s"`$fk`").isNotNull).distinct()
+        LakeTable.readVersionForKeys(spark, fact, headF, Seq(fk), dirtyFks)
+      } else LakeTable.readVersion(spark, fact, headF)
+    val j = joined(f1, d1, fk, dk, keys, aggs, col("f.`__one`"))
     def keyEq(l: String, r: String): Column =
       keys.map(k => col(s"$l.`$k`") <=> col(s"$r.`$k`")).reduce(_ && _)
     val recomputed = j.as("b")

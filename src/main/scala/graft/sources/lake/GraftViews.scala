@@ -82,11 +82,9 @@ class GraftViewSqlParser(delegate: ParserInterface) extends ParserInterface {
           props, originalText, _, allowExisting, replace, _) =>
         GraftViews.route(parts) match {
           case Some((cat, ident)) =>
-            require(userCols.isEmpty,
-              "graft-lake CREATE VIEW: explicit column lists are not supported yet")
             val sql = originalText.getOrElse(throw new IllegalArgumentException(
               "graft-lake CREATE VIEW: missing view SQL text"))
-            GraftCreateViewCommand(cat, ident, sql, comment, props,
+            GraftCreateViewCommand(cat, ident, sql, userCols, comment, props,
               allowExisting = allowExisting, replace = replace)
           case None => cv
         }
@@ -167,7 +165,16 @@ case class GraftViewSubstitution(spark: SparkSession) extends Rule[LogicalPlan] 
       GraftViews.route(parts) match {
         case Some((cat, ident)) if cat.viewExists(ident) && !tableExists(cat, ident) =>
           val view = cat.loadView(ident)
-          SubqueryAlias(ident.name, spark.sessionState.sqlParser.parsePlan(view.query))
+          val parsed = spark.sessionState.sqlParser.parsePlan(view.query)
+          // an explicit column list re-aliases the query output by name
+          val body =
+            if (view.columnAliases == null || view.columnAliases.isEmpty) parsed
+            else org.apache.spark.sql.catalyst.plans.logical.Project(
+              view.queryColumnNames.zip(view.columnAliases).toSeq.map { case (q, a) =>
+                org.apache.spark.sql.catalyst.expressions.Alias(
+                  org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(q), a)()
+              }, parsed)
+          SubqueryAlias(ident.name, body)
         case _ => u
       }
     case u @ UnresolvedRelation(parts, _, true) =>
@@ -188,6 +195,7 @@ case class GraftCreateViewCommand(
     catalog: GraftLakeCatalog,
     ident: Identifier,
     sql: String,
+    userCols: Seq[(String, Option[String])],
     comment: Option[String],
     props: Map[String, String],
     allowExisting: Boolean,
@@ -205,14 +213,34 @@ case class GraftCreateViewCommand(
     // analyze the view body now: a broken definition fails the DDL, not
     // the first read, and the schema is recorded for inspection
     val parsed = session.sessionState.sqlParser.parsePlan(sql)
-    val schema = session.sessionState.executePlan(parsed).analyzed.schema
+    val qSchema = session.sessionState.executePlan(parsed).analyzed.schema
+    // explicit column list: aliases rename the query output 1:1 (reads
+    // re-apply them by NAME over the substituted plan, so the stored
+    // queryColumnNames must be unambiguous)
+    if (userCols.nonEmpty) {
+      require(userCols.size == qSchema.size,
+        s"graft-lake CREATE VIEW: ${userCols.size} column aliases for a " +
+          s"${qSchema.size}-column query")
+      val dup = qSchema.fieldNames.groupBy(_.toLowerCase).collect {
+        case (n, v) if v.length > 1 => n }
+      require(dup.isEmpty,
+        s"graft-lake CREATE VIEW: aliased views need unambiguous query column " +
+          s"names, duplicates: ${dup.mkString(", ")}")
+    }
+    val schema =
+      if (userCols.isEmpty) qSchema
+      else StructType(qSchema.fields.zip(userCols).map {
+        case (f, (alias, _)) => f.copy(name = alias) })
     val cm = session.sessionState.catalogManager
     val properties = new java.util.HashMap[String, String]()
     props.foreach { case (k, v) => properties.put(k, v) }
     comment.foreach(properties.put("comment", _))
     catalog.createView(new ViewInfo(ident, sql,
       cm.currentCatalog.name, cm.currentNamespace,
-      schema, schema.fieldNames, Array.empty, Array.empty, properties)): Unit
+      schema, qSchema.fieldNames,
+      if (userCols.isEmpty) Array.empty else userCols.map(_._1).toArray,
+      if (userCols.isEmpty) Array.empty else userCols.map(_._2.orNull).toArray,
+      properties)): Unit
     Nil
   }
 }
