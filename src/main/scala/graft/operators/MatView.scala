@@ -201,6 +201,13 @@ object MatView {
     * column may share the fact join column's name — it is dropped, the
     * values are equal on every joined row).
     */
+  /** `where` filters the FACT side (the "completed orders only" shape):
+    * it applies identically to the full compute, to both delta terms
+    * (ΔF filtered before the join — row-wise deterministic transforms
+    * commute with the signed diff — and F0 filtered in the dim term)
+    * and to the dirty rescan's fact read, so every refresh path
+    * maintains the filtered join exactly.
+    */
   def createJoin(
       spark: SparkSession,
       mvRoot: String,
@@ -209,14 +216,15 @@ object MatView {
       factKey: String,
       dimKey: String,
       keys: Seq[String],
-      aggs: Seq[Agg]): Long = {
+      aggs: Seq[Agg],
+      where: Option[String] = None): Long = {
     require(keys.nonEmpty, "MatView.createJoin: at least one key column")
     require(aggs.nonEmpty, "MatView.createJoin: at least one aggregate")
     val headF = LakeTable.snapshot(spark, factRoot).version
     val headD = LakeTable.snapshot(spark, dimRoot).version
     require(headF > 0 && headD > 0, "MatView.createJoin: both sources need a snapshot")
     val full = joined(
-      LakeTable.readVersion(spark, factRoot, headF),
+      prep(LakeTable.readVersion(spark, factRoot, headF), where, Nil),
       LakeTable.readVersion(spark, dimRoot, headD),
       factKey, dimKey, keys, aggs, col("f.`__one`"))
       .groupBy(keys.map(col): _*).agg(aggExprs(aggs).head, aggExprs(aggs).tail: _*)
@@ -229,7 +237,8 @@ object MatView {
         PropJoinFact -> factKey, PropJoinDim -> dimKey,
         PropKeys -> keys.mkString(","),
         PropAggs -> aggs.map(_.spec).mkString(","),
-        PropVersion -> headF.toString, PropDimVersion -> headD.toString))
+        PropVersion -> headF.toString, PropDimVersion -> headD.toString) ++
+        where.map(PropWhere -> _).toMap)
     headF
   }
 
@@ -342,6 +351,7 @@ object MatView {
     val (fact, dim) = (d(PropSrc), d(PropDim))
     val (fk, dk) = (d(PropJoinFact), d(PropJoinDim))
     val (keys, aggs) = (d(PropKeys).split(",").toSeq, parseAggs(d(PropAggs)))
+    val where = d.get(PropWhere)
     val (lastF, lastD) = (d(PropVersion).toLong, d(PropDimVersion).toLong)
     val headF = LakeTable.snapshot(spark, fact).version
     val headD = LakeTable.snapshot(spark, dim).version
@@ -350,7 +360,7 @@ object MatView {
     // term 1: the fact window joined against the dim AT HEAD
     val term1 =
       if (headF <= lastF) None
-      else Some(joined(LakeTable.rowDeltas(spark, fact, lastF, headF),
+      else Some(joined(prep(LakeTable.rowDeltas(spark, fact, lastF, headF), where, Nil),
         LakeTable.readVersion(spark, dim, headD),
         fk, dk, keys, aggs, col("f.`__one`")))
     // term 2: the PRE-WINDOW fact joined against the dim window — the
@@ -361,7 +371,8 @@ object MatView {
       else {
         val dD = LakeTable.rowDeltas(spark, dim, lastD, headD)
         val dirtyKeys = dD.select(col(s"`$dk`").as(fk)).distinct()
-        val f0 = LakeTable.readVersionForKeys(spark, fact, lastF, Seq(fk), dirtyKeys)
+        val f0 = prep(
+          LakeTable.readVersionForKeys(spark, fact, lastF, Seq(fk), dirtyKeys), where, Nil)
         Some(joined(f0, dD, fk, dk, keys, aggs, col("d.`__one`")))
       }
     val changes = (term1.toSeq ++ term2.toSeq).reduce(_.unionByName(_))
@@ -376,7 +387,7 @@ object MatView {
     val deltaOnly = aggs.forall(a => Set("cnt", "sum", "avg")(a.fn))
     val source =
       if (deltaOnly) deltaSource(changes, keys, aggs)
-      else dirtyJoinSource(spark, fact, dim, fk, dk, headF, headD, changes, keys, aggs)
+      else dirtyJoinSource(spark, fact, dim, fk, dk, headF, headD, changes, keys, aggs, where)
     val stored = storedCols(aggs)
     inheritWidenings(spark, mvRoot, meta, keys ++ stored, source)
     val matched = Seq(
@@ -507,7 +518,8 @@ object MatView {
       headD: Long,
       changes: DataFrame,
       keys: Seq[String],
-      aggs: Seq[Agg]): DataFrame = {
+      aggs: Seq[Agg],
+      where: Option[String] = None): DataFrame = {
     val dirty = changes.select(keys.map(col): _*).distinct()
     val d1 = LakeTable.readVersion(spark, dim, headD)
     val factCols = LakeTable.snapshot(spark, fact).meta.get.schema.fieldNames.toSet
@@ -531,7 +543,7 @@ object MatView {
           .select(col(s"`$dk`").as(fk)).where(col(s"`$fk`").isNotNull).distinct()
         LakeTable.readVersionForKeys(spark, fact, headF, Seq(fk), dirtyFks)
       } else LakeTable.readVersion(spark, fact, headF)
-    val j = joined(f1, d1, fk, dk, keys, aggs, col("f.`__one`"))
+    val j = joined(prep(f1, where, Nil), d1, fk, dk, keys, aggs, col("f.`__one`"))
     def keyEq(l: String, r: String): Column =
       keys.map(k => col(s"$l.`$k`") <=> col(s"$r.`$k`")).reduce(_ && _)
     val recomputed = j.as("b")

@@ -279,7 +279,8 @@ private[lake] object GraftLakeProcedures {
           "refresh_matview keeps it in sync against BOTH sources",
         Seq(p("view", StringType), p("fact", StringType), p("dim", StringType),
           p("join_fact", StringType), p("join_dim", StringType),
-          p("keys", StringType), p("aggs", StringType))) {
+          p("keys", StringType), p("aggs", StringType),
+          pd("where", StringType, "''"))) {
         override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
           val v = graft.operators.MatView.createJoin(spark(),
             rootOf(args.getUTF8String(0).toString),
@@ -288,7 +289,8 @@ private[lake] object GraftLakeProcedures {
             args.getUTF8String(3).toString,
             args.getUTF8String(4).toString,
             args.getUTF8String(5).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-            graft.operators.MatView.parseAggs(args.getUTF8String(6).toString))
+            graft.operators.MatView.parseAggs(args.getUTF8String(6).toString),
+            where = Some(args.getUTF8String(7).toString).filter(_.nonEmpty))
           (StructType(Seq(StructField("src_version", LongType))), Seq(InternalRow(v)))
         }
       },

@@ -57,6 +57,33 @@ object GraftViews {
     }
   }
 
+  /** Refuse a view definition that reaches ITSELF through any chain of
+    * stored views (CREATE OR REPLACE / ALTER VIEW AS can close a cycle
+    * the analyzer would otherwise chase to its max-iterations error):
+    * walk the SQL's relation names, DFS through stored definitions.
+    * Runs at DDL time only — reads never pay for it.
+    */
+  private[lake] def requireAcyclic(
+      session: SparkSession,
+      target: Identifier,
+      sql: String): Unit = {
+    def refs(s: String): Seq[(GraftLakeCatalog, Identifier)] =
+      session.sessionState.sqlParser.parsePlan(s).collect {
+        case UnresolvedRelation(parts, _, _) => route(parts)
+      }.flatten
+    val seen = scala.collection.mutable.Set[String]()
+    def walk(cat: GraftLakeCatalog, ident: Identifier, viaSql: String): Unit =
+      refs(viaSql).foreach { case (c, i) =>
+        if (i.toString == target.toString)
+          throw new IllegalArgumentException(
+            s"graft-lake: view $target would reference itself (via $ident) — " +
+              "view definitions must be acyclic")
+        if (seen.add(i.toString) && c.viewExists(i))
+          walk(c, i, c.loadView(i).query())
+      }
+    walk(null, target, sql)
+  }
+
   /** Namespace-shaped routing (SHOW VIEWS IN <ns>). */
   private[lake] def routeNs(parts: Seq[String]): Option[(GraftLakeCatalog, Array[String])] = {
     val cm = SparkSession.active.sessionState.catalogManager
@@ -204,16 +231,20 @@ case class GraftCreateViewCommand(
     if (catalog.tableExists(ident))
       throw new IllegalArgumentException(
         s"graft-lake CREATE VIEW: $ident is a TABLE")
-    if (catalog.viewExists(ident)) {
+    val existed = catalog.viewExists(ident)
+    if (existed) {
       if (allowExisting) return Nil
       if (!replace)
         throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
-      catalog.dropView(ident): Unit
     }
     // analyze the view body now: a broken definition fails the DDL, not
-    // the first read, and the schema is recorded for inspection
+    // the first read, and the schema is recorded for inspection. All
+    // validation runs BEFORE a replace drops anything — a refused
+    // CREATE OR REPLACE must leave the old definition intact
+    GraftViews.requireAcyclic(session, ident, sql)
     val parsed = session.sessionState.sqlParser.parsePlan(sql)
     val qSchema = session.sessionState.executePlan(parsed).analyzed.schema
+    if (existed) catalog.dropView(ident): Unit
     // explicit column list: aliases rename the query output 1:1 (reads
     // re-apply them by NAME over the substituted plan, so the stored
     // queryColumnNames must be unambiguous)
@@ -252,6 +283,7 @@ case class GraftAlterViewAsCommand(
   override def run(session: SparkSession): Seq[Row] = {
     if (!catalog.viewExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    GraftViews.requireAcyclic(session, ident, sql)
     val parsed = session.sessionState.sqlParser.parsePlan(sql)
     val schema = session.sessionState.executePlan(parsed).analyzed.schema
     catalog.replaceViewSql(ident, sql, schema)

@@ -1437,6 +1437,20 @@ class LakeCatalogSpec extends SparkSpec {
       spark.sql("ALTER VIEW graft.db.vfull UNSET TBLPROPERTIES ('nope')"))
     spark.sql("ALTER VIEW graft.db.vfull UNSET TBLPROPERTIES IF EXISTS ('nope')")
     spark.sql("ALTER VIEW graft.db.vfull UNSET TBLPROPERTIES ('team')")
+    // cycles refuse at DDL time (the analyzer would otherwise chase
+    // the substitution to its max-iterations error)
+    spark.sql(s"CREATE VIEW graft.db.vc1 AS SELECT k FROM $t WHERE k < 5")
+    spark.sql("CREATE VIEW graft.db.vc2 AS SELECT k FROM graft.db.vc1")
+    val ec = intercept[Exception](
+      spark.sql("ALTER VIEW graft.db.vc1 AS SELECT k FROM graft.db.vc2"))
+    assert(ec.getMessage.contains("acyclic"), ec.getMessage)
+    val ec2 = intercept[Exception](spark.sql(
+      "CREATE OR REPLACE VIEW graft.db.vc1 AS SELECT k FROM graft.db.vc1 WHERE k > 1"))
+    assert(ec2.getMessage.contains("acyclic"), ec2.getMessage)
+    assert(spark.sql("SELECT count(*) c FROM graft.db.vc2").head.getLong(0) === 5,
+      "refused DDL must leave the old definitions intact")
+    spark.sql("DROP VIEW graft.db.vc2")
+    spark.sql("DROP VIEW graft.db.vc1")
     // a streaming read of a logical view refuses crisply
     val es = intercept[Exception](
       spark.readStream.table("graft.db.vfull").writeStream.format("noop").start())

@@ -461,6 +461,51 @@ class MatViewSpec extends SparkSpec {
     assert(LakeTable.snapshot(spark, mv).version === v0)
   }
 
+  test("filtered JOIN view: the fact-side WHERE holds on every refresh path") {
+    val (fact, mv) = freshRoots()
+    val dim = s"$wh/dimw$n"
+    import spark.implicits._
+    LakeTable.init(spark, fact,
+      (0L until 60L).map(i => (i, i % 6, i * 10L)).toDF("k", "fk", "v"),
+      partitionCol = "fk", statsCols = Seq("k", "fk"))
+    LakeTable.init(spark, dim,
+      (0L until 6L).map(j => (j, s"g${j % 2}")).toDF("dk", "seg"),
+      partitionCol = "seg", statsCols = Seq("dk"))
+    // delta family first (cnt/sum), fact-side filter v >= 100
+    MatView.createJoin(spark, mv, fact, dim, "fk", "dk",
+      Seq("seg"), MatView.parseAggs("cnt,sum:v"), where = Some("v >= 100"))
+    def inSync(m: String, sel: Seq[String], fresh: () => Seq[Seq[Any]]): Unit = {
+      val stored = LakeTable.read(spark, m).select(sel.map(col): _*)
+        .orderBy("seg").collect().toSeq.map(_.toSeq)
+      assert(stored === fresh())
+    }
+    def freshCntSum(): Seq[Seq[Any]] = LakeTable.read(spark, fact)
+      .where(col("v") >= 100).as("f")
+      .join(LakeTable.read(spark, dim).as("d"), col("f.fk") === col("d.dk"))
+      .groupBy("seg").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      .orderBy("seg").collect().toSeq.map(_.toSeq)
+    inSync(mv, Seq("seg", "cnt", "sum_v"), freshCntSum)
+    // a wave crossing the filter boundary both ways + a dim move
+    LakeTable.updateWithRetry(spark, fact, col("k") === 15, Map("v" -> lit(5L)), "fk")
+    LakeTable.updateWithRetry(spark, fact, col("k") === 3, Map("v" -> lit(500L)), "fk")
+    LakeTable.updateWithRetry(spark, dim, col("dk") === 1, Map("seg" -> lit("g9")), "seg")
+    MatView.refresh(spark, mv)
+    inSync(mv, Seq("seg", "cnt", "sum_v"), freshCntSum)
+
+    // dirty path (max) under the same filter
+    val mv2 = s"$wh/mvw2$n"
+    MatView.createJoin(spark, mv2, fact, dim, "fk", "dk",
+      Seq("seg"), MatView.parseAggs("cnt,max:v"), where = Some("v >= 100"))
+    LakeTable.deleteWithRetry(spark, fact, col("v") >= 400L, "fk")
+    MatView.refresh(spark, mv2)
+    def freshCntMax(): Seq[Seq[Any]] = LakeTable.read(spark, fact)
+      .where(col("v") >= 100).as("f")
+      .join(LakeTable.read(spark, dim).as("d"), col("f.fk") === col("d.dk"))
+      .groupBy("seg").agg(count(lit(1)).as("cnt"), max("v").as("max_v"))
+      .orderBy("seg").collect().toSeq.map(_.toSeq)
+    inSync(mv2, Seq("seg", "cnt", "max_v"), freshCntMax)
+  }
+
   test("join dirty rescan prunes the fact read through the dirty dim keys") {
     val (fact, mv) = freshRoots()
     val dim = s"$wh/dimp$n"
