@@ -4498,12 +4498,31 @@ object LakeTable {
     // replaced (DV edits included), and entries it added
     val removed = baseEntries.filterNot(e => headByRel.get(e.rel).contains(e))
     val written = bs.entries.filterNot(e => baseByRel.get(e.rel).contains(e))
-    val merged = rebaseCommit(spark, r, Snapshot(base, Some(baseMeta), baseEntries),
-      baseMeta, removed, written, _ => false).getOrElse(throw new IllegalStateException(
-      s"LakeTable.mergeBranch: branch '$name' and main hold OVERLAPPING rewrite " +
-        s"sets (or main changed table metadata) since fork base v$base — a " +
-        "file-level merge is not sound; replay the branch's operations on main, " +
-        "or drop and re-fork the branch"))
+    // Idempotent RE-RUN: a prior mergeBranch may have LANDED on main but
+    // lost the branch re-seed race (the error path below). The landed
+    // commit was atomic, so its whole delta is already applied at main's
+    // head — written entries present byte-identical (a pure add's fresh
+    // rel can reach main no other way), removals no longer holding the
+    // base version. Drop the applied portion instead of re-appending it
+    // (re-appending would list the same data files twice — silent row
+    // duplication). Removals are dropped only when the WHOLE delta is
+    // applied: a removal absent at head for any OTHER reason (main
+    // deleted our read set) must still reach rebaseCommit's guard and
+    // refuse, never resurrect.
+    val m0 = snapshot(spark, r)
+    val mByRel = m0.entries.map(e => e.rel -> e).toMap
+    val writtenPending = written.filterNot(e => mByRel.get(e.rel).contains(e))
+    val deltaApplied = writtenPending.isEmpty &&
+      removed.forall(e => !mByRel.get(e.rel).contains(e))
+    val merged =
+      if (deltaApplied) m0.version // landed (or empty) — no main commit needed
+      else rebaseCommit(spark, r, Snapshot(base, Some(baseMeta), baseEntries),
+        baseMeta, removed, writtenPending, _ => false).getOrElse(
+        throw new IllegalStateException(
+          s"LakeTable.mergeBranch: branch '$name' and main hold OVERLAPPING rewrite " +
+            s"sets (or main changed table metadata) since fork base v$base — a " +
+            "file-level merge is not sound; replay the branch's operations on main, " +
+            "or drop and re-fork the branch"))
     // re-seed the branch with the merged state so the loop iterates and
     // a later fastForward cannot lose main's side of the merge
     val (mMeta, mEntries) = readManifest(spark, r, merged)

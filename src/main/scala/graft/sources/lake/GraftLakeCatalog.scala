@@ -641,7 +641,11 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
   }
 
   /** ALTER VIEW ... AS: swap the stored SQL + recorded schema in place,
-    * keeping every other cell (creation context, properties) verbatim.
+    * keeping creation context and properties verbatim. The original
+    * CREATE's column list does NOT carry over (ALTER VIEW AS replaces
+    * the definition INCLUDING its columns — Spark/Delta semantics):
+    * stale aliases re-applied over a different-arity query would
+    * silently truncate columns via zip.
     */
   private[lake] def replaceViewSql(
       ident: Identifier, sql: String, schema: StructType): Unit = {
@@ -650,6 +654,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
     props.setProperty("sql", sql)
     props.setProperty("schema", schema.toDDL)
     props.setProperty("queryColumnNames", packArr(schema.fieldNames))
+    props.setProperty("columnAliases", "")
+    props.setProperty("columnComments", "")
     writeView(ident, props)
   }
 

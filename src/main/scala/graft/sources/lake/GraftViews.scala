@@ -5,9 +5,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, RenameTable, ShowViews, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, RenameTable, ShowViews, SubqueryAlias, UnresolvedWith}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -57,6 +57,54 @@ object GraftViews {
     }
   }
 
+  /** Every table reference in a (still-unparsed-for-analysis) view
+    * definition: relation names in the plan tree, inside expression
+    * subqueries (EXISTS / IN / scalar / lateral) and inside CTE
+    * definition bodies — `LogicalPlan.collect` alone descends into none
+    * of the latter two. Single-part names bound by a CTE anywhere in
+    * the SAME definition are excluded (they are the CTE's, never a
+    * stored view's): conservative global shadowing, so
+    * `WITH v AS (...) SELECT * FROM v` never reads as a reference to a
+    * stored view named v.
+    */
+  private[lake] def relationRefs(plan: LogicalPlan): Seq[Seq[String]] = {
+    val ctes = cteNames(plan)
+    val refs = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    def walk(p: LogicalPlan): Unit = p.foreach { node =>
+      node match {
+        case w: UnresolvedWith => w.cteRelations.foreach(r => walk(r._2))
+        case UnresolvedRelation(parts, _, _) => refs += parts
+        case _ =>
+      }
+      node.expressions.foreach(_.foreach {
+        case sq: SubqueryExpression => walk(sq.plan)
+        case _ =>
+      })
+    }
+    walk(plan)
+    refs.toSeq.filter(ps => ps.length > 1 || !ctes.contains(ps.head.toLowerCase))
+  }
+
+  /** Every CTE name bound anywhere in the definition (plan tree, CTE
+    * bodies, expression subqueries) — the global shadow set.
+    */
+  private[lake] def cteNames(plan: LogicalPlan): Set[String] = {
+    val ctes = scala.collection.mutable.Set[String]()
+    def walk(p: LogicalPlan): Unit = p.foreach { node =>
+      node match {
+        case w: UnresolvedWith =>
+          w.cteRelations.foreach { r => ctes += r._1.toLowerCase; walk(r._2) }
+        case _ =>
+      }
+      node.expressions.foreach(_.foreach {
+        case sq: SubqueryExpression => walk(sq.plan)
+        case _ =>
+      })
+    }
+    walk(plan)
+    ctes.toSet
+  }
+
   /** Refuse a view definition that reaches ITSELF through any chain of
     * stored views (CREATE OR REPLACE / ALTER VIEW AS can close a cycle
     * the analyzer would otherwise chase to its max-iterations error):
@@ -68,9 +116,7 @@ object GraftViews {
       target: Identifier,
       sql: String): Unit = {
     def refs(s: String): Seq[(GraftLakeCatalog, Identifier)] =
-      session.sessionState.sqlParser.parsePlan(s).collect {
-        case UnresolvedRelation(parts, _, _) => route(parts)
-      }.flatten
+      relationRefs(session.sessionState.sqlParser.parsePlan(s)).flatMap(route)
     val seen = scala.collection.mutable.Set[String]()
     def walk(cat: GraftLakeCatalog, ident: Identifier, viaSql: String): Unit =
       refs(viaSql).foreach { case (c, i) =>
@@ -82,6 +128,34 @@ object GraftViews {
           walk(c, i, c.loadView(i).query())
       }
     walk(null, target, sql)
+  }
+
+  /** Rebind the view body's relation names under the view's STORED
+    * creation context: an unqualified `t` becomes
+    * `<currentCatalog>.<currentNamespace>.t`, a catalog-less `ns.t`
+    * becomes `<currentCatalog>.ns.t` — so a view reads the same tables
+    * from ANY reader USE context (the DSv2 ViewCatalog contract).
+    * CTE-bound single-part names stay untouched (same conservative
+    * shadowing as [[relationRefs]]), and CTE definition bodies are
+    * rewritten too (transforms do not descend into them on their own).
+    */
+  private[lake] def qualifyRefs(
+      plan: LogicalPlan, cat: String, ns: Array[String]): LogicalPlan = {
+    val cm = SparkSession.active.sessionState.catalogManager
+    val ctes = cteNames(plan)
+    def qual(parts: Seq[String]): Seq[String] =
+      if (parts.length == 1) (cat +: ns.toSeq) :+ parts.head
+      else if (cm.isCatalogRegistered(parts.head)) parts
+      else cat +: parts
+    def tx(p: LogicalPlan): LogicalPlan = p.transformDownWithSubqueries {
+      case w: UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, b, o) =>
+          (n, tx(b).asInstanceOf[SubqueryAlias], o) })
+      case u @ UnresolvedRelation(parts, _, _)
+          if parts.length > 1 || !ctes.contains(parts.head.toLowerCase) =>
+        u.copy(multipartIdentifier = qual(parts))
+    }
+    tx(plan)
   }
 
   /** Namespace-shaped routing (SHOW VIEWS IN <ns>). */
@@ -192,7 +266,16 @@ case class GraftViewSubstitution(spark: SparkSession) extends Rule[LogicalPlan] 
       GraftViews.route(parts) match {
         case Some((cat, ident)) if cat.viewExists(ident) && !tableExists(cat, ident) =>
           val view = cat.loadView(ident)
-          val parsed = spark.sessionState.sqlParser.parsePlan(view.query)
+          // unqualified relations in the body resolve under the view's
+          // STORED creation context, not the reader's USE context.
+          // CTESubstitution re-runs on the spliced body explicitly: the
+          // analyzer's own Substitution batch already finished when this
+          // resolution rule fires, so a WITH inside the view would
+          // otherwise never bind its CTE names
+          val parsed = org.apache.spark.sql.catalyst.analysis.CTESubstitution(
+            GraftViews.qualifyRefs(
+              spark.sessionState.sqlParser.parsePlan(view.query),
+              view.currentCatalog, view.currentNamespace))
           // an explicit column list re-aliases the query output by name
           val body =
             if (view.columnAliases == null || view.columnAliases.isEmpty) parsed
@@ -342,8 +425,14 @@ case class GraftShowViewsCommand(
     pattern: Option[String],
     override val output: Seq[Attribute]) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    val re = pattern.map(p =>
-      java.util.regex.Pattern.compile(p.replace("*", ".*").replace("|", ".*|.*")))
+    // Spark's StringUtils.filterPattern semantics: '|'-separated
+    // alternatives, each FULLY anchored and case-insensitive, '*' the
+    // only wildcard — every other character is a literal (quoted, so
+    // '.'/'+' in a name pattern do not act as regex)
+    val re = pattern.map(p => java.util.regex.Pattern.compile(
+      p.trim.split("\\|").map(alt =>
+        alt.trim.split("\\*", -1).map(java.util.regex.Pattern.quote)
+          .mkString("(?:", ".*", ")")).mkString("(?i)^(?:", "|", ")$")))
     catalog.listViews(namespace.toIndexedSeq: _*)
       .filter(i => re.forall(_.matcher(i.name).matches()))
       .map(i => Row(namespace.mkString("."), i.name, false)).toSeq

@@ -195,4 +195,58 @@ class BranchSpec extends SparkSpec {
     intercept[Exception](
       spark.sql("SELECT * FROM graft.db.br.`__branch_exp`").collect())
   }
+
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files => F}
+    F.walk(from).forEach { p =>
+      val dst = to.resolve(from.relativize(p))
+      if (F.isDirectory(p)) F.createDirectories(dst): Unit
+      else { F.createDirectories(dst.getParent); F.copy(p, dst): Unit }
+    }
+  }
+
+  private def deleteTree(dir: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files => F}
+    F.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => F.delete(p))
+  }
+
+  test("mergeBranch re-run after a lost branch re-seed never duplicates rows") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"))
+    LakeTable.branch(spark, root, "dev")
+    val ref = LakeTable.branchRef(root, "dev")
+    LakeTable.append(spark, ref, baseDf.withColumn("k", col("k") + 1000))
+    // main diverges disjointly so the merge takes the rebase arm
+    LakeTable.append(spark, root, baseDf.withColumn("k", col("k") + 2000))
+    val bdir = java.nio.file.Paths.get(root, "_manifests", "branches", "dev")
+    val saved = Files.createTempDirectory("graft-branch-save").resolve("dev")
+    copyTree(bdir, saved)
+    assert(LakeTable.mergeBranch(spark, root, "dev") === 3)
+    assert(LakeTable.read(spark, root).count() === 180)
+
+    // simulate LOSING the branch re-seed race: the merge landed on main
+    // but the branch line still holds its pre-merge state — the state a
+    // concurrent branch commit leaves behind, where the error path
+    // prescribes re-running mergeBranch
+    deleteTree(bdir); copyTree(saved, bdir)
+    LakeTable.mergeBranch(spark, root, "dev")
+    val after = LakeTable.read(spark, root)
+    assert(after.count() === 180, "re-run must not re-append already-merged files")
+    assert(after.where(col("k") >= 1000 && col("k") < 2000).count() === 60)
+    // the loop still iterates on the re-seeded branch
+    LakeTable.append(spark, ref, baseDf.withColumn("k", col("k") + 3000))
+    LakeTable.mergeBranch(spark, root, "dev")
+    assert(LakeTable.read(spark, root).count() === 240)
+
+    // same race, but the branch took a NEW commit before the re-run
+    // (exactly what made the re-seed fail): only the new rows land
+    deleteTree(bdir); copyTree(saved, bdir)
+    LakeTable.append(spark, ref, baseDf.withColumn("k", col("k") + 4000))
+    LakeTable.mergeBranch(spark, root, "dev")
+    val m = LakeTable.read(spark, root)
+    assert(m.count() === 300, "exactly the new branch commit lands, once")
+    assert(m.where(col("k") >= 1000 && col("k") < 2000).count() === 60,
+      "previously-merged branch rows stay single")
+  }
 }

@@ -1457,4 +1457,56 @@ class LakeCatalogSpec extends SparkSpec {
     assert(es.getMessage.contains("streaming reads of logical view"), es.getMessage)
     spark.sql("DROP VIEW graft.db.vfull")
   }
+
+  test("views: CTE shadowing, subquery/CTE-body cycles, stored USE context, " +
+      "ALTER AS column reset, SHOW VIEWS LIKE semantics") {
+    val t = mkTable()
+    try {
+      // a CTE named like the view itself is the CTE, not a self-reference
+      spark.sql("CREATE VIEW graft.db.wcte AS " +
+        s"WITH wcte AS (SELECT k FROM $t WHERE k < 4) SELECT * FROM wcte")
+      assert(spark.sql("SELECT count(*) c FROM graft.db.wcte").head.getLong(0) === 4)
+      // a cycle routed through an EXISTS subquery still refuses at DDL time
+      spark.sql(s"CREATE VIEW graft.db.wsub AS SELECT k FROM $t WHERE k < 6")
+      val e1 = intercept[Exception](spark.sql("ALTER VIEW graft.db.wsub AS " +
+        s"SELECT k FROM $t WHERE EXISTS (SELECT 1 FROM graft.db.wsub)"))
+      assert(e1.getMessage.contains("acyclic"), e1.getMessage)
+      // ... and one routed through a CTE definition BODY
+      val e2 = intercept[Exception](spark.sql("ALTER VIEW graft.db.wsub AS " +
+        "WITH c AS (SELECT k FROM graft.db.wsub) SELECT * FROM c"))
+      assert(e2.getMessage.contains("acyclic"), e2.getMessage)
+      assert(spark.sql("SELECT count(*) c FROM graft.db.wsub").head.getLong(0) === 6,
+        "refused ALTERs must leave the definition intact")
+
+      // unqualified body names bind to the CREATE-time catalog/namespace,
+      // not the reader's USE context (the DSv2 ViewCatalog contract)
+      spark.sql("USE graft.db")
+      val bare = t.stripPrefix("graft.db.")
+      spark.sql(s"CREATE VIEW graft.db.wuq AS SELECT k, v FROM $bare WHERE k < 5")
+      spark.sql("USE spark_catalog.default")
+      assert(spark.sql("SELECT sum(v) s FROM graft.db.wuq").head.getLong(0) === 100)
+
+      // ALTER VIEW ... AS replaces the definition INCLUDING the column
+      // list: the old aliases must not re-apply over the new query
+      spark.sql(s"CREATE VIEW graft.db.wals (a, b) AS SELECT k, v FROM $t WHERE k < 3")
+      assert(spark.sql("SELECT sum(a) sa, sum(b) sb FROM graft.db.wals")
+        .head.getLong(1) === 30)
+      spark.sql(s"ALTER VIEW graft.db.wals AS SELECT k, v, p FROM $t WHERE k < 2")
+      assert(spark.sql("SELECT * FROM graft.db.wals").columns.toSeq ===
+        Seq("k", "v", "p"))
+
+      // SHOW VIEWS LIKE: '|' alternatives are ANCHORED, '.' is a literal
+      def shown(like: String): Set[String] =
+        spark.sql(s"SHOW VIEWS IN graft.db LIKE '$like'")
+          .collect().map(_.getString(1)).toSet
+      assert(shown("wcte|wsub") === Set("wcte", "wsub"))
+      assert(shown("w*q") === Set("wuq"))
+      assert(shown("w.te") === Set.empty, "'.' must not act as a regex wildcard")
+      assert(shown("cte|sub") === Set.empty, "alternatives must be anchored")
+    } finally {
+      spark.sql("USE spark_catalog.default")
+      Seq("wcte", "wsub", "wuq", "wals").foreach(v =>
+        spark.sql(s"DROP VIEW IF EXISTS graft.db.$v"))
+    }
+  }
 }
