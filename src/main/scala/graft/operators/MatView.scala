@@ -73,6 +73,10 @@ object MatView {
   private val PropJoinFact = "mv.joinFact"
   private val PropJoinDim = "mv.joinDim"
   private val PropDimVersion = "mv.dimVersion"
+  // optional DIM-side filter on a join view ("active customers only"):
+  // row-wise deterministic, so it commutes with the signed dim diff the
+  // same way mv.where commutes with the fact diff
+  private val PropDimWhere = "mv.dimWhere"
 
   def parseAggs(s: String): Seq[Agg] = s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map {
     case "cnt" => Agg("cnt", "")
@@ -206,7 +210,10 @@ object MatView {
     * (ΔF filtered before the join — row-wise deterministic transforms
     * commute with the signed diff — and F0 filtered in the dim term)
     * and to the dirty rescan's fact read, so every refresh path
-    * maintains the filtered join exactly.
+    * maintains the filtered join exactly. `dimWhere` filters the DIM
+    * side ("active customers only") by the same commutation: a dim row
+    * UPDATEd across the filter boundary nets to a membership change in
+    * the filtered dim's signed diff, so one delta refresh folds it.
     */
   def createJoin(
       spark: SparkSession,
@@ -217,7 +224,8 @@ object MatView {
       dimKey: String,
       keys: Seq[String],
       aggs: Seq[Agg],
-      where: Option[String] = None): Long = {
+      where: Option[String] = None,
+      dimWhere: Option[String] = None): Long = {
     require(keys.nonEmpty, "MatView.createJoin: at least one key column")
     require(aggs.nonEmpty, "MatView.createJoin: at least one aggregate")
     val headF = LakeTable.snapshot(spark, factRoot).version
@@ -225,7 +233,7 @@ object MatView {
     require(headF > 0 && headD > 0, "MatView.createJoin: both sources need a snapshot")
     val full = joined(
       prep(LakeTable.readVersion(spark, factRoot, headF), where, Nil),
-      LakeTable.readVersion(spark, dimRoot, headD),
+      prep(LakeTable.readVersion(spark, dimRoot, headD), dimWhere, Nil),
       factKey, dimKey, keys, aggs, col("f.`__one`"))
       .groupBy(keys.map(col): _*).agg(aggExprs(aggs).head, aggExprs(aggs).tail: _*)
     LakeTable.init(spark, mvRoot, full,
@@ -238,7 +246,8 @@ object MatView {
         PropKeys -> keys.mkString(","),
         PropAggs -> aggs.map(_.spec).mkString(","),
         PropVersion -> headF.toString, PropDimVersion -> headD.toString) ++
-        where.map(PropWhere -> _).toMap)
+        where.map(PropWhere -> _).toMap ++
+        dimWhere.map(PropDimWhere -> _).toMap)
     headF
   }
 
@@ -352,24 +361,26 @@ object MatView {
     val (fk, dk) = (d(PropJoinFact), d(PropJoinDim))
     val (keys, aggs) = (d(PropKeys).split(",").toSeq, parseAggs(d(PropAggs)))
     val where = d.get(PropWhere)
+    val dimWhere = d.get(PropDimWhere)
     val (lastF, lastD) = (d(PropVersion).toLong, d(PropDimVersion).toLong)
     val headF = LakeTable.snapshot(spark, fact).version
     val headD = LakeTable.snapshot(spark, dim).version
     if (headF <= lastF && headD <= lastD) return lastF
 
-    // term 1: the fact window joined against the dim AT HEAD
+    // term 1: the fact window joined against the FILTERED dim AT HEAD
     val term1 =
       if (headF <= lastF) None
       else Some(joined(prep(LakeTable.rowDeltas(spark, fact, lastF, headF), where, Nil),
-        LakeTable.readVersion(spark, dim, headD),
+        prep(LakeTable.readVersion(spark, dim, headD), dimWhere, Nil),
         fk, dk, keys, aggs, col("f.`__one`")))
-    // term 2: the PRE-WINDOW fact joined against the dim window — the
-    // fact read prunes to the dirty dim keys (stats/Bloom), never the
-    // table
+    // term 2: the PRE-WINDOW fact joined against the FILTERED dim
+    // window (a dim row crossing the filter boundary is a membership
+    // change in the filtered diff) — the fact read prunes to the dirty
+    // dim keys (stats/Bloom), never the table
     val term2 =
       if (headD <= lastD) None
       else {
-        val dD = LakeTable.rowDeltas(spark, dim, lastD, headD)
+        val dD = prep(LakeTable.rowDeltas(spark, dim, lastD, headD), dimWhere, Nil)
         val dirtyKeys = dD.select(col(s"`$dk`").as(fk)).distinct()
         val f0 = prep(
           LakeTable.readVersionForKeys(spark, fact, lastF, Seq(fk), dirtyKeys), where, Nil)
@@ -387,7 +398,8 @@ object MatView {
     val deltaOnly = aggs.forall(a => Set("cnt", "sum", "avg")(a.fn))
     val source =
       if (deltaOnly) deltaSource(changes, keys, aggs)
-      else dirtyJoinSource(spark, fact, dim, fk, dk, headF, headD, changes, keys, aggs, where)
+      else dirtyJoinSource(spark, fact, dim, fk, dk, headF, headD, changes, keys, aggs,
+        where, dimWhere)
     val stored = storedCols(aggs)
     inheritWidenings(spark, mvRoot, meta, keys ++ stored, source)
     val matched = Seq(
@@ -519,9 +531,10 @@ object MatView {
       changes: DataFrame,
       keys: Seq[String],
       aggs: Seq[Agg],
-      where: Option[String] = None): DataFrame = {
+      where: Option[String] = None,
+      dimWhere: Option[String] = None): DataFrame = {
     val dirty = changes.select(keys.map(col): _*).distinct()
-    val d1 = LakeTable.readVersion(spark, dim, headD)
+    val d1 = prep(LakeTable.readVersion(spark, dim, headD), dimWhere, Nil)
     val factCols = LakeTable.snapshot(spark, fact).meta.get.schema.fieldNames.toSet
     val factKeys = keys.filter(factCols.contains)
     val dimKeys = keys.filter(d1.columns.contains)

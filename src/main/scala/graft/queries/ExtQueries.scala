@@ -1791,6 +1791,105 @@ object ExtQueries {
         s"FROM graft.`$mv` ORDER BY c_seg")
     },
 
+    // SQL DDL for materialized views: the whole lifecycle — CREATE
+    // MATERIALIZED VIEW (WHERE + a derived group key + cnt/sum/avg, the
+    // pure-delta family), a DML wave crossing the filter boundary both
+    // ways, REFRESH MATERIALIZED VIEW — driven by pure SQL through the
+    // parser hook (Spark's grammar has no MATERIALIZED keyword; the
+    // engine screens the statements before the delegate and lowers them
+    // onto the incremental MatView machinery). A CREATE naming an
+    // unsupported aggregate refuses crisply and materializes NOTHING
+    // (pinned on the filesystem). Hash-checked against DuckDB
+    // recomputing the filtered aggregate from the final state.
+    "q191_matview_sql" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q191_$tag"
+      val (root, mv) = (s"$stage/t", s"$stage/mv")
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q191_orders")
+      val lt = s"graft.`$root`"
+      s.sql(s"CREATE TABLE $lt (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_cents BIGINT) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey')")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey, o_orderstatus, " +
+        "CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) FROM q191_orders")
+      s.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+        "SELECT o_orderstatus, o_orderkey % 10 AS kdec, count(*) AS cnt, " +
+        s"sum(o_cents), avg(o_cents) FROM $lt " +
+        "WHERE o_cents >= 10000 GROUP BY o_orderstatus, o_orderkey % 10")
+      // a refused CREATE materializes nothing
+      val refused =
+        try { s.sql("CREATE MATERIALIZED VIEW graft.`" + stage + "/bad` AS " +
+          s"SELECT o_orderstatus, stddev(o_cents) FROM $lt GROUP BY o_orderstatus")
+          false } catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("unsupported aggregate") }
+      require(refused, "q191: stddev must refuse with the aggregate named")
+      require(!f.exists(new org.apache.hadoop.fs.Path(s"$stage/bad")),
+        "q191: a refused CREATE MATERIALIZED VIEW must materialize nothing")
+      // the wave: a delete, rows leaving the filter, rows entering it,
+      // then an appended doubled-price slice (keys shifted by 5M keep
+      // kdec stable)
+      s.sql(s"DELETE FROM $lt WHERE o_orderkey % 5 = 2")
+      s.sql(s"UPDATE $lt SET o_cents = 5 WHERE o_orderkey % 7 = 0")
+      s.sql(s"UPDATE $lt SET o_cents = o_cents + 100000 WHERE o_orderkey % 7 = 1")
+      s.sql(s"INSERT INTO $lt SELECT o_orderkey + 5000000, o_orderstatus, " +
+        "CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) * 2 " +
+        "FROM q191_orders WHERE o_orderkey % 11 = 0")
+      val head = graft.operators.LakeTable.snapshot(s, root).version
+      val r = s.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`").head.getLong(0)
+      require(r == head, s"q191: refresh must reach the source head ($r vs $head)")
+      s.sql("SELECT o_orderstatus AS status, kdec, cnt, sum_o_cents AS cents, " +
+        "CAST(floor(avg_o_cents * 100) AS BIGINT) AS avg100 " +
+        s"FROM graft.`$mv` ORDER BY status, kdec")
+    },
+
+    // DIM-side WHERE on a join materialized view, created through pure
+    // SQL: the single WHERE splits by conjunct — `o_cents >= 2000` rides
+    // the fact side, `c_bal >= 0` the dim side — and the dim filter
+    // commutes with the signed dim diff, so dim rows crossing the
+    // boundary in BOTH directions (deactivations retiring every joining
+    // fact row, activations admitting them) fold in one delta refresh
+    // with the fact read pruned to the dirty dim keys. Hash-checked
+    // against DuckDB recomputing the filtered join from the final state.
+    "q192_matview_dim_filtered" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q192_$tag"
+      val (fact, dim, mv) = (s"$stage/fact", s"$stage/dim", s"$stage/mv")
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      t(s, dir, "orders").createOrReplaceTempView("q192_orders")
+      t(s, dir, "customer").createOrReplaceTempView("q192_customer")
+      val (lf, ld) = (s"graft.`$fact`", s"graft.`$dim`")
+      s.sql(s"CREATE TABLE $lf (o_orderkey BIGINT, o_custkey BIGINT, o_cents BIGINT) " +
+        "PARTITIONED BY (bucket(8, o_custkey)) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey,o_custkey')")
+      s.sql(s"INSERT INTO $lf SELECT o_orderkey, o_custkey, " +
+        "CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) FROM q192_orders")
+      s.sql(s"CREATE TABLE $ld (c_custkey BIGINT, c_seg STRING, c_bal DOUBLE) " +
+        "PARTITIONED BY (c_seg) TBLPROPERTIES (statsCols 'c_custkey')")
+      s.sql(s"INSERT INTO $ld SELECT c_custkey, c_mktsegment, " +
+        "CAST(c_acctbal AS DOUBLE) FROM q192_customer")
+      s.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` AS " +
+        s"SELECT c_seg, count(*) AS cnt, sum(o_cents) FROM $lf JOIN $ld " +
+        "ON o_custkey = c_custkey WHERE o_cents >= 2000 AND c_bal >= 0 " +
+        "GROUP BY c_seg")
+      // boundary crossings both ways + a fact delete, one refresh window
+      s.sql(s"UPDATE $ld SET c_bal = -1.0 WHERE c_custkey % 9 = 0")
+      s.sql(s"UPDATE $ld SET c_bal = 100.0 WHERE c_custkey % 9 = 1")
+      s.sql(s"DELETE FROM $lf WHERE o_orderkey % 6 = 3")
+      val headF = graft.operators.LakeTable.snapshot(s, fact).version
+      val r = s.sql(s"REFRESH MATERIALIZED VIEW graft.`$mv`").head.getLong(0)
+      require(r == headF, s"q192: refresh must reach the fact head ($r vs $headF)")
+      require(graft.operators.LakeTable.snapshot(s, mv)
+        .meta.get.props("mv.dimVersion").toLong ==
+        graft.operators.LakeTable.snapshot(s, dim).version,
+        "q192: the dim watermark must advance with the same refresh")
+      s.sql(s"SELECT c_seg, cnt, sum_o_cents AS cents FROM graft.`$mv` ORDER BY c_seg")
+    },
+
     "q174_matview_refresh" -> { (s, dir) =>
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val stage = s"/root/repo/target/staging/q174_$tag"
@@ -4050,6 +4149,43 @@ object ExtQueries {
         |filt AS (SELECT o_orderkey % 10 AS kdec, c FROM state WHERE c >= 10000)
         |SELECT kdec, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(c) AS BIGINT) AS cents
         |FROM filt GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the SQL-DDL matview re-derived relationally: deletes applied,
+    // %7=0 rows drop to 5 cents (out of the filter), %7=1 rows gain
+    // 100000, the %11 slice re-appends at double price under shifted
+    // keys (kdec stable: 5000000 % 10 = 0), filter o_cents >= 10000.
+    "q191_matview_sql" ->
+      """WITH t0 AS (SELECT o_orderkey, o_orderstatus,
+        |            CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS c
+        |            FROM orders),
+        |state AS (SELECT o_orderkey, o_orderstatus,
+        |          CASE WHEN o_orderkey % 7 = 0 THEN 5
+        |               WHEN o_orderkey % 7 = 1 THEN c + 100000
+        |               ELSE c END AS c
+        |          FROM t0 WHERE o_orderkey % 5 <> 2
+        |          UNION ALL
+        |          SELECT o_orderkey + 5000000, o_orderstatus, c * 2
+        |          FROM t0 WHERE o_orderkey % 11 = 0),
+        |filt AS (SELECT o_orderstatus, o_orderkey % 10 AS kdec, c
+        |         FROM state WHERE c >= 10000)
+        |SELECT o_orderstatus AS status, kdec, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(c) AS BIGINT) AS cents,
+        |       CAST(floor(avg(c) * 100) AS BIGINT) AS avg100
+        |FROM filt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the dim-filtered join re-derived: %9=0 customers deactivate,
+    // %9=1 activate, %6=3 facts delete; both filters on the final join.
+    "q192_matview_dim_filtered" ->
+      """WITH f0 AS (SELECT o_orderkey, o_custkey,
+        |            CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS c
+        |            FROM orders WHERE o_orderkey % 6 <> 3),
+        |d1 AS (SELECT c_custkey, c_mktsegment AS c_seg,
+        |       CASE WHEN c_custkey % 9 = 0 THEN -1.0
+        |            WHEN c_custkey % 9 = 1 THEN 100.0
+        |            ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+        |       FROM customer)
+        |SELECT c_seg, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(c) AS BIGINT) AS cents
+        |FROM f0 JOIN d1 ON f0.o_custkey = d1.c_custkey
+        |WHERE c >= 2000 AND bal >= 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the joined state after the wave: survivors of the two-predicate
     // delete, the doubled-price re-append of %11 survivors, and the
     // %7=1 dim rows moved into segment MOVED.

@@ -162,6 +162,11 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
 
   override def tableExists(ident: Identifier): Boolean = exists(rootOf(ident))
 
+  /** The filesystem root an identifier maps to — the SQL materialized-
+    * view DDL lowers onto the root-addressed MatView API through this.
+    */
+  private[lake] def tableRoot(ident: Identifier): String = rootOf(ident)
+
   override def loadTable(ident: Identifier): Table = {
     // `<table>.__changes` — the derived change-feed table (the Iceberg
     // metadata-table pattern): `SELECT * FROM graft.db.t.__changes` /

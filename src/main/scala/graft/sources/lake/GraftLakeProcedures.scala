@@ -275,12 +275,14 @@ private[lake] object GraftLakeProcedures {
         "create_matview_join",
         "materialize a group-by aggregate view over fact JOIN dim " +
           "(inner equi-join; cnt/sum/avg delta-join maintained, min/max/cntd " +
-          "via dirty-group join rescan); " +
-          "refresh_matview keeps it in sync against BOTH sources",
+          "via dirty-group join rescan); optional where filters the FACT side, " +
+          "dim_where the DIM side; refresh_matview keeps it in sync against " +
+          "BOTH sources",
         Seq(p("view", StringType), p("fact", StringType), p("dim", StringType),
           p("join_fact", StringType), p("join_dim", StringType),
           p("keys", StringType), p("aggs", StringType),
-          pd("where", StringType, "''"))) {
+          pd("where", StringType, "''"),
+          pd("dim_where", StringType, "''"))) {
         override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
           val v = graft.operators.MatView.createJoin(spark(),
             rootOf(args.getUTF8String(0).toString),
@@ -290,7 +292,8 @@ private[lake] object GraftLakeProcedures {
             args.getUTF8String(4).toString,
             args.getUTF8String(5).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
             graft.operators.MatView.parseAggs(args.getUTF8String(6).toString),
-            where = Some(args.getUTF8String(7).toString).filter(_.nonEmpty))
+            where = Some(args.getUTF8String(7).toString).filter(_.nonEmpty),
+            dimWhere = Some(args.getUTF8String(8).toString).filter(_.nonEmpty))
           (StructType(Seq(StructField("src_version", LongType))), Seq(InternalRow(v)))
         }
       },

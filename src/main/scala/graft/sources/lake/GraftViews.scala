@@ -178,7 +178,10 @@ object GraftViews {
 class GraftViewSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(sqlText) match {
+    // MATERIALIZED VIEW statements are screened BEFORE the delegate —
+    // Spark's grammar has no MATERIALIZED keyword and would refuse them
+    GraftMatViewSql.parse(sqlText, delegate).getOrElse(
+      delegate.parsePlan(sqlText)) match {
       case cv @ CreateView(UnresolvedIdentifier(parts, _), userCols, comment, _,
           props, originalText, _, allowExisting, replace, _) =>
         GraftViews.route(parts) match {

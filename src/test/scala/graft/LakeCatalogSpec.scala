@@ -1458,6 +1458,85 @@ class LakeCatalogSpec extends SparkSpec {
     spark.sql("DROP VIEW graft.db.vfull")
   }
 
+  test("SQL materialized views: CREATE/REFRESH/DROP MATERIALIZED VIEW") {
+    val t = mkTable() // k BIGINT, p STRING, v BIGINT; 30 rows
+    // single-table view: WHERE + a derived group key + three aggregates
+    spark.sql("CREATE MATERIALIZED VIEW graft.db.msql AS " +
+      s"SELECT p, k % 4 AS kmod, count(*) AS cnt, sum(v) AS sum_v, max(v) " +
+      s"FROM $t WHERE v >= 20 GROUP BY p, k % 4")
+    def fresh(): Seq[Seq[Any]] = spark.sql(
+      s"SELECT p, k % 4 AS kmod, count(*) cnt, sum(v) sum_v, max(v) max_v " +
+        s"FROM $t WHERE v >= 20 GROUP BY p, k % 4 ORDER BY p, kmod")
+      .collect().toSeq.map(_.toSeq)
+    def stored(): Seq[Seq[Any]] = spark.sql(
+      "SELECT p, kmod, cnt, sum_v, max_v FROM graft.db.msql ORDER BY p, kmod")
+      .collect().toSeq.map(_.toSeq)
+    assert(stored() === fresh())
+    // a DML wave crossing the filter both ways; REFRESH folds it
+    spark.sql(s"DELETE FROM $t WHERE k % 5 = 1")
+    spark.sql(s"UPDATE $t SET v = 5 WHERE k = 8")
+    spark.sql(s"UPDATE $t SET v = v + 1000 WHERE k = 3")
+    spark.sql(s"INSERT INTO $t VALUES (100, '1', 730)")
+    val head = spark.sql("REFRESH MATERIALIZED VIEW graft.db.msql").head.getLong(0)
+    assert(head === graft.operators.LakeTable
+      .snapshot(spark, s"$wh/db/${t.stripPrefix("graft.db.")}").version)
+    assert(stored() === fresh())
+
+    // join view: WHERE conjuncts route to the side each one references
+    val f2 = "graft.db.fsql"
+    val d2 = "graft.db.dsql"
+    spark.sql(s"CREATE TABLE $f2 (k BIGINT, fk BIGINT, v BIGINT) " +
+      "PARTITIONED BY (fk) TBLPROPERTIES (statsCols 'k,fk')")
+    spark.sql(s"INSERT INTO $f2 SELECT id, id % 3, id * 10 FROM range(30)")
+    spark.sql(s"CREATE TABLE $d2 (dk BIGINT, seg STRING, act BOOLEAN) " +
+      "PARTITIONED BY (seg) TBLPROPERTIES (statsCols 'dk')")
+    spark.sql(s"INSERT INTO $d2 SELECT id, concat('g', id % 2), id != 1 FROM range(3)")
+    spark.sql("CREATE MATERIALIZED VIEW graft.db.mjsql AS " +
+      s"SELECT seg, count(*) AS cnt, sum(v) FROM $f2 JOIN $d2 ON fk = dk " +
+      "WHERE v >= 20 AND act = true GROUP BY seg")
+    def freshJ(): Seq[Seq[Any]] = spark.sql(
+      s"SELECT seg, count(*) cnt, sum(v) sum_v FROM $f2 JOIN $d2 ON fk = dk " +
+        "WHERE v >= 20 AND act = true GROUP BY seg ORDER BY seg")
+      .collect().toSeq.map(_.toSeq)
+    def storedJ(): Seq[Seq[Any]] = spark.sql(
+      "SELECT seg, cnt, sum_v FROM graft.db.mjsql ORDER BY seg")
+      .collect().toSeq.map(_.toSeq)
+    assert(storedJ() === freshJ())
+    // waves on both sides, incl. dim rows crossing the act boundary
+    spark.sql(s"UPDATE $d2 SET act = false WHERE dk = 0")
+    spark.sql(s"UPDATE $d2 SET act = true WHERE dk = 1")
+    spark.sql(s"DELETE FROM $f2 WHERE k % 4 = 1")
+    spark.sql("REFRESH MATERIALIZED VIEW graft.db.mjsql")
+    assert(storedJ() === freshJ())
+
+    // refusals name the unsupported piece; nothing is half-created
+    def refused(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage.contains(frag), s"$sql => ${e.getMessage}")
+    }
+    refused(s"CREATE MATERIALIZED VIEW graft.db.mbad AS SELECT k, v FROM $t",
+      "GROUP BY aggregate")
+    refused("CREATE MATERIALIZED VIEW graft.db.mbad AS " +
+      s"SELECT p, count(*) AS n FROM $t GROUP BY p", "stored as 'cnt'")
+    refused("CREATE MATERIALIZED VIEW graft.db.mbad AS " +
+      s"SELECT p, stddev(v) FROM $t GROUP BY p", "unsupported aggregate")
+    refused("CREATE MATERIALIZED VIEW graft.db.mbad AS " +
+      s"SELECT p, sum(v + 1) FROM $t GROUP BY p", "bare source columns")
+    refused("CREATE MATERIALIZED VIEW graft.db.mbad AS " +
+      s"SELECT seg, count(*) FROM $f2 JOIN $d2 ON fk = dk " +
+      "WHERE k + dk > 0 GROUP BY seg", "one join side")
+    refused("CREATE MATERIALIZED VIEW graft.db.msql AS " +
+      s"SELECT p, count(*) FROM $t GROUP BY p", "already exists")
+    intercept[Exception](spark.sql("SELECT * FROM graft.db.mbad").collect())
+
+    // DROP MATERIALIZED VIEW drops exactly materialized views
+    val ed = intercept[Exception](spark.sql(s"DROP MATERIALIZED VIEW $t"))
+    assert(ed.getMessage.contains("not a materialized view"), ed.getMessage)
+    spark.sql("DROP MATERIALIZED VIEW graft.db.mjsql")
+    intercept[Exception](spark.sql("SELECT * FROM graft.db.mjsql").collect())
+    spark.sql("DROP MATERIALIZED VIEW graft.db.msql")
+  }
+
   test("views: CTE shadowing, subquery/CTE-body cycles, stored USE context, " +
       "ALTER AS column reset, SHOW VIEWS LIKE semantics") {
     val t = mkTable()

@@ -506,6 +506,57 @@ class MatViewSpec extends SparkSpec {
     inSync(mv2, Seq("seg", "cnt", "max_v"), freshCntMax)
   }
 
+  test("DIM-filtered JOIN view: the dim-side WHERE holds on every refresh path") {
+    val (fact, mv) = freshRoots()
+    val dim = s"$wh/dimdw$n"
+    import spark.implicits._
+    LakeTable.init(spark, fact,
+      (0L until 60L).map(i => (i, i % 6, i * 10L)).toDF("k", "fk", "v"),
+      partitionCol = "fk", statsCols = Seq("k", "fk"))
+    // dim with an active flag: the view covers ACTIVE dim rows only
+    LakeTable.init(spark, dim,
+      (0L until 6L).map(j => (j, s"g${j % 2}", j % 3 != 0)).toDF("dk", "seg", "act"),
+      partitionCol = "seg", statsCols = Seq("dk"))
+    MatView.createJoin(spark, mv, fact, dim, "fk", "dk",
+      Seq("seg"), MatView.parseAggs("cnt,sum:v"), dimWhere = Some("act = true"))
+    def freshCntSum(): Seq[Seq[Any]] = LakeTable.read(spark, fact).as("f")
+      .join(LakeTable.read(spark, dim).where(col("act")).as("d"),
+        col("f.fk") === col("d.dk"))
+      .groupBy("seg").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      .orderBy("seg").collect().toSeq.map(_.toSeq)
+    def inSync(m: String, sel: Seq[String], fresh: () => Seq[Seq[Any]]): Unit =
+      assert(LakeTable.read(spark, m).select(sel.map(col): _*)
+        .orderBy("seg").collect().toSeq.map(_.toSeq) === fresh())
+    inSync(mv, Seq("seg", "cnt", "sum_v"), freshCntSum)
+
+    // dim rows cross the filter boundary BOTH ways (a deactivation must
+    // retire every joining fact row, an activation must admit them), a
+    // dim segment moves, and the fact takes a delete — one refresh each
+    LakeTable.updateWithRetry(spark, dim, col("dk") === 1, Map("act" -> lit(false)), "seg")
+    LakeTable.updateWithRetry(spark, dim, col("dk") === 3, Map("act" -> lit(true)), "seg")
+    LakeTable.updateWithRetry(spark, dim, col("dk") === 4, Map("seg" -> lit("g9")), "seg")
+    LakeTable.deleteWithRetry(spark, fact, col("k") % 10 === 2, "fk")
+    MatView.refresh(spark, mv)
+    inSync(mv, Seq("seg", "cnt", "sum_v"), freshCntSum)
+
+    // dirty path (max) under the same dim filter, composed with a
+    // fact-side WHERE — both filters hold through the join rescan
+    val mv2 = s"$wh/mvdw2$n"
+    MatView.createJoin(spark, mv2, fact, dim, "fk", "dk",
+      Seq("seg"), MatView.parseAggs("cnt,max:v"),
+      where = Some("v >= 100"), dimWhere = Some("act = true"))
+    LakeTable.deleteWithRetry(spark, fact, col("v") >= 400L, "fk")
+    LakeTable.updateWithRetry(spark, dim, col("dk") === 3, Map("act" -> lit(false)), "seg")
+    MatView.refresh(spark, mv2)
+    def freshCntMax(): Seq[Seq[Any]] = LakeTable.read(spark, fact)
+      .where(col("v") >= 100).as("f")
+      .join(LakeTable.read(spark, dim).where(col("act")).as("d"),
+        col("f.fk") === col("d.dk"))
+      .groupBy("seg").agg(count(lit(1)).as("cnt"), max("v").as("max_v"))
+      .orderBy("seg").collect().toSeq.map(_.toSeq)
+    inSync(mv2, Seq("seg", "cnt", "max_v"), freshCntMax)
+  }
+
   test("join dirty rescan prunes the fact read through the dirty dim keys") {
     val (fact, mv) = freshRoots()
     val dim = s"$wh/dimp$n"
