@@ -31,12 +31,14 @@ WORKTREE = "/tmp/graft_ab_base"
 # sketch / TPC-H / lake-DML (q149 SQL DML chain, q152 CDC MERGE, q167
 # metadata partition profile — the r17 metadata-parse-creep cluster, so
 # lake fixed-cost drift is attributed per round, not found by the judge;
-# r19 adds the heavy transactional chains q178 spec evolution, q180
-# matview avg/cntd and q181 matview join for the same reason)
+# r19 added the heavy transactional chains q178 spec evolution, q180
+# matview avg/cntd and q181 matview join; r20 adds q185 by-source MOR
+# merge and q189 matview min/max-join — the two heaviest transactional
+# chains — for the same in-round attribution)
 # similarity / percentile / lake shapes — prefixes resolved by Bench
 DEFAULT_SUBSET = (
     "q02,q21,q22,q31,q36,q48,q63,q68,q91,q100,q117,q128,q149,q152,q167,"
-    "q178,q180,q181")
+    "q178,q180,q181,q185,q189")
 
 
 def sh(cmd, cwd=REPO, env=None, capture=False):

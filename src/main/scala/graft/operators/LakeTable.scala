@@ -3170,7 +3170,7 @@ object LakeTable {
       else rebaseCommit(spark, root, s0, meta,
         removed = s0.entries.filter(e => updated.contains(e.rel)),
         written = updated.values.filter(_ != null).toSeq,
-        mayMatch = mayDelete)
+        mayMatch = mayDelete, dvMerge = true)
         .getOrElse(throw new IllegalArgumentException(
           s"LakeTable.deleteMor: concurrent commit at $root (retry on a fresh snapshot)"))
     MergeStats(landed,
@@ -3262,7 +3262,7 @@ object LakeTable {
         else rebaseCommit(spark, root, s0, meta,
           removed = s0.entries.filter(e => tombstoned.contains(e.rel)),
           written = tombstoned.values.filter(_ != null).toSeq ++ written,
-          mayMatch = mayMatch)
+          mayMatch = mayMatch, dvMerge = true)
           .getOrElse(throw new IllegalArgumentException(
             s"LakeTable.updateMor: concurrent commit at $root (retry on a fresh snapshot)"))
       MergeStats(landed,
@@ -3456,6 +3456,18 @@ object LakeTable {
     * the probe). Under real disjoint-writer contention this turns N
     * serialized recomputes into N-1 metadata-only re-commits.
     */
+  /** `dvMerge` (MOR verbs only) relaxes condition 2 at ROW granularity:
+    * when the winner touched one of our files but ONLY its deletion
+    * vector, and the two ops' NEW tombstone position sets are DISJOINT,
+    * sequential equivalence still holds — the loser re-commits with
+    * `bitmap_winner OR bitmap_ours` instead of recomputing (two racing
+    * MOR writers tombstoning different rows of the SAME file are the
+    * common GDPR/decontamination contention shape; file-level checking
+    * would serialize them through full recomputes). Overlapping position
+    * sets, a dropped file, or any non-DV drift still recompute: a row
+    * both ops touched means the loser's postimages/fates were computed
+    * against state the winner changed.
+    */
   private def rebaseCommit(
       spark: SparkSession,
       root: String,
@@ -3464,20 +3476,52 @@ object LakeTable {
       removed: Seq[Entry],
       written: Seq[Entry],
       mayMatch: Entry => Boolean,
-      maxRebases: Int = 5): Option[Long] = {
+      maxRebases: Int = 5,
+      dvMerge: Boolean = false): Option[Long] = {
     if (ourMeta != base.meta.get) return None // our op changed metadata
     val removedRels = removed.map(_.rel).toSet
     val baseByRel = base.entries.map(e => e.rel -> e).toMap
+    val writtenByRel = written.map(e => e.rel -> e).toMap
+    val conf = spark.sparkContext.hadoopConfiguration
     var tries = maxRebases
     while (tries > 0) {
       tries -= 1
       val head = snapshot(spark, root)
       if (head.meta.get != base.meta.get) return None
       val headByRel = head.entries.map(e => e.rel -> e).toMap
-      if (removed.exists(e => !headByRel.get(e.rel).contains(e))) return None
-      val winnersNew = head.entries.filterNot(e => baseByRel.get(e.rel).contains(e))
+      // rels of our read set whose head entry drifted from base
+      val drifted = removed.filter(e => !headByRel.get(e.rel).contains(e))
+      val patched: Map[String, Option[Entry]] =
+        if (drifted.isEmpty) Map.empty
+        else if (!dvMerge) return None
+        else drifted.map { r =>
+          val h = headByRel.getOrElse(r.rel, return None) // file vanished at head
+          // our op must have kept the file (a fully-dead drop's position
+          // set spans every live row — never disjoint from real drift)
+          val w = writtenByRel.getOrElse(r.rel, return None)
+          // both sides may differ from base ONLY in the deletion vector
+          if (h.copy(dv = r.dv) != r || w.copy(dv = r.dv) != r) return None
+          def bm(d: Option[DvRef]): org.roaringbitmap.longlong.Roaring64Bitmap =
+            d.fold(new org.roaringbitmap.longlong.Roaring64Bitmap())(x =>
+              Dv.read(conf, s"${dataRoot(root)}/${x.rel}"))
+          val (bmBase, bmHead, bmOurs) = (bm(r.dv), bm(h.dv), bm(w.dv))
+          val winNew = bmHead.clone(); winNew.andNot(bmBase)
+          val ourNew = bmOurs.clone(); ourNew.andNot(bmBase)
+          val overlap = winNew.clone(); overlap.and(ourNew)
+          if (!overlap.isEmpty) return None // same row raced — recompute
+          bmHead.or(ourNew)
+          val card = bmHead.getLongCardinality
+          r.rel -> (
+            if (r.rows.contains(card)) None // now fully dead -> drop
+            else Some(h.copy(dv = Some(DvRef(
+              Dv.writeFrom(conf, dataRoot(root), bmHead), card)))))
+        }.toMap
+      val winnersNew = head.entries.filterNot(e =>
+        baseByRel.get(e.rel).contains(e) || patched.contains(e.rel))
       if (winnersNew.exists(mayMatch)) return None
-      val rebased = head.entries.filterNot(e => removedRels.contains(e.rel)) ++ written
+      val effWritten = written.flatMap(e =>
+        if (patched.contains(e.rel)) patched(e.rel) else Some(e))
+      val rebased = head.entries.filterNot(e => removedRels.contains(e.rel)) ++ effWritten
       if (commit(spark, root, head.version + 1, ourMeta, rebased)) {
         mergeRebases.incrementAndGet()
         return Some(head.version + 1)
@@ -3867,7 +3911,7 @@ object LakeTable {
         else rebaseCommit(spark, root, s0, finalMeta,
           removed = s0.entries.filter(e => tombstoned.contains(e.rel)),
           written = tombstoned.values.filter(_ != null).toSeq ++ written,
-          mayMatch = mayMatch)
+          mayMatch = mayMatch, dvMerge = true)
           .getOrElse(throw new IllegalArgumentException(
             s"LakeTable.mergeClausesMor: concurrent commit at $root (retry on a fresh snapshot)"))
       MergeStats(landed,
@@ -4579,6 +4623,63 @@ object LakeTable {
     * Returns the number of FILES removed (data files plus files inside
     * reclaimed bloom-sidecar directories — a single unit).
     */
+  /** Time-based snapshot expiration (the Iceberg `expire_snapshots`
+    * verb): versions committed BEFORE `olderThanMillis` stop being
+    * time-travelable and their exclusively-referenced files become
+    * reclaimable — except the newest `keepLast` versions, which are
+    * ALWAYS kept regardless of age (so a streaming source or
+    * incremental consumer restarting inside the kept window still
+    * replays). A face over [[vacuum]]'s two retention guards: the
+    * version floor is derived from each manifest's RECORDED commit time
+    * (`#commitTime`, mtime fallback for legacy manifests) and the file
+    * age cutoff from the same timestamp, so "older than 2026-08-01"
+    * means commit time, not filesystem accident. Tagged versions stay
+    * pinned live exactly as under vacuum. Returns files removed.
+    */
+  def expireSnapshots(
+      spark: SparkSession,
+      root: String,
+      olderThanMillis: Long,
+      keepLast: Int = 1): Long = {
+    val s0 = snapshot(spark, root)
+    require(s0.version > 0, s"LakeTable.expireSnapshots: no committed snapshot at $root")
+    require(keepLast >= 1, "LakeTable.expireSnapshots: keepLast must be >= 1")
+    val f = fs(spark, manifestDir(root))
+    // commit times are monotonic, so the first version inside the keep
+    // window is the floor; a version whose manifest a PRIOR expiration
+    // already dropped has no time — it stays expired (skipped)
+    def timeOf(v: Long): Option[Long] =
+      scala.util.Try(commitTimeOf(spark, root, v)).toOption.flatten
+        .orElse(scala.util.Try(
+          f.getFileStatus(new Path(manifestDir(root), s"v$v.manifest"))
+            .getModificationTime).toOption)
+    val floor = (1L to s0.version)
+      .find(v => timeOf(v).exists(_ >= olderThanMillis))
+      .getOrElse(s0.version)
+    val keepVersions = math.max(keepLast.toLong, s0.version - floor + 1)
+    val removed = vacuum(spark, root,
+      retainMillis = math.max(0L, System.currentTimeMillis() - olderThanMillis),
+      keepVersions = math.min(keepVersions, Int.MaxValue.toLong).toInt)
+    // Drop the EXPIRED manifest docs themselves: an append-only history
+    // shares every data file with live versions, so file reclamation
+    // alone leaves old snapshots fully readable — expiration is a
+    // METADATA promise (Iceberg's expire_snapshots removes snapshot
+    // metadata the same way). Tagged versions and branch fork bases
+    // stay (a later mergeBranch/fastForward reads the base manifest).
+    val keepFloor = s0.version - math.max(keepVersions, keepLast.toLong) + 1
+    val pinnedV = tags(spark, root).values.toSet ++
+      branches(spark, root).map(_._3).toSet
+    val fm = fs(spark, manifestDir(root))
+    var dropped = 0L
+    (1L until keepFloor).foreach { v =>
+      if (!pinnedV.contains(v)) {
+        val mf = new Path(manifestDir(root), s"v$v.manifest")
+        if (fm.exists(mf) && fm.delete(mf, false)) dropped += 1
+      }
+    }
+    removed + dropped
+  }
+
   def vacuum(
       spark: SparkSession,
       root: String,

@@ -387,4 +387,95 @@ object Similarity {
 
     intra.unionByName(cross)
   }
+
+  /** Persisted EMBEDDING signature table — the vector-side form of
+    * [[Dedup.signatures]] (the q113 shape): one narrow row per vector
+    * holding the hyperplane band hashes (candidate generation) and the
+    * int8-quantized vector (exact verification) — planes/64 longs plus
+    * one int per dimension instead of the float corpus, which is never
+    * re-sketched or re-read by later ingests. Plain long/int arrays, so
+    * the table round-trips parquet with no engine-private state
+    * (SimilaritySpec pins the round trip).
+    *
+    * Verification cosine runs on the QUANTIZED vectors — per-vector
+    * quantization scales cancel in the cosine, so stored int8 is
+    * sufficient and every run (full or incremental, today or a year
+    * from now) scores a given pair IDENTICALLY: the equality law below
+    * needs no float-drift margin.
+    */
+  def embeddingSignatures(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    require(planes % bands == 0, "planes must divide evenly into bands")
+    df.select(
+      col(idCol).as("id"),
+      int8Quantize(col(vecCol)).as("q"),
+      Dedup.bandHashes(
+        hyperplaneBits(col(vecCol), planes), bands, planes / bands).as("bands"))
+  }
+
+  /** Incremental embedding near-dup: all pairs (id_a < id_b,
+    * quantized cosine >= `threshold`) that involve AT LEAST ONE vector
+    * of `batchSigs`, against history ∪ batch — [[embeddingNearDups]]'s
+    * daily-ingest form, mirroring [[Dedup.incrementalNearDupPairs]]:
+    *
+    *   1. band rows of the BATCH probe band rows of the whole signature
+    *      table (equi-join on (band, bandhash) — the history side ships
+    *      its band longs only, never vectors, and with the signature
+    *      table bucketed on the band hash it needs no shuffle at all);
+    *   2. the degenerate-bucket cap counts over the UNION (a boilerplate
+    *      bucket is dropped by global size, not per-side size);
+    *   3. exact cosine verification on candidates only, from the STORED
+    *      quantized vectors — the float corpus is never touched.
+    *
+    * History-history pairs are excluded by construction (every
+    * candidate touches a batch row): earlier runs already emitted them.
+    * SimilaritySpec asserts the q113/q117 equality law — incremental
+    * output == the full recompute restricted to batch-touching pairs.
+    *
+    * Both inputs must come from [[embeddingSignatures]] with the same
+    * (planes, bands): signatures sketched under different parameters
+    * are incomparable.
+    */
+  def incrementalEmbeddingNearDups(
+      historySigs: DataFrame,
+      batchSigs: DataFrame,
+      threshold: Double,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val all = graft.engine.ManagedCache.persist(
+      historySigs.select(col("id"), col("q"), col("bands"))
+        .unionByName(batchSigs.select(col("id"), col("q"), col("bands"))))
+    def explodeBands(sigs: DataFrame): DataFrame =
+      sigs.select(col("id"), posexplode(col("bands")).as(Seq("__band", "__bh")))
+    val allBanded = explodeBands(all)
+    val sized = allBanded
+      .groupBy("__band", "__bh").agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucketSize)
+      .select("__band", "__bh")
+    val candidates = explodeBands(batchSigs).as("a")
+      .join(allBanded.join(sized, Seq("__band", "__bh")).as("b"),
+        col("a.__band") === col("b.__band") && col("a.__bh") === col("b.__bh") &&
+          col("a.id") =!= col("b.id"))
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    def qn(c: Column): Column = sqrt(intDot(c, c).cast("double"))
+    val qa = all.select(col("id").as("id_a"), col("q").as("__qa"))
+    val qb = all.select(col("id").as("id_b"), col("q").as("__qb"))
+    candidates
+      .join(qa, "id_a")
+      .join(qb, "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        round(
+          when(qn(col("__qa")) * qn(col("__qb")) > 0,
+            intDot(col("__qa"), col("__qb")).cast("double") /
+              (qn(col("__qa")) * qn(col("__qb")))),
+          6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
 }

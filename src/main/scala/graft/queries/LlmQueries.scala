@@ -515,6 +515,41 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Incremental embedding near-dup vs a PERSISTED signature table —
+    // the q113 shape for vectors: history signatures (hyperplane band
+    // hashes + the int8-quantized vector) are written to parquet and
+    // read back (the stored table IS the contract; the float corpus is
+    // never re-read), the batch (planted perturbed copies + the %4
+    // background slice) probes them on (band, bandhash), and exact
+    // int8-cosine verifies candidates from the stored vectors — scales
+    // cancel in cosine, so the score is integer dots + one division,
+    // bit-reproducible in DuckDB. At threshold 0.99 only the planted
+    // true near-dups qualify (background tops out below 0.8 float,
+    // lower quantized), so the banded candidate set provably covers the
+    // exact answer (the q37 miss-probability argument) and the output
+    // hash-checks against DuckDB computing the quantized cosine over
+    // all batch-touching pairs. History-history pairs are excluded by
+    // construction — earlier runs already emitted them.
+    "q193_embed_incremental" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val stage = s"/root/repo/target/staging/q193_$tag"
+      val p = new org.apache.hadoop.fs.Path(stage)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      Similarity.embeddingSignatures(
+          e.where(col("vec_id") % 4 =!= 0), "vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$stage/sigs")
+      val history = s.read.parquet(s"$stage/sigs")
+      val batch = Similarity.embeddingSignatures(
+        e.where(col("vec_id") % 4 === 0)
+          .unionByName(Similarity.perturbedCopy(
+            e.where(col("vec_id") < 25), "vec_id", "embedding", idShift = 100000L)),
+        "vec_id", "embedding")
+      Similarity.incrementalEmbeddingNearDups(history, batch, threshold = 0.99)
+        .orderBy("id_a", "id_b")
+    },
+
     // Language-ID heuristic + quality scoring per doc, decomposed into
     // its deterministic components (token/punct/digit-run/stopword
     // counts, the composite score, the lang-ID argmax) so the WHOLE
@@ -986,6 +1021,37 @@ object LlmQueries {
         |                 i -> a.e[i]::DOUBLE * b.e[i]::DOUBLE)) / (a.nrm * b.nrm), 6) AS cos
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    // the incremental run re-derived exhaustively: perturbed copies of
+    // vec_id < 25 (the q37 formula), everything int8-quantized (the
+    // q107 formula), all batch-touching pairs at quantized cosine 0.99
+    "q193_embed_incremental" ->
+      """WITH base AS (SELECT vec_id, embedding AS e FROM embeddings),
+        |pert AS (
+        |  SELECT vec_id + 100000 AS vec_id,
+        |         list_transform(range(1, len(e)+1),
+        |           i -> (e[i] * (((100 + ((vec_id*31 + (i-1)) % 7 - 3))::DOUBLE) / 100))::REAL) AS e
+        |  FROM base WHERE vec_id < 25),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        |b AS (SELECT vec_id, e,
+        |             list_aggregate(list_transform(e, x -> abs(x::DOUBLE)), 'max') / 127.0 AS sc
+        |      FROM u),
+        |qz AS (SELECT vec_id,
+        |              CASE WHEN sc > 0
+        |                   THEN list_transform(e, x -> CAST(round(x::DOUBLE / sc) AS BIGINT))
+        |                   ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv
+        |       FROM b),
+        |n AS (SELECT vec_id, qv,
+        |             sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]))::DOUBLE) AS nrm
+        |      FROM qz),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(CASE WHEN a.nrm * b.nrm > 0 THEN
+        |           list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i]))::DOUBLE
+        |             / (a.nrm * b.nrm) END, 6) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id % 4 = 0 OR a.vec_id >= 100000
+        |     OR b.vec_id % 4 = 0 OR b.vec_id >= 100000)
+        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin,
     "q107_quant_topk" ->
       """WITH b AS (
         |  SELECT vec_id, embedding,

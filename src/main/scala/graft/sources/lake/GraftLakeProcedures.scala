@@ -81,6 +81,24 @@ private[lake] object GraftLakeProcedures {
         }
       },
 
+      "expire_snapshots" -> new LakeProc(
+        "expire_snapshots",
+        "expire snapshots committed before a timestamp (the keep_last newest " +
+          "are always kept, as are tagged versions); expired versions refuse " +
+          "time travel and their exclusive files reclaim",
+        Seq(p("table", StringType),
+          p("older_than", TimestampType),
+          pd("keep_last", IntegerType, "1"))) {
+        override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          val removed = LakeTable.expireSnapshots(spark(),
+            rootOf(args.getUTF8String(0).toString),
+            olderThanMillis = args.getLong(1) / 1000L, // micros -> millis
+            keepLast = args.getInt(2))
+          (StructType(Seq(StructField("files_removed", LongType))),
+            Seq(InternalRow(removed)))
+        }
+      },
+
       "restore" -> new LakeProc(
         "restore",
         "roll the table back to an older version as a new forward commit",

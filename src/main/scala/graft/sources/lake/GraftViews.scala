@@ -222,6 +222,13 @@ class GraftViewSqlParser(delegate: ParserInterface) extends ParserInterface {
             GraftViewPropsCommand(cat, ident, Map.empty, keys, ifExists)
           case None => up
         }
+      case sct @ org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable(
+          child: UnresolvedTableOrView, asSerde, output) if !asSerde =>
+        GraftViews.route(child.multipartIdentifier) match {
+          case Some((cat, ident)) =>
+            GraftShowCreateCommand(cat, ident, child.multipartIdentifier, output)
+          case None => sct
+        }
       case rt @ RenameTable(child: UnresolvedTableOrView, newName, true) =>
         GraftViews.route(child.multipartIdentifier) match {
           case Some((cat, ident)) =>
@@ -419,6 +426,100 @@ case class GraftRenameViewCommand(
   override def run(session: SparkSession): Seq[Row] = {
     catalog.renameView(from, to)
     Nil
+  }
+}
+
+/** Lake-aware `SHOW CREATE TABLE` — round-trippable DDL for graft
+  * tables AND logical views (vanilla Spark's DSv2 rendering knows
+  * nothing of the manifest: partition transforms, stats/bloom columns,
+  * delete mode, column clauses and view SQL would all be lost).
+  * Tables render a CREATE TABLE whose re-execution yields an
+  * equivalent empty table (schema incl. NOT NULL / DEFAULT /
+  * GENERATED / IDENTITY clauses, the partition transform, engine +
+  * user TBLPROPERTIES); CHECK constraints follow as `ALTER TABLE ...
+  * ADD CONSTRAINT` statements (they have no CREATE clause in the
+  * supported grammar). Internal bookkeeping (mv.* definitions,
+  * identity high-water marks) is NOT emitted — re-executing the DDL
+  * must give a fresh table, not a view that believes it is refreshed.
+  */
+case class GraftShowCreateCommand(
+    catalog: GraftLakeCatalog,
+    ident: Identifier,
+    nameParts: Seq[String],
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+
+  private def q(s: String): String =
+    if (s.matches("[A-Za-z_][A-Za-z0-9_]*")) s else "`" + s.replace("`", "``") + "`"
+  private def str(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val name = nameParts.map(q).mkString(".")
+    val isTable = try catalog.tableExists(ident) catch { case _: Exception => false }
+    if (!isTable && catalog.viewExists(ident)) return Seq(Row(viewDdl(name)))
+    if (!isTable)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+
+    import graft.operators.LakeTable
+    val meta = LakeTable.snapshot(session, catalog.tableRoot(ident)).meta.get
+    val gens = LakeTable.generatedOf(meta.schema).toMap
+    val ids = LakeTable.identityOf(meta.schema)
+      .map { case (n, s, st, a) => n -> ((s, st, a)) }.toMap
+    val cols = meta.schema.fields.map { f =>
+      val clauses = Seq(
+        if (!f.nullable) Some("NOT NULL") else None,
+        gens.get(f.name).map(e => s"GENERATED ALWAYS AS ($e)"),
+        ids.get(f.name).map { case (start, step, allow) =>
+          s"GENERATED ${if (allow) "BY DEFAULT" else "ALWAYS"} AS IDENTITY " +
+            s"(START WITH $start INCREMENT BY $step)" },
+        if (f.metadata.contains(LakeTable.CurrentDefaultKey))
+          Some(s"DEFAULT ${f.metadata.getString(LakeTable.CurrentDefaultKey)}")
+        else None,
+        f.getComment().map(c => s"COMMENT ${str(c)}")
+      ).flatten
+      s"  ${q(f.name)} ${f.dataType.sql}" +
+        (if (clauses.isEmpty) "" else clauses.mkString(" ", " ", ""))
+    }.mkString(",\n")
+    val part = meta.partitionFn match {
+      case graft.operators.PartitionFn.Identity => q(meta.partitionCol)
+      case fn if fn.contains(":") =>
+        val Array(f0, n) = fn.split(":")
+        s"$f0($n, ${q(meta.partitionCol)})"
+      case fn => s"$fn(${q(meta.partitionCol)})"
+    }
+    val props =
+      (if (meta.statsCols.nonEmpty)
+        Seq("statsCols" -> meta.statsCols.mkString(",")) else Nil) ++
+      (if (meta.bloomCols.nonEmpty)
+        Seq("bloomCols" -> meta.bloomCols.mkString(",")) else Nil) ++
+      (if (meta.deleteMode != "cow") Seq("deleteMode" -> meta.deleteMode) else Nil) ++
+      meta.props.toSeq.filterNot { case (k, _) =>
+        k.startsWith("mv.") || k.startsWith("identity.hw.") }.sortBy(_._1)
+    val propsClause =
+      if (props.isEmpty) ""
+      else props.map { case (k, v) => s"${str(k)} = ${str(v)}" }
+        .mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")")
+    val checks = meta.checks.map { case (n, sql) =>
+      s";\nALTER TABLE $name ADD CONSTRAINT ${q(n)} CHECK ($sql)" }.mkString
+    Seq(Row(s"CREATE TABLE $name (\n$cols)\nPARTITIONED BY ($part)$propsClause$checks"))
+  }
+
+  private def viewDdl(name: String): String = {
+    val v = catalog.loadView(ident)
+    val aliases =
+      if (v.columnAliases == null || v.columnAliases.isEmpty) ""
+      else {
+        val comments = Option(v.columnComments).getOrElse(Array.empty[String])
+          .padTo(v.columnAliases.length, null)
+        v.columnAliases.zip(comments).map { case (a, c) =>
+          q(a) + Option(c).fold("")(cm => s" COMMENT ${str(cm)}")
+        }.mkString(" (\n  ", ",\n  ", ")")
+      }
+    val props = v.properties().asScala.toSeq.sortBy(_._1)
+    val propsClause =
+      if (props.isEmpty) ""
+      else props.map { case (k, vl) => s"${str(k)} = ${str(vl)}" }
+        .mkString("\nTBLPROPERTIES (\n  ", ",\n  ", ")")
+    s"CREATE VIEW $name$aliases$propsClause AS\n${v.query}"
   }
 }
 

@@ -164,6 +164,57 @@ class DvSpec extends SparkSpec {
     assert(LakeTable.mergeRebases.get() === r2, "no rebase when the winner may match")
   }
 
+  test("two MOR writers tombstoning disjoint rows of ONE file OR-merge on rebase") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"), deleteMode = "mor")
+    // both predicates hit the SAME files (every partition holds %10=3
+    // and %10=7 rows) — the file-level untouched condition alone would
+    // force the loser into a full recompute
+    val r0 = LakeTable.mergeRebases.get()
+    var fired = 0
+    val del = LakeTable.deleteMor(spark, root, col("k") % 10 === 3, "p",
+      preCommit = () => {
+        fired += 1
+        if (fired == 1) LakeTable.deleteMor(spark, root, col("k") % 10 === 7, "p")
+      })
+    assert(fired === 1, "the loser must land via DV-merge rebase, not recompute")
+    assert(LakeTable.mergeRebases.get() === r0 + 1)
+    assert(del.version === 3)
+    val got = LakeTable.read(spark, root)
+    assert(got.count() === 240)
+    assert(got.where(col("k") % 10 === 3 || col("k") % 10 === 7).isEmpty,
+      "content must equal the sequential application")
+    assert(LakeTable.snapshot(spark, root).entries.flatMap(_.dv).map(_.card).sum === 60,
+      "one OR-merged vector per file carries both ops' tombstones")
+
+    // disjoint updateMor vs deleteMor on the same files also merges
+    val r1 = LakeTable.mergeRebases.get()
+    var fired2 = 0
+    LakeTable.updateMor(spark, root, col("k") % 10 === 1, Map("v" -> lit(999L)), "p",
+      preCommit = () => {
+        fired2 += 1
+        if (fired2 == 1) LakeTable.deleteMor(spark, root, col("k") % 10 === 9, "p")
+      })
+    assert(fired2 === 1 && LakeTable.mergeRebases.get() === r1 + 1)
+    val after = LakeTable.read(spark, root)
+    assert(after.where(col("k") % 10 === 9).isEmpty, "winner's delete survives")
+    assert(after.where(col("v") === 999L).count() === 30, "loser's update lands")
+    assert(after.count() === 210)
+
+    // OVERLAPPING position sets refuse the merge — the loser's
+    // postimages were computed against rows the winner killed
+    val r2 = LakeTable.mergeRebases.get()
+    var fired3 = 0
+    val e = intercept[IllegalArgumentException](
+      LakeTable.updateMor(spark, root, col("k") % 10 === 2, Map("v" -> lit(1L)), "p",
+        preCommit = () => {
+          fired3 += 1
+          if (fired3 == 1) LakeTable.deleteMor(spark, root, col("k") === 2, "p")
+        }))
+    assert(e.getMessage.contains("concurrent commit"))
+    assert(LakeTable.mergeRebases.get() === r2, "overlap must recompute, not merge")
+  }
+
   test("overlapping second delete unions vectors; re-delete of dead rows commits nothing") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p")

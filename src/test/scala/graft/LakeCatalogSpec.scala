@@ -1537,6 +1537,47 @@ class LakeCatalogSpec extends SparkSpec {
     spark.sql("DROP MATERIALIZED VIEW graft.db.msql")
   }
 
+  test("SHOW CREATE TABLE round-trips graft tables (clauses, transform, props, " +
+      "constraints) and views") {
+    val _ = wh
+    spark.sql("CREATE TABLE graft.db.sct (k BIGINT NOT NULL, p STRING, " +
+      "v BIGINT DEFAULT 7, dek BIGINT GENERATED ALWAYS AS (k % 10), " +
+      "idn BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 5 INCREMENT BY 2)) " +
+      "PARTITIONED BY (bucket(8, k)) " +
+      "TBLPROPERTIES (statsCols 'k,v', deleteMode 'mor', team 'core')")
+    spark.sql("ALTER TABLE graft.db.sct ADD CONSTRAINT pos CHECK (v >= 0)")
+    val ddl = spark.sql("SHOW CREATE TABLE graft.db.sct").head.getString(0)
+    // the DDL re-executes (CREATE + the trailing ADD CONSTRAINT) to an
+    // equivalent table under a new name
+    ddl.replace("graft.db.sct", "graft.db.sct2")
+      .split(";").map(_.trim).filter(_.nonEmpty).foreach(spark.sql(_))
+    val m1 = LakeTable.snapshot(spark, s"$wh/db/sct").meta.get
+    val m2 = LakeTable.snapshot(spark, s"$wh/db/sct2").meta.get
+    assert(m2.schema === m1.schema, s"\n$ddl")
+    assert(m2.partitionCol === m1.partitionCol && m2.partitionFn === m1.partitionFn)
+    assert(m2.statsCols === m1.statsCols && m2.deleteMode === m1.deleteMode)
+    assert(m2.checks === m1.checks)
+    assert(m2.props.get("team") === Some("core"))
+    // internal bookkeeping must NOT leak into the DDL
+    assert(!ddl.contains("identity.hw.") && !ddl.contains("mv."), ddl)
+    // behavioral equivalence: generated/identity/constraint all live
+    spark.sql("INSERT INTO graft.db.sct2 (k, p, v) VALUES (42, 'a', 1)")
+    val row = spark.sql("SELECT dek, idn FROM graft.db.sct2").head
+    assert(row.getLong(0) === 2 && row.getLong(1) === 5)
+    intercept[Exception](
+      spark.sql("INSERT INTO graft.db.sct2 (k, p, v) VALUES (1, 'a', -5)"))
+
+    // views: aliases, comments, properties and the stored SQL round-trip
+    spark.sql("CREATE VIEW graft.db.vsct (a COMMENT 'key') " +
+      "AS SELECT k FROM graft.db.sct WHERE k >= 0")
+    spark.sql("ALTER VIEW graft.db.vsct SET TBLPROPERTIES ('team' = 'core')")
+    val vddl = spark.sql("SHOW CREATE TABLE graft.db.vsct").head.getString(0)
+    spark.sql(vddl.replace("graft.db.vsct", "graft.db.vsct2"))
+    assert(spark.sql("SELECT * FROM graft.db.vsct2").columns.toSeq === Seq("a"))
+    assert(vddl.contains("'team' = 'core'"), vddl)
+    Seq("vsct2", "vsct").foreach(v => spark.sql(s"DROP VIEW graft.db.$v"))
+  }
+
   test("views: CTE shadowing, subquery/CTE-body cycles, stored USE context, " +
       "ALTER AS column reset, SHOW VIEWS LIKE semantics") {
     val t = mkTable()

@@ -69,6 +69,43 @@ class TagSpec extends SparkSpec {
       (0 until 90).count(k => k % 2 != 0 && k % 3 != 0))
   }
 
+  test("expire_snapshots: time-based expiration keeps the window, tags pin through") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p")
+    LakeTable.append(spark, root, baseDf.withColumn("k", col("k") + 1000))
+    LakeTable.append(spark, root, baseDf.withColumn("k", col("k") + 2000))
+    LakeTable.append(spark, root, baseDf.withColumn("k", col("k") + 3000))
+    LakeTable.tag(spark, root, "keepme", 1)
+
+    // everything is younger than the far past: nothing expires
+    assert(LakeTable.expireSnapshots(spark, root,
+      olderThanMillis = System.currentTimeMillis() - 3600_000L, keepLast = 1) === 0L)
+    assert(LakeTable.readVersion(spark, root, 1).count() === 90)
+
+    // a future cutoff expires all but keep_last — except the tagged pin
+    LakeTable.expireSnapshots(spark, root,
+      olderThanMillis = System.currentTimeMillis() + 3600_000L, keepLast = 2)
+    val e = intercept[Exception](LakeTable.readVersion(spark, root, 2).count())
+    assert(e.getMessage.contains("no v2") || e.getMessage.contains("vacuum"),
+      e.getMessage)
+    assert(LakeTable.readVersion(spark, root, 1).count() === 90, "tag pins v1 live")
+    assert(LakeTable.readVersion(spark, root, 3).count() === 270, "kept window reads")
+    assert(LakeTable.readVersion(spark, root, 4).count() === 360)
+    // an incremental consumer restarting INSIDE the kept window replays
+    assert(LakeTable.changesSince(spark, root, 3, 4, Seq("k")).count() === 90)
+
+    // the SQL face composes; keep_last floors at the head
+    spark.conf.set("spark.sql.catalog.graft.warehouse",
+      Files.createTempDirectory("graft-exp-wh").toString)
+    val removed = spark.sql(
+      s"CALL graft.system.expire_snapshots(table => '$root', " +
+        "older_than => TIMESTAMP '2099-01-01 00:00:00', keep_last => 1)")
+      .head.getLong(0)
+    val _ = removed
+    assert(LakeTable.read(spark, root).count() === 360, "the head always survives")
+    intercept[Exception](LakeTable.readVersion(spark, root, 3).count())
+  }
+
   test("tagging a vacuumed version is refused; a stale pin never wedges vacuum") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p")

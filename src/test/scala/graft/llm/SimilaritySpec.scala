@@ -133,6 +133,48 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == expected)
   }
 
+  test("incrementalEmbeddingNearDups == full recompute restricted to batch-touching " +
+      "pairs, through a parquet signature round trip") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // plant true near-dups straddling the history/batch boundary
+    val dups = Similarity.perturbedCopy(
+      base.where(col("vec_id") < 20), "vec_id", "embedding", 10000L)
+    val all = base.unionByName(dups)
+    def isBatchId(c: org.apache.spark.sql.Column) = c >= 10000 || c % 5 === 0
+
+    // full = one banded run over everything (empty history), restricted
+    val sigsAll = Similarity.embeddingSignatures(all, "vec_id", "embedding")
+    val full = Similarity.incrementalEmbeddingNearDups(
+        sigsAll.limit(0), sigsAll, threshold = 0.5)
+      .where(isBatchId(col("id_a")) || isBatchId(col("id_b")))
+
+    // history signatures go through a parquet round trip — the persisted
+    // table IS the contract (plain int/long arrays, no private state)
+    val dir = java.nio.file.Files.createTempDirectory("graft-esigs").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getAbsolutePath}/sigs"
+    Similarity.embeddingSignatures(
+        all.where(!isBatchId(col("vec_id"))), "vec_id", "embedding")
+      .write.mode("overwrite").parquet(path)
+    val history = spark.read.parquet(path)
+    val batch = Similarity.embeddingSignatures(
+      all.where(isBatchId(col("vec_id"))), "vec_id", "embedding")
+
+    val inc = Similarity.incrementalEmbeddingNearDups(history, batch, threshold = 0.5)
+    val cols = Seq("id_a", "id_b", "cos")
+    assert(
+      inc.select(cols.map(col): _*).except(full.select(cols.map(col): _*)).isEmpty
+        && full.select(cols.map(col): _*).except(inc.select(cols.map(col): _*)).isEmpty,
+      "incremental embedding dedup diverged from restricted full recompute")
+    // no history-history leakage, and every planted pair is found
+    assert(inc.where(!isBatchId(col("id_a")) && !isBatchId(col("id_b"))).isEmpty)
+    val planted = inc.where(col("cos") >= 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 20L).map(i => (i, i + 10000L)).forall(planted.contains),
+      s"planted near-dups missing: $planted")
+  }
+
   test("IVF top-k: high recall on clustered vectors; exact when probing all cells") {
     val rnd = new scala.util.Random(21)
     val dims = 32
