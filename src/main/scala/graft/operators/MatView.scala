@@ -134,6 +134,36 @@ object MatView {
       (p.substring(0, i), p.substring(i + 2))
     }
 
+  /** Reconstruct the `SELECT ...` definition a stored view's manifest
+    * props encode — SHOW CREATE's render: prefixed with
+    * `CREATE MATERIALIZED VIEW <name> AS` it re-executes through the
+    * SQL DDL face to an equivalent view (same keys/aggs/filters, full
+    * compute at the then-current source head).
+    */
+  def definitionSelect(props: Map[String, String]): String = {
+    val keys = props(PropKeys).split(",").toSeq
+    val keyExprs = props.get(PropKeyExprs).map(decodeKeyExprs).getOrElse(Nil).toMap
+    val aggs = parseAggs(props(PropAggs))
+    val keyItems = keys.map(k => keyExprs.get(k).fold(k)(e => s"$e AS $k"))
+    val aggItems = aggs.map {
+      case Agg("cnt", _) => "count(*) AS cnt"
+      case Agg("cntd", c) => s"count(DISTINCT $c) AS cntd_$c"
+      case Agg(fn, c) => s"$fn($c) AS ${fn}_$c"
+    }
+    val from = props.get(PropDim) match {
+      case Some(dim) =>
+        // qualified ON: the two join columns may legally share a name
+        s"FROM graft.`${props(PropSrc)}` f JOIN graft.`$dim` d " +
+          s"ON f.`${props(PropJoinFact)}` = d.`${props(PropJoinDim)}`"
+      case None => s"FROM graft.`${props(PropSrc)}`"
+    }
+    val where = props.get(PropWhere).toSeq ++ props.get(PropDimWhere).toSeq
+    val whereClause =
+      if (where.isEmpty) "" else where.mkString("\nWHERE (", ") AND (", ")")
+    val groupBy = keys.map(k => keyExprs.getOrElse(k, k)).mkString(", ")
+    s"SELECT ${(keyItems ++ aggItems).mkString(", ")}\n$from$whereClause\nGROUP BY $groupBy"
+  }
+
   /** Derive expression keys, then apply the WHERE filter — on the full
     * compute and on every signed delta identically (both are row-wise
     * deterministic, so they commute with the diff).
@@ -215,6 +245,14 @@ object MatView {
     * UPDATEd across the filter boundary nets to a membership change in
     * the filtered dim's signed diff, so one delta refresh folds it.
     */
+  /** `keyExprs` derives group keys from the JOINED row (either side's
+    * columns — `"decade" := "o_year div 10"`): derivation runs after the
+    * join on the full compute and on every delta term identically
+    * (row-wise deterministic, so it commutes with the signed diffs).
+    * Derived keys have no stats arm, so the dirty-rescan fact pruning
+    * uses only the PHYSICAL keys (all-derived key sets fall back to the
+    * pinned full scan — sound, one pass).
+    */
   def createJoin(
       spark: SparkSession,
       mvRoot: String,
@@ -225,16 +263,19 @@ object MatView {
       keys: Seq[String],
       aggs: Seq[Agg],
       where: Option[String] = None,
-      dimWhere: Option[String] = None): Long = {
+      dimWhere: Option[String] = None,
+      keyExprs: Seq[(String, String)] = Nil): Long = {
     require(keys.nonEmpty, "MatView.createJoin: at least one key column")
     require(aggs.nonEmpty, "MatView.createJoin: at least one aggregate")
+    keyExprs.foreach { case (n, _) => require(keys.contains(n),
+      s"MatView.createJoin: derived key $n must be listed in keys") }
     val headF = LakeTable.snapshot(spark, factRoot).version
     val headD = LakeTable.snapshot(spark, dimRoot).version
     require(headF > 0 && headD > 0, "MatView.createJoin: both sources need a snapshot")
     val full = joined(
       prep(LakeTable.readVersion(spark, factRoot, headF), where, Nil),
       prep(LakeTable.readVersion(spark, dimRoot, headD), dimWhere, Nil),
-      factKey, dimKey, keys, aggs, col("f.`__one`"))
+      factKey, dimKey, keys, aggs, col("f.`__one`"), keyExprs)
       .groupBy(keys.map(col): _*).agg(aggExprs(aggs).head, aggExprs(aggs).tail: _*)
     LakeTable.init(spark, mvRoot, full,
       partitionCol = keys.head,
@@ -247,7 +288,8 @@ object MatView {
         PropAggs -> aggs.map(_.spec).mkString(","),
         PropVersion -> headF.toString, PropDimVersion -> headD.toString) ++
         where.map(PropWhere -> _).toMap ++
-        dimWhere.map(PropDimWhere -> _).toMap)
+        dimWhere.map(PropDimWhere -> _).toMap ++
+        (if (keyExprs.nonEmpty) Map(PropKeyExprs -> encodeKeyExprs(keyExprs)) else Map.empty))
     headF
   }
 
@@ -263,7 +305,8 @@ object MatView {
       dimKey: String,
       keys: Seq[String],
       aggs: Seq[Agg],
-      signCol: Column): DataFrame = {
+      signCol: Column,
+      keyExprs: Seq[(String, String)] = Nil): DataFrame = {
     val f = (if (fact.columns.contains("_sign")) fact
              else fact.withColumn("_sign", lit(1L))).withColumnRenamed("_sign", "__one")
     val d = (if (dim.columns.contains("_sign")) dim
@@ -274,12 +317,22 @@ object MatView {
     require(shared.isEmpty,
       s"MatView join: column names must be disjoint across sides " +
         s"(shared: ${shared.mkString(", ")}; only the join column may collide)")
-    val needed = (keys ++ aggs.filter(_.fn != "cnt").map(_.column)).distinct
-    f.as("f").join(d.as("d"), col(s"f.`$factKey`") === col(s"d.`$dimKey`"))
+    // derived keys project their INPUT columns through the join, then
+    // derive — the key expression may mix both sides' columns
+    val exprRefs = keyExprs.flatMap { case (_, e) =>
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last
+      } }
+    val physKeys = keys.filterNot(k => keyExprs.exists(_._1 == k))
+    val needed = (physKeys ++ exprRefs ++ aggs.filter(_.fn != "cnt").map(_.column))
+      .distinct.filter(c => factCols.contains(c) || dimCols.contains(c))
+    val sel = f.as("f").join(d.as("d"), col(s"f.`$factKey`") === col(s"d.`$dimKey`"))
       .select(needed.map { c =>
         if (factCols.contains(c)) col(s"f.`$c`").as(c)
         else col(s"d.`$c`").as(c)
       } :+ signCol.as("_sign"): _*)
+    keyExprs.foldLeft(sel) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
   }
 
   /** Applies the source's `(lastApplied, head]` change window to the
@@ -362,6 +415,7 @@ object MatView {
     val (keys, aggs) = (d(PropKeys).split(",").toSeq, parseAggs(d(PropAggs)))
     val where = d.get(PropWhere)
     val dimWhere = d.get(PropDimWhere)
+    val keyExprs = d.get(PropKeyExprs).map(decodeKeyExprs).getOrElse(Nil)
     val (lastF, lastD) = (d(PropVersion).toLong, d(PropDimVersion).toLong)
     val headF = LakeTable.snapshot(spark, fact).version
     val headD = LakeTable.snapshot(spark, dim).version
@@ -372,7 +426,7 @@ object MatView {
       if (headF <= lastF) None
       else Some(joined(prep(LakeTable.rowDeltas(spark, fact, lastF, headF), where, Nil),
         prep(LakeTable.readVersion(spark, dim, headD), dimWhere, Nil),
-        fk, dk, keys, aggs, col("f.`__one`")))
+        fk, dk, keys, aggs, col("f.`__one`"), keyExprs))
     // term 2: the PRE-WINDOW fact joined against the FILTERED dim
     // window (a dim row crossing the filter boundary is a membership
     // change in the filtered diff) — the fact read prunes to the dirty
@@ -384,7 +438,7 @@ object MatView {
         val dirtyKeys = dD.select(col(s"`$dk`").as(fk)).distinct()
         val f0 = prep(
           LakeTable.readVersionForKeys(spark, fact, lastF, Seq(fk), dirtyKeys), where, Nil)
-        Some(joined(f0, dD, fk, dk, keys, aggs, col("d.`__one`")))
+        Some(joined(f0, dD, fk, dk, keys, aggs, col("d.`__one`"), keyExprs))
       }
     val changes = (term1.toSeq ++ term2.toSeq).reduce(_.unionByName(_))
 
@@ -399,7 +453,7 @@ object MatView {
     val source =
       if (deltaOnly) deltaSource(changes, keys, aggs)
       else dirtyJoinSource(spark, fact, dim, fk, dk, headF, headD, changes, keys, aggs,
-        where, dimWhere)
+        where, dimWhere, keyExprs)
     val stored = storedCols(aggs)
     inheritWidenings(spark, mvRoot, meta, keys ++ stored, source)
     val matched = Seq(
@@ -532,7 +586,8 @@ object MatView {
       keys: Seq[String],
       aggs: Seq[Agg],
       where: Option[String] = None,
-      dimWhere: Option[String] = None): DataFrame = {
+      dimWhere: Option[String] = None,
+      keyExprs: Seq[(String, String)] = Nil): DataFrame = {
     val dirty = changes.select(keys.map(col): _*).distinct()
     val d1 = prep(LakeTable.readVersion(spark, dim, headD), dimWhere, Nil)
     val factCols = LakeTable.snapshot(spark, fact).meta.get.schema.fieldNames.toSet
@@ -556,7 +611,7 @@ object MatView {
           .select(col(s"`$dk`").as(fk)).where(col(s"`$fk`").isNotNull).distinct()
         LakeTable.readVersionForKeys(spark, fact, headF, Seq(fk), dirtyFks)
       } else LakeTable.readVersion(spark, fact, headF)
-    val j = joined(prep(f1, where, Nil), d1, fk, dk, keys, aggs, col("f.`__one`"))
+    val j = joined(prep(f1, where, Nil), d1, fk, dk, keys, aggs, col("f.`__one`"), keyExprs)
     def keyEq(l: String, r: String): Column =
       keys.map(k => col(s"$l.`$k`") <=> col(s"$r.`$k`")).reduce(_ && _)
     val recomputed = j.as("b")

@@ -300,8 +300,16 @@ private[lake] object GraftLakeProcedures {
           p("join_fact", StringType), p("join_dim", StringType),
           p("keys", StringType), p("aggs", StringType),
           pd("where", StringType, "''"),
-          pd("dim_where", StringType, "''"))) {
+          pd("dim_where", StringType, "''"),
+          pd("key_exprs", StringType, "''"))) {
         override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
+          val keyExprs = args.getUTF8String(9).toString.split(";")
+            .map(_.trim).filter(_.nonEmpty).toSeq.map { pair =>
+              val i = pair.indexOf(":=")
+              require(i > 0,
+                s"create_matview_join: bad key_exprs pair '$pair' (want name:=sql)")
+              (pair.substring(0, i).trim, pair.substring(i + 2).trim)
+            }
           val v = graft.operators.MatView.createJoin(spark(),
             rootOf(args.getUTF8String(0).toString),
             rootOf(args.getUTF8String(1).toString),
@@ -311,7 +319,8 @@ private[lake] object GraftLakeProcedures {
             args.getUTF8String(5).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
             graft.operators.MatView.parseAggs(args.getUTF8String(6).toString),
             where = Some(args.getUTF8String(7).toString).filter(_.nonEmpty),
-            dimWhere = Some(args.getUTF8String(8).toString).filter(_.nonEmpty))
+            dimWhere = Some(args.getUTF8String(8).toString).filter(_.nonEmpty),
+            keyExprs = keyExprs)
           (StructType(Seq(StructField("src_version", LongType))), Seq(InternalRow(v)))
         }
       },

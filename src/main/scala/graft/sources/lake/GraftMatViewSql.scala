@@ -192,13 +192,10 @@ case class GraftCreateMatViewCommand(
             refuse(s"the join condition must be one column equality, got ${other.sql}")
         }
         val (keys, keyExprs, aggs) = classify(groups, out, explicitAlias)
-        if (keyExprs.nonEmpty) refuse(
-          "expression group keys are unsupported on join views — group by " +
-            "source columns")
         // WHERE conjuncts route to the side each one references wholly
         val (factW, dimW) = splitWhere(cond, lrel.outputSet, rrel.outputSet)
         MatView.createJoin(session, mvRoot, factRoot, dimRoot, fk, dk, keys, aggs,
-          where = factW, dimWhere = dimW)
+          where = factW, dimWhere = dimW, keyExprs = keyExprs)
 
       case Join(_, _, jt, _, _) =>
         refuse(s"only INNER equi-joins are maintainable, got $jt")

@@ -461,6 +461,7 @@ case class GraftShowCreateCommand(
 
     import graft.operators.LakeTable
     val meta = LakeTable.snapshot(session, catalog.tableRoot(ident)).meta.get
+    if (meta.props.contains("mv.src")) return Seq(Row(matViewDdl(name, meta)))
     val gens = LakeTable.generatedOf(meta.schema).toMap
     val ids = LakeTable.identityOf(meta.schema)
       .map { case (n, s, st, a) => n -> ((s, st, a)) }.toMap
@@ -502,6 +503,15 @@ case class GraftShowCreateCommand(
       s";\nALTER TABLE $name ADD CONSTRAINT ${q(n)} CHECK ($sql)" }.mkString
     Seq(Row(s"CREATE TABLE $name (\n$cols)\nPARTITIONED BY ($part)$propsClause$checks"))
   }
+
+  /** A materialized view's stored definition is fully reconstructible
+    * from its `mv.*` manifest props — rendering a plain CREATE TABLE
+    * here would re-execute to a table that does not refresh.
+    */
+  private def matViewDdl(
+      name: String, meta: graft.operators.LakeTable.TableMeta): String =
+    s"CREATE MATERIALIZED VIEW $name AS\n" +
+      graft.operators.MatView.definitionSelect(meta.props)
 
   private def viewDdl(name: String): String = {
     val v = catalog.loadView(ident)

@@ -1509,6 +1509,38 @@ class LakeCatalogSpec extends SparkSpec {
     spark.sql("REFRESH MATERIALIZED VIEW graft.db.mjsql")
     assert(storedJ() === freshJ())
 
+    // SHOW CREATE renders the matview DEFINITION (a plain CREATE TABLE
+    // would re-execute to a table that does not refresh) and the DDL
+    // re-executes to an equivalent view
+    val mddl = spark.sql("SHOW CREATE TABLE graft.db.mjsql").head.getString(0)
+    assert(mddl.startsWith("CREATE MATERIALIZED VIEW"), mddl)
+    spark.sql(mddl.replace("graft.db.mjsql", "graft.db.mjsql2"))
+    assert(spark.sql("SELECT * FROM graft.db.mjsql2 ORDER BY seg").collect().toSeq ===
+      spark.sql("SELECT * FROM graft.db.mjsql ORDER BY seg").collect().toSeq)
+    spark.sql("DROP MATERIALIZED VIEW graft.db.mjsql2")
+    val sddl = spark.sql("SHOW CREATE TABLE graft.db.msql").head.getString(0)
+    assert(sddl.contains("AS kmod") && sddl.contains("WHERE"), sddl)
+    spark.sql(sddl.replace("graft.db.msql", "graft.db.msql2"))
+    assert(spark.sql("SELECT * FROM graft.db.msql2 ORDER BY p, kmod").collect().toSeq ===
+      spark.sql("SELECT * FROM graft.db.msql ORDER BY p, kmod").collect().toSeq)
+    spark.sql("DROP MATERIALIZED VIEW graft.db.msql2")
+
+    // expression group keys on a JOIN view through pure SQL
+    spark.sql("CREATE MATERIALIZED VIEW graft.db.mjek AS " +
+      s"SELECT dk % 2 AS dband, count(*) AS cnt, sum(v) FROM $f2 JOIN $d2 " +
+      "ON fk = dk GROUP BY dk % 2")
+    def freshK(): Seq[Seq[Any]] = spark.sql(
+      s"SELECT dk % 2 dband, count(*) cnt, sum(v) sum_v FROM $f2 JOIN $d2 " +
+        "ON fk = dk GROUP BY dk % 2 ORDER BY dband").collect().toSeq.map(_.toSeq)
+    def storedK(): Seq[Seq[Any]] = spark.sql(
+      "SELECT dband, cnt, sum_v FROM graft.db.mjek ORDER BY dband")
+      .collect().toSeq.map(_.toSeq)
+    assert(storedK() === freshK())
+    spark.sql(s"DELETE FROM $f2 WHERE k % 7 = 0")
+    spark.sql("REFRESH MATERIALIZED VIEW graft.db.mjek")
+    assert(storedK() === freshK())
+    spark.sql("DROP MATERIALIZED VIEW graft.db.mjek")
+
     // refusals name the unsupported piece; nothing is half-created
     def refused(sql: String, frag: String): Unit = {
       val e = intercept[Exception](spark.sql(sql))

@@ -557,6 +557,49 @@ class MatViewSpec extends SparkSpec {
     inSync(mv2, Seq("seg", "cnt", "max_v"), freshCntMax)
   }
 
+  test("expression group keys on JOIN views refresh on both paths") {
+    val (fact, mv) = freshRoots()
+    val dim = s"$wh/dimek$n"
+    import spark.implicits._
+    LakeTable.init(spark, fact,
+      (0L until 60L).map(i => (i, i % 6, i * 10L)).toDF("k", "fk", "v"),
+      partitionCol = "fk", statsCols = Seq("k", "fk"))
+    LakeTable.init(spark, dim,
+      (0L until 6L).map(j => (j, j % 3)).toDF("dk", "grp"),
+      partitionCol = "grp", statsCols = Seq("dk"))
+    // one key derived from the DIM side, one from the FACT side
+    val ke = Seq("gband" -> "grp % 2", "kb" -> "k % 3")
+    MatView.createJoin(spark, mv, fact, dim, "fk", "dk",
+      Seq("gband", "kb"), MatView.parseAggs("cnt,sum:v"), keyExprs = ke)
+    def freshAgg(aggCols: Seq[(String, org.apache.spark.sql.Column)]): Seq[Seq[Any]] =
+      LakeTable.read(spark, fact).as("f")
+        .join(LakeTable.read(spark, dim).as("d"), col("f.fk") === col("d.dk"))
+        .withColumn("gband", col("grp") % 2).withColumn("kb", col("k") % 3)
+        .groupBy("gband", "kb")
+        .agg(count(lit(1)).as("cnt"), aggCols.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("gband", "kb").collect().toSeq.map(_.toSeq)
+    def stored(m: String, cols: Seq[String]): Seq[Seq[Any]] =
+      LakeTable.read(spark, m).select(cols.map(col): _*)
+        .orderBy("gband", "kb").collect().toSeq.map(_.toSeq)
+    assert(stored(mv, Seq("gband", "kb", "cnt", "sum_v")) ===
+      freshAgg(Seq("sum_v" -> sum("v"))))
+    // waves on both sides: the dim update MOVES derived-key membership
+    LakeTable.deleteWithRetry(spark, fact, col("k") % 10 === 2, "fk")
+    LakeTable.updateWithRetry(spark, dim, col("dk") === 1, Map("grp" -> lit(5L)), "grp")
+    MatView.refresh(spark, mv)
+    assert(stored(mv, Seq("gband", "kb", "cnt", "sum_v")) ===
+      freshAgg(Seq("sum_v" -> sum("v"))))
+
+    // dirty family (max) over the same derived keys
+    val mv2 = s"$wh/mvek2$n"
+    MatView.createJoin(spark, mv2, fact, dim, "fk", "dk",
+      Seq("gband", "kb"), MatView.parseAggs("cnt,max:v"), keyExprs = ke)
+    LakeTable.deleteWithRetry(spark, fact, col("v") >= 400L, "fk")
+    MatView.refresh(spark, mv2)
+    assert(stored(mv2, Seq("gband", "kb", "cnt", "max_v")) ===
+      freshAgg(Seq("max_v" -> max("v"))))
+  }
+
   test("join dirty rescan prunes the fact read through the dirty dim keys") {
     val (fact, mv) = freshRoots()
     val dim = s"$wh/dimp$n"
