@@ -4560,8 +4560,12 @@ object LakeTable {
       removed.forall(e => !mByRel.get(e.rel).contains(e))
     val merged =
       if (deltaApplied) m0.version // landed (or empty) — no main commit needed
+      // dvMerge: branch and main MOR-deleting DISJOINT rows of the same
+      // file union their deletion vectors (row-level file merge — the
+      // same sequential-equivalence argument as racing DML writers);
+      // overlapping positions refuse like overlapping rewrites
       else rebaseCommit(spark, r, Snapshot(base, Some(baseMeta), baseEntries),
-        baseMeta, removed, writtenPending, _ => false).getOrElse(
+        baseMeta, removed, writtenPending, _ => false, dvMerge = true).getOrElse(
         throw new IllegalStateException(
           s"LakeTable.mergeBranch: branch '$name' and main hold OVERLAPPING rewrite " +
             s"sets (or main changed table metadata) since fork base v$base — a " +

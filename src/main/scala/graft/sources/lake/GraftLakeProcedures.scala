@@ -186,8 +186,9 @@ private[lake] object GraftLakeProcedures {
       "merge_branch" -> new LakeProc(
         "merge_branch",
         "merge a branch back into main: fast-forward when main is unchanged " +
-          "since the fork, disjoint-files metadata rebase when it advanced; " +
-          "refuses on overlapping rewrite sets",
+          "since the fork, disjoint-files metadata rebase when it advanced " +
+          "(disjoint deletion vectors of a shared file OR-merge); " +
+          "refuses on overlapping rewrite sets or overlapping tombstones",
         Seq(p("table", StringType), p("name", StringType))) {
         override protected def run(args: InternalRow): (StructType, Seq[InternalRow]) = {
           val v = LakeTable.mergeBranch(spark(),

@@ -211,6 +211,32 @@ class BranchSpec extends SparkSpec {
       .forEach(p => F.delete(p))
   }
 
+  test("mergeBranch OR-merges disjoint deletion vectors of a shared file") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"))
+    LakeTable.branch(spark, root, "dev")
+    val ref = LakeTable.branchRef(root, "dev")
+    // branch and main MOR-delete DISJOINT rows of the SAME files — the
+    // file-level merge alone would refuse this as an overlapping rewrite
+    LakeTable.deleteMor(spark, ref, col("k") % 10 === 3, "p")
+    LakeTable.deleteMor(spark, root, col("k") % 10 === 7, "p")
+    val r0 = LakeTable.mergeRebases.get()
+    LakeTable.mergeBranch(spark, root, "dev")
+    assert(LakeTable.mergeRebases.get() === r0 + 1, "metadata rebase, zero data I/O")
+    val got = LakeTable.read(spark, root)
+    assert(got.count() === 48)
+    assert(got.where(col("k") % 10 === 3 || col("k") % 10 === 7).isEmpty,
+      "both sides' tombstones land, once")
+
+    // OVERLAPPING tombstone positions refuse crisply
+    LakeTable.branch(spark, root, "dev2")
+    val ref2 = LakeTable.branchRef(root, "dev2")
+    LakeTable.deleteMor(spark, ref2, col("k") === 4, "p")
+    LakeTable.deleteMor(spark, root, col("k") % 10 === 4, "p")
+    val e = intercept[IllegalStateException](LakeTable.mergeBranch(spark, root, "dev2"))
+    assert(e.getMessage.contains("OVERLAPPING"), e.getMessage)
+  }
+
   test("mergeBranch re-run after a lost branch re-seed never duplicates rows") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"))
