@@ -3508,13 +3508,25 @@ object LakeTable {
           val winNew = bmHead.clone(); winNew.andNot(bmBase)
           val ourNew = bmOurs.clone(); ourNew.andNot(bmBase)
           val overlap = winNew.clone(); overlap.and(ourNew)
-          if (!overlap.isEmpty) return None // same row raced — recompute
-          bmHead.or(ourNew)
-          val card = bmHead.getLongCardinality
-          r.rel -> (
-            if (r.rows.contains(card)) None // now fully dead -> drop
-            else Some(h.copy(dv = Some(DvRef(
-              Dv.writeFrom(conf, dataRoot(root), bmHead), card)))))
+          // OVERLAPPING positions are sound iff the delta is PURE
+          // tombstoning (no appended postimages/inserts anywhere in it):
+          // a tombstone's effect is exactly "these positions are dead",
+          // and the union of two such effects IS their sequential
+          // composition in either order — re-deleting dead rows is
+          // idempotent. A delta carrying new rows must recompute: its
+          // postimages were derived from rows the winner killed.
+          val pureAdds = written.exists(e => !removedRels.contains(e.rel))
+          if (!overlap.isEmpty && pureAdds) return None
+          val residual = ourNew.clone(); residual.andNot(bmHead)
+          if (residual.isEmpty) r.rel -> Some(h) // all ours already dead at head
+          else {
+            bmHead.or(ourNew)
+            val card = bmHead.getLongCardinality
+            r.rel -> (
+              if (r.rows.contains(card)) None // now fully dead -> drop
+              else Some(h.copy(dv = Some(DvRef(
+                Dv.writeFrom(conf, dataRoot(root), bmHead), card)))))
+          }
         }.toMap
       val winnersNew = head.entries.filterNot(e =>
         baseByRel.get(e.rel).contains(e) || patched.contains(e.rel))
@@ -3793,7 +3805,8 @@ object LakeTable {
       notMatched: Seq[MergeBranch],
       notMatchedBySource: Seq[MergeBranch] = Nil,
       partitionCol: String,
-      metaUpdate: TableMeta => TableMeta = identity): MergeStats = {
+      metaUpdate: TableMeta => TableMeta = identity,
+      preCommit: () => Unit = () => ()): MergeStats = {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.mergeClausesMor: no committed snapshot at $root")
     val meta = metaUpdate(s0.meta.get)
@@ -3904,14 +3917,20 @@ object LakeTable {
       } ++ written
       // lost race → metadata-only rebase (see deleteMor); an identity
       // high-water advance changes meta, which condition 1 refuses —
-      // those tables keep the recompute
+      // those tables keep the recompute. dvMerge only WITHOUT insert
+      // clauses: a winner's tombstone on a target row we matched but
+      // did not fire flips that source row's sequential classification
+      // to NOT MATCHED — our fate join decided "no insert" against
+      // state the winner changed, and position disjointness cannot see
+      // it (we hold no position for an unfired row)
+      preCommit()
       val finalMeta = advanceIdentityHw(meta, written)
       val landed: Long =
         if (commit(spark, root, s0.version + 1, finalMeta, newEntries)) s0.version + 1
         else rebaseCommit(spark, root, s0, finalMeta,
           removed = s0.entries.filter(e => tombstoned.contains(e.rel)),
           written = tombstoned.values.filter(_ != null).toSeq ++ written,
-          mayMatch = mayMatch, dvMerge = true)
+          mayMatch = mayMatch, dvMerge = notMatched.isEmpty)
           .getOrElse(throw new IllegalArgumentException(
             s"LakeTable.mergeClausesMor: concurrent commit at $root (retry on a fresh snapshot)"))
       MergeStats(landed,
@@ -4556,8 +4575,15 @@ object LakeTable {
     val m0 = snapshot(spark, r)
     val mByRel = m0.entries.map(e => e.rel -> e).toMap
     val writtenPending = written.filterNot(e => mByRel.get(e.rel).contains(e))
+    // the RELIABLE landed signal is written containment (a branch-fresh
+    // rel reaches main only via a landed merge); a PURE-REMOVAL delta
+    // has no such anchor — its removals absent at head could equally
+    // mean main rewrote our read set, so it must reach rebaseCommit's
+    // drift guard and refuse rather than read as "already applied"
+    // (which would silently discard the branch's deletes)
     val deltaApplied = writtenPending.isEmpty &&
-      removed.forall(e => !mByRel.get(e.rel).contains(e))
+      removed.forall(e => !mByRel.get(e.rel).contains(e)) &&
+      (written.nonEmpty || removed.isEmpty)
     val merged =
       if (deltaApplied) m0.version // landed (or empty) — no main commit needed
       // dvMerge: branch and main MOR-deleting DISJOINT rows of the same
@@ -4650,16 +4676,26 @@ object LakeTable {
     require(keepLast >= 1, "LakeTable.expireSnapshots: keepLast must be >= 1")
     val f = fs(spark, manifestDir(root))
     // commit times are monotonic, so the first version inside the keep
-    // window is the floor; a version whose manifest a PRIOR expiration
-    // already dropped has no time — it stays expired (skipped)
+    // window binary-searches in O(log V) manifest opens (a 100k-version
+    // history must not pay one open per expired version per call); a
+    // version whose manifest a PRIOR expiration already dropped has no
+    // time — it reads as outside the window (stays expired)
     def timeOf(v: Long): Option[Long] =
       scala.util.Try(commitTimeOf(spark, root, v)).toOption.flatten
         .orElse(scala.util.Try(
           f.getFileStatus(new Path(manifestDir(root), s"v$v.manifest"))
             .getModificationTime).toOption)
-    val floor = (1L to s0.version)
-      .find(v => timeOf(v).exists(_ >= olderThanMillis))
-      .getOrElse(s0.version)
+    def inWindow(v: Long): Boolean = timeOf(v).exists(_ >= olderThanMillis)
+    val floor =
+      if (!inWindow(s0.version)) s0.version
+      else {
+        var (lo, hi) = (1L, s0.version) // hi always in window
+        while (lo < hi) {
+          val mid = (lo + hi) / 2
+          if (inWindow(mid)) hi = mid else lo = mid + 1
+        }
+        hi
+      }
     val keepVersions = math.max(keepLast.toLong, s0.version - floor + 1)
     val removed = vacuum(spark, root,
       retainMillis = math.max(0L, System.currentTimeMillis() - olderThanMillis),
@@ -4670,15 +4706,14 @@ object LakeTable {
     // METADATA promise (Iceberg's expire_snapshots removes snapshot
     // metadata the same way). Tagged versions and branch fork bases
     // stay (a later mergeBranch/fastForward reads the base manifest).
-    val keepFloor = s0.version - math.max(keepVersions, keepLast.toLong) + 1
+    val keepFloor = s0.version - keepVersions + 1
     val pinnedV = tags(spark, root).values.toSet ++
       branches(spark, root).map(_._3).toSet
-    val fm = fs(spark, manifestDir(root))
     var dropped = 0L
     (1L until keepFloor).foreach { v =>
       if (!pinnedV.contains(v)) {
         val mf = new Path(manifestDir(root), s"v$v.manifest")
-        if (fm.exists(mf) && fm.delete(mf, false)) dropped += 1
+        if (f.exists(mf) && f.delete(mf, false)) dropped += 1
       }
     }
     removed + dropped
@@ -4711,7 +4746,14 @@ object LakeTable {
       "LakeTable.vacuum: vacuum runs on the TABLE root, not a branch ref " +
         "(branches share the data tree; a branch-scoped sweep would reclaim " +
         "files other lines still reference)")
-    val liveVersions = (floor to s0.version) ++ pinned
+    // a version expireSnapshots already retired has no manifest doc —
+    // it references nothing and simply drops out of the live walk
+    // (EXISTENCE only: a transient read error on a present manifest
+    // must still abort the sweep, never reclaim its files)
+    val liveVersions = ((floor to s0.version) ++ pinned).filter { v =>
+      val mf = new Path(manifestDir(root), s"v$v.manifest")
+      fs(spark, mf).exists(mf)
+    }
     // every branch's whole line pins its files/DVs live — branch writes
     // land in the shared data tree and only branch manifests reference
     // them (dropBranch releases the pins; branch version counts are

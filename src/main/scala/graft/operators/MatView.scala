@@ -200,6 +200,14 @@ object MatView {
       s"MatView.create: derived key $n must be listed in keys") }
     val head = LakeTable.snapshot(spark, srcRoot).version
     require(head > 0, s"MatView.create: no committed snapshot at $srcRoot")
+    // a derived key that SHADOWS a source column would silently change
+    // what aggregates over that column aggregate (and what the dirty
+    // rescan prunes on) — refuse the collision, never reinterpret
+    if (keyExprs.nonEmpty) {
+      val srcCols = LakeTable.snapshot(spark, srcRoot).meta.get.schema.fieldNames.toSet
+      keyExprs.foreach { case (n, _) => require(!srcCols.contains(n),
+        s"MatView.create: derived key $n shadows a source column — pick a fresh name") }
+    }
     val full = prep(LakeTable.readVersion(spark, srcRoot, head), where, keyExprs)
       .groupBy(keys.map(col): _*).agg(aggExprs(aggs).head, aggExprs(aggs).tail: _*)
     LakeTable.init(spark, mvRoot, full,
@@ -272,6 +280,15 @@ object MatView {
     val headF = LakeTable.snapshot(spark, factRoot).version
     val headD = LakeTable.snapshot(spark, dimRoot).version
     require(headF > 0 && headD > 0, "MatView.createJoin: both sources need a snapshot")
+    // same shadowing refusal as create(): a derived key named like a
+    // physical column of either side would silently redirect aggregates
+    // and the dirty-rescan pruning
+    if (keyExprs.nonEmpty) {
+      val cols = LakeTable.snapshot(spark, factRoot).meta.get.schema.fieldNames.toSet ++
+        LakeTable.snapshot(spark, dimRoot).meta.get.schema.fieldNames.toSet
+      keyExprs.foreach { case (n, _) => require(!cols.contains(n),
+        s"MatView.createJoin: derived key $n shadows a source column — pick a fresh name") }
+    }
     val full = joined(
       prep(LakeTable.readVersion(spark, factRoot, headF), where, Nil),
       prep(LakeTable.readVersion(spark, dimRoot, headD), dimWhere, Nil),
@@ -591,8 +608,12 @@ object MatView {
     val dirty = changes.select(keys.map(col): _*).distinct()
     val d1 = prep(LakeTable.readVersion(spark, dim, headD), dimWhere, Nil)
     val factCols = LakeTable.snapshot(spark, fact).meta.get.schema.fieldNames.toSet
-    val factKeys = keys.filter(factCols.contains)
-    val dimKeys = keys.filter(d1.columns.contains)
+    // derived keys have no stats arm: only PHYSICAL keys may prune
+    // (create refuses shadowing, so the exclusion here is belt-and-
+    // braces against legacy-created views)
+    val derivedNames = keyExprs.map(_._1).toSet
+    val factKeys = keys.filter(k => factCols.contains(k) && !derivedNames.contains(k))
+    val dimKeys = keys.filter(k => d1.columns.contains(k) && !derivedNames.contains(k))
     val hasNullFactKey = factKeys.isEmpty ||
       !dirty.where(factKeys.map(k => col(s"`$k`").isNull).reduce(_ || _)).isEmpty
     val f1 =

@@ -35,9 +35,11 @@ import graft.operators.{LakeTable, MatView}
   * surface — one lake table (or one inner equi-join of two), an optional
   * deterministic WHERE (join views: conjuncts are routed to the fact or
   * dim side each predicate references), group keys that are source
-  * columns or aliased deterministic expressions (single-table views
-  * only), and aggregates from {count(*), count(DISTINCT c), sum, avg,
-  * min, max} over bare columns. Anything else refuses crisply with the
+  * columns or aliased deterministic expressions (on join views the
+  * expression may mix both sides' columns; a derived name must not
+  * shadow a source column), and aggregates from {count(*),
+  * count(DISTINCT c), sum, avg, min, max} over bare columns. Anything
+  * else refuses crisply with the
   * unsupported piece named, and a refused CREATE materializes nothing.
   *
   * Aggregate columns are STORED under MatView's canonical names (`cnt`,

@@ -67,12 +67,18 @@ object GraftViews {
     * `WITH v AS (...) SELECT * FROM v` never reads as a reference to a
     * stored view named v.
     */
-  private[lake] def relationRefs(plan: LogicalPlan): Seq[Seq[String]] = {
-    val ctes = cteNames(plan)
+  /** ONE walk over the plan tree, CTE definition bodies and expression
+    * subqueries, collecting (relation name parts, CTE names bound
+    * anywhere) — both consumers below share it so the shadow set and the
+    * reference set can never diverge.
+    */
+  private def walkRefs(plan: LogicalPlan): (Seq[Seq[String]], Set[String]) = {
+    val ctes = scala.collection.mutable.Set[String]()
     val refs = scala.collection.mutable.ArrayBuffer[Seq[String]]()
     def walk(p: LogicalPlan): Unit = p.foreach { node =>
       node match {
-        case w: UnresolvedWith => w.cteRelations.foreach(r => walk(r._2))
+        case w: UnresolvedWith =>
+          w.cteRelations.foreach { r => ctes += r._1.toLowerCase; walk(r._2) }
         case UnresolvedRelation(parts, _, _) => refs += parts
         case _ =>
       }
@@ -82,28 +88,18 @@ object GraftViews {
       })
     }
     walk(plan)
-    refs.toSeq.filter(ps => ps.length > 1 || !ctes.contains(ps.head.toLowerCase))
+    (refs.toSeq, ctes.toSet)
+  }
+
+  private[lake] def relationRefs(plan: LogicalPlan): Seq[Seq[String]] = {
+    val (refs, ctes) = walkRefs(plan)
+    refs.filter(ps => ps.length > 1 || !ctes.contains(ps.head.toLowerCase))
   }
 
   /** Every CTE name bound anywhere in the definition (plan tree, CTE
     * bodies, expression subqueries) — the global shadow set.
     */
-  private[lake] def cteNames(plan: LogicalPlan): Set[String] = {
-    val ctes = scala.collection.mutable.Set[String]()
-    def walk(p: LogicalPlan): Unit = p.foreach { node =>
-      node match {
-        case w: UnresolvedWith =>
-          w.cteRelations.foreach { r => ctes += r._1.toLowerCase; walk(r._2) }
-        case _ =>
-      }
-      node.expressions.foreach(_.foreach {
-        case sq: SubqueryExpression => walk(sq.plan)
-        case _ =>
-      })
-    }
-    walk(plan)
-    ctes.toSet
-  }
+  private[lake] def cteNames(plan: LogicalPlan): Set[String] = walkRefs(plan)._2
 
   /** Refuse a view definition that reaches ITSELF through any chain of
     * stored views (CREATE OR REPLACE / ALTER VIEW AS can close a cycle

@@ -220,6 +220,9 @@ class BranchSpec extends SparkSpec {
     // file-level merge alone would refuse this as an overlapping rewrite
     LakeTable.deleteMor(spark, ref, col("k") % 10 === 3, "p")
     LakeTable.deleteMor(spark, root, col("k") % 10 === 7, "p")
+    val bdir = java.nio.file.Paths.get(root, "_manifests", "branches", "dev")
+    val saved = Files.createTempDirectory("graft-dvb-save").resolve("dev")
+    copyTree(bdir, saved)
     val r0 = LakeTable.mergeRebases.get()
     LakeTable.mergeBranch(spark, root, "dev")
     assert(LakeTable.mergeRebases.get() === r0 + 1, "metadata rebase, zero data I/O")
@@ -227,14 +230,48 @@ class BranchSpec extends SparkSpec {
     assert(got.count() === 48)
     assert(got.where(col("k") % 10 === 3 || col("k") % 10 === 7).isEmpty,
       "both sides' tombstones land, once")
+    // a RE-RUN after a lost branch re-seed is idempotent here too: the
+    // branch's tombstones are all dead at head already
+    deleteTree(bdir); copyTree(saved, bdir)
+    LakeTable.mergeBranch(spark, root, "dev")
+    assert(LakeTable.read(spark, root).count() === 48,
+      "the re-run must neither duplicate nor refuse")
 
-    // OVERLAPPING tombstone positions refuse crisply
+    // pure-tombstone deltas union even under PARTIAL overlap (deletes
+    // are idempotent — the union IS the sequential composition)
     LakeTable.branch(spark, root, "dev2")
     val ref2 = LakeTable.branchRef(root, "dev2")
-    LakeTable.deleteMor(spark, ref2, col("k") === 4, "p")
-    LakeTable.deleteMor(spark, root, col("k") % 10 === 4, "p")
-    val e = intercept[IllegalStateException](LakeTable.mergeBranch(spark, root, "dev2"))
+    LakeTable.deleteMor(spark, ref2, col("k") % 10 === 4, "p")
+    LakeTable.deleteMor(spark, root, col("k") === 4, "p")
+    LakeTable.mergeBranch(spark, root, "dev2")
+    val after = LakeTable.read(spark, root)
+    assert(after.count() === 42 && after.where(col("k") % 10 === 4).isEmpty)
+
+    // overlap + appended postimages refuses: the branch's postimages
+    // were derived from rows main killed
+    LakeTable.branch(spark, root, "dev3")
+    val ref3 = LakeTable.branchRef(root, "dev3")
+    LakeTable.updateMor(spark, ref3, col("k") % 10 === 5, Map("v" -> lit(1L)), "p")
+    LakeTable.deleteMor(spark, root, col("k") === 5, "p")
+    val e = intercept[IllegalStateException](LakeTable.mergeBranch(spark, root, "dev3"))
     assert(e.getMessage.contains("OVERLAPPING"), e.getMessage)
+  }
+
+  test("mergeBranch refuses when main rewrote a pure-removal branch delta's read set") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"))
+    LakeTable.branch(spark, root, "dev")
+    val ref = LakeTable.branchRef(root, "dev")
+    // the branch drops partition p=0 entirely: files removed, NOTHING
+    // written — the delta has no landed-merge anchor
+    LakeTable.delete(spark, ref, col("p") === "0", "p")
+    // main concurrently rewrites rows INSIDE that read set
+    LakeTable.updateWithRetry(spark, root,
+      col("p") === "0" && col("k") < 10, Map("v" -> lit(0L)), "p")
+    val e = intercept[IllegalStateException](LakeTable.mergeBranch(spark, root, "dev"))
+    assert(e.getMessage.contains("OVERLAPPING"), e.getMessage)
+    assert(LakeTable.read(spark, root).count() === 60,
+      "a refused merge must not silently discard the branch's deletes as 'applied'")
   }
 
   test("mergeBranch re-run after a lost branch re-seed never duplicates rows") {

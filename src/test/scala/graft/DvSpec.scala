@@ -215,6 +215,68 @@ class DvSpec extends SparkSpec {
     assert(LakeTable.mergeRebases.get() === r2, "overlap must recompute, not merge")
   }
 
+  test("MOR merge races: insert clauses force a recompute; delete-only merges rebase") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"), deleteMode = "mor")
+    def withS(df: org.apache.spark.sql.DataFrame) =
+      df.columns.foldLeft(df)((d, c) => d.withColumn("__s_" + c, col(c)))
+
+    // a delete-only clause family racing a DISJOINT deleteMor on the
+    // same files -> DV-merge rebase (no postimages, no classification
+    // to flip)
+    val r0 = LakeTable.mergeRebases.get()
+    var fired = 0
+    LakeTable.mergeClausesMor(spark, root,
+      withS(baseDf.where(col("k") % 10 === 0)), Seq("k"),
+      matched = Seq(LakeTable.MergeBranch(None, None)), // MATCHED DELETE
+      notMatched = Nil, notMatchedBySource = Nil, partitionCol = "p",
+      preCommit = () => {
+        fired += 1
+        if (fired == 1) LakeTable.deleteMor(spark, root, col("k") % 10 === 7, "p")
+      })
+    assert(fired === 1 && LakeTable.mergeRebases.get() === r0 + 1)
+    val got = LakeTable.read(spark, root)
+    assert(got.where(col("k") % 10 === 0 || col("k") % 10 === 7).isEmpty)
+    assert(got.count() === 240)
+
+    // an INSERT clause on the same disjoint race must RECOMPUTE: the
+    // winner's tombstone on a matched-but-unfired row would flip that
+    // source row's sequential classification to NOT MATCHED
+    val r1 = LakeTable.mergeRebases.get()
+    var fired2 = 0
+    val e = intercept[IllegalArgumentException](
+      LakeTable.mergeClausesMor(spark, root,
+        withS(baseDf.where(col("k") % 10 === 1)), Seq("k"),
+        matched = Seq(LakeTable.MergeBranch(None, None)),
+        notMatched = Seq(LakeTable.MergeBranch(None, Some(Map(
+          "k" -> col("__s_k"), "p" -> col("__s_p"), "v" -> col("__s_v"))))),
+        notMatchedBySource = Nil, partitionCol = "p",
+        preCommit = () => {
+          fired2 += 1
+          if (fired2 == 1) LakeTable.deleteMor(spark, root, col("k") % 10 === 9, "p")
+        }))
+    assert(e.getMessage.contains("concurrent commit"), e.getMessage)
+    assert(LakeTable.mergeRebases.get() === r1, "insert clauses must not DV-merge")
+  }
+
+  test("a loser delete the winner already covered lands as an idempotent rebase") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"), deleteMode = "mor")
+    // the winner's predicate (%5==3 -> %10 in {3,8}) covers EVERY row
+    // the loser tombstones (%10==3): overlapping positions, but
+    // re-deleting dead rows is idempotent — no recompute, no new rows
+    val r0 = LakeTable.mergeRebases.get()
+    var fired = 0
+    LakeTable.deleteMor(spark, root, col("k") % 10 === 3, "p", preCommit = () => {
+      fired += 1
+      if (fired == 1) LakeTable.deleteMor(spark, root, col("k") % 5 === 3, "p")
+    })
+    assert(fired === 1 && LakeTable.mergeRebases.get() === r0 + 1)
+    val got = LakeTable.read(spark, root)
+    assert(got.count() === 240)
+    assert(got.where(col("k") % 5 === 3).isEmpty, "exactly the winner's state")
+  }
+
   test("overlapping second delete unions vectors; re-delete of dead rows commits nothing") {
     val root = freshRoot()
     LakeTable.init(spark, root, baseDf, "p")

@@ -600,6 +600,27 @@ class MatViewSpec extends SparkSpec {
       freshAgg(Seq("max_v" -> max("v"))))
   }
 
+  test("derived keys must not shadow source columns (both create faces refuse)") {
+    val (src, mv) = freshRoots()
+    import spark.implicits._
+    LakeTable.init(spark, src,
+      (0L until 10L).map(i => (i, s"p${i % 2}", i * 10L)).toDF("k", "p", "v"),
+      partitionCol = "p", statsCols = Seq("k"))
+    // shadowing would silently redirect max(v) and the dirty-rescan
+    // pruning onto the DERIVED value
+    val e = intercept[IllegalArgumentException](MatView.create(spark, mv, src,
+      Seq("v"), MatView.parseAggs("cnt,max:v"), keyExprs = Seq("v" -> "v % 10")))
+    assert(e.getMessage.contains("shadows"), e.getMessage)
+    val dim = s"$wh/dimsh$n"
+    LakeTable.init(spark, dim,
+      (0L until 2L).map(j => (j, s"g$j")).toDF("dk", "seg"),
+      partitionCol = "seg", statsCols = Seq("dk"))
+    val e2 = intercept[IllegalArgumentException](MatView.createJoin(spark, mv, src, dim,
+      "k", "dk", Seq("seg", "k"), MatView.parseAggs("cnt"),
+      keyExprs = Seq("k" -> "k % 2")))
+    assert(e2.getMessage.contains("shadows"), e2.getMessage)
+  }
+
   test("join dirty rescan prunes the fact read through the dirty dim keys") {
     val (fact, mv) = freshRoots()
     val dim = s"$wh/dimp$n"

@@ -104,6 +104,10 @@ class TagSpec extends SparkSpec {
     val _ = removed
     assert(LakeTable.read(spark, root).count() === 360, "the head always survives")
     intercept[Exception](LakeTable.readVersion(spark, root, 3).count())
+    // vacuum after expiration must not trip over dropped manifest docs
+    // inside its own version window
+    LakeTable.vacuum(spark, root, retainMillis = 0L, keepVersions = 3)
+    assert(LakeTable.read(spark, root).count() === 360)
   }
 
   test("tagging a vacuumed version is refused; a stale pin never wedges vacuum") {
