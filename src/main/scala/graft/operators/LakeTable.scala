@@ -1114,9 +1114,24 @@ object LakeTable {
         PartitionFn.column(fn, col(s"`$c`"), meta.schema(c).dataType),
         lit(NullPartition)).as(s"__p$i")
     }
-    val collected = rows.select(exprs: _*).distinct().collect()
-    val sets: IndexedSeq[Set[String]] =
-      meta.specs.indices.map(i => collected.map(_.getString(i)).toSet)
+    // single-job distinct: fold per-partition value sets in one
+    // mapPartitions pass and union the (bounded: distinct partition
+    // values x specs) sets on the driver — a distinct().collect() here
+    // costs a full shuffle + two AQE stages per DML statement for the
+    // same driver-sized result
+    val n = meta.specs.size
+    val folded = rows.select(exprs: _*).queryExecution.toRdd
+      .mapPartitions { it =>
+        val acc = Array.fill(n)(scala.collection.mutable.HashSet.empty[String])
+        it.foreach { r =>
+          var i = 0
+          while (i < n) { acc(i).add(r.getUTF8String(i).toString); i += 1 }
+        }
+        Iterator.single(acc.map(_.toSet))
+      }.fold(Array.fill(n)(Set.empty[String])) { (a, b) =>
+        a.indices.map(i => a(i) ++ b(i)).toArray
+      }
+    val sets: IndexedSeq[Set[String]] = folded.toIndexedSeq
     ((e: Entry) => sets(e.spec).contains(e.part), sets.last.size)
   }
 
@@ -1369,7 +1384,28 @@ object LakeTable {
           .repartitionByRange(col(PartDirCol), col("__zclust"))
           .sortWithinPartitions(col(PartDirCol), col("__zclust"))
           .drop("__zclust")
-      else if (sortCols.isEmpty) keyed.repartition(col(PartDirCol))
+      else if (sortCols.isEmpty) {
+        // A provably-tiny driver-literal source (INSERT VALUES, metadata-
+        // sized internal batches) needs no distribution at all:
+        // coalesce(1) yields the same one-file-per-partition-value layout
+        // the repartition produced, without a shuffle round-trip. Real
+        // sources REBALANCE on the partition value instead of plain hash
+        // repartitioning: AQE sizes the write tasks — coalescing tiny
+        // values together and SPLITTING a giant value across tasks — so
+        // one hot lake partition no longer writes from a single task at
+        // scale (optimization guide §2.5 skew / §6 file sizing).
+        def localRows(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[Long] =
+          p match {
+            case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+              Some(l.data.size.toLong)
+            case pr: org.apache.spark.sql.catalyst.plans.logical.Project => localRows(pr.child)
+            case fl: org.apache.spark.sql.catalyst.plans.logical.Filter => localRows(fl.child)
+            case sa: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => localRows(sa.child)
+            case _ => None
+          }
+        if (localRows(keyed.queryExecution.logical).exists(_ <= 10000)) keyed.coalesce(1)
+        else keyed.hint("rebalance", col(PartDirCol))
+      }
       else keyed
         .repartitionByRange((PartDirCol +: sortCols).map(col): _*)
         .sortWithinPartitions((PartDirCol +: sortCols).map(col): _*)
@@ -1425,21 +1461,59 @@ object LakeTable {
     // bounded pool (an object-store footer read is ~50-100 ms; a
     // thousand-file batch must not serialize that on the driver)
     val hconf = spark.sparkContext.hadoopConfiguration
-    val counts: Map[String, Long] = {
+    // Footer-EXACT stats columns: for integral and date columns the
+    // parquet row-group statistics the writer just recorded ARE the
+    // file's exact min/max (no truncation, no float/NaN ordering
+    // hazards, no collation subtleties — those types stay on the scan
+    // path below). Reading them out of the footers we ALREADY open for
+    // row counts removes the whole per-batch stats scan for the common
+    // key/date stats layout — the Delta/Iceberg "stats belong to the
+    // write" idiom, extended from counts to bounds. Rendering matches
+    // Spark's cast-to-string bit-for-bit (Long.toString / ISO local
+    // date), so manifest consumers (pruning, metadata-only MIN/MAX,
+    // partition profiles) see identical values.
+    val present = meta.statsCols.filter(writtenCols.contains)
+    val footerEligible: Seq[String] = present.filter { c =>
+      meta.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.DateType => true
+        case _ => false
+      }
+    }
+    // per-file: (rowCount, per-eligible-column Option[(min,max)]) — a
+    // column whose stats any block fails to record validly falls back
+    // to the scan path for the WHOLE batch (conservative)
+    val footerRead: Map[String, (Long, Map[String, Option[(Option[String], Option[String])]])] = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.max(1, math.min(16, files.size)))
       try {
         files.map { st =>
-          st -> pool.submit(new java.util.concurrent.Callable[Long] {
-            override def call(): Long = {
+          st -> pool.submit(new java.util.concurrent.Callable[
+            (Long, Map[String, Option[(Option[String], Option[String])]])] {
+            override def call(): (Long, Map[String, Option[(Option[String], Option[String])]]) = {
               val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
                 org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf))
-              try rdr.getRecordCount finally rdr.close()
+              try {
+                val blocks = rdr.getFooter.getBlocks
+                val colStats = footerEligible.map { c =>
+                  c -> footerMinMax(blocks, c, meta.schema(c).dataType)
+                }.toMap
+                (rdr.getRecordCount, colStats)
+              } finally rdr.close()
             }
           })
         }.map { case (st, fut) => partAndName(st.getPath.toString) -> fut.get() }.toMap
       } finally pool.shutdown()
     }
+    val counts: Map[String, Long] = footerRead.map { case (k, v) => k -> v._1 }
+    // covered = eligible AND every file produced a valid footer bound
+    val footerCovered: Seq[String] =
+      footerEligible.filter(c => footerRead.values.forall(_._2(c).isDefined))
+    val footerStats: Map[String, Map[String, (Option[String], Option[String])]] =
+      footerRead.map { case (k, (_, cs)) =>
+        k -> footerCovered.map(c => c -> cs(c).get).toMap
+      }
 
     // per-file stats AND Bloom sidecars in ONE fused pass over the batch
     // (previously two aggregates = two batch scans — the measured init
@@ -1458,8 +1532,10 @@ object LakeTable {
     // (conservative), so pre-bloom batches and evolution stay correct.
     // A stats/bloom column absent from this batch's frame (should not
     // happen post-align, but stay conservative) records nothing for it.
-    val present = meta.statsCols.filter(writtenCols.contains)
     val bloomPresent = meta.bloomCols.filter(writtenCols.contains)
+    // columns still needing the scan: stats columns the footers could
+    // not cover exactly (strings, floats/decimals, timestamps)
+    val scanStatsCols = present.filterNot(footerCovered.contains)
     // the batch's DATA schema is already known (writtenCols over the
     // table schema) — passing it to the reads below removes one
     // schema-inference job per scan, a fixed per-commit cost that
@@ -1477,10 +1553,66 @@ object LakeTable {
     val histPresent = present.filter(c =>
       meta.schema.fields.find(_.name.equalsIgnoreCase(c))
         .exists(_.dataType.isInstanceOf[NumericType]))
-    val stats: Map[String, Seq[(Option[String], Option[String])]] =
-      if (present.isEmpty && bloomPresent.isEmpty) Map.empty
+    // bin-count aggregates for an equi-width histogram with KNOWN bounds
+    def histBinAggs(bounds: Seq[(String, Double, Double)]): Seq[Column] =
+      bounds.zipWithIndex.flatMap { case ((c, lo, hi), ci) =>
+        val w = if (hi > lo) hi - lo else 1.0
+        val bucket = least(lit(HistBins - 1), greatest(lit(0),
+          floor((col(s"`$c`").cast("double") - lit(lo)) / lit(w) * lit(HistBins)).cast("int")))
+        (0 until HistBins).map(b =>
+          sum(when(col(s"`$c`").isNotNull && bucket === b, 1L).otherwise(0L))
+            .as(s"h_${ci}_$b"))
+      }
+    // histogram rows are a handful of ~300-byte cells — write them
+    // DRIVER-SIDE with parquet-mr rather than spending a Spark job on a
+    // 2-row DataFrame write (the job was a fixed ~100 ms per DML
+    // statement); the file carries the same (rel string, col string,
+    // bits binary) schema the Spark-written Bloom rows have, so the
+    // sidecar readers keep one schema
+    val histPending = scala.collection.mutable.ArrayBuffer.empty[(String, String, Array[Byte])]
+    def flushHistRows(): Unit = if (histPending.nonEmpty) {
+      val dir = new Path(new Path(dataRoot(root), "index"), batch)
+      val fh = fs(spark, dir)
+      fh.mkdirs(dir)
+      val file = new Path(dir, s"hist-${java.util.UUID.randomUUID().toString.take(8)}.parquet")
+      val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+        "message hist { optional binary rel (UTF8); optional binary col (UTF8); optional binary bits; }")
+      val conf = new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration)
+      org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
+      val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter.builder(
+          org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+        .withConf(conf).build()
+      try histPending.foreach { case (rel, c, bits) =>
+        val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+        g.add("rel", rel)
+        g.add("col", c)
+        g.add("bits", org.apache.parquet.io.api.Binary.fromConstantByteArray(bits))
+        writer.write(g)
+      } finally writer.close()
+    }
+    def boundsOf(vals: Iterable[(Option[String], Option[String])]): Option[(Double, Double)] = {
+      val los = vals.flatMap(_._1.flatMap(x => scala.util.Try(x.toDouble).toOption))
+      val his = vals.flatMap(_._2.flatMap(x => scala.util.Try(x.toDouble).toOption))
+      if (los.isEmpty || his.isEmpty) None else Some((los.min, his.max))
+    }
+
+    // At most ONE metadata pass beyond the write itself: the per-file
+    // scan runs only for what the footers could not supply (string/
+    // float/decimal/timestamp stats, Bloom sidecars), and when it runs,
+    // the histogram bin counts of footer-covered columns FUSE into it
+    // (their global bounds are already known pre-scan; per-file partial
+    // bins sum exactly on the driver). Footer-covered-only batches skip
+    // the scan entirely and pay just the histogram agg.
+    val scanNeeded = scanStatsCols.nonEmpty || bloomPresent.nonEmpty
+    val histFused: Seq[(String, Double, Double)] =
+      if (!scanNeeded) Nil
+      else histPresent.filter(footerCovered.contains).flatMap { c =>
+        boundsOf(footerStats.values.map(_(c))).map { case (lo, hi) => (c, lo, hi) }
+      }
+    val scannedStats: Map[String, Map[String, (Option[String], Option[String])]] =
+      if (!scanNeeded) Map.empty
       else {
-        val statAggs = present.zipWithIndex.flatMap { case (sc, i) =>
+        val statAggs = scanStatsCols.zipWithIndex.flatMap { case (sc, i) =>
           Seq(min(col(sc)).cast("string").as(s"mn$i"), max(col(sc)).cast("string").as(s"mx$i"))
         }
         val bridge = org.apache.spark.sql.GraftColumnBridge
@@ -1493,11 +1625,12 @@ object LakeTable {
             org.apache.spark.sql.catalyst.expressions.Literal(bits))
           bridge.column(agg.toAggregateExpression()).as(s"bf_$i")
         }
-        val aggs = statAggs ++ bloomAggs
+        val aggs = statAggs ++ bloomAggs ++ histBinAggs(histFused)
         val perFile = readBatch()
           .groupBy(input_file_name().as("f"))
           .agg(aggs.head, aggs.tail: _*)
-        val bothConsumers = present.nonEmpty && bloomPresent.nonEmpty
+        val collectNeeded = scanStatsCols.nonEmpty || histFused.nonEmpty
+        val bothConsumers = collectNeeded && bloomPresent.nonEmpty
         if (bothConsumers)
           perFile.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -1511,61 +1644,92 @@ object LakeTable {
               .write.mode("overwrite")
               .parquet(new Path(new Path(dataRoot(root), "index"), batch).toString)
           }
-          if (present.isEmpty) Map.empty
+          if (!collectNeeded) Map.empty
           else {
             val rows = perFile
-              .select(col("f") +: present.indices.flatMap(i =>
-                Seq(col(s"mn$i"), col(s"mx$i"))): _*)
+              .select(col("f") +: (scanStatsCols.indices.flatMap(i =>
+                Seq(col(s"mn$i"), col(s"mx$i"))) ++
+                histFused.indices.flatMap(ci =>
+                  (0 until HistBins).map(b => col(s"h_${ci}_$b")))): _*)
               .collect()
+            if (histFused.nonEmpty) {
+              val base = 1 + 2 * scanStatsCols.size
+              histPending ++= histFused.zipWithIndex.map { case ((c, lo, hi), ci) =>
+                val cnts = (0 until HistBins).map(b =>
+                  rows.map(_.getLong(base + ci * HistBins + b)).sum).toArray
+                (HistRel, c, encodeHist(lo, hi, cnts))
+              }
+            }
             rows.map { r =>
-              val bounds = present.indices
-                .map(i => (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i))))
-              partAndName(r.getString(0)) ->
-                meta.statsCols.map(sc =>
-                  if (present.contains(sc)) bounds(present.indexOf(sc))
-                  else (None: Option[String], None: Option[String]))
+              partAndName(r.getString(0)) -> scanStatsCols.zipWithIndex.map { case (sc, i) =>
+                sc -> (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i)))
+              }.toMap
             }.toMap
           }
         } finally if (bothConsumers) perFile.unpersist()
       }
+    // merged per-file stats in manifest order: footer-exact first,
+    // scanned otherwise
+    val stats: Map[String, Seq[(Option[String], Option[String])]] =
+      if (present.isEmpty && bloomPresent.isEmpty) Map.empty
+      else {
+        val keys = counts.keySet ++ scannedStats.keySet
+        keys.map { k =>
+          k -> meta.statsCols.map(sc =>
+            footerStats.get(k).flatMap(_.get(sc))
+              .orElse(scannedStats.get(k).flatMap(_.get(sc)))
+              .getOrElse((None: Option[String], None: Option[String])))
+        }.toMap
+      }
 
-    // per-batch equi-width histogram per NUMERIC stats column (the CBO
-    // skew signal beyond min/max): bounds come from the per-file min/max
-    // just collected, bin counts from one extra narrow columnar scan of
-    // the batch (map-side partial sums, B cells per column back). Stored
-    // as a `__hist` row in the batch's index sidecar dataset, so the
-    // histogram lives and dies with its batch and
-    // [[tableHistograms]] folds live batches at estimate time.
-    if (histPresent.nonEmpty && stats.nonEmpty) {
-      val bounds: Seq[(String, Double, Double)] = histPresent.flatMap { c =>
+    // per-batch equi-width histogram for the NUMERIC stats columns not
+    // already fused above (the CBO skew signal beyond min/max): bounds
+    // from the per-file min/max, bin counts from one narrow columnar
+    // scan (map-side partial sums, B cells per column back). Stored as
+    // `__hist` rows in the batch's index sidecar dataset, so the
+    // histogram lives and dies with its batch and [[tableHistograms]]
+    // folds live batches at estimate time.
+    val histRemaining = histPresent.filterNot(c => histFused.exists(_._1 == c))
+    if (histRemaining.nonEmpty && stats.nonEmpty) {
+      val bounds: Seq[(String, Double, Double)] = histRemaining.flatMap { c =>
         val i = meta.statsCols.indexWhere(_.equalsIgnoreCase(c))
-        val los = stats.values.flatMap(s =>
-          s(i)._1.flatMap(x => scala.util.Try(x.toDouble).toOption))
-        val his = stats.values.flatMap(s =>
-          s(i)._2.flatMap(x => scala.util.Try(x.toDouble).toOption))
-        if (los.isEmpty || his.isEmpty) None else Some((c, los.min, his.max))
+        boundsOf(stats.values.map(_(i))).map { case (lo, hi) => (c, lo, hi) }
       }
       if (bounds.nonEmpty) {
-        val aggsH = bounds.flatMap { case (c, lo, hi) =>
+        // single-job bins: project each column's bucket index and fold
+        // per-partition count arrays in one mapPartitions pass (no
+        // shuffle, no second AQE stage — a global agg here costs two
+        // scheduler round-trips for a metadata-sized result). This is a
+        // metadata pass, not a query path: the closure folds B*cols
+        // longs per partition.
+        val bucketCols = bounds.zipWithIndex.map { case ((c, lo, hi), ci) =>
           val w = if (hi > lo) hi - lo else 1.0
-          val bucket = least(lit(HistBins - 1), greatest(lit(0),
+          least(lit(HistBins - 1), greatest(lit(0),
             floor((col(s"`$c`").cast("double") - lit(lo)) / lit(w) * lit(HistBins)).cast("int")))
-          (0 until HistBins).map(b =>
-            sum(when(col(s"`$c`").isNotNull && bucket === b, 1L).otherwise(0L))
-              .as(s"h_${bounds.indexWhere(_._1 == c)}_$b"))
+            .as(s"b_$ci") // null exactly when the column is null
         }
-        val row = readBatch()
-          .agg(aggsH.head, aggsH.tail: _*).head
-        val histRows = bounds.zipWithIndex.map { case ((c, lo, hi), ci) =>
-          val cnts = (0 until HistBins).map(b => row.getAs[Long](s"h_${ci}_$b")).toArray
-          (HistRel, c, encodeHist(lo, hi, cnts))
+        val nb = bounds.size
+        val bins = HistBins
+        val folded = readBatch().select(bucketCols: _*).queryExecution.toRdd
+          .mapPartitions { it =>
+            val cnts = Array.fill(nb * bins)(0L)
+            it.foreach { r =>
+              var ci = 0
+              while (ci < nb) {
+                if (!r.isNullAt(ci)) cnts(ci * bins + r.getInt(ci)) += 1
+                ci += 1
+              }
+            }
+            Iterator.single(cnts)
+          }.fold(Array.fill(nb * bins)(0L)) { (a, b) =>
+            var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+          }
+        histPending ++= bounds.zipWithIndex.map { case ((c, lo, hi), ci) =>
+          (HistRel, c, encodeHist(lo, hi, folded.slice(ci * bins, (ci + 1) * bins)))
         }
-        import spark.implicits._
-        histRows.toDF("rel", "col", "bits").coalesce(1)
-          .write.mode("append")
-          .parquet(new Path(new Path(dataRoot(root), "index"), batch).toString)
       }
     }
+    flushHistRows()
 
     files.map { s =>
       val p = s.getPath
@@ -1580,6 +1744,64 @@ object LakeTable {
       val decoded = if (pv == NullPartition) NullPartition else unesc(pv)
       Entry(decoded, s"data/$batch/$PartDirCol=$pv/${p.getName}", bounds,
         counts.get(key), bytes = Some(s.getLen), spec = meta.currentSpec)
+    }
+  }
+
+  /** Exact per-file min/max for an integral/date stats column from the
+    * parquet row-group statistics of a just-written file. Returns None
+    * when any block's statistics cannot be trusted (stats object
+    * missing, unexpected physical type, or neither values nor a
+    * provable all-null count) — the caller then falls back to the scan
+    * path for the whole batch, conservatively. Rendering matches
+    * Spark's cast-to-string bit-for-bit: integral via Long.toString,
+    * DateType via ISO local date (both proleptic Gregorian; dates
+    * outside years 1–9999 fall back to the scan rather than risk a
+    * formatting divergence).
+    */
+  private def footerMinMax(
+      blocks: java.util.List[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      column: String,
+      dt: org.apache.spark.sql.types.DataType): Option[(Option[String], Option[String])] = {
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var any = false
+    val it = blocks.iterator()
+    while (it.hasNext) {
+      val b = it.next()
+      var cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
+      val cit = b.getColumns.iterator()
+      while (cc == null && cit.hasNext) {
+        val c = cit.next()
+        if (c.getPath.toDotString == column) cc = c
+      }
+      if (cc == null) return None
+      val st = cc.getStatistics
+      if (st == null) return None
+      if (st.hasNonNullValue) {
+        (st.genericGetMin, st.genericGetMax) match {
+          case (a: java.lang.Integer, z: java.lang.Integer) =>
+            if (a.longValue() < mn) mn = a.longValue()
+            if (z.longValue() > mx) mx = z.longValue()
+          case (a: java.lang.Long, z: java.lang.Long) =>
+            if (a.longValue() < mn) mn = a.longValue()
+            if (z.longValue() > mx) mx = z.longValue()
+          case _ => return None
+        }
+        any = true
+      } else if (!(st.isNumNullsSet && st.getNumNulls == b.getRowCount)) {
+        // no values recorded and the block is not provably all-null
+        return None
+      }
+    }
+    if (!any) return Some((None, None)) // all rows null: exactly what a scan records
+    dt match {
+      case org.apache.spark.sql.types.DateType =>
+        val (dLo, dHi) = (java.time.LocalDate.of(1, 1, 1).toEpochDay,
+          java.time.LocalDate.of(9999, 12, 31).toEpochDay)
+        if (mn < dLo || mx > dHi) None
+        else Some((Some(java.time.LocalDate.ofEpochDay(mn).toString),
+          Some(java.time.LocalDate.ofEpochDay(mx).toString)))
+      case _ => Some((Some(mn.toString), Some(mx.toString)))
     }
   }
 
@@ -2896,7 +3118,12 @@ object LakeTable {
     // schema evolution: columns only the source has widen the table
     val newFields = source.schema.filterNot(f => meta.schema.fieldNames.contains(f.name))
     val outSchema = extendSchema(meta.schema, newFields.toSeq, highWater(meta))
-    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    // the source feeds the key probe, the affected-partition probe AND
+    // the merged write below — persist it for this statement (batch-
+    // sized), so an expensive upsert source computes once
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val srcKeys = src.select(keyCols.map(col): _*).distinct()
 
     // stats/bloom-informed probe: when the manifest records min/max (or
     // Bloom sidecars) on the key columns, files whose bounds cannot
@@ -2918,8 +3145,8 @@ object LakeTable {
       else Some(readEntries(spark, root, meta.schema, probeEntries)
         .join(broadcast(srcKeys), keyCols, "left_semi"))
     val affectedRows = matchedRows
-      .map(m => align(m, outSchema).unionByName(align(source, outSchema)))
-      .getOrElse(align(source, outSchema))
+      .map(m => align(m, outSchema).unionByName(align(src, outSchema)))
+      .getOrElse(align(src, outSchema))
     val (inAffected, affectedCount) = partitionMatcher(meta, affectedRows)
 
     // file-level COW: inside affected partitions, files whose key stats
@@ -2934,13 +3161,13 @@ object LakeTable {
       else Some(
         readEntries(spark, root, meta.schema, rewrite)
           .join(broadcast(srcKeys), keyCols, "left_anti"))
-    val merged = survivors.fold(align(source, outSchema))(s =>
-      align(source, outSchema).unionByName(align(s, outSchema)))
+    val merged = survivors.fold(align(src, outSchema))(s =>
+      align(src, outSchema).unionByName(align(s, outSchema)))
     val newMeta = meta.copy(schema = outSchema)
     // upsert source rows are an insert funnel: GENERATED ALWAYS AS
     // IDENTITY values may not arrive from outside (matched rows are
     // replaced wholesale, so their identity values re-allocate)
-    requireNoExplicitIdentity(source, newMeta, "merge")
+    requireNoExplicitIdentity(src, newMeta, "merge")
     val written = writeBatch(spark, root, merged, newMeta)
     preCommit()
     val finalMeta = advanceIdentityHw(newMeta, written)
@@ -2956,6 +3183,7 @@ object LakeTable {
       filesCarried = carry.size,
       filesWritten = written.size,
       filesProbed = probeEntries.size)
+    } finally src.unpersist()
   }
 
   /** Transactional COW DELETE: remove every row where `predicate` is
@@ -3673,7 +3901,15 @@ object LakeTable {
     // IDENTITY column never (BY DEFAULT may) — same gates as
     // update()/append(), enforced statically on the clause shapes
     requireMergeIdentityGates(meta, matched ++ notMatchedBySource, notMatched, "mergeClauses")
-    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    // the source is evaluated several times below (null-key probe, key
+    // distinct for the file probe, and the full-outer merge join) — for
+    // an expensive source (a matview refresh's signed-delta aggregate)
+    // each evaluation would recompute the whole delta. Persist it for
+    // the length of THIS statement only: batch-sized by construction
+    // (the merge input, never the table), released before returning.
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val srcKeys = src.select(keyCols.map(col): _*).distinct()
 
     // rewrite set: with by-source clauses every target row's fate depends
     // on the join — no file can carry; otherwise identical to merge()
@@ -3709,7 +3945,7 @@ object LakeTable {
     val joined = readEntries(spark, root, meta.schema, rewrite)
       .withColumn("__thit", lit(true)).as("t")
       .join(
-        source.withColumn("__shit", lit(true)).as("s"),
+        src.withColumn("__shit", lit(true)).as("s"),
         keyCols.map { k =>
           if (nullSafeKeys) col(s"t.`$k`") <=> col(s"s.`$k`")
           else col(s"t.`$k`") === col(s"s.`$k`")
@@ -3717,7 +3953,7 @@ object LakeTable {
         "full_outer")
     val base = joined.select(
       meta.schema.map(f => col(s"t.`${f.name}`").as(f.name)) ++
-        source.columns.filter(_.startsWith("__s_")).toSeq.map(c => col(s"s.`$c`")) ++
+        src.columns.filter(_.startsWith("__s_")).toSeq.map(c => col(s"s.`$c`")) ++
         Seq(
           coalesce(col("t.__thit"), lit(false)).as("__thit"),
           coalesce(col("s.__shit"), lit(false)).as("__shit")): _*)
@@ -3749,6 +3985,7 @@ object LakeTable {
       s"LakeTable.mergeClauses: concurrent commit at $root (retry on a fresh snapshot)")
     MergeStats(s0.version + 1, affectedParts, rewrite.size, carry.size, written.size,
       filesProbed = probed)
+    } finally src.unpersist()
   }
 
   /** [[mergeClauses]] with the standard optimistic-concurrency retry
@@ -4574,7 +4811,33 @@ object LakeTable {
     // refuse, never resurrect.
     val m0 = snapshot(spark, r)
     val mByRel = m0.entries.map(e => e.rel -> e).toMap
-    val writtenPending = written.filterNot(e => mByRel.get(e.rel).contains(e))
+    // Landed detection must survive main REWRITING a merged file after
+    // the landed commit (compaction, re-delete, DV edit): a branch-
+    // fresh rel can reach main only via a landed merge, so a fresh rel
+    // KNOWN to main — at head in ANY form, or in any main manifest
+    // since the fork base — was applied by an earlier (atomic) merge
+    // run, and main's newer state of it must win: re-appending the
+    // stale branch entry would list the same data twice and resurrect
+    // main's deletes. Fresh rels main has never seen are genuinely
+    // pending (e.g. the branch took a new commit after losing the
+    // re-seed race) and re-apply normally.
+    val freshRels = written.map(_.rel).filter(x => !baseByRel.contains(x))
+    val freshKnown: Set[String] =
+      if (freshRels.isEmpty) Set.empty
+      else {
+        val atHead = freshRels.filter(mByRel.contains).toSet
+        val missing = freshRels.filterNot(atHead.contains)
+        val seen = scala.collection.mutable.Set.empty[String]
+        var v = base + 1
+        while (missing.nonEmpty && v <= m0.version && seen.size < missing.size) {
+          scala.util.Try(readManifest(spark, r, v)._2).toOption
+            .foreach(_.foreach(e => if (missing.contains(e.rel)) seen += e.rel))
+          v += 1
+        }
+        atHead ++ seen
+      }
+    val writtenPending = written.filterNot(e =>
+      mByRel.get(e.rel).contains(e) || freshKnown.contains(e.rel))
     // the RELIABLE landed signal is written containment (a branch-fresh
     // rel reaches main only via a landed merge); a PURE-REMOVAL delta
     // has no such anchor — its removals absent at head could equally
@@ -4659,12 +4922,23 @@ object LakeTable {
     * reclaimable — except the newest `keepLast` versions, which are
     * ALWAYS kept regardless of age (so a streaming source or
     * incremental consumer restarting inside the kept window still
-    * replays). A face over [[vacuum]]'s two retention guards: the
-    * version floor is derived from each manifest's RECORDED commit time
-    * (`#commitTime`, mtime fallback for legacy manifests) and the file
-    * age cutoff from the same timestamp, so "older than 2026-08-01"
-    * means commit time, not filesystem accident. Tagged versions stay
-    * pinned live exactly as under vacuum. Returns files removed.
+    * replays). The version floor is derived from each manifest's
+    * RECORDED commit time (`#commitTime`, mtime fallback for legacy
+    * manifests), so "older than 2026-08-01" means commit time, not
+    * filesystem accident. Tagged versions and branch fork bases stay
+    * pinned exactly as under vacuum.
+    *
+    * Reclamation is MANIFEST-DRIVEN, never an orphan sweep: only a
+    * file referenced by some expired-and-unpinned manifest and by NO
+    * retained/pinned manifest (or branch line) is deleted — Iceberg's
+    * expire_snapshots contract. A racing writer's just-written,
+    * not-yet-committed batch is untouchable here by construction, no
+    * matter the cutoff. (The previous face delegated to [[vacuum]]
+    * with a file-age grace of now − olderThan, which a current/future
+    * cutoff collapsed to ZERO — the orphan sweep could then reclaim an
+    * in-flight batch between its write and its commit.) Orphans remain
+    * [[vacuum]]'s job, under its age grace. Returns files removed
+    * (data + DV + sidecar + segment files) plus manifest docs dropped.
     */
   def expireSnapshots(
       spark: SparkSession,
@@ -4674,6 +4948,9 @@ object LakeTable {
     val s0 = snapshot(spark, root)
     require(s0.version > 0, s"LakeTable.expireSnapshots: no committed snapshot at $root")
     require(keepLast >= 1, "LakeTable.expireSnapshots: keepLast must be >= 1")
+    require(splitRef(root)._2.isEmpty,
+      "LakeTable.expireSnapshots: expiration runs on the TABLE root, not a branch ref " +
+        "(branches share the data tree)")
     val f = fs(spark, manifestDir(root))
     // commit times are monotonic, so the first version inside the keep
     // window binary-searches in O(log V) manifest opens (a 100k-version
@@ -4697,24 +4974,73 @@ object LakeTable {
         hi
       }
     val keepVersions = math.max(keepLast.toLong, s0.version - floor + 1)
-    val removed = vacuum(spark, root,
-      retainMillis = math.max(0L, System.currentTimeMillis() - olderThanMillis),
-      keepVersions = math.min(keepVersions, Int.MaxValue.toLong).toInt)
+    val keepFloor = s0.version - keepVersions + 1
+    val pinnedV = tags(spark, root).values.toSet ++
+      branches(spark, root).map(_._3).toSet
+    def manifestExists(v: Long): Boolean =
+      f.exists(new Path(manifestDir(root), s"v$v.manifest"))
+    val expiredVs = (1L until keepFloor).filterNot(pinnedV.contains).filter(manifestExists)
+    val retainedVs =
+      ((keepFloor to s0.version) ++ pinnedV.filter(_ < keepFloor)).filter(manifestExists)
+    // every branch's whole line pins its files/DVs live, same as vacuum
+    val branchEntries: Seq[Entry] = branches(spark, root).flatMap { case (b, head, _) =>
+      val ref = branchRef(root, b)
+      (1L to head).flatMap(v =>
+        scala.util.Try(readManifest(spark, ref, v)._2).toOption.getOrElse(Nil))
+    }
+    def docOf(v: Long) = readDoc(spark, root, v)
+    def entriesOf(d: ManifestDoc): Seq[Entry] =
+      d.segRefs.flatMap(loadSegment(spark, root, _)) ++ d.inline
+    val retainedDocs = retainedVs.map(docOf)
+    val expiredDocs = expiredVs.map(docOf)
+    val retainedEntries = retainedDocs.flatMap(entriesOf) ++ branchEntries
+    val retainedRels = retainedEntries.map(_.rel).toSet
+    val retainedDvs = retainedEntries.flatMap(_.dv.map(_.rel)).toSet
+    val retainedSegs = retainedDocs.flatMap(_.segRefs.map(_.rel)).toSet
+    val expiredEntries = expiredDocs.flatMap(entriesOf)
+    val df = fs(spark, new Path(dataRoot(root)))
+    var removed = 0L
+    // data files exclusively referenced by expired manifests
+    expiredEntries.map(_.rel).distinct.filterNot(retainedRels).foreach { rel =>
+      val p = new Path(dataRoot(root), rel)
+      if (df.exists(p) && df.delete(p, false)) removed += 1
+    }
+    // DV sidecars exclusively referenced by expired manifests
+    expiredEntries.flatMap(_.dv.map(_.rel)).distinct.filterNot(retainedDvs).foreach { rel =>
+      val p = new Path(dataRoot(root), rel)
+      if (df.exists(p) && df.delete(p, false)) removed += 1
+    }
+    // index sidecar dirs of batches no retained version can reach
+    val retainedBatches = retainedRels.collect {
+      case r if r.startsWith("data/") => r.split('/')(1)
+    }
+    expiredEntries.map(_.rel).collect {
+      case r if r.startsWith("data/") => r.split('/')(1)
+    }.distinct.filterNot(retainedBatches.contains).foreach { b =>
+      val d = new Path(new Path(dataRoot(root), "index"), b)
+      if (df.exists(d)) {
+        val inner = df.listFiles(d, true)
+        val n = Iterator.continually(inner).takeWhile(_.hasNext).map(_.next())
+          .count(_.isFile)
+        df.delete(d, true)
+        removed += n
+      }
+    }
+    // manifest segments referenced only by expired docs
+    expiredDocs.flatMap(_.segRefs.map(_.rel)).distinct.filterNot(retainedSegs).foreach { rel =>
+      val p = new Path(manifestDir(root), rel)
+      if (f.exists(p) && f.delete(p, false)) removed += 1
+    }
     // Drop the EXPIRED manifest docs themselves: an append-only history
     // shares every data file with live versions, so file reclamation
     // alone leaves old snapshots fully readable — expiration is a
     // METADATA promise (Iceberg's expire_snapshots removes snapshot
     // metadata the same way). Tagged versions and branch fork bases
     // stay (a later mergeBranch/fastForward reads the base manifest).
-    val keepFloor = s0.version - keepVersions + 1
-    val pinnedV = tags(spark, root).values.toSet ++
-      branches(spark, root).map(_._3).toSet
     var dropped = 0L
-    (1L until keepFloor).foreach { v =>
-      if (!pinnedV.contains(v)) {
-        val mf = new Path(manifestDir(root), s"v$v.manifest")
-        if (f.exists(mf) && f.delete(mf, false)) dropped += 1
-      }
+    expiredVs.foreach { v =>
+      val mf = new Path(manifestDir(root), s"v$v.manifest")
+      if (f.exists(mf) && f.delete(mf, false)) dropped += 1
     }
     removed + dropped
   }

@@ -140,7 +140,9 @@ object MatView {
     * SQL DDL face to an equivalent view (same keys/aggs/filters, full
     * compute at the then-current source head).
     */
-  def definitionSelect(props: Map[String, String]): String = {
+  def definitionSelect(
+      props: Map[String, String],
+      renderIdent: String => String = r => s"graft.`$r`"): String = {
     val keys = props(PropKeys).split(",").toSeq
     val keyExprs = props.get(PropKeyExprs).map(decodeKeyExprs).getOrElse(Nil).toMap
     val aggs = parseAggs(props(PropAggs))
@@ -153,9 +155,9 @@ object MatView {
     val from = props.get(PropDim) match {
       case Some(dim) =>
         // qualified ON: the two join columns may legally share a name
-        s"FROM graft.`${props(PropSrc)}` f JOIN graft.`$dim` d " +
+        s"FROM ${renderIdent(props(PropSrc))} f JOIN ${renderIdent(dim)} d " +
           s"ON f.`${props(PropJoinFact)}` = d.`${props(PropJoinDim)}`"
-      case None => s"FROM graft.`${props(PropSrc)}`"
+      case None => s"FROM ${renderIdent(props(PropSrc))}"
     }
     val where = props.get(PropWhere).toSeq ++ props.get(PropDimWhere).toSeq
     val whereClause =

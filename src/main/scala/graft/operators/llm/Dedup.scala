@@ -268,8 +268,13 @@ object Dedup {
       batchSigs: DataFrame,
       threshold: Double = 0.5,
       maxBucketSize: Int = 10000): DataFrame = {
+    // a re-ingested id present on BOTH sides must not duplicate its
+    // signature row (duplicate pairs, verification against the stale
+    // sketch): the batch row wins, history's is anti-joined out
+    // (broadcast of batch ids — the history side never shuffles)
     val all = graft.engine.ManagedCache.persist(
       historySigs.select(col("id"), col("sh"), col("bands"))
+        .join(broadcast(batchSigs.select(col("id"))), Seq("id"), "left_anti")
         .unionByName(batchSigs.select(col("id"), col("sh"), col("bands"))))
 
     val allBanded = explodeStoredBands(all)

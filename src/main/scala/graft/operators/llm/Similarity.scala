@@ -445,8 +445,13 @@ object Similarity {
       batchSigs: DataFrame,
       threshold: Double,
       maxBucketSize: Int = 10000): DataFrame = {
+    // a re-ingested id present on BOTH sides must not duplicate its
+    // signature row (duplicate pairs, and cosine verified against the
+    // stale vector): the batch row wins, history's is anti-joined out
+    // (broadcast of batch ids — the history side never shuffles)
     val all = graft.engine.ManagedCache.persist(
       historySigs.select(col("id"), col("q"), col("bands"))
+        .join(broadcast(batchSigs.select(col("id"))), Seq("id"), "left_anti")
         .unionByName(batchSigs.select(col("id"), col("q"), col("bands"))))
     def explodeBands(sigs: DataFrame): DataFrame =
       sigs.select(col("id"), posexplode(col("bands")).as(Seq("__band", "__bh")))

@@ -111,6 +111,24 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces with Procedu
   private def rootOfName(n: String): String =
     if (n.startsWith("/")) n else s"$warehouse/${n.split('.').mkString("/")}"
 
+  /** Render a physical table root back as the logical identifier it
+    * maps to under THIS catalog (the reverse of [[rootOfName]]): a root
+    * under the warehouse renders as `<catalogName>.<ns>.<table>`,
+    * anything else as `<catalogName>.\`/path\`` — so SHOW CREATE emits
+    * DDL that re-executes under the catalog's registered name instead
+    * of a hardcoded `graft`, and stops leaking physical paths for
+    * catalog-named tables.
+    */
+  private[lake] def renderTableIdent(root: String): String = {
+    def q(part: String): String =
+      if (part.matches("[A-Za-z_][A-Za-z0-9_]*")) part
+      else s"`${part.replace("`", "``")}`"
+    if (root.startsWith(s"$warehouse/"))
+      (catalogName +: root.stripPrefix(s"$warehouse/").split('/').toSeq)
+        .map(q).mkString(".")
+    else s"${q(catalogName)}.`${root.replace("`", "``")}`"
+  }
+
   private lazy val procedures = GraftLakeProcedures.all(() => spark, rootOfName)
 
   override def loadProcedure(ident: Identifier)

@@ -507,7 +507,7 @@ case class GraftShowCreateCommand(
   private def matViewDdl(
       name: String, meta: graft.operators.LakeTable.TableMeta): String =
     s"CREATE MATERIALIZED VIEW $name AS\n" +
-      graft.operators.MatView.definitionSelect(meta.props)
+      graft.operators.MatView.definitionSelect(meta.props, catalog.renderTableIdent)
 
   private def viewDdl(name: String): String = {
     val v = catalog.loadView(ident)

@@ -312,4 +312,35 @@ class BranchSpec extends SparkSpec {
     assert(m.where(col("k") >= 1000 && col("k") < 2000).count() === 60,
       "previously-merged branch rows stay single")
   }
+
+  test("mergeBranch re-run after main REWROTE a landed merge's files never duplicates") {
+    val root = freshRoot()
+    LakeTable.init(spark, root, baseDf, "p", statsCol = Some("k"))
+    LakeTable.branch(spark, root, "dev")
+    val ref = LakeTable.branchRef(root, "dev")
+    LakeTable.append(spark, ref, baseDf.withColumn("k", col("k") + 1000))
+    LakeTable.append(spark, root, baseDf.withColumn("k", col("k") + 2000))
+    val bdir = java.nio.file.Paths.get(root, "_manifests", "branches", "dev")
+    val saved = Files.createTempDirectory("graft-branch-save2").resolve("dev")
+    copyTree(bdir, saved)
+    LakeTable.mergeBranch(spark, root, "dev")
+    assert(LakeTable.read(spark, root).count() === 180)
+    // main COMPACTS after the landed merge: the merged branch files are
+    // rewritten away — no entry at head is byte-identical to the
+    // branch's written delta anymore
+    LakeTable.optimize(spark, root, minFilesPerPartition = 2)
+    assert(LakeTable.read(spark, root).count() === 180)
+    // the lost-re-seed re-run must read the drifted files as APPLIED
+    // (fresh rels known to main's history) — re-appending the stale
+    // entries would duplicate 60 rows and resurrect main's compaction
+    deleteTree(bdir); copyTree(saved, bdir)
+    LakeTable.mergeBranch(spark, root, "dev")
+    val after = LakeTable.read(spark, root)
+    assert(after.count() === 180, "re-run after compaction must not re-append")
+    assert(after.where(col("k") >= 1000 && col("k") < 2000).count() === 60)
+    // the loop still iterates on the re-seeded branch
+    LakeTable.append(spark, ref, baseDf.withColumn("k", col("k") + 5000))
+    LakeTable.mergeBranch(spark, root, "dev")
+    assert(LakeTable.read(spark, root).count() === 240)
+  }
 }
