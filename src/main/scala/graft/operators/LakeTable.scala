@@ -2557,12 +2557,105 @@ object LakeTable {
     */
   private val MaxBloomProbeKeys = 1000
 
+  /** Exact per-column min/max of `proj`'s columns, folded in one
+    * mapPartitions job and rendered with Spark's own cast-to-string.
+    * None when some column's type is outside the set whose ordering
+    * this fold reproduces exactly (caller falls back to an aggregate).
+    * Floats/decimals are deliberately excluded (NaN/-0.0/scale
+    * orderings); a column with no non-null value renders (None, None).
+    */
+  private def foldKeyBounds(
+      proj: DataFrame,
+      dts: Seq[org.apache.spark.sql.types.DataType])
+      : Option[Seq[(Option[String], Option[String])]] = {
+    import org.apache.spark.sql.types._
+    val ok = dts.forall {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+        TimestampType | TimestampNTZType | BooleanType | StringType => true
+      case _ => false
+    }
+    if (!ok) return None
+    val n = dts.size
+    val isStr = dts.map(_ == StringType).toArray
+    // long-extraction codes for the primitive columns
+    val codes: Array[Int] = dts.map {
+      case ByteType => 0
+      case ShortType => 1
+      case IntegerType | DateType => 2
+      case LongType | TimestampType | TimestampNTZType => 3
+      case BooleanType => 4
+      case StringType => 5
+      case other => sys.error(s"unreachable: $other")
+    }.toArray
+    val parts = proj.queryExecution.toRdd.mapPartitions { it =>
+      val minL = Array.fill(n)(Long.MaxValue)
+      val maxL = Array.fill(n)(Long.MinValue)
+      val minS = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      val maxS = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      val seen = new Array[Boolean](n)
+      it.foreach { r =>
+        var i = 0
+        while (i < n) {
+          if (!r.isNullAt(i)) {
+            if (isStr(i)) {
+              val v = r.getUTF8String(i)
+              if (minS(i) == null || v.compareTo(minS(i)) < 0) minS(i) = v.clone()
+              if (maxS(i) == null || v.compareTo(maxS(i)) > 0) maxS(i) = v.clone()
+            } else {
+              val v = codes(i) match {
+                case 0 => r.getByte(i).toLong
+                case 1 => r.getShort(i).toLong
+                case 2 => r.getInt(i).toLong
+                case 3 => r.getLong(i)
+                case 4 => if (r.getBoolean(i)) 1L else 0L
+              }
+              if (v < minL(i)) minL(i) = v
+              if (v > maxL(i)) maxL(i) = v
+            }
+            seen(i) = true
+          }
+          i += 1
+        }
+      }
+      Iterator.single((minL, maxL, minS, maxS, seen))
+    }.collect()
+    def render(i: Int, v: Long): String = {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal => CLit}
+      val lit = codes(i) match {
+        case 0 => CLit(v.toByte, dts(i))
+        case 1 => CLit(v.toShort, dts(i))
+        case 2 => CLit(v.toInt, dts(i))
+        case 3 => CLit(v, dts(i))
+        case 4 => CLit(v == 1L, dts(i))
+      }
+      Cast(lit, StringType, Some("UTC")).eval(null).toString
+    }
+    Some((0 until n).map { i =>
+      val any = parts.exists(_._5(i))
+      if (!any) (None, None)
+      else if (isStr(i)) {
+        val mins = parts.flatMap(p => Option(p._3(i)))
+        val maxs = parts.flatMap(p => Option(p._4(i)))
+        (Some(mins.reduce((a, b) => if (a.compareTo(b) <= 0) a else b).toString),
+          Some(maxs.reduce((a, b) => if (a.compareTo(b) >= 0) a else b).toString))
+      } else {
+        val lo = parts.collect { case p if p._5(i) => p._1(i) }.min
+        val hi = parts.collect { case p if p._5(i) => p._2(i) }.max
+        (Some(render(i, lo)), Some(render(i, hi)))
+      }
+    })
+  }
+
   private def keyProbeFilter(
       spark: SparkSession,
       root: String,
       meta: TableMeta,
       keyCols: Seq[String],
-      srcKeys: DataFrame): Entry => Boolean = {
+      srcKeys: DataFrame,
+      // the UN-distinct source projection when the caller has one
+      // persisted: min/max bounds are duplicate-insensitive, so the fold
+      // can skip the distinct shuffle entirely
+      srcRaw: Option[DataFrame] = None): Entry => Boolean = {
     val covered = keyCols.filter(k =>
       meta.statsCols.contains(k) &&
         srcKeys.schema.fields.find(_.name == k)
@@ -2570,13 +2663,26 @@ object LakeTable {
     val statsPred: Entry => Boolean =
       if (covered.isEmpty) _ => true
       else {
-        val aggs = covered.zipWithIndex.flatMap { case (k, i) =>
-          Seq(min(col(k)).cast("string").as(s"__mn$i"), max(col(k)).cast("string").as(s"__mx$i"))
+        // min/max bounds of the batch keys in ONE mapPartitions fold
+        // (driver-sized result; the two-stage aggregate here cost two
+        // scheduler round-trips per merge statement). Restricted to
+        // types whose SQL ordering and rendering are reproduced exactly
+        // (integrals, date/timestamp, boolean, string — binary
+        // UTF8String order IS Spark's string min/max); anything else
+        // falls back to the aggregate.
+        val dts = covered.map(k => meta.schema(k).dataType)
+        val folded: Option[Seq[(Option[String], Option[String])]] =
+          foldKeyBounds(srcRaw.getOrElse(srcKeys).select(covered.map(col): _*), dts)
+        val rendered: Seq[(Option[String], Option[String])] = folded.getOrElse {
+          val aggs = covered.zipWithIndex.flatMap { case (k, i) =>
+            Seq(min(col(k)).cast("string").as(s"__mn$i"),
+              max(col(k)).cast("string").as(s"__mx$i"))
+          }
+          val r = srcKeys.agg(aggs.head, aggs.tail: _*).head()
+          covered.indices.map(i =>
+            (Option(r.getString(2 * i)), Option(r.getString(2 * i + 1))))
         }
-        val r = srcKeys.agg(aggs.head, aggs.tail: _*).head()
-        val bounds = covered.zipWithIndex.map { case (k, i) =>
-          k -> ((Option(r.getString(2 * i)), Option(r.getString(2 * i + 1))))
-        }
+        val bounds = covered.zip(rendered)
         if (bounds.exists { case (_, (mn, mx)) => mn.isEmpty || mx.isEmpty }) _ => false
         else
           e => bounds.forall { case (k, (mn, mx)) => entryIntersects(meta, e, k, mn, mx) }
@@ -3122,8 +3228,8 @@ object LakeTable {
     // the merged write below — persist it for this statement (batch-
     // sized), so an expensive upsert source computes once
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
+    try {
 
     // stats/bloom-informed probe: when the manifest records min/max (or
     // Bloom sidecars) on the key columns, files whose bounds cannot
@@ -3131,7 +3237,7 @@ object LakeTable {
     // from the probe scan BEFORE any data file is opened: a narrow
     // upsert batch against a 100 TB table probes the few files that can
     // hold its keys, not the corpus, even on an unclustered key layout
-    val mayMatch = keyProbeFilter(spark, root, meta, keyCols, srcKeys)
+    val mayMatch = keyProbeFilter(spark, root, meta, keyCols, srcKeys, Some(src))
     val probeEntries = s0.entries.filter(mayMatch)
 
     // partitions holding a matched key (one probe of the surviving files
@@ -3908,8 +4014,8 @@ object LakeTable {
     // the length of THIS statement only: batch-sized by construction
     // (the merge input, never the table), released before returning.
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
+    try {
 
     // rewrite set: with by-source clauses every target row's fate depends
     // on the join — no file can carry; otherwise identical to merge()
@@ -3925,7 +4031,7 @@ object LakeTable {
           !srcKeys.where(keyCols.map(k => col(s"`$k`").isNull).reduce(_ || _)).isEmpty
         val mayMatch =
           if (srcHasNullKey) (_: Entry) => true
-          else keyProbeFilter(spark, root, meta, keyCols, srcKeys)
+          else keyProbeFilter(spark, root, meta, keyCols, srcKeys, Some(src))
         val probeEntries = s0.entries.filter(mayMatch)
         val semiCond = (t: String, k: String) =>
           keyCols.map { c =>

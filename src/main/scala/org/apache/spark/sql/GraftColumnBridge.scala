@@ -45,6 +45,14 @@ object GraftColumnBridge {
       case f: UnresolvedFunction => (f.functionName, f.arguments.map(arg))
     }
   }
+  /** Spark's own SQL ordering for a data type (what min/max aggregate
+    * with) — `TypeUtils.getInterpretedOrdering` is sql-private; the lake
+    * layer needs it to fold exact min/max bounds driver-side in one
+    * metadata job instead of a two-stage aggregate.
+    */
+  def interpretedOrdering(dt: types.DataType): Ordering[Any] =
+    catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+
   def ofRows(
       spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
