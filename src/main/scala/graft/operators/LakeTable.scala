@@ -1160,13 +1160,23 @@ object LakeTable {
       spark: SparkSession,
       df: DataFrame,
       meta: TableMeta,
-      op: String): Unit =
-    meta.checks.foreach { case (n, sql) =>
-      val violated = !df.where(
-        !coalesce(org.apache.spark.sql.functions.expr(sql), lit(true))).isEmpty
-      if (violated) throw new IllegalArgumentException(
-        s"graft-lake $op: rows violate CHECK constraint $n ($sql) — nothing committed")
+      op: String): Unit = {
+    def viol(sql: String): Column =
+      !coalesce(org.apache.spark.sql.functions.expr(sql), lit(true))
+    def failFirst(): Nothing = {
+      meta.checks.foreach { case (n, sql) =>
+        if (!df.where(viol(sql)).isEmpty) throw new IllegalArgumentException(
+          s"graft-lake $op: rows violate CHECK constraint $n ($sql) — nothing committed")
+      }
+      throw new IllegalStateException(
+        s"graft-lake $op: fused constraint probe flagged a violation no single " +
+          "constraint reproduces (non-deterministic CHECK expression?)")
     }
+    // ONE existence probe for all constraints (the happy path); only a
+    // violation pays the per-constraint re-probes that name the culprit
+    if (meta.checks.nonEmpty &&
+      !df.where(meta.checks.map(c => viol(c._2)).reduce(_ || _)).isEmpty) failFirst()
+  }
 
   /** Write `df` as a new immutable batch, partitioned by the table's
     * partition column (stored BOTH in the directory name and inside the
@@ -1198,10 +1208,18 @@ object LakeTable {
         coalesce(col(g), org.apache.spark.sql.functions.expr(e))
           .cast(meta.schema(g).dataType))
     }
-    gens.foreach { case (g, e) =>
-      val want = org.apache.spark.sql.functions.expr(e).cast(meta.schema(g).dataType)
-      if (!dfGen.where(!(col(g) <=> want)).isEmpty) throw new IllegalArgumentException(
-        s"graft-lake write: rows violate GENERATED ALWAYS AS ($g = $e) — nothing committed")
+    // ONE fused existence probe for all generated-column invariants;
+    // only a violation pays the per-column re-probe that names it
+    def genViol(g: String, e: String): Column =
+      !(col(g) <=> org.apache.spark.sql.functions.expr(e).cast(meta.schema(g).dataType))
+    if (gens.nonEmpty && !dfGen.where(gens.map((genViol _).tupled).reduce(_ || _)).isEmpty) {
+      gens.foreach { case (g, e) =>
+        if (!dfGen.where(genViol(g, e)).isEmpty) throw new IllegalArgumentException(
+          s"graft-lake write: rows violate GENERATED ALWAYS AS ($g = $e) — nothing committed")
+      }
+      throw new IllegalStateException(
+        "graft-lake write: fused generated-column probe flagged a violation no " +
+          "single column reproduces (non-deterministic generation expression?)")
     }
     // IDENTITY allocation: NULL cells fill from beyond the high-water
     // mark with sparse per-partition offsets — unique, direction-
@@ -2557,27 +2575,24 @@ object LakeTable {
     */
   private val MaxBloomProbeKeys = 1000
 
-  /** Exact per-column min/max of `proj`'s columns, folded in one
-    * mapPartitions job and rendered with Spark's own cast-to-string.
-    * None when some column's type is outside the set whose ordering
-    * this fold reproduces exactly (caller falls back to an aggregate).
-    * Floats/decimals are deliberately excluded (NaN/-0.0/scale
-    * orderings); a column with no non-null value renders (None, None).
+  /** One-job key probe fold: per-column exact min/max (rendered with
+    * Spark's own cast-to-string) AND per-column null presence, from a
+    * single mapPartitions pass. A column whose type is outside the set
+    * whose SQL ordering this fold reproduces exactly gets `None` bounds
+    * (the caller aggregates just those); floats/decimals are
+    * deliberately excluded (NaN/-0.0/scale orderings). A foldable
+    * column with no non-null value renders Some((None, None)). Null
+    * presence is computed for EVERY column regardless of type — it
+    * feeds the null-safe merge gate, replacing a separate probe job.
     */
-  private def foldKeyBounds(
+  private def foldKeyInfo(
       proj: DataFrame,
       dts: Seq[org.apache.spark.sql.types.DataType])
-      : Option[Seq[(Option[String], Option[String])]] = {
+      : (IndexedSeq[Option[(Option[String], Option[String])]], Array[Boolean]) = {
     import org.apache.spark.sql.types._
-    val ok = dts.forall {
-      case ByteType | ShortType | IntegerType | LongType | DateType |
-        TimestampType | TimestampNTZType | BooleanType | StringType => true
-      case _ => false
-    }
-    if (!ok) return None
     val n = dts.size
     val isStr = dts.map(_ == StringType).toArray
-    // long-extraction codes for the primitive columns
+    // long-extraction codes for the primitive columns; -1 = not foldable
     val codes: Array[Int] = dts.map {
       case ByteType => 0
       case ShortType => 1
@@ -2585,7 +2600,7 @@ object LakeTable {
       case LongType | TimestampType | TimestampNTZType => 3
       case BooleanType => 4
       case StringType => 5
-      case other => sys.error(s"unreachable: $other")
+      case _ => -1
     }.toArray
     val parts = proj.queryExecution.toRdd.mapPartitions { it =>
       val minL = Array.fill(n)(Long.MaxValue)
@@ -2593,10 +2608,12 @@ object LakeTable {
       val minS = new Array[org.apache.spark.unsafe.types.UTF8String](n)
       val maxS = new Array[org.apache.spark.unsafe.types.UTF8String](n)
       val seen = new Array[Boolean](n)
+      val nulls = new Array[Boolean](n)
       it.foreach { r =>
         var i = 0
         while (i < n) {
-          if (!r.isNullAt(i)) {
+          if (r.isNullAt(i)) nulls(i) = true
+          else if (codes(i) >= 0) {
             if (isStr(i)) {
               val v = r.getUTF8String(i)
               if (minS(i) == null || v.compareTo(minS(i)) < 0) minS(i) = v.clone()
@@ -2613,11 +2630,11 @@ object LakeTable {
               if (v > maxL(i)) maxL(i) = v
             }
             seen(i) = true
-          }
+          } else seen(i) = true
           i += 1
         }
       }
-      Iterator.single((minL, maxL, minS, maxS, seen))
+      Iterator.single((minL, maxL, minS, maxS, seen, nulls))
     }.collect()
     def render(i: Int, v: Long): String = {
       import org.apache.spark.sql.catalyst.expressions.{Cast, Literal => CLit}
@@ -2630,20 +2647,22 @@ object LakeTable {
       }
       Cast(lit, StringType, Some("UTC")).eval(null).toString
     }
-    Some((0 until n).map { i =>
-      val any = parts.exists(_._5(i))
-      if (!any) (None, None)
+    val anyNull = Array.tabulate(n)(i => parts.exists(_._6(i)))
+    val bounds = (0 until n).map { i =>
+      if (codes(i) < 0) None
+      else if (!parts.exists(_._5(i))) Some((None, None))
       else if (isStr(i)) {
         val mins = parts.flatMap(p => Option(p._3(i)))
         val maxs = parts.flatMap(p => Option(p._4(i)))
-        (Some(mins.reduce((a, b) => if (a.compareTo(b) <= 0) a else b).toString),
-          Some(maxs.reduce((a, b) => if (a.compareTo(b) >= 0) a else b).toString))
+        Some((Some(mins.reduce((a, b) => if (a.compareTo(b) <= 0) a else b).toString),
+          Some(maxs.reduce((a, b) => if (a.compareTo(b) >= 0) a else b).toString)))
       } else {
         val lo = parts.collect { case p if p._5(i) => p._1(i) }.min
         val hi = parts.collect { case p if p._5(i) => p._2(i) }.max
-        (Some(render(i, lo)), Some(render(i, hi)))
+        Some((Some(render(i, lo)), Some(render(i, hi))))
       }
-    })
+    }
+    (bounds, anyNull)
   }
 
   private def keyProbeFilter(
@@ -2655,7 +2674,11 @@ object LakeTable {
       // the UN-distinct source projection when the caller has one
       // persisted: min/max bounds are duplicate-insensitive, so the fold
       // can skip the distinct shuffle entirely
-      srcRaw: Option[DataFrame] = None): Entry => Boolean = {
+      srcRaw: Option[DataFrame] = None,
+      // a caller that already folded the FULL key projection (to derive
+      // its null-safe gate) passes it here so the probe reuses the job
+      preFold: Option[Map[String, Option[(Option[String], Option[String])]]] = None)
+      : Entry => Boolean = {
     val covered = keyCols.filter(k =>
       meta.statsCols.contains(k) &&
         srcKeys.schema.fields.find(_.name == k)
@@ -2671,18 +2694,27 @@ object LakeTable {
         // UTF8String order IS Spark's string min/max); anything else
         // falls back to the aggregate.
         val dts = covered.map(k => meta.schema(k).dataType)
-        val folded: Option[Seq[(Option[String], Option[String])]] =
-          foldKeyBounds(srcRaw.getOrElse(srcKeys).select(covered.map(col): _*), dts)
-        val rendered: Seq[(Option[String], Option[String])] = folded.getOrElse {
-          val aggs = covered.zipWithIndex.flatMap { case (k, i) =>
-            Seq(min(col(k)).cast("string").as(s"__mn$i"),
-              max(col(k)).cast("string").as(s"__mx$i"))
+        val byName: Map[String, Option[(Option[String], Option[String])]] =
+          preFold.getOrElse {
+            val (bs, _) = foldKeyInfo(
+              srcRaw.getOrElse(srcKeys).select(covered.map(col): _*), dts)
+            covered.zip(bs).toMap
           }
-          val r = srcKeys.agg(aggs.head, aggs.tail: _*).head()
-          covered.indices.map(i =>
-            (Option(r.getString(2 * i)), Option(r.getString(2 * i + 1))))
-        }
-        val bounds = covered.zip(rendered)
+        val needAgg = covered.filter(k => byName.get(k).flatten.isEmpty)
+        val aggBounds: Map[String, (Option[String], Option[String])] =
+          if (needAgg.isEmpty) Map.empty
+          else {
+            val aggs = needAgg.zipWithIndex.flatMap { case (k, i) =>
+              Seq(min(col(k)).cast("string").as(s"__mn$i"),
+                max(col(k)).cast("string").as(s"__mx$i"))
+            }
+            val r = srcKeys.agg(aggs.head, aggs.tail: _*).head()
+            needAgg.zipWithIndex.map { case (k, i) =>
+              k -> ((Option(r.getString(2 * i)), Option(r.getString(2 * i + 1))))
+            }.toMap
+          }
+        val bounds = covered.map(k =>
+          k -> byName.get(k).flatten.getOrElse(aggBounds(k)))
         if (bounds.exists { case (_, (mn, mx)) => mn.isEmpty || mx.isEmpty }) _ => false
         else
           e => bounds.forall { case (k, (mn, mx)) => entryIntersects(meta, e, k, mn, mx) }
@@ -4026,12 +4058,18 @@ object LakeTable {
       else {
         // stats/Bloom pruning is sound only for non-null keys (NULL is
         // outside every min/max bound) — a null-safe merge whose batch
-        // carries a NULL key must probe every entry
-        val srcHasNullKey = nullSafeKeys &&
-          !srcKeys.where(keyCols.map(k => col(s"`$k`").isNull).reduce(_ || _)).isEmpty
+        // carries a NULL key must probe every entry. Null presence and
+        // the probe's min/max bounds come from ONE fold over the
+        // persisted source (previously a separate isEmpty probe + a
+        // two-stage aggregate).
+        val keyDts = keyCols.map(k => src.schema(k).dataType)
+        val (foldBounds, keyHasNull) =
+          foldKeyInfo(src.select(keyCols.map(col): _*), keyDts)
+        val srcHasNullKey = nullSafeKeys && keyHasNull.exists(identity)
         val mayMatch =
           if (srcHasNullKey) (_: Entry) => true
-          else keyProbeFilter(spark, root, meta, keyCols, srcKeys, Some(src))
+          else keyProbeFilter(spark, root, meta, keyCols, srcKeys, Some(src),
+            Some(keyCols.zip(foldBounds).toMap))
         val probeEntries = s0.entries.filter(mayMatch)
         val semiCond = (t: String, k: String) =>
           keyCols.map { c =>
