@@ -16,9 +16,11 @@ object PlanDump {
     val spark = graft.engine.SparkEngine.session(
       master = s"local[$cpus]", appName = "graft-plandump", shufflePartitions = cpus)
     Files.createDirectories(Paths.get(outDir))
+    // exact-or-underscore-prefix match: `q17` selects q17_foo but NOT
+    // q170_bar (bare startsWith dumped misleading neighbors)
     val wanted = list.split(",").map(_.trim).toSet
     SparkEntry.queries
-      .filter { case (n, _) => wanted.exists(n.startsWith) }
+      .filter { case (n, _) => wanted.exists(w => n == w || n.startsWith(w + "_")) }
       .foreach { case (name, fn) =>
         try {
           val df = fn(spark, sfDir)

@@ -30,6 +30,14 @@ object SparkEngine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime SMJ -> shuffled-hash conversion, gated on MEASURED
+      // post-shuffle partition sizes (every partition must fit the local
+      // map bound), so it is scale-safe by construction: a batch-sized
+      // merge source skips two whole-stage sorts, a 100 TB join keeps
+      // SMJ. Default 0 (off) upstream; bound chosen well under the
+      // per-task execution-memory share, overridable for clusters.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       // Parquet TIMESTAMP(NANOS) (e.g. pandas-written event streams) is
       // otherwise an illegal type for the vectorized reader; surface it
@@ -67,6 +75,10 @@ object SparkEngine {
     */
   def align(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // same runtime SMJ->SHJ conversion as session() — correctness runs
+    // must exercise the same plan shapes the bench measures
+    spark.conf.set("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+      sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     graft.functions.GraftExtensions.register(spark)

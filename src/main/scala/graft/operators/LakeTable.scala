@@ -864,13 +864,34 @@ object LakeTable {
     val rel = s"segments/seg-${java.util.UUID.randomUUID().toString.take(12)}.seg"
     val p = new Path(manifestDir(root), rel)
     val f = fs(spark, p)
-    f.mkdirs(p.getParent)
-    val out = f.create(p, false)
-    try out.write(es.map(renderEntryLine).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    writeSmallFile(f, p, es.map(renderEntryLine).mkString("\n").getBytes("UTF-8"))
     segmentCache.put(p.toString, es)
     SegRef(rel, es.size)
   }
+
+  /** Write a small metadata file (manifest, segment). On the local
+    * scheme this bypasses Hadoop's LocalFileSystem, whose public
+    * `create()` FORKS a chmod process per file (no native lib in this
+    * image) and shadows every file with a `.crc` — measured ~4% of a
+    * warm DML statement's driver wall. java.nio writes the bytes
+    * directly; readers via the Hadoop FS are unaffected (a missing
+    * `.crc` simply skips verification). Non-local schemes keep the
+    * FileSystem route. Fails (like `create(p, overwrite = false)`) if
+    * the file already exists.
+    */
+  private def writeSmallFile(f: FileSystem, p: Path, bytes: Array[Byte]): Unit =
+    if (Option(f.getUri.getScheme).getOrElse("file") == "file") {
+      val nio = java.nio.file.Paths.get(f.makeQualified(p).toUri)
+      java.nio.file.Files.createDirectories(nio.getParent)
+      java.nio.file.Files.write(nio, bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      ()
+    } else {
+      f.mkdirs(p.getParent)
+      val out = f.create(p, false)
+      try out.write(bytes) finally out.close()
+    }
 
   /** Parsed manifest documents, cached JVM-wide. A published
     * `vN.manifest` is immutable (publishAtomic never overwrites an
@@ -1077,13 +1098,24 @@ object LakeTable {
         else renderManifest(meta, Nil, Some(System.currentTimeMillis()), refs, segsHaveDv = anyDv)
       }
     val tmp = new Path(dir, s".tmp-v$v-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, false)
-    try out.write(text.getBytes("UTF-8"))
-    finally out.close()
+    writeSmallFile(f, tmp, text.getBytes("UTF-8"))
     publishAtomic(f, tmp, new Path(dir, s"v$v.manifest"))
   }
 
   // ---- write path ----------------------------------------------------
+
+  /** Persist `df` for the duration of one statement UNLESS the caller
+    * already persisted it: Spark caching is not reference-counted, so
+    * unpersisting a shared frame in our `finally` would silently evict
+    * the caller's cache. Returns the frame plus the matching release.
+    */
+  private def persistForStatement(df: DataFrame): (DataFrame, () => Unit) =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      (df, () => ())
+    else {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (p, () => { p.unpersist(); () })
+    }
 
   /** The partition value as manifest entries record it: the column cast
     * to string with NULL mapped to the Hive sentinel — the same value the
@@ -1195,7 +1227,8 @@ object LakeTable {
       maxRecordsPerFile: Long = 0L,
       sortCols: Seq[String] = Nil,
       zorderCols: Seq[String] = Nil,
-      enforceChecks: Boolean = true): Seq[Entry] = {
+      enforceChecks: Boolean = true,
+      preserveLayout: Boolean = false): Seq[Entry] = {
     if (enforceChecks) requireChecks(spark, df, meta, "write")
     // GENERATED ALWAYS AS: fill where the incoming row has NULL (an
     // INSERT that omitted the column), then refuse any provided value
@@ -1235,7 +1268,8 @@ object LakeTable {
           org.apache.spark.sql.functions.monotonically_increasing_id())
           .cast(meta.schema(c).dataType)))
     }
-    writeBatchRaw(spark, root, dfId, meta, maxRecordsPerFile, sortCols, zorderCols)
+    writeBatchRaw(spark, root, dfId, meta, maxRecordsPerFile, sortCols, zorderCols,
+      preserveLayout)
   }
 
   /** The farthest identity value ever allocated for `c` (in `step`'s
@@ -1368,7 +1402,8 @@ object LakeTable {
       meta: TableMeta,
       maxRecordsPerFile: Long = 0L,
       sortCols: Seq[String] = Nil,
-      zorderCols: Seq[String] = Nil): Seq[Entry] = {
+      zorderCols: Seq[String] = Nil,
+      preserveLayout: Boolean = false): Seq[Entry] = {
     val batch = s"batch-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(new Path(dataRoot(root), "data"), batch)
     // column mapping: stamp each written column with its field id (the
@@ -1402,6 +1437,16 @@ object LakeTable {
           .repartitionByRange(col(PartDirCol), col("__zclust"))
           .sortWithinPartitions(col(PartDirCol), col("__zclust"))
           .drop("__zclust")
+      else if (preserveLayout && sortCols.isEmpty)
+        // COW rewrite whose rows provably keep their partition value
+        // (DELETE; UPDATE not touching the partition source column): the
+        // input is a scan of files that each live under ONE partition
+        // directory, so it is already partition-aligned and file-sized —
+        // rebalancing it would shuffle every rewritten byte only to
+        // recreate the layout it arrived in. Write straight from the
+        // scan: zero exchanges, the rewrite never crosses the network
+        // (guide §2.4 "remove shuffles outright").
+        keyed
       else if (sortCols.isEmpty) {
         // A provably-tiny driver-literal source (INSERT VALUES, metadata-
         // sized internal batches) needs no distribution at all:
@@ -3259,7 +3304,7 @@ object LakeTable {
     // the source feeds the key probe, the affected-partition probe AND
     // the merged write below — persist it for this statement (batch-
     // sized), so an expensive upsert source computes once
-    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (src, releaseSrc) = persistForStatement(source)
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     try {
 
@@ -3321,7 +3366,7 @@ object LakeTable {
       filesCarried = carry.size,
       filesWritten = written.size,
       filesProbed = probeEntries.size)
-    } finally src.unpersist()
+    } finally releaseSrc()
   }
 
   /** Transactional COW DELETE: remove every row where `predicate` is
@@ -3406,7 +3451,14 @@ object LakeTable {
         // dv-free)
         readEntries(spark, root, meta.schema, rewrite)
           .where(!coalesce(predicate, lit(false))),
-        meta)
+        meta,
+        // surviving rows keep their partition value — the rewrite is
+        // already partition-aligned, skip the write shuffle. Only sound
+        // when every rewritten file already carries the CURRENT spec: a
+        // pre-evolution file re-partitions under the new spec, where the
+        // scan layout means nothing (one old file would scatter across
+        // many new values as task-sized fragments).
+        preserveLayout = rewrite.forall(_.spec == meta.currentSpec))
     // a lost race first tries the metadata-only rebase (same conditions
     // as merge: untouched read set, winner's new files provably hold no
     // predicate match) before the caller recomputes
@@ -3724,7 +3776,15 @@ object LakeTable {
               .map(v => when(hit, v.cast(fld.dataType)).otherwise(col(fld.name)).as(fld.name))
               .getOrElse(col(fld.name))
           }.toSeq: _*)
-        writeBatch(spark, root, regenerate(updated, meta, set.keySet), meta)
+        // rows keep their partition value unless the SET (or a
+        // regeneration it triggers) can touch the partition source
+        // column — then the rewrite is partition-aligned as read and
+        // needs no write shuffle
+        val layoutStable = !set.keySet.contains(meta.partitionCol) &&
+          generatedOf(meta.schema).forall(_._1 != meta.partitionCol) &&
+          rewrite.forall(_.spec == meta.currentSpec)
+        writeBatch(spark, root, regenerate(updated, meta, set.keySet), meta,
+          preserveLayout = layoutStable)
       }
     // lost race → metadata-only rebase when sound (see delete), else
     // the retry wrapper recomputes against the winner's snapshot
@@ -4045,7 +4105,7 @@ object LakeTable {
     // each evaluation would recompute the whole delta. Persist it for
     // the length of THIS statement only: batch-sized by construction
     // (the merge input, never the table), released before returning.
-    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (src, releaseSrc) = persistForStatement(source)
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     try {
 
@@ -4129,7 +4189,7 @@ object LakeTable {
       s"LakeTable.mergeClauses: concurrent commit at $root (retry on a fresh snapshot)")
     MergeStats(s0.version + 1, affectedParts, rewrite.size, carry.size, written.size,
       filesProbed = probed)
-    } finally src.unpersist()
+    } finally releaseSrc()
   }
 
   /** [[mergeClauses]] with the standard optimistic-concurrency retry
@@ -4740,8 +4800,7 @@ object LakeTable {
       fsys.mkdirs(ckDir)
       val dest = new Path(ckDir, s"offset-$to")
       val tmp = new Path(ckDir, s".tmp-offset-${java.util.UUID.randomUUID()}")
-      val out = fsys.create(tmp, false)
-      try out.write(to.toString.getBytes("UTF-8")) finally out.close()
+      writeSmallFile(fsys, tmp, to.toString.getBytes("UTF-8"))
       // a failed publish with the destination already present is a racing
       // consumer committing the SAME offset — equivalent, not an error
       // (publishAtomic gives the exactly-one-winner contract on local
@@ -4806,8 +4865,7 @@ object LakeTable {
     val dest = new Path(dir, name)
     if (replace) f.delete(dest, false)
     val tmp = new Path(dir, s".tmp-$name-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, false)
-    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    writeSmallFile(f, tmp, version.toString.getBytes("UTF-8"))
     require(publishAtomic(f, tmp, dest),
       s"LakeTable.tag: tag '$name' already exists at $root (use replace)")
   }
@@ -5029,8 +5087,7 @@ object LakeTable {
     val f = fs(spark, dir)
     val bp = new Path(dir, "base")
     if (replace) f.delete(bp, false)
-    val out = f.create(bp, false)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    writeSmallFile(f, bp, v.toString.getBytes("UTF-8"))
   }
 
   // ---- vacuum --------------------------------------------------------

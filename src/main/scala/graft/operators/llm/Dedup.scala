@@ -24,6 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Broadcast `df` only when its plan-estimated size is comfortably
+    * within executor/driver broadcast budgets; past the bound, drop the
+    * hint and let the planner pick a shuffle strategy — a huge re-ingest
+    * batch must degrade to a slower join, not fail the job at the
+    * broadcast cap. (The estimate is the optimizer's own sizeInBytes —
+    * file-size-derived for table scans; no extra job.)
+    */
+  private[llm] def broadcastIfModest(df: DataFrame): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= (256L << 20))
+      broadcast(df)
+    else df
+
   /** Canonical text form shared with the DuckDB oracle: lower-case,
     * whitespace runs collapsed to single spaces, trimmed. Computed as
     * the native tokenizer's output re-joined — one byte scan instead of
@@ -274,7 +286,7 @@ object Dedup {
     // (broadcast of batch ids — the history side never shuffles)
     val all = graft.engine.ManagedCache.persist(
       historySigs.select(col("id"), col("sh"), col("bands"))
-        .join(broadcast(batchSigs.select(col("id"))), Seq("id"), "left_anti")
+        .join(Dedup.broadcastIfModest(batchSigs.select(col("id"))), Seq("id"), "left_anti")
         .unionByName(batchSigs.select(col("id"), col("sh"), col("bands"))))
 
     val allBanded = explodeStoredBands(all)
@@ -603,25 +615,39 @@ object Dedup {
     // superseded rounds' blocks are reclaimed by the ContextCleaner.
     var labels = edges.select(col("src").as("id")).distinct().withColumn("group", col("id"))
       .localCheckpoint(true)
+    val spark = pairs.sparkSession
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("group")).as("ngroup"))
-      // carry the per-row changed flag THROUGH the checkpoint instead of
-      // re-joining next against the previous labels for the convergence
-      // check — that third join was a whole extra shuffle job per round;
-      // summing a materialized flag column is a cache scan
+      // the convergence count rides the checkpoint MATERIALIZATION as an
+      // accumulator (one job per round, not materialize + re-scan): a
+      // retried task can only over-count a nonzero round — a zero is
+      // exact, because every row of a completed pass was examined — so
+      // the worst failure mode is one redundant round, never a premature
+      // stop. (Round 21 note: the flag-through-checkpoint form already
+      // replaced a third per-round join; this removes the re-scan too.)
       val newGroup = least(col("group"), coalesce(col("ngroup"), col("group")))
-      val next = labels
+      val planned = labels
         .join(prop, labels("id") === prop("src"), "left")
         .select(
           col("id"),
           newGroup.as("group"),
-          (newGroup =!= col("group")).cast("long").as("__ch"))
-        .localCheckpoint(true)
-      changed = next.agg(coalesce(sum(col("__ch")), lit(0L))).head().getLong(0)
-      labels = next.drop("__ch")
+          (newGroup =!= col("group")).as("__ch"))
+      val acc = spark.sparkContext.longAccumulator("nearDupGroupsChanged")
+      val chIdx = planned.schema.fieldIndex("__ch")
+      val ckpt = planned.queryExecution.toRdd.mapPartitions { it =>
+        it.map { r =>
+          if (!r.isNullAt(chIdx) && r.getBoolean(chIdx)) acc.add(1L)
+          r.copy()
+        }
+      }.localCheckpoint()
+      ckpt.count() // materialize eagerly; populates the accumulator
+      changed = acc.value
+      labels = org.apache.spark.sql.GraftColumnBridge
+        .internalFrame(spark, ckpt, planned.schema)
+        .drop("__ch")
       i += 1
     }
     // the edge cache is only needed during the loop

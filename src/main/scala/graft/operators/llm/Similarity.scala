@@ -451,7 +451,7 @@ object Similarity {
     // (broadcast of batch ids — the history side never shuffles)
     val all = graft.engine.ManagedCache.persist(
       historySigs.select(col("id"), col("q"), col("bands"))
-        .join(broadcast(batchSigs.select(col("id"))), Seq("id"), "left_anti")
+        .join(Dedup.broadcastIfModest(batchSigs.select(col("id"))), Seq("id"), "left_anti")
         .unionByName(batchSigs.select(col("id"), col("q"), col("bands"))))
     def explodeBands(sigs: DataFrame): DataFrame =
       sigs.select(col("id"), posexplode(col("bands")).as(Seq("__band", "__bh")))

@@ -45,13 +45,17 @@ object GraftColumnBridge {
       case f: UnresolvedFunction => (f.functionName, f.arguments.map(arg))
     }
   }
-  /** Spark's own SQL ordering for a data type (what min/max aggregate
-    * with) — `TypeUtils.getInterpretedOrdering` is sql-private; the lake
-    * layer needs it to fold exact min/max bounds driver-side in one
-    * metadata job instead of a two-stage aggregate.
+  /** A DataFrame over an already-materialized InternalRow RDD (e.g. a
+    * localCheckpoint'ed iteration state) — `internalCreateDataFrame` is
+    * sql-private. The plan is a LogicalRDD leaf: lineage is CUT, which
+    * is the point for iterative operators.
     */
-  def interpretedOrdering(dt: types.DataType): Ordering[Any] =
-    catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+  def internalFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[catalyst.InternalRow],
+      schema: types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
 
   def ofRows(
       spark: SparkSession,
