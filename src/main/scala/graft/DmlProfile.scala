@@ -36,7 +36,11 @@ object DmlProfile {
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         Option(jobStart.get(j.jobId)).foreach { t0 =>
           val ms = (System.nanoTime() - t0) / 1e6
-          println(f"[dmlprofile]   job ${j.jobId}%3d ${ms}%7.1f ms")
+          import scala.jdk.CollectionConverters._
+          val name = jobLog.asScala.collectFirst {
+            case (id, n) if id == j.jobId.toLong => n
+          }.getOrElse("")
+          println(f"[dmlprofile]   job ${j.jobId}%3d ${ms}%7.1f ms  $name")
         }
       }
     })
@@ -79,6 +83,36 @@ object DmlProfile {
       }
       time("SELECT rollup (scan)") {
         spark.sql(s"SELECT o_orderstatus, count(*) FROM $t GROUP BY 1").collect()
+      }
+    }
+
+    // matview maintenance: the shape the heavy bench tier is made of
+    // (CREATE MV = full-aggregate init; REFRESH = signed-delta merge).
+    // Statement job counts here attribute the refresh path's fixed cost.
+    for (round <- 1 to 2) {
+      println(s"[dmlprofile] ---- matview round $round ----")
+      val src = s"graft.db.mvsrc$round"
+      val mv = s"graft.db.mv$round"
+      spark.sql(s"CREATE TABLE $src (o_orderkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (o_orderstatus) " +
+        "TBLPROPERTIES (statsCols 'o_orderkey')")
+      spark.sql(s"INSERT INTO $src SELECT o_orderkey, o_orderstatus, " +
+        "CAST(o_totalprice AS DOUBLE) FROM p_orders")
+      time("CREATE MATERIALIZED VIEW") {
+        spark.sql(s"CREATE MATERIALIZED VIEW $mv AS SELECT o_orderstatus, " +
+          s"count(*) AS cnt, sum(o_orderkey) AS sum_o_orderkey FROM $src GROUP BY o_orderstatus")
+      }
+      time("source UPDATE (narrow)") {
+        spark.sql(s"UPDATE $src SET o_totalprice = o_totalprice * 2 WHERE o_orderkey % 101 = 5")
+      }
+      time("source INSERT (1 row)") {
+        spark.sql(s"INSERT INTO $src VALUES (3000000000, 'F', 100.5)")
+      }
+      time("REFRESH MATERIALIZED VIEW") {
+        spark.sql(s"REFRESH MATERIALIZED VIEW $mv")
+      }
+      time("read MV") {
+        spark.sql(s"SELECT * FROM $mv ORDER BY o_orderstatus").collect()
       }
     }
     spark.stop()

@@ -34,7 +34,6 @@ object GapProfile {
 
     val main = Thread.currentThread()
     val samples = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-    @volatile var run = true
     val sampler = new Thread {
       override def run(): Unit = {
         while (GapProfile.running) {
@@ -68,7 +67,6 @@ object GapProfile {
     }
     val wall = (System.nanoTime() - t0) / 1e9
     running = false
-    run = !run // silence unused warning
     Thread.sleep(50)
     println(f"[gapprofile] $n UPDATE statements in $wall%.2f s (${wall / n}%.3f s each)")
     import scala.jdk.CollectionConverters._

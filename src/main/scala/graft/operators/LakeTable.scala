@@ -1524,11 +1524,13 @@ object LakeTable {
     // bounded pool (an object-store footer read is ~50-100 ms; a
     // thousand-file batch must not serialize that on the driver)
     val hconf = spark.sparkContext.hadoopConfiguration
-    // Footer-EXACT stats columns: for integral and date columns the
-    // parquet row-group statistics the writer just recorded ARE the
-    // file's exact min/max (no truncation, no float/NaN ordering
-    // hazards, no collation subtleties — those types stay on the scan
-    // path below). Reading them out of the footers we ALREADY open for
+    // Footer-EXACT stats columns: for integral, date AND string columns
+    // the parquet row-group statistics the writer just recorded ARE the
+    // file's exact min/max (strings: unsigned-lexicographic binary order
+    // == UTF8String order, untruncated at parquet-mr defaults — oversize
+    // stats are OMITTED and fall back; floats/decimals/timestamps keep
+    // the scan path: NaN ordering and rendering hazards are real there).
+    // Reading them out of the footers we ALREADY open for
     // row counts removes the whole per-batch stats scan for the common
     // key/date stats layout — the Delta/Iceberg "stats belong to the
     // write" idiom, extended from counts to bounds. Rendering matches
@@ -1540,7 +1542,7 @@ object LakeTable {
       meta.schema(c).dataType match {
         case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
-          org.apache.spark.sql.types.DateType => true
+          org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.StringType => true
         case _ => false
       }
     }
@@ -1597,7 +1599,7 @@ object LakeTable {
     // happen post-align, but stay conservative) records nothing for it.
     val bloomPresent = meta.bloomCols.filter(writtenCols.contains)
     // columns still needing the scan: stats columns the footers could
-    // not cover exactly (strings, floats/decimals, timestamps)
+    // not cover exactly (floats/decimals/timestamps, oversize strings)
     val scanStatsCols = present.filterNot(footerCovered.contains)
     // the batch's DATA schema is already known (writtenCols over the
     // table schema) — passing it to the reads below removes one
@@ -1810,16 +1812,17 @@ object LakeTable {
     }
   }
 
-  /** Exact per-file min/max for an integral/date stats column from the
-    * parquet row-group statistics of a just-written file. Returns None
-    * when any block's statistics cannot be trusted (stats object
-    * missing, unexpected physical type, or neither values nor a
+  /** Exact per-file min/max for an integral/date/string stats column
+    * from the parquet row-group statistics of a just-written file.
+    * Returns None when any block's statistics cannot be trusted (stats
+    * object missing, unexpected physical type, or neither values nor a
     * provable all-null count) — the caller then falls back to the scan
     * path for the whole batch, conservatively. Rendering matches
     * Spark's cast-to-string bit-for-bit: integral via Long.toString,
     * DateType via ISO local date (both proleptic Gregorian; dates
     * outside years 1–9999 fall back to the scan rather than risk a
-    * formatting divergence).
+    * formatting divergence), strings via UTF-8 decode of the binary
+    * stats (same unsigned byte order and same decode as UTF8String).
     */
   private def footerMinMax(
       blocks: java.util.List[org.apache.parquet.hadoop.metadata.BlockMetaData],
@@ -1827,6 +1830,15 @@ object LakeTable {
       dt: org.apache.spark.sql.types.DataType): Option[(Option[String], Option[String])] = {
     var mn = Long.MaxValue
     var mx = Long.MinValue
+    // string accumulation: parquet BINARY/UTF8 stats order is UNSIGNED
+    // lexicographic — exactly UTF8String.compareTo, i.e. what a Spark
+    // min/max over the column computes. These are footers WE just wrote
+    // (current parquet-mr, statistics truncation at its untruncated
+    // default; stats over 4 KB are OMITTED, never truncated — they land
+    // in the None fallback below), so a present binary min/max is the
+    // exact value. Rendering is the UTF-8 decode both paths share.
+    var smn: Array[Byte] = null
+    var smx: Array[Byte] = null
     var any = false
     val it = blocks.iterator()
     while (it.hasNext) {
@@ -1848,6 +1860,12 @@ object LakeTable {
           case (a: java.lang.Long, z: java.lang.Long) =>
             if (a.longValue() < mn) mn = a.longValue()
             if (z.longValue() > mx) mx = z.longValue()
+          case (a: org.apache.parquet.io.api.Binary, z: org.apache.parquet.io.api.Binary)
+              if dt == org.apache.spark.sql.types.StringType =>
+            val ab = a.getBytes
+            val zb = z.getBytes
+            if (smn == null || java.util.Arrays.compareUnsigned(ab, smn) < 0) smn = ab
+            if (smx == null || java.util.Arrays.compareUnsigned(zb, smx) > 0) smx = zb
           case _ => return None
         }
         any = true
@@ -1864,6 +1882,10 @@ object LakeTable {
         if (mn < dLo || mx > dHi) None
         else Some((Some(java.time.LocalDate.ofEpochDay(mn).toString),
           Some(java.time.LocalDate.ofEpochDay(mx).toString)))
+      case org.apache.spark.sql.types.StringType =>
+        if (smn == null || smx == null) None
+        else Some((Some(new String(smn, java.nio.charset.StandardCharsets.UTF_8)),
+          Some(new String(smx, java.nio.charset.StandardCharsets.UTF_8))))
       case _ => Some((Some(mn.toString), Some(mx.toString)))
     }
   }

@@ -376,13 +376,18 @@ object Dedup {
 
     // Rarest-first rank within each doc; block on the prefix only.
     val prefixLen = col("__sz") - ceil(col("__sz") * threshold - lit(1e-9)) + lit(1)
-    val prefix = exploded
+    // the prefix index feeds BOTH sides of the self-join below — without
+    // persisting it, the explode -> dfreq-join -> per-doc rank window
+    // subtree executes twice in one query (the plan showed two Window
+    // operators). Materializing it once is PPJoin's "build the prefix
+    // index" step; at cluster scale this is the index you would write out.
+    val prefix = graft.engine.ManagedCache.persist(exploded
       .join(dfreq, "__tok")
       .withColumn("__rank",
         row_number().over(
           Window.partitionBy("__id").orderBy(col("__df"), col("__tok"))))
       .where(col("__rank") <= prefixLen)
-      .select("__id", "__tok")
+      .select("__id", "__tok"))
 
     val candidates = prefix.as("a")
       .join(prefix.as("b"),

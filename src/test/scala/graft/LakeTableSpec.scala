@@ -695,6 +695,43 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.readRangeOn(spark, root, "k", 200, 205).count() === 6)
   }
 
+  test("string stats columns: footer-derived per-file min/max equal a scan's") {
+    // r22: string statsCols come from the parquet binary footer stats
+    // (unsigned lexicographic == UTF8String order) instead of a
+    // post-write scan — pin exact equality against a per-file aggregate,
+    // including empty strings, non-ASCII multibyte, and NULLs
+    val root = freshRoot()
+    val base = spark.range(300).select(
+      when(col("id") % 97 === 0, lit(null))
+        .when(col("id") % 89 === 0, lit(""))
+        .when(col("id") % 83 === 0, concat(lit("zzé-"), col("id").cast("string")))
+        .otherwise(concat(lit("id-"), lpad(col("id").cast("string"), 4, "0")))
+        .as("s"),
+      (col("id") % 3).cast("string").as("p"),
+      col("id").as("k"))
+    LakeTable.init(spark, root, base, "p", statsCols = Seq("s"))
+    val s0 = LakeTable.snapshot(spark, root)
+    assert(s0.entries.nonEmpty)
+    s0.entries.foreach { e =>
+      val r = spark.read.parquet(s"$root/${e.rel}")
+        .agg(min(col("s")).cast("string"), max(col("s")).cast("string")).head
+      assert(e.min === Option(r.getString(0)), s"min of ${e.rel}")
+      assert(e.max === Option(r.getString(1)), s"max of ${e.rel}")
+    }
+    // an all-null file records (None, None), exactly like the scan path
+    val root2 = freshRoot()
+    LakeTable.init(spark, root2,
+      spark.range(10).select(lit(null).cast("string").as("s"),
+        lit("x").as("p"), col("id").as("k")),
+      "p", statsCols = Seq("s"))
+    val s2 = LakeTable.snapshot(spark, root2)
+    assert(s2.entries.forall(e => e.min.isEmpty && e.max.isEmpty))
+    // and range pruning over the string column still prunes correctly
+    val hit = LakeTable.pruneRangeOn(s0.meta.get, s0.entries, "s", "id-0000", "id-0049")
+    assert(hit.nonEmpty && hit.size < s0.entries.size ||
+      s0.entries.size <= 3) // tiny layouts may keep all files; never zero
+  }
+
   test("per-file stats stay correct when one task writes many partition dirs") {
     // regression: 64 partition values over far fewer write tasks means a
     // task emits the SAME part-<task>-<uuid> file name into several
