@@ -225,11 +225,19 @@ class OperatorSpec extends SparkSpec {
       Seq((1, Option.empty[String])).toDF("a", "b"), Seq("b")).head()
     assert(nul.getLong(3) == 0 && nul.isNullAt(4) && nul.isNullAt(5) && nul.getLong(6) == 0)
 
-    // ONE scan feeds all statistics — that's the operator's whole point
+    // TWO column-pruned scans feed all statistics: the hash-aggregable
+    // pass (counts/distincts/lengths over the countDistinct Expand) and
+    // the sortless string min/max pass. One fused pass read fewer bytes
+    // but its string buffers forced SortAggregate over the (#cols+1)-fold
+    // Expand — the r22 split trades one extra scan for hash aggregation
+    // everywhere (and no Sort anywhere; pinned below).
     val plan = graft.operators.Profiler.profile(df, Seq("k", "s"))
       .queryExecution.executedPlan.toString
     val scans = "LocalTableScan".r.findAllIn(plan).size
-    assert(scans == 1, s"profiler re-scanned the input ($scans scans):\n$plan")
+    assert(scans == 2, s"profiler should scan exactly twice ($scans scans):\n$plan")
+    assert(!plan.contains("Sort ["),
+      s"profiler must not sort anything (grouping-free SortAggregate is fine):\n$plan")
+    assert(plan.contains("HashAggregate"), s"distinct pass must hash-aggregate:\n$plan")
 
     // approx mode: same report schema, estimates exact at these sizes
     val approx = graft.operators.Profiler.profile(df, Seq("k", "s"), exact = false)
